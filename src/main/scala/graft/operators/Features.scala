@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** The reference's per-(Currency,Event) time-series feature operators
+  * re-expressed as Spark window/aggregate transforms (SURVEY.md §2e).
+  *
+  * Generic in the entity-key / time columns so the same operators run over
+  * the reference `events` schema and the driver test `events` table
+  * (FIXTURES.md §B mapping: user_id→Currency, event_type→Event, ts→EventTime,
+  * value→Actual_numeric).
+  *
+  * Scale notes (north star = 100 TB):
+  *  - every operator here partitions by the entity key, so one upstream
+  *    `repartition(key)` co-locates all of W1-W4/A5/A6 into a single
+  *    exchange; Catalyst reuses the hash partitioning across the stages.
+  *  - [[chronoSplit]] in exact form needs one global window (the reference's
+  *    row-positional 70/15/15, train.py:131-153); [[chronoSplitApprox]] is
+  *    the scale path (distributed percent_rank, no single-partition stage).
+  */
+object Features {
+
+  /** w := Window.partitionBy(key).orderBy(time) — the pipeline's universal
+    * window (train.py:423: sort_values([Currency,Event,DateTime])). */
+  def keyWindow(key: Seq[String], time: Seq[String]): WindowSpec =
+    Window.partitionBy(key.map(col): _*).orderBy(time.map(col): _*)
+
+  /** W1 — lag-1 of `c` per group (train.py:424-425 groupby().shift(1)). */
+  def lag1(c: Column, w: WindowSpec): Column = lag(c, 1).over(w)
+
+  /** W2 — forward-fill: last non-null at or before the current row
+    * (train.py:428-429 groupby().ffill()). */
+  def ffill(c: Column, w: WindowSpec): Column =
+    last(c, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+  /** W2 — backward-fill: first non-null at or after the current row. */
+  def bfill(c: Column, w: WindowSpec): Column =
+    first(c, ignoreNulls = true).over(w.rowsBetween(0, Window.unboundedFollowing))
+
+  /** W3/A5 — per-group min-max normalization with the reference's guards
+    * (train.py:122-129 normalize_feature): all-NaN group → zeros with
+    * (mn,rng)=(0,1); zero range → rng=1. Returns (normalized, mn, rng).
+    * Uses frame-unbounded window aggregates — no join, single shuffle on
+    * the group key shared with the other window ops. */
+  def minMaxNormalize(c: Column, key: Seq[String]): (Column, Column, Column) = {
+    val frame = Window.partitionBy(key.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mnRaw = min(c).over(frame)
+    val mxRaw = max(c).over(frame)
+    val mn = coalesce(mnRaw, lit(0.0))
+    val rng = when(mxRaw.isNull || mxRaw === mnRaw, lit(1.0)).otherwise(mxRaw - mnRaw)
+    val normalized = when(mnRaw.isNull, lit(0.0)).otherwise((c - mn) / rng)
+    (normalized, mn, rng)
+  }
+
+  /** F11 — inverse of [[minMaxNormalize]]: x*rng + mn (train.py:244-248). */
+  def denormalize(x: Column, mn: Column, rng: Column): Column = x * rng + mn
+
+  /** A1+J1 — count of high-impact rows per (dim, date), attached to every
+    * row. The reference computes a groupBy().size() and left-joins it back
+    * (train.py:419-422); a conditional window count gives the identical
+    * result with no join and no second shuffle of the fact table. */
+  def highImpactCount(isHigh: Column, dim: String, dateCol: Column): Column =
+    count(when(isHigh, lit(1)))
+      .over(Window.partitionBy(col(dim), dateCol)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+
+  /** J5+A3 — group-mean imputation: NULL → mean over the group, groups with
+    * no non-null values → 0.0 (train.py:347-357 fill_missing). Window form —
+    * the reference's dict-lookup join is unnecessary in Spark. */
+  def imputeGroupMean(c: Column, key: Seq[String]): Column = {
+    val frame = Window.partitionBy(key.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    coalesce(c, avg(c).over(frame), lit(0.0))
+  }
+
+  /** A2 — model routing: total samples per key, >=threshold → "rnn" else
+    * "xgb" (train.py:377-389). */
+  def modelRouting(df: DataFrame, key: Seq[String], threshold: Int = 50): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("total_samples"))
+      .withColumn("model_type",
+        when(col("total_samples") >= threshold, lit("rnn")).otherwise(lit("xgb")))
+
+  /** W5 — exact chronological 70/15/15 row-positional split
+    * (train.py:131-153): sort by time, first floor(n*0.7) rows → train,
+    * next floor(n*0.15) → val, remainder → test.
+    * NOTE: exact row positions require one global window — fine at test
+    * scale; use [[chronoSplitApprox]] at cluster scale. */
+  def chronoSplit(df: DataFrame, order: Seq[String],
+                  trainRatio: Double = 0.7, valRatio: Double = 0.15): DataFrame = {
+    val w = Window.orderBy(order.map(col): _*)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_total", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("split",
+        when(col("rn") <= floor(col("n_total") * trainRatio), lit("train"))
+          .when(col("rn") <= floor(col("n_total") * trainRatio) +
+            floor(col("n_total") * valRatio), lit("val"))
+          .otherwise(lit("test")))
+      .drop("rn", "n_total")
+  }
+
+  /** W5 at scale — percentile-based chronological split: two passes
+    * (approxQuantile on the time column, then a stateless filter), no
+    * global sort, no single-partition window. Split boundaries are time
+    * values rather than exact row positions; at 100 TB the difference is
+    * noise and the plan stays embarrassingly parallel. */
+  def chronoSplitApprox(df: DataFrame, timeCol: String,
+                        trainRatio: Double = 0.7, valRatio: Double = 0.15,
+                        relErr: Double = 1e-4): DataFrame = {
+    val Array(tTrain, tVal) = df
+      .select(unix_micros(col(timeCol).cast("timestamp")).cast("double").as("t"))
+      .stat.approxQuantile("t", Array(trainRatio, trainRatio + valRatio), relErr)
+    val t = unix_micros(col(timeCol).cast("timestamp")).cast("double")
+    df.withColumn("split",
+      when(t <= tTrain, lit("train")).when(t <= tVal, lit("val")).otherwise(lit("test")))
+  }
+
+  /** W6 — latest row per group: single-shuffle max_by on the ordered struct
+    * (test.py:95-120 "last prediction per group"). `tiebreak` makes the
+    * result deterministic when timestamps collide. */
+  def latestPerGroup(df: DataFrame, key: Seq[String], time: String,
+                     tiebreak: String, payload: Seq[String]): DataFrame = {
+    val ord = struct(col(time), col(tiebreak))
+    val aggs = payload.map(p => max_by(col(p), ord).as(p)) :+
+      max(col(time)).as(time)
+    df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A6 — per-group regression metrics (train.py:233-269): R², MSE, n.
+    * Single-pass algebraic form: ss_tot = Σa² − n·mean(a)², ss_res =
+    * Σ(a−p)². Groups with n<2 are skipped; ss_tot==0 → R²=−1. All built-in
+    * partial aggregates — no UDAF, map-side combine for free. */
+  def regressionMetrics(df: DataFrame, key: Seq[String],
+                        actual: Column, pred: Column): DataFrame = {
+    df.filter(actual.isNotNull && pred.isNotNull)
+      .groupBy(key.map(col): _*)
+      .agg(
+        count(lit(1)).as("Samples"),
+        sum((actual - pred) * (actual - pred)).as("ss_res"),
+        sum(actual * actual).as("sum_a2"),
+        avg(actual).as("mean_a"))
+      .filter(col("Samples") >= 2)
+      .withColumn("ss_tot", col("sum_a2") - col("Samples") * col("mean_a") * col("mean_a"))
+      .withColumn("R2",
+        when(col("ss_tot") === 0.0, lit(-1.0))
+          .otherwise(lit(1.0) - col("ss_res") / col("ss_tot")))
+      .withColumn("MSE", col("ss_res") / col("Samples"))
+      .drop("ss_res", "sum_a2", "mean_a", "ss_tot")
+  }
+}

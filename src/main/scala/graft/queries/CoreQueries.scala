@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.cleaning
+import graft.operators.Features
+
+/** Reference-parity operators (SURVEY.md §2) registered over the driver's
+  * `events` test table with the FIXTURES.md §B stand-in mapping:
+  * `ts`→EventTime, `user_id`→Currency, `event_type`→Event,
+  * `value`→Actual_numeric.
+  *
+  * The "impact" ordinal uses the literal map view→1, click→2, purchase→3
+  * (unmatched→0), mirroring the reference's case-sensitive low/medium/high
+  * map (train.py:333-334).
+  *
+  * Determinism for the DuckDB differential oracle: every derived double is
+  * `round(_, 6)` (or coarser for large-magnitude sums) in BOTH engines, int
+  * outputs are BIGINT in both, timestamps stay TIMESTAMP_NTZ end-to-end.
+  */
+object CoreQueries {
+
+  private val key = Seq("user_id", "event_type")
+  private val impactMap = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+  private val impactSql =
+    "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // SRC4 — ordered full scan (db_connector.py:168-174: SELECT … ORDER BY Date, Time)
+    "src4_ordered_scan" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy(col("ts"), col("event_id")),
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY ts, event_id""".stripMargin),
+
+    // F13+A7 — high-watermark filter (MySQL Data Push Scripts/main.py:161-166):
+    // keep only rows newer than a watermark derived from the table max.
+    "f13_watermark_filter" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val wm = ev.agg(max(col("ts")).as("wm"))
+        ev.join(broadcast(wm),
+            col("ts") > col("wm") - expr("INTERVAL 7 DAYS"), "inner")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+      },
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)""".stripMargin),
+
+    // F6+F9+A1+J1 — impact ordinal, date truncation, and per-(dim, day)
+    // high-impact count attached to each row (train.py:415-422). The
+    // reference's groupBy+left-join is rewritten as a conditional window
+    // count: identical output, one shuffle instead of two plus a join.
+    "j1_highimpact_count" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("impact",
+            cleaning.ordinalEncode(col("event_type"), impactMap).cast("long"))
+          .withColumn("event_date", to_date(col("ts")))
+        ev.withColumn("high_impact_count",
+            Features.highImpactCount(col("impact") === 3, "user_id", col("event_date")))
+          .select(col("event_id"), col("user_id"), col("event_date"),
+            col("impact"), col("high_impact_count"))
+      },
+      s"""SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+         |  CAST($impactSql AS BIGINT) AS impact,
+         |  COUNT(*) FILTER (WHERE event_type = 'purchase')
+         |    OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS high_impact_count
+         |FROM events""".stripMargin),
+
+    // A2+J3 — model routing by per-key sample count (train.py:377-389).
+    "a2_model_routing" -> QueryDef(
+      (s, dir) => Features.modelRouting(Tables.events(s, dir), key, threshold = 50),
+      """SELECT user_id, event_type, count(*) AS total_samples,
+        |  CASE WHEN count(*) >= 50 THEN 'rnn' ELSE 'xgb' END AS model_type
+        |FROM events GROUP BY user_id, event_type""".stripMargin),
+
+    // W1 — per-key lag-1 (train.py:424-425).
+    "w1_lag" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        Tables.events(s, dir)
+          .withColumn("value_lag1", Features.lag1(col("value"), w))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("value_lag1"))
+      },
+      """SELECT event_id, user_id, event_type, value,
+        |  lag(value) OVER (PARTITION BY user_id, event_type
+        |                   ORDER BY ts, event_id) AS value_lag1
+        |FROM events""".stripMargin),
+
+    // W6 — latest row per group via max_by (test.py:95-120), tiebreak on
+    // event_id for determinism.
+    "w6_latest_per_group" -> QueryDef(
+      (s, dir) => Features.latestPerGroup(Tables.events(s, dir),
+        key, time = "ts", tiebreak = "event_id", payload = Seq("value")),
+      """SELECT user_id, event_type, value, ts FROM (
+        |  SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin),
+
+    // A6 — per-group regression metrics R²/MSE/Samples (train.py:233-269)
+    // with the naive lag-1 predictor standing in for the model scores
+    // (SURVEY.md §7 step 5). ss_tot==0 → R²=−1; groups with <2 samples skipped.
+    "a6_regression_metrics" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val withPred = Tables.events(s, dir)
+          .withColumn("pred", Features.lag1(col("value"), w))
+        Features.regressionMetrics(withPred, key, col("value"), col("pred"))
+          .select(col("user_id"), col("event_type"),
+            round(col("R2"), 6).as("R2"), round(col("MSE"), 6).as("MSE"),
+            col("Samples"))
+      },
+      """WITH p AS (
+        |  SELECT user_id, event_type, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS pred
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    sum((value - pred) * (value - pred)) AS ss_res,
+        |    sum(value * value) AS sum_a2, avg(value) AS mean_a
+        |  FROM p WHERE value IS NOT NULL AND pred IS NOT NULL
+        |  GROUP BY user_id, event_type)
+        |SELECT user_id, event_type,
+        |  round(CASE WHEN sum_a2 - n * mean_a * mean_a = 0 THEN -1.0
+        |             ELSE 1.0 - ss_res / (sum_a2 - n * mean_a * mean_a) END, 6) AS R2,
+        |  round(ss_res / n, 6) AS MSE,
+        |  n AS Samples
+        |FROM g WHERE n >= 2""".stripMargin),
+
+    // F-json — scalar JSON extraction over events.props (extension surface,
+    // SURVEY.md §2g): per-event-type mean of props.k.
+    "json_props_extract" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), round(avg(col("k")), 6).as("avg_k")),
+      """SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin)
+  )
+}
