@@ -133,22 +133,35 @@ object Features {
   /** A6 — per-group regression metrics (train.py:233-269): R², MSE, n.
     * Single-pass algebraic form: ss_tot = Σa² − n·mean(a)², ss_res =
     * Σ(a−p)². Groups with n<2 are skipped; ss_tot==0 → R²=−1. All built-in
-    * partial aggregates — no UDAF, map-side combine for free. */
+    * partial aggregates — no UDAF, map-side combine for free.
+    *
+    * Determinism: double partial sums are summation-order dependent, so a
+    * distributed sum differs in the last ulp run-to-run and engine-to-engine
+    * (the round-1 hash failure). Inputs are therefore cast to DECIMAL(15,6)
+    * — exact and order-independent under any partial-aggregation plan —
+    * and only the final per-group arithmetic runs in double, with a fixed
+    * expression shape so any engine evaluating the same IEEE ops gets
+    * bit-identical results. A scale-6 decimal cast of a double can never
+    * land on a rounding tie (x.5e-6 is not dyadic), so HALF_UP vs
+    * round-nearest engines agree on the cast too. */
   def regressionMetrics(df: DataFrame, key: Seq[String],
                         actual: Column, pred: Column): DataFrame = {
+    val a = actual.cast("decimal(15,6)")
+    val p = pred.cast("decimal(15,6)")
     df.filter(actual.isNotNull && pred.isNotNull)
       .groupBy(key.map(col): _*)
       .agg(
         count(lit(1)).as("Samples"),
-        sum((actual - pred) * (actual - pred)).as("ss_res"),
-        sum(actual * actual).as("sum_a2"),
-        avg(actual).as("mean_a"))
+        sum((a - p) * (a - p)).cast("double").as("ss_res"),
+        sum(a * a).cast("double").as("sum_a2"),
+        sum(a).cast("double").as("sum_a"))
       .filter(col("Samples") >= 2)
+      .withColumn("mean_a", col("sum_a") / col("Samples"))
       .withColumn("ss_tot", col("sum_a2") - col("Samples") * col("mean_a") * col("mean_a"))
       .withColumn("R2",
         when(col("ss_tot") === 0.0, lit(-1.0))
           .otherwise(lit(1.0) - col("ss_res") / col("ss_tot")))
       .withColumn("MSE", col("ss_res") / col("Samples"))
-      .drop("ss_res", "sum_a2", "mean_a", "ss_tot")
+      .drop("ss_res", "sum_a2", "sum_a", "mean_a", "ss_tot")
   }
 }

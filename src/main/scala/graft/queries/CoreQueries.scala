@@ -108,6 +108,10 @@ object CoreQueries {
     // A6 — per-group regression metrics R²/MSE/Samples (train.py:233-269)
     // with the naive lag-1 predictor standing in for the model scores
     // (SURVEY.md §7 step 5). ss_tot==0 → R²=−1; groups with <2 samples skipped.
+    // Sums run in DECIMAL(15,6) (order-independent, exact) and only the final
+    // per-group arithmetic in double, with the identical expression shape in
+    // the oracle — bit-equal outputs with no rounding needed (Features.scala
+    // regressionMetrics scaladoc).
     "a6_regression_metrics" -> QueryDef(
       (s, dir) => {
         val w = Features.keyWindow(key, Seq("ts", "event_id"))
@@ -115,24 +119,25 @@ object CoreQueries {
           .withColumn("pred", Features.lag1(col("value"), w))
         Features.regressionMetrics(withPred, key, col("value"), col("pred"))
           .select(col("user_id"), col("event_type"),
-            round(col("R2"), 6).as("R2"), round(col("MSE"), 6).as("MSE"),
-            col("Samples"))
+            col("R2"), col("MSE"), col("Samples"))
       },
       """WITH p AS (
-        |  SELECT user_id, event_type, value,
-        |    lag(value) OVER (PARTITION BY user_id, event_type
-        |                     ORDER BY ts, event_id) AS pred
+        |  SELECT user_id, event_type,
+        |    CAST(value AS DECIMAL(15,6)) AS a,
+        |    lag(CAST(value AS DECIMAL(15,6))) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred
         |  FROM events),
         |g AS (
         |  SELECT user_id, event_type, count(*) AS n,
-        |    sum((value - pred) * (value - pred)) AS ss_res,
-        |    sum(value * value) AS sum_a2, avg(value) AS mean_a
-        |  FROM p WHERE value IS NOT NULL AND pred IS NOT NULL
+        |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
+        |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
+        |    CAST(sum(a) AS DOUBLE) AS sum_a
+        |  FROM p WHERE a IS NOT NULL AND pred IS NOT NULL
         |  GROUP BY user_id, event_type)
         |SELECT user_id, event_type,
-        |  round(CASE WHEN sum_a2 - n * mean_a * mean_a = 0 THEN -1.0
-        |             ELSE 1.0 - ss_res / (sum_a2 - n * mean_a * mean_a) END, 6) AS R2,
-        |  round(ss_res / n, 6) AS MSE,
+        |  CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+        |       ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n)) END AS R2,
+        |  ss_res / n AS MSE,
         |  n AS Samples
         |FROM g WHERE n >= 2""".stripMargin),
 
