@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, TpchQueries}
+import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def all: Map[String, graft.queries.QueryDef] =
     CoreQueries.defs ++ TpchQueries.defs ++ ExtensionQueries.defs ++
-      CleaningQueries.defs
+      CleaningQueries.defs ++ FeatureQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full per-(entity,event-type) regression-metrics pipeline — scan →

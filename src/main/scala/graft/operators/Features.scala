@@ -119,6 +119,19 @@ object Features {
       when(t <= tTrain, lit("train")).when(t <= tVal, lit("val")).otherwise(lit("test")))
   }
 
+  /** W4 — sliding sequence window (train.py:484-492): per group, ordered,
+    * the previous `length` values of `c` as an array (the RNN sample
+    * generator; the row's own value is the target). Rows whose history is
+    * shorter than `length` must be filtered by the caller
+    * (`size(seq) === length`), mirroring `range(L, len(grp))`.
+    *
+    * Scale: one window pass sharing the (Currency,Event) shuffle with
+    * W1-W3; the emitted arrays multiply row width by L, so at 100 TB the
+    * sequence stage should be the LAST projection before the training sink
+    * (project only the needed feature columns into the array first). */
+  def slidingSequence(c: Column, w: WindowSpec, length: Int): Column =
+    collect_list(c).over(w.rowsBetween(-length, -1))
+
   /** W6 — latest row per group: single-shuffle max_by on the ordered struct
     * (test.py:95-120 "last prediction per group"). `tiebreak` makes the
     * result deterministic when timestamps collide. */

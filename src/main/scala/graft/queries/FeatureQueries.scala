@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Features
+
+/** Oracle-paired registrations for the feature-pipeline middle (SURVEY.md
+  * §2d/§2e): fills, normalization, imputation, splits, group filtering,
+  * norm-param reuse, sequences, summaries.
+  *
+  * Null fixtures are synthesized deterministically (`event_id % k` masks,
+  * all-null and constant groups via `event_type` cases) so the reference's
+  * guard branches — all-NaN group, zero range, <L history, missing norm
+  * param — are actually exercised in both engines.
+  *
+  * Determinism rules as elsewhere: fills/normalization only SELECT existing
+  * doubles or do single IEEE ops (exact in both engines); anything summed
+  * (means) goes through DECIMAL first.
+  */
+object FeatureQueries {
+
+  private val key = Seq("user_id", "event_type")
+  private val keyCols = key.map(col)
+  // Scattered nulls + an all-null group ('error') + a constant group
+  // ('view') — exercises every fill/normalize guard.
+  private val vSynthSql =
+    """CASE WHEN event_type = 'error' THEN CAST(NULL AS DOUBLE)
+      |     WHEN event_type = 'view' THEN 7.5
+      |     WHEN event_id % 5 IN (0, 1) THEN CAST(NULL AS DOUBLE)
+      |     ELSE value END""".stripMargin
+  private val duckVSynth =
+    """CASE WHEN event_type = 'error' THEN CAST(NULL AS DOUBLE)
+      |     WHEN event_type = 'view' THEN 7.5
+      |     WHEN event_id % 5 IN (0, 1) THEN CAST(NULL AS DOUBLE)
+      |     ELSE value END""".stripMargin
+
+  private def base(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).withColumn("v", expr(vSynthSql))
+
+  private val duckBase =
+    s"""SELECT event_id, ts, user_id, event_type, $duckVSynth AS v
+       |FROM events""".stripMargin
+
+  private val duckWin =
+    "PARTITION BY user_id, event_type ORDER BY ts, event_id"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // W2 — train-order fill: ffill THEN bfill (train.py:428-429). Leading
+    // nulls survive the ffill and are backfilled from the first non-null.
+    "w2_fill_train" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        base(s, dir)
+          .withColumn("vf", Features.ffill(col("v"), w))
+          .withColumn("v_filled", coalesce(col("vf"), Features.bfill(col("vf"), w)))
+          .select(col("event_id"), col("v"), col("v_filled"))
+      },
+      s"""WITH b AS ($duckBase),
+         |f AS (
+         |  SELECT *, last_value(v IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+         |  FROM b)
+         |SELECT event_id, v,
+         |  coalesce(vf, first_value(vf IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_filled
+         |FROM f""".stripMargin),
+
+    // W2 — validate/test-order fill: bfill THEN ffill (validate.py:235-236)
+    // — deliberately different from the train order; diverges on
+    // all-leading/all-trailing-null runs.
+    "w2_fill_validate" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        base(s, dir)
+          .withColumn("vb", Features.bfill(col("v"), w))
+          .withColumn("v_filled", coalesce(col("vb"), Features.ffill(col("vb"), w)))
+          .select(col("event_id"), col("v"), col("v_filled"))
+      },
+      s"""WITH b AS ($duckBase),
+         |f AS (
+         |  SELECT *, first_value(v IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb
+         |  FROM b)
+         |SELECT event_id, v,
+         |  coalesce(vb, last_value(vb IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled
+         |FROM f""".stripMargin),
+
+    // W3+A5 — per-group min-max normalize with the reference guards
+    // (train.py:122-129): all-NaN group → zeros with (mn,rng)=(0,1);
+    // zero-range group → rng=1. Min/max are selections (not sums) so plain
+    // doubles are exact in both engines.
+    "w3_minmax_normalize" -> QueryDef(
+      (s, dir) => {
+        val (norm, mn, rng) = Features.minMaxNormalize(col("v"), key)
+        base(s, dir)
+          .withColumn("v_norm", norm).withColumn("mn", mn).withColumn("rng", rng)
+          .select(col("event_id"), col("v"), col("v_norm"), col("mn"), col("rng"))
+      },
+      s"""WITH b AS ($duckBase),
+         |m AS (
+         |  SELECT *, min(v) OVER (PARTITION BY user_id, event_type) AS mn_raw,
+         |            max(v) OVER (PARTITION BY user_id, event_type) AS mx_raw
+         |  FROM b)
+         |SELECT event_id, v,
+         |  CASE WHEN mn_raw IS NULL THEN 0.0
+         |       ELSE (v - coalesce(mn_raw, 0.0)) /
+         |            (CASE WHEN mx_raw IS NULL OR mx_raw = mn_raw THEN 1.0
+         |                  ELSE mx_raw - mn_raw END) END AS v_norm,
+         |  coalesce(mn_raw, 0.0) AS mn,
+         |  CASE WHEN mx_raw IS NULL OR mx_raw = mn_raw THEN 1.0
+         |       ELSE mx_raw - mn_raw END AS rng
+         |FROM m""".stripMargin),
+
+    // J5+A3 — group-mean imputation (train.py:347-357 fill_missing):
+    // NULL → group mean (decimal-exact sum ÷ count), all-null group → 0.0.
+    "j5_impute_group_mean" -> QueryDef(
+      (s, dir) => {
+        val part = Window.partitionBy(keyCols: _*)
+        val nNonNull = count(col("v")).over(part)
+        val meanExact = sum(col("v").cast("decimal(15,6)")).over(part)
+          .cast("double") / nNonNull
+        base(s, dir)
+          .withColumn("v_imp",
+            coalesce(col("v"), when(nNonNull > 0, meanExact), lit(0.0)))
+          .select(col("event_id"), col("v"), col("v_imp"))
+      },
+      s"""WITH b AS ($duckBase)
+         |SELECT event_id, v,
+         |  coalesce(v,
+         |    CASE WHEN count(v) OVER (PARTITION BY user_id, event_type) > 0
+         |         THEN CAST(sum(CAST(v AS DECIMAL(15,6)))
+         |                OVER (PARTITION BY user_id, event_type) AS DOUBLE) /
+         |              count(v) OVER (PARTITION BY user_id, event_type) END,
+         |    0.0) AS v_imp
+         |FROM b""".stripMargin),
+
+    // A4+J2 — drop groups whose measure is entirely null (train.py:360-369):
+    // aggregate non-null counts per key, semi-join survivors back.
+    "a4_allnull_group_drop" -> QueryDef(
+      (s, dir) => {
+        val b = base(s, dir)
+        val valid = b.groupBy(keyCols: _*)
+          .agg(count(col("v")).as("nn")).filter(col("nn") > 0)
+          .select(keyCols: _*)
+        b.join(valid, key, "left_semi")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("v"))
+      },
+      s"""WITH b AS ($duckBase)
+         |SELECT b.event_id, b.user_id, b.event_type, b.v
+         |FROM b
+         |JOIN (SELECT user_id, event_type FROM b
+         |      GROUP BY user_id, event_type HAVING count(v) > 0) g
+         |USING (user_id, event_type)""".stripMargin),
+
+    // W5 — exact chronological 70/15/15 row-positional split
+    // (train.py:131-153): one global window at test scale;
+    // chronoSplitApprox is the 100-TB path (see Features.scala).
+    "w5_chrono_split" -> QueryDef(
+      (s, dir) => Features.chronoSplit(
+        Tables.events(s, dir).select(col("event_id"), col("ts")),
+        order = Seq("ts", "event_id"))
+        .select(col("event_id"), col("split")),
+      """WITH r AS (
+        |  SELECT event_id,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+        |       WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin),
+
+    // J4 — norm-param reuse (validate.py:258-287): val rows normalize with
+    // TRAIN-split (mn,rng) where the key has train params, local val-split
+    // min/max otherwise (the reference's fallback branch).
+    "j4_norm_param_reuse" -> QueryDef(
+      (s, dir) => {
+        val b = base(s, dir)
+        val boundary = lit("2024-01-22 00:00:00").cast("timestamp_ntz")
+        val train = b.filter(col("ts") < boundary)
+        val valRows = b.filter(col("ts") >= boundary)
+        val params = train.groupBy(keyCols: _*)
+          .agg(min(col("v")).as("p_mn_raw"), max(col("v")).as("p_mx_raw"))
+        val localPart = Window.partitionBy(keyCols: _*)
+        val lMn = min(col("v")).over(localPart)
+        val lMx = max(col("v")).over(localPart)
+        valRows
+          .join(broadcast(params), key, "left")
+          .withColumn("mn",
+            when(col("p_mn_raw").isNotNull, col("p_mn_raw"))
+              .otherwise(coalesce(lMn, lit(0.0))))
+          .withColumn("mx",
+            when(col("p_mn_raw").isNotNull, col("p_mx_raw"))
+              .otherwise(lMx))
+          .withColumn("rng",
+            when(col("mx").isNull || col("mx") === col("mn"), lit(1.0))
+              .otherwise(col("mx") - col("mn")))
+          .withColumn("v_norm",
+            when(col("v").isNull, lit(null).cast("double"))
+              .otherwise((col("v") - col("mn")) / col("rng")))
+          .select(col("event_id"), col("v"), col("mn"), col("rng"), col("v_norm"))
+      },
+      s"""WITH b AS ($duckBase),
+         |tr AS (SELECT * FROM b WHERE ts < TIMESTAMP '2024-01-22 00:00:00'),
+         |va AS (SELECT * FROM b WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'),
+         |params AS (
+         |  SELECT user_id, event_type, min(v) AS p_mn_raw, max(v) AS p_mx_raw
+         |  FROM tr GROUP BY user_id, event_type),
+         |loc AS (
+         |  SELECT va.*, p.p_mn_raw, p.p_mx_raw,
+         |    min(va.v) OVER (PARTITION BY va.user_id, va.event_type) AS l_mn,
+         |    max(va.v) OVER (PARTITION BY va.user_id, va.event_type) AS l_mx
+         |  FROM va LEFT JOIN params p
+         |    ON p.user_id = va.user_id AND p.event_type = va.event_type),
+         |g AS (
+         |  SELECT *,
+         |    CASE WHEN p_mn_raw IS NOT NULL THEN p_mn_raw
+         |         ELSE coalesce(l_mn, 0.0) END AS mn,
+         |    CASE WHEN p_mn_raw IS NOT NULL THEN p_mx_raw ELSE l_mx END AS mx
+         |  FROM loc)
+         |SELECT event_id, v, mn,
+         |  CASE WHEN mx IS NULL OR mx = mn THEN 1.0 ELSE mx - mn END AS rng,
+         |  CASE WHEN v IS NULL THEN NULL
+         |       ELSE (v - mn) /
+         |            (CASE WHEN mx IS NULL OR mx = mn THEN 1.0 ELSE mx - mn END)
+         |  END AS v_norm
+         |FROM g""".stripMargin),
+
+    // W4 — sliding sequences, L=5 (train.py:484-492): previous-5 history
+    // array per row, rows with shorter history dropped. Values scaled to
+    // BIGINT and the array stringified so the differential compare is
+    // byte-stable across engines.
+    "w4_sequences" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        Tables.events(s, dir)
+          .withColumn("iv", expr("CAST(round(value * 100) AS BIGINT)"))
+          .withColumn("ivs", col("iv").cast("string"))
+          .withColumn("seq", Features.slidingSequence(col("ivs"), w, length = 5))
+          .filter(size(col("seq")) === 5)
+          .select(col("event_id"),
+            concat_ws(",", col("seq")).as("seq_str"),
+            col("iv").as("target"))
+      },
+      """WITH b AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS iv
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, iv,
+        |    list(iv) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS seq
+        |  FROM b)
+        |SELECT event_id, array_to_string(seq, ',') AS seq_str, iv AS target
+        |FROM s WHERE len(seq) = 5""".stripMargin),
+
+    // A8 — global summary over the A6 metrics table (validate.py:317-319):
+    // means of R2/MSE, total samples. The per-group metrics are snapped to
+    // BIGINT micro-units via round() — identical half-away-from-zero on
+    // doubles in both engines — then summed exactly as integers; casting
+    // computed doubles to DECIMAL is NOT portable (DuckDB converts via the
+    // shortest decimal repr, Java via the exact binary expansion, and they
+    // disagree near scale-6 ties).
+    "a8_metrics_summary" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val withPred = Tables.events(s, dir)
+          .withColumn("pred", Features.lag1(col("value"), w))
+        Features.regressionMetrics(withPred, key, col("value"), col("pred"))
+          .agg(
+            (sum(expr("CAST(round(R2 * 1e6) AS BIGINT)")).cast("double")
+              / lit(1e6) / count(lit(1))).as("avg_r2"),
+            (sum(expr("CAST(round(MSE * 1e6) AS BIGINT)")).cast("double")
+              / lit(1e6) / count(lit(1))).as("avg_mse"),
+            sum(col("Samples")).as("total_samples"),
+            count(lit(1)).as("n_groups"))
+      },
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    CAST(value AS DECIMAL(15,6)) AS a,
+        |    lag(CAST(value AS DECIMAL(15,6))) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
+        |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
+        |    CAST(sum(a) AS DOUBLE) AS sum_a
+        |  FROM p WHERE a IS NOT NULL AND pred IS NOT NULL
+        |  GROUP BY user_id, event_type),
+        |m AS (
+        |  SELECT user_id, event_type, n AS Samples,
+        |    CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+        |         ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+        |    END AS R2,
+        |    ss_res / n AS MSE
+        |  FROM g WHERE n >= 2)
+        |SELECT
+        |  CAST(sum(CAST(round(R2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_r2,
+        |  CAST(sum(CAST(round(MSE * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_mse,
+        |  sum(Samples) AS total_samples,
+        |  count(*) AS n_groups
+        |FROM m""".stripMargin),
+
+    // A9 — diagnostics: value histogram over the impact ordinal + distinct
+    // entity counts (train.py:341-343).
+    "a9_value_histogram" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("impact", expr(
+          "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END"))
+        .groupBy(col("impact"))
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("user_id")).as("n_users"),
+          count_distinct(col("event_type")).as("n_event_types")),
+      """SELECT
+        |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |       WHEN 'purchase' THEN 3 ELSE 0 END AS impact,
+        |  count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_event_types
+        |FROM events GROUP BY 1""".stripMargin)
+  )
+}
