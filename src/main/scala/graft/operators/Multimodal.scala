@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the LLM-data-pipeline extension surface:
+  * media payloads travel as opaque `binary` columns with typed metadata,
+  * and decode / feature-extraction runs as a partition-wise batch stage.
+  *
+  * REAL here: the schema contract (binary payload + struct metadata), the
+  * typed `Dataset.mapPartitions` batch stage (the Scala analogue of a
+  * `mapInPandas` decode UDF: one iterator per partition, so a real decoder
+  * would amortize model/codec init per batch, not per row), and the
+  * partitioning strategy (repartition by media_type so each partition
+  * holds one codec's work).
+  *
+  * STUBBED (clearly + deterministically): the actual byte decoding. No
+  * image/audio codecs exist in this container, so [[FakeDecoded]] features
+  * are pure arithmetic over the payload bytes (length + MD5) — the
+  * Spark-side plumbing is what's under test, and the fake is reproducible
+  * in the DuckDB oracle.
+  *
+  * Scale notes (100 TB): payload bytes dominate — keep them OUT of
+  * shuffles (derive features first, project the binary away before any
+  * wide stage); media_type partitioning bounds decoder variety per task;
+  * batch iterators keep per-row overhead at zero.
+  */
+object Multimodal {
+
+  /** One decoded media row — the fake-decode output contract. */
+  final case class FakeDecoded(
+      doc_id: Long, media_type: String, byte_len: Long, content_md5: String,
+      width: Long, height: Long, n_frames: Long)
+
+  private def hexVal(c: Char): Int = "0123456789abcdef".indexOf(c)
+
+  /** The deterministic FAKE decode: features derived only from payload
+    * length and MD5 so any engine can replicate them. A real decoder
+    * would replace the body of this function and nothing else. */
+  def fakeDecode(docId: Long, mediaType: String, payload: Array[Byte]): FakeDecoded = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val len = payload.length.toLong
+    FakeDecoded(
+      doc_id = docId,
+      media_type = mediaType,
+      byte_len = len,
+      content_md5 = hex,
+      width = 64L + 16L * hexVal(hex.charAt(0)),
+      height = 64L + 16L * hexVal(hex.charAt(1)),
+      n_frames = if (mediaType == "video") 1L + len % 240L else 1L)
+  }
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
+    * the text, media_type cycled by doc_id. Stands in for a real
+    * (path, bytes) source; schema is the real contract. */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+        .as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** The batch decode stage: co-locate each media_type, then decode
+    * partition-by-partition through the typed iterator (mapInPandas
+    * shape). Returns the typed feature Dataset — payload projected away. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[FakeDecoded] = {
+    import spark.implicits._
+    media
+      .repartition(col("media_type"))
+      .select(col("doc_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // Per-partition init goes here in a real decoder (codec handles,
+        // model weights); the iterator keeps it amortized across the batch.
+        batch.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
+      }
+  }
+}

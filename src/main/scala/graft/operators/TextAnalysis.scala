@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline extension surface:
+  * per-document statistics, quality scoring, a language-ID heuristic, and
+  * content fingerprinting.
+  *
+  * Everything is a single narrow projection over the document scan — no
+  * shuffles, codegen'd built-ins only — so at 100 TB these run at scan
+  * speed and column-prune down to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenisation (the corpus is single-space separated; a
+    * production tokenizer would split on `\\s+` and strip punctuation —
+    * same plan shape). */
+  def toks(text: Column): Column = split(text, " ")
+
+  private val stopwords = Seq("the", "a", "of", "in", "to", "and", "is")
+
+  /** Per-document statistics: lengths, token counts, type/token ratio,
+    * stopword ratio, and a BPE-ish subword count (ceil(chars/4) per token —
+    * the standard ~4-chars/token heuristic). Ratios are double divisions
+    * of exact integers — deterministic in any engine. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", toks(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_uniq_tokens"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))")
+          .as("n_subword_tokens"),
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+          .as("type_token_ratio"),
+        (size(expr(s"filter(ws, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))"))
+          .cast("double") / size(col("ws"))).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+
+  /** Quality score in [0,1]: equal-weight components for length-in-range,
+    * lexical diversity, and stopword presence — the shape of the
+    * reference-free quality filters used on web corpora. Pure integer/CASE
+    * arithmetic plus one final double division. */
+  def qualityScore(stats: DataFrame): DataFrame =
+    stats.withColumn("quality_score", expr(
+      // CAST to DOUBLE: a bare `/ 3.0` parses the literal as DECIMAL(2,1)
+      // in Spark SQL and the division comes out scale-6 decimal, not the
+      // IEEE double any other engine produces.
+      """CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+        |   + CASE WHEN type_token_ratio >= 0.25 THEN 1 ELSE 0 END
+        |   + CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END
+        | AS DOUBLE) / CAST(3.0 AS DOUBLE)""".stripMargin))
+
+  /** Marker-token profiles for the language-ID heuristic. A real n-gram
+    * model would score char 3-gram log-likelihoods; the plan shape (one
+    * projection, argmax over a small fixed set) is identical. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "la", "y", "los"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** Language-ID: score = marker hits per language, predict the argmax
+    * (ties broken by language code order), 'und' when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(
+      docs.withColumn("ws", toks(col("text")))) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang",
+        size(expr(s"filter(ws, w -> w IN (${markers.map("'" + _ + "'").mkString(",")}))")))
+    }
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+    scored
+      .withColumn("best", greatest(best: _*))
+      .select(col("doc_id"), col("lang").as("lang_actual"),
+        when(col("best.s") > 0, col("best.l")).otherwise(lit("und"))
+          .as("lang_predicted"),
+        col("best.s").as("marker_hits"))
+  }
+
+  /** Content fingerprints: an MD5 of the whitespace-normalized text (the
+    * cross-system-stable form) and a 31-base polynomial rolling hash over
+    * tokens mod 1e9+7 (the cheap streaming form; word contribution =
+    * 131·len + first code point). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("ws", toks(col("norm")))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("content_md5"),
+        expr(
+          """aggregate(ws, 7L,
+            |  (acc, w) -> (acc * 31 + length(w) * 131 + ascii(substring(w, 1, 1)))
+            |              % 1000000007L)""".stripMargin).as("rolling_hash"))
+}

@@ -3,13 +3,53 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension operators (north star, BASELINE.json):
-  * deduplication, similarity search, text analysis over the `documents`
-  * and `embeddings` tables. Filled in incrementally — see graft.operators
-  * for the implementations.
+  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+  * similarity search (brute-force + LSH-bucketed cosine top-k),
+  * text analysis (stats, quality, language-ID, fingerprints), and
+  * multimodal binary-column plumbing. Implementations in graft.operators.
+  *
+  * Oracle policy: everything except the xxhash64-dependent sketches
+  * (dedup_simhash, ann_lsh_topk) is paired with an independent DuckDB
+  * re-implementation; MinHash-LSH is checked against the EXACT-Jaccard
+  * ground truth (verification step ⇒ precision 1.0; recall must hit 1.0
+  * on this corpus for the row to stay green — the per-pair recall bound
+  * 1−(1−j)^16 at j ≥ 0.5 is ≈ 0.9999847). The sketch queries get the
+  * driver's rows-only check plus ScalaTest pins.
   */
 object ExtensionQueries {
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingles per doc. */
+  private val duckShingles =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) < 3 THEN []
+      |         ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
+      |                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+      |    END AS sh
+      |  FROM w)""".stripMargin
+
+  /** Ground-truth near-dup pairs: exact shingle Jaccard ≥ 1/2 as pure
+    * integer comparison (no float boundary). */
+  private val duckJaccardPairs =
+    s"""WITH $duckShingles
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM s a, s b
+       |WHERE a.doc_id < b.doc_id
+       |  AND 2 * len(list_intersect(a.sh, b.sh)) >=
+       |      len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))""".stripMargin
+
+  /** DuckDB double-precision sequential-fold dot product over two FLOAT[]
+    * columns — mirrors Similarity.dot bit-for-bit (cast each element to
+    * DOUBLE, left fold). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -25,6 +65,193 @@ object ExtensionQueries {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies")),
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin)
+        |FROM documents GROUP BY text""".stripMargin),
+
+    // Near-dup ground truth: brute-force exact shingle-Jaccard pairs.
+    // O(n²) correctness reference — the scale path is dedup_minhash_lsh.
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir),
+        n = 3, num = 1, den = 2),
+      duckJaccardPairs),
+
+    // MinHash(16 perms) → 16 bands × 1 row → bucket join → exact verify.
+    // Oracle = the exact-Jaccard ground truth: LSH must RECALL every true
+    // pair (precision is 1.0 by construction via the verify step).
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
+        n = 3, numPerm = 16, rowsPerBand = 1, num = 1, den = 2),
+      duckJaccardPairs),
+
+    // SimHash sketch per doc: 63-bit signature + 16-bit bands. xxhash64
+    // is not expressible in the oracle → rows-only check; semantics pinned
+    // by DedupSpec (determinism, hamming locality, band guarantee).
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhashSketch(Tables.documents(s, dir), n = 3),
+      None),
+
+    // Embedding near-dup pairs: cosine ≥ 0.45, pair ids only (the float
+    // similarity itself is engine-noise; the SET is stable because no pair
+    // sits near the threshold in this corpus).
+    "dedup_embedding_cosine" -> QueryDef(
+      (s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.45),
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckDot("a.embedding", "b.embedding")} AS dab,
+         |    ${duckDot("a.embedding", "a.embedding")} AS daa,
+         |    ${duckDot("b.embedding", "b.embedding")} AS dbb
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b FROM p
+         |WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin),
+
+    // Exact cosine top-k: every 50th vector queries the full corpus,
+    // k=5, rank ties broken by neighbor id. Brute-force baseline — the
+    // scale path is ann_lsh_topk.
+    "ann_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${duckDot("q.qv", "e.embedding")} /
+         |      (sqrt(${duckDot("q.qv", "q.qv")}) *
+         |       sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin),
+
+    // Multi-table LSH approximate top-k (8 tables × 4-bit signatures):
+    // xxhash64-derived hyperplanes aren't oracle-expressible → rows-only +
+    // SimilaritySpec recall pin vs the brute-force baseline.
+    "ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+          k = 5, bits = 4, tables = 8)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
+    // IVF approximate top-k (16 coarse centroids, 4 probes): the
+    // FAISS-style scale path — candidate volume ≈ nProbe/nCentroids of the
+    // corpus in any similarity regime. Rows-only + SimilaritySpec recall
+    // pin.
+    "ann_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+          k = 5, nCentroids = 16, nProbe = 4)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
+    // Text statistics: lengths, token counts, type/token ratio, stopword
+    // ratio, subword estimate, punctuation ratio.
+    "ext_text_stats" -> QueryDef(
+      (s, dir) => TextAnalysis.textStats(Tables.documents(s, dir))
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_uniq_tokens", col("n_uniq_tokens").cast("long")),
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+        |    (a, b) -> a + b) AS n_subword_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS type_token_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |         t -> list_contains(['the','a','of','in','to','and','is'], t)))
+        |       AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
+        |FROM documents""".stripMargin),
+
+    // Quality scoring over the stats (reference-free corpus filter shape).
+    "ext_quality_score" -> QueryDef(
+      (s, dir) => TextAnalysis.qualityScore(
+        TextAnalysis.textStats(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality_score")),
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','of','in','to','and','is'], t)))
+        |         AS DOUBLE) / len(string_split(text, ' ')) AS swr
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+        |   + CASE WHEN ttr >= 0.25 THEN 1 ELSE 0 END
+        |   + CASE WHEN swr >= 0.02 THEN 1 ELSE 0 END) / 3.0 AS quality_score
+        |FROM st""".stripMargin),
+
+    // Language-ID heuristic: marker-token hits per language, argmax with
+    // ties to the lexicographically greatest code, no hits → 'und'.
+    "ext_lang_id" -> QueryDef(
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
+        .withColumn("marker_hits", col("marker_hits").cast("long")),
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','fast','slow'], t))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les'], t))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','y','los'], t))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> list_contains(['的','了','是'], t))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang AS lang_actual,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS lang_predicted,
+        |  CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS marker_hits
+        |FROM sc""".stripMargin),
+
+    // Content fingerprints: MD5 of the normalized text + 31-base rolling
+    // hash over tokens mod 1e9+7.
+    "ext_fingerprint" -> QueryDef(
+      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)),
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS content_md5,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(norm, ' '),
+        |      t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS rolling_hash
+        |FROM n""".stripMargin),
+
+    // Multimodal plumbing: binary payload column + typed mapPartitions
+    // batch "decode" (deterministic fake features — see Multimodal scaladoc;
+    // the oracle replicates the arithmetic from md5/length of the text the
+    // payload was synthesized from).
+    "mm_decode_features" -> QueryDef(
+      (s, dir) => Multimodal.decodeFeatures(s,
+        Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF(),
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS BIGINT) AS width,
+        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin)
   )
 }
