@@ -111,12 +111,19 @@ object Features {
   def chronoSplitApprox(df: DataFrame, timeCol: String,
                         trainRatio: Double = 0.7, valRatio: Double = 0.15,
                         relErr: Double = 1e-4): DataFrame = {
-    val Array(tTrain, tVal) = df
+    val qs = df
       .select(unix_micros(col(timeCol).cast("timestamp")).cast("double").as("t"))
       .stat.approxQuantile("t", Array(trainRatio, trainRatio + valRatio), relErr)
-    val t = unix_micros(col(timeCol).cast("timestamp")).cast("double")
-    df.withColumn("split",
-      when(t <= tTrain, lit("train")).when(t <= tVal, lit("val")).otherwise(lit("test")))
+    qs match {
+      case Array(tTrain, tVal) =>
+        val t = unix_micros(col(timeCol).cast("timestamp")).cast("double")
+        df.withColumn("split",
+          when(t <= tTrain, lit("train")).when(t <= tVal, lit("val")).otherwise(lit("test")))
+      case _ =>
+        // Empty/all-null time column: approxQuantile returns no quantiles.
+        // Everything is "train" (vacuously satisfies the 70% bound), no crash.
+        df.withColumn("split", lit("train"))
+    }
   }
 
   /** W4 — sliding sequence window (train.py:484-492): per group, ordered,

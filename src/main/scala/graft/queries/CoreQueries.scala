@@ -143,13 +143,15 @@ object CoreQueries {
 
     // F-json — scalar JSON extraction over events.props (extension surface,
     // SURVEY.md §2g): per-event-type mean of props.k.
+    // try_cast, not cast: under Spark 4 ANSI defaults a junk props.k value
+    // would throw at runtime instead of yielding NULL (ADVICE r01).
     "json_props_extract" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k", expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), round(avg(col("k")), 6).as("avg_k")),
-      """SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+      """SELECT event_type, count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
         |FROM events GROUP BY event_type""".stripMargin)
   )
 }

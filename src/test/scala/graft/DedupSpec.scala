@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Pins the dedup sketch semantics that the DuckDB oracle cannot express
+  * (xxhash64-based MinHash and SimHash): determinism, locality, the
+  * short-document shingle guard, and LSH recall against exact Jaccard. */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near-dup of 1
+    (3L, "completely different words about spark shuffles and partitions here"),
+    (4L, "another unrelated document mentioning hash joins and broadcast trees"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: short docs yield empty arrays, not bogus descending-sequence grams") {
+    val out = Seq((1L, "only two"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("ws", Dedup.tokens(col("text")))
+      .select(col("doc_id"), Dedup.shingles("ws", 3).as("sh"))
+      .orderBy("doc_id")
+      .collect().map(_.getSeq[String](1).toList)
+    assert(out(0) === List.empty)
+    assert(out(1) === List("a b c"))
+  }
+
+  test("exact-Jaccard ground truth finds the near-dup and exact-dup pairs only") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, num = 1, den = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("MinHash-LSH with verification equals exact Jaccard here, and is deterministic") {
+    def run() = Dedup.minhashLshPairs(docs, n = 3, numPerm = 16,
+      rowsPerBand = 1, num = 1, den = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val p1 = run()
+    assert(p1 === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(p1 === run()) // fixed hash seeds: bit-stable across runs
+  }
+
+  test("SimHash: identical texts collide, near-dups are close, unrelated texts are far") {
+    val sk = Dedup.simhashSketch(docs, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sk(1L) === sk(5L)) // exact dup: identical sketch
+    assert(hamming(sk(1L), sk(2L)) <= 16) // near-dup: close
+    assert(hamming(sk(1L), sk(3L)) > 16) // unrelated: far
+    assert(sk.values.forall(_ >= 0L)) // 63-bit: non-negative
+  }
+
+  test("SimHash pairs via banding recover the exact-dup pair at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, n = 3, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
+  }
+
+  test("fingerprints: md5 matches the normalized text; rolling hash separates texts") {
+    val fp = TextAnalysis.fingerprints(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("content_md5"), r.getAs[Long]("rolling_hash"))).toMap
+    assert(fp(1L) === fp(5L)) // identical content, identical prints
+    assert(fp(1L)._1 !== fp(3L)._1)
+    assert(fp(1L)._2 !== fp(3L)._2)
+    // md5 agrees with the JVM digest of the same normalized string
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(
+      "the quick brown fox jumps over the lazy dog near the river bank"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp(1L)._1 === expect)
+  }
+}

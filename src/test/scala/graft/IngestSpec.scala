@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ingest
+
+/** Pins the ingest flow E1 (SURVEY.md §3): forced-schema CSV read, the
+  * cleaning chain (drop extras, parse, normalize, dropna), watermark
+  * late-row dropping, and the keyed-upsert semantics (batch wins on key
+  * collision; in-batch duplicates last-write-wins). */
+class IngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("SNK1 upsert: batch replaces existing on key; in-batch dups last-write-wins (main.py:175-188)") {
+    val existing = Seq(("k1", 1, "old1"), ("k2", 2, "old2"), ("k3", 3, "old3"))
+      .toDF("key", "ord", "payload")
+    val incoming = Seq(
+      ("k2", 10, "new2a"), ("k2", 11, "new2b"), // in-batch dup: ord=11 wins
+      ("k4", 12, "new4"))
+      .toDF("key", "ord", "payload")
+    val out = Ingest.upsert(existing, incoming, key = Seq("key"), orderCol = "ord")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("payload")).toMap
+    assert(out === Map("k1" -> "old1", "k2" -> "new2b", "k3" -> "old3", "k4" -> "new4"))
+  }
+
+  test("F13 watermark: rows at or before the watermark are silently dropped (main.py:161-166)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val existing = Seq(("a", ts("2024-01-10 00:00:00"))).toDF("key", "ts")
+    val incoming = Seq(
+      ("late", ts("2024-01-09 00:00:00")),
+      ("equal", ts("2024-01-10 00:00:00")),
+      ("fresh", ts("2024-01-11 00:00:00"))).toDF("key", "ts")
+    val out = Ingest.watermarkFilter(incoming, existing, "ts",
+      slack = expr("INTERVAL 0 SECONDS"))
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(out === Seq("fresh")) // strictly-newer only
+  }
+
+  test("E1 end-to-end: CSV with dirty fields cleans, drops bad rows, upserts (main.py:194-228)") {
+    val dir = Files.createTempDirectory("graft_ingest_spec").toFile
+    val csv = new java.io.File(dir, "batch.csv")
+    // 10 raw columns: Date,Time,Currency,Event,Impact,Actual,Forecast,Previous,IsHoliday,WeekRange
+    Files.writeString(csv.toPath,
+      """2025-01-05,17:00,USD,NFP,high,5.2%,1.2K,nan,0,w1
+        |5 January 2025,5:30 PM, EUR ,CPI,High,-0.3,,2T,0,w1
+        |garbage-date,17:00,GBP,GDP,low,1,2,3,0,w1
+        |2025-01-06,bad-time,JPY,PMI,low,1,2,3,0,w1
+        |""".stripMargin)
+    val cleaned = Ingest.clean(Ingest.readCsv(spark, csv.getAbsolutePath))
+    val rows = cleaned.orderBy("Currency").collect()
+    // garbage date + bad time rows dropped (F8)
+    assert(rows.length === 2)
+    val byCur = rows.map(r => r.getAs[String]("Currency") -> r).toMap
+    assert(byCur.keySet === Set("USD", "EUR"))
+    assert(byCur("USD").getAs[String]("Actual") === "5.2%")
+    assert(byCur("USD").getAs[String]("Time") === "17:00:00")
+    assert(byCur("EUR").getAs[String]("Time") === "17:30:00") // 5:30 PM
+    assert(byCur("EUR").getAs[String]("Forecast") === "N/A") // empty → N/A
+    assert(byCur("EUR").getAs[String]("Currency") === "EUR") // trimmed
+    assert(byCur("USD").getAs[java.sql.Date]("Date") === java.sql.Date.valueOf("2025-01-05"))
+    assert(!cleaned.columns.contains("IsHoliday")) // P1 drop
+    // Upsert into an empty existing snapshot
+    val empty = cleaned.filter(lit(false))
+    val loaded = Ingest.upsert(empty, cleaned,
+      key = Seq("Date", "Time", "Currency", "Event"), orderCol = "EventTime")
+    assert(loaded.count() === 2)
+    // Idempotence: re-ingesting the same batch over the result is a no-op
+    val again = Ingest.upsert(loaded, cleaned,
+      key = Seq("Date", "Time", "Currency", "Event"), orderCol = "EventTime")
+    assert(again.count() === 2)
+  }
+
+  test("SRC2 forced schema: 10 string columns, never inferred (main.py:205-207)") {
+    assert(Ingest.rawSchema.fields.length === 10)
+    assert(Ingest.rawSchema.fields.forall(_.dataType.typeName == "string"))
+    assert(Ingest.rawColumns.take(4) === Seq("Date", "Time", "Currency", "Event"))
+  }
+}

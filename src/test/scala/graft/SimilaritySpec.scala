@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+/** Pins the similarity-search semantics: exact cosine math, top-k
+  * determinism, and the recall of the two approximate paths (LSH, IVF)
+  * against the brute-force baseline on the driver embeddings table. */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine: hand-checked values through the double fold") {
+    val df = Seq((1L, Seq(1.0f, 0.0f), 2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 2.0f), 4L, Seq(3.0f, 4.0f)))
+      .toDF("ia", "a", "ib", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getAs[Double]("c"))
+    assert(df(0) === 0.0)
+    assert(math.abs(df(1) - 11.0 / (math.sqrt(5.0) * 5.0)) < 1e-15)
+  }
+
+  test("brute-force top-k: known nearest neighbours, deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f)), // identical direction to 1 → tie, id order
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(out === Array((1, 1L), (2, 3L), (3, 2L))) // tie 1-vs-3 broken by id
+  }
+
+  test("LSH and IVF recall vs brute force on the driver embeddings (approximate, pinned floor)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val lsh = pairs(Similarity.lshTopK(queries, emb, k = 5, bits = 4, tables = 8))
+    val ivf = pairs(Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 4))
+    assert(brute.size === queries.count() * 5)
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(lshRecall >= 0.6, s"LSH recall $lshRecall below floor")
+    assert(ivfRecall >= 0.4, s"IVF recall $ivfRecall below floor")
+  }
+
+  test("multimodal fake decode: md5/length-derived features, video frame rule") {
+    val docs = Seq((0L, "alpha beta"), (2L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(0L).media_type === "image")
+    assert(out(2L).media_type === "video")
+    assert(out(0L).byte_len === "alpha beta".getBytes("UTF-8").length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("alpha beta".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L).content_md5 === hex)
+    assert(out(0L).n_frames === 1L) // image
+    assert(out(2L).n_frames === 1L + "gamma delta epsilon".length % 240L) // video rule
+    assert(out.values.forall(d => d.width >= 64 && d.width <= 64 + 16 * 15))
+  }
+}
