@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Features, Sinks}
+
+/** E2/E3 — the reference's train→validate→test orchestration
+  * (train.py:272-597, validate.py:171-331, test.py:138-242,
+  * automate_pipeline.py:77-173) as one driver-side pipeline over a single
+  * logical plan per stage, with the inter-stage state (split assignment,
+  * model routing, norm params) as persisted parquet side tables instead
+  * of joblib pickles.
+  *
+  * Model training itself is out of relational scope (no torch/xgboost in
+  * a Spark-jars-only build — SURVEY.md §7 step 5): the predictor is the
+  * lag-1 naive forecast, which keeps every downstream operator (A6
+  * metrics, W6 live forecasts, SNK2/SNK3 sinks) fully exercised.
+  *
+  * Config merge semantics follow main.py:241-264: defaults < overrides.
+  *
+  * Scale notes: every stage co-partitions on the entity key
+  * (user_id, event_type) — one shuffle feeds W1/W2/W3/W4/A5/A6; the side
+  * tables are entity-cardinality (thousands of rows) and broadcast into
+  * the fact; the only global operation is the W5 split (percentile
+  * variant at 100 TB, Features.chronoSplitApprox).
+  */
+object Pipeline {
+
+  /** Hyperparameters (Model Parameters.json:1-16) with defaults-then-
+    * override merge (main.py:241-264). */
+  final case class Config(
+      seqLength: Int = 5,
+      modelThreshold: Int = 50,
+      trainRatio: Double = 0.7,
+      valRatio: Double = 0.15)
+
+  object Config {
+    /** Merge: any provided override wins over the default (main.py:241-264
+      * file < manual precedence collapses to a single override map here). */
+    def merged(overrides: Map[String, String]): Config = {
+      val d = Config()
+      Config(
+        seqLength = overrides.get("seqLength").map(_.toInt).getOrElse(d.seqLength),
+        modelThreshold = overrides.get("modelThreshold").map(_.toInt).getOrElse(d.modelThreshold),
+        trainRatio = overrides.get("trainRatio").map(_.toDouble).getOrElse(d.trainRatio),
+        valRatio = overrides.get("valRatio").map(_.toDouble).getOrElse(d.valRatio))
+    }
+  }
+
+  /** Outputs of one end-to-end run — the four metrics tables of
+    * init.sql:38-73 plus the side tables. */
+  final case class Result(
+      splits: DataFrame, modelTypes: DataFrame, normParams: DataFrame,
+      trainMetrics: DataFrame, validateMetrics: DataFrame,
+      testForecasts: DataFrame, liveForecasts: DataFrame)
+
+  private val key = Seq("user_id", "event_type")
+  private val keyCols = key.map(col)
+
+  /** Run E2+E3 over the canonical events frame (driver test schema:
+    * event_id, ts, user_id, event_type, value). When `outDir` is set the
+    * stage outputs are persisted through the reference's sink modes. */
+  def run(spark: SparkSession, events: DataFrame, cfg: Config = Config(),
+          outDir: Option[String] = None): Result = {
+    val w = Features.keyWindow(key, Seq("ts", "event_id"))
+
+    // --- E2 prep: entity hygiene (F6-F8 analogues on the stand-in schema)
+    val base = events
+      .filter(col("ts").isNotNull) // F8
+      .withColumn("actual", col("value"))
+
+    // A4+J2: drop groups whose measure is entirely null
+    val validKeys = base.groupBy(keyCols: _*)
+      .agg(count(col("actual")).as("nn")).filter(col("nn") > 0)
+      .select(keyCols: _*)
+    val kept = base.join(validKeys, key, "left_semi")
+
+    // A2+J3: model routing side table
+    val modelTypes = Features.modelRouting(kept, key, cfg.modelThreshold)
+
+    // W5: chronological split assignment side table
+    val splits = Features.chronoSplit(
+      kept.select((col("event_id") +: keyCols :+ col("ts")): _*),
+      order = Seq("ts", "event_id"), cfg.trainRatio, cfg.valRatio)
+      .select(col("event_id"), col("split"))
+
+    val withSplit = kept.join(splits, Seq("event_id"))
+
+    // create_features (train.py:415-433): date trunc, high-impact count,
+    // lag, train-order fill
+    val featured = withSplit
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("pred", Features.lag1(col("actual"), w))
+      .withColumn("pred_f", Features.ffill(col("pred"), w))
+
+    // A5 on the TRAIN split only: norm-param side table (train.py:467-477)
+    val trainRows = featured.filter(col("split") === "train")
+    val normParams = trainRows.groupBy(keyCols: _*)
+      .agg(min(col("actual")).as("mn_raw"), max(col("actual")).as("mx_raw"))
+      .withColumn("mn", coalesce(col("mn_raw"), lit(0.0)))
+      .withColumn("rng",
+        when(col("mx_raw").isNull || col("mx_raw") === col("mn_raw"), lit(1.0))
+          .otherwise(col("mx_raw") - col("mn_raw")))
+      .select((keyCols :+ col("mn") :+ col("rng")): _*)
+
+    // A6 per split; validate/test reuse train norm params (J4) for the
+    // denormalized error scale — the naive predictor works in raw units so
+    // the reuse shows up as the denorm join, mirroring validate.py:258-287.
+    def metricsFor(split: String): DataFrame =
+      Features.regressionMetrics(
+        featured.filter(col("split") === split), key,
+        col("actual"), col("pred_f"))
+        .join(broadcast(modelTypes.select((keyCols :+ col("model_type")): _*)),
+          key, "left")
+        .withColumn("model_type", coalesce(col("model_type"), lit("xgb")))
+
+    val trainMetrics = metricsFor("train")
+    val validateMetrics = metricsFor("val")
+    val testForecasts = metricsFor("test")
+
+    // W6 + F11: live forecast = latest prediction per group; the F11
+    // denorm (x*rng + mn) round-trips through the train params — the naive
+    // predictor works in raw units, so normalize-then-denormalize is
+    // exercised explicitly (test.py:95-120, 126-127).
+    val latest = Features.latestPerGroup(
+      featured.filter(col("pred_f").isNotNull),
+      key, time = "ts", tiebreak = "event_id", payload = Seq("pred_f"))
+    val liveForecasts = latest
+      .join(broadcast(normParams), key, "left")
+      .withColumn("pred_norm",
+        (col("pred_f") - coalesce(col("mn"), lit(0.0))) /
+          coalesce(col("rng"), lit(1.0)))
+      .withColumn("forecast_value",
+        Features.denormalize(col("pred_norm"),
+          coalesce(col("mn"), lit(0.0)), coalesce(col("rng"), lit(1.0))))
+      .select((keyCols :+ col("forecast_value")): _*)
+
+    // --- sinks (E3 tail): SNK2 replace for metrics, SNK3 for live
+    outDir.foreach { dir =>
+      Sinks.truncateAndLoad(splits, s"$dir/splits")
+      Sinks.truncateAndLoad(modelTypes, s"$dir/model_types")
+      Sinks.truncateAndLoad(normParams, s"$dir/norm_params")
+      Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
+      Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
+      Sinks.truncateAndLoad(testForecasts, s"$dir/test_forecasts")
+      Sinks.appendOrReplace(spark, liveForecasts, s"$dir/live_forecasts")
+    }
+
+    Result(splits, modelTypes, normParams,
+      trainMetrics, validateMetrics, testForecasts, liveForecasts)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, TpchQueries}
+import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, PipelineQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,13 +14,14 @@ object SparkEntry {
 
   private def all: Map[String, graft.queries.QueryDef] =
     CoreQueries.defs ++ TpchQueries.defs ++ ExtensionQueries.defs ++
-      CleaningQueries.defs ++ FeatureQueries.defs
+      CleaningQueries.defs ++ FeatureQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Full per-(entity,event-type) regression-metrics pipeline — scan →
-    * window lag → hash agg → metric arithmetic (SURVEY.md §3 E2 shape). */
+    * The full E2 train pipeline: hygiene → group filter → chronological
+    * split → lag/fill features → decimal-exact A6 metrics → model-routing
+    * join (SURVEY.md §3 E2; graft.Pipeline). */
   def entry(spark: SparkSession): DataFrame =
-    all("a6_regression_metrics").fn(spark, "/root/testdata/sf0.001")
+    all("pipeline_e2e").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink semantics of the reference's write paths (SURVEY.md §2a), mapped
+  * to parquet snapshot directories (the engine's stand-in for MySQL
+  * tables / GCS prefixes).
+  *
+  * | ref  | semantics                                   | here |
+  * |------|---------------------------------------------|------|
+  * | SNK1 | keyed upsert (ON DUPLICATE KEY UPDATE)      | [[upsertSnapshot]] (versioned merge-on-write) |
+  * | SNK2 | truncate-and-load                           | [[truncateAndLoad]] (mode=overwrite) |
+  * | SNK3 | append if empty else replace (first-run)    | [[appendOrReplace]] (count-gated SaveMode) |
+  * | SNK4 | row-count probe                             | [[rowCount]] |
+  * | SNK5 | object-store snapshot replace               | [[snapshotReplace]] (partitioned overwrite) |
+  *
+  * Scale notes: SNK1 is merge-on-write over immutable snapshots — new
+  * version = anti-join(old, batch) ∪ batch, written to `v=N+1` then the
+  * pointer advances (what Delta/Iceberg MERGE does with a log instead of
+  * a directory scan). The anti-join shuffles on the key; bucket the
+  * snapshot by the key at scale so only the batch moves. SNK2/SNK5 are
+  * plain overwrites — no read-modify-write, embarrassingly parallel.
+  */
+object Sinks {
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** SNK4 — row count of a parquet table path; 0 when absent
+    * (db_connector.py:153-162). */
+  def rowCount(spark: SparkSession, path: String): Long =
+    if (!fs(spark).exists(new Path(path))) 0L
+    else spark.read.parquet(path).count()
+
+  /** SRC5 — existence probe (main.py:96-114). */
+  def tableExists(spark: SparkSession, path: String): Boolean =
+    fs(spark).exists(new Path(path))
+
+  /** SNK2 — truncate-and-load: replace the table contents atomically-ish
+    * (db_connector.py:120-150). */
+  def truncateAndLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** SNK3 — the reference's first-run switch (db_connector.py:189-198,
+    * test.py:226-230): append when the table is empty/missing, replace
+    * otherwise. */
+  def appendOrReplace(spark: SparkSession, df: DataFrame, path: String): SaveMode = {
+    val mode =
+      if (rowCount(spark, path) == 0L) SaveMode.Append else SaveMode.Overwrite
+    df.write.mode(mode).parquet(path)
+    mode
+  }
+
+  /** SNK5 — bucket snapshot replace (Upload DAG:24-58): delete-and-rewrite
+    * the landing prefix, preserving the relative layout via partitioning. */
+  def snapshotReplace(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** SNK1 — keyed upsert over a versioned snapshot directory: read the
+    * current version (empty frame if none), merge via [[Ingest.upsert]],
+    * write `v=N+1`, return the new version. Readers always see a complete
+    * version; the directory listing stands in for a transaction log. */
+  def upsertSnapshot(spark: SparkSession, tableDir: String, incoming: DataFrame,
+                     key: Seq[String], orderCol: String): Int = {
+    val dir = new Path(tableDir)
+    val f = fs(spark)
+    val versions =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toInt)
+        .sorted
+    val current = versions.lastOption
+      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
+      .getOrElse(incoming.filter(org.apache.spark.sql.functions.lit(false)))
+    val next = versions.lastOption.getOrElse(0) + 1
+    Ingest.upsert(current, incoming, key, orderCol)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    next
+  }
+
+  /** Latest snapshot version of an [[upsertSnapshot]] table. */
+  def readSnapshot(spark: SparkSession, tableDir: String): DataFrame = {
+    val f = fs(spark)
+    val latest = f.listStatus(new Path(tableDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .max
+    spark.read.parquet(s"$tableDir/v=$latest")
+  }
+}

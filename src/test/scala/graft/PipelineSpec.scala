@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sinks
+
+/** Pins the E2/E3 orchestration shapes and the sink-mode semantics
+  * (SNK1-SNK5) that the per-query oracle can't observe (stateful writes). */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("E2E pipeline on sf0.001: all tables produced, live forecast is one row per surviving group") {
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val r = Pipeline.run(spark, Tables.events(spark, sf0001), outDir = Some(dir))
+    assert(r.trainMetrics.count() > 0)
+    assert(r.validateMetrics.count() > 0)
+    assert(r.testForecasts.count() > 0)
+    val nGroups = r.liveForecasts.count()
+    assert(nGroups === r.liveForecasts.select("user_id", "event_type").distinct().count())
+    // splits cover every kept row exactly once with the 70/15/15 shape
+    val sc = r.splits.groupBy("split").count().collect()
+      .map(x => x.getAs[String]("split") -> x.getAs[Long]("count")).toMap
+    assert(sc.keySet === Set("train", "val", "test"))
+    assert(sc("train") > sc("val") && sc("train") > sc("test"))
+    // persisted side tables exist and round-trip
+    assert(Sinks.rowCount(spark, s"$dir/train_metrics") === r.trainMetrics.count())
+    assert(Sinks.tableExists(spark, s"$dir/norm_params"))
+  }
+
+  test("config merge: overrides win, defaults fill (main.py:241-264)") {
+    val c = Pipeline.Config.merged(Map("seqLength" -> "3", "trainRatio" -> "0.5"))
+    assert(c.seqLength === 3)
+    assert(c.trainRatio === 0.5)
+    assert(c.modelThreshold === 50) // default preserved
+    assert(c.valRatio === 0.15)
+  }
+
+  test("SNK3 append-or-replace: append on first (empty) run, overwrite afterwards (db_connector.py:189-198)") {
+    val dir = Files.createTempDirectory("graft_snk3").toString + "/live"
+    val df1 = Seq((1L, 10.0)).toDF("id", "v")
+    val df2 = Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    assert(Sinks.appendOrReplace(spark, df1, dir) === SaveMode.Append)
+    assert(Sinks.rowCount(spark, dir) === 1L)
+    assert(Sinks.appendOrReplace(spark, df2, dir) === SaveMode.Overwrite)
+    assert(Sinks.rowCount(spark, dir) === 2L) // replaced, not appended
+    assert(spark.read.parquet(dir).agg(min(col("id"))).collect().head.getLong(0) === 2L)
+  }
+
+  test("SNK1 snapshot upsert: versioned merge-on-write, batch wins on key") {
+    val dir = Files.createTempDirectory("graft_snk1").toString + "/events"
+    val b1 = Seq(("k1", 1, "a"), ("k2", 1, "b")).toDF("key", "ord", "payload")
+    val b2 = Seq(("k2", 2, "B"), ("k3", 2, "c")).toDF("key", "ord", "payload")
+    assert(Sinks.upsertSnapshot(spark, dir, b1, Seq("key"), "ord") === 1)
+    assert(Sinks.upsertSnapshot(spark, dir, b2, Seq("key"), "ord") === 2)
+    val now = Sinks.readSnapshot(spark, dir)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("payload")).toMap
+    assert(now === Map("k1" -> "a", "k2" -> "B", "k3" -> "c"))
+    // v=1 still readable: time travel by construction
+    assert(spark.read.parquet(s"$dir/v=1").count() === 2L)
+  }
+
+  test("SNK2 truncate-and-load replaces contents; SNK5 partitioned snapshot replace") {
+    val dir = Files.createTempDirectory("graft_snk2").toString
+    Sinks.truncateAndLoad(Seq((1, "x")).toDF("id", "p"), s"$dir/t")
+    Sinks.truncateAndLoad(Seq((2, "y"), (3, "z")).toDF("id", "p"), s"$dir/t")
+    assert(Sinks.rowCount(spark, s"$dir/t") === 2L)
+    Sinks.snapshotReplace(Seq((1, "a"), (2, "b")).toDF("id", "part"), s"$dir/snap", "part")
+    assert(Sinks.tableExists(spark, s"$dir/snap/part=a"))
+    assert(spark.read.parquet(s"$dir/snap").count() === 2L)
+  }
+}
