@@ -23,6 +23,7 @@ object Tables {
 
   private def configured(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** A small corpus parquet arrives as ONE input split; every per-doc
+    * sketch and per-pair loop below would then run single-threaded.
+    * Spread the heavy-compute side across the cluster first (a no-op
+    * round-robin shuffle of narrow rows — negligible next to the compute
+    * it parallelizes; at 100 TB the scan is already thousands of splits
+    * and Catalyst drops the extra exchange). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Whitespace tokens of `text`. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -47,35 +56,66 @@ object Dedup {
          |END""".stripMargin)
   }
 
+  /** Distinct shingles pre-hashed to 64-bit longs and SORTED: set
+    * operations over longs are ~an order of magnitude cheaper than over
+    * shingle strings, the sort enables the allocation-free two-pointer
+    * intersect ([[graft.functions.SortedIntersectCount]]), and Jaccard
+    * over the hashed sets equals Jaccard over the string sets up to
+    * 2⁻⁶⁴-rate collisions. */
+  def hashedShingles(wsCol: String, n: Int): Column = {
+    val sh = shingles(wsCol, n)
+    array_sort(transform(sh, s => xxhash64(s)))
+  }
+
   /** Exact Jaccard condition `|A∩B| / |A∪B| ≥ num/den` in pure integer
-    * arithmetic — no float boundary, identical in any engine. */
+    * arithmetic — no float boundary, identical in any engine. Inputs are
+    * the SORTED hashed-shingle arrays from [[hashedShingles]]; the
+    * intersect is the native two-pointer expression (requires
+    * GraftFunctions.register, done by the Tables loaders). */
   def jaccardAtLeast(a: Column, b: Column, num: Int, den: Int): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = call_function("graft_sorted_intersect_count", a, b)
     val union = size(a) + size(b) - inter
     (inter * den) >= (union * num)
   }
 
+  /** Size-ratio prefilter: j = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+    * so j ≥ num/den requires den·|A| ≥ num·|B| and vice versa. Checked
+    * BEFORE the per-pair intersect — prunes on two cached ints. */
+  private def sizeRatioCanReach(sa: Column, sb: Column, num: Int, den: Int): Column =
+    (sa * den >= sb * num) && (sb * den >= sa * num)
+
   /** Ground-truth near-dup pairs by exact shingle Jaccard ≥ num/den.
-    * O(n²) — correctness reference and small-scale path only. */
+    * O(n²) pair evaluations — correctness reference and small-scale path
+    * only (the scale path is [[minhashLshPairs]]); hashed-long sets + the
+    * size prefilter keep the constant factor honest at bench scale. */
   def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val s = docs
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // localCheckpoint: the shingle computation feeds BOTH join sides —
+    // without materialization the whole tokenize+hash pipeline runs twice.
+    val s = spread(docs)
       .withColumn("ws", tokens(col("text")))
-      .select(col("doc_id"), shingles("ws", n).as("sh"))
-    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), hashedShingles("ws", n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint()
+    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    // b is the broadcast build side; a streams with one task per partition
+    // of the spread — the O(n²) pair loop parallelizes across the cluster.
+    a.join(broadcast(b), col("doc_a") < col("doc_b") &&
+        sizeRatioCanReach(col("sz_a"), col("sz_b"), num, den))
       .filter(jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signature over the shingle-array column named `shCol`: for
-    * permutation p, min over shingles of xxhash64(shingle, p). numPerm
-    * independent 64-bit hash functions via the extra seed column — one
-    * pass, codegen'd. */
+  /** MinHash signature over the hashed-shingle array column named `shCol`
+    * (array<long>): for permutation p, min over shingles of
+    * xxhash64(h, p) — rehashing a long is far cheaper than rehashing the
+    * string numPerm times. numPerm independent hash functions via the
+    * extra seed column; one pass, codegen'd. */
   def minhashSignature(shCol: String, numPerm: Int): Column =
     expr(
       s"transform(sequence(0, ${numPerm - 1}), " +
-        s"p -> array_min(transform($shCol, s -> xxhash64(s, p))))")
+        s"p -> array_min(transform($shCol, h -> xxhash64(h, p))))")
 
   /** LSH candidate pairs + exact verification.
     *
@@ -86,64 +126,68 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, numPerm: Int,
                       rowsPerBand: Int, num: Int, den: Int): DataFrame = {
     val numBands = numPerm / rowsPerBand
-    val s = docs
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // localCheckpoint: shingles + signatures feed four join branches
+    // (two banded sides, two verification sides) — materialize once.
+    val s = spread(docs)
       .withColumn("ws", tokens(col("text")))
-      .withColumn("sh", shingles("ws", n))
+      .withColumn("sh", hashedShingles("ws", n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         minhashSignature("sh", numPerm).as("sig"))
+      .localCheckpoint()
     val banded = s.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${numBands - 1}), " +
         s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
       .as(Seq("band_id", "band_hash")))
-    // In-bucket pair generation: collect bucket members, emit ordered pairs.
-    val candidates = banded
-      .groupBy(col("band_id"), col("band_hash"))
-      .agg(collect_set(col("doc_id")).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(expr(
-        """flatten(transform(members,
-          |  x -> transform(filter(members, y -> y > x),
-          |       y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("pair"))
-      .select(col("pair.doc_a"), col("pair.doc_b"))
+    // In-bucket pair generation as a SELF-JOIN on the band key (not a
+    // collect_set + in-row pair expansion): a hot bucket — guaranteed at
+    // scale, and common here because the tiny vocabulary makes popular
+    // shingles win many min-hashes — would otherwise become one giant
+    // array in one row on one thread. The equi-join form shuffles on the
+    // band key and AQE's skew-join splitting handles the hot buckets.
+    val candidates = banded.alias("x")
+      .join(banded.alias("y"), Seq("band_id", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = s.select(col("doc_id"), col("sh"))
+    val sh = s.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
     candidates
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      // cheap integer prefilter before the per-pair intersect
+      .filter((col("sz_a") * den >= col("sz_b") * num) &&
+        (col("sz_b") * den >= col("sz_a") * num))
       .filter(jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** 63-bit SimHash over the shingle-array column named `shCol` (bit 63
-    * left clear so the value stays a non-negative BIGINT): bit b is set iff
-    * the count of shingles with bit b set exceeds half. One pass over the
-    * shingle array per bit — fine for sketching; at scale prefer computing
-    * the 64 counters in one aggregate pass via a custom Expression if
-    * profiling demands. */
+  /** 63-bit SimHash over the hashed-shingle array column named `shCol`
+    * (array<long>; bit 63 left clear so the value stays a non-negative
+    * BIGINT): bit b is set iff the count of shingle hashes with bit b set
+    * exceeds half. Computed by the single-pass native expression
+    * [[graft.functions.SimHash63]] — the composable 63-nested-aggregate
+    * form cost ~10 µs per element interpreted and dominated the sketch
+    * stage. */
   def simhash(shCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, 62),
-         |    b -> CASE WHEN aggregate($shCol, 0L,
-         |           (acc, s) -> acc + CASE WHEN (shiftright(xxhash64(s), b) & 1) = 1
-         |                                  THEN 1L ELSE -1L END) > 0
-         |         THEN 1L ELSE 0L END),
-         |  0L, (acc, bit) -> acc * 2 + bit)""".stripMargin)
+    call_function("graft_simhash63", col(shCol))
 
   /** Per-doc SimHash sketch + its 4×16-bit band keys (for hamming-bucket
     * joins downstream). */
-  def simhashSketch(docs: DataFrame, n: Int): DataFrame =
-    docs
+  def simhashSketch(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    spread(docs)
       .withColumn("ws", tokens(col("text")))
-      .withColumn("sh", shingles("ws", n))
+      .withColumn("sh", hashedShingles("ws", n))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), simhash("sh").as("simhash"))
       .withColumn("band0", expr("simhash & 65535"))
       .withColumn("band1", expr("shiftright(simhash, 16) & 65535"))
       .withColumn("band2", expr("shiftright(simhash, 32) & 65535"))
       .withColumn("band3", expr("shiftright(simhash, 48) & 65535"))
+  }
 
   /** SimHash near-dup pairs: candidates share ≥1 of the 4 16-bit bands
     * (guaranteed for Hamming ≤ 3), confirmed by bit_count(xor) ≤ maxDist. */

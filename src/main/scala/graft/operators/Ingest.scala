@@ -48,6 +48,19 @@ object Ingest {
       .option("ignoreLeadingWhiteSpace", "true")
       .csv(path)
 
+  /** SRC1 — blob listing + pick-first (main.py:116-124): list the landing
+    * prefix, keep `*.csv`, process the lexicographically FIRST blob only.
+    * Spark-side: scan the glob once, then keep rows whose provenance
+    * (`input_file_name`) equals the minimum — one scan, no driver-side
+    * listing, and the same deterministic choice the reference makes. */
+  def readFirstCsv(spark: SparkSession, dir: String): DataFrame = {
+    val withFile = readCsv(spark, s"$dir/*.csv")
+      .withColumn("__file", input_file_name())
+    val first = withFile.agg(min(col("__file")).as("__first"))
+    withFile.join(broadcast(first), col("__file") === col("__first"))
+      .drop("__file", "__first")
+  }
+
   /** P1 + F2/F3 + F5 + F8 + F4 — the cleaning chain (main.py:210-220 +
     * import_data_to_database:156). One narrow projection pipeline:
     * drop extras, parse Date (9 formats) / Time (2 formats), normalize the

@@ -25,26 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left-to-right fold — deterministic evaluation order.
-    * Elements are cast to double BEFORE multiplying: zip_with over
-    * array<float> would otherwise multiply in float32 and lose the bits
-    * that a double-fold oracle computes. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as a left-to-right double fold via the native codegen
+    * expression [[graft.functions.DotProduct]] (the interpreted HOF chain
+    * `aggregate(zip_with(...))` costs ~µs/element and dominated the O(n²)
+    * similarity joins). Bit-equal to the HOF form and the SQL-fold oracle.
+    * Requires [[graft.functions.GraftFunctions.register]] on the session —
+    * every public entry point here does so. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-pair cosine work drops 3× when each side's norm is computed ONCE
+    * per vector and carried through the join (the expression shape
+    * dot/(nₐ·n_b) stays identical to computing norms inline, so results
+    * are bit-equal). */
+  private def withNorm(df: DataFrame, idName: String, vecName: String,
+                       normName: String): DataFrame =
+    df.select(col("vec_id").as(idName), col("embedding").as(vecName))
+      .withColumn(normName, sqrt(dot(col(vecName), col(vecName))))
+
   /** Exact top-k nearest neighbours by cosine for each query vector.
     * Deterministic rank: ties broken by neighbour id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = withNorm(queries, "query_id", "qv", "qn")
+    val c = withNorm(corpus, "neighbor_id", "cv", "cn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -82,6 +91,7 @@ object Similarity {
     * near-dup-grade similarity (cos ≥ 0.8) is the target. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int, tables: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     def bucketed(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), posexplode(array(
         (0 until tables).map(t => hyperplaneSignature("embedding", bits, t)): _*))
@@ -105,6 +115,7 @@ object Similarity {
     * repeat of the same assignment join. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val n = corpus.count()
     val step = math.max(1L, n / nCentroids)
     val centroids = corpus
@@ -136,11 +147,9 @@ object Similarity {
   private def topKAmong(cand: DataFrame, queries: DataFrame,
                         corpus: DataFrame, k: Int): DataFrame = {
     val scored = cand
-      .join(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv")), "query_id")
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv")), "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .join(withNorm(queries, "query_id", "qv", "qn"), "query_id")
+      .join(withNorm(corpus, "neighbor_id", "cv", "cn"), "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -151,13 +160,20 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold (both
-    * directions deduplicated to vec_a < vec_b). Brute force — pair set
-    * only, no float similarity column in the output. */
+    * directions deduplicated to vec_a < vec_b). Brute force with per-
+    * vector precomputed norms — pair set only, no float similarity column
+    * in the output. */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Spread the streamed side: a small parquet is one input split, and a
+    // single-partition nested-loop join would run the O(n²) pair scoring
+    // on one thread.
+    val spreadCorpus = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism)
+    val a = withNorm(spreadCorpus, "vec_a", "va", "na")
+    val b = withNorm(corpus, "vec_b", "vb", "nb")
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("vec_a"), col("vec_b"))
   }
 }

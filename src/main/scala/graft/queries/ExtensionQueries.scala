@@ -74,12 +74,16 @@ object ExtensionQueries {
         n = 3, num = 1, den = 2),
       duckJaccardPairs),
 
-    // MinHash(16 perms) → 16 bands × 1 row → bucket join → exact verify.
+    // MinHash(32 perms) → 16 bands × 2 rows → bucket join → exact verify.
     // Oracle = the exact-Jaccard ground truth: LSH must RECALL every true
     // pair (precision is 1.0 by construction via the verify step).
+    // r=2 matters on this low-entropy corpus: single-minhash collisions of
+    // background pairs (j≈0.02) would generate ~25× more candidates to
+    // verify; two consecutive minhashes collide at j², pruning the noise
+    // while 16 bands keep recall ≥99% at the j≥0.5 target.
     "dedup_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
-        n = 3, numPerm = 16, rowsPerBand = 1, num = 1, den = 2),
+        n = 3, numPerm = 32, rowsPerBand = 2, num = 1, den = 2),
       duckJaccardPairs),
 
     // SimHash sketch per doc: 63-bit signature + 16-bit bands. xxhash64

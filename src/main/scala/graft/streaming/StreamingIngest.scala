@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Ingest, Sinks}
+
+/** The reference's incremental semantics (SURVEY.md §2i) as a Structured
+  * Streaming path: the batch pipeline is monthly high-watermark append
+  * (main.py:161-166) + keyed upsert (main.py:175-188); the streaming
+  * equivalent is a file source over the landing prefix → the SAME cleaning
+  * chain → event-time watermark → in-stream key dedup → a foreachBatch
+  * keyed-upsert sink. Batch parity is the fidelity target: one
+  * micro-batch over one CSV produces exactly what Ingest.ingestCsv would.
+  *
+  * Scale notes: the file source tracks processed files (offsets = the
+  * watermark's job in the batch path); `maxFilesPerTrigger` bounds batch
+  * size; dropDuplicates state is bounded by the event-time watermark; the
+  * upsert inside foreachBatch shuffles only the micro-batch against the
+  * snapshot (bucket the snapshot by key at scale).
+  */
+object StreamingIngest {
+
+  /** readStream → clean → watermark → dedup, ready for a sink. */
+  def cleanedStream(spark: SparkSession, landingDir: String,
+                    maxFilesPerTrigger: Int = 1): DataFrame = {
+    val raw = spark.readStream
+      .schema(Ingest.rawSchema)
+      .option("header", "false")
+      .option("quote", "\"")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(landingDir)
+    Ingest.clean(raw)
+      // TIMESTAMP (not NTZ) for streaming watermark bookkeeping
+      .withColumn("EventTime", col("EventTime").cast("timestamp"))
+      .withWatermark("EventTime", "30 days")
+      .dropDuplicates("Date", "Time", "Currency", "Event")
+  }
+
+  /** Run the stream into a versioned-snapshot upsert sink (SNK1 via
+    * foreachBatch). Returns the query; caller awaits/stops it. */
+  def run(spark: SparkSession, landingDir: String, tableDir: String,
+          checkpointDir: String): StreamingQuery =
+    cleanedStream(spark, landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Sinks.upsertSnapshot(spark, tableDir, batch,
+            key = Seq("Date", "Time", "Currency", "Event"),
+            orderCol = "EventTime")
+          ()
+        }
+      }
+      .start()
+}

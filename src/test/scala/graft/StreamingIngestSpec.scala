@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Ingest, Sinks}
+import graft.streaming.StreamingIngest
+
+/** Pins the streaming path (SURVEY.md §2i): batch parity with the batch
+  * ingest, file-source incremental pickup, in-stream key dedup, and the
+  * SRC1 pick-first source. */
+class StreamingIngestSpec extends SparkSpecBase {
+
+  private def writeCsv(dir: java.io.File, name: String, rows: String): Unit =
+    Files.writeString(new java.io.File(dir, name).toPath, rows)
+
+  test("streaming ingest: two files arrive, keyed dedup applies, snapshot upserts incrementally") {
+    val landing = Files.createTempDirectory("graft_stream_in").toFile
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+    writeCsv(landing, "b1.csv",
+      """2025-01-05,17:00,USD,NFP,high,5.2%,1,2,0,w
+        |2025-01-05,17:00,USD,NFP,high,9.9%,1,2,0,w
+        |2025-01-06,09:00,EUR,CPI,low,1,2,3,0,w
+        |""".stripMargin) // in-file duplicate key: deduped in-stream
+    writeCsv(landing, "b2.csv",
+      """2025-01-07,10:00,GBP,GDP,medium,4,5,6,0,w
+        |""".stripMargin)
+    val q = StreamingIngest.run(spark, landing.getAbsolutePath,
+      s"$out/events", ckpt)
+    q.awaitTermination(120000)
+    val snap = Sinks.readSnapshot(spark, s"$out/events")
+    val keys = snap.select("Currency", "Event").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys === Set(("USD", "NFP"), ("EUR", "CPI"), ("GBP", "GDP")))
+    assert(snap.count() === 3) // duplicate USD/NFP key collapsed
+  }
+
+  test("SRC1 pick-first: only the lexicographically first csv is ingested (main.py:116-124)") {
+    val dir = Files.createTempDirectory("graft_src1").toFile
+    writeCsv(dir, "2025-02.csv", "2025-02-01,10:00,USD,A,low,1,2,3,0,w\n")
+    writeCsv(dir, "2025-01.csv", "2025-01-01,10:00,EUR,B,low,1,2,3,0,w\n")
+    val rows = Ingest.readFirstCsv(spark, dir.getAbsolutePath).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("Currency") === "EUR") // 2025-01.csv sorts first
+  }
+}
