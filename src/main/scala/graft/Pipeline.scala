@@ -80,13 +80,12 @@ object Pipeline {
     // A2+J3: model routing side table
     val modelTypes = Features.modelRouting(kept, key, cfg.modelThreshold)
 
-    // W5: chronological split assignment side table
-    val splits = Features.chronoSplit(
-      kept.select((col("event_id") +: keyCols :+ col("ts")): _*),
+    // W5: split assignment annotated in place (a separate side-table
+    // computation + join-back on event_id would cost two extra shuffles);
+    // the persisted side table is a projection of the same frame.
+    val withSplit = Features.chronoSplit(kept,
       order = Seq("ts", "event_id"), cfg.trainRatio, cfg.valRatio)
-      .select(col("event_id"), col("split"))
-
-    val withSplit = kept.join(splits, Seq("event_id"))
+    val splits = withSplit.select(col("event_id"), col("split"))
 
     // create_features (train.py:415-433): date trunc, high-impact count,
     // lag, train-order fill

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => ScTest}
+
+import graft.functions.cleaning
+import graft.operators.{Dedup, Features, Ingest}
+
+/** Property-based pins (SURVEY.md §5 item 3). Each property evaluates a
+  * BATCH of generated cases in one Spark job (a job per sample would take
+  * minutes), with few ScalaCheck iterations on top. */
+object PropertySpec extends Properties("graft") {
+  import TestSpark.spark.implicits._
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(3)
+
+  // --- F1: parse_numeric round-trips every suffix form exactly
+  private val suffixes = Map("K" -> 1e3, "k" -> 1e3, "M" -> 1e6, "m" -> 1e6,
+    "B" -> 1e9, "b" -> 1e9, "T" -> 1e12, "t" -> 1e12)
+  private val numCase: Gen[(String, Option[Double])] = for {
+    iv <- Gen.chooseNum(-99999L, 99999L)
+    kind <- Gen.oneOf("plain", "pct", "suffix", "junk", "empty")
+    suf <- Gen.oneOf(suffixes.keys.toSeq)
+  } yield kind match {
+    case "plain" => (iv.toString, Some(iv.toDouble))
+    case "pct" => (s"$iv%", Some(iv.toDouble))
+    case "suffix" => (s"$iv$suf", Some(iv.toDouble * suffixes(suf)))
+    case "junk" => ("x" + iv, None)
+    case "empty" => ("", None)
+  }
+
+  property("parseNumeric round-trips suffix/percent/plain; junk and empty are null") =
+    Prop.forAll(Gen.listOfN(60, numCase)) { cases =>
+      val got = cases.map(_._1).toDF("raw")
+        .select(cleaning.parseNumeric(col("raw")).as("p"))
+        .collect().map(r => Option(r.getAs[Any]("p")).map(_.asInstanceOf[Double]))
+      got.toSeq == cases.map(_._2)
+    }
+
+  // --- W3/F11: normalize into [0,1] when the group has spread; denormalize inverts
+  property("minMaxNormalize lands in [0,1] and denormalize inverts it") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => ("g", i, v) }.toDF("k", "t", "v")
+      val (norm, mn, rng) = Features.minMaxNormalize(col("v"), Seq("k"))
+      val out = df.withColumn("n", norm).withColumn("mn", mn).withColumn("rng", rng)
+        .withColumn("back", Features.denormalize(col("n"), col("mn"), col("rng")))
+        .collect()
+      out.forall { r =>
+        val n = r.getAs[Double]("n")
+        val back = r.getAs[Double]("back")
+        val v = r.getAs[Double]("v")
+        n >= 0.0 && n <= 1.0 && math.abs(back - v) <= 1e-6 * math.max(1.0, math.abs(v))
+      }
+    }
+
+  // --- SNK1: upsert result keys = union; batch wins; idempotent
+  private val kvGen: Gen[List[(String, Int)]] =
+    Gen.listOf(Gen.zip(Gen.oneOf((1 to 12).map("k" + _)), Gen.chooseNum(0, 1000)))
+      .map(_.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }.toList)
+
+  property("upsert: keys are the union, batch wins on collision, re-applying is a no-op") =
+    Prop.forAll(kvGen, kvGen) { (existing, batch) =>
+      val e = existing.toDF("key", "v").withColumn("ord", lit(0))
+      val b = batch.toDF("key", "v").withColumn("ord", lit(1))
+      val once = Ingest.upsert(e, b, Seq("key"), "ord")
+      val got = once.collect().map(r => r.getAs[String]("key") -> r.getAs[Int]("v")).toMap
+      val want = existing.toMap ++ batch.toMap
+      val twice = Ingest.upsert(once, b, Seq("key"), "ord")
+        .collect().map(r => r.getAs[String]("key") -> r.getAs[Int]("v")).toMap
+      got == want && twice == want
+    }
+
+  // --- MinHash-LSH ⊆ exact Jaccard: the verify step makes precision 1.0
+  // regardless of banding luck
+  private val docGen: Gen[(Long, String)] = for {
+    id <- Gen.chooseNum(0L, 1000L)
+    words <- Gen.listOfN(12, Gen.oneOf("spark", "hash", "join", "scan",
+      "sort", "agg", "row", "key", "batch", "merge"))
+  } yield (id, words.mkString(" "))
+
+  property("minhashLshPairs is a subset of exact jaccardPairs (precision 1.0)") =
+    Prop.forAll(Gen.listOfN(25, docGen)) { raw =>
+      val docs = raw.toMap.toList.toDF("doc_id", "text") // unique ids
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Dedup.jaccardPairs(docs, 3, 1, 2))
+      val lsh = pairs(Dedup.minhashLshPairs(docs, 3, 32, 2, 1, 2))
+      lsh.subsetOf(exact)
+    }
+}
