@@ -46,6 +46,22 @@ object Similarity {
     df.select(col("vec_id").as(idName), col("embedding").as(vecName))
       .withColumn(normName, sqrt(dot(col(vecName), col(vecName))))
 
+  /** Keep top-k (cos desc, id asc) per query from a scored frame via the
+    * typed [[graft.functions.TopKAggregator]]: partial top-k map-side, so
+    * the shuffle carries ≤ k rows per (group, partition) instead of every
+    * scored candidate — the window row_number form it replaces sorts the
+    * whole group on one partition. Identical ranking (same total order). */
+  private def scoredTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), (col("idx") + 1).cast("long").as("rank"),
+        col("s.id").as("neighbor_id"))
+  }
+
   /** Exact top-k nearest neighbours by cosine for each query vector.
     * Deterministic rank: ties broken by neighbour id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -54,13 +70,7 @@ object Similarity {
     val c = withNorm(corpus, "neighbor_id", "cv", "cn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    scoredTopK(scored, k)
   }
 
   /** b-bit random-hyperplane signature over the vector column named
@@ -114,27 +124,47 @@ object Similarity {
     * vector by id) — one k-means refinement pass would drop in as a
     * repeat of the same assignment join. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, refineIters: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val n = corpus.count()
     val step = math.max(1L, n / nCentroids)
-    val centroids = corpus
+    val seeds = corpus
       .filter(col("vec_id") % step === 0).limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-    def assign(df: DataFrame, idName: String, keep: Int): DataFrame = {
+
+    def assign(cents: DataFrame, df: DataFrame, idName: String, keep: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idName))
         .orderBy(col("ccos").desc, col("centroid_id"))
       df.select(col("vec_id").as(idName), col("embedding"))
-        .join(broadcast(centroids),
+        .join(broadcast(cents),
           col(idName).isNotNull) // cross vs small centroid set
         .withColumn("ccos", cosine(col("embedding"), col("centv")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
         .select(col(idName), col("centroid_id"))
     }
-    val postings = assign(corpus, "neighbor_id", keep = 1)
-    val probes = assign(queries, "query_id", keep = nProbe)
+
+    // Lloyd refinement: reassign, recompute each centroid as the
+    // element-wise mean of its members (posexplode → per-dim avg →
+    // re-assembled in dim order). Each pass is the same broadcast-assign
+    // join — the k-means shape at any scale.
+    val centroids = (1 to refineIters).foldLeft(seeds) { (cents, _) =>
+      val members = assign(cents, corpus, "member_id", keep = 1)
+        .join(corpus.select(col("vec_id").as("member_id"), col("embedding")),
+          "member_id")
+      members
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
+          .as("centv"))
+        .localCheckpoint() // feeds two assign() branches below
+    }
+
+    val postings = assign(centroids, corpus, "neighbor_id", keep = 1)
+    val probes = assign(centroids, queries, "query_id", keep = nProbe)
     val cand = probes.join(postings, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -150,13 +180,7 @@ object Similarity {
       .join(withNorm(queries, "query_id", "qv", "qn"), "query_id")
       .join(withNorm(corpus, "neighbor_id", "cv", "cn"), "neighbor_id")
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    scoredTopK(scored, k)
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold (both

@@ -145,7 +145,7 @@ object ExtensionQueries {
       },
       None),
 
-    // IVF approximate top-k (16 coarse centroids, 4 probes): the
+    // IVF approximate top-k (16 k-means-refined centroids, 6 probes): the
     // FAISS-style scale path — candidate volume ≈ nProbe/nCentroids of the
     // corpus in any similarity regime. Rows-only + SimilaritySpec recall
     // pin.
@@ -153,7 +153,7 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-          k = 5, nCentroids = 16, nProbe = 4)
+          k = 5, nCentroids = 16, nProbe = 6)
           .withColumn("rank", col("rank").cast("long"))
       },
       None),

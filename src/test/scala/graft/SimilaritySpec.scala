@@ -30,8 +30,8 @@ class SimilaritySpec extends SparkSpecBase {
     ).toDF("vec_id", "embedding")
     val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
       .orderBy("rank")
-      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
-    assert(out === Array((1, 1L), (2, 3L), (3, 2L))) // tie 1-vs-3 broken by id
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(out === Array((1L, 1L), (2L, 3L), (3L, 2L))) // tie 1-vs-3 broken by id
   }
 
   test("LSH and IVF recall vs brute force on the driver embeddings (approximate, pinned floor)") {
