@@ -67,6 +67,23 @@ object Features {
       .over(Window.partitionBy(col(dim), dateCol)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
 
+  /** A1 under key skew — two-stage salted aggregation: partial counts per
+    * (key, salt) bucket, then a final sum per key. For algebraic aggregates
+    * Spark's map-side combine already handles skew; the salted shape is
+    * the template for the cases it can't — non-algebraic aggs
+    * (collect_list, exact distinct) and skewed shuffle keys — where a hot
+    * key would otherwise land on one reducer. Salt is a deterministic
+    * hash bucket of `saltSrc`, so results are reproducible. */
+  def twoStageSaltedCount(df: DataFrame, keys: Seq[String], saltSrc: Column,
+                          saltBuckets: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", pmod(xxhash64(saltSrc), lit(saltBuckets)))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).as("cnt"))
+  }
+
   /** J5+A3 — group-mean imputation: NULL → mean over the group, groups with
     * no non-null values → 0.0 (train.py:347-357 fill_missing). Window form —
     * the reference's dict-lookup join is unnecessary in Spark. */

@@ -308,6 +308,20 @@ object FeatureQueries {
         |  count(*) AS n_groups
         |FROM m""".stripMargin),
 
+    // A1 (skew path) — the high-impact count as a two-stage salted
+    // aggregation: same result as the direct groupBy, with the shuffle
+    // shape that survives a hot key (see Features.twoStageSaltedCount).
+    "a1_salted_count" -> QueryDef(
+      (s, dir) => Features.twoStageSaltedCount(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("event_date", to_date(col("ts"))),
+        keys = Seq("user_id", "event_date"),
+        saltSrc = col("event_id"), saltBuckets = 8),
+      """SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS cnt
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin),
+
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).
     "a9_value_histogram" -> QueryDef(

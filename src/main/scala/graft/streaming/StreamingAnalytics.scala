@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming analytics over the cleaned event stream (SURVEY.md §2i
+  * mapping): the reference's batch aggregations re-expressed with
+  * event-time watermarks bounding state, plus a stateful latest-per-group
+  * operator — the streaming analogue of W6's live forecasts.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (expired windows are dropped, not accumulated); the keyed state of
+  * [[runningLatest]] is one small record per (Currency, Event) — entity
+  * cardinality, thousands — and shuffles once on the entity key, exactly
+  * like the batch W6.
+  */
+object StreamingAnalytics {
+
+  /** One cleaned event (the typed boundary for stateful ops). */
+  final case class EventRow(
+      currency: String, event: String, eventTime: java.sql.Timestamp,
+      actual: Option[Double])
+
+  /** Running per-entity state: latest observation wins by event time. */
+  final case class EntityState(
+      latestTime: java.sql.Timestamp, latestValue: Option[Double], n: Long)
+
+  /** Emitted on every state change — the live-forecast row
+    * (test.py:95-120's "last prediction per group", continuously). */
+  final case class EntityLatest(
+      currency: String, event: String, latestTime: java.sql.Timestamp,
+      latestValue: Option[Double], n: Long)
+
+  /** A1-shaped streaming aggregation: tumbling-window event counts per
+    * currency. The event-time watermark comes from the upstream cleaning
+    * stage (StreamingIngest.cleanedStream) — redefining it mid-stream is
+    * disallowed with multiple stateful operators; it bounds this
+    * aggregation's window state too. Use outputMode("update") for
+    * incremental emission or append to emit only closed windows. */
+  def windowedCounts(cleaned: DataFrame, windowLen: String): DataFrame =
+    cleaned
+      .groupBy(window(col("EventTime"), windowLen), col("Currency"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("Impact") === "high", lit(1))).as("n_high_impact"))
+      .select(col("window.start").as("window_start"), col("Currency"),
+        col("n_events"), col("n_high_impact"))
+
+  /** W6, streaming: mapGroupsWithState keeping the latest row per
+    * (Currency, Event), emitting the updated entity row each batch it
+    * changes. Ties on event time resolve to the later-arriving record
+    * (the reference's ON DUPLICATE KEY UPDATE overwrite). */
+  def runningLatest(spark: SparkSession,
+                    events: Dataset[EventRow]): Dataset[EntityLatest] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.currency, e.event))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, String), batch: Iterator[EventRow],
+         state: GroupState[EntityState]) =>
+          val prev = state.getOption
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            acc match {
+              case Some(s) if s.latestTime.compareTo(e.eventTime) > 0 =>
+                Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                Some(EntityState(e.eventTime, e.actual, s.n + 1))
+              case None =>
+                Some(EntityState(e.eventTime, e.actual, 1L))
+            }
+          }
+          next.foreach(state.update)
+          val s = next.get
+          EntityLatest(key._1, key._2, s.latestTime, s.latestValue, s.n)
+      }
+  }
+}

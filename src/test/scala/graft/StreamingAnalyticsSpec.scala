@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{EntityLatest, EventRow}
+
+/** Pins the streaming analytics semantics: watermarked windowed counts and
+  * the stateful latest-per-group operator, including state evolution
+  * ACROSS micro-batches (the part a batch test can't see). */
+class StreamingAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("runningLatest: state carries across micro-batches, later event time wins, ties overwrite") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingAnalytics.runningLatest(spark, in.toDS())
+      .writeStream.format("memory").queryName("latest_t").outputMode("update").start()
+    try {
+      in.addData(
+        EventRow("USD", "NFP", ts("2025-01-05 17:00:00"), Some(1.0)),
+        EventRow("USD", "NFP", ts("2025-01-03 09:00:00"), Some(9.9)), // older: counted, not latest
+        EventRow("EUR", "CPI", ts("2025-01-04 10:00:00"), Some(2.0)))
+      q.processAllAvailable()
+      val b1 = spark.table("latest_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(2), r.getDouble(3), r.getLong(4))).toSet
+      assert(b1 === Set(
+        ("USD", ts("2025-01-05 17:00:00"), 1.0, 2L),
+        ("EUR", ts("2025-01-04 10:00:00"), 2.0, 1L)))
+      // batch 2: EUR advances; USD gets an equal-time re-delivery that overwrites
+      in.addData(
+        EventRow("EUR", "CPI", ts("2025-01-06 10:00:00"), Some(3.0)),
+        EventRow("USD", "NFP", ts("2025-01-05 17:00:00"), Some(7.7)))
+      q.processAllAvailable()
+      val b2 = spark.table("latest_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(2), r.getDouble(3), r.getLong(4)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._4) } // latest emission per key
+      assert(b2("EUR") === (("EUR", ts("2025-01-06 10:00:00"), 3.0, 2L)))
+      assert(b2("USD") === (("USD", ts("2025-01-05 17:00:00"), 7.7, 3L))) // tie overwrites
+    } finally q.stop()
+  }
+
+  test("windowedCounts: watermarked tumbling windows count per currency") {
+    val landing = java.nio.file.Files.createTempDirectory("graft_wc").toFile
+    java.nio.file.Files.writeString(new java.io.File(landing, "a.csv").toPath,
+      """2025-01-05,10:05,USD,A,high,1,2,3,0,w
+        |2025-01-05,10:20,USD,B,low,1,2,3,0,w
+        |2025-01-05,11:05,USD,C,high,1,2,3,0,w
+        |2025-01-05,10:40,EUR,D,low,1,2,3,0,w
+        |""".stripMargin)
+    val stream = graft.streaming.StreamingIngest.cleanedStream(spark,
+      landing.getAbsolutePath)
+    val q = StreamingAnalytics.windowedCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("wc_t").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc_t").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        (ts("2025-01-05 10:00:00"), "USD", 2L, 1L),
+        (ts("2025-01-05 11:00:00"), "USD", 1L, 1L),
+        (ts("2025-01-05 10:00:00"), "EUR", 1L, 0L)))
+    } finally q.stop()
+  }
+}
