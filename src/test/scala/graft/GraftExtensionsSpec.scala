@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Pins the SparkSessionExtensions entry point: a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` gets the graft_* functions
+  * (no code-side registration) and the self-intersect optimizer rule. */
+class GraftExtensionsSpec extends SparkSpecBase {
+
+  private lazy val extSpark: SparkSession = {
+    // getOrCreate returns the existing shared session (ignoring new confs,
+    // extensions included) — clear the default so a FRESH session builds
+    // over the same SparkContext with the extensions applied, then restore
+    // the shared one for the other suites.
+    TestSpark.spark // ensure the shared context exists first
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // `spark.sql.extensions` is a STATIC conf read from the SparkContext
+    // at session build — it cannot be injected per-session in a shared
+    // test context, so exercise the same class via the builder API (what
+    // the conf string resolves to).
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prev.foreach(SparkSession.setDefaultSession)
+    prev.foreach(SparkSession.setActiveSession)
+    s
+  }
+
+  test("graft_* functions resolve via the extensions conf, no register() call") {
+    val r = extSpark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  graft_sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
+        |  graft_simhash63(array(0L)) AS s""".stripMargin).collect().head
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Long]("i") === 2L)
+    assert(r.getAs[Long]("s") === 0L) // single zero hash: every majority is -1
+  }
+
+  test("SimplifySelfIntersect rewrites |A∩A| to size(A)") {
+    // range-backed attribute keeps the expressions non-foldable (literal
+    // arrays would be constant-folded before the rule is observable)
+    val df = extSpark.range(1).selectExpr(
+      "graft_sorted_intersect_count(array(id, 2L, 3L), array(id, 2L, 3L)) AS n")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // The rewrite chains with built-in rules: |A∩A| → size(array(id,2,3))
+    // → literal 3 (Spark knows CreateArray's length) — the merge loop is
+    // gone entirely.
+    assert(!optimized.contains("graft_sorted_intersect_count"),
+      s"self-intersect not rewritten:\n$optimized")
+    assert(df.collect().head.getAs[Long]("n") === 3L)
+    // non-degenerate calls are untouched
+    val df2 = extSpark.range(1).selectExpr(
+      "graft_sorted_intersect_count(array(id, 2L), array(2L, 5L)) AS n")
+    assert(df2.queryExecution.optimizedPlan.toString
+      .contains("graft_sorted_intersect_count"))
+    assert(df2.collect().head.getAs[Long]("n") === 1L)
+  }
+}
