@@ -18,8 +18,8 @@ import graft.functions.{DotProduct, SimHash63, SortedIntersectCount}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+    def info(clazz: Class[_], name: String, usage: String) =
+      new ExpressionInfo(clazz.getName, null, name, usage, "")
 
     def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
       if (exprs.length != n)
@@ -28,17 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs
     }
     ext.injectFunction((FunctionIdentifier("graft_dot"),
-      info("graft_dot", "_FUNC_(a, b) - double dot product of two numeric arrays"),
+      info(classOf[DotProduct], "graft_dot",
+        "_FUNC_(a, b) - double dot product of two numeric arrays"),
       { exprs: Seq[Expression] =>
         val e = arity("graft_dot", 2)(exprs); DotProduct(e(0), e(1)) }))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
-      info("graft_sorted_intersect_count",
+      info(classOf[SortedIntersectCount], "graft_sorted_intersect_count",
         "_FUNC_(a, b) - |A∩B| of two sorted distinct bigint arrays"),
       { exprs: Seq[Expression] =>
         val e = arity("graft_sorted_intersect_count", 2)(exprs)
         SortedIntersectCount(e(0), e(1)) }))
     ext.injectFunction((FunctionIdentifier("graft_simhash63"),
-      info("graft_simhash63", "_FUNC_(a) - 63-bit simhash of a bigint array"),
+      info(classOf[SimHash63], "graft_simhash63",
+        "_FUNC_(a) - 63-bit simhash of a bigint array"),
       { exprs: Seq[Expression] =>
         val e = arity("graft_simhash63", 1)(exprs); SimHash63(e(0)) }))
     ext.injectOptimizerRule(_ => SimplifySelfIntersect)

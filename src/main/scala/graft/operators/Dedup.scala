@@ -75,7 +75,10 @@ object Dedup {
   def jaccardAtLeast(a: Column, b: Column, num: Int, den: Int): Column = {
     val inter = call_function("graft_sorted_intersect_count", a, b)
     val union = size(a) + size(b) - inter
-    (inter * den) >= (union * num)
+    // union > 0: two empty shingle sets are NOT near-duplicates (0/0
+    // would satisfy 0 >= 0); keeps the ground truth consistent with the
+    // LSH path, which filters empty-shingle docs before banding.
+    (union > 0) && ((inter * den) >= (union * num))
   }
 
   /** Size-ratio prefilter: j = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
@@ -192,7 +195,10 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share ≥1 of the 4 16-bit bands
     * (guaranteed for Hamming ≤ 3), confirmed by bit_count(xor) ≤ maxDist. */
   def simhashPairs(docs: DataFrame, n: Int, maxDist: Int): DataFrame = {
-    val sk = simhashSketch(docs, n)
+    // localCheckpoint: the sketch feeds both sides of the band self-join —
+    // without materialization the tokenize→shingle→hash→SimHash63 pipeline
+    // runs twice.
+    val sk = simhashSketch(docs, n).localCheckpoint()
     val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
       array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band_id", "band_val")))

@@ -154,7 +154,14 @@ object Features {
     * sequence stage should be the LAST projection before the training sink
     * (project only the needed feature columns into the array first). */
   def slidingSequence(c: Column, w: WindowSpec, length: Int): Column =
-    collect_list(c).over(w.rowsBetween(-length, -1))
+    // collect_list silently SKIPS null elements, which would shorten a
+    // window containing a null history value and make the caller's
+    // size === length filter drop the row — diverging from the
+    // reference's positional range(L, len(grp)) semantics. Wrapping each
+    // value in a (non-null) struct preserves positions; unwrap after.
+    transform(
+      collect_list(struct(c.as("v"))).over(w.rowsBetween(-length, -1)),
+      s => s.getField("v"))
 
   /** W6 — latest row per group: single-shuffle max_by on the ordered struct
     * (test.py:95-120 "last prediction per group"). `tiebreak` makes the
@@ -183,9 +190,18 @@ object Features {
     * round-nearest engines agree on the cast too. */
   def regressionMetrics(df: DataFrame, key: Seq[String],
                         actual: Column, pred: Column): DataFrame = {
-    val a = actual.cast("decimal(15,6)")
-    val p = pred.cast("decimal(15,6)")
-    df.filter(actual.isNotNull && pred.isNotNull)
+    // DECIMAL(17,6) is the widest input whose DIFFERENCE'S square stays
+    // inside precision 38 without precision-loss rounding ((a−p) gains a
+    // digit → (18,6); its square is (37,12)), so the domain is |x| < 1e11.
+    // Values outside it are EXCLUDED by the same predicate that feeds the
+    // count — letting the cast overflow instead would silently drop rows
+    // from the sums while Samples still counted them (or throw under
+    // ANSI).
+    val domain = lit(1e11)
+    val a = actual.cast("decimal(17,6)")
+    val p = pred.cast("decimal(17,6)")
+    df.filter(actual.isNotNull && pred.isNotNull &&
+        abs(actual) < domain && abs(pred) < domain)
       .groupBy(key.map(col): _*)
       .agg(
         count(lit(1)).as("Samples"),

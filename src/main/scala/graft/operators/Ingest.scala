@@ -91,12 +91,16 @@ object Ingest {
     existing.agg((max(col(tsCol)) - slack).as("__wm"))
 
   /** F13 — keep only incoming rows strictly newer than the watermark
-    * (main.py:161-166; late rows are silently dropped, by design). */
+    * (main.py:161-166; late rows are silently dropped, by design).
+    * FIRST-RUN CASE: an empty existing snapshot aggregates max(ts) to
+    * NULL; the reference skips the filter entirely then (`if last_ts:`,
+    * main.py:164), so a NULL watermark keeps every incoming row — a bare
+    * `ts > NULL` join would invert that and drop the whole batch. */
   def watermarkFilter(incoming: DataFrame, existing: DataFrame,
                       tsCol: String, slack: Column): DataFrame =
     incoming
       .join(broadcast(watermark(existing, tsCol, slack)),
-        col(tsCol) > col("__wm"), "inner")
+        col("__wm").isNull || col(tsCol) > col("__wm"), "inner")
       .drop("__wm")
 
   /** SNK1 — keyed upsert as anti-join + union (`INSERT … ON DUPLICATE KEY

@@ -128,8 +128,12 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val n = corpus.count()
     val step = math.max(1L, n / nCentroids)
+    // orderBy before limit: a bare limit on an unordered filter takes
+    // whichever rows arrive first — plan/partition-order dependent, which
+    // would make the "deterministic spread sample" claim false.
     val seeds = corpus
-      .filter(col("vec_id") % step === 0).limit(nCentroids)
+      .filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
 
     def assign(cents: DataFrame, df: DataFrame, idName: String, keep: Int): DataFrame = {

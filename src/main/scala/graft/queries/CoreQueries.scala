@@ -108,10 +108,10 @@ object CoreQueries {
     // A6 — per-group regression metrics R²/MSE/Samples (train.py:233-269)
     // with the naive lag-1 predictor standing in for the model scores
     // (SURVEY.md §7 step 5). ss_tot==0 → R²=−1; groups with <2 samples skipped.
-    // Sums run in DECIMAL(15,6) (order-independent, exact) and only the final
-    // per-group arithmetic in double, with the identical expression shape in
-    // the oracle — bit-equal outputs with no rounding needed (Features.scala
-    // regressionMetrics scaladoc).
+    // Sums run in DECIMAL(17,6) (order-independent, exact; |x| < 1e11 domain
+    // guard) and only the final per-group arithmetic in double, with the
+    // identical expression shape in the oracle — bit-equal outputs with no
+    // rounding needed (Features.scala regressionMetrics scaladoc).
     "a6_regression_metrics" -> QueryDef(
       (s, dir) => {
         val w = Features.keyWindow(key, Seq("ts", "event_id"))
@@ -122,17 +122,21 @@ object CoreQueries {
             col("R2"), col("MSE"), col("Samples"))
       },
       """WITH p AS (
-        |  SELECT user_id, event_type,
-        |    CAST(value AS DECIMAL(15,6)) AS a,
-        |    lag(CAST(value AS DECIMAL(15,6))) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred
+        |  SELECT user_id, event_type, value,
+        |    CAST(value AS DECIMAL(17,6)) AS a,
+        |    lag(value) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred_raw,
+        |    CAST(lag(value) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS DECIMAL(17,6)) AS pred
         |  FROM events),
         |g AS (
         |  SELECT user_id, event_type, count(*) AS n,
         |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
         |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
         |    CAST(sum(a) AS DOUBLE) AS sum_a
-        |  FROM p WHERE a IS NOT NULL AND pred IS NOT NULL
+        |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
+        |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11
         |  GROUP BY user_id, event_type)
         |SELECT user_id, event_type,
         |  CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0

@@ -282,17 +282,21 @@ object FeatureQueries {
             count(lit(1)).as("n_groups"))
       },
       """WITH p AS (
-        |  SELECT user_id, event_type,
-        |    CAST(value AS DECIMAL(15,6)) AS a,
-        |    lag(CAST(value AS DECIMAL(15,6))) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred
+        |  SELECT user_id, event_type, value,
+        |    CAST(value AS DECIMAL(17,6)) AS a,
+        |    lag(value) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred_raw,
+        |    CAST(lag(value) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS DECIMAL(17,6)) AS pred
         |  FROM events),
         |g AS (
         |  SELECT user_id, event_type, count(*) AS n,
         |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
         |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
         |    CAST(sum(a) AS DOUBLE) AS sum_a
-        |  FROM p WHERE a IS NOT NULL AND pred IS NOT NULL
+        |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
+        |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11
         |  GROUP BY user_id, event_type),
         |m AS (
         |  SELECT user_id, event_type, n AS Samples,

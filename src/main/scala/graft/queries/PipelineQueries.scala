@@ -47,16 +47,17 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred_f
         |  FROM f1),
         |p AS (
-        |  SELECT user_id, event_type,
-        |    CAST(actual AS DECIMAL(15,6)) AS a,
-        |    CAST(pred_f AS DECIMAL(15,6)) AS pf
+        |  SELECT user_id, event_type, actual, pred_f,
+        |    CAST(actual AS DECIMAL(17,6)) AS a,
+        |    CAST(pred_f AS DECIMAL(17,6)) AS pf
         |  FROM f2 WHERE split = 'train'),
         |g AS (
         |  SELECT user_id, event_type, count(*) AS n,
         |    CAST(sum((a - pf) * (a - pf)) AS DOUBLE) AS ss_res,
         |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
         |    CAST(sum(a) AS DOUBLE) AS sum_a
-        |  FROM p WHERE a IS NOT NULL AND pf IS NOT NULL
+        |  FROM p WHERE actual IS NOT NULL AND pred_f IS NOT NULL
+        |    AND abs(actual) < 1e11 AND abs(pred_f) < 1e11
         |  GROUP BY user_id, event_type),
         |m AS (
         |  SELECT user_id, event_type,

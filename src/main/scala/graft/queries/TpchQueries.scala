@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -10,21 +11,32 @@ import graft.Tables
   * hash aggregation with partial (map-side) combine, broadcast hash joins
   * for the small dimensions, and shuffle joins for fact-fact.
   *
-  * Determinism vs the DuckDB oracle: every revenue/quantity sum is cast to
-  * DECIMAL before aggregation (exact, order-independent under any partial
-  * aggregation plan) and back to DOUBLE only after the sum; averages are
-  * decimal-sum ÷ count with the same expression shape in both engines, so
-  * outputs are bit-identical with no round() needed.
+  * Determinism vs the DuckDB oracle: every sum is snapped to BIGINT
+  * micro-units (`round(x·1e6)`, half-away-from-zero in both engines) and
+  * summed exactly as integers — double→DECIMAL casts are NOT portable
+  * near scale ties (DuckDB converts via shortest-repr, the JVM via the
+  * exact binary expansion; see FeatureQueries a8). The micro-unit sums
+  * fit int64 comfortably at bench scale (~6e16 of 9.2e18); an extreme-SF
+  * deployment would move the snap to DECIMAL(38,0) sums of the same
+  * integers.
   *
   * Scale notes (100 TB): broadcast hints ONLY on true dimension tables
   * (customer/nation — bounded versus the facts); anything derived from
-  * `orders`/`lineitem` joins via shuffle hash / sort-merge on the join key,
-  * chosen by AQE at runtime. A forced broadcast of a barely-filtered fact
-  * (round 1) OOMs the driver at 100× data.
+  * `orders`/`lineitem` joins via shuffle hash / sort-merge on the join
+  * key, chosen by AQE at runtime. A forced broadcast of a barely-filtered
+  * fact (round 1) OOMs the driver at 100×.
   */
 object TpchQueries {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+  /** Exact order-independent sum of the SQL expression `xSql` in 1e-6
+    * units, back to double. */
+  private def microSum(xSql: String): Column =
+    sum(expr(s"CAST(round(($xSql) * 1e6) AS BIGINT)"))
+      .cast("double") / lit(1e6)
+
+  private val discPrice = "l_extendedprice * (1 - l_discount)"
+  private val duckSums =
+    """CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"""
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -35,29 +47,28 @@ object TpchQueries {
         .filter(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("2001-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          microSum("l_quantity").as("sum_qty"),
+          microSum("l_extendedprice").as("sum_base_price"),
+          microSum(discPrice).as("sum_disc_price"),
+          (microSum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (microSum("l_discount") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $duckSums AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_base_price,
+         |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
+         |  $duckSums / count(*) AS avg_qty,
+         |  CAST(sum(CAST(round(l_discount * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
     // Q3-style: filtered dim (customer) broadcast into orders, the result
     // shuffle-joined to lineitem on the order key (orders is barely filtered
-    // — never broadcast it); revenue per order in exact decimal.
+    // — never broadcast it); revenue per order in exact micro-units.
     "q3_order_revenue" -> QueryDef(
       (s, dir) => {
         val cust = Tables.customer(s, dir)
@@ -73,11 +84,10 @@ object TpchQueries {
               col("o_custkey") === col("c_custkey"), "inner"),
             col("l_orderkey") === col("o_orderkey"), "inner")
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .cast("double").as("revenue"))
+          .agg(microSum(discPrice).as("revenue"))
       },
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -100,12 +110,11 @@ object TpchQueries {
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .cast("double").as("revenue"),
+          .agg(microSum(discPrice).as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem, orders, customer, nation
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey

@@ -36,7 +36,12 @@ object StreamingIngest {
       // TIMESTAMP (not NTZ) for streaming watermark bookkeeping
       .withColumn("EventTime", col("EventTime").cast("timestamp"))
       .withWatermark("EventTime", "30 days")
-      .dropDuplicates("Date", "Time", "Currency", "Event")
+      // EventTime MUST be part of the dedup key: the state store only
+      // builds a watermark-eviction predicate when the event-time column
+      // is in the subset — without it the key state grows forever. It is
+      // functionally derived from (Date, Time), so the dedup semantics
+      // are unchanged.
+      .dropDuplicates("Date", "Time", "Currency", "Event", "EventTime")
   }
 
   /** Run the stream into a versioned-snapshot upsert sink (SNK1 via

@@ -29,6 +29,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out(1) === List("a b c"))
   }
 
+  test("short docs (empty shingle sets) never pair: ground truth agrees with the LSH path") {
+    val short = Seq((1L, "just two"), (2L, "also two"), (3L, "one"))
+      .toDF("doc_id", "text")
+    // 0/0 Jaccard must not count as >= 1/2 — otherwise every short-doc
+    // pair would be a "near-duplicate" in the ground truth while the LSH
+    // path (which filters empty shingle sets) finds none.
+    assert(Dedup.jaccardPairs(short, n = 3, num = 1, den = 2).count() === 0)
+    assert(Dedup.minhashLshPairs(short, n = 3, numPerm = 16,
+      rowsPerBand = 1, num = 1, den = 2).count() === 0)
+  }
+
   test("exact-Jaccard ground truth finds the near-dup and exact-dup pairs only") {
     val pairs = Dedup.jaccardPairs(docs, n = 3, num = 1, den = 2)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

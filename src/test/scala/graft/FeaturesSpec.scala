@@ -106,6 +106,16 @@ class FeaturesSpec extends SparkSpecBase {
     assert(seqs.last === ((7, Seq(40.0, 50.0, 60.0))))
   }
 
+  test("W4 sequences preserve null history positions (reference emits the NaN, not a shorter window)") {
+    val df = Seq(("g", 1, Some(10.0)), ("g", 2, None), ("g", 3, Some(30.0)),
+      ("g", 4, Some(40.0))).toDF("k", "t", "v")
+    val seqs = df.withColumn("seq", Features.slidingSequence(col("v"), w, 3))
+      .filter(size(col("seq")) === 3)
+      .collect().map(r => (r.getAs[Int]("t"), r.getSeq[Any](3).toList))
+    // only t=4 has a full 3-row history; the null at t=2 stays IN the window
+    assert(seqs.toList === List((4, List(10.0, null, 30.0))))
+  }
+
   test("W6 latest per group breaks timestamp ties by the tiebreak column") {
     val df = Seq(("g", 5, 1, 100.0), ("g", 5, 2, 200.0), ("g", 4, 9, 300.0))
       .toDF("k", "t", "id", "v")

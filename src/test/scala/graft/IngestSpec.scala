@@ -38,6 +38,16 @@ class IngestSpec extends SparkSpecBase {
     assert(out === Seq("fresh")) // strictly-newer only
   }
 
+  test("F13 first run: empty existing snapshot keeps ALL incoming rows (main.py:164 `if last_ts:`)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val incoming = Seq(("a", ts("2024-01-09 00:00:00")), ("b", ts("2024-01-10 00:00:00")))
+      .toDF("key", "ts")
+    val emptyExisting = incoming.filter(lit(false))
+    val out = Ingest.watermarkFilter(incoming, emptyExisting, "ts",
+      slack = expr("INTERVAL 0 SECONDS"))
+    assert(out.count() === 2) // NULL watermark means no filter, not drop-all
+  }
+
   test("E1 end-to-end: CSV with dirty fields cleans, drops bad rows, upserts (main.py:194-228)") {
     val dir = Files.createTempDirectory("graft_ingest_spec").toFile
     val csv = new java.io.File(dir, "batch.csv")
