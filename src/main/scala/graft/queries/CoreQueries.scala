@@ -121,29 +121,8 @@ object CoreQueries {
           .select(col("user_id"), col("event_type"),
             col("R2"), col("MSE"), col("Samples"))
       },
-      """WITH p AS (
-        |  SELECT user_id, event_type, value,
-        |    CAST(value AS DECIMAL(17,6)) AS a,
-        |    lag(value) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred_raw,
-        |    CAST(lag(value) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
-        |      AS DECIMAL(17,6)) AS pred
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, event_type, count(*) AS n,
-        |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
-        |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
-        |    CAST(sum(a) AS DOUBLE) AS sum_a
-        |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
-        |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11
-        |  GROUP BY user_id, event_type)
-        |SELECT user_id, event_type,
-        |  CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
-        |       ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n)) END AS R2,
-        |  ss_res / n AS MSE,
-        |  n AS Samples
-        |FROM g WHERE n >= 2""".stripMargin),
+      s"""WITH ${OracleSql.a6MetricsCtes}
+         |SELECT user_id, event_type, R2, MSE, Samples FROM m""".stripMargin),
 
     // F-json — scalar JSON extraction over events.props (extension surface,
     // SURVEY.md §2g): per-event-type mean of props.k.

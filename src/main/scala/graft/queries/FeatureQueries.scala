@@ -281,36 +281,13 @@ object FeatureQueries {
             sum(col("Samples")).as("total_samples"),
             count(lit(1)).as("n_groups"))
       },
-      """WITH p AS (
-        |  SELECT user_id, event_type, value,
-        |    CAST(value AS DECIMAL(17,6)) AS a,
-        |    lag(value) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred_raw,
-        |    CAST(lag(value) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
-        |      AS DECIMAL(17,6)) AS pred
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, event_type, count(*) AS n,
-        |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
-        |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
-        |    CAST(sum(a) AS DOUBLE) AS sum_a
-        |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
-        |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11
-        |  GROUP BY user_id, event_type),
-        |m AS (
-        |  SELECT user_id, event_type, n AS Samples,
-        |    CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
-        |         ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
-        |    END AS R2,
-        |    ss_res / n AS MSE
-        |  FROM g WHERE n >= 2)
-        |SELECT
-        |  CAST(sum(CAST(round(R2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_r2,
-        |  CAST(sum(CAST(round(MSE * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_mse,
-        |  sum(Samples) AS total_samples,
-        |  count(*) AS n_groups
-        |FROM m""".stripMargin),
+      s"""WITH ${OracleSql.a6MetricsCtes}
+         |SELECT
+         |  CAST(sum(CAST(round(R2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_r2,
+         |  CAST(sum(CAST(round(MSE * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_mse,
+         |  sum(Samples) AS total_samples,
+         |  count(*) AS n_groups
+         |FROM m""".stripMargin),
 
     // A1 (skew path) — the high-impact count as a two-stage salted
     // aggregation: same result as the direct groupBy, with the shuffle

@@ -15,3 +15,41 @@ object QueryDef {
   def apply(fn: (SparkSession, String) => DataFrame, sql: String): QueryDef =
     QueryDef(fn, Some(sql))
 }
+
+/** Oracle SQL fragments shared between queries — one source of truth for
+  * the decimal-exact A6 semantics (a6_regression_metrics and
+  * a8_metrics_summary embed the identical chain; keeping copies in sync
+  * by hand already went wrong once). */
+object OracleSql {
+
+  /** The A6 CTE chain over `events`: lag-1 predictor, DECIMAL(17,6) sums
+    * with the |x| < 1e11 domain guard, per-group metrics `m(user_id,
+    * event_type, R2, MSE, Samples)` (mirrors Features.regressionMetrics —
+    * see its scaladoc for the determinism rationale). */
+  val a6MetricsCtes: String =
+    """p AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(value AS DECIMAL(17,6)) AS a,
+      |    lag(value) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pred_raw,
+      |    CAST(lag(value) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |      AS DECIMAL(17,6)) AS pred
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
+      |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
+      |    CAST(sum(a) AS DOUBLE) AS sum_a
+      |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
+      |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11
+      |  GROUP BY user_id, event_type),
+      |m AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+      |         ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+      |    END AS R2,
+      |    ss_res / n AS MSE,
+      |    n AS Samples
+      |  FROM g WHERE n >= 2)""".stripMargin
+}
