@@ -66,6 +66,52 @@ object TpchQueries {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Q6-style: the pure scan-filter-agg shape — one whole-stage-codegen
+    // span, no joins, no wide state; the "how fast can the engine move
+    // bytes" floor. All three predicates push down to the parquet scan.
+    "q6_forecast_revenue" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_shipdate").cast("date") < lit(java.sql.Date.valueOf("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(microSum("l_extendedprice * l_discount").as("revenue"),
+          count(lit(1)).as("n_lines")),
+      """SELECT
+        |  CAST(sum(CAST(round((l_extendedprice * l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    // Q12-style: fact-fact join + conditional aggregation — urgent vs
+    // non-urgent order counts per line status (the shipmode query shape
+    // adapted to the driver schema).
+    "q12_priority_lines" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1997-01-01")))
+          .select(col("l_orderkey"), col("l_linestatus"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+              .as("low_line_count"))
+      },
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin),
+
     // Q3-style: filtered dim (customer) broadcast into orders, the result
     // shuffle-joined to lineitem on the order key (orders is barely filtered
     // — never broadcast it); revenue per order in exact micro-units.
