@@ -89,4 +89,30 @@ object PropertySpec extends Properties("graft") {
       val lsh = pairs(Dedup.minhashLshPairs(docs, 3, 32, 2, 1, 2))
       lsh.subsetOf(exact)
     }
+
+  // --- TopKAggregator under real partial aggregation equals a full sort
+  private val scoredGen: Gen[List[(Long, Double, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 500L)))
+
+  property("TopKAggregator ranking equals sort-and-take under any partitioning") =
+    Prop.forAll(scoredGen) { rows =>
+      import org.apache.spark.sql.functions.{col, posexplode, udaf}
+      // unique (g, id) by construction so frame and expectation agree
+      val uniq = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toList
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+      // repartition(5): forces multiple partial buffers + a merge
+      val df = uniq.toDF("g", "score", "id").repartition(5)
+      val got = df.groupBy(col("g")).agg(topk(col("score"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).getLong(1)))
+        .toSet
+      val want = uniq
+        .groupBy(_._1).flatMap { case (g, vs) =>
+          vs.sortBy(v => (-v._2, v._3)).take(3).zipWithIndex
+            .map { case (v, i) => (g, i, v._3) }
+        }.toSet
+      got == want
+    }
 }
