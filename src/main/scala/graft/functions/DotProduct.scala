@@ -118,5 +118,31 @@ object GraftFunctions {
         SimHash63(exprs.head)
       },
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_ngram_hashes takes exactly 2 arguments")
+        val n = exprs(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_hashes n must be an int literal, got $other")
+        }
+        WordNGramHashes(exprs.head, n)
+      },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_minhash_sig takes exactly 2 arguments")
+        val numPerm = exprs(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig numPerm must be an int literal, got $other")
+        }
+        MinHashSig(exprs.head, numPerm)
+      },
+      "built-in")
   }
 }

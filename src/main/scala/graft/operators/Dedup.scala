@@ -61,11 +61,10 @@ object Dedup {
     * shingle strings, the sort enables the allocation-free two-pointer
     * intersect ([[graft.functions.SortedIntersectCount]]), and Jaccard
     * over the hashed sets equals Jaccard over the string sets up to
-    * 2⁻⁶⁴-rate collisions. */
-  def hashedShingles(wsCol: String, n: Int): Column = {
-    val sh = shingles(wsCol, n)
-    array_sort(transform(sh, s => xxhash64(s)))
-  }
+    * 2⁻⁶⁴-rate collisions. Computed by the fused single-pass native
+    * expression [[graft.functions.WordNGramHashes]]. */
+  def hashedShingles(wsCol: String, n: Int): Column =
+    call_function("graft_ngram_hashes", col(wsCol), lit(n))
 
   /** Exact Jaccard condition `|A∩B| / |A∪B| ≥ num/den` in pure integer
     * arithmetic — no float boundary, identical in any engine. Inputs are
@@ -112,13 +111,12 @@ object Dedup {
 
   /** MinHash signature over the hashed-shingle array column named `shCol`
     * (array<long>): for permutation p, min over shingles of
-    * xxhash64(h, p) — rehashing a long is far cheaper than rehashing the
-    * string numPerm times. numPerm independent hash functions via the
-    * extra seed column; one pass, codegen'd. */
+    * xxhash64(h, p). Computed by the single-pass native expression
+    * [[graft.functions.MinHashSig]] — the nested-transform form paid an
+    * interpreted lambda per (element, permutation) and dominated the LSH
+    * pipeline. */
   def minhashSignature(shCol: String, numPerm: Int): Column =
-    expr(
-      s"transform(sequence(0, ${numPerm - 1}), " +
-        s"p -> array_min(transform($shCol, h -> xxhash64(h, p))))")
+    call_function("graft_minhash_sig", col(shCol), lit(numPerm))
 
   /** LSH candidate pairs + exact verification.
     *
