@@ -93,6 +93,12 @@ object ExtensionQueries {
       (s, dir) => Dedup.simhashSketch(Tables.documents(s, dir), n = 3),
       None),
 
+    // SimHash near-dup pairs: band-join candidates confirmed by Hamming
+    // distance ≤ 8. Rows-only (hash-dependent) + DedupSpec locality pin.
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), n = 3, maxDist = 8),
+      None),
+
     // Embedding near-dup pairs: cosine ≥ 0.45, pair ids only (the float
     // similarity itself is engine-noise; the SET is stable because no pair
     // sits near the threshold in this corpus).

@@ -175,6 +175,16 @@ object FeatureQueries {
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin),
 
+    // W5 at scale — the percentile-based split (no global window, no
+    // single-partition stage; Features.chronoSplitApprox). Boundaries are
+    // approxQuantile values, not exact row positions → rows-only check;
+    // the exact/approx boundary agreement is pinned by FeaturesSpec.
+    "w5_chrono_split_approx" -> QueryDef(
+      (s, dir) => Features.chronoSplitApprox(
+        Tables.events(s, dir).select(col("event_id"), col("ts")), "ts")
+        .select(col("event_id"), col("split")),
+      None),
+
     // J4 — norm-param reuse (validate.py:258-287): val rows normalize with
     // TRAIN-split (mn,rng) where the key has train params, local val-split
     // min/max otherwise (the reference's fallback branch).
