@@ -34,7 +34,14 @@ object Bench {
     // Warmup: exercise codegen, shuffle machinery, and the parquet reader
     // once, untimed. A warmup failure (bad sfDir) must not kill the run —
     // per-query error reporting below is the honest signal.
-    try materialize(Tables.events(spark, sfDir).groupBy("event_type").count())
+    // The lower() touch matters: Spark 4's first case-mapping call runs
+    // CollationAwareUTF8String's static init (an ICU titlecase-map build,
+    // 6–26 s of CPU observed via jstack), which otherwise lands on
+    // whichever measured query calls lower() first — a one-time JVM cost,
+    // not that query's throughput.
+    try materialize(Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.col("event_type"))).count())
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

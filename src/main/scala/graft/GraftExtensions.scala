@@ -2,47 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{DotProduct, SimHash63, SortedIntersectCount}
+import graft.functions.{GraftFunctions, SortedIntersectCount}
 
 /** Catalyst extension entry point: installs the engine's native functions
   * and optimizer rules into any session via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — no code changes
   * needed on the consuming side (spark-sql / spark-submit / thrift all
   * work). `GraftFunctions.register` remains the in-process equivalent for
-  * sessions created without the conf.
+  * sessions created without the conf; both surfaces iterate the SAME
+  * [[GraftFunctions.builders]] table, so every native function (including
+  * the int-literal-parameterised ones) is available from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(clazz: Class[_], name: String, usage: String) =
-      new ExpressionInfo(clazz.getName, null, name, usage, "")
-
-    def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
-      if (exprs.length != n)
-        throw new IllegalArgumentException(
-          s"$name takes exactly $n argument(s), got ${exprs.length}")
-      exprs
+    GraftFunctions.builders.foreach { case (name, clazz, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, null, name, usage, ""), builder))
     }
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      info(classOf[DotProduct], "graft_dot",
-        "_FUNC_(a, b) - double dot product of two numeric arrays"),
-      { exprs: Seq[Expression] =>
-        val e = arity("graft_dot", 2)(exprs); DotProduct(e(0), e(1)) }))
-    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
-      info(classOf[SortedIntersectCount], "graft_sorted_intersect_count",
-        "_FUNC_(a, b) - |A∩B| of two sorted distinct bigint arrays"),
-      { exprs: Seq[Expression] =>
-        val e = arity("graft_sorted_intersect_count", 2)(exprs)
-        SortedIntersectCount(e(0), e(1)) }))
-    ext.injectFunction((FunctionIdentifier("graft_simhash63"),
-      info(classOf[SimHash63], "graft_simhash63",
-        "_FUNC_(a) - 63-bit simhash of a bigint array"),
-      { exprs: Seq[Expression] =>
-        val e = arity("graft_simhash63", 1)(exprs); SimHash63(e(0)) }))
     ext.injectOptimizerRule(_ => SimplifySelfIntersect)
   }
 }

@@ -49,7 +49,10 @@ case class DotProduct(left: Expression, right: Expression)
   // Mismatched lengths → NULL, matching the HOF form this expression
   // claims bit-equality with (zip_with pads the shorter array with nulls,
   // which poison the fold): a corrupt mixed-dimension vector must surface
-  // as NULL, never as a plausible partial dot product.
+  // as NULL, never as a plausible partial dot product. A null ELEMENT on
+  // either side → NULL for the same reason (zip_with's null·x is null and
+  // the fold propagates it) — a round-2 advice fix: reading a null slot
+  // as 0 would have silently broken the equivalence claim.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -62,6 +65,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xi * yi
@@ -84,9 +88,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -97,52 +102,74 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration for the engine's native functions. Idempotent. */
+/** Session registration for the engine's native functions. Idempotent.
+  *
+  * [[builders]] is the single source of truth for BOTH registration
+  * surfaces — this in-process `register()` and the
+  * `spark.sql.extensions=graft.GraftExtensions` injection — so the two
+  * can never drift (round-2 advice: the extensions path was missing
+  * graft_ngram_hashes and graft_minhash_sig).
+  */
 object GraftFunctions {
+
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n, s"$name takes exactly $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
+  private def intLit(name: String, what: String)(e: Expression): Int = e match {
+    case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+      l.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$name: $what must be an int literal, got $other")
+  }
+
+  /** (name, implementing class, usage doc, builder) per native function. */
+  val builders: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      "_FUNC_(a, b) - double dot product of two numeric arrays",
+      es => { val e = arity("graft_dot", 2)(es); DotProduct(e(0), e(1)) }),
+    ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      "_FUNC_(a, b) - |A∩B| of two sorted distinct bigint arrays",
+      es => {
+        val e = arity("graft_sorted_intersect_count", 2)(es)
+        SortedIntersectCount(e(0), e(1))
+      }),
+    ("graft_simhash63", classOf[SimHash63],
+      "_FUNC_(a) - 63-bit simhash of a bigint array",
+      es => SimHash63(arity("graft_simhash63", 1)(es).head)),
+    ("graft_ngram_hashes", classOf[WordNGramHashes],
+      "_FUNC_(ws, n) - sorted distinct xxhash64 values of the word n-grams of a token array",
+      es => {
+        val e = arity("graft_ngram_hashes", 2)(es)
+        WordNGramHashes(e.head, intLit("graft_ngram_hashes", "n")(e(1)))
+      }),
+    ("graft_minhash_sig", classOf[MinHashSig],
+      "_FUNC_(sh, numPerm) - minhash signature of an array of element hashes",
+      es => {
+        val e = arity("graft_minhash_sig", 2)(es)
+        MinHashSig(e.head, intLit("graft_minhash_sig", "numPerm")(e(1)))
+      }),
+    ("graft_text_metrics", classOf[TextMetrics],
+      "_FUNC_(text) - struct of per-document text statistics " +
+        "(chars, tokens, distinct tokens, subword estimate, stopwords, punctuation)",
+      es => TextMetrics(arity("graft_text_metrics", 1)(es).head,
+        TextMetrics.DefaultStopwords)),
+    ("graft_rolling_hash", classOf[TokenRollingHash],
+      "_FUNC_(text) - 31-base token rolling hash mod 1e9+7",
+      es => TokenRollingHash(arity("graft_rolling_hash", 1)(es).head)),
+    ("graft_hyperplane_sig", classOf[HyperplaneSig],
+      "_FUNC_(v, bits, table) - bits-bit random-hyperplane LSH signature of a numeric array",
+      es => {
+        val e = arity("graft_hyperplane_sig", 3)(es)
+        HyperplaneSig(e.head, intLit("graft_hyperplane_sig", "bits")(e(1)),
+          intLit("graft_hyperplane_sig", "table")(e(2)))
+      }))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    def reg(name: String, make: (Expression, Expression) => Expression): Unit =
-      registry.createOrReplaceTempFunction(
-        name,
-        { exprs: Seq[Expression] =>
-          require(exprs.length == 2, s"$name takes exactly 2 arguments")
-          make(exprs.head, exprs(1))
-        },
-        "built-in")
-    reg("graft_dot", DotProduct(_, _))
-    reg("graft_sorted_intersect_count", SortedIntersectCount(_, _))
-    registry.createOrReplaceTempFunction(
-      "graft_simhash63",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 1, "graft_simhash63 takes exactly 1 argument")
-        SimHash63(exprs.head)
-      },
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_ngram_hashes",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_ngram_hashes takes exactly 2 arguments")
-        val n = exprs(1) match {
-          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"graft_ngram_hashes n must be an int literal, got $other")
-        }
-        WordNGramHashes(exprs.head, n)
-      },
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_minhash_sig",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_minhash_sig takes exactly 2 arguments")
-        val numPerm = exprs(1) match {
-          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"graft_minhash_sig numPerm must be an int literal, got $other")
-        }
-        MinHashSig(exprs.head, numPerm)
-      },
-      "built-in")
+    builders.foreach { case (name, _, _, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -27,11 +27,16 @@ case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) if numPerm > 0 =>
+      // containsNull=false required: getLong on a null slot would hash 0
+      // as if it were a real shingle — reject at analysis time (advice
+      // r2). The internal producer (graft_ngram_hashes) emits null-free
+      // arrays.
+      case ArrayType(LongType, false) if numPerm > 0 =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<bigint> and numPerm > 0, got " +
+          s"$prettyName requires array<bigint> without null elements " +
+            s"(containsNull=false) and numPerm > 0, got " +
             s"${other.catalogString} / numPerm=$numPerm")
     }
 

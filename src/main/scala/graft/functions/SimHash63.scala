@@ -23,11 +23,16 @@ case class SimHash63(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      // containsNull=false required: getLong on a null slot would vote
+      // all-zero bits into the majority — reject at analysis time (advice
+      // r2). The internal producer (graft_ngram_hashes) emits null-free
+      // arrays.
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<bigint>, got ${other.catalogString}")
+          s"$prettyName requires array<bigint> without null elements " +
+            s"(containsNull=false), got ${other.catalogString}")
     }
 
   override def nullSafeEval(a: Any): Any = {

@@ -24,11 +24,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull=false required: getLong on a null slot would read 0
+      // and silently mis-count — reject at analysis time instead (advice
+      // r2). Every internal producer (graft_ngram_hashes) already emits
+      // null-free arrays.
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two array<bigint> inputs, got " +
+          s"$prettyName requires two array<bigint> inputs without null " +
+            s"elements (containsNull=false), got " +
             s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
 

@@ -56,19 +56,44 @@ object cleaning {
     "yyyy-M-d", "d MMMM yyyy", "M/d/yyyy", "d/M/yyyy", "yyyy/M/d",
     "M-d-yyyy", "d-M-yyyy", "MMM d, yyyy", "MMMM d, yyyy")
 
-  /** Multi-format date parse; NULL when no format matches (main.py:126-135). */
+  /** Multi-format date parse; NULL when no format matches (main.py:126-135).
+    *
+    * Each format is gated by a cheap shape regex so a row attempts ~1
+    * `try_to_timestamp` instead of failing through up to 9 — Java
+    * format-parse failure is exception-driven, so an ungated coalesce chain
+    * spends its time in exception control flow (~25 s/1e4 rows at sf0.1 vs
+    * ~1 s gated). The shape classes are mutually exclusive, so gate order
+    * does not matter; within the two ambiguous classes (slash and
+    * dash-with-trailing-year) the formats are coalesced in reference order
+    * (M/d before d/M, M-d before d-M), preserving first-match-wins
+    * semantics exactly. */
   def parseDate(c: Column): Column = {
     val s = trim(c.cast(StringType))
-    to_date(coalesce(DateFormats.map(f => try_to_timestamp(s, lit(f))): _*))
+    def t(f: String) = try_to_timestamp(s, lit(f))
+    to_date(
+      when(s.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}$"), t("yyyy-M-d"))
+        .when(s.rlike("^\\d{1,2} [A-Za-z]+ \\d{4}$"), t("d MMMM yyyy"))
+        .when(s.rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
+          coalesce(t("M/d/yyyy"), t("d/M/yyyy")))
+        .when(s.rlike("^\\d{4}/\\d{1,2}/\\d{1,2}$"), t("yyyy/M/d"))
+        .when(s.rlike("^\\d{1,2}-\\d{1,2}-\\d{4}$"),
+          coalesce(t("M-d-yyyy"), t("d-M-yyyy")))
+        .when(s.rlike("^[A-Za-z]{3} \\d{1,2}, \\d{4}$"), t("MMM d, yyyy"))
+        .when(s.rlike("^[A-Za-z]+ \\d{1,2}, \\d{4}$"), t("MMMM d, yyyy")))
   }
 
   /** Time formats "%H:%M" then "%I:%M %p" (main.py:141). Returns the time
     * as a canonical "HH:mm:ss" string (Spark has no TIME type). */
   val TimeFormats: Seq[String] = Seq("H:mm", "h:mm a")
 
+  /** Shape-gated like [[parseDate]]: the 24h and am/pm forms are
+    * syntactically disjoint, so each row attempts exactly one format. */
   def parseTime(c: Column): Column = {
     val s = trim(c.cast(StringType))
-    date_format(coalesce(TimeFormats.map(f => try_to_timestamp(s, lit(f))): _*),
+    date_format(
+      when(s.rlike("^\\d{1,2}:\\d{2}$"), try_to_timestamp(s, lit("H:mm")))
+        .when(s.rlike("^\\d{1,2}:\\d{2} [AaPp][Mm]$"),
+          try_to_timestamp(s, lit("h:mm a"))),
       "HH:mm:ss")
   }
 

@@ -31,12 +31,18 @@ object Dedup {
 
   /** A small corpus parquet arrives as ONE input split; every per-doc
     * sketch and per-pair loop below would then run single-threaded.
-    * Spread the heavy-compute side across the cluster first (a no-op
-    * round-robin shuffle of narrow rows — negligible next to the compute
-    * it parallelizes; at 100 TB the scan is already thousands of splits
-    * and Catalyst drops the extra exchange). */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * Spread the heavy-compute side across the cluster first — but ONLY
+    * when the scan is actually narrower than the cluster: an explicit
+    * repartition is always a real shuffle (Catalyst never elides it), and
+    * these frames still carry full document text, so an unconditional
+    * spread at 100 TB would shuffle the whole corpus body for nothing.
+    * At scale the scan already has thousands of splits and this is a
+    * no-op passthrough; the shuffle only happens in the
+    * few-splits-many-cores regime where it is worth it. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Whitespace tokens of `text`. */
   def tokens(text: Column): Column = split(text, " ")
@@ -94,6 +100,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // localCheckpoint: the shingle computation feeds BOTH join sides —
     // without materialization the whole tokenize+hash pipeline runs twice.
+    // Scale note: localCheckpoint stores MEMORY_AND_DISK per executor and
+    // is NOT fault-tolerant (an executor loss fails the job). That is the
+    // right trade at the scales this O(n²) ground-truth path is meant for
+    // (samples/buckets); a cluster-scale pipeline would persist
+    // (doc_id, sh) — narrow rows, text already projected away — with
+    // StorageLevel.DISK_ONLY or a reliable checkpoint instead.
     val s = spread(docs)
       .withColumn("ws", tokens(col("text")))
       .select(col("doc_id"), hashedShingles("ws", n).as("sh"))
@@ -130,6 +142,10 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // localCheckpoint: shingles + signatures feed four join branches
     // (two banded sides, two verification sides) — materialize once.
+    // The materialized rows are (doc_id, sh, sig) — document text is
+    // already projected away. See the scale note in jaccardPairs:
+    // MEMORY_AND_DISK per executor, not fault-tolerant; at cluster scale
+    // switch to DISK_ONLY persist / reliable checkpoint.
     val s = spread(docs)
       .withColumn("ws", tokens(col("text")))
       .withColumn("sh", hashedShingles("ws", n))
@@ -195,7 +211,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, n: Int, maxDist: Int): DataFrame = {
     // localCheckpoint: the sketch feeds both sides of the band self-join —
     // without materialization the tokenize→shingle→hash→SimHash63 pipeline
-    // runs twice.
+    // runs twice. Rows are (doc_id, simhash, 4 band ints) — 1 sketch per
+    // doc, no text. See the scale note in jaccardPairs re fault tolerance.
     val sk = simhashSketch(docs, n).localCheckpoint()
     val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
       array(col("band0"), col("band1"), col("band2"), col("band3")))

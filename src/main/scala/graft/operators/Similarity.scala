@@ -76,8 +76,18 @@ object Similarity {
   /** b-bit random-hyperplane signature over the vector column named
     * `vCol`, for hash table `table`: bit j = sign(v · r_{table,j}) where
     * the pseudo-random hyperplane has entries ±1 derived from
-    * xxhash64(table, j, dim) — deterministic, no stored model. */
+    * xxhash64(table, j, dim) — deterministic, no stored model. Computed
+    * by the fused native expression [[graft.functions.HyperplaneSig]]
+    * (bit-equal to the nested-HOF form it replaces — see
+    * [[hyperplaneSignatureHof]], kept for the equivalence pin — which
+    * paid an interpreted lambda per (bit, dim) and dominated ann_lsh_topk
+    * in the round-2 bench). */
   def hyperplaneSignature(vCol: String, bits: Int, table: Int): Column =
+    call_function("graft_hyperplane_sig", col(vCol), lit(bits), lit(table))
+
+  /** The composable form [[hyperplaneSignature]] claims bit-equality
+    * with; test-only reference. */
+  private[graft] def hyperplaneSignatureHof(vCol: String, bits: Int, table: Int): Column =
     expr(
       s"""aggregate(
          |  transform(sequence(0, ${bits - 1}),
@@ -195,9 +205,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Spread the streamed side: a small parquet is one input split, and a
     // single-partition nested-loop join would run the O(n²) pair scoring
-    // on one thread.
-    val spreadCorpus = corpus.repartition(
-      corpus.sparkSession.sparkContext.defaultParallelism)
+    // on one thread. Gated on the actual partition count — an explicit
+    // repartition is always a real shuffle (Catalyst never elides it), so
+    // at scale, where the scan already has more splits than cores, this
+    // is a passthrough instead of a pointless full-corpus shuffle.
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val spreadCorpus =
+      if (corpus.rdd.getNumPartitions >= parallelism) corpus
+      else corpus.repartition(parallelism)
     val a = withNorm(spreadCorpus, "vec_a", "va", "na")
     val b = withNorm(corpus, "vec_b", "vb", "nb")
     a.join(broadcast(b), col("vec_a") < col("vec_b"))

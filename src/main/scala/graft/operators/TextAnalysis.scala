@@ -18,28 +18,36 @@ object TextAnalysis {
     * same plan shape). */
   def toks(text: Column): Column = split(text, " ")
 
-  private val stopwords = Seq("the", "a", "of", "in", "to", "and", "is")
+  private val stopwords = graft.functions.TextMetrics.DefaultStopwords
 
   /** Per-document statistics: lengths, token counts, type/token ratio,
     * stopword ratio, and a BPE-ish subword count (ceil(chars/4) per token —
     * the standard ~4-chars/token heuristic). Ratios are double divisions
-    * of exact integers — deterministic in any engine. */
-  def textStats(docs: DataFrame): DataFrame =
+    * of exact integers — deterministic in any engine.
+    *
+    * All six counts come from ONE byte pass per document
+    * ([[graft.functions.TextMetrics]] — the composable split/distinct/
+    * aggregate/filter form paid an interpreted lambda per token per metric
+    * and was the round-2 bench's #3 hotspot); the two-Project shape
+    * (produce struct, then extract fields) is what keeps Catalyst from
+    * inlining the pass once per output column. */
+  def textStats(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("ws", toks(col("text")))
+      .withColumn("m", call_function("graft_text_metrics", col("text")))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(col("ws")).as("n_tokens"),
-        size(array_distinct(col("ws"))).as("n_uniq_tokens"),
-        expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))")
-          .as("n_subword_tokens"),
-        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+        col("m.n_chars").as("n_chars"),
+        col("m.n_tokens").as("n_tokens"),
+        col("m.n_uniq_tokens").as("n_uniq_tokens"),
+        col("m.n_subword_tokens").as("n_subword_tokens"),
+        (col("m.n_uniq_tokens").cast("double") / col("m.n_tokens"))
           .as("type_token_ratio"),
-        (size(expr(s"filter(ws, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))"))
-          .cast("double") / size(col("ws"))).as("stopword_ratio"),
-        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
-          length(col("text"))).as("punct_ratio"))
+        (col("m.n_stopwords").cast("double") / col("m.n_tokens"))
+          .as("stopword_ratio"),
+        (col("m.n_punct").cast("double") / col("m.n_chars"))
+          .as("punct_ratio"))
+  }
 
   /** Quality score in [0,1]: equal-weight components for length-in-range,
     * lexical diversity, and stopword presence — the shape of the
@@ -86,16 +94,16 @@ object TextAnalysis {
   /** Content fingerprints: an MD5 of the whitespace-normalized text (the
     * cross-system-stable form) and a 31-base polynomial rolling hash over
     * tokens mod 1e9+7 (the cheap streaming form; word contribution =
-    * 131·len + first code point). */
-  def fingerprints(docs: DataFrame): DataFrame =
+    * 131·len + first code point). The hash is the fused single-pass
+    * [[graft.functions.TokenRollingHash]] — the per-token interpreted
+    * `aggregate` lambda it replaces was the round-2 bench's #2 hotspot. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn("ws", toks(col("norm")))
       .select(
         col("doc_id"),
         md5(col("norm")).as("content_md5"),
-        expr(
-          """aggregate(ws, 7L,
-            |  (acc, w) -> (acc * 31 + length(w) * 131 + ascii(substring(w, 1, 1)))
-            |              % 1000000007L)""".stripMargin).as("rolling_hash"))
+        call_function("graft_rolling_hash", col("norm")).as("rolling_hash"))
+  }
 }

@@ -276,7 +276,10 @@ object FeatureQueries {
     // doubles in both engines — then summed exactly as integers; casting
     // computed doubles to DECIMAL is NOT portable (DuckDB converts via the
     // shortest decimal repr, Java via the exact binary expansion, and they
-    // disagree near scale-6 ties).
+    // disagree near scale-6 ties). The Samples sum is CAST back to BIGINT
+    // on the oracle side because DuckDB's sum(BIGINT) widens to HUGEINT
+    // (int128), which arrives as float64 in the comparator's frame and
+    // fails the dtype-sensitive hash even when values are identical.
     "a8_metrics_summary" -> QueryDef(
       (s, dir) => {
         val w = Features.keyWindow(key, Seq("ts", "event_id"))
@@ -295,7 +298,7 @@ object FeatureQueries {
          |SELECT
          |  CAST(sum(CAST(round(R2 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_r2,
          |  CAST(sum(CAST(round(MSE * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS avg_mse,
-         |  sum(Samples) AS total_samples,
+         |  CAST(sum(Samples) AS BIGINT) AS total_samples,
          |  count(*) AS n_groups
          |FROM m""".stripMargin),
 

@@ -95,6 +95,74 @@ object PropertySpec extends Properties("graft") {
     Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L),
       Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(0L, 500L)))
 
+  // --- Fused native text/LSH expressions are value-identical to the
+  // composable HOF forms they replaced (the round-3 perf work must not
+  // move a single bit)
+  private val tokenChar: Gen[Char] = Gen.frequency(
+    (8, Gen.alphaLowerChar), (2, Gen.oneOf(".,;:!?".toSeq)),
+    (1, Gen.oneOf("éü¢€日本".toSeq)))
+  private val tokenGen: Gen[String] = Gen.frequency(
+    (6, Gen.choose(1, 10).flatMap(n => Gen.stringOfN(n, tokenChar))),
+    (2, Gen.oneOf(graft.functions.TextMetrics.DefaultStopwords)),
+    (1, Gen.const("")), // consecutive/leading/trailing spaces
+    (1, Gen.const("😀ok"))) // astral-plane leading char
+  private val textGen: Gen[String] =
+    Gen.listOf(tokenGen).map(_.mkString(" "))
+
+  property("TextMetrics equals the composable split/distinct/aggregate/filter form") =
+    Prop.forAll(Gen.listOfN(40, textGen)) { texts =>
+      graft.functions.GraftFunctions.register(spark)
+      val sw = graft.functions.TextMetrics.DefaultStopwords
+        .map("'" + _ + "'").mkString(",")
+      val out = texts.toDF("text")
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          call_function("graft_text_metrics", col("text")).as("m"),
+          length(col("text")).as("e_chars"),
+          size(col("ws")).as("e_tokens"),
+          size(array_distinct(col("ws"))).as("e_uniq"),
+          expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))")
+            .as("e_sub"),
+          size(expr(s"filter(ws, w -> w IN ($sw))")).as("e_stop"),
+          length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("e_punct"))
+        .collect()
+      out.forall { r =>
+        val m = r.getStruct(0)
+        m.getInt(0) == r.getInt(1) && m.getInt(1) == r.getInt(2) &&
+          m.getInt(2) == r.getInt(3) && m.getLong(3) == r.getLong(4) &&
+          m.getInt(4) == r.getInt(5) && m.getInt(5) == r.getInt(6)
+      }
+    }
+
+  property("TokenRollingHash equals the composable aggregate/ascii form") =
+    Prop.forAll(Gen.listOfN(40, textGen)) { texts =>
+      graft.functions.GraftFunctions.register(spark)
+      val out = texts.toDF("text")
+        .select(
+          call_function("graft_rolling_hash", col("text")).as("got"),
+          expr("""aggregate(split(text, ' '), 7L,
+                 |  (acc, w) -> (acc * 31 + length(w) * 131 + ascii(substring(w, 1, 1)))
+                 |              % 1000000007L)""".stripMargin).as("want"))
+        .collect()
+      out.forall(r => r.getLong(0) == r.getLong(1))
+    }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-4.0f, 4.0f)))
+
+  property("HyperplaneSig equals the composable nested-HOF form") =
+    Prop.forAll(Gen.listOfN(20, vecGen), Gen.choose(1, 8), Gen.choose(0, 7)) {
+      (vecs, bits, table) =>
+        graft.functions.GraftFunctions.register(spark)
+        val out = vecs.toDF("embedding")
+          .select(
+            graft.operators.Similarity.hyperplaneSignature("embedding", bits, table).as("got"),
+            graft.operators.Similarity.hyperplaneSignatureHof("embedding", bits, table).as("want"))
+          .collect()
+        out.forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("TopKAggregator ranking equals sort-and-take under any partitioning") =
     Prop.forAll(scoredGen) { rows =>
       import org.apache.spark.sql.functions.{col, posexplode, udaf}
