@@ -37,23 +37,31 @@ object Pipeline {
       valRatio: Double = 0.15)
 
   object Config {
-    /** Merge: any provided override wins over the default (main.py:241-264
-      * file < manual precedence collapses to a single override map here). */
-    def merged(overrides: Map[String, String]): Config = {
+    /** Three-layer merge, lowest to highest precedence: hard defaults <
+      * config-file overrides < manual (CLI) overrides — main.py:241-264,
+      * where the JSON params file updates the defaults dict and explicit
+      * argparse values update that. A key present in both maps resolves
+      * to the manual value. */
+    def merged(fileOverrides: Map[String, String],
+               manualOverrides: Map[String, String] = Map.empty): Config = {
+      val o = fileOverrides ++ manualOverrides
       val d = Config()
       Config(
-        seqLength = overrides.get("seqLength").map(_.toInt).getOrElse(d.seqLength),
-        modelThreshold = overrides.get("modelThreshold").map(_.toInt).getOrElse(d.modelThreshold),
-        trainRatio = overrides.get("trainRatio").map(_.toDouble).getOrElse(d.trainRatio),
-        valRatio = overrides.get("valRatio").map(_.toDouble).getOrElse(d.valRatio))
+        seqLength = o.get("seqLength").map(_.toInt).getOrElse(d.seqLength),
+        modelThreshold = o.get("modelThreshold").map(_.toInt).getOrElse(d.modelThreshold),
+        trainRatio = o.get("trainRatio").map(_.toDouble).getOrElse(d.trainRatio),
+        valRatio = o.get("valRatio").map(_.toDouble).getOrElse(d.valRatio))
     }
   }
 
   /** Outputs of one end-to-end run — the four metrics tables of
-    * init.sql:38-73 plus the side tables. */
+    * init.sql:38-73 plus the side tables. `validateFeatures` is the
+    * normalized val-split feature frame exhibiting the reference's
+    * per-feature norm-param reuse asymmetry (see [[run]]). */
   final case class Result(
       splits: DataFrame, modelTypes: DataFrame, normParams: DataFrame,
       trainMetrics: DataFrame, validateMetrics: DataFrame,
+      validateFeatures: DataFrame,
       testForecasts: DataFrame, liveForecasts: DataFrame)
 
   private val key = Seq("user_id", "event_type")
@@ -119,6 +127,39 @@ object Pipeline {
     val validateMetrics = metricsFor("val")
     val testForecasts = metricsFor("test")
 
+    // Per-feature norm-param reuse ASYMMETRY (validate.py:268-287): the
+    // train stage persists normalization params ONLY for 'actual'
+    // (train.py:474-477) — so at validate time 'actual' normalizes with
+    // the reused train (mn, rng) (local val-split fallback when the key
+    // has no train rows, the reference's `else` branch), while the lag
+    // feature ALWAYS falls back to local val-split min/max. Both branches
+    // carry the A5 guards (all-null → (0,1), zero range → rng 1).
+    val localW = Window.partitionBy(keyCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val aLocalMn = min(col("actual")).over(localW)
+    val aLocalMx = max(col("actual")).over(localW)
+    val pLocalMn = min(col("pred_f")).over(localW)
+    val pLocalMx = max(col("pred_f")).over(localW)
+    val validateFeatures = featured.filter(col("split") === "val")
+      .join(broadcast(normParams.select(
+        (keyCols :+ col("mn").as("t_mn") :+ col("rng").as("t_rng")): _*)),
+        key, "left")
+      .withColumn("reused_train_params", col("t_mn").isNotNull)
+      .withColumn("a_mn", when(col("t_mn").isNotNull, col("t_mn"))
+        .otherwise(coalesce(aLocalMn, lit(0.0))))
+      .withColumn("a_rng", when(col("t_mn").isNotNull, col("t_rng"))
+        .otherwise(when(aLocalMx.isNull || aLocalMx === aLocalMn, lit(1.0))
+          .otherwise(aLocalMx - aLocalMn)))
+      .withColumn("actual_norm", (col("actual") - col("a_mn")) / col("a_rng"))
+      .withColumn("p_mn", coalesce(pLocalMn, lit(0.0)))
+      .withColumn("p_rng",
+        when(pLocalMx.isNull || pLocalMx === pLocalMn, lit(1.0))
+          .otherwise(pLocalMx - pLocalMn))
+      .withColumn("pred_norm", (col("pred_f") - col("p_mn")) / col("p_rng"))
+      .select(col("event_id"), col("actual"), col("pred_f"),
+        col("reused_train_params"), col("a_mn"), col("a_rng"),
+        col("p_mn"), col("p_rng"), col("actual_norm"), col("pred_norm"))
+
     // W6 + F11: live forecast = latest prediction per group; the F11
     // denorm (x*rng + mn) round-trips through the train params — the naive
     // predictor works in raw units, so normalize-then-denormalize is
@@ -143,11 +184,13 @@ object Pipeline {
       Sinks.truncateAndLoad(normParams, s"$dir/norm_params")
       Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
       Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
+      Sinks.truncateAndLoad(validateFeatures, s"$dir/validate_features")
       Sinks.truncateAndLoad(testForecasts, s"$dir/test_forecasts")
       Sinks.appendOrReplace(spark, liveForecasts, s"$dir/live_forecasts")
     }
 
     Result(splits, modelTypes, normParams,
-      trainMetrics, validateMetrics, testForecasts, liveForecasts)
+      trainMetrics, validateMetrics, validateFeatures,
+      testForecasts, liveForecasts)
   }
 }

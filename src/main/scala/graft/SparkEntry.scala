@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, PipelineQueries, TpchQueries}
+import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, PipelineQueries, SinkQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def all: Map[String, graft.queries.QueryDef] =
     CoreQueries.defs ++ TpchQueries.defs ++ ExtensionQueries.defs ++
-      CleaningQueries.defs ++ FeatureQueries.defs ++ PipelineQueries.defs
+      CleaningQueries.defs ++ FeatureQueries.defs ++ PipelineQueries.defs ++
+      SinkQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full E2 train pipeline: hygiene → group filter → chronological

@@ -187,6 +187,26 @@ object CleaningQueries {
         |       THEN 'N/A' ELSE trim(raw) END AS cleaned
         |FROM r""".stripMargin),
 
+    // F7 — dimension fill: NULL → 'Unknown', else trimmed
+    // (train.py:335-336), over synthesized nulls and padded strings.
+    "f7_fill_dims" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("raw", expr(
+          """CASE WHEN event_id % 5 = 0 THEN CAST(NULL AS STRING)
+            |     WHEN event_id % 5 = 1 THEN concat('  ', event_type, ' ')
+            |     ELSE event_type END""".stripMargin))
+        .select(col("event_id"), col("raw"),
+          cleaning.fillDim(col("raw")).as("dim")),
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+        |         WHEN event_id % 5 = 1 THEN concat('  ', event_type, ' ')
+        |         ELSE event_type END AS raw
+        |  FROM events)
+        |SELECT event_id, raw,
+        |  CASE WHEN raw IS NULL THEN 'Unknown' ELSE trim(raw) END AS dim
+        |FROM r""".stripMargin),
+
     // F10 — formatted date view: DATE_FORMAT(Date,'%e %M %Y') → '5 January
     // 2025' (init.sql:24-35).
     "f10_formatted_view" -> QueryDef(
@@ -275,7 +295,12 @@ object CleaningQueries {
         |wm AS (SELECT max(ts) - INTERVAL 180 DAY AS wm FROM existing),
         |fresh AS (
         |  SELECT i.* FROM ev i, wm
-        |  WHERE i.event_id % 2 = 0 AND i.ts > wm.wm)
+        |  WHERE i.event_id % 2 = 0 AND i.ts > wm.wm
+        |  -- in-batch last-write-wins dedup, mirroring Ingest.upsert's
+        |  -- row_number-over-orderCol (no collisions exist in this fixture,
+        |  -- but the oracle must model the full upsert contract)
+        |  QUALIFY row_number() OVER (PARTITION BY i.user_id, i.event_type,
+        |    i.ts ORDER BY i.event_id DESC) = 1)
         |SELECT * FROM fresh
         |UNION ALL
         |SELECT e.* FROM existing e

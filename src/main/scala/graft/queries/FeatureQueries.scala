@@ -115,6 +115,38 @@ object FeatureQueries {
          |       ELSE mx_raw - mn_raw END AS rng
          |FROM m""".stripMargin),
 
+    // F11 — denormalization round-trip (train.py:244-248, test.py:126-127):
+    // normalize with the A5-guarded per-group (mn, rng), then denormalize
+    // x·rng + mn. Both engines evaluate the identical IEEE double
+    // composition, so v_rt is bit-equal cross-engine (and equals v up to
+    // the usual (v−mn)/rng·rng+mn rounding, which is itself identical).
+    "f11_denorm_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val (norm, mn, rng) = Features.minMaxNormalize(col("v"), key)
+        base(s, dir)
+          .withColumn("v_norm", norm).withColumn("mn", mn).withColumn("rng", rng)
+          .withColumn("v_rt",
+            Features.denormalize(col("v_norm"), col("mn"), col("rng")))
+          .select(col("event_id"), col("v"), col("v_norm"), col("v_rt"))
+      },
+      s"""WITH b AS ($duckBase),
+         |m AS (
+         |  SELECT *, min(v) OVER (PARTITION BY user_id, event_type) AS mn_raw,
+         |            max(v) OVER (PARTITION BY user_id, event_type) AS mx_raw
+         |  FROM b),
+         |n AS (
+         |  SELECT event_id, v,
+         |    CASE WHEN mn_raw IS NULL THEN 0.0
+         |         ELSE (v - coalesce(mn_raw, 0.0)) /
+         |              (CASE WHEN mx_raw IS NULL OR mx_raw = mn_raw THEN 1.0
+         |                    ELSE mx_raw - mn_raw END) END AS v_norm,
+         |    coalesce(mn_raw, 0.0) AS mn,
+         |    CASE WHEN mx_raw IS NULL OR mx_raw = mn_raw THEN 1.0
+         |         ELSE mx_raw - mn_raw END AS rng
+         |  FROM m)
+         |SELECT event_id, v, v_norm, v_norm * rng + mn AS v_rt
+         |FROM n""".stripMargin),
+
     // J5+A3 — group-mean imputation (train.py:347-357 fill_missing):
     // NULL → group mean (decimal-exact sum ÷ count), all-null group → 0.0.
     "j5_impute_group_mean" -> QueryDef(

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Ingest, Sinks}
+
+/** Oracle-paired registrations for the sink/source semantics that round 2
+  * left spec-only (round-2 verdict item 5): each query performs the sink's
+  * write path against a scratch directory at plan-construction time, then
+  * RETURNS THE READ-BACK — so the DuckDB oracle checks the data-visible
+  * contract (what a later reader sees), not just that a write succeeded.
+  *
+  * Scratch dirs are per-process (Verify and Bench may run concurrently)
+  * and deleted up front, so re-running a query in the same JVM is
+  * deterministic.
+  */
+object SinkQueries {
+
+  private def fs(s: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+
+  /** Fresh per-process scratch path; any leftover from an earlier call in
+    * this process is removed so the first-run branches (SNK3's append,
+    * SRC5's missing-table probe) actually execute. */
+  private def scratch(s: SparkSession, name: String): String = {
+    val path = s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/$name"
+    val p = new Path(path)
+    if (fs(s).exists(p)) fs(s).delete(p, true)
+    path
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Write `df` as a single HEADERLESS csv named exactly `$dir/$fileName`
+    * (Spark controls part-file names, so stage + rename). */
+  private def writeNamedCsv(s: SparkSession, df: DataFrame,
+                            dir: String, fileName: String): Unit = {
+    val stage = s"$dir/__stage_$fileName"
+    df.coalesce(1).write.mode("overwrite").option("header", "false").csv(stage)
+    val f = fs(s)
+    val part = f.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $stage"))
+    f.rename(part, new Path(s"$dir/$fileName"))
+    f.delete(new Path(stage), true)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // SNK2 — truncate-and-load (db_connector.py:120-150): the second load
+    // REPLACES the first, so the read-back must contain only the second
+    // batch. A stale-write-survives bug (append instead of overwrite)
+    // would surface as extra rows.
+    "snk2_truncate_load" -> QueryDef(
+      (s, dir) => {
+        val path = scratch(s, "snk2")
+        Sinks.truncateAndLoad(ev(s, dir).filter(col("event_id") % 7 === 0), path)
+        Sinks.truncateAndLoad(ev(s, dir).filter(col("event_id") % 3 === 0), path)
+        s.read.parquet(path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      },
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 3 = 0""".stripMargin),
+
+    // SNK3 — append-or-replace first-run switch (db_connector.py:189-198,
+    // test.py:226-230): first write against a missing table appends; a
+    // second write replaces. The chosen SaveMode is carried as a data
+    // column, so the oracle pins BOTH the mode decision and the final
+    // contents (the replaced middle batch, id%5=1, must be absent).
+    "snk3_append_replace" -> QueryDef(
+      (s, dir) => {
+        val p1 = scratch(s, "snk3_first")
+        val p2 = scratch(s, "snk3_second")
+        val e = ev(s, dir)
+        val m1 = Sinks.appendOrReplace(s, e.filter(col("event_id") % 5 === 0), p1)
+        Sinks.appendOrReplace(s, e.filter(col("event_id") % 5 === 1), p2)
+        val m2 = Sinks.appendOrReplace(s, e.filter(col("event_id") % 5 === 2), p2)
+        s.read.parquet(p1).withColumn("mode", lit(m1.toString))
+          .unionByName(s.read.parquet(p2).withColumn("mode", lit(m2.toString)))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("mode"))
+      },
+      """SELECT event_id, user_id, event_type, value, 'Append' AS mode
+        |FROM events WHERE event_id % 5 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value, 'Overwrite' AS mode
+        |FROM events WHERE event_id % 5 = 2""".stripMargin),
+
+    // SNK5 — object-store snapshot replace (Upload DAG:24-58): a
+    // partitioned overwrite rewrites the WHOLE prefix (STATIC overwrite
+    // mode), so partitions present only in the first snapshot must be
+    // gone after the second.
+    "snk5_snapshot_replace" -> QueryDef(
+      (s, dir) => {
+        val path = scratch(s, "snk5")
+        Sinks.snapshotReplace(ev(s, dir), path, "event_type")
+        Sinks.snapshotReplace(ev(s, dir).filter(col("event_id") % 2 === 0),
+          path, "event_type")
+        s.read.parquet(path)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      },
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 2 = 0""".stripMargin),
+
+    // SRC1 — blob listing + pick-first (main.py:116-124): three CSV blobs
+    // land; only the lexicographically FIRST (a.csv) is processed. The
+    // read goes through Ingest.readFirstCsv's single-scan
+    // min(input_file_name) plan — no driver-side listing.
+    "src1_pick_first" -> QueryDef(
+      (s, dir) => {
+        val landing = scratch(s, "src1")
+        val raw = Tables.events(s, dir).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("Date"),
+          date_format(col("ts"), "HH:mm").as("Time"),
+          concat(lit("C"), col("user_id") % 3).as("Currency"),
+          col("event_type").as("Event"),
+          lit("High").as("Impact"),
+          col("event_id").cast("string").as("Actual"),
+          lit("1.0").as("Forecast"),
+          lit("2.0").as("Previous"),
+          lit("no").as("IsHoliday"),
+          lit("w1").as("WeekRange"),
+          col("event_id"))
+        writeNamedCsv(s, raw.filter(col("event_id") % 3 === 0).drop("event_id"),
+          landing, "a.csv")
+        writeNamedCsv(s, raw.filter(col("event_id") % 3 === 1).drop("event_id"),
+          landing, "b.csv")
+        writeNamedCsv(s, raw.filter(col("event_id") % 3 === 2).drop("event_id"),
+          landing, "c.csv")
+        Ingest.readFirstCsv(s, landing)
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS "Date",
+        |  strftime(ts, '%H:%M') AS "Time",
+        |  'C' || CAST(user_id % 3 AS VARCHAR) AS "Currency",
+        |  event_type AS "Event",
+        |  'High' AS "Impact",
+        |  CAST(event_id AS VARCHAR) AS "Actual",
+        |  '1.0' AS "Forecast",
+        |  '2.0' AS "Previous",
+        |  'no' AS "IsHoliday",
+        |  'w1' AS "WeekRange"
+        |FROM events WHERE event_id % 3 = 0""".stripMargin),
+
+    // SRC5 — existence/metadata probe (main.py:96-114): missing table →
+    // false, created table → true, as one data-visible row.
+    "src5_exists_probe" -> QueryDef(
+      (s, dir) => {
+        val path = scratch(s, "src5_tbl")
+        val before = Sinks.tableExists(s, path)
+        Sinks.truncateAndLoad(ev(s, dir).filter(col("event_id") % 100 === 0), path)
+        val after = Sinks.tableExists(s, path)
+        s.range(1).select(lit(before).as("exists_before"),
+          lit(after).as("exists_after"))
+      },
+      "SELECT false AS exists_before, true AS exists_after")
+  )
+}

@@ -38,6 +38,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(c.valRatio === 0.15)
   }
 
+  test("config merge precedence: defaults < file < manual (main.py:241-264)") {
+    val c = Pipeline.Config.merged(
+      fileOverrides = Map("seqLength" -> "3", "modelThreshold" -> "10"),
+      manualOverrides = Map("seqLength" -> "9", "trainRatio" -> "0.6"))
+    assert(c.seqLength === 9) // manual beats file
+    assert(c.modelThreshold === 10) // file beats default
+    assert(c.trainRatio === 0.6) // manual beats default
+    assert(c.valRatio === 0.15) // default survives both layers
+  }
+
+  test("validate-stage norm asymmetry: actual reuses train params, lag feature is local-only (validate.py:268-287)") {
+    val r = Pipeline.run(spark, Tables.events(spark, sf0001))
+    val vf = r.validateFeatures.cache()
+    assert(vf.count() > 0)
+    // every reused row's actual params come verbatim from the persisted
+    // train side table
+    val np = r.normParams.collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type")) ->
+        (x.getAs[Double]("mn"), x.getAs[Double]("rng"))).toMap
+    val reused = r.validateFeatures
+      .join(Tables.events(spark, sf0001).select(col("event_id"),
+        col("user_id"), col("event_type")), "event_id")
+      .filter(col("reused_train_params"))
+      .select("user_id", "event_type", "a_mn", "a_rng").distinct().collect()
+    assert(reused.nonEmpty)
+    reused.foreach { x =>
+      val k = (x.getAs[Long]("user_id"), x.getAs[String]("event_type"))
+      assert(np(k) === (x.getAs[Double]("a_mn"), x.getAs[Double]("a_rng")))
+    }
+    // the lag feature's params are NEVER the train params' column — they
+    // derive from the val split only; pin one observable consequence:
+    // p_rng is constant per group and rows exist where (a_mn, a_rng)
+    // differs from (p_mn, p_rng) even for reused keys
+    assert(vf.filter(col("reused_train_params") &&
+      (col("a_mn") =!= col("p_mn") || col("a_rng") =!= col("p_rng"))).count() > 0)
+    vf.unpersist()
+  }
+
   test("SNK3 append-or-replace: append on first (empty) run, overwrite afterwards (db_connector.py:189-198)") {
     val dir = Files.createTempDirectory("graft_snk3").toString + "/live"
     val df1 = Seq((1L, 10.0)).toDF("id", "v")
