@@ -86,12 +86,23 @@ object cleaning {
     * as a canonical "HH:mm:ss" string (Spark has no TIME type). */
   val TimeFormats: Seq[String] = Seq("H:mm", "h:mm a")
 
-  /** Shape-gated like [[parseDate]]: the 24h and am/pm forms are
-    * syntactically disjoint, so each row attempts exactly one format. */
+  /** Shape-gated like [[parseDate]]: the 24h, am/pm, and timedelta forms
+    * are syntactically disjoint, so each row attempts ~one format.
+    *
+    * The 'days' branch is the MySQL TIME artifact (train.py:88-101): a
+    * TIME column read through pandas arrives as a timedelta string like
+    * "0 days 17:00:00"; the reference takes the LAST space-separated
+    * token as the clock time and falls back to MIDNIGHT (never null) when
+    * that token doesn't parse — both behaviors reproduced here. */
   def parseTime(c: Column): Column = {
     val s = trim(c.cast(StringType))
+    val lastTok = element_at(split(s, " "), -1)
     date_format(
-      when(s.rlike("^\\d{1,2}:\\d{2}$"), try_to_timestamp(s, lit("H:mm")))
+      when(s.contains("days"), coalesce(
+        try_to_timestamp(lastTok, lit("H:mm:ss")),
+        try_to_timestamp(lastTok, lit("H:mm")),
+        try_to_timestamp(lit("00:00:00"), lit("HH:mm:ss"))))
+        .when(s.rlike("^\\d{1,2}:\\d{2}$"), try_to_timestamp(s, lit("H:mm")))
         .when(s.rlike("^\\d{1,2}:\\d{2} [AaPp][Mm]$"),
           try_to_timestamp(s, lit("h:mm a"))),
       "HH:mm:ss")

@@ -197,6 +197,16 @@ object Features {
     // count — letting the cast overflow instead would silently drop rows
     // from the sums while Samples still counted them (or throw under
     // ANSI).
+    //
+    // GROUP-SUM headroom (advice r2): each squared term is re-scaled to
+    // DECIMAL(38,6) before summing — one exact decimal HALF_UP rounding
+    // at 1e-6, identical in any decimal engine. Summing the raw (37,12)
+    // squares would cap a group at ~10³ worst-case-magnitude rows
+    // (1e26 capacity / 4e22 max term) — a real 100-TB hazard; at scale 6
+    // the capacity is 1e32, i.e. ~2.5e9 rows per group at the domain
+    // bound and ~10²⁰ at typical |x| ≤ 1e6. sum_a's (27,6) result holds
+    // ~1e10 worst-case rows — documented bound, not re-scaled (its terms
+    // are 1e11× smaller than the squares').
     val domain = lit(1e11)
     val a = actual.cast("decimal(17,6)")
     val p = pred.cast("decimal(17,6)")
@@ -205,8 +215,8 @@ object Features {
       .groupBy(key.map(col): _*)
       .agg(
         count(lit(1)).as("Samples"),
-        sum((a - p) * (a - p)).cast("double").as("ss_res"),
-        sum(a * a).cast("double").as("sum_a2"),
+        sum(((a - p) * (a - p)).cast("decimal(38,6)")).cast("double").as("ss_res"),
+        sum((a * a).cast("decimal(38,6)")).cast("double").as("sum_a2"),
         sum(a).cast("double").as("sum_a"))
       .filter(col("Samples") >= 2)
       .withColumn("mean_a", col("sum_a") / col("Samples"))

@@ -124,26 +124,36 @@ object CleaningQueries {
         |    try_strptime(raw, '%B %d, %Y')) AS DATE) AS parsed
         |FROM r""".stripMargin),
 
-    // F3 — time parse "%H:%M" then "%I:%M %p" (main.py:137-146), junk → NULL.
+    // F3 — time parse "%H:%M" then "%I:%M %p" (main.py:137-146) plus the
+    // MySQL-TIME timedelta artifact "0 days HH:MM:SS" with its midnight
+    // fallback (train.py:88-101); junk → NULL.
     "f3_time_parse" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
         .withColumn("raw", expr(
-          """CASE CAST(event_id % 3 AS INT)
+          """CASE CAST(event_id % 5 AS INT)
             |  WHEN 0 THEN date_format(ts, 'H:mm')
             |  WHEN 1 THEN date_format(ts, 'h:mm a')
-            |  ELSE 'not a time' END""".stripMargin))
+            |  WHEN 2 THEN concat('0 days ', date_format(ts, 'HH:mm:ss'))
+            |  WHEN 3 THEN '2 days ago' END""".stripMargin))
         .select(col("event_id"), col("raw"),
           cleaning.parseTime(col("raw")).as("parsed")),
       """WITH r AS (
         |  SELECT event_id,
-        |    CASE CAST(event_id % 3 AS INT)
+        |    CASE CAST(event_id % 5 AS INT)
         |      WHEN 0 THEN strftime(ts, '%-H:%M')
         |      WHEN 1 THEN strftime(ts, '%-I:%M %p')
-        |      ELSE 'not a time' END AS raw
+        |      WHEN 2 THEN concat('0 days ', strftime(ts, '%H:%M:%S'))
+        |      WHEN 3 THEN '2 days ago' END AS raw
         |  FROM events)
         |SELECT event_id, raw,
-        |  strftime(coalesce(try_strptime(raw, '%H:%M'),
-        |                    try_strptime(raw, '%I:%M %p')), '%H:%M:%S') AS parsed
+        |  CASE WHEN contains(raw, 'days') THEN
+        |    strftime(coalesce(
+        |      try_strptime(string_split(raw, ' ')[-1], '%H:%M:%S'),
+        |      try_strptime(string_split(raw, ' ')[-1], '%H:%M'),
+        |      strptime('00:00:00', '%H:%M:%S')), '%H:%M:%S')
+        |  ELSE strftime(coalesce(try_strptime(raw, '%H:%M'),
+        |                         try_strptime(raw, '%I:%M %p')), '%H:%M:%S')
+        |  END AS parsed
         |FROM r""".stripMargin),
 
     // F4 — datetime recombination: date string + time string → TIMESTAMP_NTZ

@@ -67,8 +67,8 @@ object PipelineQueries {
          |  FROM f2 WHERE split = 'train'),
          |g AS (
          |  SELECT user_id, event_type, count(*) AS n,
-         |    CAST(sum((a - pf) * (a - pf)) AS DOUBLE) AS ss_res,
-         |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(CAST((a - pf) * (a - pf) AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
          |    CAST(sum(a) AS DOUBLE) AS sum_a
          |  FROM p WHERE actual IS NOT NULL AND pred_f IS NOT NULL
          |    AND abs(actual) < 1e11 AND abs(pred_f) < 1e11

@@ -38,8 +38,8 @@ object OracleSql {
       |  FROM events),
       |g AS (
       |  SELECT user_id, event_type, count(*) AS n,
-      |    CAST(sum((a - pred) * (a - pred)) AS DOUBLE) AS ss_res,
-      |    CAST(sum(a * a) AS DOUBLE) AS sum_a2,
+      |    CAST(sum(CAST((a - pred) * (a - pred) AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+      |    CAST(sum(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
       |    CAST(sum(a) AS DOUBLE) AS sum_a
       |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
       |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11

@@ -94,6 +94,16 @@ class CleaningSpec extends SparkSpecBase {
     assert(out === Seq("17:03:00", "17:03:00", "05:03:00", null))
   }
 
+  test("F3 timedelta TIME artifact: last token parses, malformed 'days' falls back to midnight (train.py:88-101)") {
+    val out = Seq("0 days 17:00:00", "1 days 03:05:00", "0 days 9:30",
+      "2 days ago", "0 days xx:yy")
+      .toDF("v")
+      .select(cleaning.parseTime(col("v")).as("t"))
+      .collect().map(_.getAs[String]("t")).toSeq
+    assert(out === Seq("17:00:00", "03:05:00", "09:30:00",
+      "00:00:00", "00:00:00"))
+  }
+
   test("F7 fill dim: null to Unknown, else trimmed (train.py:335-336)") {
     val out = Seq("  USD ", null).toDF("v")
       .select(cleaning.fillDim(col("v")).as("c"))
