@@ -98,8 +98,11 @@ object Dedup {
     * size prefilter keep the constant factor honest at bench scale. */
   def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // localCheckpoint: the shingle computation feeds BOTH join sides —
-    // without materialization the whole tokenize+hash pipeline runs twice.
+    // localCheckpoint (LAZY): the shingle computation feeds BOTH join
+    // sides — without persistence the whole tokenize+hash pipeline runs
+    // twice. eager=false skips the extra up-front materialization job
+    // (round 3 paid one full pass just to fill the cache); the first
+    // branch to compute a partition persists it and the second reuses it.
     // Scale note: localCheckpoint stores MEMORY_AND_DISK per executor and
     // is NOT fault-tolerant (an executor loss fails the job). That is the
     // right trade at the scales this O(n²) ground-truth path is meant for
@@ -110,7 +113,7 @@ object Dedup {
       .withColumn("ws", tokens(col("text")))
       .select(col("doc_id"), hashedShingles("ws", n).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
     val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
     // b is the broadcast build side; a streams with one task per partition
@@ -140,9 +143,10 @@ object Dedup {
                       rowsPerBand: Int, num: Int, den: Int): DataFrame = {
     val numBands = numPerm / rowsPerBand
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // localCheckpoint: shingles + signatures feed four join branches
-    // (two banded sides, two verification sides) — materialize once.
-    // The materialized rows are (doc_id, sh, sig) — document text is
+    // localCheckpoint (LAZY): shingles + signatures feed four join
+    // branches (two banded sides, two verification sides) — compute once,
+    // reuse from cache; eager=false avoids a dedicated fill pass.
+    // The persisted rows are (doc_id, sh, sig) — document text is
     // already projected away. See the scale note in jaccardPairs:
     // MEMORY_AND_DISK per executor, not fault-tolerant; at cluster scale
     // switch to DISK_ONLY persist / reliable checkpoint.
@@ -152,7 +156,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         minhashSignature("sh", numPerm).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val banded = s.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${numBands - 1}), " +
         s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
@@ -209,11 +213,13 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share ≥1 of the 4 16-bit bands
     * (guaranteed for Hamming ≤ 3), confirmed by bit_count(xor) ≤ maxDist. */
   def simhashPairs(docs: DataFrame, n: Int, maxDist: Int): DataFrame = {
-    // localCheckpoint: the sketch feeds both sides of the band self-join —
-    // without materialization the tokenize→shingle→hash→SimHash63 pipeline
-    // runs twice. Rows are (doc_id, simhash, 4 band ints) — 1 sketch per
-    // doc, no text. See the scale note in jaccardPairs re fault tolerance.
-    val sk = simhashSketch(docs, n).localCheckpoint()
+    // localCheckpoint (LAZY): the sketch feeds both sides of the band
+    // self-join — without persistence the tokenize→shingle→hash→SimHash63
+    // pipeline runs twice; eager=false avoids the round-3 extra fill pass
+    // (the sketch stage itself is cheaper than one materialization job at
+    // small corpus sizes). Rows are (doc_id, simhash, 4 band ints) — 1
+    // sketch per doc, no text. See jaccardPairs re fault tolerance.
+    val sk = simhashSketch(docs, n).localCheckpoint(eager = false)
     val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
       array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band_id", "band_val")))

@@ -109,9 +109,13 @@ object Features {
   def chronoSplit(df: DataFrame, order: Seq[String],
                   trainRatio: Double = 0.7, valRatio: Double = 0.15): DataFrame = {
     val w = Window.orderBy(order.map(col): _*)
+    // Both window functions share one (partition, order) spec, so Catalyst
+    // plans a SINGLE WindowExec — one sort, one single-partition exchange.
+    // (An orderless count(*) OVER () spec would add a second full global
+    // window pass; that was round 3's pipeline_e2e regression.)
     df.withColumn("rn", row_number().over(w))
       .withColumn("n_total", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("split",
         when(col("rn") <= floor(col("n_total") * trainRatio), lit("train"))
           .when(col("rn") <= floor(col("n_total") * trainRatio) +

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * typed `Dataset.mapPartitions` batch stage (the Scala analogue of a
   * `mapInPandas` decode UDF: one iterator per partition, so a real decoder
   * would amortize model/codec init per batch, not per row), and the
-  * partitioning strategy (repartition by media_type so each partition
-  * holds one codec's work).
+  * partitioning strategy (salted repartition keyed by media_type so codec
+  * variety per task stays bounded WITHOUT collapsing parallelism to
+  * #media-types).
   *
   * STUBBED (clearly + deterministically): the actual byte decoding. No
   * image/audio codecs exist in this container, so [[FakeDecoded]] features
@@ -63,11 +64,19 @@ object Multimodal {
 
   /** The batch decode stage: co-locate each media_type, then decode
     * partition-by-partition through the typed iterator (mapInPandas
-    * shape). Returns the typed feature Dataset — payload projected away. */
+    * shape). Returns the typed feature Dataset — payload projected away.
+    *
+    * Partitioning: repartition on media_type ALONE hash-buckets into at
+    * most #distinct-media-types non-empty partitions (3 here) — one task
+    * would decode ~1/3 of a 100 TB corpus. Salting with a 64-way hash of
+    * doc_id restores full parallelism while keeping each task's codec
+    * variety bounded (a task sees few (media_type, salt) buckets, and a
+    * real decoder holds ≤ #media-types codec handles anyway). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[FakeDecoded] = {
     import spark.implicits._
     media
-      .repartition(col("media_type"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("media_type"), pmod(xxhash64(col("doc_id")), lit(64)))
       .select(col("doc_id").cast("long"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>

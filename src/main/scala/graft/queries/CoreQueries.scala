@@ -126,11 +126,12 @@ object CoreQueries {
 
     // F-json — scalar JSON extraction over events.props (extension surface,
     // SURVEY.md §2g): per-event-type mean of props.k.
-    // try_cast, not cast: under Spark 4 ANSI defaults a junk props.k value
-    // would throw at runtime instead of yielding NULL (ADVICE r01).
+    // ONE from_json parse per row (not get_json_object, which re-walks the
+    // JSON text per extracted path); PERMISSIVE mode + try_cast keep junk
+    // values NULL instead of throwing under Spark 4 ANSI (ADVICE r01).
     "json_props_extract" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
-        .withColumn("k", expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"))
+        .withColumn("k", expr("TRY_CAST(from_json(props, 'k STRING').k AS BIGINT)"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), round(avg(col("k")), 6).as("avg_k")),
       """SELECT event_type, count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
