@@ -37,6 +37,37 @@ object Pipeline {
       valRatio: Double = 0.15)
 
   object Config {
+    /** Reference key names (Model Parameters.json:1-16, UPPER_SNAKE) onto
+      * engine config keys; unknown keys pass through unchanged and are
+      * ignored by [[merged]]'s known-key lookup — the reference file also
+      * carries model-only hyperparameters (HIDDEN_SIZE, LR, …) and doc
+      * fields (description, version) that the relational engine drops. */
+    private val refAliases = Map(
+      "SEQ_LENGTH" -> "seqLength", "MODEL_THRESHOLD" -> "modelThreshold",
+      "TRAIN_RATIO" -> "trainRatio", "VAL_RATIO" -> "valRatio")
+
+    /** File layer of [[merged]]: read a flat `Model Parameters.json`-shaped
+      * object from disk (fastapi model/ML Pipeline/main.py:45-58).
+      * Reference semantics preserved deliberately: a missing or
+      * unparseable file yields an EMPTY layer (load_params_from_file logs
+      * and returns {}), so the pipeline runs on defaults instead of
+      * failing; scalar values are stringified for the merge; nested
+      * values (none exist in the reference shape) are skipped. */
+    def fromJsonFile(path: String): Map[String, String] =
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path))
+        if (root == null || !root.isObject) Map.empty
+        else {
+          val b = Map.newBuilder[String, String]
+          root.fields().forEachRemaining { e =>
+            if (e.getValue.isValueNode)
+              b += (refAliases.getOrElse(e.getKey, e.getKey) -> e.getValue.asText)
+          }
+          b.result()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     /** Three-layer merge, lowest to highest precedence: hard defaults <
       * config-file overrides < manual (CLI) overrides — main.py:241-264,
       * where the JSON params file updates the defaults dict and explicit

@@ -124,6 +124,13 @@ object GraftFunctions {
       s"$name: $what must be an int literal, got $other")
   }
 
+  private def strLit(name: String, what: String)(e: Expression): String = e match {
+    case l if l.foldable && l.dataType == org.apache.spark.sql.types.StringType =>
+      l.eval().toString
+    case other => throw new IllegalArgumentException(
+      s"$name: $what must be a string literal, got $other")
+  }
+
   /** (name, implementing class, usage doc, builder) per native function. */
   val builders: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct],
@@ -139,10 +146,14 @@ object GraftFunctions {
       "_FUNC_(a) - 63-bit simhash of a bigint array",
       es => SimHash63(arity("graft_simhash63", 1)(es).head)),
     ("graft_ngram_hashes", classOf[WordNGramHashes],
-      "_FUNC_(ws, n) - sorted distinct xxhash64 values of the word n-grams of a token array",
+      "_FUNC_(ws, n[, algo]) - sorted distinct 64-bit hashes of the word " +
+        "n-grams of a token array; algo 'xxh64' (default) or 'md5'",
       es => {
-        val e = arity("graft_ngram_hashes", 2)(es)
-        WordNGramHashes(e.head, intLit("graft_ngram_hashes", "n")(e(1)))
+        require(es.length == 2 || es.length == 3,
+          s"graft_ngram_hashes takes 2 or 3 arguments, got ${es.length}")
+        val algo = if (es.length == 3)
+          strLit("graft_ngram_hashes", "algo")(es(2)) else "xxh64"
+        WordNGramHashes(es.head, intLit("graft_ngram_hashes", "n")(es(1)), algo)
       }),
     ("graft_minhash_sig", classOf[MinHashSig],
       "_FUNC_(sh, numPerm) - minhash signature of an array of element hashes",

@@ -68,9 +68,14 @@ object Dedup {
     * intersect ([[graft.functions.SortedIntersectCount]]), and Jaccard
     * over the hashed sets equals Jaccard over the string sets up to
     * 2⁻⁶⁴-rate collisions. Computed by the fused single-pass native
-    * expression [[graft.functions.WordNGramHashes]]. */
-  def hashedShingles(wsCol: String, n: Int): Column =
-    call_function("graft_ngram_hashes", col(wsCol), lit(n))
+    * expression [[graft.functions.WordNGramHashes]].
+    *
+    * `algo` selects the gram hash: "xxh64" (production default) or "md5"
+    * (60-bit md5-derived value reproducible in any engine with an md5
+    * function — the differential-testing parameterization that lets the
+    * SimHash family run against a DuckDB oracle). */
+  def hashedShingles(wsCol: String, n: Int, algo: String = "xxh64"): Column =
+    call_function("graft_ngram_hashes", col(wsCol), lit(n), lit(algo))
 
   /** Exact Jaccard condition `|A∩B| / |A∪B| ≥ num/den` in pure integer
     * arithmetic — no float boundary, identical in any engine. Inputs are
@@ -196,12 +201,13 @@ object Dedup {
     call_function("graft_simhash63", col(shCol))
 
   /** Per-doc SimHash sketch + its 4×16-bit band keys (for hamming-bucket
-    * joins downstream). */
-  def simhashSketch(docs: DataFrame, n: Int): DataFrame = {
+    * joins downstream). `algo` per [[hashedShingles]]: "md5" makes the
+    * sketch DuckDB-reproducible for differential testing. */
+  def simhashSketch(docs: DataFrame, n: Int, algo: String = "xxh64"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     spread(docs)
       .withColumn("ws", tokens(col("text")))
-      .withColumn("sh", hashedShingles("ws", n))
+      .withColumn("sh", hashedShingles("ws", n, algo))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), simhash("sh").as("simhash"))
       .withColumn("band0", expr("simhash & 65535"))
@@ -212,14 +218,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates share ≥1 of the 4 16-bit bands
     * (guaranteed for Hamming ≤ 3), confirmed by bit_count(xor) ≤ maxDist. */
-  def simhashPairs(docs: DataFrame, n: Int, maxDist: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, n: Int, maxDist: Int,
+                   algo: String = "xxh64"): DataFrame = {
     // localCheckpoint (LAZY): the sketch feeds both sides of the band
     // self-join — without persistence the tokenize→shingle→hash→SimHash63
     // pipeline runs twice; eager=false avoids the round-3 extra fill pass
     // (the sketch stage itself is cheaper than one materialization job at
     // small corpus sizes). Rows are (doc_id, simhash, 4 band ints) — 1
     // sketch per doc, no text. See jaccardPairs re fault tolerance.
-    val sk = simhashSketch(docs, n).localCheckpoint(eager = false)
+    val sk = simhashSketch(docs, n, algo).localCheckpoint(eager = false)
     val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
       array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band_id", "band_val")))

@@ -11,13 +11,17 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   * text analysis (stats, quality, language-ID, fingerprints), and
   * multimodal binary-column plumbing. Implementations in graft.operators.
   *
-  * Oracle policy: everything except the xxhash64-dependent sketches
-  * (dedup_simhash, ann_lsh_topk) is paired with an independent DuckDB
+  * Oracle policy: everything except the xxhash64-dependent ANN sketches
+  * (ann_lsh_topk, ann_ivf_topk) is paired with an independent DuckDB
   * re-implementation; MinHash-LSH is checked against the EXACT-Jaccard
   * ground truth (verification step ⇒ precision 1.0; recall must hit 1.0
   * on this corpus for the row to stay green — the per-pair recall bound
-  * 1−(1−j)^16 at j ≥ 0.5 is ≈ 0.9999847). The sketch queries get the
-  * driver's rows-only check plus ScalaTest pins.
+  * 1−(1−j)^16 at j ≥ 0.5 is ≈ 0.9999847). The SimHash family runs with
+  * the md5-derived shingle hash (algo="md5", [[Dedup.hashedShingles]]) so
+  * the full sketch → band → Hamming-verify chain is differential-tested
+  * against DuckDB; xxhash64 stays the production default and its path is
+  * pinned by DedupSpec. The remaining rows-only queries get ScalaTest
+  * recall pins.
   */
 object ExtensionQueries {
 
@@ -31,6 +35,32 @@ object ExtensionQueries {
       |                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
       |    END AS sh
       |  FROM w)""".stripMargin
+
+  /** Shared DuckDB CTE chain: per-doc 63-bit SimHash over md5-derived
+    * 60-bit shingle hashes — the independent re-implementation of
+    * [[graft.functions.SimHash63]] ∘ [[graft.functions.WordNGramHashes]]
+    * (algo="md5"). `CAST('0x'||substr(md5(g),1,15) AS BIGINT)` equals the
+    * Scala side's big-endian-first-8-bytes >>> 4; the majority vote folds
+    * bit b of the inputs into OUTPUT bit (62−b), exactly SimHash63's
+    * `acc = acc*2 + majority(b)` layout. */
+  private val duckSimhashSketch =
+    s"""$duckShingles,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(sh,
+       |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS hv
+       |  FROM s WHERE len(sh) > 0),
+       |u AS (SELECT doc_id, unnest(hv) AS h FROM hs),
+       |bits AS (
+       |  SELECT u.doc_id, t.b,
+       |    sum(CASE WHEN (u.h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM u, (SELECT unnest(generate_series(0, 62)) AS b) t
+       |  GROUP BY u.doc_id, t.b),
+       |sk AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << (62 - b))
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Ground-truth near-dup pairs: exact shingle Jaccard ≥ 1/2 as pure
     * integer comparison (no float boundary). */
@@ -86,18 +116,38 @@ object ExtensionQueries {
         n = 3, numPerm = 32, rowsPerBand = 2, num = 1, den = 2),
       duckJaccardPairs),
 
-    // SimHash sketch per doc: 63-bit signature + 16-bit bands. xxhash64
-    // is not expressible in the oracle → rows-only check; semantics pinned
-    // by DedupSpec (determinism, hamming locality, band guarantee).
+    // SimHash sketch per doc: 63-bit signature + 16-bit bands, over the
+    // md5-parameterized shingle hash so DuckDB re-derives the identical
+    // sketch bit-for-bit (hash-to-band chain fully differential-tested;
+    // the xxhash64 production default is pinned by DedupSpec).
     "dedup_simhash" -> QueryDef(
-      (s, dir) => Dedup.simhashSketch(Tables.documents(s, dir), n = 3),
-      None),
+      (s, dir) => Dedup.simhashSketch(Tables.documents(s, dir), n = 3,
+        algo = "md5"),
+      s"""WITH $duckSimhashSketch
+         |SELECT doc_id, simhash,
+         |  CAST(simhash & 65535 AS BIGINT) AS band0,
+         |  CAST((simhash >> 16) & 65535 AS BIGINT) AS band1,
+         |  CAST((simhash >> 32) & 65535 AS BIGINT) AS band2,
+         |  CAST((simhash >> 48) & 65535 AS BIGINT) AS band3
+         |FROM sk""".stripMargin),
 
-    // SimHash near-dup pairs: band-join candidates confirmed by Hamming
-    // distance ≤ 8. Rows-only (hash-dependent) + DedupSpec locality pin.
+    // SimHash near-dup pairs: band-join candidates (share ≥1 of 4 16-bit
+    // bands — guaranteed complete for Hamming ≤ 3, opportunistic beyond)
+    // confirmed by Hamming distance ≤ 8. The oracle replicates the band
+    // precondition, NOT plain distance ≤ 8: pairs at distance 4-8 belong
+    // in the result only if they happen to collide on a band.
     "dedup_simhash_pairs" -> QueryDef(
-      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), n = 3, maxDist = 8),
-      None),
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), n = 3,
+        maxDist = 8, algo = "md5"),
+      s"""WITH $duckSimhashSketch
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sk a, sk b
+         |WHERE a.doc_id < b.doc_id
+         |  AND ((a.simhash & 65535) = (b.simhash & 65535)
+         |    OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+         |    OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+         |    OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin),
 
     // Embedding near-dup pairs: cosine ≥ 0.45, pair ids only (the float
     // similarity itself is engine-noise; the SET is stable because no pair

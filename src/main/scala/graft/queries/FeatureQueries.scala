@@ -208,14 +208,44 @@ object FeatureQueries {
         |FROM r""".stripMargin),
 
     // W5 at scale — the percentile-based split (no global window, no
-    // single-partition stage; Features.chronoSplitApprox). Boundaries are
-    // approxQuantile values, not exact row positions → rows-only check;
-    // the exact/approx boundary agreement is pinned by FeaturesSpec.
+    // single-partition stage; Features.chronoSplitApprox). Row membership
+    // depends on approxQuantile boundaries, which no other engine
+    // reproduces — so the DATA-VISIBLE check is an invariant aggregate:
+    // split fractions within ±1% of 70/15/15 (approxQuantile relErr 1e-4
+    // bounds the rank error at ~n/10⁴ rows, and ties share a split, so 1%
+    // is generous yet still catches a wrong-quantile or wrong-comparison
+    // bug), splits strictly ordered in time, and every row assigned
+    // exactly once. The oracle asserts the invariants hold (TRUE
+    // constants + the exact row count); a violation flips a boolean and
+    // hash-mismatches. Exact/approx boundary agreement is additionally
+    // pinned by FeaturesSpec.
     "w5_chrono_split_approx" -> QueryDef(
-      (s, dir) => Features.chronoSplitApprox(
-        Tables.events(s, dir).select(col("event_id"), col("ts")), "ts")
-        .select(col("event_id"), col("split")),
-      None),
+      (s, dir) => {
+        val split = Features.chronoSplitApprox(
+          Tables.events(s, dir).select(col("event_id"), col("ts")), "ts")
+        split.agg(
+            count(lit(1)).as("n"),
+            count(when(col("split") === "train", 1)).as("n_train"),
+            count(when(col("split") === "val", 1)).as("n_val"),
+            count(when(col("split") === "test", 1)).as("n_test"),
+            max(when(col("split") === "train", col("ts"))).as("train_max"),
+            min(when(col("split") === "val", col("ts"))).as("val_min"),
+            max(when(col("split") === "val", col("ts"))).as("val_max"),
+            min(when(col("split") === "test", col("ts"))).as("test_min"))
+          .select(
+            col("n").cast("long").as("n_total"),
+            (abs(col("n_train") / col("n") - 0.7) <= 0.01).as("frac_train_ok"),
+            (abs((col("n_train") + col("n_val")) / col("n") - 0.85) <= 0.01)
+              .as("frac_trainval_ok"),
+            (col("train_max") < col("val_min") && col("val_max") < col("test_min"))
+              .as("ordered_ok"),
+            (col("n_train") + col("n_val") + col("n_test") === col("n"))
+              .as("complete_ok"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  TRUE AS frac_train_ok, TRUE AS frac_trainval_ok,
+        |  TRUE AS ordered_ok, TRUE AS complete_ok
+        |FROM events""".stripMargin),
 
     // J4 — norm-param reuse (validate.py:258-287): val rows normalize with
     // TRAIN-split (mn,rng) where the key has train params, local val-split

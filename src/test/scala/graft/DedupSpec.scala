@@ -72,6 +72,27 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
   }
 
+  test("md5 shingle-hash parameterization: cross-engine value pin and same pairing behavior") {
+    graft.functions.GraftFunctions.register(spark)
+    // Value pin: first 15 hex chars of md5('abc') base-16 — the number
+    // DuckDB computes as CAST('0x'||substr(md5('abc'),1,15) AS BIGINT)
+    // (md5('abc') = 900150983cd24fb0..., 0x900150983cd24fb). If the Scala
+    // byte-shift derivation ever drifts from the hex-prefix definition,
+    // every SimHash oracle row goes red with no hint — this pins it.
+    val h = spark.sql(
+      "SELECT graft_ngram_hashes(array('abc'), 1, 'md5') AS h")
+      .collect().head.getSeq[Long](0)
+    assert(h === Seq(648541476951500027L))
+    // md5 mode is in [0, 2^60) and behaves like xxh64 for dedup purposes
+    val sk = Dedup.simhashSketch(docs, n = 3, algo = "md5")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sk(1L) === sk(5L))
+    assert(sk.values.forall(_ >= 0L))
+    val pairs = Dedup.simhashPairs(docs, n = 3, maxDist = 3, algo = "md5")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
   test("fingerprints: md5 matches the normalized text; rolling hash separates texts") {
     val fp = TextAnalysis.fingerprints(docs)
       .collect().map(r => r.getAs[Long]("doc_id") ->

@@ -48,6 +48,39 @@ class PipelineSpec extends SparkSpecBase {
     assert(c.valRatio === 0.15) // default survives both layers
   }
 
+  test("config file layer: Model Parameters.json shape loads, manual still wins (main.py:45-58, 241-264)") {
+    val f = Files.createTempFile("graft_params", ".json")
+    Files.writeString(f,
+      """{
+        |  "SEQ_LENGTH": 3,
+        |  "HIDDEN_SIZE": 64,
+        |  "DROPOUT": 0.2,
+        |  "TRAIN_RATIO": 0.6,
+        |  "description": "Model parameters for economic news ML pipeline",
+        |  "version": "1.0"
+        |}""".stripMargin)
+    val fileLayer = Pipeline.Config.fromJsonFile(f.toString)
+    // reference UPPER_SNAKE names land on engine keys; model-only and doc
+    // keys pass through and are ignored by the known-key merge
+    assert(fileLayer("seqLength") === "3")
+    assert(fileLayer("trainRatio") === "0.6")
+    val c = Pipeline.Config.merged(fileLayer,
+      manualOverrides = Map("seqLength" -> "9"))
+    assert(c.seqLength === 9) // manual beats file
+    assert(c.trainRatio === 0.6) // file beats default
+    assert(c.modelThreshold === 50) // default survives
+    assert(c.valRatio === 0.15)
+  }
+
+  test("config file layer: missing or malformed file is an empty layer, not a failure (main.py:45-58)") {
+    assert(Pipeline.Config.fromJsonFile("/nonexistent/params.json") === Map.empty)
+    val bad = Files.createTempFile("graft_params_bad", ".json")
+    Files.writeString(bad, "{not json")
+    assert(Pipeline.Config.fromJsonFile(bad.toString) === Map.empty)
+    val c = Pipeline.Config.merged(Pipeline.Config.fromJsonFile(bad.toString))
+    assert(c === Pipeline.Config()) // defaults all the way down
+  }
+
   test("validate-stage norm asymmetry: actual reuses train params, lag feature is local-only (validate.py:268-287)") {
     val r = Pipeline.run(spark, Tables.events(spark, sf0001))
     val vf = r.validateFeatures.cache()
