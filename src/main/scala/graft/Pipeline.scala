@@ -208,11 +208,22 @@ object Pipeline {
           coalesce(col("mn"), lit(0.0)), coalesce(col("rng"), lit(1.0))))
       .select((keyCols :+ col("forecast_value")): _*)
 
-    // --- sinks (E3 tail): SNK2 replace for metrics, SNK3 for live
+    // --- sinks (E3 tail): SNK6 versioned artifacts for the run's state,
+    // SNK2 replace for metrics, SNK3 for live.
+    // The three ARTIFACT tables (split assignment, model routing, norm
+    // params — the reference's per-run joblib/MLflow logs,
+    // train.py:400-411, 555-567) publish as versioned snapshots: each run
+    // writes v=N+1 and history is retained, so a re-run can never clobber
+    // the artifacts a concurrent validate/test stage is reading (read via
+    // Sinks.readSnapshot). Metrics tables keep the reference's
+    // truncate-and-load semantics (db_connector.py:120-150).
     outDir.foreach { dir =>
-      Sinks.truncateAndLoad(splits, s"$dir/splits")
-      Sinks.truncateAndLoad(modelTypes, s"$dir/model_types")
-      Sinks.truncateAndLoad(normParams, s"$dir/norm_params")
+      Sinks.upsertSnapshot(spark, s"$dir/splits", splits,
+        key = Seq("event_id"), orderCol = "split")
+      Sinks.upsertSnapshot(spark, s"$dir/model_types", modelTypes,
+        key, orderCol = "total_samples")
+      Sinks.upsertSnapshot(spark, s"$dir/norm_params", normParams,
+        key, orderCol = "mn")
       Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
       Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
       Sinks.truncateAndLoad(validateFeatures, s"$dir/validate_features")

@@ -23,11 +23,17 @@ object SinkQueries {
   private def fs(s: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
 
-  /** Fresh per-process scratch path; any leftover from an earlier call in
-    * this process is removed so the first-run branches (SNK3's append,
-    * SRC5's missing-table probe) actually execute. */
+  private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh scratch path, unique per process AND per call (round-3 nit): a
+    * per-call nonce means re-constructing a query in the same JVM can
+    * never delete the directory an earlier construction's still-live
+    * DataFrame reads from. The first-run branches (SNK3's append, SRC5's
+    * missing-table probe) see a genuinely fresh path every time; the
+    * defensive delete stays for the (impossible) collision case. */
   private def scratch(s: SparkSession, name: String): String = {
-    val path = s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/$name"
+    val path = s"/tmp/graft_scratch_${ProcessHandle.current().pid()}" +
+      s"/$name-${nonce.incrementAndGet()}"
     val p = new Path(path)
     if (fs(s).exists(p)) fs(s).delete(p, true)
     path
@@ -146,6 +152,55 @@ object SinkQueries {
         |  'no' AS "IsHoliday",
         |  'w1' AS "WeekRange"
         |FROM events WHERE event_id % 3 = 0""".stripMargin),
+
+    // SNK6 — artifact sink with versioning (train.py:400-411, 555-567:
+    // per-run joblib/MLflow artifact logs → here, versioned parquet side
+    // tables via Sinks.upsertSnapshot). Two "runs" publish norm-param
+    // artifacts: run 1 over half the data (all keys), run 2 re-fitting
+    // only the 'click' groups. The read-back of the LATEST version must
+    // show run-2 params for click keys, run-1 params retained for every
+    // other key, and the version count as data — replace-instead-of-merge
+    // or a clobbered history would each flip visible rows.
+    "snk6_artifact_versions" -> QueryDef(
+      (s, dir) => {
+        val tableDir = scratch(s, "snk6")
+        def params(rows: DataFrame): DataFrame = rows
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("value")).as("mn_raw"), max(col("value")).as("mx_raw"))
+          .withColumn("mn", coalesce(col("mn_raw"), lit(0.0)))
+          .withColumn("rng",
+            when(col("mx_raw").isNull || col("mx_raw") === col("mn_raw"), lit(1.0))
+              .otherwise(col("mx_raw") - col("mn_raw")))
+          .select(col("user_id"), col("event_type"), col("mn"), col("rng"))
+        val e = ev(s, dir)
+        val key = Seq("user_id", "event_type")
+        Sinks.upsertSnapshot(s, tableDir,
+          params(e.filter(col("event_id") % 2 === 0)), key, orderCol = "mn")
+        val v = Sinks.upsertSnapshot(s, tableDir,
+          params(e.filter(col("event_type") === "click")), key, orderCol = "mn")
+        Sinks.readSnapshot(s, tableDir)
+          .withColumn("n_versions", lit(v.toLong))
+      },
+      """WITH b1 AS (
+        |  SELECT user_id, event_type,
+        |    coalesce(min(value), 0.0) AS mn,
+        |    CASE WHEN max(value) IS NULL OR max(value) = min(value) THEN 1.0
+        |         ELSE max(value) - min(value) END AS rng
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id, event_type),
+        |b2 AS (
+        |  SELECT user_id, event_type,
+        |    coalesce(min(value), 0.0) AS mn,
+        |    CASE WHEN max(value) IS NULL OR max(value) = min(value) THEN 1.0
+        |         ELSE max(value) - min(value) END AS rng
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, mn, rng, CAST(2 AS BIGINT) AS n_versions
+        |FROM (
+        |  SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT b1.* FROM b1
+        |  WHERE NOT EXISTS (SELECT 1 FROM b2
+        |    WHERE b2.user_id = b1.user_id
+        |      AND b2.event_type = b1.event_type))""".stripMargin),
 
     // SRC5 — existence/metadata probe (main.py:96-114): missing table →
     // false, created table → true, as one data-visible row.

@@ -28,6 +28,13 @@ class PipelineSpec extends SparkSpecBase {
     // persisted side tables exist and round-trip
     assert(Sinks.rowCount(spark, s"$dir/train_metrics") === r.trainMetrics.count())
     assert(Sinks.tableExists(spark, s"$dir/norm_params"))
+    // SNK6: artifacts are VERSIONED — a second run advances norm_params
+    // to v=2 with v=1 retained, and the latest read-back matches
+    assert(Sinks.readSnapshot(spark, s"$dir/norm_params").count()
+      === r.normParams.count())
+    Pipeline.run(spark, Tables.events(spark, sf0001), outDir = Some(dir))
+    assert(Sinks.tableExists(spark, s"$dir/norm_params/v=1"))
+    assert(Sinks.tableExists(spark, s"$dir/norm_params/v=2"))
   }
 
   test("config merge: overrides win, defaults fill (main.py:241-264)") {
