@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -62,6 +63,49 @@ object ExtensionQueries {
        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Shared DuckDB CTE: per-doc token count + quality score (the
+    * ext_quality_score semantics — 3 gates / 3.0). One source of truth for
+    * every oracle that filters on quality. */
+  private val duckQualityCte =
+    """qst AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |           t -> list_contains(['the','a','of','in','to','and','is'], t)))
+      |         AS DOUBLE) / len(string_split(text, ' ')) AS swr
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+      |     + CASE WHEN ttr >= 0.25 THEN 1 ELSE 0 END
+      |     + CASE WHEN swr >= 0.02 THEN 1 ELSE 0 END) / 3.0 AS quality_score
+      |  FROM qst)""".stripMargin
+
+  /** Shared DuckDB CTE: marker-token language prediction (the ext_lang_id
+    * semantics — argmax with ties to the lexicographically greatest code,
+    * no hits → 'und'). */
+  private val duckLangCte =
+    """lsc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','fast','slow'], t))) AS s_en,
+      |    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t))) AS s_de,
+      |    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les'], t))) AS s_fr,
+      |    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','y','los'], t))) AS s_es,
+      |    len(list_filter(string_split(text,' '), t -> list_contains(['的','了','是'], t))) AS s_zh
+      |  FROM documents),
+      |lp AS (
+      |  SELECT doc_id, lang AS lang_actual,
+      |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+      |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+      |         WHEN s_en >= s_de THEN 'en'
+      |         ELSE 'de' END AS lang_predicted,
+      |    CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS marker_hits
+      |  FROM lsc)""".stripMargin
+
   /** Ground-truth near-dup pairs: exact shingle Jaccard ≥ 1/2 as pure
     * integer comparison (no float boundary). */
   private val duckJaccardPairs =
@@ -71,6 +115,52 @@ object ExtensionQueries {
        |WHERE a.doc_id < b.doc_id
        |  AND 2 * len(list_intersect(a.sh, b.sh)) >=
        |      len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))""".stripMargin
+
+  /** Invariant aggregate for an approximate top-k result — the same
+    * data-visible pattern as w5_chrono_split_approx: the raw ANN rows
+    * depend on engine-internal hashes/centroids no oracle reproduces, so
+    * the registered output is the invariants that MUST hold — every query
+    * covered, per-query shape valid (≤k rows, contiguous ranks from 1,
+    * distinct non-self neighbours), and recall against the exact
+    * brute-force baseline at or above the floor SimilaritySpec pins. The
+    * oracle asserts them (TRUE constants + the exact query count); any
+    * violation flips a boolean and hash-mismatches. All lazily composed —
+    * no driver-side actions at construction. */
+  private def annInvariants(queries: DataFrame, approx: DataFrame,
+                            exact: DataFrame, k: Int,
+                            recallFloor: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{every => boolAnd}
+    val shape = approx.groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("neighbor_id")).as("nd"),
+        countDistinct(col("rank")).as("nr"),
+        min(col("rank")).as("rmin"),
+        max(col("rank")).as("rmax"),
+        max(when(col("neighbor_id") === col("query_id"), 1).otherwise(0)).as("self"))
+      .agg(
+        count(lit(1)).as("n_covered"),
+        boolAnd(col("cnt") <= k && col("nd") === col("cnt") &&
+          col("nr") === col("cnt") && col("rmin") === 1 &&
+          col("rmax") === col("cnt") && col("self") === 0).as("shape_ok"))
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = approx
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nQ.crossJoin(shape).crossJoin(nExact).crossJoin(nHit)
+      .select(
+        col("n_queries").cast("long"),
+        (col("n_covered") === col("n_queries")).as("coverage_ok"),
+        col("shape_ok"),
+        (col("n_hit") / col("n_exact") >= recallFloor).as("recall_ok"))
+  }
+
+  private val annInvariantOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS coverage_ok,
+      |  TRUE AS shape_ok, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
   /** DuckDB double-precision sequential-fold dot product over two FLOAT[]
     * columns — mirrors Similarity.dot bit-for-bit (cast each element to
@@ -190,29 +280,35 @@ object ExtensionQueries {
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin),
 
     // Multi-table LSH approximate top-k (8 tables × 4-bit signatures):
-    // xxhash64-derived hyperplanes aren't oracle-expressible → rows-only +
-    // SimilaritySpec recall pin vs the brute-force baseline.
+    // the xxhash64-derived hyperplanes aren't oracle-expressible, so the
+    // registered output is the [[annInvariants]] aggregate — coverage,
+    // per-query shape, recall ≥ 0.6 vs brute force (the SimilaritySpec
+    // floor) — each oracle-checked.
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-          k = 5, bits = 4, tables = 8)
-          .withColumn("rank", col("rank").cast("long"))
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        annInvariants(queries,
+          Similarity.lshTopK(queries, emb, k = 5, bits = 4, tables = 8),
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.6)
       },
-      None),
+      annInvariantOracle),
 
     // IVF approximate top-k (16 k-means-refined centroids, 6 probes): the
     // FAISS-style scale path — candidate volume ≈ nProbe/nCentroids of the
-    // corpus in any similarity regime. Rows-only + SimilaritySpec recall
-    // pin.
+    // corpus in any similarity regime. Centroid-dependent rows →
+    // [[annInvariants]] aggregate, recall floor 0.4 (SimilaritySpec).
     "ann_ivf_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-          k = 5, nCentroids = 16, nProbe = 6)
-          .withColumn("rank", col("rank").cast("long"))
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        annInvariants(queries,
+          Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 16, nProbe = 6),
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.4)
       },
-      None),
+      annInvariantOracle),
 
     // Text statistics: lengths, token counts, type/token ratio, stopword
     // ratio, subword estimate, punctuation ratio.
@@ -244,43 +340,75 @@ object ExtensionQueries {
         TextAnalysis.textStats(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("quality_score")),
-      """WITH st AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS ttr,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |           t -> list_contains(['the','a','of','in','to','and','is'], t)))
-        |         AS DOUBLE) / len(string_split(text, ' ')) AS swr
-        |  FROM documents)
-        |SELECT doc_id, n_tokens,
-        |  (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
-        |   + CASE WHEN ttr >= 0.25 THEN 1 ELSE 0 END
-        |   + CASE WHEN swr >= 0.02 THEN 1 ELSE 0 END) / 3.0 AS quality_score
-        |FROM st""".stripMargin),
+      s"""WITH $duckQualityCte
+         |SELECT doc_id, n_tokens, quality_score FROM q""".stripMargin),
 
     // Language-ID heuristic: marker-token hits per language, argmax with
     // ties to the lexicographically greatest code, no hits → 'und'.
     "ext_lang_id" -> QueryDef(
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
         .withColumn("marker_hits", col("marker_hits").cast("long")),
-      """WITH sc AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','fast','slow'], t))) AS s_en,
-        |    len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t))) AS s_de,
-        |    len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les'], t))) AS s_fr,
-        |    len(list_filter(string_split(text,' '), t -> list_contains(['el','la','y','los'], t))) AS s_es,
-        |    len(list_filter(string_split(text,' '), t -> list_contains(['的','了','是'], t))) AS s_zh
-        |  FROM documents)
-        |SELECT doc_id, lang AS lang_actual,
-        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |       WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
-        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-        |       WHEN s_en >= s_de THEN 'en'
-        |       ELSE 'de' END AS lang_predicted,
-        |  CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS marker_hits
-        |FROM sc""".stripMargin),
+      s"""WITH $duckLangCte
+         |SELECT doc_id, lang_actual, lang_predicted, marker_hits FROM lp""".stripMargin),
+
+    // The composite curation flow an LLM-data pipeline actually runs —
+    // quality gate → language gate → exact dedup → near-dup removal — as
+    // ONE registered query, so the operator COMPOSITION is oracle-checked,
+    // not just each stage. Spark runs the scale-shaped plan (scan-speed
+    // native text passes; 16-byte exact-dedup keys; MinHash-LSH banding
+    // with exact verify for near-dups); the oracle independently re-derives
+    // the survivor set with brute-force exact Jaccard. Near-dup policy is
+    // greedy keep-smallest: drop every doc_b of a verified pair (doc_a <
+    // doc_b), deterministic in both engines.
+    "ext_corpus_curation" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.qualityScore(TextAnalysis.textStats(docs))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score"))
+        val lang = TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("lang_predicted"))
+        val filtered = docs.select(col("doc_id"), col("text"))
+          .join(scored.filter(col("quality_score") > 0.5), "doc_id")
+          .join(lang.filter(col("lang_predicted") === "en"), "doc_id")
+        val canon = filtered
+          .groupBy(xxhash64(col("text")), length(col("text")))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val exactKept = filtered.join(canon, Seq("doc_id"), "left_semi")
+        val nearDupLosers = Dedup.minhashLshPairs(exactKept, n = 3,
+          numPerm = 32, rowsPerBand = 2, num = 1, den = 2)
+          .select(col("doc_b").as("doc_id")).distinct()
+        exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang_predicted"), col("n_tokens"),
+            col("quality_score"))
+      },
+      s"""WITH $duckQualityCte,
+         |$duckLangCte,
+         |filt AS (
+         |  SELECT d.doc_id, d.text, lp.lang_predicted, q.n_tokens, q.quality_score
+         |  FROM documents d
+         |  JOIN q USING (doc_id) JOIN lp USING (doc_id)
+         |  WHERE q.quality_score > 0.5 AND lp.lang_predicted = 'en'),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text),
+         |ek AS (SELECT f.* FROM filt f JOIN canon USING (doc_id)),
+         |ew AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ek),
+         |esh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN []
+         |         ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+         |    END AS sh
+         |  FROM ew),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM esh a, esh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(a.sh) + len(b.sh) > 0
+         |    AND 2 * len(list_intersect(a.sh, b.sh)) >=
+         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |SELECT doc_id, lang_predicted, n_tokens, quality_score FROM ek
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
 
     // Content fingerprints: MD5 of the normalized text + 31-base rolling
     // hash over tokens mod 1e9+7.
