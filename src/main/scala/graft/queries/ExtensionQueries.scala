@@ -410,6 +410,34 @@ object ExtensionQueries {
          |SELECT doc_id, lang_predicted, n_tokens, quality_score FROM ek
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
 
+    // Token counting (north star: whitespace + a BPE-ish regex): the
+    // GPT-2-style pre-tokenizer shape — contraction suffixes, space-glued
+    // letter runs, digit runs, punctuation runs, residual whitespace —
+    // restricted to lookahead-free constructs so Java regex (Spark) and
+    // RE2 (DuckDB) agree; both engines use leftmost-first alternation.
+    // subword_est is the cheap ceil(len/4) estimate from ext_text_stats —
+    // emitted here so the two costings are comparable side by side.
+    "ext_token_count" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s"),
+          lit(0))).cast("long").as("n_bpe_tokens"),
+        expr("CAST(aggregate(transform(split(text, ' '), " +
+          "t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 0L, (a, b) -> a + b) AS BIGINT)")
+          .as("subword_est")),
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s'))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+        |    (a, b) -> a + b) AS subword_est
+        |FROM documents""".stripMargin),
+
     // Content fingerprints: MD5 of the normalized text + 31-base rolling
     // hash over tokens mod 1e9+7.
     "ext_fingerprint" -> QueryDef(
