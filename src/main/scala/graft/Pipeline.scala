@@ -30,11 +30,17 @@ object Pipeline {
 
   /** Hyperparameters (Model Parameters.json:1-16) with defaults-then-
     * override merge (main.py:241-264). */
+  /** `approxSplit` selects the W5 implementation: false → the reference's
+    * exact row-positional split (one global-window pass, train.py:131-153);
+    * true → the 100-TB plan (Features.chronoSplitApprox: percentile
+    * boundaries, no single-partition stage). Membership may differ by
+    * ~relErr·n rows near each boundary — the documented trade. */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
       trainRatio: Double = 0.7,
-      valRatio: Double = 0.15)
+      valRatio: Double = 0.15,
+      approxSplit: Boolean = false)
 
   object Config {
     /** Reference key names (Model Parameters.json:1-16, UPPER_SNAKE) onto
@@ -81,7 +87,8 @@ object Pipeline {
         seqLength = o.get("seqLength").map(_.toInt).getOrElse(d.seqLength),
         modelThreshold = o.get("modelThreshold").map(_.toInt).getOrElse(d.modelThreshold),
         trainRatio = o.get("trainRatio").map(_.toDouble).getOrElse(d.trainRatio),
-        valRatio = o.get("valRatio").map(_.toDouble).getOrElse(d.valRatio))
+        valRatio = o.get("valRatio").map(_.toDouble).getOrElse(d.valRatio),
+        approxSplit = o.get("approxSplit").map(_.toBoolean).getOrElse(d.approxSplit))
     }
   }
 
@@ -122,8 +129,14 @@ object Pipeline {
     // W5: split assignment annotated in place (a separate side-table
     // computation + join-back on event_id would cost two extra shuffles);
     // the persisted side table is a projection of the same frame.
-    val withSplit = Features.chronoSplit(kept,
-      order = Seq("ts", "event_id"), cfg.trainRatio, cfg.valRatio)
+    // cfg.approxSplit flips to the percentile split — the plan to run at
+    // cluster scale, where the exact form's single-partition window is
+    // the one serial stage in the whole pipeline.
+    val withSplit =
+      if (cfg.approxSplit)
+        Features.chronoSplitApprox(kept, "ts", cfg.trainRatio, cfg.valRatio)
+      else Features.chronoSplit(kept,
+        order = Seq("ts", "event_id"), cfg.trainRatio, cfg.valRatio)
     val splits = withSplit.select(col("event_id"), col("split"))
 
     // create_features (train.py:415-433): date trunc, high-impact count,

@@ -37,6 +37,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(Sinks.tableExists(spark, s"$dir/norm_params/v=2"))
   }
 
+  test("approx-split pipeline (the 100-TB plan) produces the same table shapes and near-identical split sizes") {
+    val exact = Pipeline.run(spark, Tables.events(spark, sf0001))
+    val approx = Pipeline.run(spark, Tables.events(spark, sf0001),
+      Pipeline.Config(approxSplit = true))
+    assert(approx.trainMetrics.count() > 0)
+    assert(approx.liveForecasts.count() === exact.liveForecasts.count())
+    def sizes(r: Pipeline.Result) = r.splits.groupBy("split").count().collect()
+      .map(x => x.getAs[String]("split") -> x.getAs[Long]("count")).toMap
+    val (se, sa) = (sizes(exact), sizes(approx))
+    val n = se.values.sum.toDouble
+    assert(sa.keySet === Set("train", "val", "test"))
+    // membership may differ near each boundary, but only by ~relErr*n +
+    // tie-group rows — 1% of the corpus is a generous cap
+    Seq("train", "val", "test").foreach { s =>
+      assert(math.abs(sa(s) - se(s)) <= n * 0.01,
+        s"$s: approx ${sa(s)} vs exact ${se(s)}")
+    }
+  }
+
   test("config merge: overrides win, defaults fill (main.py:241-264)") {
     val c = Pipeline.Config.merged(Map("seqLength" -> "3", "trainRatio" -> "0.5"))
     assert(c.seqLength === 3)
