@@ -82,6 +82,25 @@ object Sinks {
     next
   }
 
+  /** Bucketed persistence for co-located joins: the table is written
+    * pre-hash-partitioned (and pre-sorted) on `keys` into `buckets`
+    * files, recorded in the catalog, so EVERY later equi-join or
+    * aggregation on those keys reads already-clustered data and plans NO
+    * shuffle of this table. At 100 TB this is the difference between
+    * re-shuffling the fact table per query and shuffling it exactly once
+    * at write time — the same contract a Hive/Iceberg bucketed table or a
+    * co-partitioned join in any MPP engine provides. Registered as an
+    * EXTERNAL table (explicit path) so the data location is caller-owned.
+    * Both join sides must use the same keys and bucket count. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keys: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Latest snapshot version of an [[upsertSnapshot]] table. */
   def readSnapshot(spark: SparkSession, tableDir: String): DataFrame = {
     val f = fs(spark)

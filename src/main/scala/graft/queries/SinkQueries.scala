@@ -202,6 +202,32 @@ object SinkQueries {
         |    WHERE b2.user_id = b1.user_id
         |      AND b2.event_type = b1.event_type))""".stripMargin),
 
+    // OPT — bucketed co-located join (the scale technique the engine
+    // leans on for repeated fact-table joins): fact and dimension are
+    // both persisted bucketed on user_id, so the join reads pre-hashed
+    // files and plans NO exchange of either side (BucketingSpec pins the
+    // plan shape; this row pins that bucketed read-back + join produce
+    // exactly the plain-join answer). The dim is a per-user COUNT —
+    // integer-exact, so the row is hash-comparable cross-engine.
+    "opt_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        Sinks.writeBucketed(e, "graft_bucketed_fact",
+          scratch(s, "bucket_fact"), Seq("user_id"), buckets = 8)
+        Sinks.writeBucketed(
+          e.groupBy(col("user_id")).agg(count(lit(1)).as("user_n")),
+          "graft_bucketed_dim", scratch(s, "bucket_dim"),
+          Seq("user_id"), buckets = 8)
+        s.table("graft_bucketed_fact")
+          .join(s.table("graft_bucketed_dim"), "user_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("user_n"))
+      },
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, ua.user_n
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS user_n
+        |      FROM events GROUP BY user_id) ua USING (user_id)""".stripMargin),
+
     // SRC5 — existence/metadata probe (main.py:96-114): missing table →
     // false, created table → true, as one data-visible row.
     "src5_exists_probe" -> QueryDef(
