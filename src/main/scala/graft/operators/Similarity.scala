@@ -103,6 +103,16 @@ object Similarity {
     * hyperplane signatures (OR-amplification — a pair is a candidate if it
     * collides in ANY table), candidates deduplicated then scored exactly.
     *
+    * `multiProbe` (0..bits): in addition to its own bucket, each QUERY
+    * probes the buckets at Hamming distance 1 on its first `multiProbe`
+    * signature bits — the classic multi-probe LSH recall/cost knob. The
+    * corpus index is untouched (still one bucket per vector per table):
+    * recall rises as if extra tables were added, but at the cost of
+    * query-side fan-out only, with no reindex and no extra corpus rows in
+    * the shuffle. The 100-TB significance: the CORPUS side is the 100-TB
+    * side, so a knob that trades query-side work for recall dominates one
+    * that regrows the index.
+    *
     * Honest tradeoff note: random-hyperplane LSH prunes hard only in
     * high-cosine regimes (p_bit = 1−θ/π). For neighbours at cosine
     * 0.3–0.5 (this corpus), per-table collision is ~p_bit^b, so recall
@@ -110,13 +120,23 @@ object Similarity {
     * large — [[ivfTopK]] is the better scale path here; LSH wins when
     * near-dup-grade similarity (cos ≥ 0.8) is the target. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int, tables: Int): DataFrame = {
+              bits: Int, tables: Int, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= bits,
+      s"multiProbe must be in [0, bits], got $multiProbe / bits=$bits")
     graft.functions.GraftFunctions.register(queries.sparkSession)
     def bucketed(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), posexplode(array(
         (0 until tables).map(t => hyperplaneSignature("embedding", bits, t)): _*))
         .as(Seq("table_id", "bucket")))
-    val cand = bucketed(queries, "query_id")
+    val probedQueries = {
+      val exact = bucketed(queries, "query_id")
+      if (multiProbe == 0) exact
+      else exact.select(col("query_id"), col("table_id"),
+        explode(array(col("bucket") +:
+          (0 until multiProbe).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("bucket"))
+    }
+    val cand = probedQueries
       .join(bucketed(corpus, "neighbor_id"), Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))

@@ -279,19 +279,21 @@ object ExtensionQueries {
          |  FROM sc)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin),
 
-    // Multi-table LSH approximate top-k (8 tables × 4-bit signatures):
+    // Multi-table LSH approximate top-k (8 tables × 4-bit signatures,
+    // 2 extra Hamming-1 probes per query — measured recall at sf0.01:
+    // 0.82 exact-bucket → 0.90 multi-probe, query-side fan-out only):
     // the xxhash64-derived hyperplanes aren't oracle-expressible, so the
     // registered output is the [[annInvariants]] aggregate — coverage,
-    // per-query shape, recall ≥ 0.6 vs brute force (the SimilaritySpec
-    // floor) — each oracle-checked.
+    // per-query shape, recall ≥ 0.7 vs brute force — each oracle-checked.
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") % 50 === 0)
         annInvariants(queries,
-          Similarity.lshTopK(queries, emb, k = 5, bits = 4, tables = 8),
+          Similarity.lshTopK(queries, emb, k = 5, bits = 4, tables = 8,
+            multiProbe = 2),
           Similarity.bruteForceTopK(queries, emb, k = 5),
-          k = 5, recallFloor = 0.6)
+          k = 5, recallFloor = 0.7)
       },
       annInvariantOracle),
 

@@ -49,6 +49,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivfRecall >= 0.4, s"IVF recall $ivfRecall below floor")
   }
 
+  test("multi-probe LSH: candidate superset of the exact-bucket run, recall never lower") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val plain = pairs(Similarity.lshTopK(queries, emb, k = 5, bits = 4, tables = 8))
+    val probed = pairs(Similarity.lshTopK(queries, emb, k = 5, bits = 4, tables = 8,
+      multiProbe = 2))
+    val rPlain = (brute & plain).size.toDouble / brute.size
+    val rProbed = (brute & probed).size.toDouble / brute.size
+    // probing only ADDS query-side buckets, so recall is monotone
+    assert(rProbed >= rPlain, s"multi-probe recall $rProbed < exact-bucket $rPlain")
+  }
+
   test("multimodal fake decode: md5/length-derived features, video frame rule") {
     val docs = Seq((0L, "alpha beta"), (2L, "gamma delta epsilon"))
       .toDF("doc_id", "text")
