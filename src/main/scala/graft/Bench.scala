@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   *  - median of 3 timed passes per query (round 4): a single pass is
   *    noise-dominated at sub-second scale; the median discards both the
   *    cold first pass and any GC/compaction outlier.
+  *  - each pass constructs its OWN DataFrame (fresh `fn` call, untimed):
+  *    re-materializing one shared frame would let the dedup queries'
+  *    lazily-persisted checkpoints serve passes 2-3 from cache and the
+  *    median would hide the sketch stage entirely. Fresh construction
+  *    (scratch dirs are nonce-isolated) makes every timed pass compute
+  *    the whole plan.
   *  - failures are reported (time −1, listed in "failed"), never silently
   *    recorded as a fast timing.
   */
@@ -59,8 +65,8 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir) // untimed: plan construction + any fixture writes
         val times = Array.fill(passes) {
+          val df = fn(spark, sfDir) // untimed: construction + fixture writes
           val t0 = System.nanoTime()
           materialize(df)
           (System.nanoTime() - t0) / 1e9
