@@ -67,7 +67,9 @@ object Pipeline {
         else {
           val b = Map.newBuilder[String, String]
           root.fields().forEachRemaining { e =>
-            if (e.getValue.isValueNode)
+            // JSON null means "absent", not the string "null" — skipping
+            // it keeps the layer from shadowing the default with junk
+            if (e.getValue.isValueNode && !e.getValue.isNull)
               b += (refAliases.getOrElse(e.getKey, e.getKey) -> e.getValue.asText)
           }
           b.result()
@@ -78,17 +80,23 @@ object Pipeline {
       * config-file overrides < manual (CLI) overrides — main.py:241-264,
       * where the JSON params file updates the defaults dict and explicit
       * argparse values update that. A key present in both maps resolves
-      * to the manual value. */
+      * to the manual value. Unparseable VALUES fall back to the default
+      * for that key, completing the error-tolerant contract
+      * [[fromJsonFile]] documents for the file as a whole — a typo'd
+      * "SEQ_LENGTH": "abc" must degrade like a missing file does, not
+      * crash the pipeline with a NumberFormatException. */
     def merged(fileOverrides: Map[String, String],
                manualOverrides: Map[String, String] = Map.empty): Config = {
       val o = fileOverrides ++ manualOverrides
       val d = Config()
+      def get[A](key: String, parse: String => A, dflt: A): A =
+        o.get(key).flatMap(v => scala.util.Try(parse(v)).toOption).getOrElse(dflt)
       Config(
-        seqLength = o.get("seqLength").map(_.toInt).getOrElse(d.seqLength),
-        modelThreshold = o.get("modelThreshold").map(_.toInt).getOrElse(d.modelThreshold),
-        trainRatio = o.get("trainRatio").map(_.toDouble).getOrElse(d.trainRatio),
-        valRatio = o.get("valRatio").map(_.toDouble).getOrElse(d.valRatio),
-        approxSplit = o.get("approxSplit").map(_.toBoolean).getOrElse(d.approxSplit))
+        seqLength = get("seqLength", _.toInt, d.seqLength),
+        modelThreshold = get("modelThreshold", _.toInt, d.modelThreshold),
+        trainRatio = get("trainRatio", _.toDouble, d.trainRatio),
+        valRatio = get("valRatio", _.toDouble, d.valRatio),
+        approxSplit = get("approxSplit", _.toBoolean, d.approxSplit))
     }
   }
 
@@ -148,13 +156,7 @@ object Pipeline {
 
     // A5 on the TRAIN split only: norm-param side table (train.py:467-477)
     val trainRows = featured.filter(col("split") === "train")
-    val normParams = trainRows.groupBy(keyCols: _*)
-      .agg(min(col("actual")).as("mn_raw"), max(col("actual")).as("mx_raw"))
-      .withColumn("mn", coalesce(col("mn_raw"), lit(0.0)))
-      .withColumn("rng",
-        when(col("mx_raw").isNull || col("mx_raw") === col("mn_raw"), lit(1.0))
-          .otherwise(col("mx_raw") - col("mn_raw")))
-      .select((keyCols :+ col("mn") :+ col("rng")): _*)
+    val normParams = Features.normParams(trainRows, key, col("actual"))
 
     // A6 per split; validate/test reuse train norm params (J4) for the
     // denormalized error scale — the naive predictor works in raw units so

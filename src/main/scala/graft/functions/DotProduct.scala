@@ -117,18 +117,24 @@ object GraftFunctions {
     exprs
   }
 
+  // The null check in both extractors matters: a foldable NULL literal
+  // (e.g. CAST(NULL AS INT)) passes the type guard but eval()s to null,
+  // and unboxing/toString-ing it would NPE with no hint of which argument
+  // was wrong — fall through to the designed error instead.
   private def intLit(name: String, what: String)(e: Expression): Int = e match {
-    case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+    case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType
+        && l.eval() != null =>
       l.eval().asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
-      s"$name: $what must be an int literal, got $other")
+      s"$name: $what must be a non-null int literal, got $other")
   }
 
   private def strLit(name: String, what: String)(e: Expression): String = e match {
-    case l if l.foldable && l.dataType == org.apache.spark.sql.types.StringType =>
+    case l if l.foldable && l.dataType == org.apache.spark.sql.types.StringType
+        && l.eval() != null =>
       l.eval().toString
     case other => throw new IllegalArgumentException(
-      s"$name: $what must be a string literal, got $other")
+      s"$name: $what must be a non-null string literal, got $other")
   }
 
   /** (name, implementing class, usage doc, builder) per native function. */

@@ -58,6 +58,22 @@ object Features {
   /** F11 — inverse of [[minMaxNormalize]]: x*rng + mn (train.py:244-248). */
   def denormalize(x: Column, mn: Column, rng: Column): Column = x * rng + mn
 
+  /** A5 as a SIDE TABLE: per-key (mn, rng) with the reference's guards
+    * (all-null → (0,1); zero range → rng 1) — the aggregation-shaped twin
+    * of [[minMaxNormalize]]'s window form, for when the params are
+    * persisted/joined rather than applied in place (train.py:467-477).
+    * Single source of truth: Pipeline.run's norm-param artifact and the
+    * snk6 versioned-artifact query both call this, so the guard semantics
+    * can never drift between them. */
+  def normParams(df: DataFrame, key: Seq[String], value: Column): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .agg(min(value).as("mn_raw"), max(value).as("mx_raw"))
+      .withColumn("mn", coalesce(col("mn_raw"), lit(0.0)))
+      .withColumn("rng",
+        when(col("mx_raw").isNull || col("mx_raw") === col("mn_raw"), lit(1.0))
+          .otherwise(col("mx_raw") - col("mn_raw")))
+      .select((key.map(col) :+ col("mn") :+ col("rng")): _*)
+
   /** A1+J1 — count of high-impact rows per (dim, date), attached to every
     * row. The reference computes a groupBy().size() and left-joins it back
     * (train.py:419-422); a conditional window count gives the identical

@@ -194,7 +194,12 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
           .as("centv"))
-        .localCheckpoint() // feeds two assign() branches below
+        // LAZY: feeds the two assign() branches below — compute once at
+        // first action, reuse from cache; eager would run the whole
+        // k-means pass as a construction-time job, which both hides the
+        // index-build cost from any caller timing the returned plan and
+        // wastes a pass when the result is never materialized.
+        .localCheckpoint(eager = false)
     }
 
     val postings = assign(centroids, corpus, "neighbor_id", keep = 1)

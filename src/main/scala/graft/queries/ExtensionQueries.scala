@@ -221,6 +221,55 @@ object ExtensionQueries {
          |  CAST((simhash >> 48) & 65535 AS BIGINT) AS band3
          |FROM sk""".stripMargin),
 
+    // SimHash PRODUCTION path (xxh64 shingle hash) at full scale: the md5
+    // rows above differential-test the algorithm, but swapping the
+    // registered hash would leave the xxh64 hot path untimed and a
+    // regression there invisible (review r4). This row runs the xxh64
+    // sketch + banded pairs and registers the invariants any correct
+    // SimHash must satisfy, oracle-asserted: 63-bit non-negativity, band
+    // decomposition consistency, identical texts → identical sketches,
+    // every identical-text pair recovered by the band join (distance 0),
+    // every emitted pair within maxDist.
+    "dedup_simhash_prod" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sk = Dedup.simhashSketch(docs, n = 3)
+          .localCheckpoint(eager = false) // feeds four checks below
+        val pairs = Dedup.simhashPairs(docs, n = 3, maxDist = 8)
+        val skDocs = sk.join(docs.select(col("doc_id"),
+          xxhash64(col("text")).as("th"), length(col("text")).as("tl")), "doc_id")
+        val sketchChecks = sk.agg(
+          count(lit(1)).as("n_docs"),
+          every(col("simhash") >= 0).as("nonneg_ok"),
+          every(col("band0") === expr("simhash & 65535") &&
+            col("band1") === expr("shiftright(simhash, 16) & 65535") &&
+            col("band2") === expr("shiftright(simhash, 32) & 65535") &&
+            col("band3") === expr("shiftright(simhash, 48) & 65535")).as("bands_ok"))
+        val sameSketch = skDocs.groupBy(col("th"), col("tl"))
+          .agg(countDistinct(col("simhash")).as("nd"))
+          .agg(every(col("nd") === 1).as("exact_dup_same_sketch_ok"))
+        val dupPairs = skDocs.alias("x").join(skDocs.alias("y"),
+            col("x.th") === col("y.th") && col("x.tl") === col("y.tl") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val missing = dupPairs.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missing"))
+        val pairDist = pairs
+          .join(sk.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+          .join(sk.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+          .agg(coalesce(every(expr("bit_count(sa ^ sb) <= 8")), lit(true))
+            .as("pairs_within_maxdist_ok"))
+        sketchChecks.crossJoin(sameSketch).crossJoin(missing).crossJoin(pairDist)
+          .select(col("n_docs").cast("long").as("n_docs"),
+            col("nonneg_ok"), col("bands_ok"), col("exact_dup_same_sketch_ok"),
+            (col("n_missing") === 0).as("exact_dup_pairs_found_ok"),
+            col("pairs_within_maxdist_ok"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS nonneg_ok,
+        |  TRUE AS bands_ok, TRUE AS exact_dup_same_sketch_ok,
+        |  TRUE AS exact_dup_pairs_found_ok, TRUE AS pairs_within_maxdist_ok
+        |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin),
+
     // SimHash near-dup pairs: band-join candidates (share ≥1 of 4 16-bit
     // bands — guaranteed complete for Hamming ≤ 3, opportunistic beyond)
     // confirmed by Hamming distance ≤ 8. The oracle replicates the band
@@ -377,7 +426,12 @@ object ExtensionQueries {
           .groupBy(xxhash64(col("text")), length(col("text")))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
+        // LAZY checkpoint (Dedup convention): exactKept feeds the LSH
+        // pair generator AND the final anti-join left side — without
+        // persistence the quality+lang scoring and both joins re-run per
+        // branch, roughly doubling the expensive text passes.
         val exactKept = filtered.join(canon, Seq("doc_id"), "left_semi")
+          .localCheckpoint(eager = false)
         val nearDupLosers = Dedup.minhashLshPairs(exactKept, n = 3,
           numPerm = 32, rowsPerBand = 2, num = 1, den = 2)
           .select(col("doc_b").as("doc_id")).distinct()

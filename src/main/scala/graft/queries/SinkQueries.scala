@@ -25,6 +25,24 @@ object SinkQueries {
 
   private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private val scratchRoot =
+    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}"
+
+  // Per-call nonces are never reused, so nothing in-process reclaims old
+  // fixture dirs — bound the growth by deleting the whole per-pid root at
+  // JVM exit (bench passes ×3 fixtures live at most one process long).
+  // Registered once; uses java.nio directly since the Hadoop FS may
+  // already be closed during shutdown.
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(scratchRoot))
+    }))
+  }
+
   /** Fresh scratch path, unique per process AND per call (round-3 nit): a
     * per-call nonce means re-constructing a query in the same JVM can
     * never delete the directory an earlier construction's still-live
@@ -32,8 +50,8 @@ object SinkQueries {
     * missing-table probe) see a genuinely fresh path every time; the
     * defensive delete stays for the (impossible) collision case. */
   private def scratch(s: SparkSession, name: String): String = {
-    val path = s"/tmp/graft_scratch_${ProcessHandle.current().pid()}" +
-      s"/$name-${nonce.incrementAndGet()}"
+    cleanupHook
+    val path = s"$scratchRoot/$name-${nonce.incrementAndGet()}"
     val p = new Path(path)
     if (fs(s).exists(p)) fs(s).delete(p, true)
     path
@@ -164,16 +182,10 @@ object SinkQueries {
     "snk6_artifact_versions" -> QueryDef(
       (s, dir) => {
         val tableDir = scratch(s, "snk6")
-        def params(rows: DataFrame): DataFrame = rows
-          .groupBy(col("user_id"), col("event_type"))
-          .agg(min(col("value")).as("mn_raw"), max(col("value")).as("mx_raw"))
-          .withColumn("mn", coalesce(col("mn_raw"), lit(0.0)))
-          .withColumn("rng",
-            when(col("mx_raw").isNull || col("mx_raw") === col("mn_raw"), lit(1.0))
-              .otherwise(col("mx_raw") - col("mn_raw")))
-          .select(col("user_id"), col("event_type"), col("mn"), col("rng"))
-        val e = ev(s, dir)
         val key = Seq("user_id", "event_type")
+        def params(rows: DataFrame): DataFrame =
+          graft.operators.Features.normParams(rows, key, col("value"))
+        val e = ev(s, dir)
         Sinks.upsertSnapshot(s, tableDir,
           params(e.filter(col("event_id") % 2 === 0)), key, orderCol = "mn")
         val v = Sinks.upsertSnapshot(s, tableDir,

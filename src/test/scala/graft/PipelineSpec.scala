@@ -107,6 +107,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(c === Pipeline.Config()) // defaults all the way down
   }
 
+  test("config value tolerance: JSON null and unparseable values degrade to defaults, not crashes") {
+    val f = Files.createTempFile("graft_params_vals", ".json")
+    Files.writeString(f,
+      """{"TRAIN_RATIO": null, "SEQ_LENGTH": "abc", "MODEL_THRESHOLD": 10}""")
+    val layer = Pipeline.Config.fromJsonFile(f.toString)
+    assert(!layer.contains("trainRatio")) // JSON null = absent, not "null"
+    val c = Pipeline.Config.merged(layer)
+    assert(c.trainRatio === 0.7) // default survives the null
+    assert(c.seqLength === 5) // junk value falls back, no NumberFormatException
+    assert(c.modelThreshold === 10) // good value still lands
+  }
+
   test("validate-stage norm asymmetry: actual reuses train params, lag feature is local-only (validate.py:268-287)") {
     val r = Pipeline.run(spark, Tables.events(spark, sf0001))
     val vf = r.validateFeatures.cache()
