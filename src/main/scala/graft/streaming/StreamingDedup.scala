@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.operators.Dedup
+
+/** Streaming composition of the dedup surface (north star × §2i): the
+  * batch operators' semantics carried onto an unbounded document stream.
+  *
+  * Three stages, each independently usable:
+  *  1. [[exactDedupStream]] — exact dedup with watermark-bounded state:
+  *     the stream-native analogue of the batch hash-key groupBy. State
+  *     per distinct doc is ONE 16-byte key (never the text), expiring
+  *     with the watermark.
+  *  2. [[sketchStream]] — stateless per-row SimHash sketching through
+  *     the same native expressions the batch path uses (shingle → hash →
+  *     sketch is a pure projection, so it runs unchanged in a stream).
+  *  3. [[candidatePairStream]] — stateful near-dup candidate generation:
+  *     each 16-bit band bucket keeps the sketches seen so far and emits
+  *     a candidate pair the moment a new doc lands within the Hamming
+  *     radius of a prior one. This is the streaming half of the batch
+  *     band join; exact verification (and cross-band dedup of emitted
+  *     pairs) stays a downstream batch step, as in production streaming
+  *     dedup architectures.
+  *
+  * Scale notes: exact-dedup and bucket state shuffle 16-byte keys and
+  * 16-byte sketches, never document bodies. Bucket state is capped at
+  * [[MaxBucket]] sketches (oldest evicted first) — at corpus scale a hot
+  * bucket would otherwise grow without bound; the cap trades recall for
+  * bounded state exactly like the batch path's banding trades recall for
+  * candidate volume, and a production deployment would add event-time
+  * state timeout tied to the stream's watermark.
+  */
+object StreamingDedup {
+
+  /** Exact dedup over a document stream: first arrival of each distinct
+    * text survives; re-arrivals within the watermark window are dropped.
+    * Keyed on (xxhash64(text), length) — the batch dedup_exact key —
+    * via dropDuplicatesWithinWatermark, so state expires with event time
+    * instead of accumulating forever. */
+  def exactDedupStream(docs: DataFrame, tsCol: String, delay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .withColumn("text_key", xxhash64(col("text")))
+      .withColumn("text_len", length(col("text")))
+      .dropDuplicatesWithinWatermark("text_key", "text_len")
+      .drop("text_key", "text_len")
+
+  /** Stateless per-row SimHash sketch of a document stream — the same
+    * tokens → hashed shingles → SimHash63 column chain as the batch
+    * [[Dedup.simhashSketch]] (minus its small-batch repartition, which is
+    * meaningless on a stream), so sketches are bit-identical between the
+    * two paths (pinned by StreamingDedupSpec). */
+  def sketchStream(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("ws", Dedup.tokens(col("text")))
+      .withColumn("sh", Dedup.hashedShingles("ws", n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.simhash("sh").as("simhash"))
+  }
+
+  /** One banded sketch row: the stream-side unit of near-dup state. */
+  final case class BandedSketch(bandId: Int, bandVal: Int, docId: Long, simhash: Long)
+
+  /** An emitted candidate: a new doc within `maxDist` of a prior doc in
+    * the same band bucket. Pairs are (smaller, larger) by doc id; the
+    * same pair may surface from multiple bands — dedupe downstream. */
+  final case class CandidatePair(docA: Long, docB: Long, hamming: Int)
+
+  // Primitive-array state: parallel (docId, sketch) arrays encode to two
+  // flat binary columns. Public (not private) — the state encoder's
+  // generated code constructs it reflectively and cannot reach a
+  // private nested class.
+  final case class BucketState(docIds: Array[Long], sketches: Array[Long])
+
+  /** Oldest-evicted cap on per-bucket state (see scaladoc). */
+  val MaxBucket = 1024
+
+  /** Explode a sketch stream into its 4×16-bit band rows. */
+  def banded(spark: SparkSession, sketches: DataFrame): Dataset[BandedSketch] = {
+    import spark.implicits._
+    sketches.select(col("doc_id"), col("simhash"), posexplode(array(
+        expr("CAST(simhash & 65535 AS INT)"),
+        expr("CAST(shiftright(simhash, 16) & 65535 AS INT)"),
+        expr("CAST(shiftright(simhash, 32) & 65535 AS INT)"),
+        expr("CAST(shiftright(simhash, 48) & 65535 AS INT)"))
+      ).as(Seq("band_id", "band_val")))
+      .select(col("band_id").as("bandId"), col("band_val").as("bandVal"),
+        col("doc_id").as("docId"), col("simhash"))
+      .as[BandedSketch]
+  }
+
+  /** Stateful near-dup candidate stream: per (bandId, bandVal) bucket,
+    * compare each arriving sketch against the bucket's history and emit
+    * pairs within `maxDist`. */
+  def candidatePairStream(spark: SparkSession, bandedSketches: Dataset[BandedSketch],
+                          maxDist: Int): Dataset[CandidatePair] = {
+    import spark.implicits._
+    bandedSketches
+      .groupByKey(b => (b.bandId, b.bandVal))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), batch: Iterator[BandedSketch],
+         state: GroupState[BucketState]) =>
+          val prev = state.getOption.getOrElse(
+            BucketState(Array.empty[Long], Array.empty[Long]))
+          var ids = prev.docIds
+          var sks = prev.sketches
+          val out = List.newBuilder[CandidatePair]
+          batch.foreach { b =>
+            if (!ids.contains(b.docId)) {
+              var i = 0
+              while (i < ids.length) {
+                val d = java.lang.Long.bitCount(sks(i) ^ b.simhash)
+                if (d <= maxDist)
+                  out += CandidatePair(math.min(ids(i), b.docId),
+                    math.max(ids(i), b.docId), d)
+                i += 1
+              }
+              // newest first; oldest evicted past the cap
+              ids = (b.docId +: ids).take(MaxBucket)
+              sks = (b.simhash +: sks).take(MaxBucket)
+            }
+          }
+          state.update(BucketState(ids, sks))
+          out.result().iterator
+      }
+  }
+}
