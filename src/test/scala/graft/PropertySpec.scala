@@ -134,6 +134,61 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("WordNGramHashes(xxh64) equals the composable shingle/distinct/hash/sort form") =
+    Prop.forAll(Gen.listOfN(25, textGen), Gen.choose(1, 4)) { (texts, n) =>
+      graft.functions.GraftFunctions.register(spark)
+      val grams = (0 until n).map(off => s"element_at(ws, CAST(i + $off AS INT))")
+      val out = texts.toDF("text")
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          call_function("graft_ngram_hashes", col("ws"), lit(n)).as("got"),
+          expr(
+            s"""CASE WHEN size(ws) < $n THEN array()
+               |ELSE array_sort(array_distinct(transform(
+               |  transform(sequence(1, size(ws) - ${n - 1}),
+               |    i -> concat_ws(' ', ${grams.mkString(", ")})),
+               |  s -> xxhash64(s))))
+               |END""".stripMargin).as("want"))
+        .collect()
+      out.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
+  property("MinHashSig equals the composable per-permutation array_min form") =
+    Prop.forAll(Gen.listOfN(25, textGen), Gen.choose(1, 8)) { (texts, numPerm) =>
+      graft.functions.GraftFunctions.register(spark)
+      val out = texts.toDF("text")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("sh", call_function("graft_ngram_hashes", col("ws"), lit(3)))
+        .filter(size(col("sh")) > 0)
+        .select(
+          call_function("graft_minhash_sig", col("sh"), lit(numPerm)).as("got"),
+          expr(
+            s"""transform(sequence(0, ${numPerm - 1}),
+               |  p -> array_min(transform(sh, h -> xxhash64(h, p))))""".stripMargin)
+            .as("want"))
+        .collect()
+      out.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
+  property("SimHash63 equals the composable per-bit majority fold") =
+    Prop.forAll(Gen.listOfN(25, textGen)) { texts =>
+      graft.functions.GraftFunctions.register(spark)
+      val out = texts.toDF("text")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("sh", call_function("graft_ngram_hashes", col("ws"), lit(3)))
+        .filter(size(col("sh")) > 0)
+        .select(
+          call_function("graft_simhash63", col("sh")).as("got"),
+          expr(
+            """aggregate(sequence(0, 62), 0L, (acc, b) -> acc * 2 +
+              |  CASE WHEN aggregate(sh, 0,
+              |         (c, h) -> c + CASE WHEN (shiftright(h, b) & 1) = 1
+              |                       THEN 1 ELSE -1 END) > 0
+              |       THEN 1L ELSE 0L END)""".stripMargin).as("want"))
+        .collect()
+      out.forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("TokenRollingHash equals the composable aggregate/ascii form") =
     Prop.forAll(Gen.listOfN(40, textGen)) { texts =>
       graft.functions.GraftFunctions.register(spark)
