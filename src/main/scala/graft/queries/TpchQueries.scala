@@ -141,6 +141,98 @@ object TpchQueries {
         |  AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin),
 
+    // Q4-style: EXISTS decorrelated to a left-semi join WITH a
+    // non-equi conjunct (l_shipdate > o_orderdate) — the correlated-
+    // subquery shape the reference never exercises. Spark plans the semi
+    // join on the equi key with the range conjunct as a join residual;
+    // orders is the streamed side, lineitem only contributes existence.
+    "q4_order_priority" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit(java.sql.Date.valueOf("1996-01-01")))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // Q7-style: five-way join with the nation dimension broadcast TWICE
+    // under different roles (supplier's nation vs customer's nation) —
+    // revenue per (supp_nation, cust_nation, year). The facts join on
+    // their keys via shuffle; all four dimension hops are broadcasts.
+    "q7_nation_trade" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(microSum(discPrice).as("revenue"))
+      },
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)""".stripMargin),
+
+    // Q14-style: conditional-aggregation ratio (promo revenue share per
+    // ship month) — two exact micro-unit sums divided in double with the
+    // IDENTICAL expression shape in the oracle, so the quotient is
+    // bit-equal without rounding.
+    "q14_promo_share" -> QueryDef(
+      (s, dir) => {
+        val promoPrice =
+          s"CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE 0.0 END"
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+            col("l_shipdate").cast("date") < lit(java.sql.Date.valueOf("1998-01-01")))
+          .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(
+            (lit(100.0) * microSum(promoPrice) / microSum(discPrice))
+              .as("promo_share"),
+            count(lit(1)).as("n_lines"))
+      },
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  100.0 * (CAST(sum(CAST(round((CASE WHEN p_type = 'PROMO'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0.0 END) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+        |        / (CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+        |    AS promo_share,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY date_trunc('month', l_shipdate)""".stripMargin),
+
     // Q5-style: dimension chain nation→customer broadcast, lineitem⋈orders
     // as a shuffle join on the order key (AQE picks the physical strategy),
     // one final shuffle for the 25-group agg.
