@@ -62,6 +62,51 @@ object Multimodal {
         .as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** One resized media row: original + fitted dimensions. */
+  final case class ResizedMedia(
+      doc_id: Long, media_type: String, width: Long, height: Long,
+      out_w: Long, out_h: Long)
+
+  /** One sampled frame reference. */
+  final case class FrameRef(doc_id: Long, frame_idx: Long, n_frames: Long)
+
+  /** The batch RESIZE stage: fit each medium into a `target`×`target` box
+    * preserving aspect ratio, in pure integer arithmetic
+    * (dim·target / max(w,h) — exact, reproducible in any engine). Same
+    * mapPartitions shape as the decode: a real resizer would hold its
+    * codec/SIMD context per partition and transform the pixel buffer
+    * where this computes only the geometry. */
+  def resizeFeatures(spark: SparkSession, decoded: Dataset[FakeDecoded],
+                     target: Long): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    decoded.mapPartitions { batch =>
+      batch.map { d =>
+        val m = math.max(d.width, d.height)
+        ResizedMedia(d.doc_id, d.media_type, d.width, d.height,
+          d.width * target / m, d.height * target / m)
+      }
+    }
+  }
+
+  /** The batch FRAME-SAMPLE stage: for video media, emit up to `k`
+    * evenly-spaced frame indices (i·n_frames / k, deduplicated when
+    * n_frames < k) — the row-multiplying stage of a video pipeline, so
+    * it runs AFTER payload projection: only (doc_id, frame_idx) rows
+    * fan out, never payload bytes. Non-video media emit nothing. */
+  def sampleFrames(spark: SparkSession, decoded: Dataset[FakeDecoded],
+                   k: Int): Dataset[FrameRef] = {
+    import spark.implicits._
+    decoded.mapPartitions { batch =>
+      batch.flatMap { d =>
+        if (d.media_type != "video") Iterator.empty
+        else {
+          val idx = (0 until k).map(i => i.toLong * d.n_frames / k).distinct
+          idx.iterator.map(FrameRef(d.doc_id, _, d.n_frames))
+        }
+      }
+    }
+  }
+
   /** The batch decode stage: co-locate each media_type, then decode
     * partition-by-partition through the typed iterator (mapInPandas
     * shape). Returns the typed feature Dataset — payload projected away.

@@ -513,6 +513,43 @@ object ExtensionQueries {
     // batch "decode" (deterministic fake features — see Multimodal scaladoc;
     // the oracle replicates the arithmetic from md5/length of the text the
     // payload was synthesized from).
+    // Resize stage over the decoded features: integer box-fit geometry
+    // (dim·256 / max(w,h)) the oracle replicates with integer division.
+    "mm_resize" -> QueryDef(
+      (s, dir) => Multimodal.resizeFeatures(s,
+        Multimodal.decodeFeatures(s,
+          Multimodal.synthesizeMedia(Tables.documents(s, dir))),
+        target = 256L).toDF(),
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS BIGINT) AS width,
+        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, media_type, width, height,
+        |  CAST(width * 256 // greatest(width, height) AS BIGINT) AS out_w,
+        |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
+        |FROM dec""".stripMargin),
+
+    // Frame-sample stage: k=8 evenly-spaced indices per video, integer
+    // arithmetic, deduplicated when the clip is shorter than k — the
+    // row-multiplying stage, run after the payload is projected away.
+    "mm_frame_sample" -> QueryDef(
+      (s, dir) => Multimodal.sampleFrames(s,
+        Multimodal.decodeFeatures(s,
+          Multimodal.synthesizeMedia(Tables.documents(s, dir))),
+        k = 8).toDF(),
+      """WITH vid AS (
+        |  SELECT doc_id,
+        |    CAST(1 + strlen(text) % 240 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id,
+        |  unnest(list_distinct(list_transform(generate_series(0, 7),
+        |    i -> CAST(i * n_frames // 8 AS BIGINT)))) AS frame_idx,
+        |  n_frames
+        |FROM vid""".stripMargin),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(s,
         Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF(),

@@ -64,6 +64,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rProbed >= rPlain, s"multi-probe recall $rProbed < exact-bucket $rPlain")
   }
 
+  test("multimodal resize: box-fit geometry preserves aspect order, max dim hits the target") {
+    val docs = Seq((0L, "alpha beta gamma"), (2L, "some video words here"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.resizeFeatures(spark,
+      Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(docs)), 256L)
+      .collect().map(r => r.doc_id -> r).toMap
+    out.values.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) === 256L) // fitted to the box
+      // aspect ordering preserved by the integer scale
+      assert((r.width >= r.height) === (r.out_w >= r.out_h))
+      assert(r.out_w === r.width * 256 / math.max(r.width, r.height))
+    }
+  }
+
+  test("multimodal frame sampling: videos only, distinct in-range indices, short clips dedupe") {
+    val docs = Seq((0L, "image doc"), (2L, "x " * 3), (5L, "y " * 200))
+      .toDF("doc_id", "text")
+    val decoded = Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(docs))
+    val frames = Multimodal.sampleFrames(spark, decoded, k = 8).collect()
+    assert(!frames.exists(_.doc_id === 0L)) // non-video emits nothing
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      val idx = fs.map(_.frame_idx)
+      assert(idx.distinct.length === idx.length) // deduplicated
+      assert(idx.forall(i => i >= 0 && i < fs.head.n_frames)) // in range
+      assert(idx.length <= 8)
+    }
+    // the long video gets all 8 samples; a clip shorter than k gets fewer
+    val byDoc = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    assert(byDoc(5L) === 8)
+    assert(byDoc(2L) < 8)
+  }
+
   test("multimodal fake decode: md5/length-derived features, video frame rule") {
     val docs = Seq((0L, "alpha beta"), (2L, "gamma delta epsilon"))
       .toDF("doc_id", "text")
