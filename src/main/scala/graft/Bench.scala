@@ -76,7 +76,15 @@ object Bench {
           val df = fn(spark, sfDir) // untimed: construction + fixture writes
           val t0 = System.nanoTime()
           materialize(df)
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          // Drop this pass's lazily-persisted checkpoint blocks NOW:
+          // per-pass fresh construction otherwise stacks 3 copies per
+          // checkpointed query until the driver GCs the old plans, and
+          // the resulting storage eviction / disk spill would land inside
+          // LATER queries' timed windows.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          sec
         }.sorted
         (name, times(times.length / 2), true) // median pass
       } catch { case e: Throwable =>

@@ -79,18 +79,20 @@ object Pipeline {
     /** Three-layer merge, lowest to highest precedence: hard defaults <
       * config-file overrides < manual (CLI) overrides — main.py:241-264,
       * where the JSON params file updates the defaults dict and explicit
-      * argparse values update that. A key present in both maps resolves
-      * to the manual value. Unparseable VALUES fall back to the default
-      * for that key, completing the error-tolerant contract
-      * [[fromJsonFile]] documents for the file as a whole — a typo'd
-      * "SEQ_LENGTH": "abc" must degrade like a missing file does, not
-      * crash the pipeline with a NumberFormatException. */
+      * argparse values update that. Unparseable VALUES degrade ONE layer
+      * (not straight to the default): a typo'd manual seqLength falls
+      * back to the file's value if that parses, then to the default —
+      * collapsing past a valid file value would silently violate the
+      * precedence contract. Completes the error-tolerant behavior
+      * [[fromJsonFile]] documents for the file as a whole: junk never
+      * crashes the pipeline with a NumberFormatException. */
     def merged(fileOverrides: Map[String, String],
                manualOverrides: Map[String, String] = Map.empty): Config = {
-      val o = fileOverrides ++ manualOverrides
       val d = Config()
       def get[A](key: String, parse: String => A, dflt: A): A =
-        o.get(key).flatMap(v => scala.util.Try(parse(v)).toOption).getOrElse(dflt)
+        manualOverrides.get(key).flatMap(v => scala.util.Try(parse(v)).toOption)
+          .orElse(fileOverrides.get(key).flatMap(v => scala.util.Try(parse(v)).toOption))
+          .getOrElse(dflt)
       Config(
         seqLength = get("seqLength", _.toInt, d.seqLength),
         modelThreshold = get("modelThreshold", _.toInt, d.modelThreshold),

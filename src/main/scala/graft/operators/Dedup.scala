@@ -200,33 +200,46 @@ object Dedup {
   def simhash(shCol: String): Column =
     call_function("graft_simhash63", col(shCol))
 
+  /** THE band layout — single source of truth for the 4×16-bit SimHash
+    * band decomposition, shared by the batch sketch, the batch pair
+    * generator, and the streaming band buckets (a hand-copied layout in
+    * any of them could silently drift from the others). */
+  def withSimhashBands(sketch: DataFrame): DataFrame =
+    sketch
+      .withColumn("band0", expr("simhash & 65535"))
+      .withColumn("band1", expr("shiftright(simhash, 16) & 65535"))
+      .withColumn("band2", expr("shiftright(simhash, 32) & 65535"))
+      .withColumn("band3", expr("shiftright(simhash, 48) & 65535"))
+
   /** Per-doc SimHash sketch + its 4×16-bit band keys (for hamming-bucket
     * joins downstream). `algo` per [[hashedShingles]]: "md5" makes the
     * sketch DuckDB-reproducible for differential testing. */
   def simhashSketch(docs: DataFrame, n: Int, algo: String = "xxh64"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    spread(docs)
+    withSimhashBands(spread(docs)
       .withColumn("ws", tokens(col("text")))
       .withColumn("sh", hashedShingles("ws", n, algo))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), simhash("sh").as("simhash"))
-      .withColumn("band0", expr("simhash & 65535"))
-      .withColumn("band1", expr("shiftright(simhash, 16) & 65535"))
-      .withColumn("band2", expr("shiftright(simhash, 32) & 65535"))
-      .withColumn("band3", expr("shiftright(simhash, 48) & 65535"))
+      .select(col("doc_id"), simhash("sh").as("simhash")))
   }
 
   /** SimHash near-dup pairs: candidates share ≥1 of the 4 16-bit bands
     * (guaranteed for Hamming ≤ 3), confirmed by bit_count(xor) ≤ maxDist. */
   def simhashPairs(docs: DataFrame, n: Int, maxDist: Int,
-                   algo: String = "xxh64"): DataFrame = {
+                   algo: String = "xxh64"): DataFrame =
     // localCheckpoint (LAZY): the sketch feeds both sides of the band
     // self-join — without persistence the tokenize→shingle→hash→SimHash63
     // pipeline runs twice; eager=false avoids the round-3 extra fill pass
     // (the sketch stage itself is cheaper than one materialization job at
     // small corpus sizes). Rows are (doc_id, simhash, 4 band ints) — 1
     // sketch per doc, no text. See jaccardPairs re fault tolerance.
-    val sk = simhashSketch(docs, n, algo).localCheckpoint(eager = false)
+    simhashPairsFromSketch(
+      simhashSketch(docs, n, algo).localCheckpoint(eager = false), maxDist)
+
+  /** Pair generation from a PREBUILT [[simhashSketch]] frame — callers
+    * that already hold (and persist) the sketch for other checks must not
+    * pay the tokenize→shingle→SimHash chain a second time. */
+  def simhashPairsFromSketch(sk: DataFrame, maxDist: Int): DataFrame = {
     val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
       array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band_id", "band_val")))

@@ -234,8 +234,8 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val sk = Dedup.simhashSketch(docs, n = 3)
-          .localCheckpoint(eager = false) // feeds four checks below
-        val pairs = Dedup.simhashPairs(docs, n = 3, maxDist = 8)
+          .localCheckpoint(eager = false) // feeds the pair gen + four checks
+        val pairs = Dedup.simhashPairsFromSketch(sk, maxDist = 8)
         val skDocs = sk.join(docs.select(col("doc_id"),
           xxhash64(col("text")).as("th"), length(col("text")).as("tl")), "doc_id")
         val sketchChecks = sk.agg(

@@ -26,12 +26,13 @@ import graft.operators.Dedup
   *     dedup architectures.
   *
   * Scale notes: exact-dedup and bucket state shuffle 16-byte keys and
-  * 16-byte sketches, never document bodies. Bucket state is capped at
-  * [[MaxBucket]] sketches (oldest evicted first) — at corpus scale a hot
-  * bucket would otherwise grow without bound; the cap trades recall for
-  * bounded state exactly like the batch path's banding trades recall for
-  * candidate volume, and a production deployment would add event-time
-  * state timeout tied to the stream's watermark.
+  * 16-byte sketches, never document bodies. Bucket state is bounded in
+  * BOTH dimensions: [[MaxBucket]] sketches per bucket (oldest evicted
+  * first — a hot bucket would otherwise grow without bound) and a
+  * processing-time idle timeout per bucket (the bucket COUNT would
+  * otherwise grow toward 4×65536 over a long stream). Both caps trade
+  * recall for bounded state, exactly like the batch path's banding
+  * trades recall for candidate volume.
   */
 object StreamingDedup {
 
@@ -79,15 +80,16 @@ object StreamingDedup {
   /** Oldest-evicted cap on per-bucket state (see scaladoc). */
   val MaxBucket = 1024
 
-  /** Explode a sketch stream into its 4×16-bit band rows. */
+  /** Explode a sketch stream into its band rows — the band layout itself
+    * comes from [[Dedup.withSimhashBands]], the same single source of
+    * truth the batch sketch and pair generator use. */
   def banded(spark: SparkSession, sketches: DataFrame): Dataset[BandedSketch] = {
     import spark.implicits._
-    sketches.select(col("doc_id"), col("simhash"), posexplode(array(
-        expr("CAST(simhash & 65535 AS INT)"),
-        expr("CAST(shiftright(simhash, 16) & 65535 AS INT)"),
-        expr("CAST(shiftright(simhash, 32) & 65535 AS INT)"),
-        expr("CAST(shiftright(simhash, 48) & 65535 AS INT)"))
-      ).as(Seq("band_id", "band_val")))
+    Dedup.withSimhashBands(sketches)
+      .select(col("doc_id"), col("simhash"), posexplode(array(
+        col("band0").cast("int"), col("band1").cast("int"),
+        col("band2").cast("int"), col("band3").cast("int")))
+        .as(Seq("band_id", "band_val")))
       .select(col("band_id").as("bandId"), col("band_val").as("bandVal"),
         col("doc_id").as("docId"), col("simhash"))
       .as[BandedSketch]
@@ -95,17 +97,37 @@ object StreamingDedup {
 
   /** Stateful near-dup candidate stream: per (bandId, bandVal) bucket,
     * compare each arriving sketch against the bucket's history and emit
-    * pairs within `maxDist`. */
+    * pairs within `maxDist`.
+    *
+    * State expiry: MaxBucket caps entries PER bucket, but the number of
+    * buckets is unbounded (4×65536 possible), so each bucket also
+    * carries a processing-time idle timeout — a bucket that sees no new
+    * sketch for `stateIdleTimeout` is dropped entirely. Total state is
+    * therefore bounded by (active buckets in the window) × MaxBucket,
+    * not by the lifetime of the stream; the recall cost is that a
+    * re-arrival after a long silence can't pair with pre-silence docs —
+    * the same trade the exact-dedup watermark makes.
+    *
+    * Trigger note: processing-time timeouts make the engine run no-data
+    * micro-batches to evaluate them — run this query with a real trigger
+    * interval (production) or with
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false` (tests,
+    * where a zero-interval trigger would otherwise busy-loop). */
   def candidatePairStream(spark: SparkSession, bandedSketches: Dataset[BandedSketch],
-                          maxDist: Int): Dataset[CandidatePair] = {
+                          maxDist: Int,
+                          stateIdleTimeout: String = "30 minutes"): Dataset[CandidatePair] = {
     import spark.implicits._
     bandedSketches
       .groupByKey(b => (b.bandId, b.bandVal))
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.ProcessingTimeTimeout) {
         (_: (Int, Int), batch: Iterator[BandedSketch],
          state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val prev = state.getOption.getOrElse(
             BucketState(Array.empty[Long], Array.empty[Long]))
           var ids = prev.docIds
@@ -127,7 +149,9 @@ object StreamingDedup {
             }
           }
           state.update(BucketState(ids, sks))
+          state.setTimeoutDuration(stateIdleTimeout)
           out.result().iterator
+          }
       }
   }
 }

@@ -117,6 +117,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(c.trainRatio === 0.7) // default survives the null
     assert(c.seqLength === 5) // junk value falls back, no NumberFormatException
     assert(c.modelThreshold === 10) // good value still lands
+    // a typo'd MANUAL value degrades one layer to the FILE value, not
+    // straight to the default — precedence must survive value errors
+    val c2 = Pipeline.Config.merged(
+      fileOverrides = Map("seqLength" -> "7"),
+      manualOverrides = Map("seqLength" -> "7x"))
+    assert(c2.seqLength === 7)
   }
 
   test("validate-stage norm asymmetry: actual reuses train params, lag feature is local-only (validate.py:268-287)") {

@@ -58,6 +58,12 @@ class StreamingDedupSpec extends SparkSpecBase {
 
   test("candidatePairStream: bucket state spans micro-batches, near-dups pair, unrelated don't, re-deliveries don't duplicate") {
     implicit val sq = spark.sqlContext
+    // The operator's processing-time idle timeout makes the engine
+    // schedule no-data micro-batches continuously under the default
+    // trigger, which livelocks processAllAvailable in a test; with
+    // no-data batches off, timeouts evaluate when data arrives — the
+    // same state bound, test-friendly pacing.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val in = MemoryStream[(Long, String)]
     val sketches = StreamingDedup.sketchStream(in.toDF().toDF("doc_id", "text"), n = 3)
     val bandedStream = StreamingDedup.banded(spark, sketches)
@@ -76,6 +82,9 @@ class StreamingDedupSpec extends SparkSpecBase {
       assert(got === Set((1L, 2L)))
       val hams = spark.table("sdd_cand").as[CandidatePair].collect().map(_.hamming).toSet
       assert(hams === Set(0))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
   }
 }
