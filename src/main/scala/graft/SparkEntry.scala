@@ -12,10 +12,18 @@ import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQue
   */
 object SparkEntry {
 
-  private def all: Map[String, graft.queries.QueryDef] =
-    CoreQueries.defs ++ TpchQueries.defs ++ ExtensionQueries.defs ++
-      CleaningQueries.defs ++ FeatureQueries.defs ++ PipelineQueries.defs ++
-      SinkQueries.defs
+  private def all: Map[String, graft.queries.QueryDef] = {
+    val maps = Seq(CoreQueries.defs, TpchQueries.defs, ExtensionQueries.defs,
+      CleaningQueries.defs, FeatureQueries.defs, PipelineQueries.defs,
+      SinkQueries.defs)
+    // A name collision across files would silently SHADOW a query in the
+    // ++ merge — the driver would verify one implementation believing it
+    // covered the other. Fail loudly instead.
+    val dups = maps.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query registrations: ${dups.mkString(", ")}")
+    maps.reduce(_ ++ _)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full E2 train pipeline: hygiene → group filter → chronological
