@@ -150,11 +150,23 @@ object Pipeline {
     val splits = withSplit.select(col("event_id"), col("split"))
 
     // create_features (train.py:415-433): date trunc, high-impact count,
-    // lag, train-order fill
+    // lag, train-order fill.
+    // localCheckpoint (LAZY, the Dedup convention): this frame feeds SIX
+    // consumers — normParams (via trainRows), metricsFor ×3,
+    // validateFeatures (both sides of its broadcast join), and latest —
+    // and upstream of it sits the scan → semi-join → W5 split window
+    // (single-partition in exact mode). Without persistence each consumer
+    // re-runs that whole chain, so one materialization of
+    // pipeline_validate paid the serial global-window stage twice. The
+    // persisted rows are the featured fact (no wide intermediates); first
+    // consumer to touch a partition fills the cache, the rest reuse it.
+    // The reference runs this as one in-memory pass too (train.py:415-433
+    // feeds every downstream stage from the same frame).
     val featured = withSplit
       .withColumn("event_date", to_date(col("ts")))
       .withColumn("pred", Features.lag1(col("actual"), w))
       .withColumn("pred_f", Features.ffill(col("pred"), w))
+      .localCheckpoint(eager = false)
 
     // A5 on the TRAIN split only: norm-param side table (train.py:467-477)
     val trainRows = featured.filter(col("split") === "train")

@@ -50,15 +50,23 @@ object Ingest {
 
   /** SRC1 — blob listing + pick-first (main.py:116-124): list the landing
     * prefix, keep `*.csv`, process the lexicographically FIRST blob only.
-    * Spark-side: scan the glob once, then keep rows whose provenance
-    * (`input_file_name`) equals the minimum — one scan, no driver-side
-    * listing, and the same deterministic choice the reference makes. */
+    *
+    * The listing happens driver-side through the Hadoop FileSystem API —
+    * the same listing `spark.read` would do to resolve the glob (and the
+    * same shape as the reference's client.list_blobs) — and then ONLY the
+    * chosen file is scanned. The previous form scanned every file under
+    * the prefix (once for min(input_file_name), once for the join) and
+    * discarded all but one file's rows; on a fat landing prefix that reads
+    * the whole directory to keep one blob. One listing RPC + one
+    * single-file scan is the plan that survives scale. */
   def readFirstCsv(spark: SparkSession, dir: String): DataFrame = {
-    val withFile = readCsv(spark, s"$dir/*.csv")
-      .withColumn("__file", input_file_name())
-    val first = withFile.agg(min(col("__file")).as("__first"))
-    withFile.join(broadcast(first), col("__file") === col("__first"))
-      .drop("__file", "__first")
+    val glob = new org.apache.hadoop.fs.Path(s"$dir/*.csv")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matches.nonEmpty, s"no *.csv under $dir (main.py:116-124 picks " +
+      "the first listed blob; an empty listing has nothing to pick)")
+    val first = matches.map(_.getPath.toString).min
+    readCsv(spark, first)
   }
 
   /** P1 + F2/F3 + F5 + F8 + F4 — the cleaning chain (main.py:210-220 +

@@ -134,8 +134,9 @@ object SinkQueries {
 
     // SRC1 — blob listing + pick-first (main.py:116-124): three CSV blobs
     // land; only the lexicographically FIRST (a.csv) is processed. The
-    // read goes through Ingest.readFirstCsv's single-scan
-    // min(input_file_name) plan — no driver-side listing.
+    // read goes through Ingest.readFirstCsv's list-then-read-one plan:
+    // one driver-side glob listing (the reference's list_blobs shape),
+    // then a scan of ONLY the chosen file — b.csv/c.csv are never read.
     "src1_pick_first" -> QueryDef(
       (s, dir) => {
         val landing = scratch(s, "src1")
@@ -239,6 +240,40 @@ object SinkQueries {
         |FROM events e
         |JOIN (SELECT user_id, count(*) AS user_n
         |      FROM events GROUP BY user_id) ua USING (user_id)""".stripMargin),
+
+    // SRC3/SNK2 over a REAL JDBC engine (embedded Derby — see
+    // operators/Jdbc.scala): first load writes with the generic 1000-row
+    // batchsize (db_connector.py:120), then a truncate-and-load REPLACES
+    // it with the %3 subset at the metrics batchsize 500 (`:126-128,178`)
+    // — so stale rows surviving the truncate would surface as extras. The
+    // read-back is a 4-way partitioned JDBC range scan (the cluster-lift
+    // shape), and `jdbc_n` is a COUNT(*) the DATABASE computes via the
+    // pushed-down `query` option (db_connector.py:110-117's query→frame).
+    "src3_jdbc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val db = scratch(s, "jdbc_db")
+        val url = graft.operators.Jdbc.derbyUrl(db)
+        val e = ev(s, dir).coalesce(4) // bounded embedded-connection count
+        graft.operators.Jdbc.writeTable(
+          e.filter(col("event_id") % 5 === 0), url, "events_jdbc",
+          batchSize = 1000)
+        graft.operators.Jdbc.writeTable(
+          e.filter(col("event_id") % 3 === 0), url, "events_jdbc",
+          batchSize = 500)
+        val serverCount = graft.operators.Jdbc.readQuery(s, url,
+          """SELECT COUNT(*) AS "jdbc_n" FROM events_jdbc""")
+          .select(col("jdbc_n").cast("long").as("jdbc_n"))
+        graft.operators.Jdbc.readTablePartitioned(s, url, "events_jdbc",
+          partitionCol = "event_id", lower = 1L, upper = 100000L,
+          numPartitions = 4)
+          .crossJoin(broadcast(serverCount))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("jdbc_n"))
+      },
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE event_id % 3 = 0) AS jdbc_n
+        |FROM events e WHERE e.event_id % 3 = 0""".stripMargin),
 
     // SRC5 — existence/metadata probe (main.py:96-114): missing table →
     // false, created table → true, as one data-visible row.
