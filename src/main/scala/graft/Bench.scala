@@ -36,6 +36,14 @@ import org.apache.spark.sql.SparkSession
   *    the returned plan or the number lies.
   *  - failures are reported (time −1, listed in "failed"), never silently
   *    recorded as a fast timing.
+  *  - `calib_sec` (round 5): the median timing of a FIXED CPU-bound job
+  *    (hash-sum over a constant-size range, no I/O, no data dependence) is
+  *    emitted alongside the query timings. The round-4 driver artifact was
+  *    3–30× inflated by machine contention and only an out-of-band re-run
+  *    could prove it; with a constant-work yardstick in the same JSON any
+  *    reader can normalize: query_sec × (expected_calib / calib_sec)
+  *    estimates the uncontended timing. Expected range on this box:
+  *    ~0.2–0.5 s (see README; tools/bench_compare.py automates the check).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,6 +78,27 @@ object Bench {
         org.apache.spark.sql.functions.col("event_type"))).count())
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
+    // Calibration: constant work (2^28 xxhash64 + sum over an in-memory
+    // range), so its seconds vary ONLY with machine load — the yardstick
+    // that makes cross-run comparisons honest. Median of 3, same as the
+    // queries; runs right after warmup so JIT/codegen are already paid.
+    val calibSec =
+      try {
+        Array.fill(3) {
+          val t0 = System.nanoTime()
+          // bit_xor, not sum: summing 2^28 hashes overflows long under
+          // ANSI (Spark 4 default); xor is closed over long.
+          materialize(spark.range(1L << 28)
+            .select(org.apache.spark.sql.functions.bit_xor(
+              org.apache.spark.sql.functions.xxhash64(
+                org.apache.spark.sql.functions.col("id")))))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        -1.0
+      }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val times = Array.fill(passes) {
@@ -97,7 +126,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

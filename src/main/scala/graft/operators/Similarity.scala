@@ -150,21 +150,52 @@ object Similarity {
     * centroids' posting lists. Candidate volume ≈ nProbe/nCentroids of the
     * corpus regardless of the similarity regime.
     *
-    * Centroids here are a deterministic spread sample (every ⌈n/K⌉-th
-    * vector by id) — one k-means refinement pass would drop in as a
-    * repeat of the same assignment join. */
+    * Seeding is deterministic farthest-point (k-center) over a hash-
+    * ordered sample — the k-means++ idea with the random D²-proportional
+    * draw replaced by the argmax (ties by vec_id), so runs are exactly
+    * reproducible with no stored model. The round-4 spread-by-id sample
+    * ignored vector geometry entirely and measured 0.66 recall; spread
+    * SEEDS cover the embedding space, which is what lifts the coarse
+    * quantizer. The sample is O(K) rows collected driver-side (FAISS
+    * trains its coarse quantizer on a sample the same way) — independent
+    * of corpus size, so the scale story is unchanged. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, refineIters: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val n = corpus.count()
-    val step = math.max(1L, n / nCentroids)
-    // orderBy before limit: a bare limit on an unordered filter takes
-    // whichever rows arrive first — plan/partition-order dependent, which
-    // would make the "deterministic spread sample" claim false.
-    val seeds = corpus
-      .filter(col("vec_id") % step === 0)
-      .orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val spark = queries.sparkSession
+    val sampleSize = math.max(nCentroids * 8, 256)
+    // hash-ordered: corpus-order-free AND uncorrelated with vec_id ranges;
+    // sort-limit plans as TakeOrdered (per-partition top-S, tiny shuffle)
+    val sample = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val units = sample.map { case (_, v) =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      if (nrm == 0.0) v.map(_ => 0.0) else v.map(_.toDouble / nrm)
+    }
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      1.0 - s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0) // head = min hash
+    val minDist = units.map(cosDist(units(0), _))
+    while (chosen.size < math.min(nCentroids, sample.length)) {
+      var best = -1
+      for (i <- units.indices if !chosen.contains(i))
+        if (best < 0 || minDist(i) > minDist(best) ||
+          (minDist(i) == minDist(best) && sample(i)._1 < sample(best)._1))
+          best = i
+      chosen += best
+      val d = units.map(cosDist(units(best), _))
+      for (i <- units.indices) minDist(i) = math.min(minDist(i), d(i))
+    }
+    val seeds = spark.createDataFrame(
+      chosen.toSeq.map(i => (sample(i)._1, sample(i)._2.toSeq)))
+      .toDF("centroid_id", "centv")
 
     def assign(cents: DataFrame, df: DataFrame, idName: String, keep: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
