@@ -238,12 +238,35 @@ object Dedup {
 
   /** Pair generation from a PREBUILT [[simhashSketch]] frame — callers
     * that already hold (and persist) the sketch for other checks must not
-    * pay the tokenize→shingle→SimHash chain a second time. */
-  def simhashPairsFromSketch(sk: DataFrame, maxDist: Int): DataFrame = {
+    * pay the tokenize→shingle→SimHash chain a second time.
+    *
+    * `probeBits` (0..16) is the SimHash analogue of the LSH multi-probe:
+    * besides its exact band value, the PROBE side also joins on the values
+    * at Hamming distance 1 within the first `probeBits` bit positions of
+    * each band. The index side stays one row per (doc, band) — no second
+    * index, no extra index rows in the shuffle; the fan-out is probe-side
+    * only (×(1+probeBits) rows). Coverage guarantee (pigeonhole over the
+    * 4×16 layout): exact bands guarantee candidates for Hamming ≤ 3; with
+    * probeBits=16, any pair at Hamming ≤ 7 must have some band differing
+    * in ≤ 1 bit, so candidate generation is GUARANTEED for d ≤ 7 — the
+    * right knob when maxDist is pushed past the exact-band guarantee,
+    * where distance-4..8 pairs were previously found only if they happened
+    * to collide on a band. In the self-join both docs take the probe role,
+    * so a 1-bit band difference is found from either end. */
+  def simhashPairsFromSketch(sk: DataFrame, maxDist: Int,
+                             probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 16,
+      s"probeBits must be in [0, 16] (16-bit bands), got $probeBits")
     val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
       array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band_id", "band_val")))
-    val a = banded.select(col("band_id"), col("band_val"),
+    val probed =
+      if (probeBits == 0) banded
+      else banded.select(col("doc_id"), col("simhash"), col("band_id"),
+        explode(array(col("band_val") +:
+          (0 until probeBits).map(j => col("band_val").bitwiseXOR(lit(1L << j))): _*))
+          .as("band_val"))
+    val a = probed.select(col("band_id"), col("band_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band_id"), col("band_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))

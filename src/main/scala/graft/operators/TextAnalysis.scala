@@ -49,19 +49,24 @@ object TextAnalysis {
           .as("punct_ratio"))
   }
 
+  // Single source of truth for the quality formula — shared by the batch
+  // [[qualityScore]] and the streaming-composable [[withCurationGates]],
+  // so the two surfaces can never apply different thresholds.
+  // CAST to DOUBLE: a bare `/ 3.0` parses the literal as DECIMAL(2,1)
+  // in Spark SQL and the division comes out scale-6 decimal, not the
+  // IEEE double any other engine produces.
+  private val qualityExpr =
+    """CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+      |   + CASE WHEN type_token_ratio >= 0.25 THEN 1 ELSE 0 END
+      |   + CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END
+      | AS DOUBLE) / CAST(3.0 AS DOUBLE)""".stripMargin
+
   /** Quality score in [0,1]: equal-weight components for length-in-range,
     * lexical diversity, and stopword presence — the shape of the
     * reference-free quality filters used on web corpora. Pure integer/CASE
     * arithmetic plus one final double division. */
   def qualityScore(stats: DataFrame): DataFrame =
-    stats.withColumn("quality_score", expr(
-      // CAST to DOUBLE: a bare `/ 3.0` parses the literal as DECIMAL(2,1)
-      // in Spark SQL and the division comes out scale-6 decimal, not the
-      // IEEE double any other engine produces.
-      """CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
-        |   + CASE WHEN type_token_ratio >= 0.25 THEN 1 ELSE 0 END
-        |   + CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END
-        | AS DOUBLE) / CAST(3.0 AS DOUBLE)""".stripMargin))
+    stats.withColumn("quality_score", expr(qualityExpr))
 
   /** Marker-token profiles for the language-ID heuristic. A real n-gram
     * model would score char 3-gram log-likelihoods; the plan shape (one
@@ -73,22 +78,54 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "los"),
     "zh" -> Seq("的", "了", "是"))
 
-  /** Language-ID: score = marker hits per language, predict the argmax
-    * (ties broken by language code order), 'und' when nothing matches. */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(
-      docs.withColumn("ws", toks(col("text")))) { case (df, (lang, markers)) =>
-      df.withColumn(s"score_$lang",
-        size(expr(s"filter(ws, w -> w IN (${markers.map("'" + _ + "'").mkString(",")}))")))
+  /** Marker scoring + argmax shared by [[langId]] and
+    * [[withCurationGates]]: adds `lang_predicted` and `marker_hits` to a
+    * frame that already carries a `ws` token-array column (ties broken by
+    * language code order, 'und' when nothing matches). */
+  private def withLangPrediction(withWs: DataFrame): DataFrame = {
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(withWs) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(expr(s"filter(ws, w -> w IN (${markers.map("'" + _ + "'").mkString(",")}))")))
     }
     val langs = langMarkers.keys.toSeq.sorted
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
     scored
       .withColumn("best", greatest(best: _*))
+      .withColumn("lang_predicted",
+        when(col("best.s") > 0, col("best.l")).otherwise(lit("und")))
+      .withColumn("marker_hits", col("best.s"))
+      .drop(langs.map(l => s"score_$l") :+ "best": _*)
+  }
+
+  /** Language-ID: score = marker hits per language, predict the argmax
+    * (ties broken by language code order), 'und' when nothing matches. */
+  def langId(docs: DataFrame): DataFrame =
+    withLangPrediction(docs.withColumn("ws", toks(col("text"))))
       .select(col("doc_id"), col("lang").as("lang_actual"),
-        when(col("best.s") > 0, col("best.l")).otherwise(lit("und"))
-          .as("lang_predicted"),
-        col("best.s").as("marker_hits"))
+        col("lang_predicted"), col("marker_hits"))
+
+  /** The curation gates (quality + language) as ONE stateless projection
+    * chain over any frame carrying (text, …) — no joins, no shuffles, so
+    * the identical chain runs on a batch frame and on an unbounded stream
+    * (the batch ext_corpus_curation derives the same numbers via
+    * [[textStats]]→[[qualityScore]] and [[langId]]; the formula strings
+    * are shared, so the surfaces cannot drift). Adds `quality_score` and
+    * `lang_predicted`, preserves every input column. */
+  def withCurationGates(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    withLangPrediction(
+      docs
+        .withColumn("m", call_function("graft_text_metrics", col("text")))
+        .withColumn("n_tokens", col("m.n_tokens"))
+        .withColumn("type_token_ratio",
+          col("m.n_uniq_tokens").cast("double") / col("m.n_tokens"))
+        .withColumn("stopword_ratio",
+          col("m.n_stopwords").cast("double") / col("m.n_tokens"))
+        .withColumn("quality_score", expr(qualityExpr))
+        .withColumn("ws", toks(col("text"))))
+      .drop("m", "ws", "n_tokens", "type_token_ratio", "stopword_ratio",
+        "marker_hits")
   }
 
   /** Content fingerprints: an MD5 of the whitespace-normalized text (the

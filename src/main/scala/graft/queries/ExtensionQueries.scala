@@ -288,6 +288,28 @@ object ExtensionQueries {
          |    OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin),
 
+    // SimHash pairs with the Hamming-ball multi-probe (probeBits=16): the
+    // probe side ALSO joins each band at every 1-bit flip, so candidate
+    // generation is GUARANTEED for Hamming ≤ 7 (pigeonhole: 4 bands, some
+    // band differs in ≤ 1 bit) instead of ≤ 3 — probe-side fan-out only,
+    // no second index. The oracle re-derives the md5 sketch and replicates
+    // the widened precondition exactly: some band within Hamming 1, total
+    // distance ≤ 10 (distance 8-10 pairs stay opportunistic).
+    "dedup_simhash_pairs_probed" -> QueryDef(
+      (s, dir) => Dedup.simhashPairsFromSketch(
+        Dedup.simhashSketch(Tables.documents(s, dir), n = 3, algo = "md5")
+          .localCheckpoint(eager = false),
+        maxDist = 10, probeBits = 16),
+      s"""WITH $duckSimhashSketch
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sk a, sk b
+         |WHERE a.doc_id < b.doc_id
+         |  AND (bit_count(xor(a.simhash, b.simhash) & 65535) <= 1
+         |    OR bit_count((xor(a.simhash, b.simhash) >> 16) & 65535) <= 1
+         |    OR bit_count((xor(a.simhash, b.simhash) >> 32) & 65535) <= 1
+         |    OR bit_count((xor(a.simhash, b.simhash) >> 48) & 65535) <= 1)
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin),
+
     // Embedding near-dup pairs: cosine ≥ 0.45, pair ids only (the float
     // similarity itself is engine-noise; the SET is stable because no pair
     // sits near the threshold in this corpus).

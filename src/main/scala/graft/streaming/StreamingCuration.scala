@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** The north-star corpus-curation flow (quality gate → language gate →
+  * exact dedup → near-dup candidates) on an UNBOUNDED document stream —
+  * the streaming twin of the batch `ext_corpus_curation` query, composed
+  * from the pieces that already exist:
+  *
+  *  - [[TextAnalysis.withCurationGates]]: both gates are one stateless
+  *    projection chain (no joins), so they run per-row in any micro-batch
+  *    exactly as they do in batch — same formula strings, zero drift.
+  *  - [[StreamingDedup.exactDedupStream]]: watermark-bounded first-wins
+  *    exact dedup (16-byte keys in state, never text).
+  *  - [[StreamingDedup.sketchStream]] → [[StreamingDedup.banded]] →
+  *    [[StreamingDedup.candidatePairStream]]: stateful SimHash band
+  *    buckets emit near-dup candidate pairs the moment the second doc of
+  *    a pair arrives.
+  *
+  * The deliberate semantic difference vs batch: batch curation REMOVES
+  * near-dup losers (it sees the whole corpus); a stream cannot un-emit a
+  * survivor, so the near-dup stage emits candidate PAIRS and the
+  * downstream consumer (sink merge / compaction job) applies the
+  * keep-smallest policy — the standard streaming-dedup architecture.
+  * Everything upstream of that (gates + exact dedup) is batch-parity,
+  * pinned by StreamingDedupSpec on a replayed corpus.
+  *
+  * Scale notes: the gates run at scan speed per micro-batch; state is
+  * bounded (watermark for exact dedup, MaxBucket × idle-timeout for the
+  * band buckets); nothing shuffles document bodies except the curated
+  * output itself.
+  */
+object StreamingCuration {
+
+  /** Gate + exact-dedup front half: curated documents, one per distinct
+    * surviving text, with `quality_score` and `lang_predicted` attached.
+    * Output is a valid streaming frame (append mode). */
+  def curatedStream(docs: DataFrame, tsCol: String, delay: String,
+                    minQuality: Double = 0.5, lang: String = "en"): DataFrame =
+    StreamingDedup.exactDedupStream(
+      TextAnalysis.withCurationGates(docs)
+        .filter(col("quality_score") > minQuality &&
+          col("lang_predicted") === lang),
+      tsCol, delay)
+
+  /** Back half: near-dup candidate pairs among the curated survivors
+    * (SimHash sketch → band buckets). Chain this onto [[curatedStream]]'s
+    * output for the full flow. `probeBits` per [[StreamingDedup.banded]]:
+    * 16 widens the guaranteed-candidate radius from Hamming 3 to 7 at
+    * zero extra state — for curation, where misses are silent corpus
+    * pollution, the probed form is the production setting. */
+  def nearDupCandidates(spark: SparkSession, curated: DataFrame, n: Int,
+                        maxDist: Int,
+                        probeBits: Int = 16): Dataset[StreamingDedup.CandidatePair] =
+    StreamingDedup.candidatePairStream(spark,
+      StreamingDedup.banded(spark, StreamingDedup.sketchStream(curated, n),
+        probeBits),
+      maxDist)
+}

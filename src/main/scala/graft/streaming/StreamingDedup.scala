@@ -63,8 +63,11 @@ object StreamingDedup {
       .select(col("doc_id"), Dedup.simhash("sh").as("simhash"))
   }
 
-  /** One banded sketch row: the stream-side unit of near-dup state. */
-  final case class BandedSketch(bandId: Int, bandVal: Int, docId: Long, simhash: Long)
+  /** One banded sketch row: the stream-side unit of near-dup state.
+    * `probe = true` marks a Hamming-ball probe row (see [[banded]]): it
+    * looks up its bucket's history but is never inserted into state. */
+  final case class BandedSketch(bandId: Int, bandVal: Int, docId: Long,
+                                simhash: Long, probe: Boolean)
 
   /** An emitted candidate: a new doc within `maxDist` of a prior doc in
     * the same band bucket. Pairs are (smaller, larger) by doc id; the
@@ -82,16 +85,40 @@ object StreamingDedup {
 
   /** Explode a sketch stream into its band rows — the band layout itself
     * comes from [[Dedup.withSimhashBands]], the same single source of
-    * truth the batch sketch and pair generator use. */
-  def banded(spark: SparkSession, sketches: DataFrame): Dataset[BandedSketch] = {
+    * truth the batch sketch and pair generator use.
+    *
+    * `probeBits` (0..16) is the streaming form of the batch Hamming-ball
+    * multi-probe ([[Dedup.simhashPairsFromSketch]]): besides its exact
+    * band rows, each doc emits LOOKUP-ONLY rows (probe = true) at every
+    * 1-bit flip within the first `probeBits` positions of each band.
+    * Probe rows search their bucket's history but never enter state, so
+    * state size is unchanged — the fan-out is per-arrival work only.
+    * With probeBits=16 candidate generation is GUARANTEED for pairs at
+    * Hamming ≤ 7 (some band differs in ≤ 1 bit; the later arrival's
+    * probe row lands in the earlier doc's stored bucket), vs ≤ 3 for
+    * exact bands — the identical guarantee widening as the batch probe. */
+  def banded(spark: SparkSession, sketches: DataFrame,
+             probeBits: Int = 0): Dataset[BandedSketch] = {
     import spark.implicits._
-    Dedup.withSimhashBands(sketches)
+    require(probeBits >= 0 && probeBits <= 16,
+      s"probeBits must be in [0, 16] (16-bit bands), got $probeBits")
+    val exact = Dedup.withSimhashBands(sketches)
       .select(col("doc_id"), col("simhash"), posexplode(array(
         col("band0").cast("int"), col("band1").cast("int"),
         col("band2").cast("int"), col("band3").cast("int")))
         .as(Seq("band_id", "band_val")))
+    val withProbes =
+      if (probeBits == 0) exact.withColumn("probe", lit(false))
+      else exact.select(col("doc_id"), col("simhash"), col("band_id"),
+        explode(array(struct(col("band_val"), lit(false).as("probe")) +:
+          (0 until probeBits).map(j => struct(
+            col("band_val").bitwiseXOR(lit(1 << j)).as("band_val"),
+            lit(true).as("probe"))): _*)).as("bv"))
+        .select(col("doc_id"), col("simhash"), col("band_id"),
+          col("bv.band_val").as("band_val"), col("bv.probe").as("probe"))
+    withProbes
       .select(col("band_id").as("bandId"), col("band_val").as("bandVal"),
-        col("doc_id").as("docId"), col("simhash"))
+        col("doc_id").as("docId"), col("simhash"), col("probe"))
       .as[BandedSketch]
   }
 
@@ -134,6 +161,11 @@ object StreamingDedup {
           var sks = prev.sketches
           val out = List.newBuilder[CandidatePair]
           batch.foreach { b =>
+            // probe rows (Hamming-ball lookups, see banded) compare
+            // against history but never enter state; exact rows do both.
+            // A doc's own exact row can precede its probe rows in the
+            // iterator only in OTHER buckets (a flip changes the value),
+            // so the self-compare guard covers both kinds.
             if (!ids.contains(b.docId)) {
               var i = 0
               while (i < ids.length) {
@@ -143,9 +175,11 @@ object StreamingDedup {
                     math.max(ids(i), b.docId), d)
                 i += 1
               }
-              // newest first; oldest evicted past the cap
-              ids = (b.docId +: ids).take(MaxBucket)
-              sks = (b.simhash +: sks).take(MaxBucket)
+              if (!b.probe) {
+                // newest first; oldest evicted past the cap
+                ids = (b.docId +: ids).take(MaxBucket)
+                sks = (b.simhash +: sks).take(MaxBucket)
+              }
             }
           }
           state.update(BucketState(ids, sks))

@@ -72,6 +72,39 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
   }
 
+  test("Hamming-ball multi-probe: superset of exact-band pairs, d<=7 coverage guaranteed") {
+    // Synthetic sketches exercise the guarantee boundary directly: pairs
+    // at band-spread distances 4 (1,1,1,1) and 7 (1,2,2,2) share NO exact
+    // band, so the plain band join misses them; probeBits=16 must find
+    // both (each has a band within Hamming 1). The (2,2,2,2) spread at
+    // d=8 stays out of reach from either side — probing is a widened
+    // guarantee, not a brute-force fallback.
+    def sk(rows: Seq[(Long, Long)]) =
+      Dedup.withSimhashBands(rows.toDF("doc_id", "simhash"))
+    val base = 0x0123456789abcdL
+    def flip(bits: Long*) = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val sketches = sk(Seq(
+      10L -> base,
+      11L -> flip(0, 16, 32, 48), // d=4, one bit per band
+      12L -> flip(1, 17, 18, 33, 34, 49, 50), // d=7, band0 within 1
+      13L -> flip(2, 3, 19, 20, 35, 36, 51, 52))) // d=8, all bands at 2
+    val plain = Dedup.simhashPairsFromSketch(sketches, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Dedup.simhashPairsFromSketch(sketches, maxDist = 10, probeBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(probed)) // probing only ADDS candidates
+    assert(!plain.contains((10L, 11L)) && !plain.contains((10L, 12L)))
+    assert(probed.contains((10L, 11L)) && probed.contains((10L, 12L)))
+    assert(!probed.contains((10L, 13L))) // d=8 (2,2,2,2): beyond the ball
+    // and on real documents the production path stays a superset too
+    val sketch = Dedup.simhashSketch(docs, n = 3)
+    val realPlain = Dedup.simhashPairsFromSketch(sketch, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val realProbed = Dedup.simhashPairsFromSketch(sketch, maxDist = 8, probeBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(realPlain.subsetOf(realProbed))
+  }
+
   test("md5 shingle-hash parameterization: cross-engine value pin and same pairing behavior") {
     graft.functions.GraftFunctions.register(spark)
     // Value pin: first 15 hex chars of md5('abc') base-16 — the number

@@ -56,6 +56,80 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming curation flow: gates + exact dedup match the batch composition on a replayed corpus; Hamming-ball probes pair near-dups across batches that exact bands cannot") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // 49-token base and a one-word edit: their xxh64 SimHash sketches
+    // differ in exactly 4 bits spread (1,1,1,1) across the 4 bands — the
+    // pigeonhole boundary case. NO band matches exactly (the plain band
+    // join provably cannot pair them) while EVERY band is within Hamming
+    // 1 (probeBits=16 provably must). A re-tokenization that shifts the
+    // sketch re-picks the pair; the assertions below would fail loudly.
+    val baseText = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows gently past the old stone bridge where children often play " +
+      "during warm summer afternoons and the soft wind carries the sweet scent " +
+      "of wild flowers across the quiet green valley toward the distant snowy mountains"
+    val editText = baseText.replace("bridge where children", "bridge changed children")
+    val lowQuality = "tiny doc"
+    val german = "der hund und die katze laufen durch das haus und der wald"
+    val corpus = Seq(
+      (1L, baseText, ts("2025-01-05 10:00:00")),
+      (2L, editText, ts("2025-01-05 10:01:00")), // near-dup of 1, passes gates
+      (3L, unrelated, ts("2025-01-05 10:02:00")), // no en markers -> lang gate
+      (4L, lowQuality, ts("2025-01-05 10:03:00")), // quality gate
+      (5L, german, ts("2025-01-05 10:04:00")), // de -> lang gate
+      (6L, baseText, ts("2025-01-05 10:05:00"))) // exact dup of 1 -> dedup
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val curated = graft.streaming.StreamingCuration
+      .curatedStream(docs, "ts", "1 hour")
+    val q1 = curated.writeStream.format("memory").queryName("sc_curated")
+      .outputMode("append").start()
+    val q2 = graft.streaming.StreamingCuration
+      .nearDupCandidates(spark, curated, n = 3, maxDist = 8) // probeBits=16 default
+      .writeStream.format("memory").queryName("sc_cand")
+      .outputMode("append").start()
+    val q3 = graft.streaming.StreamingCuration
+      .nearDupCandidates(spark, curated, n = 3, maxDist = 8, probeBits = 0)
+      .writeStream.format("memory").queryName("sc_cand_plain")
+      .outputMode("append").start()
+    def syncAll(): Unit = {
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+    }
+    try {
+      // replay in two micro-batches: the near-dup halves arrive in
+      // DIFFERENT batches, so pairing must come from bucket state
+      corpus.take(1).foreach(in.addData(_)); syncAll()
+      corpus.drop(1).foreach(in.addData(_)); syncAll()
+      val streamed = spark.table("sc_curated")
+      assert(streamed.columns.contains("quality_score") &&
+        streamed.columns.contains("lang_predicted"))
+      val streamedIds = streamed.select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch parity: the SAME gate chain + keep-first exact dedup on the
+      // full corpus as one batch frame (arrival order is doc_id order, so
+      // streaming first-wins == batch min(doc_id))
+      val batchIds = graft.operators.TextAnalysis
+        .withCurationGates(corpus.toDF("doc_id", "text", "ts"))
+        .filter(col("quality_score") > 0.5 && col("lang_predicted") === "en")
+        .groupBy(xxhash64(col("text")), length(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamedIds === batchIds)
+      assert(streamedIds === Set(1L, 2L)) // and the set is the curated one
+      // probed: the (1,1,1,1) pair MUST surface (doc 1's bands are in
+      // state from batch 1; doc 2's probe rows land in them in batch 2);
+      // gated-out docs never reach the sketch stage, so no other pair can
+      val cands = spark.table("sc_cand").as[CandidatePair].collect()
+      assert(cands.map(p => (p.docA, p.docB)).toSet === Set((1L, 2L)))
+      assert(cands.forall(_.hamming === 4))
+      // plain exact bands: provably unreachable at spread (1,1,1,1)
+      assert(spark.table("sc_cand_plain").count() === 0)
+    } finally {
+      q1.stop(); q2.stop(); q3.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   test("candidatePairStream: bucket state spans micro-batches, near-dups pair, unrelated don't, re-deliveries don't duplicate") {
     implicit val sq = spark.sqlContext
     // The operator's processing-time idle timeout makes the engine
