@@ -34,6 +34,12 @@ object TpchQueries {
     sum(expr(s"CAST(round(($xSql) * 1e6) AS BIGINT)"))
       .cast("double") / lit(1e6)
 
+  /** The same exact sum kept as BIGINT micro-units — for queries that
+    * COMPARE aggregates (max-equality, correlated thresholds), where a
+    * double round-trip would reintroduce engine-dependent ties. */
+  private def microSumRaw(xSql: String): Column =
+    sum(expr(s"CAST(round(($xSql) * 1e6) AS BIGINT)"))
+
   private val discPrice = "l_extendedprice * (1 - l_discount)"
   private val duckSums =
     """CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"""
@@ -232,6 +238,265 @@ object TpchQueries {
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
         |GROUP BY date_trunc('month', l_shipdate)""".stripMargin),
+
+    // Q8-style: market share — the revenue fraction delivered by one
+    // supplier nation, per order year, within one REGION's customers.
+    // Exercises the region→nation→customer dimension chain (region was
+    // otherwise uncovered) plus a conditional-share ratio of two exact
+    // micro-sums with the identical expression shape in the oracle.
+    "q8_market_share" -> QueryDef(
+      (s, dir) => {
+        val asiaNations = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val supNation = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val targetShare =
+          s"CASE WHEN supp_nation = 'NATION_7' THEN $discPrice ELSE 0.0 END"
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((microSum(targetShare) / microSum(discPrice)).as("mkt_share"),
+            count(lit(1)).as("n_lines"))
+      },
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  (CAST(sum(CAST(round((CASE WHEN sn.n_name = 'NATION_7'
+        |          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+        |  / (CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+        |    AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY year(o_orderdate)""".stripMargin),
+
+    // Q10-style: returned-item revenue per customer — a selective fact
+    // filter (returnflag = 'R'), a fact-fact shuffle join, then the
+    // customer/nation dimension hops as broadcasts; high-cardinality
+    // grouping on the customer.
+    "q10_returned_revenue" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+            col("o_orderdate").cast("date") < lit(java.sql.Date.valueOf("1997-07-01")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"),
+            col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(microSum(discPrice).as("revenue"))
+      },
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin),
+
+    // Q13-style: customer order-count distribution — LEFT OUTER join
+    // (customers with zero qualifying orders must survive with count 0)
+    // into a two-level aggregation. The filter lives in the join, not a
+    // WHERE (a WHERE would silently turn the outer join inner).
+    "q13_order_distribution" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables.customer(s, dir).select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin),
+
+    // Q15-style: top supplier(s) by revenue — an aggregate compared
+    // against the aggregate-of-the-aggregate (scalar max subquery). The
+    // comparison runs on the exact BIGINT micro-units, never the double
+    // round-trip: max-equality on doubles is where cross-engine ties die.
+    "q15_top_supplier" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1997-01-01")))
+          .groupBy(col("l_suppkey"))
+          .agg(microSumRaw(discPrice).as("rev_micro"))
+        val top = rev.agg(max(col("rev_micro")).as("max_micro"))
+        rev.join(broadcast(top), col("rev_micro") === col("max_micro"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("rev_micro").cast("double") / lit(1e6)).as("total_revenue"))
+      },
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS rev_micro
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_micro AS DOUBLE) / 1e6 AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micro = (SELECT max(rev_micro) FROM r)""".stripMargin),
+
+    // Q17-style: correlated average — lines whose quantity is below 20%
+    // of their part's average quantity. The per-part average comes back
+    // as (count, exact micro-sum) and the threshold test is pure integer
+    // arithmetic (q*5n < Σq ⟺ q < 0.2·avg) — no float boundary anywhere.
+    // The agg side derives from the fact itself, so it joins via shuffle
+    // on the part key (never broadcast — it scales with the fact).
+    "q17_small_quantity" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), microSumRaw("l_quantity").as("qsum"))
+        li.join(broadcast(Tables.part(s, dir)
+            .filter(col("p_type") === "SMALL").select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, "l_partkey")
+          .filter(expr("CAST(round(l_quantity * 1e6) AS BIGINT) * 5 * n < qsum"))
+          .agg((microSum("l_extendedprice") / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      },
+      """WITH pp AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |    sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS qsum
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+        |JOIN pp USING (l_partkey)
+        |WHERE CAST(round(l_quantity * 1e6) AS BIGINT) * 5 * n < qsum""".stripMargin),
+
+    // Q18-style: large orders — per-order quantity sum with a HAVING
+    // threshold, the surviving keys joined back to orders + customer.
+    // The big-order set is fact-derived (shuffle join on the order key);
+    // only the customer hop broadcasts.
+    "q18_large_orders" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(microSumRaw("l_quantity").as("qty_micro"))
+          .filter(col("qty_micro") > lit(250L * 1000000L))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            (col("qty_micro").cast("double") / lit(1e6)).as("total_qty"))
+      },
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(qty_micro AS DOUBLE) / 1e6 AS total_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS qty_micro
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity * 1e6) AS BIGINT)) > 250000000) b
+        |JOIN orders ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin),
+
+    // Q19-style: disjunction of brand/size/quantity conjunctions — the
+    // OR-of-ANDs predicate that tests codegen'd predicate evaluation and
+    // partial pushdown (the shared l_quantity bounds prune at the scan;
+    // the per-brand arms evaluate post-join).
+    "q19_disjunctive" -> QueryDef(
+      (s, dir) => {
+        val arm = (brand: String, qLo: Int, qHi: Int, sHi: Int) =>
+          col("p_brand") === brand &&
+            col("l_quantity").between(qLo, qHi) &&
+            col("p_size").between(1, sHi)
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+          .filter(arm("Brand#11", 1, 11, 5) || arm("Brand#15", 10, 20, 10) ||
+            arm("Brand#18", 20, 30, 15))
+          .agg(microSum(discPrice).as("revenue"), count(lit(1)).as("n_lines"))
+      },
+      """SELECT
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#18' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin),
+
+    // Q22-style: customers above the positive-balance average with no
+    // RECENT orders — scalar subquery threshold + ANTI join (the one join
+    // type the suite didn't yet exercise). "Recent" (≥ 1998-01-01) rather
+    // than TPC-H's "any": this generator gives virtually every customer
+    // an order history, so the literal q22 anti-join would verify an
+    // always-empty result — a trivially-agreeing check. The average test
+    // is exact integer cross-multiplication (bal·n > Σbal), no float
+    // boundary; grouped by market segment (the driver schema's stand-in
+    // for country code).
+    "q22_inactive_customers" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val posAvg = cust.filter(col("c_acctbal") > 0.0)
+          .agg(count(lit(1)).as("np"), microSumRaw("c_acctbal").as("psum"))
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit(java.sql.Date.valueOf("1998-01-01")))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(posAvg))
+          .filter(expr("CAST(round(c_acctbal * 1e6) AS BIGINT) * np > psum"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"), microSum("c_acctbal").as("totacctbal"))
+      },
+      """WITH pa AS (
+        |  SELECT count(*) AS np,
+        |    sum(CAST(round(c_acctbal * 1e6) AS BIGINT)) AS psum
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS totacctbal
+        |FROM customer, pa
+        |WHERE CAST(round(c_acctbal * 1e6) AS BIGINT) * np > psum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
+        |GROUP BY c_mktsegment""".stripMargin),
 
     // Q5-style: dimension chain nation→customer broadcast, lineitem⋈orders
     // as a shuffle join on the order key (AQE picks the physical strategy),

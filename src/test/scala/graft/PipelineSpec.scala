@@ -153,6 +153,29 @@ class PipelineSpec extends SparkSpecBase {
     vf.unpersist()
   }
 
+  test("validate plan shares the feature chain: one window-sort, upstream chain behind the checkpoint (r4 advice)") {
+    val r = Pipeline.run(spark, Tables.events(spark, sf0001))
+    // The featured frame (scan -> semi-join -> W5 split global window ->
+    // lag/ffill windows) is lazily checkpointed, so every consumer's plan
+    // must read it as an ExistingRDD scan instead of recomputing the
+    // chain. validateFeatures consumes it on BOTH sides of its broadcast
+    // join; without the checkpoint its plan carried TWO copies of the
+    // whole chain including the serial global-window sort.
+    val plan = r.validateFeatures.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"validateFeatures must read the checkpointed feature chain:\n$plan")
+    // ONE window-sort of the fact: the a-side and p-side local min/max
+    // windows share the same partitioning+ordering, so they stack on a
+    // single Sort. A second Sort would mean a consumer recomputed the
+    // chain (or the windows stopped sharing their exchange).
+    val nSorts = plan.linesIterator.count(_.contains("Sort ["))
+    assert(nSorts === 1,
+      s"expected exactly 1 window-sort of the fact table, got $nSorts:\n$plan")
+    // and no single-partition global sort survives anywhere downstream
+    assert(!plan.contains("SinglePartition"),
+      s"the serial W5 stage must stay behind the checkpoint:\n$plan")
+  }
+
   test("SNK3 append-or-replace: append on first (empty) run, overwrite afterwards (db_connector.py:189-198)") {
     val dir = Files.createTempDirectory("graft_snk3").toString + "/live"
     val df1 = Seq((1L, 10.0)).toDF("id", "v")
