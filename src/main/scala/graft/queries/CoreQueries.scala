@@ -52,6 +52,39 @@ object CoreQueries {
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)""".stripMargin),
 
+    // W8 (engine extension — SURVEY §2e notes the reference has NO session
+    // windows): per-user sessionization via the BUILT-IN session_window
+    // grouping — events merge into one session while consecutive gaps are
+    // < 30 min; the window end is last-event + gap. The oracle re-derives
+    // the identical sessions from first principles (lag → µs gap ≥ gap
+    // threshold → cumulative-sum session ids → per-session agg), with the
+    // gap compared on exact BIGINT microseconds — no float boundary. At
+    // scale this is ONE shuffle on user_id; Structured Streaming accepts
+    // the same expression with a watermark.
+    "w8_session_window" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events")),
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin),
+
     // F6+F9+A1+J1 — impact ordinal, date truncation, and per-(dim, day)
     // high-impact count attached to each row (train.py:415-422). The
     // reference's groupBy+left-join is rewritten as a conditional window

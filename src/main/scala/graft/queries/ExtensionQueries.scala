@@ -387,6 +387,44 @@ object ExtensionQueries {
       },
       annInvariantOracle),
 
+    // Corpus term statistics + per-doc top terms — the TF-IDF shape
+    // (explode → per-(doc, term) TF agg → per-term DF agg → join back →
+    // per-doc top-k window). Ranking is (tf DESC, df ASC, token) — the
+    // tf-idf ORDER with the log() left out, because ln(x) is the one step
+    // two engines can disagree on in the last ulp; the integer ordering
+    // is bit-stable and semantically identical for ranking. Scale shape:
+    // two shuffles (doc-term, term), DF side is corpus-vocabulary-sized
+    // so it carries no broadcast hint (AQE decides), top-k is one window
+    // over the doc key.
+    "ext_top_terms" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token"))
+        tf.join(df, "token")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+            col("token"), col("tf"), col("df"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rnk
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df
+        |FROM r WHERE rnk <= 3""".stripMargin),
+
     // Text statistics: lengths, token counts, type/token ratio, stopword
     // ratio, subword estimate, punctuation ratio.
     "ext_text_stats" -> QueryDef(

@@ -348,10 +348,14 @@ object TpchQueries {
     // round-trip: max-equality on doubles is where cross-engine ties die.
     "q15_top_supplier" -> QueryDef(
       (s, dir) => {
+        // LAZY checkpoint (the Dedup convention): the per-supplier revenue
+        // feeds BOTH the max subquery and the equality join side — without
+        // persistence the lineitem scan + aggregation runs twice.
         val rev = Tables.lineitem(s, dir)
           .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1997-01-01")))
           .groupBy(col("l_suppkey"))
           .agg(microSumRaw(discPrice).as("rev_micro"))
+          .localCheckpoint(eager = false)
         val top = rev.agg(max(col("rev_micro")).as("max_micro"))
         rev.join(broadcast(top), col("rev_micro") === col("max_micro"))
           .join(broadcast(Tables.supplier(s, dir)
@@ -374,8 +378,10 @@ object TpchQueries {
     // of their part's average quantity. The per-part average comes back
     // as (count, exact micro-sum) and the threshold test is pure integer
     // arithmetic (q*5n < Σq ⟺ q < 0.2·avg) — no float boundary anywhere.
-    // The agg side derives from the fact itself, so it joins via shuffle
-    // on the part key (never broadcast — it scales with the fact).
+    // The agg side derives from the fact itself, so it carries no
+    // broadcast HINT: AQE broadcasts it at bench scale (observed) and
+    // falls back to a shuffle join when part cardinality grows with the
+    // fact — the runtime-adaptive choice a static hint would foreclose.
     "q17_small_quantity" -> QueryDef(
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
