@@ -46,6 +46,21 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"), col("Currency"),
         col("n_events"), col("n_high_impact"))
 
+  /** W8, streaming: the SAME session_window expression the batch
+    * w8_session_window query groups by, on an unbounded stream — sessions
+    * merge while consecutive gaps stay under `gap`, and a session's row
+    * is emitted (append mode) once the watermark passes its end, so state
+    * is bounded by (open sessions per key) and late events inside the
+    * watermark still extend their session. The batch/streaming parity is
+    * by construction: one grouping expression, two execution modes. */
+  def sessionCounts(withWatermark: DataFrame, tsCol: String, keyCol: String,
+                    gap: String): DataFrame =
+    withWatermark
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** W6, streaming: mapGroupsWithState keeping the latest row per
     * (Currency, Event), emitting the updated entity row each batch it
     * changes. Ties on event time resolve to the later-arriving record

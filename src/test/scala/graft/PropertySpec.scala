@@ -218,6 +218,30 @@ object PropertySpec extends Properties("graft") {
         out.forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  // --- probed SimHash banding: the pigeonhole guarantee. For ANY sketch
+  // pair within Hamming 7, some 16-bit band differs in ≤ 1 bit, so with
+  // probeBits=16 the pair MUST surface as a candidate — not "usually",
+  // always. Random 63-bit sketches with ≤ 7 random flipped bits probe the
+  // full layout, not just the hand-picked boundary cases DedupSpec pins.
+  private val probeCaseGen: Gen[(Long, Seq[Int])] = for {
+    base <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(_ & 0x7fffffffffffffffL) // bit 63 clear, like SimHash63
+    k <- Gen.choose(0, 7)
+    bits <- Gen.pick(k, 0 until 63)
+  } yield (base, bits.toSeq)
+
+  property("probed simhash bands guarantee candidates for any pair within Hamming 7") =
+    Prop.forAll(Gen.listOfN(20, probeCaseGen)) { cases =>
+      val rows = cases.zipWithIndex.flatMap { case ((base, bits), i) =>
+        val flipped = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+        Seq((2L * i, base), (2L * i + 1, flipped))
+      }
+      val sk = Dedup.withSimhashBands(rows.toDF("doc_id", "simhash"))
+      val pairs = Dedup.simhashPairsFromSketch(sk, maxDist = 7, probeBits = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      cases.indices.forall(i => pairs.contains((2L * i, 2L * i + 1)))
+    }
+
   property("TopKAggregator ranking equals sort-and-take under any partitioning") =
     Prop.forAll(scoredGen) { rows =>
       import org.apache.spark.sql.functions.{col, posexplode, udaf}

@@ -43,6 +43,48 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionCounts: sessions merge across micro-batches, close with the watermark, match the batch form") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+    val q = StreamingAnalytics.sessionCounts(stream, "ts", "user_id", "30 minutes")
+      .writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    try {
+      // batch 1: two events 20 min apart (same session), one other user
+      in.addData((1L, ts("2025-01-05 10:00:00")), (2L, ts("2025-01-05 10:05:00")))
+      q.processAllAvailable()
+      // batch 2: extends user 1's session (gap 20 min < 30)
+      in.addData((1L, ts("2025-01-05 10:20:00")))
+      q.processAllAvailable()
+      // batch 3: a much later event per user advances the watermark past
+      // the open sessions' ends, forcing their append-mode emission
+      in.addData((1L, ts("2025-01-05 14:00:00")), (2L, ts("2025-01-05 14:00:00")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2025-01-05 18:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_t").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      // the cross-batch merged session: 10:00 + 10:20 in ONE session
+      // ending 10:50 (last event + gap)
+      assert(got.contains((1L, ts("2025-01-05 10:00:00"), ts("2025-01-05 10:50:00"), 2L)))
+      assert(got.contains((2L, ts("2025-01-05 10:05:00"), ts("2025-01-05 10:35:00"), 1L)))
+      // batch parity by construction: the same grouping expression over
+      // the same rows as ONE batch frame yields the same closed sessions
+      val batch = Seq(
+        (1L, ts("2025-01-05 10:00:00")), (2L, ts("2025-01-05 10:05:00")),
+        (1L, ts("2025-01-05 10:20:00")),
+        (1L, ts("2025-01-05 14:00:00")), (2L, ts("2025-01-05 14:00:00")),
+        (1L, ts("2025-01-05 18:00:00"))).toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      // every streamed (closed) session appears identically in the batch result
+      assert(got.subsetOf(batch))
+    } finally q.stop()
+  }
+
   test("windowedCounts: watermarked tumbling windows count per currency") {
     val landing = java.nio.file.Files.createTempDirectory("graft_wc").toFile
     java.nio.file.Files.writeString(new java.io.File(landing, "a.csv").toPath,
