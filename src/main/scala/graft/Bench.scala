@@ -29,11 +29,12 @@ import org.apache.spark.sql.SparkSession
   *    the whole plan.
   *  - KNOWN LIMITATION: driver-side actions a query runs while BUILDING
   *    its plan stay untimed — today that is the approx split's
-  *    approxQuantile boundary scan and the IVF seed count (one narrow
-  *    column scan / a parquet count-star each; the expensive IVF k-means
-  *    refinement itself is a lazy checkpoint and IS timed). Treat such
-  *    actions as statistics/index builds; anything heavier must live in
-  *    the returned plan or the number lies.
+  *    approxQuantile boundary scan and the IVF seeding (a TakeOrdered
+  *    sample of O(K) vectors collected for the driver-side farthest-point
+  *    pick; the expensive IVF k-means refinement itself is a lazy
+  *    checkpoint and IS timed). Treat such actions as statistics/index
+  *    builds; anything heavier must live in the returned plan or the
+  *    number lies.
   *  - failures are reported (time −1, listed in "failed"), never silently
   *    recorded as a fast timing.
   *  - `calib_sec` (round 5): the median timing of a FIXED CPU-bound job

@@ -157,6 +157,57 @@ object CoreQueries {
       s"""WITH ${OracleSql.a6MetricsCtes}
          |SELECT user_id, event_type, R2, MSE, Samples FROM m""".stripMargin),
 
+    // A11 (engine extension) — HyperLogLog approximate distinct: the
+    // sketch every 100-TB pipeline uses where exact countDistinct's
+    // per-key shuffle state is unaffordable. The HLL value itself is
+    // engine-internal, so the registered row asserts the invariants:
+    // per-type approx within 5% of exact (HLL++ at default rsd 0.05 is
+    // well inside at these cardinalities — a violation means the sketch
+    // broke), and the approx is a positive integer. Exact counts ride
+    // along as data so the oracle re-derives them independently.
+    "a11_approx_distinct" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"),
+          (col("approx") > 0).as("positive")),
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct, TRUE AS positive
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    // A12 (engine extension) — quantile sketch: percentile_approx (the
+    // single-pass mergeable Greenwald-Khanna shape). The approximate
+    // median is pinned between the EXACT 40th and 60th percentile values
+    // computed element-exactly (max-below-rank — no interpolation, so no
+    // cross-engine float arithmetic anywhere); DuckDB re-derives the same
+    // rank bounds.
+    "a12_approx_quantiles" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        val ranked = e
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val bounds = ranked
+          .groupBy(col("event_type"))
+          .agg(
+            max(when(col("rn") <= greatest(floor(col("n") * 0.4), lit(1)),
+              col("value"))).as("p40_floor"),
+            max(when(col("rn") <= greatest(floor(col("n") * 0.6), lit(1)),
+              col("value"))).as("p60_floor"))
+        val approx = e.groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
+        approx.join(bounds, "event_type")
+          .select(col("event_type"),
+            (col("p50_approx") >= col("p40_floor") &&
+              col("p50_approx") <= col("p60_floor")).as("median_in_band"))
+      },
+      """SELECT event_type, TRUE AS median_in_band
+        |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin),
+
     // F-json — scalar JSON extraction over events.props (extension surface,
     // SURVEY.md §2g): per-event-type mean of props.k.
     // ONE from_json parse per row (not get_json_object, which re-walks the
