@@ -157,6 +157,40 @@ object CoreQueries {
       s"""WITH ${OracleSql.a6MetricsCtes}
          |SELECT user_id, event_type, R2, MSE, Samples FROM m""".stripMargin),
 
+    // A13 (engine extension) — ROLLUP subtotal hierarchy (SURVEY §2d notes
+    // the reference has no grouping sets; Spark provides them natively):
+    // per-(type, user-bucket) counts with type-level and grand totals in
+    // one pass. Spark's rollup NULL markers align with ANSI/DuckDB's.
+    "a13_rollup_counts" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .rollup(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("value_micro"))
+        .select(col("event_type"), col("user_bucket"), col("n"),
+          col("value_micro")),
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |  count(*) AS n,
+        |  sum(CAST(round(value * 1e6) AS BIGINT)) AS value_micro
+        |FROM events
+        |GROUP BY ROLLUP (event_type, user_bucket)""".stripMargin),
+
+    // P3 (engine extension) — PIVOT: per-day event-type counts as columns
+    // (the wide-table reshape every dashboard feed wants). Values are
+    // declared (no driver-side distinct scan); missing combinations fill
+    // 0 to match the oracle's FILTER counts.
+    "p3_pivot_counts" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .count()
+        .na.fill(0L, Seq("view", "click", "purchase")),
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin),
+
     // A11 (engine extension) — HyperLogLog approximate distinct: the
     // sketch every 100-TB pipeline uses where exact countDistinct's
     // per-key shuffle state is unaffordable. The HLL value itself is
