@@ -59,4 +59,16 @@ object StreamingCuration {
       StreamingDedup.banded(spark, StreamingDedup.sketchStream(curated, n),
         probeBits),
       maxDist)
+
+  /** The downstream compaction the scaladoc above promises: apply the
+    * batch keep-smallest policy (drop every doc_b of a candidate pair —
+    * candidatePairStream already orders docA < docB) to the accumulated
+    * curated output. Run periodically over the sink tables; the batch
+    * twin of ext_corpus_curation's near-dup removal, closing the
+    * streaming flow to the same end state. */
+  def keepSmallest(curated: DataFrame,
+                   candidates: Dataset[StreamingDedup.CandidatePair]): DataFrame =
+    curated.join(
+      candidates.select(col("docB").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 }

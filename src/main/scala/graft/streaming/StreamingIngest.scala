@@ -61,4 +61,27 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /** Run the stream into a REAL database table (the reference's actual
+    * sink — cleaned events land in MySQL via chunked executemany,
+    * main.py:175-188 / db_connector.py:120): each micro-batch appends
+    * through `spark.write.jdbc` with the reference's metrics batchsize.
+    * In-stream key dedup upstream provides the only-new-rows contract;
+    * a server-side unique key (init.sql:20) would back it up in a real
+    * deployment. Exactly-once caveat, stated honestly: foreachBatch is
+    * at-least-once on retry — production would stage each batch id
+    * transactionally (the standard idempotent-JDBC-sink recipe). */
+  def runToJdbc(spark: SparkSession, landingDir: String, url: String,
+                table: String, checkpointDir: String,
+                batchSize: Int = 500): StreamingQuery =
+    cleanedStream(spark, landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Jdbc.writeTable(batch, url, table, batchSize,
+            mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
 }

@@ -124,6 +124,12 @@ class StreamingDedupSpec extends SparkSpecBase {
       assert(cands.forall(_.hamming === 4))
       // plain exact bands: provably unreachable at spread (1,1,1,1)
       assert(spark.table("sc_cand_plain").count() === 0)
+      // compaction closes the flow to the batch end state: keep-smallest
+      // drops doc 2, leaving exactly the survivor set batch curation
+      // (gates -> exact dedup -> near-dup removal) would produce
+      val compacted = graft.streaming.StreamingCuration.keepSmallest(
+        spark.table("sc_curated"), spark.table("sc_cand").as[CandidatePair])
+      assert(compacted.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
     } finally {
       q1.stop(); q2.stop(); q3.stop()
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")

@@ -35,6 +35,28 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(snap.count() === 3) // duplicate USD/NFP key collapsed
   }
 
+  test("streaming ingest to a real JDBC table: micro-batches append through the database, contents match the batch clean") {
+    val landing = Files.createTempDirectory("graft_stream_jdbc_in").toFile
+    val ckpt = Files.createTempDirectory("graft_stream_jdbc_ck").toString
+    val db = Files.createTempDirectory("graft_stream_jdbc_db").toString + "/db"
+    writeCsv(landing, "b1.csv",
+      """2025-01-05,17:00,USD,NFP,high,5.2%,1,2,0,w
+        |2025-01-06,09:00,EUR,CPI,low,1,2,3,0,w
+        |""".stripMargin)
+    writeCsv(landing, "b2.csv",
+      """2025-01-07,10:00,GBP,GDP,medium,4,5,6,0,w
+        |""".stripMargin)
+    val url = graft.operators.Jdbc.derbyUrl(db)
+    val q = StreamingIngest.runToJdbc(spark, landing.getAbsolutePath,
+      url, "events_stream", ckpt)
+    q.awaitTermination(120000)
+    val back = graft.operators.Jdbc.readQuery(spark, url,
+      """SELECT "Currency", "Event", "Actual" FROM events_stream""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back === Set(("USD", "NFP", "5.2%"), ("EUR", "CPI", "1"),
+      ("GBP", "GDP", "4")))
+  }
+
   test("SRC1 pick-first: only the lexicographically first csv is ingested (main.py:116-124)") {
     val dir = Files.createTempDirectory("graft_src1").toFile
     writeCsv(dir, "2025-02.csv", "2025-02-01,10:00,USD,A,low,1,2,3,0,w\n")
