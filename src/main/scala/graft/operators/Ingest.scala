@@ -62,7 +62,15 @@ object Ingest {
   def readFirstCsv(spark: SparkSession, dir: String): DataFrame = {
     val glob = new org.apache.hadoop.fs.Path(s"$dir/*.csv")
     val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Mirror Spark's own InMemoryFileIndex conventions: only FILES, and
+    // skip '_'/'.'-prefixed names (in-progress markers like _temporary,
+    // hidden files) — a raw globStatus would happily pick '_tmp.csv',
+    // which the scan-based listing this replaced could never see.
     val matches = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
     require(matches.nonEmpty, s"no *.csv under $dir (main.py:116-124 picks " +
       "the first listed blob; an empty listing has nothing to pick)")
     val first = matches.map(_.getPath.toString).min

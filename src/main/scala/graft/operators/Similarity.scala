@@ -172,6 +172,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (sample.isEmpty)
+      // empty corpus: no seeds to pick — return the empty result frame
+      // (the spread-sample seeding this replaced degraded the same way)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("rank"), col("id").as("neighbor_id"))
     val units = sample.map { case (_, v) =>
       val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       if (nrm == 0.0) v.map(_ => 0.0) else v.map(_.toDouble / nrm)

@@ -111,7 +111,11 @@ object TextAnalysis {
     * (the batch ext_corpus_curation derives the same numbers via
     * [[textStats]]→[[qualityScore]] and [[langId]]; the formula strings
     * are shared, so the surfaces cannot drift). Adds `quality_score` and
-    * `lang_predicted`, preserves every input column. */
+    * `lang_predicted`; every input column is preserved EXCEPT the
+    * reserved working names (`m`, `ws`, `n_tokens`, `type_token_ratio`,
+    * `stopword_ratio`, `marker_hits`, `best`, `score_<lang>`), which are
+    * overwritten internally and dropped — don't feed a frame carrying
+    * caller data under those names. */
   def withCurationGates(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     withLangPrediction(

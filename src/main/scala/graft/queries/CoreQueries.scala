@@ -195,15 +195,16 @@ object CoreQueries {
     // sketch every 100-TB pipeline uses where exact countDistinct's
     // per-key shuffle state is unaffordable. The HLL value itself is
     // engine-internal, so the registered row asserts the invariants:
-    // per-type approx within 5% of exact (HLL++ at default rsd 0.05 is
-    // well inside at these cardinalities — a violation means the sketch
-    // broke), and the approx is a positive integer. Exact counts ride
-    // along as data so the oracle re-derives them independently.
+    // per-type approx within 5% of exact at rsd 0.01 — a 5-sigma band, so
+    // a violation genuinely means the sketch broke (at the DEFAULT rsd
+    // 0.05 the same 5% band is ONE sigma and a healthy dense-mode sketch
+    // would fail it ~1/3 of the time) — and the approx is positive.
+    // Exact counts ride along as data so the oracle re-derives them.
     "a11_approx_distinct" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("approx"))
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("within_5pct"),

@@ -160,12 +160,21 @@ object StreamingDedup {
           var ids = prev.docIds
           var sks = prev.sketches
           val out = List.newBuilder[CandidatePair]
-          batch.foreach { b =>
-            // probe rows (Hamming-ball lookups, see banded) compare
-            // against history but never enter state; exact rows do both.
-            // A doc's own exact row can precede its probe rows in the
-            // iterator only in OTHER buckets (a flip changes the value),
-            // so the self-compare guard covers both kinds.
+          // Exact rows FIRST (group-iterator order is unspecified): a
+          // probe row compares against state and never inserts, so if it
+          // ran before a same-batch exact row it probes PRE-batch state
+          // and a pair whose two docs share one micro-batch would be
+          // silently missed — the exact d ≤ 7 guarantee the probe layout
+          // promises. Ordering exacts first restores it: by the time any
+          // probe row looks, every exact row of the batch is in state.
+          // Note on re-delivery: a re-delivered doc's exact rows are
+          // suppressed by the ids guard, but its probe rows land in
+          // buckets that never stored it and re-emit known pairs —
+          // downstream dedupe is REQUIRED anyway (the same pair already
+          // surfaces once per shared band), so duplicates are part of
+          // this operator's contract, not an anomaly.
+          val (probes, exacts) = batch.toList.partition(_.probe)
+          (exacts.iterator ++ probes.iterator).foreach { b =>
             if (!ids.contains(b.docId)) {
               var i = 0
               while (i < ids.length) {

@@ -136,6 +136,34 @@ class StreamingDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("probed candidates pair within ONE micro-batch: exact rows enter state before any probe row looks") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = MemoryStream[(Long, Long)]
+    val bandedStream = StreamingDedup.banded(spark,
+      in.toDF().toDF("doc_id", "simhash"), probeBits = 16)
+    val q = StreamingDedup.candidatePairStream(spark, bandedStream, maxDist = 10)
+      .writeStream.format("memory").queryName("sdd_samebatch")
+      .outputMode("append").start()
+    try {
+      // the DedupSpec boundary pair: distance 4 spread (1,1,1,1) — NO
+      // exact band matches, only probe lookups can pair them. Both docs
+      // arrive in the SAME micro-batch; group-iterator order is
+      // unspecified, so this passes only because exact rows are
+      // processed (and inserted) before any probe row compares.
+      val base = 0x0123456789abcdL
+      val other = base ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
+      in.addData((10L, base), (11L, other))
+      q.processAllAvailable()
+      val got = spark.table("sdd_samebatch").as[CandidatePair].collect()
+        .map(p => (p.docA, p.docB)).toSet
+      assert(got === Set((10L, 11L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   test("candidatePairStream: bucket state spans micro-batches, near-dups pair, unrelated don't, re-deliveries don't duplicate") {
     implicit val sq = spark.sqlContext
     // The operator's processing-time idle timeout makes the engine

@@ -31,8 +31,9 @@ def main():
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
     cb, cc = base.get("calib_sec", -1.0), cand.get("calib_sec", -1.0)
-    load_ratio = cc / cb if cb > 0 and cc > 0 else 1.0
-    if load_ratio != 1.0:
+    has_calib = cb > 0 and cc > 0
+    load_ratio = cc / cb if has_calib else 1.0
+    if has_calib:
         print(f"calibration: {cb:.3f}s -> {cc:.3f}s "
               f"(candidate machine {load_ratio:.2f}x the baseline's load-level; "
               f"query ratios below are normalized by this)")
