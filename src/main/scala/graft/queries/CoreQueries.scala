@@ -165,13 +165,19 @@ object CoreQueries {
       (s, dir) => Tables.events(s, dir)
         .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
         .rollup(col("event_type"), col("user_bucket"))
+        // coalesce + explicit BIGINT on BOTH sides: DuckDB's sum(BIGINT)
+        // widens to HUGEINT (→ float64 in the comparer, lossy past 2^53)
+        // and an all-null group would null one engine's sum — pin the
+        // exact-integer contract instead of trusting engine widening.
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("value_micro"))
+          coalesce(sum(expr("CAST(round(value * 1e6) AS BIGINT)")), lit(0L))
+            .as("value_micro"))
         .select(col("event_type"), col("user_bucket"), col("n"),
           col("value_micro")),
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
         |  count(*) AS n,
-        |  sum(CAST(round(value * 1e6) AS BIGINT)) AS value_micro
+        |  CAST(coalesce(sum(CAST(round(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |    AS value_micro
         |FROM events
         |GROUP BY ROLLUP (event_type, user_bucket)""".stripMargin),
 
