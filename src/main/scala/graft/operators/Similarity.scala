@@ -160,9 +160,31 @@ object Similarity {
     * trains its coarse quantizer on a sample the same way) — independent
     * of corpus size, so the scale story is unchanged. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int, refineIters: Int = 1): DataFrame = {
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val spark = queries.sparkSession
+              nCentroids: Int, nProbe: Int, refineIters: Int = 1): DataFrame =
+    buildIvfIndex(corpus, nCentroids, refineIters) match {
+      case None =>
+        // empty corpus: no seeds to pick — return the empty result frame
+        // (the spread-sample seeding this replaced degraded the same way)
+        queries.sparkSession.range(0).select(col("id").as("query_id"),
+          col("id").as("rank"), col("id").as("neighbor_id"))
+      case Some(index) => ivfTopKWithIndex(queries, corpus, index, k, nProbe)
+    }
+
+  /** The persisted form of the coarse quantizer: centroids
+    * `(centroid_id long, centv array<float>)` and posting assignments
+    * `(neighbor_id long, centroid_id long)` — both plain columnar frames,
+    * so the index round-trips through parquet and a serving job reads it
+    * back instead of re-clustering the corpus per query batch (the FAISS
+    * build-once/search-many split). */
+  final case class IvfIndex(centroids: DataFrame, postings: DataFrame)
+
+  /** Build the IVF index once: farthest-point seeds → `refineIters` Lloyd
+    * passes → corpus posting lists. None on an empty corpus. See
+    * [[ivfTopK]] for the seeding rationale. */
+  def buildIvfIndex(corpus: DataFrame, nCentroids: Int,
+                    refineIters: Int = 1): Option[IvfIndex] = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
     val sampleSize = math.max(nCentroids * 8, 256)
     // hash-ordered: corpus-order-free AND uncorrelated with vec_id ranges;
     // sort-limit plans as TakeOrdered (per-partition top-S, tiny shuffle)
@@ -172,11 +194,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    if (sample.isEmpty)
-      // empty corpus: no seeds to pick — return the empty result frame
-      // (the spread-sample seeding this replaced degraded the same way)
-      return spark.range(0).select(col("id").as("query_id"),
-        col("id").as("rank"), col("id").as("neighbor_id"))
+    if (sample.isEmpty) return None
     val units = sample.map { case (_, v) =>
       val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       if (nrm == 0.0) v.map(_ => 0.0) else v.map(_.toDouble / nrm)
@@ -202,19 +220,6 @@ object Similarity {
       chosen.toSeq.map(i => (sample(i)._1, sample(i)._2.toSeq)))
       .toDF("centroid_id", "centv")
 
-    def assign(cents: DataFrame, df: DataFrame, idName: String, keep: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idName))
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      df.select(col("vec_id").as(idName), col("embedding"))
-        .join(broadcast(cents),
-          col(idName).isNotNull) // cross vs small centroid set
-        .withColumn("ccos", cosine(col("embedding"), col("centv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idName), col("centroid_id"))
-    }
-
     // Lloyd refinement: reassign, recompute each centroid as the
     // element-wise mean of its members (posexplode → per-dim avg →
     // re-assembled in dim order). Each pass is the same broadcast-assign
@@ -237,14 +242,37 @@ object Similarity {
         // wastes a pass when the result is never materialized.
         .localCheckpoint(eager = false)
     }
+    Some(IvfIndex(centroids, assign(centroids, corpus, "neighbor_id", keep = 1)))
+  }
 
-    val postings = assign(centroids, corpus, "neighbor_id", keep = 1)
-    val probes = assign(centroids, queries, "query_id", keep = nProbe)
-    val cand = probes.join(postings, Seq("centroid_id"))
+  /** Serve approximate top-k from a PREBUILT (possibly parquet-round-
+    * tripped) [[IvfIndex]]: only the query-side assignment and the
+    * candidate scoring run — the corpus is never re-clustered. */
+  def ivfTopKWithIndex(queries: DataFrame, corpus: DataFrame,
+                       index: IvfIndex, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val probes = assign(index.centroids, queries, "query_id", keep = nProbe)
+    val cand = probes.join(index.postings, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
     topKAmong(cand, queries, corpus, k)
+  }
+
+  /** Nearest-`keep` centroid assignment: broadcast the (small) centroid
+    * set, rank by cosine (ties by centroid id). */
+  private def assign(cents: DataFrame, df: DataFrame, idName: String,
+                     keep: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idName))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    df.select(col("vec_id").as(idName), col("embedding"))
+      .join(broadcast(cents),
+        col(idName).isNotNull) // cross vs small centroid set
+      .withColumn("ccos", cosine(col("embedding"), col("centv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .select(col(idName), col("centroid_id"))
   }
 
   /** Score candidate (query, neighbor) pairs exactly and keep top-k per

@@ -26,6 +26,15 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object ExtensionQueries {
 
+  private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-process, per-call scratch path (the SinkQueries convention —
+    * shares its per-pid root, so SinkQueries' shutdown hook reclaims
+    * these too). */
+  private def scratch(name: String): String =
+    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/ext-$name-" +
+      nonce.incrementAndGet()
+
   /** Shared DuckDB CTE: distinct word-3-gram shingles per doc. */
   private val duckShingles =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -424,6 +433,32 @@ object ExtensionQueries {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df
         |FROM r WHERE rnk <= 3""".stripMargin),
+
+    // IVF with a PERSISTED index — the FAISS build-once/search-many split
+    // as data-visible behavior: the coarse quantizer (centroids + posting
+    // lists, both plain columnar frames) is written to parquet, read
+    // back, and served from — the corpus is never re-clustered at query
+    // time, which is the entire point of an IVF index at 100 TB. Same
+    // invariants and recall floor as ann_ivf_topk: a lossy or mis-keyed
+    // round-trip would tank recall below the 0.6 floor.
+    "ann_ivf_persisted" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val idx = Similarity.buildIvfIndex(emb, nCentroids = 32,
+          refineIters = 2).get
+        val root = scratch("ivf_idx")
+        idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+        idx.postings.write.mode("overwrite").parquet(s"$root/postings")
+        val reloaded = Similarity.IvfIndex(
+          s.read.parquet(s"$root/centroids"),
+          s.read.parquet(s"$root/postings"))
+        annInvariants(queries,
+          Similarity.ivfTopKWithIndex(queries, emb, reloaded, k = 5, nProbe = 12),
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.6)
+      },
+      annInvariantOracle),
 
     // Text statistics: lengths, token counts, type/token ratio, stopword
     // ratio, subword estimate, punctuation ratio.
