@@ -61,6 +61,26 @@ object StreamingAnalytics {
       .select(col(keyCol), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream INTERVAL join — the remaining stateful-operator family
+    * (aggregation, dedup, flatMapGroupsWithState, session windows are
+    * covered elsewhere): enrich each event with the label rows for the
+    * same key whose label time falls within [event_time − within,
+    * event_time]. Both sides MUST carry watermarks (callers set them);
+    * the range condition is what lets Spark bound BOTH join states — a
+    * stream-stream equi-join without a time bound would buffer forever.
+    * Append mode emits a match once both sides have arrived; a side older
+    * than the other's watermark minus `within` is dropped from state.
+    * Column contract: `left` carries (`key`, `leftTs`, …); `right`
+    * carries the key renamed to `<key>_r` plus `rightTs` (streaming
+    * self-qualified column references are ambiguous after plan cloning,
+    * so the rename is the robust convention). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, within: String): DataFrame =
+    left.join(right,
+      expr(s"""$key = ${key}_r
+              |AND $rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs"""
+        .stripMargin))
+
   /** W6, streaming: mapGroupsWithState keeping the latest row per
     * (Currency, Event), emitting the updated entity row each batch it
     * changes. Ties on event time resolve to the later-arriving record

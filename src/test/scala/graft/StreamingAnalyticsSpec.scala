@@ -85,6 +85,37 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream matches within the window, across micro-batches, outside-window rows never join") {
+    implicit val sq = spark.sqlContext
+    val evIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val lbIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = evIn.toDF().toDF("user_id", "ev_ts", "action")
+      .withWatermark("ev_ts", "1 hour")
+    val labels = lbIn.toDF().toDF("user_id_r", "lb_ts", "label")
+      .withWatermark("lb_ts", "1 hour")
+    val q = StreamingAnalytics.intervalJoin(events, labels,
+      key = "user_id", leftTs = "ev_ts", rightTs = "lb_ts", within = "30 minutes")
+      .writeStream.format("memory").queryName("ij_t").outputMode("append").start()
+    try {
+      // batch 1: events only — nothing can join yet
+      evIn.addData((1L, ts("2025-01-05 10:00:00"), "click"),
+        (2L, ts("2025-01-05 10:00:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.table("ij_t").count() === 0)
+      // batch 2: labels arrive LATER (cross-batch buffered-state join):
+      // user 1's label 20 min before the event -> inside the window;
+      // user 2's label 45 min before -> outside; user 3 has no event
+      lbIn.addData((1L, ts("2025-01-05 09:40:00"), "bot"),
+        (2L, ts("2025-01-05 09:15:00"), "human"),
+        (3L, ts("2025-01-05 10:00:00"), "bot"))
+      q.processAllAvailable()
+      val got = spark.table("ij_t")
+        .select("user_id", "action", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set((1L, "click", "bot")))
+    } finally q.stop()
+  }
+
   test("windowedCounts: watermarked tumbling windows count per currency") {
     val landing = java.nio.file.Files.createTempDirectory("graft_wc").toFile
     java.nio.file.Files.writeString(new java.io.File(landing, "a.csv").toPath,
