@@ -240,9 +240,10 @@ object CleaningQueries {
     // with an explicit (never inferred) schema. Oracle = the original rows.
     "src2_csv_roundtrip" -> QueryDef(
       (s, dir) => {
-        // per-process scratch dir: a fixed path would race if two harness
-        // JVMs (Verify + Bench) ever run this query concurrently
-        val path = s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/src2_csv"
+        // per-process scratch dir (shared Scratch factory: unique path +
+        // exit-time cleanup; a fixed path would race if two harness JVMs
+        // ever ran this query concurrently)
+        val path = Scratch.dir("src2_csv")
         // Default CSV timestamp format truncates to millis; force µs so the
         // round-trip is lossless against the original table.
         val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"

@@ -26,14 +26,10 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object ExtensionQueries {
 
-  private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Per-process, per-call scratch path (the SinkQueries convention —
-    * shares its per-pid root, so SinkQueries' shutdown hook reclaims
-    * these too). */
-  private def scratch(name: String): String =
-    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/ext-$name-" +
-      nonce.incrementAndGet()
+  /** Per-process, per-call scratch path from the shared [[Scratch]]
+    * factory (registers the exit-time cleanup hook itself — no reliance
+    * on another module running first). */
+  private def scratch(name: String): String = Scratch.dir(s"ext-$name")
 
   /** Shared DuckDB CTE: distinct word-3-gram shingles per doc. */
   private val duckShingles =
@@ -445,16 +441,26 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val idx = Similarity.buildIvfIndex(emb, nCentroids = 32,
-          refineIters = 2).get
-        val root = scratch("ivf_idx")
-        idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
-        idx.postings.write.mode("overwrite").parquet(s"$root/postings")
-        val reloaded = Similarity.IvfIndex(
-          s.read.parquet(s"$root/centroids"),
-          s.read.parquet(s"$root/postings"))
-        annInvariants(queries,
-          Similarity.ivfTopKWithIndex(queries, emb, reloaded, k = 5, nProbe = 12),
+        // graceful empty-corpus branch, mirroring ivfTopK's None path (a
+        // bare .get would crash where every sibling ANN query degrades)
+        val approx = Similarity.buildIvfIndex(emb, nCentroids = 32,
+          refineIters = 2) match {
+          case None => s.range(0).select(col("id").as("query_id"),
+            col("id").as("rank"), col("id").as("neighbor_id"))
+          case Some(idx) =>
+            val root = scratch("ivf_idx")
+            // the write materializes the centroids' lazy checkpoint; its
+            // blocks stay resident afterwards — bounded and tiny (K rows
+            // of K-dim vectors, ~KBs), so not worth plumbing an unpersist
+            idx.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+            idx.postings.write.mode("overwrite").parquet(s"$root/postings")
+            val reloaded = Similarity.IvfIndex(
+              s.read.parquet(s"$root/centroids"),
+              s.read.parquet(s"$root/postings"))
+            Similarity.ivfTopKWithIndex(queries, emb, reloaded, k = 5,
+              nProbe = 12)
+        }
+        annInvariants(queries, approx,
           Similarity.bruteForceTopK(queries, emb, k = 5),
           k = 5, recallFloor = 0.6)
       },

@@ -16,6 +16,37 @@ object QueryDef {
     QueryDef(fn, Some(sql))
 }
 
+/** Per-process scratch-path factory — ONE source of truth for the root,
+  * the call nonce, and the exit-time cleanup hook (SinkQueries,
+  * ExtensionQueries, and CleaningQueries each had a private copy; only
+  * SinkQueries' registered the hook, so a process that never constructed
+  * a sink query leaked its scratch dirs). Paths are unique per process
+  * AND per call, so re-constructing a query can never delete a directory
+  * an earlier construction's still-live DataFrame reads from. */
+private[queries] object Scratch {
+
+  private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val root: String = s"/tmp/graft_scratch_${ProcessHandle.current().pid()}"
+
+  // java.nio directly: the Hadoop FS may already be closed at shutdown
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }))
+  }
+
+  /** Fresh scratch path (not created on disk). */
+  def dir(name: String): String = {
+    cleanupHook
+    s"$root/$name-${nonce.incrementAndGet()}"
+  }
+}
+
 /** Oracle SQL fragments shared between queries — one source of truth for
   * the decimal-exact A6 semantics (a6_regression_metrics and
   * a8_metrics_summary embed the identical chain; keeping copies in sync

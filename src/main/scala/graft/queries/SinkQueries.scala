@@ -23,35 +23,13 @@ object SinkQueries {
   private def fs(s: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
 
-  private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  private val scratchRoot =
-    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}"
-
-  // Per-call nonces are never reused, so nothing in-process reclaims old
-  // fixture dirs — bound the growth by deleting the whole per-pid root at
-  // JVM exit (bench passes ×3 fixtures live at most one process long).
-  // Registered once; uses java.nio directly since the Hadoop FS may
-  // already be closed during shutdown.
-  private lazy val cleanupHook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(scratchRoot))
-    }))
-  }
-
-  /** Fresh scratch path, unique per process AND per call (round-3 nit): a
-    * per-call nonce means re-constructing a query in the same JVM can
-    * never delete the directory an earlier construction's still-live
-    * DataFrame reads from. The first-run branches (SNK3's append, SRC5's
-    * missing-table probe) see a genuinely fresh path every time; the
-    * defensive delete stays for the (impossible) collision case. */
+  /** Fresh scratch path from the shared [[Scratch]] factory (one root,
+    * one nonce, one exit-time cleanup hook for all query modules). The
+    * first-run branches (SNK3's append, SRC5's missing-table probe) see a
+    * genuinely fresh path every time; the defensive delete stays for the
+    * (impossible) collision case. */
   private def scratch(s: SparkSession, name: String): String = {
-    cleanupHook
-    val path = s"$scratchRoot/$name-${nonce.incrementAndGet()}"
+    val path = Scratch.dir(name)
     val p = new Path(path)
     if (fs(s).exists(p)) fs(s).delete(p, true)
     path

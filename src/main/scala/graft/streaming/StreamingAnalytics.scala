@@ -68,8 +68,12 @@ object StreamingAnalytics {
     * event_time]. Both sides MUST carry watermarks (callers set them);
     * the range condition is what lets Spark bound BOTH join states — a
     * stream-stream equi-join without a time bound would buffer forever.
-    * Append mode emits a match once both sides have arrived; a side older
-    * than the other's watermark minus `within` is dropped from state.
+    * Append mode emits a match once both sides have arrived. State
+    * retention is asymmetric, per the range shape (rightTs ≤ leftTs):
+    * LEFT rows are evictable once leftTs falls below the right-side
+    * watermark (no extra slack — a label can only be as late as its own
+    * watermark), while RIGHT rows are retained `within` longer (an event
+    * up to `within` ahead may still arrive and match them).
     * Column contract: `left` carries (`key`, `leftTs`, …); `right`
     * carries the key renamed to `<key>_r` plus `rightTs` (streaming
     * self-qualified column references are ambiguous after plan cloning,
