@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — for every left ("probe") row, the single nearest right
+  * ("build") row at-or-before (backward) or at-or-after (forward) its
+  * timestamp within the same key group. The canonical time-series /
+  * attribution operator the reference's engine (and Spark) lack as a
+  * primitive; DuckDB spells it `ASOF JOIN`, kdb+ `aj`, pandas
+  * `merge_asof`.
+  *
+  * == Why not a range join ==
+  * The naive form — `l JOIN r ON l.k = r.k AND r.ts <= l.ts` + a
+  * max-per-left dedup — materializes every (probe, earlier-build) pair
+  * before collapsing them: O(|probes| × mean builds per key) rows of
+  * shuffle for an output of |probes| rows. At 100 TB that intermediate is
+  * the job. This implementation is the merge-as-of instead, as one window:
+  *
+  *   1. tag both sides and union them (probe rows carry the packed left
+  *      row, build rows carry a packed payload struct),
+  *   2. ONE hash shuffle on the key + ONE sort by (ts, side, tiebreak),
+  *   3. a running `last(payload, ignoreNulls)` (backward; `first` over the
+  *      following frame for forward) hands every probe row the nearest
+  *      build payload in O(1) state per task,
+  *   4. keep the probe rows and unpack.
+  *
+  * Each side is shuffled exactly once, output size is exactly |left|, and
+  * per-task memory is the sort buffer (spillable) — no group has to fit in
+  * memory. AsOfJoinSpec pins the single-exchange-per-side plan shape.
+  *
+  * == Semantics ==
+  *   - Inclusive: a build row AT the probe timestamp matches.
+  *   - Left outer: probes with no build in range keep NULL payload.
+  *   - `tolerance`: matches farther than this interval from the probe are
+  *     nulled out (pandas merge_asof's `tolerance`).
+  *   - Ties: among build rows sharing the winning timestamp, the greatest
+  *     `tiebreak` value wins (deterministic last-write-wins); without a
+  *     tiebreak column, equal-timestamp build rows are ambiguous — dedupe
+  *     the build side first (e.g. `max_by` per (key, ts)).
+  *
+  * Skew: one hot key serializes into one task's sort, exactly like any
+  * keyed window — pre-split hot keys upstream if a key exceeds a task.
+  */
+object AsOfJoin {
+
+  private val TS = "__asof_ts"
+  private val SIDE = "__asof_side"
+  private val TIE = "__asof_tie"
+  private val PAY = "__asof_pay"
+  private val ROW = "__asof_row"
+
+  /** Backward as-of left join (the common direction): latest right row with
+    * `right.tsCol <= left.tsCol`, per key.
+    *
+    * @param rightPayload right columns to attach (must not collide with
+    *                     left column names); the matched right timestamp is
+    *                     attached as `tsColRight` itself.
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsColLeft: String, tsColRight: String,
+               rightPayload: Seq[String],
+               tolerance: Option[Column] = None,
+               tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keys, tsColLeft, tsColRight, rightPayload,
+      forward = false, tolerance, tiebreak)
+
+  /** Forward as-of left join: earliest right row with
+    * `right.tsCol >= left.tsCol`, per key. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              tsColLeft: String, tsColRight: String,
+              rightPayload: Seq[String],
+              tolerance: Option[Column] = None,
+              tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keys, tsColLeft, tsColRight, rightPayload,
+      forward = true, tolerance, tiebreak)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsColLeft: String, tsColRight: String,
+                   rightPayload: Seq[String],
+                   forward: Boolean,
+                   tolerance: Option[Column],
+                   tiebreak: Option[String]): DataFrame = {
+    val payFields = tsColRight +: rightPayload
+    val collisions = payFields.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: $collisions")
+    require(!payFields.contains(TS) && !left.columns.contains(TS),
+      s"reserved column name $TS in inputs")
+
+    val leftRowType = StructType(left.schema.fields)
+    val payType = StructType(
+      payFields.map(f => right.schema(f)))
+    val tieType = tiebreak.map(right.schema(_).dataType)
+
+    // Build rows must sort adjacent to the probe rows they can match at
+    // EQUAL timestamps: before the probe for backward (running `last` has
+    // already seen them), after it for forward (`first` over the following
+    // frame still sees them, starting from the probe row itself).
+    val (buildOrd, probeOrd) = if (forward) (1, 0) else (0, 1)
+
+    val probe = left.select(
+      keys.map(col) ++ Seq(
+        col(tsColLeft).as(TS),
+        lit(probeOrd).as(SIDE),
+        tieType.map(t => lit(null).cast(t)).getOrElse(lit(null)).as(TIE),
+        lit(null).cast(payType).as(PAY),
+        struct(left.columns.map(col).toIndexedSeq: _*).as(ROW)): _*)
+
+    val build = right.select(
+      keys.map(col) ++ Seq(
+        col(tsColRight).as(TS),
+        lit(buildOrd).as(SIDE),
+        tiebreak.map(col).getOrElse(lit(null)).as(TIE),
+        struct(payFields.map(col).toIndexedSeq: _*).as(PAY),
+        lit(null).cast(leftRowType).as(ROW)): _*)
+
+    // Greatest tiebreak wins: for backward the running `last` keeps the
+    // latest-sorted build row → sort ties ascending; for forward `first`
+    // keeps the earliest-sorted → sort ties descending.
+    val tieOrder = if (forward) col(TIE).desc_nulls_last else col(TIE).asc_nulls_first
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc, tieOrder)
+
+    val matched =
+      if (forward) first(col(PAY), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else last(col(PAY), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    val withMatch = probe.unionByName(build)
+      .withColumn(PAY, matched)
+      .where(col(SIDE) === probeOrd)
+
+    val gated = tolerance match {
+      case Some(tol) =>
+        val dist = if (forward) col(s"$PAY.$tsColRight") - col(TS)
+                   else col(TS) - col(s"$PAY.$tsColRight")
+        withMatch.withColumn(PAY, when(dist <= tol, col(PAY)))
+      case None => withMatch
+    }
+
+    gated.select(
+      col(s"$ROW.*") +: payFields.map(f => col(s"$PAY.$f").as(f)): _*)
+  }
+}

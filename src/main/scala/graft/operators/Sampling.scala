@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-gate sampling — the sampling a training-data
+  * pipeline actually needs, which `df.sample()` (rand()-per-row) cannot
+  * provide:
+  *
+  *   - **Reproducible**: membership is a pure function of (key, seed) —
+  *     the same sample on every run, every engine, every partitioning.
+  *     `rand()`-based sampling changes under retries, AQE re-plans, or a
+  *     different partition count; a lineage-level nondeterminism at scale.
+  *   - **Nested**: the gate is `bucket(key) < fraction·SCALE`, so the 1%
+  *     sample is a SUBSET of the 10% sample is a subset of the 50% sample
+  *     — exactly what scaling-law ladders and progressive training mixes
+  *     need (SamplingSpec pins the monotonicity).
+  *   - **Complementable**: `bucket >= threshold` is the exact held-out
+  *     complement; [[hashSplit]] carves disjoint-and-exhaustive
+  *     train/val/test from one hash.
+  *   - **Scan-speed**: the gate is a scalar predicate in whole-stage
+  *     codegen riding the scan — no shuffle, no sampling operator, no
+  *     state; a mixture is a union of gated scans.
+  *
+  * Buckets are uniform on [0, SCALE): realized fractions deviate from the
+  * target like any Bernoulli sample (±~1/√n), they are never exact counts
+  * — use exact top-n-per-stratum when a hard count is required.
+  *
+  * `algo` follows the engine's SimHash convention: "xxh64" (codegen'd
+  * xxHash64, production default) or "md5" (bit-identical in any engine
+  * with md5 — the differential-oracle path; same 60-bit-hex construction
+  * as Dedup.hashedShingles).
+  */
+object Sampling {
+
+  /** Bucket resolution: fractions are honored to 1e-6. */
+  val Scale = 1000000L
+
+  /** Uniform bucket in [0, Scale) as a pure function of (key, seed). */
+  def bucket(key: Column, seed: String, algo: String = "xxh64"): Column =
+    algo match {
+      case "xxh64" =>
+        pmod(xxhash64(key.cast("string"), lit(seed)), lit(Scale))
+      case "md5" =>
+        conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 15),
+          16, 10).cast("long") % Scale
+      case other => throw new IllegalArgumentException(
+        s"algo must be xxh64 or md5, got $other")
+    }
+
+  /** The membership predicate: true for ≈`fraction` of keys. */
+  def gate(key: Column, fraction: Double, seed: String,
+           algo: String = "xxh64"): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    bucket(key, seed, algo) < math.round(fraction * Scale)
+  }
+
+  /** Keep ≈`fraction` of rows, deterministically by `key`. Rows sharing a
+    * key (e.g. all chunks of one document) are kept or dropped TOGETHER —
+    * sample by the unit that must stay intact. */
+  def sample(df: DataFrame, key: Column, fraction: Double, seed: String,
+             algo: String = "xxh64"): DataFrame =
+    df.where(gate(key, fraction, seed, algo))
+
+  /** Per-stratum fractions (e.g. downsample the over-represented
+    * language); strata absent from the map keep `defaultFraction`. */
+  def stratified(df: DataFrame, key: Column, strata: Column,
+                 fractions: Map[String, Double], defaultFraction: Double,
+                 seed: String, algo: String = "xxh64"): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f"))
+    val threshold = fractions.foldLeft(lit(math.round(defaultFraction * Scale))) {
+      case (acc, (value, f)) =>
+        when(strata === value, lit(math.round(f * Scale))).otherwise(acc)
+    }
+    df.where(bucket(key, seed, algo) < threshold)
+  }
+
+  /** Disjoint, exhaustive split by consecutive bucket ranges: every row
+    * gets exactly one label, fractions must sum to 1 (±1e-9). The labels
+    * are stable under any future re-run or re-partitioning — the property
+    * that keeps test data OUT of training data forever. */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                labelCol: String, seed: String,
+                algo: String = "xxh64"): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Scale)
+    }.tail
+    val b = bucket(key, seed, algo)
+    // Last range is open-ended so rounding can never orphan bucket
+    // Scale-1: the final label is the ELSE branch.
+    val label = splits.init.zip(bounds.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
+        when(b < hi, name).otherwise(acc)
+      }
+    df.withColumn(labelCol, label)
+  }
+
+  /** Weighted corpus mixture: per-source hash gates + a provenance tag,
+    * unioned. Seeds are salted per tag so one corpus's sampling decisions
+    * never correlate with another's (matters when corpora overlap). The
+    * plan is a union of gated scans — zero shuffles, each source pruned
+    * and filtered independently. */
+  def mixture(sources: Seq[(String, DataFrame, Double)], key: Column,
+              tagCol: String, seed: String,
+              algo: String = "xxh64"): DataFrame = {
+    require(sources.nonEmpty, "mixture of zero sources")
+    sources.map { case (tag, df, fraction) =>
+      sample(df, key, fraction, s"$seed:$tag", algo)
+        .withColumn(tagCol, lit(tag))
+    }.reduce(_ unionByName _)
+  }
+}

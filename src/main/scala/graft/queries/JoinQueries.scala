@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Time-series join operators (engine extensions — SURVEY §2c covers the
+  * reference's five equi-join shapes; these are the two non-equi joins a
+  * time-series/attribution workload needs that neither the reference nor
+  * Spark has as a primitive).
+  *
+  * The DuckDB oracles use DuckDB's OWN independent implementations —
+  * `ASOF LEFT JOIN` for the as-of rows, a plain inequality join for the
+  * range row — so the differential check crosses genuinely different
+  * algorithms (merge-as-of window vs DuckDB's asof planner; bucketed
+  * equi-join vs nested range scan).
+  *
+  * Determinism: purchases are pre-aggregated to one row per (user_id, ts)
+  * (max event_id wins — last-write-wins), because NO engine defines which
+  * of several equal-timestamp build rows an as-of join returns; doubles
+  * round(_, 6) per the registry convention.
+  */
+object JoinQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // As-of BACKWARD (the attribution classic): for every click, the
+    // latest same-user purchase at-or-before it. LEFT semantics: clicks
+    // with no prior purchase keep NULL purchase columns.
+    "asof_attribution" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            round(col("value"), 6).as("click_value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+          .agg(max(col("event_id")).as("purchase_id"),
+            round(max_by(col("value"), col("event_id")), 6).as("purchase_value"))
+        AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+          tsColLeft = "ts", tsColRight = "purchase_ts",
+          rightPayload = Seq("purchase_id", "purchase_value"))
+      },
+      """WITH clicks AS (
+        |  SELECT event_id, ts, user_id, round(value, 6) AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id,
+        |         round(arg_max(value, event_id), 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.ts, c.user_id, c.click_value,
+        |       p.purchase_ts, p.purchase_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts""".stripMargin),
+
+    // As-of FORWARD with tolerance: for every purchase, the next same-user
+    // error within 48 hours (time-to-failure analysis). The tolerance
+    // NULLs a match that exists but is too far — both engines model
+    // "nearest first, then gate" identically.
+    "asof_next_error" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("error_ts")).distinct()
+        AsOfJoin.forward(purchases, errors, Seq("user_id"),
+          tsColLeft = "ts", tsColRight = "error_ts",
+          rightPayload = Seq.empty,
+          tolerance = Some(expr("INTERVAL 48 HOURS")))
+      },
+      """SELECT p.event_id, p.ts, p.user_id,
+        |       CASE WHEN e.error_ts - p.ts <= INTERVAL 48 HOUR
+        |            THEN e.error_ts END AS error_ts
+        |FROM (SELECT event_id, ts, user_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT DISTINCT user_id, ts AS error_ts FROM events
+        |                WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts <= e.error_ts""".stripMargin),
+
+    // Range join: every (click, purchase) pair where the click falls in
+    // the purchase's [ts, ts+24h) attribution window, same user. 4-hour
+    // bins → each window explodes to ≤ 7 bins; the Spark plan is an
+    // equi-join on (user_id, bin), never a nested loop.
+    "range_join_attribution" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+            col("user_id"))
+        val windows = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("window_start"),
+            (col("ts") + expr("INTERVAL 24 HOURS")).as("window_end"))
+        RangeJoin.pointInInterval(clicks, windows, Seq("user_id"),
+          pointTs = "click_ts", startCol = "window_start",
+          endCol = "window_end", binMicros = 4L * 3600 * 1000000)
+      },
+      """SELECT c.user_id, c.click_id, c.click_ts,
+        |       p.purchase_id, p.window_start, p.window_end
+        |FROM (SELECT event_id AS click_id, ts AS click_ts, user_id
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id AS purchase_id, user_id, ts AS window_start,
+        |             ts + INTERVAL 24 HOUR AS window_end
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |     AND c.click_ts >= p.window_start
+        |     AND c.click_ts < p.window_end""".stripMargin))
+}

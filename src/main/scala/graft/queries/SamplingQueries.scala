@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sampling
+
+/** Deterministic sampling over the documents corpus (engine extension —
+  * the subset/split/mixture machinery of a training-data pipeline; see
+  * Sampling's scaladoc for why rand()-based `df.sample` can't do this).
+  *
+  * All rows run the md5 bucket (`algo = "md5"`, the Dedup.hashedShingles
+  * convention) so DuckDB re-derives the EXACT sample membership:
+  * `CAST(('0x' || substr(md5(key || ':' || seed), 1, 15)) AS BIGINT)`
+  * equals Spark's `conv(substring(md5(..), 1, 15), 16, 10)` — both read
+  * the same 60-bit prefix of the same digest. Production uses the
+  * codegen'd xxh64 path; SamplingSpec pins that both algos realize the
+  * requested fraction and every invariant below holds for both.
+  */
+object SamplingQueries {
+
+  /** DuckDB side of Sampling.bucket(algo = "md5"). */
+  private def duckBucket(key: String, seed: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR) || ':$seed'), 1, 15)) AS BIGINT) % 1000000"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Plain 30% corpus subsample, reproducible by doc_id.
+    "ext_hash_sample" -> QueryDef(
+      (s, dir) => Sampling.sample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        key = col("doc_id"), fraction = 0.3, seed = "r5", algo = "md5"),
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${duckBucket("doc_id", "r5")} < 300000""".stripMargin),
+
+    // Stratified: downsample the over-represented language to rebalance
+    // the mix (en keeps 25%, everything else 80%).
+    "ext_stratified_sample" -> QueryDef(
+      (s, dir) => Sampling.stratified(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        key = col("doc_id"), strata = col("lang"),
+        fractions = Map("en" -> 0.25), defaultFraction = 0.8,
+        seed = "r5s", algo = "md5"),
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckBucket("doc_id", "r5s")} <
+         |      CASE lang WHEN 'en' THEN 250000 ELSE 800000 END""".stripMargin),
+
+    // Disjoint-and-exhaustive 80/10/10 split: every doc labeled exactly
+    // once, labels stable forever (the test set can never leak).
+    "ext_hash_split" -> QueryDef(
+      (s, dir) => Sampling.hashSplit(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        key = col("doc_id"),
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        labelCol = "split", seed = "r5v", algo = "md5"),
+      s"""SELECT doc_id, source,
+         |  CASE WHEN ${duckBucket("doc_id", "r5v")} < 800000 THEN 'train'
+         |       WHEN ${duckBucket("doc_id", "r5v")} < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin),
+
+    // Weighted three-corpus training mixture with provenance tags; the
+    // seed is salted per tag so per-corpus decisions are independent.
+    "ext_corpus_mixture" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"))
+        def corpus(lo: Int, hi: Int) = docs.where(
+          col("source").isin((lo to hi).map(i => s"src$i"): _*))
+        Sampling.mixture(
+          Seq(("web", corpus(0, 6), 0.9),
+            ("books", corpus(7, 13), 0.5),
+            ("code", corpus(14, 19), 0.2)),
+          key = col("doc_id"), tagCol = "mix_source", seed = "r5m",
+          algo = "md5")
+      },
+      {
+        def arm(tag: String, members: String, frac: Long): String =
+          s"""SELECT doc_id, lang, source, '$tag' AS mix_source
+             |FROM documents
+             |WHERE source IN ($members)
+             |  AND ${duckBucket("doc_id", s"r5m:$tag")} < $frac""".stripMargin
+        Seq(
+          arm("web", (0 to 6).map(i => s"'src$i'").mkString(", "), 900000L),
+          arm("books", (7 to 13).map(i => s"'src$i'").mkString(", "), 500000L),
+          arm("code", (14 to 19).map(i => s"'src$i'").mkString(", "), 200000L)
+        ).mkString("\nUNION ALL\n")
+      }))
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** AsOfJoin semantics (inclusive nearest, left-outer, tolerance, ties,
+  * both directions), a differential against the naive
+  * range-join-then-collapse implementation on real data, and the plan
+  * contract that justifies the operator: ONE shuffle per side, no
+  * nested-loop anywhere. The oracle rows (asof_attribution,
+  * asof_next_error) cross-check values against DuckDB's own ASOF JOIN;
+  * this spec pins what those can't: edge semantics on crafted rows and
+  * the physical plan. */
+class AsOfJoinSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val build: DataFrame = Seq(
+    ("k1", "2024-01-01 09:00:00", "a"),
+    ("k1", "2024-01-01 10:00:00", "b"),
+    ("k1", "2024-01-01 11:00:00", "c"))
+    .toDF("k", "bts", "v")
+    .withColumn("bts", to_timestamp(col("bts")))
+
+  private def probes(rows: (String, String)*): DataFrame =
+    rows.toSeq.toDF("k", "pts").withColumn("pts", to_timestamp(col("pts")))
+
+  test("backward: nearest at-or-before, inclusive, left-outer on misses") {
+    val probe = probes(
+      ("k1", "2024-01-01 10:30:00"), // between b and c -> b
+      ("k1", "2024-01-01 10:00:00"), // exactly at b -> b (inclusive)
+      ("k1", "2024-01-01 08:00:00"), // before all -> NULL
+      ("k2", "2024-01-01 12:00:00")) // no builds for key -> NULL
+    val got = AsOfJoin.backward(probe, build, Seq("k"), "pts", "bts", Seq("v"))
+      .select(col("k"), col("pts"), col("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("k1", ts("2024-01-01 10:30:00"), "b"),
+      ("k1", ts("2024-01-01 10:00:00"), "b"),
+      ("k1", ts("2024-01-01 08:00:00"), null),
+      ("k2", ts("2024-01-01 12:00:00"), null)))
+  }
+
+  test("forward: nearest at-or-after, inclusive, left-outer past the end") {
+    val probe = probes(
+      ("k1", "2024-01-01 10:30:00"), // -> c
+      ("k1", "2024-01-01 11:00:00"), // exactly at c -> c (inclusive)
+      ("k1", "2024-01-01 12:00:00")) // after all -> NULL
+    val got = AsOfJoin.forward(probe, build, Seq("k"), "pts", "bts", Seq("v"))
+      .select(col("pts"), col("v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(got === Set(
+      (ts("2024-01-01 10:30:00"), "c"),
+      (ts("2024-01-01 11:00:00"), "c"),
+      (ts("2024-01-01 12:00:00"), null)))
+  }
+
+  test("tolerance NULLs a match that exists but is too far") {
+    val probe = probes(("k1", "2024-01-01 10:30:00"))
+    def matchWithTol(tol: String): String =
+      AsOfJoin.backward(probe, build, Seq("k"), "pts", "bts", Seq("v"),
+          tolerance = Some(expr(s"INTERVAL $tol")))
+        .select(col("v")).collect().head.getString(0)
+    assert(matchWithTol("40 MINUTES") === "b") // 30 min away, within 40
+    assert(matchWithTol("10 MINUTES") === null) // 30 min away, beyond 10
+  }
+
+  test("equal-timestamp build ties: greatest tiebreak wins, both directions") {
+    val tied = Seq(
+      ("k1", "2024-01-01 10:00:00", 1L, "low"),
+      ("k1", "2024-01-01 10:00:00", 2L, "high"))
+      .toDF("k", "bts", "id", "v")
+      .withColumn("bts", to_timestamp(col("bts")))
+    val pBack = probes(("k1", "2024-01-01 10:30:00"))
+    val pFwd = probes(("k1", "2024-01-01 09:30:00"))
+    val back = AsOfJoin.backward(pBack, tied, Seq("k"), "pts", "bts",
+      Seq("v"), tiebreak = Some("id")).select(col("v")).collect().head.getString(0)
+    val fwd = AsOfJoin.forward(pFwd, tied, Seq("k"), "pts", "bts",
+      Seq("v"), tiebreak = Some("id")).select(col("v")).collect().head.getString(0)
+    assert(back === "high" && fwd === "high")
+  }
+
+  test("differential vs naive range-join-then-collapse on real events") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+
+    val asof = AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+      "ts", "purchase_ts", Seq("purchase_id"))
+
+    // Naive: materialize ALL (click, earlier purchase) pairs, keep the
+    // latest per click — the quadratic plan the operator exists to avoid.
+    val pairs = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        purchases("purchase_ts") <= clicks("ts"), "left")
+      .select(clicks("event_id"), clicks("ts"), clicks("user_id"),
+        purchases("purchase_ts"), purchases("purchase_id"))
+    val naive = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id"))
+          .orderBy(col("purchase_ts").desc_nulls_last)))
+      .where(col("rn") === 1).drop("rn")
+
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    assert(asof.collect().map(key).sorted.toSeq ===
+      naive.collect().map(key).sorted.toSeq)
+  }
+
+  test("plan: one hash exchange per side's union, no nested loop") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val q = AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+      "ts", "purchase_ts", Seq("purchase_id"), tiebreak = Some("purchase_id"))
+    q.collect() // let AQE finalize
+    // the AQE string repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected ONE exchange (union -> window):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of must never nested-loop:\n$plan")
+  }
+}

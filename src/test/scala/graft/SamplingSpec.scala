@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Sampling invariants — the properties that make hash-gate sampling the
+  * right primitive for training data, pinned for BOTH hash algos:
+  * determinism under re-run and re-partitioning, nested subsets across
+  * fractions, realized fraction ≈ requested, split disjointness/
+  * exhaustiveness and its subset relation to the plain sample, and
+  * per-tag seed independence of mixtures. Exact cross-engine membership
+  * is oracle-checked by the ext_hash_* / ext_corpus_mixture rows (md5
+  * path); this spec pins the algebra. */
+class SamplingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val keys: DataFrame = spark.range(2000).toDF("id")
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("id")).as[Long].collect().toSet
+
+  for (algo <- Seq("xxh64", "md5")) {
+
+    test(s"$algo: deterministic and partitioning-invariant") {
+      val once = ids(Sampling.sample(keys, col("id"), 0.3, "s1", algo))
+      val again = ids(Sampling.sample(keys, col("id"), 0.3, "s1", algo))
+      val reparted = ids(Sampling.sample(keys.repartition(7), col("id"), 0.3, "s1", algo))
+      assert(once === again && once === reparted)
+    }
+
+    test(s"$algo: samples nest across fractions and realize them") {
+      val s10 = ids(Sampling.sample(keys, col("id"), 0.1, "s2", algo))
+      val s30 = ids(Sampling.sample(keys, col("id"), 0.3, "s2", algo))
+      val s60 = ids(Sampling.sample(keys, col("id"), 0.6, "s2", algo))
+      assert(s10.subsetOf(s30) && s30.subsetOf(s60))
+      // n=2000: 4-sigma Bernoulli band is ±~4.4% absolute at p=0.3
+      Seq((s10, 0.1), (s30, 0.3), (s60, 0.6)).foreach { case (s, p) =>
+        val realized = s.size.toDouble / 2000
+        assert(math.abs(realized - p) < 0.05,
+          s"fraction $p realized $realized")
+      }
+      assert(ids(Sampling.sample(keys, col("id"), 0.0, "s2", algo)).isEmpty)
+      assert(ids(Sampling.sample(keys, col("id"), 1.0, "s2", algo)).size === 2000)
+    }
+
+    test(s"$algo: hashSplit is disjoint, exhaustive, and aligned with sample()") {
+      val split = Sampling.hashSplit(keys, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split", "s3", algo)
+      val byLabel = split.groupBy(col("split")).count()
+        .as[(String, Long)].collect().toMap
+      assert(byLabel.values.sum === 2000L && byLabel.keySet === Set("train", "val", "test"))
+      assert(math.abs(byLabel("train") - 1600.0) < 100)
+      // the 0.8 sample IS the train split (same seed): complements line up
+      val sampled = ids(Sampling.sample(keys, col("id"), 0.8, "s3", algo))
+      val train = ids(split.where(col("split") === "train"))
+      assert(sampled === train)
+    }
+
+    test(s"$algo: stratified applies per-stratum fractions") {
+      val strat = keys.withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
+      val out = Sampling.stratified(strat, col("id"), col("grp"),
+        Map("a" -> 0.1), defaultFraction = 0.9, seed = "s4", algo = algo)
+      val counts = out.groupBy(col("grp")).count().as[(String, Long)].collect().toMap
+      assert(counts("a") < 200 && counts("b") > 800,
+        s"expected ~100 a / ~900 b, got $counts")
+    }
+
+    test(s"$algo: mixture tags provenance and salts seeds per tag") {
+      val a = keys.withColumn("src", lit("a"))
+      val b = keys.withColumn("src", lit("b"))
+      val mix = Sampling.mixture(Seq(("a", a, 0.5), ("b", b, 0.5)),
+        col("id"), "tag", "s5", algo)
+      val byTag = mix.groupBy(col("tag")).agg(collect_set(col("id")).as("ks"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(byTag.keySet === Set("a", "b"))
+      // same keys, same fraction — only the tag salt differs; identical
+      // keep-sets would mean the corpora's sampling decisions correlate
+      assert(byTag("a").toSet !== byTag("b").toSet)
+    }
+  }
+}

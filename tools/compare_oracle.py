@@ -27,6 +27,14 @@ def canon(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    # Scalar nulls of any dtype (None, NaN, NaT) compare equal — pandas
+    # NaT == NaT is False, which would flag matching NULL timestamps.
+    # Arrays (e.g. embedding cells) skip this: pd.isna would be elementwise.
+    if not isinstance(a, (list, tuple)) and not hasattr(a, "__len__"):
+        import pandas as pd
+        an, bn = pd.isna(a), pd.isna(b)
+        if isinstance(an, bool) and isinstance(bn, bool) and (an or bn):
+            return an and bn
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
