@@ -175,6 +175,13 @@ object GraftFunctions {
     ("graft_rolling_hash", classOf[TokenRollingHash],
       "_FUNC_(text) - 31-base token rolling hash mod 1e9+7",
       es => TokenRollingHash(arity("graft_rolling_hash", 1)(es).head)),
+    ("graft_sorted_upper_bound", classOf[SortedUpperBound],
+      "_FUNC_(arr, t) - count of elements <= t in an ascending-sorted " +
+        "bigint array (binary search)",
+      es => {
+        val e = arity("graft_sorted_upper_bound", 2)(es)
+        SortedUpperBound(e(0), e(1))
+      }),
     ("graft_hyperplane_sig", classOf[HyperplaneSig],
       "_FUNC_(v, bits, table) - bits-bit random-hyperplane LSH signature of a numeric array",
       es => {

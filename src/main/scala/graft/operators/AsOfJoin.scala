@@ -40,6 +40,8 @@ import org.apache.spark.sql.types.StructType
   *     `tiebreak` value wins (deterministic last-write-wins); without a
   *     tiebreak column, equal-timestamp build rows are ambiguous — dedupe
   *     the build side first (e.g. `max_by` per (key, ts)).
+  *   - NULL timestamps never match, on either side: a null-ts build row
+  *     is dropped, a null-ts probe row keeps a NULL payload.
   *
   * Skew: one hot key serializes into one task's sort, exactly like any
   * keyed window — pre-split hot keys upstream if a key exceeds a task.
@@ -66,6 +68,69 @@ object AsOfJoin {
                tiebreak: Option[String] = None): DataFrame =
     asof(left, right, keys, tsColLeft, tsColRight, rightPayload,
       forward = false, tolerance, tiebreak)
+
+  /** Broadcast backward as-of join — the scale path when the build side is
+    * dimension-like (exchange rates, calendars, reference series): the
+    * build side collapses to ONE row per key holding its ascending
+    * timestamp array + payload array, gets broadcast, and every probe row
+    * binary-searches its match via the native
+    * [[graft.functions.SortedUpperBound]] expression — O(log n) per probe,
+    * all inside whole-stage codegen.
+    *
+    * The probe side — the side that is 100 TB — is NEVER shuffled and
+    * never sorted: against [[backward]]'s one-exchange-one-sort this is
+    * the difference between a wide stage over the fact table and a
+    * map-only pass (AsOfJoinSpec pins the zero-exchange plan). The trade:
+    * the aggregated build side must fit in a broadcast (same budget as
+    * any broadcast hash join build).
+    *
+    * Same semantics as [[backward]] (inclusive, left-outer, tolerance,
+    * greatest-tiebreak ties), with one shared refinement: rows with NULL
+    * timestamps never match, on either side. Timestamps are compared at
+    * microsecond resolution (the engine's native timestamp precision).
+    */
+  def broadcastBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        tsColLeft: String, tsColRight: String,
+                        rightPayload: Seq[String],
+                        tolerance: Option[Column] = None,
+                        tiebreak: Option[String] = None): DataFrame = {
+    val payFields = tsColRight +: rightPayload
+    val collisions = payFields.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: $collisions")
+
+    // The coalesce is a NULLABILITY eraser, not a value path: null-ts
+    // build rows are filtered out above it, but without it the struct
+    // field — and therefore the transform()'d ts array — would type as
+    // nullable and fail SortedUpperBound's containsNull=false contract.
+    val tsMicros = coalesce(
+      expr(s"unix_micros(cast($tsColRight as timestamp))"),
+      lit(Long.MinValue)).as(TS)
+    // Sort key order inside the struct: ts, then tiebreak — lexicographic
+    // sort_array puts the greatest tiebreak LAST among equal timestamps,
+    // and upper-bound indexing picks the last element <= target.
+    val packedFields = tsMicros +: (tiebreak.map(t => col(t).as(TIE)).toSeq ++
+      payFields.map(col))
+    val packed = right
+      .where(col(tsColRight).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(packedFields: _*))).as(PAY))
+
+    val joined = left.join(broadcast(packed), keys, "left")
+    val target = expr(s"unix_micros(cast($tsColLeft as timestamp))")
+    val idx = call_function("graft_sorted_upper_bound",
+      transform(col(PAY), x => x(TS)), target)
+    val hit = when(idx > 0, element_at(col(PAY), idx))
+    val gated = tolerance match {
+      case Some(tol) =>
+        when(col(tsColLeft) - hit(tsColRight) <= tol, hit)
+      case None => hit
+    }
+    joined
+      .withColumn(ROW, gated) // ROW reused as the resolved-match slot
+      .select(left.columns.map(col) ++
+        payFields.map(f => col(s"$ROW.$f").as(f)): _*)
+  }
 
   /** Forward as-of left join: earliest right row with
     * `right.tsCol >= left.tsCol`, per key. */
@@ -109,13 +174,15 @@ object AsOfJoin {
         lit(null).cast(payType).as(PAY),
         struct(left.columns.map(col).toIndexedSeq: _*).as(ROW)): _*)
 
-    val build = right.select(
-      keys.map(col) ++ Seq(
-        col(tsColRight).as(TS),
-        lit(buildOrd).as(SIDE),
-        tiebreak.map(col).getOrElse(lit(null)).as(TIE),
-        struct(payFields.map(col).toIndexedSeq: _*).as(PAY),
-        lit(null).cast(leftRowType).as(ROW)): _*)
+    val build = right
+      .where(col(tsColRight).isNotNull) // null timestamps never match
+      .select(
+        keys.map(col) ++ Seq(
+          col(tsColRight).as(TS),
+          lit(buildOrd).as(SIDE),
+          tiebreak.map(col).getOrElse(lit(null)).as(TIE),
+          struct(payFields.map(col).toIndexedSeq: _*).as(PAY),
+          lit(null).cast(leftRowType).as(ROW)): _*)
 
     // Greatest tiebreak wins: for backward the running `last` keeps the
     // latest-sorted build row → sort ties ascending; for forward `first`
@@ -130,8 +197,11 @@ object AsOfJoin {
       else last(col(PAY), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+    // Null-ts PROBE rows keep a NULL match too: backward gets this free
+    // from NULLS FIRST ordering, but forward's first-over-following would
+    // hand a null-ts probe the earliest build — gate it out explicitly.
     val withMatch = probe.unionByName(build)
-      .withColumn(PAY, matched)
+      .withColumn(PAY, when(col(TS).isNotNull, matched))
       .where(col(SIDE) === probeOrd)
 
     val gated = tolerance match {

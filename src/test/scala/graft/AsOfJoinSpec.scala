@@ -114,6 +114,62 @@ class AsOfJoinSpec extends SparkSpecBase {
       naive.collect().map(key).sorted.toSeq)
   }
 
+  test("broadcast path == window path on real data, incl. tolerance") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (tol <- Seq(None, Some(expr("INTERVAL 72 HOURS")))) {
+      val window = AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+        "ts", "purchase_ts", Seq("purchase_id"), tolerance = tol)
+      val bcast = AsOfJoin.broadcastBackward(clicks, purchases, Seq("user_id"),
+        "ts", "purchase_ts", Seq("purchase_id"), tolerance = tol)
+      assert(canon(bcast) === canon(window), s"diverged at tolerance=$tol")
+    }
+  }
+
+  test("broadcast path: equal-ts ties and null timestamps match the window path") {
+    val tied = Seq(
+      ("k1", "2024-01-01 10:00:00", 1L, "low"),
+      ("k1", "2024-01-01 10:00:00", 2L, "high"),
+      ("k1", null, 3L, "nullts"))
+      .toDF("k", "bts", "id", "v")
+      .withColumn("bts", to_timestamp(col("bts")))
+    val probe = Seq(("k1", "2024-01-01 10:30:00"), ("k1", null))
+      .toDF("k", "pts").withColumn("pts", to_timestamp(col("pts")))
+    val got = AsOfJoin.broadcastBackward(probe, tied, Seq("k"), "pts", "bts",
+        Seq("v"), tiebreak = Some("id"))
+      .select(col("pts"), col("v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(got === Set(
+      (ts("2024-01-01 10:30:00"), "high"), // greatest tiebreak, not nullts
+      (null, null)))                       // null probe ts never matches
+  }
+
+  test("broadcast plan: probe side map-only — no window sort, build agg only exchange") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val q = AsOfJoin.broadcastBackward(clicks, purchases, Seq("user_id"),
+      "ts", "purchase_ts", Seq("purchase_id"), tiebreak = Some("purchase_id"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"probe side must stay map-only:\n$plan")
+    // the only hash exchange is the BUILD side's groupBy — the probe
+    // (fact) side reaches the join straight from its scan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one (build-side) exchange:\n$plan")
+  }
+
   test("plan: one hash exchange per side's union, no nested loop") {
     val ev = Tables.events(spark, sf0001)
     val clicks = ev.where(col("event_type") === "click")

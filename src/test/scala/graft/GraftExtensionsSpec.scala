@@ -35,7 +35,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
   test("ALL graft_* functions resolve via the extensions path, no register() call") {
     // every builders-table entry, including the literal-parameterised ones
     // whose extraction logic (intLit/strLit) runs at resolution time — a
-    // builder regression in any of the 8 surfaces here, not in production
+    // builder regression in any of the 9 surfaces here, not in production
     val r = extSpark.sql(
       """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |  graft_sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
@@ -44,6 +44,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
         |  size(graft_minhash_sig(array(7L), 4)) AS mh,
         |  graft_text_metrics('a b').n_tokens AS tm,
         |  graft_rolling_hash('x') AS rh,
+        |  graft_sorted_upper_bound(array(1L, 3L, 5L), 4L) AS ub,
         |  graft_hyperplane_sig(array(1.0D, 0.0D), 2, 0) AS hs""".stripMargin)
       .collect().head
     assert(r.getAs[Double]("d") === 11.0)
@@ -54,6 +55,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("tm") === 2L)
     // value pinned by ext_fingerprint's oracle; here only resolution+range
     assert(r.getAs[Long]("rh") >= 0L && r.getAs[Long]("rh") < 1000000007L)
+    assert(r.getAs[Int]("ub") === 2) // elements <= 4 in [1,3,5]
     assert(r.getAs[Long]("hs") >= 0L && r.getAs[Long]("hs") < 4L) // 2-bit sig
   }
 

@@ -242,6 +242,22 @@ object PropertySpec extends Properties("graft") {
       cases.indices.forall(i => pairs.contains((2L * i, 2L * i + 1)))
     }
 
+  // --- SortedUpperBound: binary search == the composable HOF count on
+  // sorted input (the precondition the expression documents)
+  private val ubCase: Gen[(List[Long], Long)] = for {
+    xs <- Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    t <- Gen.chooseNum(-1100L, 1100L)
+  } yield (xs.sorted, t)
+
+  property("SortedUpperBound equals size(filter(arr, _ <= t)) on sorted arrays") =
+    Prop.forAll(Gen.listOfN(40, ubCase)) { cases =>
+      import org.apache.spark.sql.functions.{call_function, col, filter, size}
+      val got = cases.toDF("arr", "t").select(
+        call_function("graft_sorted_upper_bound", col("arr"), col("t")).as("bs"),
+        size(filter(col("arr"), _ <= col("t"))).as("hof")).collect()
+      got.forall(r => r.getAs[Int]("bs") == r.getAs[Int]("hof"))
+    }
+
   property("TopKAggregator ranking equals sort-and-take under any partitioning") =
     Prop.forAll(scoredGen) { rows =>
       import org.apache.spark.sql.functions.{col, posexplode, udaf}
