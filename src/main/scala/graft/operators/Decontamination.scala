@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Test-set decontamination for the LLM-data-pipeline extension surface:
+  * flag training-corpus documents that share word n-grams with a held-out
+  * benchmark set (the standard leakage check run before every pretraining
+  * job — n around 13 in practice; overlap means the eval answer may
+  * literally appear in the training data).
+  *
+  * Scale design (100 TB): the corpus is the huge side, the benchmark is
+  * small by definition (eval sets are MBs). So the benchmark collapses to
+  * ONE row holding the sorted union of its distinct n-gram hashes, gets
+  * broadcast, and every corpus document counts its overlap with the
+  * allocation-free two-pointer native
+  * [[graft.functions.SortedIntersectCount]] — the corpus side is a pure
+  * map pass over the scan: no shuffle, no explosion of corpus n-grams
+  * into the exchange, no join state proportional to the corpus
+  * (DecontaminationSpec pins the shuffle-free probe plan). Memory bound =
+  * the benchmark's distinct-gram array must fit in a broadcast, the same
+  * budget as any broadcast join build side.
+  *
+  * Hashing follows the [[Dedup.hashedShingles]] convention: `algo="xxh64"`
+  * (production) or `"md5"` (the differential-testing parameterization an
+  * external engine can re-derive bit-for-bit — the registered
+  * `ext_decontaminate` row runs md5 against a DuckDB oracle, and
+  * `ext_decontaminate_prod` pins that the two hash choices flag the same
+  * documents). Gram-hash collisions can only ADD a phantom shared gram at
+  * the 2⁻⁶⁰ rate — sharpen with `minShared > 1` if that matters.
+  */
+object Decontamination {
+
+  /** Per-corpus-document contamination counts against `benchmark`:
+    * `(doc_id, n_grams, n_shared, contaminated)` where `n_shared` is the
+    * number of DISTINCT word `n`-grams of the document that appear
+    * anywhere in the benchmark and `contaminated = n_shared >= minShared`.
+    * Documents shorter than `n` tokens have zero grams and are never
+    * contaminated. Both frames must carry (doc_id, text).
+    */
+  def flag(corpus: DataFrame, benchmark: DataFrame, n: Int,
+           minShared: Int = 1, algo: String = "xxh64"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+
+    def withGrams(df: DataFrame): DataFrame = df
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("gh", Dedup.hashedShingles("ws", n, algo))
+
+    // collect_set keeps the array element type non-null, which the native
+    // intersect requires; sort_array restores the two-pointer precondition
+    // the per-doc arrays already satisfy.
+    val bench = withGrams(benchmark)
+      .select(explode(col("gh")).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+
+    withGrams(corpus)
+      .crossJoin(broadcast(bench))
+      .select(
+        col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        call_function("graft_sorted_intersect_count",
+          col("gh"), col("bench_hs")).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+}

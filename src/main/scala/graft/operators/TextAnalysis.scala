@@ -147,4 +147,37 @@ object TextAnalysis {
         md5(col("norm")).as("content_md5"),
         call_function("graft_rolling_hash", col("norm")).as("rolling_hash"))
   }
+
+  /** Within-document repetition: the fraction of word n-gram OCCURRENCES
+    * that repeat an earlier occurrence — the Gopher-style duplicate-n-gram
+    * quality gate (machine-generated and boilerplate text scores high;
+    * `repetitive` trips when the fraction strictly exceeds `num/den`, an
+    * integer-exact comparison with no float boundary).
+    *
+    * Distinct grams come from [[Dedup.shingles]]' STRING form, not the
+    * hashed form — a hash collision would undercount distinct grams and
+    * silently diverge from any exact re-derivation; the strings here are
+    * per-row transients that never reach an exchange, so the extra width
+    * costs nothing at scale. One narrow projection over the scan: no
+    * shuffle, prunes to (doc_id, text).
+    */
+  def repetition(docs: DataFrame, n: Int,
+                 num: Int = 1, den: Int = 10): DataFrame = {
+    require(n >= 1 && num >= 0 && den >= 1, s"bad params: n=$n, $num/$den")
+    docs
+      .withColumn("ws", toks(col("text")))
+      .withColumn("sh", Dedup.shingles("ws", n))
+      .select(
+        col("doc_id"),
+        greatest(size(col("ws")) - (n - 1), lit(0)).as("n_grams_total"),
+        size(col("sh")).as("n_grams_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_grams_total") > 0,
+          round(lit(1.0) - col("n_grams_distinct").cast("double") /
+            col("n_grams_total"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive",
+        (col("n_grams_total") - col("n_grams_distinct")) * den >
+          col("n_grams_total") * num)
+  }
 }

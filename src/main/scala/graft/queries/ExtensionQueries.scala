@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension operators (north star, BASELINE.json):
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -613,6 +613,109 @@ object ExtensionQueries {
         |      t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS rolling_hash
         |FROM n""".stripMargin),
+
+    // Test-set decontamination (md5 gram hash, word 5-grams): benchmark =
+    // every 29th doc, corpus = the rest; a corpus doc is contaminated when
+    // ANY distinct 5-gram also appears in the benchmark. The operator
+    // intersects HASHED gram sets (broadcast sorted-array + native
+    // two-pointer count, corpus side map-only), so the oracle re-derives
+    // the SAME md5-derived 60-bit hashes and joins exploded grams — two
+    // independent algorithms over identical hash values.
+    "ext_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontamination.flag(
+          corpus = docs.where(col("doc_id") % 29 =!= 0),
+          benchmark = docs.where(col("doc_id") % 29 === 0),
+          n = 5, minShared = 1, algo = "md5")
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 5 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(ws) - 4),
+        |                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+        |    END AS sh
+        |  FROM w),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(sh,
+        |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS hv
+        |  FROM s),
+        |bench AS (SELECT DISTINCT unnest(hv) AS h FROM hs WHERE doc_id % 29 = 0),
+        |corpus AS (SELECT doc_id, hv FROM hs WHERE doc_id % 29 <> 0),
+        |hits AS (
+        |  SELECT cg.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(hv) AS h FROM corpus) cg
+        |  JOIN bench USING (h) GROUP BY cg.doc_id)
+        |SELECT c.doc_id, CAST(len(c.hv) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(h.n_shared, 0) >= 1 AS contaminated
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin),
+
+    // Decontamination PRODUCTION path (xxh64 gram hash): same corpus
+    // split, and the invariant the oracle asserts is hash-independence —
+    // both hash parameterizations intersect the SAME string gram sets, so
+    // flags and shared-counts must agree document-for-document (divergence
+    // would need a gram-hash collision, rate 2^-60).
+    "ext_decontaminate_prod" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def run(algo: String) = Decontamination.flag(
+          corpus = docs.where(col("doc_id") % 29 =!= 0),
+          benchmark = docs.where(col("doc_id") % 29 === 0),
+          n = 5, minShared = 1, algo = algo)
+        run("xxh64").alias("x")
+          .join(run("md5").alias("m"), "doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("x.contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+            every(col("x.n_shared") === col("m.n_shared")).as("counts_agree"),
+            every(col("x.contaminated") === col("m.contaminated")).as("flags_agree"))
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 5 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(ws) - 4),
+        |                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+        |    END AS sh
+        |  FROM w),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 29 = 0),
+        |corpus AS (SELECT doc_id, sh FROM s WHERE doc_id % 29 <> 0),
+        |hits AS (
+        |  SELECT cg.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM corpus) cg
+        |  JOIN bench USING (g) GROUP BY cg.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE coalesce(h.n_shared, 0) >= 1) AS BIGINT)
+        |    AS n_contaminated,
+        |  TRUE AS counts_agree, TRUE AS flags_agree
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin),
+
+    // Within-document repetition (Gopher-style duplicate-n-gram fraction,
+    // word 2-grams, gate at > 1/10): integer-exact gate, one double
+    // division rounded to 6 for the fraction itself.
+    "ext_repetition" -> QueryDef(
+      (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir), n = 2),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(ws) - 1, 0) AS INT) AS n_grams_total,
+        |    CAST(CASE WHEN len(ws) < 2 THEN 0
+        |         ELSE len(list_distinct(list_transform(
+        |                generate_series(1, len(ws) - 1),
+        |                i -> concat_ws(' ', ws[i], ws[i+1]))))
+        |    END AS INT) AS n_grams_distinct
+        |  FROM w)
+        |SELECT doc_id, n_grams_total, n_grams_distinct,
+        |  CASE WHEN n_grams_total > 0
+        |       THEN round(CAST(1 AS DOUBLE)
+        |              - CAST(n_grams_distinct AS DOUBLE) / n_grams_total, 6)
+        |       ELSE CAST(0 AS DOUBLE) END AS dup_frac,
+        |  (n_grams_total - n_grams_distinct) * 10 > n_grams_total * 1
+        |    AS repetitive
+        |FROM g""".stripMargin),
 
     // Multimodal plumbing: binary payload column + typed mapPartitions
     // batch "decode" (deterministic fake features — see Multimodal scaladoc;

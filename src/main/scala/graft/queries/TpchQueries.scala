@@ -504,6 +504,235 @@ object TpchQueries {
         |      AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
         |GROUP BY c_mktsegment""".stripMargin),
 
+    // Q2-style: min-cost supplier per part — the argmin-per-group shape
+    // (aggregate compared to the aggregate-of-the-aggregate, q15's scalar
+    // max generalized to one max PER GROUP). No partsupp table in this
+    // schema, so "cost" is the cheapest observed line price per
+    // (part, supplier) over the lineitem bridge, EUROPE suppliers only.
+    // The equality runs on exact BIGINT micro-units — double argmin ties
+    // are where cross-engine determinism dies — and ALL tied suppliers
+    // survive, as in real q2.
+    "q2_min_cost_supplier" -> QueryDef(
+      (s, dir) => {
+        val euroSupp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        // LAZY checkpoint (the q15 convention): the per-(part,supplier)
+        // cost feeds BOTH the per-part min and the equality join side.
+        val cost = Tables.lineitem(s, dir)
+          .join(broadcast(euroSupp.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(expr("CAST(round(l_extendedprice * 1e6) AS BIGINT)")).as("c"))
+          .localCheckpoint(eager = false)
+        val mc = cost.groupBy(col("l_partkey")).agg(min(col("c")).as("mn"))
+        cost.join(mc.withColumnRenamed("l_partkey", "mc_partkey"),
+            col("l_partkey") === col("mc_partkey") && col("c") === col("mn"))
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_size") <= 5).select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_name"),
+            (col("c").cast("double") / lit(1e6)).as("min_cost"))
+      },
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY l_partkey, l_suppkey),
+        |mc AS (SELECT l_partkey, min(c) AS mn FROM cost GROUP BY l_partkey)
+        |SELECT p_partkey, s_name, CAST(c AS DOUBLE) / 1e6 AS min_cost
+        |FROM cost JOIN mc ON cost.l_partkey = mc.l_partkey AND c = mn
+        |JOIN part ON cost.l_partkey = p_partkey AND p_size <= 5
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin),
+
+    // Q9-style: product-type profit per (supplier nation, order year).
+    // No partsupp cost column here, so profit = disc price − 0.5·retail·qty
+    // snapped to micro-units PER ROW (one snap, one exact sum — the same
+    // discipline as every other revenue query). Exercises the LIKE-filtered
+    // part broadcast + four-table join into a two-key agg.
+    "q9_nation_profit" -> QueryDef(
+      (s, dir) => {
+        val profit =
+          "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity"
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_name").contains("a"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(microSum(profit).as("profit"))
+      },
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+        |    AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin),
+
+    // Q11-style: important parts — per-part value for ONE nation's
+    // suppliers, kept only when the part exceeds 1/1000 of that nation's
+    // total (the global-share HAVING). The share gate cross-multiplies
+    // exact BIGINT micro-units (val·1000 > total) — headroom to ~9.2e15
+    // micro (~9.2e9 price units) per nation before int64 overflow; an
+    // extreme-SF deployment moves the same integers to DECIMAL(38,0).
+    "q11_important_parts" -> QueryDef(
+      (s, dir) => {
+        val natSupp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_5")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        // LAZY checkpoint: per-part values feed the total AND the gate.
+        val v = Tables.lineitem(s, dir)
+          .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(microSumRaw(discPrice).as("val_micro"))
+          .localCheckpoint(eager = false)
+        val tot = v.agg(sum(col("val_micro")).as("total_micro"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("val_micro") * 1000 > col("total_micro"))
+          .select(col("l_partkey"),
+            (col("val_micro").cast("double") / lit(1e6)).as("value"))
+      },
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS val_micro
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(val_micro AS DOUBLE) / 1e6 AS value
+        |FROM v WHERE val_micro * 1000 > (SELECT sum(val_micro) FROM v)""".stripMargin),
+
+    // Q16-style: supplier diversity per (brand, type) for small parts,
+    // EXCLUDING flagged suppliers (negative balance — the "complaints"
+    // stand-in) — NOT IN decorrelated to a broadcast ANTI join feeding a
+    // count-DISTINCT aggregation (two-phase: distinct then count).
+    "q16_supplier_count" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")),
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type""".stripMargin),
+
+    // Q20-style: high-volume suppliers — suppliers who moved more than 80
+    // units of some PROMO part (the availqty>half-of-ordered stand-in:
+    // a HAVING-gated per-(supplier,part) aggregate), restricted to ASIA.
+    // The qualifying-supplier set is fact-derived, so the semi join
+    // carries no broadcast hint (q17's stance: AQE broadcasts it at bench
+    // scale, falls back to shuffle when it grows with the fact).
+    "q20_volume_suppliers" -> QueryDef(
+      (s, dir) => {
+        val hv = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(microSumRaw("l_quantity").as("q_micro"))
+          .filter(col("q_micro") > lit(80L * 1000000L))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(hv, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+      },
+      """WITH hv AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(round(l_quantity * 1e6) AS BIGINT)) > 80000000)
+        |SELECT s_name, s_acctbal FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM hv)""".stripMargin),
+
+    // Q21-style: suppliers who kept orders waiting — the double-correlated
+    // shape (EXISTS another supplier in the same order, NOT EXISTS another
+    // LATE supplier), decorrelated to a semi join + an ANTI SELF-join on
+    // the late set. No commit/receipt dates in this schema, so "late" =
+    // shipped more than 90 days after the order date, 'F'-status orders.
+    // late/allp both derive from the same fact⋈orders frame — one LAZY
+    // checkpoint each, so the scan+join runs once per set, not per
+    // consumer.
+    "q21_waiting_suppliers" -> QueryDef(
+      (s, dir) => {
+        val lo = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+        val allp = lo.select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
+          .distinct().localCheckpoint(eager = false)
+        val late = lo
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .distinct().localCheckpoint(eager = false)
+        late
+          .join(allp, col("l_orderkey") === col("a_ok") &&
+            col("l_suppkey") =!= col("a_sk"), "left_semi")
+          .join(late.select(col("l_orderkey").as("x_ok"), col("l_suppkey").as("x_sk")),
+            col("l_orderkey") === col("x_ok") &&
+              col("l_suppkey") =!= col("x_sk"), "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+        |         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+        |allp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l JOIN supplier ON l.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM allp a
+        |              WHERE a.l_orderkey = l.l_orderkey AND a.l_suppkey <> l.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late x
+        |              WHERE x.l_orderkey = l.l_orderkey AND x.l_suppkey <> l.l_suppkey)
+        |GROUP BY s_name""".stripMargin),
+
     // Q5-style: dimension chain nation→customer broadcast, lineitem⋈orders
     // as a shuffle join on the order key (AQE picks the physical strategy),
     // one final shuffle for the 25-group agg.
