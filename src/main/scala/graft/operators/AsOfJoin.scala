@@ -42,6 +42,10 @@ import org.apache.spark.sql.types.StructType
   *     the build side first (e.g. `max_by` per (key, ts)).
   *   - NULL timestamps never match, on either side: a null-ts build row
   *     is dropped, a null-ts probe row keeps a NULL payload.
+  *   - NULL keys never match either — SQL equi-join semantics, shared by
+  *     both implementations (a window partitionBy would otherwise group
+  *     null keys together and match them, silently diverging from the
+  *     broadcast path's join).
   *
   * Skew: one hot key serializes into one task's sort, exactly like any
   * keyed window — pre-split hot keys upstream if a key exceeds a task.
@@ -53,6 +57,7 @@ object AsOfJoin {
   private val TIE = "__asof_tie"
   private val PAY = "__asof_pay"
   private val ROW = "__asof_row"
+  private val TSA = "__asof_tsa"
 
   /** Backward as-of left join (the common direction): latest right row with
     * `right.tsCol <= left.tsCol`, per key.
@@ -85,41 +90,53 @@ object AsOfJoin {
     * any broadcast hash join build).
     *
     * Same semantics as [[backward]] (inclusive, left-outer, tolerance,
-    * greatest-tiebreak ties), with one shared refinement: rows with NULL
-    * timestamps never match, on either side. Timestamps are compared at
-    * microsecond resolution (the engine's native timestamp precision).
+    * greatest-tiebreak ties, null timestamps and null keys never match).
+    * Timestamps are compared at microsecond resolution (the engine's
+    * native timestamp precision).
     */
   def broadcastBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                         tsColLeft: String, tsColRight: String,
                         rightPayload: Seq[String],
                         tolerance: Option[Column] = None,
                         tiebreak: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
     val payFields = tsColRight +: rightPayload
     val collisions = payFields.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: $collisions")
+    val reservedHits = Seq(PAY, ROW, TSA)
+      .filter(r => left.columns.contains(r) || payFields.contains(r) ||
+        keys.contains(r))
+    require(reservedHits.isEmpty,
+      s"reserved column names $reservedHits in inputs")
 
-    // The coalesce is a NULLABILITY eraser, not a value path: null-ts
-    // build rows are filtered out above it, but without it the struct
-    // field — and therefore the transform()'d ts array — would type as
+    // Build rows are kept only when the MICROSECOND value exists — a
+    // filter on the raw column would let a castable-but-invalid value
+    // (e.g. a malformed date string) through as a NULL cast, which the
+    // coalesce below would then turn into a phantom infinitely-old row.
+    // After that filter the coalesce is a pure NULLABILITY eraser: without
+    // it the struct field — and therefore the ts array — would type as
     // nullable and fail SortedUpperBound's containsNull=false contract.
-    val tsMicros = coalesce(
-      expr(s"unix_micros(cast($tsColRight as timestamp))"),
-      lit(Long.MinValue)).as(TS)
+    val tsMicrosRaw = expr(s"unix_micros(cast($tsColRight as timestamp))")
+    val tsMicros = coalesce(tsMicrosRaw, lit(Long.MinValue)).as(TS)
     // Sort key order inside the struct: ts, then tiebreak — lexicographic
     // sort_array puts the greatest tiebreak LAST among equal timestamps,
     // and upper-bound indexing picks the last element <= target.
     val packedFields = tsMicros +: (tiebreak.map(t => col(t).as(TIE)).toSeq ++
       payFields.map(col))
+    // The ts array is extracted ONCE PER KEY here, before the broadcast —
+    // ArrayTransform is interpreted (CodegenFallback), so leaving it on
+    // the probe side would re-walk the whole per-key array for every
+    // probe row, reintroducing the O(n) scan the binary search replaces.
     val packed = right
-      .where(col(tsColRight).isNotNull)
+      .where(tsMicrosRaw.isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(packedFields: _*))).as(PAY))
+      .withColumn(TSA, transform(col(PAY), x => x(TS)))
 
     val joined = left.join(broadcast(packed), keys, "left")
     val target = expr(s"unix_micros(cast($tsColLeft as timestamp))")
-    val idx = call_function("graft_sorted_upper_bound",
-      transform(col(PAY), x => x(TS)), target)
+    val idx = call_function("graft_sorted_upper_bound", col(TSA), target)
     val hit = when(idx > 0, element_at(col(PAY), idx))
     val gated = tolerance match {
       case Some(tol) =>
@@ -175,7 +192,10 @@ object AsOfJoin {
         struct(left.columns.map(col).toIndexedSeq: _*).as(ROW)): _*)
 
     val build = right
-      .where(col(tsColRight).isNotNull) // null timestamps never match
+      // null timestamps and null keys never match (the key filter also
+      // keeps dead rows out of the shuffle)
+      .where(col(tsColRight).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
           col(tsColRight).as(TS),
@@ -200,8 +220,14 @@ object AsOfJoin {
     // Null-ts PROBE rows keep a NULL match too: backward gets this free
     // from NULLS FIRST ordering, but forward's first-over-following would
     // hand a null-ts probe the earliest build — gate it out explicitly.
+    // Null-KEY probes are gated for the same reason: partitionBy groups
+    // null keys into one partition (unlike an equi-join), and without the
+    // gate a null-key probe would match null-key builds — diverging from
+    // the broadcast path's join semantics. (Null-key builds are already
+    // filtered, so the gate here is what keeps the contract explicit.)
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val withMatch = probe.unionByName(build)
-      .withColumn(PAY, when(col(TS).isNotNull, matched))
+      .withColumn(PAY, when(col(TS).isNotNull && keysNotNull, matched))
       .where(col(SIDE) === probeOrd)
 
     val gated = tolerance match {

@@ -43,8 +43,12 @@ object Decontamination {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
 
+    // NULL text reads as the empty document (zero grams, never
+    // contaminated, row preserved) — without the coalesce, split(NULL)
+    // would flow NULL through size() (-1 under legacy sizeOfNull) and the
+    // null-intolerant intersect, emitting (n_grams=-1, contaminated=NULL).
     def withGrams(df: DataFrame): DataFrame = df
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws", Dedup.tokens(coalesce(col("text"), lit(""))))
       .withColumn("gh", Dedup.hashedShingles("ws", n, algo))
 
     // collect_set keeps the array element type non-null, which the native

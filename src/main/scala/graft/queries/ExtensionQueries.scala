@@ -629,7 +629,7 @@ object ExtensionQueries {
           benchmark = docs.where(col("doc_id") % 29 === 0),
           n = 5, minShared = 1, algo = "md5")
       },
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
         |s AS (
         |  SELECT doc_id,
         |    CASE WHEN len(ws) < 5 THEN []
@@ -673,7 +673,7 @@ object ExtensionQueries {
             every(col("x.n_shared") === col("m.n_shared")).as("counts_agree"),
             every(col("x.contaminated") === col("m.contaminated")).as("flags_agree"))
       },
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
         |s AS (
         |  SELECT doc_id,
         |    CASE WHEN len(ws) < 5 THEN []

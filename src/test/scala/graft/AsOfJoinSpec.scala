@@ -150,6 +150,25 @@ class AsOfJoinSpec extends SparkSpecBase {
       (null, null)))                       // null probe ts never matches
   }
 
+  test("null KEYS never match, identically on both implementations") {
+    val b = Seq((Option("k1"), "2024-01-01 09:00:00", "a"),
+        (Option.empty[String], "2024-01-01 09:00:00", "nullkey"))
+      .toDF("k", "bts", "v").withColumn("bts", to_timestamp(col("bts")))
+    val p = Seq((Option("k1"), "2024-01-01 10:00:00"),
+        (Option.empty[String], "2024-01-01 10:00:00"))
+      .toDF("k", "pts").withColumn("pts", to_timestamp(col("pts")))
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(("k1", "a"), (null, null)) // null-key probe kept, unmatched
+    assert(got(AsOfJoin.backward(p, b, Seq("k"), "pts", "bts", Seq("v")))
+      === expected)
+    assert(got(AsOfJoin.broadcastBackward(p, b, Seq("k"), "pts", "bts", Seq("v")))
+      === expected)
+    assert(got(AsOfJoin.forward(p, b, Seq("k"), "pts", "bts", Seq("v")))
+      === Set(("k1", null), (null, null))) // no k1 build at/after 10:00
+  }
+
   test("broadcast plan: probe side map-only — no window sort, build agg only exchange") {
     val ev = Tables.events(spark, sf0001)
     val clicks = ev.where(col("event_type") === "click")

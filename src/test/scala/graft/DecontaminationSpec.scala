@@ -59,6 +59,15 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(run(minShared = 1, algo = "md5") === run(minShared = 1))
   }
 
+  test("NULL text reads as the empty document: kept, zero grams, clean") {
+    val withNull = corpus.unionByName(
+      Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
+    val got = Decontamination.flag(withNull, benchmark, n = 3)
+      .where(col("doc_id") === 6L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq((0L, 0L, false)))
+  }
+
   test("empty benchmark: nothing is contaminated, counts intact") {
     val got = Decontamination.flag(corpus,
         benchmark.where(col("doc_id") < 0), n = 3)
