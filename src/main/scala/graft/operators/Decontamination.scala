@@ -31,15 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** Per-corpus-document contamination counts against `benchmark`:
-    * `(doc_id, n_grams, n_shared, contaminated)` where `n_shared` is the
-    * number of DISTINCT word `n`-grams of the document that appear
-    * anywhere in the benchmark and `contaminated = n_shared >= minShared`.
-    * Documents shorter than `n` tokens have zero grams and are never
-    * contaminated. Both frames must carry (doc_id, text).
-    */
-  def flag(corpus: DataFrame, benchmark: DataFrame, n: Int,
-           minShared: Int = 1, algo: String = "xxh64"): DataFrame = {
+  /** The annotating form: every corpus column preserved, plus `n_grams`,
+    * `n_shared`, and `contaminated` (`n_shared` = DISTINCT word `n`-grams
+    * of the document appearing anywhere in the benchmark; `contaminated =
+    * n_shared >= minShared`). Documents shorter than `n` tokens have zero
+    * grams and are never contaminated; NULL text reads as the empty
+    * document.
+    *
+    * Because the corpus side is one stateless projection plus a
+    * broadcast join against a STATIC benchmark, this same code runs
+    * unchanged on an unbounded streaming frame (stream-static join) —
+    * [[graft.streaming.StreamingCuration.decontaminationGate]] composes
+    * it into the streaming curation flow. The working names `ws`, `gh`,
+    * `bench_hs` are overwritten internally and dropped — don't feed a
+    * frame carrying caller data under those names. */
+  def annotate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+               minShared: Int = 1, algo: String = "xxh64"): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
 
@@ -60,11 +67,19 @@ object Decontamination {
 
     withGrams(corpus)
       .crossJoin(broadcast(bench))
-      .select(
-        col("doc_id"),
-        size(col("gh")).cast("long").as("n_grams"),
-        call_function("graft_sorted_intersect_count",
-          col("gh"), col("bench_hs")).as("n_shared"))
+      .withColumn("n_grams", size(col("gh")).cast("long"))
+      .withColumn("n_shared", call_function("graft_sorted_intersect_count",
+        col("gh"), col("bench_hs")))
       .withColumn("contaminated", col("n_shared") >= minShared)
+      .drop("ws", "gh", "bench_hs")
   }
+
+  /** The reporting form: `(doc_id, n_grams, n_shared, contaminated)` only
+    * — the registered-query surface. Both frames must carry
+    * (doc_id, text). */
+  def flag(corpus: DataFrame, benchmark: DataFrame, n: Int,
+           minShared: Int = 1, algo: String = "xxh64"): DataFrame =
+    annotate(corpus, benchmark, n, minShared, algo)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        col("contaminated"))
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Decontamination, TextAnalysis}
 
 /** The north-star corpus-curation flow (quality gate → language gate →
   * exact dedup → near-dup candidates) on an UNBOUNDED document stream —
@@ -45,6 +45,20 @@ object StreamingCuration {
         .filter(col("quality_score") > minQuality &&
           col("lang_predicted") === lang),
       tsCol, delay)
+
+  /** Test-set decontamination as a streaming gate: drop any incoming
+    * document sharing ≥ `minShared` word n-grams with the STATIC
+    * benchmark set. [[Decontamination.annotate]] is a stateless
+    * projection plus a broadcast stream-static join, so the batch code
+    * runs unchanged on the unbounded side — no state, no watermark, and
+    * the gate composes anywhere in the curation chain (canonically in
+    * front of [[curatedStream]]: leakage should be dropped before it can
+    * win an exact-dedup race against a clean duplicate). */
+  def decontaminationGate(docs: DataFrame, benchmark: DataFrame, n: Int,
+                          minShared: Int = 1): DataFrame =
+    Decontamination.annotate(docs, benchmark, n, minShared)
+      .filter(!col("contaminated"))
+      .drop("n_grams", "n_shared", "contaminated")
 
   /** Back half: near-dup candidate pairs among the curated survivors
     * (SimHash sketch → band buckets). Chain this onto [[curatedStream]]'s

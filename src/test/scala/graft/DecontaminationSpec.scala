@@ -91,6 +91,35 @@ class DecontaminationSpec extends SparkSpecBase {
       s"corpus side must not shuffle:\n$plan")
   }
 
+  test("streaming gate: same batch code on an unbounded frame, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingCuration
+      .decontaminationGate(docs, benchmark, n = 3)
+      .writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "xx alpha beta gamma yy"), // contaminated -> dropped
+        (3L, "totally different words here ok"))
+      q.processAllAvailable()
+      in.addData((4L, "one two"), // clean (too short for any gram)
+        (5L, "one two three four")) // benchmark verbatim -> dropped
+      q.processAllAvailable()
+      val surviving = spark.table("decon_gate")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surviving === Set(3L, 4L))
+      // batch parity: the identical gate over the replayed corpus
+      val batch = graft.operators.Decontamination
+        .annotate(corpus.where(col("doc_id").isin(1L, 3L, 4L, 5L)),
+          benchmark, n = 3)
+        .filter(!col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch === surviving)
+    } finally q.stop()
+  }
+
   // --- TextAnalysis.repetition ----------------------------------------
 
   test("repetition: duplicate-2-gram fraction on hand-countable docs") {
