@@ -98,7 +98,32 @@ object AsOfJoin {
                         tsColLeft: String, tsColRight: String,
                         rightPayload: Seq[String],
                         tolerance: Option[Column] = None,
-                        tiebreak: Option[String] = None): DataFrame = {
+                        tiebreak: Option[String] = None): DataFrame =
+    broadcastAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
+      fwd = false, tolerance, tiebreak)
+
+  /** Broadcast FORWARD as-of join — [[forward]]'s semantics on
+    * [[broadcastBackward]]'s plan (earliest build at-or-after the probe,
+    * same broadcast/map-only trade). The forward probe needs TWO binary
+    * searches to honor the greatest-tiebreak tie rule: the first finds
+    * where the at-or-after run begins, the second jumps to the END of
+    * that run's equal-timestamp block (ascending tiebreak sorts the
+    * greatest last). */
+  def broadcastForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsColLeft: String, tsColRight: String,
+                       rightPayload: Seq[String],
+                       tolerance: Option[Column] = None,
+                       tiebreak: Option[String] = None): DataFrame =
+    broadcastAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
+      fwd = true, tolerance, tiebreak)
+
+  private def broadcastAsOf(left: DataFrame, right: DataFrame,
+                            keys: Seq[String],
+                            tsColLeft: String, tsColRight: String,
+                            rightPayload: Seq[String],
+                            fwd: Boolean,
+                            tolerance: Option[Column],
+                            tiebreak: Option[String]): DataFrame = {
     graft.functions.GraftFunctions.register(left.sparkSession)
     val payFields = tsColRight +: rightPayload
     val collisions = payFields.toSet.intersect(left.columns.toSet)
@@ -136,11 +161,25 @@ object AsOfJoin {
 
     val joined = left.join(broadcast(packed), keys, "left")
     val target = expr(s"unix_micros(cast($tsColLeft as timestamp))")
-    val idx = call_function("graft_sorted_upper_bound", col(TSA), target)
+    def ub(t: Column) = call_function("graft_sorted_upper_bound", col(TSA), t)
+    // Backward: the last element <= target IS the match (ties resolved by
+    // the sort putting the greatest tiebreak last). Forward: elements
+    // >= target start after ub(target−1); if that run exists, jump to the
+    // end of its first equal-timestamp block with a second search so the
+    // greatest tiebreak wins here too. (target−1 is safe for any real
+    // timestamp — only the unrepresentable year ±290000 boundary wraps.)
+    val idx =
+      if (!fwd) ub(target)
+      else {
+        val lb = ub(target - lit(1L))
+        when(lb < size(col(TSA)), ub(element_at(col(TSA), lb + lit(1))))
+      }
     val hit = when(idx > 0, element_at(col(PAY), idx))
     val gated = tolerance match {
       case Some(tol) =>
-        when(col(tsColLeft) - hit(tsColRight) <= tol, hit)
+        val dist = if (fwd) hit(tsColRight) - col(tsColLeft)
+                   else col(tsColLeft) - hit(tsColRight)
+        when(dist <= tol, hit)
       case None => hit
     }
     joined

@@ -109,6 +109,31 @@ object JoinQueries {
         |                WHERE event_type = 'error') e
         |  ON p.user_id = e.user_id AND p.ts <= e.error_ts""".stripMargin),
 
+    // The SAME forward semantics through the broadcast scale path (two
+    // binary searches: run start, then end of the equal-ts block) — like
+    // asof_attribution_bcast, three independent algorithms share one
+    // oracle.
+    "asof_next_error_bcast" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("error_ts")).distinct()
+        AsOfJoin.broadcastForward(purchases, errors, Seq("user_id"),
+          tsColLeft = "ts", tsColRight = "error_ts",
+          rightPayload = Seq.empty,
+          tolerance = Some(expr("INTERVAL 48 HOURS")))
+      },
+      """SELECT p.event_id, p.ts, p.user_id,
+        |       CASE WHEN e.error_ts - p.ts <= INTERVAL 48 HOUR
+        |            THEN e.error_ts END AS error_ts
+        |FROM (SELECT event_id, ts, user_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT DISTINCT user_id, ts AS error_ts FROM events
+        |                WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts <= e.error_ts""".stripMargin),
+
     // Range join: every (click, purchase) pair where the click falls in
     // the purchase's [ts, ts+24h) attribution window, same user. 4-hour
     // bins → each window explodes to ≤ 7 bins; the Spark plan is an

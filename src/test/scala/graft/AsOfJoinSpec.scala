@@ -132,6 +132,44 @@ class AsOfJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("broadcast FORWARD == window forward on real data, incl. tolerance") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("error_ts")).distinct()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (tol <- Seq(None, Some(expr("INTERVAL 48 HOURS")))) {
+      val window = AsOfJoin.forward(purchases, errors, Seq("user_id"),
+        "ts", "error_ts", Seq.empty, tolerance = tol)
+      val bcast = AsOfJoin.broadcastForward(purchases, errors, Seq("user_id"),
+        "ts", "error_ts", Seq.empty, tolerance = tol)
+      assert(canon(bcast) === canon(window), s"diverged at tolerance=$tol")
+    }
+  }
+
+  test("broadcast forward: ties take the greatest tiebreak; nulls never match") {
+    val tied = Seq(
+      ("k1", "2024-01-01 11:00:00", 1L, "low"),
+      ("k1", "2024-01-01 11:00:00", 2L, "high"),
+      ("k1", "2024-01-01 12:00:00", 3L, "later"),
+      ("k1", null, 4L, "nullts"))
+      .toDF("k", "bts", "id", "v")
+      .withColumn("bts", to_timestamp(col("bts")))
+    val probe = Seq(("k1", "2024-01-01 10:30:00"), ("k1", null),
+        ("k1", "2024-01-01 11:30:00"))
+      .toDF("k", "pts").withColumn("pts", to_timestamp(col("pts")))
+    val got = AsOfJoin.broadcastForward(probe, tied, Seq("k"), "pts", "bts",
+        Seq("v"), tiebreak = Some("id"))
+      .select(col("pts"), col("v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(got === Set(
+      (ts("2024-01-01 10:30:00"), "high"),  // first at-or-after run, greatest id
+      (ts("2024-01-01 11:30:00"), "later"), // skips the 11:00 run
+      (null, null)))                        // null probe ts never matches
+  }
+
   test("broadcast path: equal-ts ties and null timestamps match the window path") {
     val tied = Seq(
       ("k1", "2024-01-01 10:00:00", 1L, "low"),
