@@ -129,7 +129,10 @@ object AsOfJoin {
     val collisions = payFields.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: $collisions")
-    val reservedHits = Seq(PAY, ROW, TSA)
+    // TS/TIE become packed-struct FIELDS — a payload column with either
+    // name would make the struct ambiguous deep in resolution, so fail
+    // loudly here with the rest.
+    val reservedHits = Seq(PAY, ROW, TSA, TS, TIE)
       .filter(r => left.columns.contains(r) || payFields.contains(r) ||
         keys.contains(r))
     require(reservedHits.isEmpty,
@@ -153,8 +156,13 @@ object AsOfJoin {
     // ArrayTransform is interpreted (CodegenFallback), so leaving it on
     // the probe side would re-walk the whole per-key array for every
     // probe row, reintroducing the O(n) scan the binary search replaces.
+    // The null-KEY filter mirrors the window path's: those rows can never
+    // match (equi-join), but without the filter they'd collapse into one
+    // giant dead group whose collect_list array ships in every broadcast
+    // copy.
     val packed = right
-      .where(tsMicrosRaw.isNotNull)
+      .where(tsMicrosRaw.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(packedFields: _*))).as(PAY))
       .withColumn(TSA, transform(col(PAY), x => x(TS)))

@@ -31,48 +31,75 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  // Working names overwritten internally; OUTPUT holds the appended
+  // result columns. Both sets are guarded against caller collisions —
+  // silently clobbering a caller's `contaminated` (e.g. re-checking an
+  // already-annotated corpus against a second benchmark) must fail loud.
+  private val Working = Seq("ws", "gh", "bench_hs")
+  private val Output = Seq("n_grams", "n_shared", "contaminated")
+
+  // NULL text reads as the empty document (zero grams, never
+  // contaminated, row preserved) — without the coalesce, split(NULL)
+  // would flow NULL through size() (-1 under legacy sizeOfNull) and the
+  // null-intolerant intersect, emitting (n_grams=-1, contaminated=NULL).
+  private def withGrams(df: DataFrame, n: Int, algo: String): DataFrame = df
+    .withColumn("ws", Dedup.tokens(coalesce(col("text"), lit(""))))
+    .withColumn("gh", Dedup.hashedShingles("ws", n, algo))
+
+  /** The benchmark collapsed to its broadcast form: ONE row holding the
+    * sorted union of all distinct gram hashes (`bench_hs`). Build it once
+    * and reuse — [[graft.streaming.StreamingCuration.decontaminationGate]]
+    * caches this frame so a long-running stream doesn't re-tokenize and
+    * re-aggregate the benchmark on every micro-batch.
+    *
+    * collect_set keeps the array element type non-null, which the native
+    * intersect requires; sort_array restores the two-pointer precondition
+    * the per-doc arrays already satisfy. */
+  def benchmarkGrams(benchmark: DataFrame, n: Int,
+                     algo: String = "xxh64"): DataFrame = {
+    graft.functions.GraftFunctions.register(benchmark.sparkSession)
+    withGrams(benchmark, n, algo)
+      .select(explode(col("gh")).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+  }
+
+  /** [[annotate]] against a pre-built [[benchmarkGrams]] frame — the form
+    * to use when the benchmark is checked repeatedly (streams, several
+    * corpora). `n` and `algo` must match the benchmark build. */
+  def annotateAgainst(corpus: DataFrame, benchGrams: DataFrame, n: Int,
+                      minShared: Int = 1,
+                      algo: String = "xxh64"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val reservedHits = (Working ++ Output).filter(corpus.columns.contains)
+    require(reservedHits.isEmpty,
+      s"reserved column names $reservedHits in the corpus frame")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    withGrams(corpus, n, algo)
+      .crossJoin(broadcast(benchGrams))
+      .withColumn("n_grams", size(col("gh")).cast("long"))
+      .withColumn("n_shared", call_function("graft_sorted_intersect_count",
+        col("gh"), col("bench_hs")))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .drop(Working: _*)
+  }
+
   /** The annotating form: every corpus column preserved, plus `n_grams`,
     * `n_shared`, and `contaminated` (`n_shared` = DISTINCT word `n`-grams
     * of the document appearing anywhere in the benchmark; `contaminated =
     * n_shared >= minShared`). Documents shorter than `n` tokens have zero
     * grams and are never contaminated; NULL text reads as the empty
-    * document.
+    * document. Corpus columns named `ws`/`gh`/`bench_hs` or any of the
+    * output names are rejected (they would be overwritten).
     *
     * Because the corpus side is one stateless projection plus a
     * broadcast join against a STATIC benchmark, this same code runs
     * unchanged on an unbounded streaming frame (stream-static join) —
     * [[graft.streaming.StreamingCuration.decontaminationGate]] composes
-    * it into the streaming curation flow. The working names `ws`, `gh`,
-    * `bench_hs` are overwritten internally and dropped — don't feed a
-    * frame carrying caller data under those names. */
+    * it into the streaming curation flow. */
   def annotate(corpus: DataFrame, benchmark: DataFrame, n: Int,
-               minShared: Int = 1, algo: String = "xxh64"): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-
-    // NULL text reads as the empty document (zero grams, never
-    // contaminated, row preserved) — without the coalesce, split(NULL)
-    // would flow NULL through size() (-1 under legacy sizeOfNull) and the
-    // null-intolerant intersect, emitting (n_grams=-1, contaminated=NULL).
-    def withGrams(df: DataFrame): DataFrame = df
-      .withColumn("ws", Dedup.tokens(coalesce(col("text"), lit(""))))
-      .withColumn("gh", Dedup.hashedShingles("ws", n, algo))
-
-    // collect_set keeps the array element type non-null, which the native
-    // intersect requires; sort_array restores the two-pointer precondition
-    // the per-doc arrays already satisfy.
-    val bench = withGrams(benchmark)
-      .select(explode(col("gh")).as("h"))
-      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
-
-    withGrams(corpus)
-      .crossJoin(broadcast(bench))
-      .withColumn("n_grams", size(col("gh")).cast("long"))
-      .withColumn("n_shared", call_function("graft_sorted_intersect_count",
-        col("gh"), col("bench_hs")))
-      .withColumn("contaminated", col("n_shared") >= minShared)
-      .drop("ws", "gh", "bench_hs")
-  }
+               minShared: Int = 1, algo: String = "xxh64"): DataFrame =
+    annotateAgainst(corpus, benchmarkGrams(benchmark, n, algo), n,
+      minShared, algo)
 
   /** The reporting form: `(doc_id, n_grams, n_shared, contaminated)` only
     * — the registered-query surface. Both frames must carry

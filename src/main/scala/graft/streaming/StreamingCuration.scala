@@ -48,15 +48,20 @@ object StreamingCuration {
 
   /** Test-set decontamination as a streaming gate: drop any incoming
     * document sharing ≥ `minShared` word n-grams with the STATIC
-    * benchmark set. [[Decontamination.annotate]] is a stateless
+    * benchmark set. [[Decontamination.annotateAgainst]] is a stateless
     * projection plus a broadcast stream-static join, so the batch code
     * runs unchanged on the unbounded side — no state, no watermark, and
     * the gate composes anywhere in the curation chain (canonically in
     * front of [[curatedStream]]: leakage should be dropped before it can
-    * win an exact-dedup race against a clean duplicate). */
+    * win an exact-dedup race against a clean duplicate). The collapsed
+    * benchmark is CACHED at composition time — a stream-static join
+    * re-evaluates its static side every micro-batch, and without the
+    * cache the benchmark would be re-tokenized and re-aggregated
+    * thousands of times for a byte-identical one-row result. */
   def decontaminationGate(docs: DataFrame, benchmark: DataFrame, n: Int,
                           minShared: Int = 1): DataFrame =
-    Decontamination.annotate(docs, benchmark, n, minShared)
+    Decontamination.annotateAgainst(docs,
+        Decontamination.benchmarkGrams(benchmark, n).cache(), n, minShared)
       .filter(!col("contaminated"))
       .drop("n_grams", "n_shared", "contaminated")
 

@@ -59,6 +59,14 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(run(minShared = 1, algo = "md5") === run(minShared = 1))
   }
 
+  test("reserved/output name collisions fail loud instead of clobbering") {
+    val tainted = corpus.withColumn("contaminated", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.annotate(tainted, benchmark, n = 3)
+    }
+    assert(e.getMessage.contains("contaminated"))
+  }
+
   test("NULL text reads as the empty document: kept, zero grams, clean") {
     val withNull = corpus.unionByName(
       Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
