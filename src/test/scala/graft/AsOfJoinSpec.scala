@@ -214,17 +214,28 @@ class AsOfJoinSpec extends SparkSpecBase {
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
-    val q = AsOfJoin.broadcastBackward(clicks, purchases, Seq("user_id"),
-      "ts", "purchase_ts", Seq("purchase_id"), tiebreak = Some("purchase_id"))
-    q.collect()
-    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
-    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
-      s"probe side must stay map-only:\n$plan")
-    // the only hash exchange is the BUILD side's groupBy — the probe
-    // (fact) side reaches the join straight from its scan
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges === 1, s"expected one (build-side) exchange:\n$plan")
+    // both directions share the implementation — pin the plan for both
+    for (dir <- Seq("backward", "forward")) {
+      val q =
+        if (dir == "backward")
+          AsOfJoin.broadcastBackward(clicks, purchases, Seq("user_id"),
+            "ts", "purchase_ts", Seq("purchase_id"),
+            tiebreak = Some("purchase_id"))
+        else
+          AsOfJoin.broadcastForward(clicks, purchases, Seq("user_id"),
+            "ts", "purchase_ts", Seq("purchase_id"),
+            tiebreak = Some("purchase_id"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"[$dir] expected broadcast join:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+        s"[$dir] probe side must stay map-only:\n$plan")
+      // the only hash exchange is the BUILD side's groupBy — the probe
+      // (fact) side reaches the join straight from its scan
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 1, s"[$dir] expected one (build-side) exchange:\n$plan")
+    }
   }
 
   test("plan: one hash exchange per side's union, no nested loop") {
