@@ -85,6 +85,72 @@ object CoreQueries {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin),
 
+    // W9 (engine extension) — ntile ranking window: equal-frequency
+    // quartiles of customers by balance within each market segment, then
+    // per-bucket aggregates (the feature-binning shape every training
+    // pipeline uses for monotonic-target encoding). The order key carries
+    // c_custkey as a unique tiebreak — ntile over a non-total order is
+    // nondeterministic on BOTH engines, which is a correctness bug, not a
+    // flakiness nuisance. Both engines implement standard SQL ntile
+    // (floor-distributed remainder to the leading buckets). One shuffle.
+    "w9_ntile_buckets" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .withColumn("bucket", ntile(4).over(w).cast("long"))
+          .groupBy(col("c_mktsegment"), col("bucket"))
+          .agg(count(lit(1)).as("n_cust"),
+            (sum(expr("CAST(round(c_acctbal * 1e6) AS BIGINT)")).cast("double")
+              / lit(1e6) / count(lit(1))).as("avg_bal"),
+            max(col("c_acctbal")).as("max_bal"))
+      },
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |                   ORDER BY c_acctbal, c_custkey) AS bucket
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(bucket AS BIGINT) AS bucket,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) AS avg_bal,
+        |  max(c_acctbal) AS max_bal
+        |FROM b GROUP BY c_mktsegment, bucket""".stripMargin),
+
+    // 2f (engine extension — SURVEY §2f notes the reference has NO set
+    // operations; the upsert decomposes into union internally, but the
+    // set-op SURFACE deserves its own row): churn analysis via EXCEPT —
+    // users who purchased before the final window but never again after — and the
+    // INTERSECT complement (retained purchasers), exercising
+    // EXCEPT/INTERSECT DISTINCT semantics end-to-end. Both are one
+    // shuffle each on the distinct key at scale.
+    "set_churned_users" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+        val h1 = ev.where(col("ts") < lit("2024-01-28").cast("timestamp"))
+          .select(col("user_id"))
+        val later = ev.where(col("ts") >= lit("2024-01-28").cast("timestamp"))
+          .select(col("user_id"))
+        val churned = h1.except(later)
+          .withColumn("status", lit("churned"))
+        val retained = h1.intersect(later)
+          .withColumn("status", lit("retained"))
+        churned.unionByName(retained)
+      },
+      """SELECT user_id, 'churned' AS status FROM (
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-28'
+        |  EXCEPT
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28')
+        |UNION ALL
+        |SELECT user_id, 'retained' AS status FROM (
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-28'
+        |  INTERSECT
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28')""".stripMargin),
+
     // F6+F9+A1+J1 — impact ordinal, date truncation, and per-(dim, day)
     // high-impact count attached to each row (train.py:415-422). The
     // reference's groupBy+left-join is rewritten as a conditional window
