@@ -117,24 +117,26 @@ object AsOfJoin {
     broadcastAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
       fwd = true, tolerance, tiebreak)
 
-  private def broadcastAsOf(left: DataFrame, right: DataFrame,
-                            keys: Seq[String],
-                            tsColLeft: String, tsColRight: String,
-                            rightPayload: Seq[String],
-                            fwd: Boolean,
-                            tolerance: Option[Column],
-                            tiebreak: Option[String]): DataFrame = {
-    graft.functions.GraftFunctions.register(left.sparkSession)
+  /** The build side collapsed to its broadcast form: one row per key,
+    * holding the ascending (timestamp, tiebreak, payload) struct array
+    * plus the pre-extracted timestamp array the binary search probes.
+    * Direction-independent — one pack serves [[backwardAgainst]] AND
+    * [[forwardAgainst]]. Build it once and reuse when the same reference
+    * series enriches several corpora or an unbounded STREAM: a
+    * stream-static join re-evaluates its static side every micro-batch,
+    * so cache() the packed frame for long-running streams (the
+    * [[graft.operators.Decontamination.benchmarkGrams]] convention;
+    * AsOfJoinSpec drives the streaming enrichment live). */
+  def pack(right: DataFrame, keys: Seq[String], tsColRight: String,
+           rightPayload: Seq[String],
+           tiebreak: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(right.sparkSession)
     val payFields = tsColRight +: rightPayload
-    val collisions = payFields.toSet.intersect(left.columns.toSet)
-    require(collisions.isEmpty,
-      s"right payload columns collide with left columns: $collisions")
     // TS/TIE become packed-struct FIELDS — a payload column with either
     // name would make the struct ambiguous deep in resolution, so fail
-    // loudly here with the rest.
+    // loudly here.
     val reservedHits = Seq(PAY, ROW, TSA, TS, TIE)
-      .filter(r => left.columns.contains(r) || payFields.contains(r) ||
-        keys.contains(r))
+      .filter(r => payFields.contains(r) || keys.contains(r))
     require(reservedHits.isEmpty,
       s"reserved column names $reservedHits in inputs")
 
@@ -160,12 +162,61 @@ object AsOfJoin {
     // match (equi-join), but without the filter they'd collapse into one
     // giant dead group whose collect_list array ships in every broadcast
     // copy.
-    val packed = right
+    right
       .where(tsMicrosRaw.isNotNull &&
         keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(packedFields: _*))).as(PAY))
       .withColumn(TSA, transform(col(PAY), x => x(TS)))
+  }
+
+  /** [[broadcastBackward]] against a pre-built [[pack]] frame — for
+    * reusing one packed reference series across several probes or a
+    * stream. The pack's `keys`/`tsColRight`/`rightPayload`/`tiebreak`
+    * must match. */
+  def backwardAgainst(left: DataFrame, packed: DataFrame, keys: Seq[String],
+                      tsColLeft: String, tsColRight: String,
+                      rightPayload: Seq[String],
+                      tolerance: Option[Column] = None): DataFrame =
+    probeAgainst(left, packed, keys, tsColLeft, tsColRight, rightPayload,
+      fwd = false, tolerance)
+
+  /** [[broadcastForward]] against a pre-built [[pack]] frame. */
+  def forwardAgainst(left: DataFrame, packed: DataFrame, keys: Seq[String],
+                     tsColLeft: String, tsColRight: String,
+                     rightPayload: Seq[String],
+                     tolerance: Option[Column] = None): DataFrame =
+    probeAgainst(left, packed, keys, tsColLeft, tsColRight, rightPayload,
+      fwd = true, tolerance)
+
+  private def broadcastAsOf(left: DataFrame, right: DataFrame,
+                            keys: Seq[String],
+                            tsColLeft: String, tsColRight: String,
+                            rightPayload: Seq[String],
+                            fwd: Boolean,
+                            tolerance: Option[Column],
+                            tiebreak: Option[String]): DataFrame =
+    probeAgainst(left, pack(right, keys, tsColRight, rightPayload, tiebreak),
+      keys, tsColLeft, tsColRight, rightPayload, fwd, tolerance)
+
+  private def probeAgainst(left: DataFrame, packed: DataFrame,
+                           keys: Seq[String],
+                           tsColLeft: String, tsColRight: String,
+                           rightPayload: Seq[String],
+                           fwd: Boolean,
+                           tolerance: Option[Column]): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    val payFields = tsColRight +: rightPayload
+    val collisions = payFields.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: $collisions")
+    val reservedHits = Seq(PAY, ROW, TSA, TS, TIE)
+      .filter(r => left.columns.contains(r) || payFields.contains(r) ||
+        keys.contains(r))
+    require(reservedHits.isEmpty,
+      s"reserved column names $reservedHits in inputs")
+    require(packed.columns.contains(PAY) && packed.columns.contains(TSA),
+      s"packed frame must come from AsOfJoin.pack (missing $PAY/$TSA)")
 
     val joined = left.join(broadcast(packed), keys, "left")
     val target = expr(s"unix_micros(cast($tsColLeft as timestamp))")

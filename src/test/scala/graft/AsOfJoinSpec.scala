@@ -188,6 +188,37 @@ class AsOfJoinSpec extends SparkSpecBase {
       (null, null)))                       // null probe ts never matches
   }
 
+  test("streaming enrichment: as-of against a cached pack on an unbounded probe side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // static reference series (the exchange-rate shape), packed ONCE
+    val rates = Seq(
+      ("EUR", "2024-01-01 00:00:00", 1.09),
+      ("EUR", "2024-01-02 00:00:00", 1.10),
+      ("JPY", "2024-01-01 00:00:00", 0.0070))
+      .toDF("ccy", "rts", "rate").withColumn("rts", to_timestamp(col("rts")))
+    val packed = AsOfJoin.pack(rates, Seq("ccy"), "rts", Seq("rate")).cache()
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("event_id", "ccy", "ets")
+    val q = AsOfJoin.backwardAgainst(stream, packed, Seq("ccy"),
+        "ets", "rts", Seq("rate"))
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "EUR", ts("2024-01-01 12:00:00")),
+        (2L, "JPY", ts("2024-01-05 00:00:00")))
+      q.processAllAvailable()
+      in.addData((3L, "EUR", ts("2024-01-03 00:00:00")), // sees the 01-02 rate
+        (4L, "GBP", ts("2024-01-03 00:00:00")))          // no series -> NULL
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich")
+        .select(col("event_id"), col("rate")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got === Map(1L -> Some(1.09), 2L -> Some(0.0070),
+        3L -> Some(1.10), 4L -> None))
+    } finally { q.stop(); packed.unpersist() }
+  }
+
   test("null KEYS never match, identically on both implementations") {
     val b = Seq((Option("k1"), "2024-01-01 09:00:00", "a"),
         (Option.empty[String], "2024-01-01 09:00:00", "nullkey"))
