@@ -117,6 +117,38 @@ object CoreQueries {
         |  max(c_acctbal) AS max_bal
         |FROM b GROUP BY c_mktsegment, bucket""".stripMargin),
 
+    // W10 (engine extension) — RANGE-frame window: per-user 7-day trailing
+    // moving aggregate over event VALUE (the time-based rolling feature
+    // every training pipeline derives; every other window on the board is
+    // ROWS-framed). The frame is defined on exact BIGINT microseconds —
+    // Spark's rangeBetween needs a numeric order column, and epoch
+    // micros make the frame boundary engine-identical with no interval
+    // arithmetic. Peers (equal timestamps) are included by value in both
+    // engines. The mean divides an exact micro-unit sum by the window
+    // count — the a8 convention. One shuffle on user_id.
+    "w10_range_moving_avg" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("ts_us", expr("unix_micros(cast(ts AS timestamp))"))
+          .withColumn("v_micro",
+            expr("CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .withColumn("avg_7d",
+            sum(col("v_micro")).over(w).cast("double") / lit(1e6) / col("n_7d"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("n_7d"), col("avg_7d"))
+      },
+      """SELECT event_id, ts, user_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)) OVER w
+        |       AS DOUBLE) / 1e6 / count(*) OVER w AS avg_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+
     // 2f (engine extension — SURVEY §2f notes the reference has NO set
     // operations; the upsert decomposes into union internally, but the
     // set-op SURFACE deserves its own row): churn analysis via EXCEPT —
