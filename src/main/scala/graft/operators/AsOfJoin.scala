@@ -172,22 +172,22 @@ object AsOfJoin {
 
   /** [[broadcastBackward]] against a pre-built [[pack]] frame — for
     * reusing one packed reference series across several probes or a
-    * stream. The pack's `keys`/`tsColRight`/`rightPayload`/`tiebreak`
-    * must match. */
-  def backwardAgainst(left: DataFrame, packed: DataFrame, keys: Seq[String],
-                      tsColLeft: String, tsColRight: String,
-                      rightPayload: Seq[String],
+    * stream. The join keys, matched-timestamp column, and payload are
+    * all READ FROM THE PACK's schema (keys = its non-internal columns,
+    * payload = its struct fields) — there is nothing to re-specify, so
+    * a probe can never silently disagree with its pack (a key-subset
+    * mismatch would otherwise fan each probe row out across the
+    * unmatched key's values). */
+  def backwardAgainst(left: DataFrame, packed: DataFrame,
+                      tsColLeft: String,
                       tolerance: Option[Column] = None): DataFrame =
-    probeAgainst(left, packed, keys, tsColLeft, tsColRight, rightPayload,
-      fwd = false, tolerance)
+    probeAgainst(left, packed, tsColLeft, fwd = false, tolerance)
 
   /** [[broadcastForward]] against a pre-built [[pack]] frame. */
-  def forwardAgainst(left: DataFrame, packed: DataFrame, keys: Seq[String],
-                     tsColLeft: String, tsColRight: String,
-                     rightPayload: Seq[String],
+  def forwardAgainst(left: DataFrame, packed: DataFrame,
+                     tsColLeft: String,
                      tolerance: Option[Column] = None): DataFrame =
-    probeAgainst(left, packed, keys, tsColLeft, tsColRight, rightPayload,
-      fwd = true, tolerance)
+    probeAgainst(left, packed, tsColLeft, fwd = true, tolerance)
 
   private def broadcastAsOf(left: DataFrame, right: DataFrame,
                             keys: Seq[String],
@@ -197,26 +197,34 @@ object AsOfJoin {
                             tolerance: Option[Column],
                             tiebreak: Option[String]): DataFrame =
     probeAgainst(left, pack(right, keys, tsColRight, rightPayload, tiebreak),
-      keys, tsColLeft, tsColRight, rightPayload, fwd, tolerance)
+      tsColLeft, fwd, tolerance)
 
   private def probeAgainst(left: DataFrame, packed: DataFrame,
-                           keys: Seq[String],
-                           tsColLeft: String, tsColRight: String,
-                           rightPayload: Seq[String],
+                           tsColLeft: String,
                            fwd: Boolean,
                            tolerance: Option[Column]): DataFrame = {
     graft.functions.GraftFunctions.register(left.sparkSession)
-    val payFields = tsColRight +: rightPayload
+    require(packed.columns.contains(PAY) && packed.columns.contains(TSA),
+      s"packed frame must come from AsOfJoin.pack (missing $PAY/$TSA)")
+    // Everything else about the pack is recovered from its own schema —
+    // the single source of truth, immune to caller drift.
+    val keys = packed.columns.filterNot(Set(PAY, TSA)).toSeq
+    require(keys.nonEmpty, "packed frame carries no key columns")
+    val elemType = packed.schema(PAY).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val payFields = elemType.fieldNames.filterNot(Set(TS, TIE)).toSeq
+    val tsColRight = payFields.head
+    val missingKeys = keys.filterNot(left.columns.contains)
+    require(missingKeys.isEmpty,
+      s"probe side lacks the pack's key columns: $missingKeys")
     val collisions = payFields.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: $collisions")
     val reservedHits = Seq(PAY, ROW, TSA, TS, TIE)
-      .filter(r => left.columns.contains(r) || payFields.contains(r) ||
-        keys.contains(r))
+      .filter(left.columns.contains)
     require(reservedHits.isEmpty,
-      s"reserved column names $reservedHits in inputs")
-    require(packed.columns.contains(PAY) && packed.columns.contains(TSA),
-      s"packed frame must come from AsOfJoin.pack (missing $PAY/$TSA)")
+      s"reserved column names $reservedHits in the probe frame")
 
     val joined = left.join(broadcast(packed), keys, "left")
     val target = expr(s"unix_micros(cast($tsColLeft as timestamp))")

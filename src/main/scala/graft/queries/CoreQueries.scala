@@ -159,9 +159,9 @@ object CoreQueries {
     "set_churned_users" -> QueryDef(
       (s, dir) => {
         val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
-        val h1 = ev.where(col("ts") < lit("2024-01-28").cast("timestamp"))
+        val h1 = ev.where(col("ts") < lit("2024-01-28").cast("timestamp_ntz"))
           .select(col("user_id"))
-        val later = ev.where(col("ts") >= lit("2024-01-28").cast("timestamp"))
+        val later = ev.where(col("ts") >= lit("2024-01-28").cast("timestamp_ntz"))
           .select(col("user_id"))
         val churned = h1.except(later)
           .withColumn("status", lit("churned"))

@@ -200,8 +200,7 @@ class AsOfJoinSpec extends SparkSpecBase {
     val packed = AsOfJoin.pack(rates, Seq("ccy"), "rts", Seq("rate")).cache()
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
     val stream = in.toDF().toDF("event_id", "ccy", "ets")
-    val q = AsOfJoin.backwardAgainst(stream, packed, Seq("ccy"),
-        "ets", "rts", Seq("rate"))
+    val q = AsOfJoin.backwardAgainst(stream, packed, "ets")
       .writeStream.format("memory").queryName("asof_enrich")
       .outputMode("append").start()
     try {
