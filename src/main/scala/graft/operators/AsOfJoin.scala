@@ -117,6 +117,127 @@ object AsOfJoin {
     broadcastAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
       fwd = true, tolerance, tiebreak)
 
+  /** Size-gated path selection — [[broadcastBackward]] when the packed
+    * build side should fit in a broadcast, the always-safe [[backward]]
+    * window merge otherwise. The estimate is Catalyst's own
+    * `optimizedPlan.stats.sizeInBytes` of the build side PROJECTED to the
+    * columns the pack would keep (keys + ts + tiebreak + payload) — the
+    * statistic the autoBroadcastJoinThreshold gate itself trusts,
+    * available at plan time with no job (for a parquet scan it derives
+    * from file sizes after column pruning; the pack's struct/array
+    * framing adds O(1) per key on top). Fail direction is conservative:
+    * an unknown estimate is Long.MaxValue-ish and falls back to the
+    * window merge path, which handles any build size — never the other
+    * way around. */
+  def autoBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsColLeft: String, tsColRight: String,
+                   rightPayload: Seq[String],
+                   tolerance: Option[Column] = None,
+                   tiebreak: Option[String] = None,
+                   maxBuildBytes: Long = 64L << 20): DataFrame =
+    autoAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
+      fwd = false, tolerance, tiebreak, maxBuildBytes)
+
+  /** [[autoBackward]]'s forward twin. */
+  def autoForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsColLeft: String, tsColRight: String,
+                  rightPayload: Seq[String],
+                  tolerance: Option[Column] = None,
+                  tiebreak: Option[String] = None,
+                  maxBuildBytes: Long = 64L << 20): DataFrame =
+    autoAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
+      fwd = true, tolerance, tiebreak, maxBuildBytes)
+
+  /** Catalyst's size estimate of the columns [[pack]] would carry —
+    * exposed for tests pinning the [[autoBackward]] gate. */
+  private[graft] def packSizeEstimate(right: DataFrame, keys: Seq[String],
+                                      tsColRight: String,
+                                      rightPayload: Seq[String],
+                                      tiebreak: Option[String]): BigInt =
+    right.select(
+      (keys ++ (tsColRight +: rightPayload) ++ tiebreak.toSeq)
+        .distinct.map(col): _*)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private def autoAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsColLeft: String, tsColRight: String,
+                       rightPayload: Seq[String], fwd: Boolean,
+                       tolerance: Option[Column], tiebreak: Option[String],
+                       maxBuildBytes: Long): DataFrame =
+    if (packSizeEstimate(right, keys, tsColRight, rightPayload, tiebreak)
+        <= BigInt(maxBuildBytes))
+      broadcastAsOf(left, right, keys, tsColLeft, tsColRight, rightPayload,
+        fwd, tolerance, tiebreak)
+    else
+      asof(left, right, keys, tsColLeft, tsColRight, rightPayload,
+        forward = fwd, tolerance, tiebreak)
+
+  private val SALT = "__asof_salt"
+
+  /** [[backward]] with hot-key pre-splitting — the utility the skew note
+    * in the object scaladoc punts to. A hot PROBE key serializes the
+    * merge sort into one task; this variant detects keys whose probe-row
+    * count exceeds `rowBudget` ([[Features.hotKeys]] — sampled when
+    * `sampleFraction < 1`) and splits exactly those keys into
+    * `saltBuckets` sub-keys: probe rows hash into a bucket by their
+    * timestamp, build rows REPLICATE into every bucket of a hot key.
+    * This is the [[Features.twoStageSaltedCount]] template adapted to an
+    * order-dependent window — a running `last()` cannot be re-merged
+    * across buckets that split the sort order, so the merge step runs
+    * map-side as build replication instead of as a second aggregation.
+    * Every probe row still meets every build row of its key, so the
+    * output is row-for-row the unsalted plan's (AsOfJoinSpec pins the
+    * equality and the bucket spread); cold keys ride bucket 0 with no
+    * replication.
+    *
+    * Cost bounds: extra build rows in the exchange = |hot keys| ×
+    * (saltBuckets − 1) × builds-per-key — the build side of a real as-of
+    * is dimension-like (rates, calendars), so the multiplier is cheap;
+    * the probe side (the 100-TB side) is never replicated and never
+    * read twice (detection is one narrow count pass, sampled if even
+    * that matters). A hot BUILD key is the transposed problem — use
+    * [[broadcastBackward]]/[[pack]] there (the build side that fits a
+    * broadcast never sorts in a task at all). */
+  def backwardPreSplit(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsColLeft: String, tsColRight: String,
+                       rightPayload: Seq[String],
+                       tolerance: Option[Column] = None,
+                       tiebreak: Option[String] = None,
+                       rowBudget: Long = 4L * 1000 * 1000,
+                       saltBuckets: Int = 16,
+                       sampleFraction: Double = 1.0): DataFrame = {
+    val (l, r) = preSplit(left, right, keys, tsColLeft, rowBudget,
+      saltBuckets, sampleFraction)
+    asof(l, r, keys :+ SALT, tsColLeft, tsColRight, rightPayload,
+      forward = false, tolerance, tiebreak)
+      .drop(SALT)
+  }
+
+  /** The salted (probe, build) pair [[backwardPreSplit]] feeds the window
+    * merge — exposed for tests pinning the spread. */
+  private[graft] def preSplit(left: DataFrame, right: DataFrame,
+                              keys: Seq[String], tsColLeft: String,
+                              rowBudget: Long, saltBuckets: Int,
+                              sampleFraction: Double): (DataFrame, DataFrame) = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    val hits = (SALT +: "__asof_hot" +: Nil)
+      .filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(hits.isEmpty, s"reserved column names $hits in inputs")
+    // Small by definition (≤ total/rowBudget keys) → broadcast onto both
+    // sides; the probe side stays map-only up to the one merge shuffle.
+    val hot = Features.hotKeys(left, keys, rowBudget, sampleFraction)
+      .withColumn("__asof_hot", lit(true))
+    val l = left.join(broadcast(hot), keys, "left")
+      .withColumn(SALT, when(col("__asof_hot").isNotNull,
+        pmod(xxhash64(col(tsColLeft)), lit(saltBuckets.toLong))).otherwise(lit(0L)))
+      .drop("__asof_hot")
+    val r = right.join(broadcast(hot), keys, "left")
+      .withColumn(SALT, explode(when(col("__asof_hot").isNotNull,
+        sequence(lit(0L), lit(saltBuckets.toLong - 1))).otherwise(array(lit(0L)))))
+      .drop("__asof_hot")
+    (l, r)
+  }
+
   /** The build side collapsed to its broadcast form: one row per key,
     * holding the ascending (timestamp, tiebreak, payload) struct array
     * plus the pre-extracted timestamp array the binary search probes.
@@ -275,8 +396,16 @@ object AsOfJoin {
     val collisions = payFields.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: $collisions")
-    require(!payFields.contains(TS) && !left.columns.contains(TS),
-      s"reserved column name $TS in inputs")
+    // All five internal names, on both sides — mirroring pack()/
+    // probeAgainst(): a probe column named __asof_row (etc.) would
+    // otherwise surface as a confusing duplicate-column failure (or a
+    // subtle select misbinding) deep in resolution instead of this
+    // loud require.
+    val reservedHits = Seq(TS, SIDE, TIE, PAY, ROW)
+      .filter(r => payFields.contains(r) || keys.contains(r) ||
+        left.columns.contains(r))
+    require(reservedHits.isEmpty,
+      s"reserved column names $reservedHits in inputs")
 
     val leftRowType = StructType(left.schema.fields)
     val payType = StructType(

@@ -52,24 +52,45 @@ object Decontamination {
     * caches this frame so a long-running stream doesn't re-tokenize and
     * re-aggregate the benchmark on every micro-batch.
     *
+    * The gram CONTRACT (n, algo) is embedded in the column's metadata and
+    * read back by [[annotateAgainst]] — the AsOfJoin pack/probe
+    * convention: a probe can never silently re-hash with a different n or
+    * algo than the pack was built with (a mismatch would intersect
+    * disjoint hash spaces and read every document as clean — the silent
+    * false-negative direction for a leakage gate).
+    *
     * collect_set keeps the array element type non-null, which the native
     * intersect requires; sort_array restores the two-pointer precondition
     * the per-doc arrays already satisfy. */
   def benchmarkGrams(benchmark: DataFrame, n: Int,
                      algo: String = "xxh64"): DataFrame = {
     graft.functions.GraftFunctions.register(benchmark.sparkSession)
+    val contract = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_gram_n", n.toLong)
+      .putString("graft_gram_algo", algo)
+      .build()
     withGrams(benchmark, n, algo)
       .select(explode(col("gh")).as("h"))
       .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+      .select(col("bench_hs").as("bench_hs", contract))
   }
 
   /** [[annotate]] against a pre-built [[benchmarkGrams]] frame — the form
     * to use when the benchmark is checked repeatedly (streams, several
-    * corpora). `n` and `algo` must match the benchmark build. */
-  def annotateAgainst(corpus: DataFrame, benchGrams: DataFrame, n: Int,
-                      minShared: Int = 1,
-                      algo: String = "xxh64"): DataFrame = {
+    * corpora). The gram parameters (n, algo) are READ FROM THE PACK's
+    * column metadata — there is nothing to re-specify, so the corpus side
+    * is hashed with exactly the contract the benchmark was built under. */
+  def annotateAgainst(corpus: DataFrame, benchGrams: DataFrame,
+                      minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(benchGrams.columns.contains("bench_hs"),
+      "benchGrams must come from Decontamination.benchmarkGrams (missing bench_hs)")
+    val md = benchGrams.schema("bench_hs").metadata
+    require(md.contains("graft_gram_n") && md.contains("graft_gram_algo"),
+      "benchGrams must come from Decontamination.benchmarkGrams " +
+        "(bench_hs carries no gram contract metadata)")
+    val n = md.getLong("graft_gram_n").toInt
+    val algo = md.getString("graft_gram_algo")
     val reservedHits = (Working ++ Output).filter(corpus.columns.contains)
     require(reservedHits.isEmpty,
       s"reserved column names $reservedHits in the corpus frame")
@@ -98,8 +119,7 @@ object Decontamination {
     * it into the streaming curation flow. */
   def annotate(corpus: DataFrame, benchmark: DataFrame, n: Int,
                minShared: Int = 1, algo: String = "xxh64"): DataFrame =
-    annotateAgainst(corpus, benchmarkGrams(benchmark, n, algo), n,
-      minShared, algo)
+    annotateAgainst(corpus, benchmarkGrams(benchmark, n, algo), minShared)
 
   /** The reporting form: `(doc_id, n_grams, n_shared, contaminated)` only
     * — the registered-query surface. Both frames must carry

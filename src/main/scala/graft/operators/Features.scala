@@ -100,6 +100,33 @@ object Features {
       .agg(sum(col("__partial")).as("cnt"))
   }
 
+  /** Hot keys of `df`: keys whose (optionally sampled) row count exceeds
+    * `rowBudget` — the detection half of the hot-key pre-split the keyed
+    * window operators need (a key's whole row set serializes into ONE
+    * task's sort under `Window.partitionBy(key)`; see
+    * [[graft.operators.AsOfJoin.backwardPreSplit]] for the split half).
+    *
+    * The detection pass is itself skew-immune: count is algebraic, so the
+    * hot key contributes one partial row per map partition regardless of
+    * its size. The result is small by definition (at most total/rowBudget
+    * keys can exceed the budget) — broadcast it. `sampleFraction < 1`
+    * trades a full (narrow, map-side-combined) pass for a sampled one;
+    * the budget scales with the fraction, so keep `rowBudget ×
+    * sampleFraction` comfortably above sampling noise (≳ 100). Sampling
+    * is seeded — detection is deterministic run-to-run. */
+  def hotKeys(df: DataFrame, keys: Seq[String], rowBudget: Long,
+              sampleFraction: Double = 1.0): DataFrame = {
+    require(rowBudget >= 1, s"rowBudget must be >= 1, got $rowBudget")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base = if (sampleFraction >= 1.0) df
+               else df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > lit(rowBudget) * lit(sampleFraction))
+      .select(keys.map(col): _*)
+  }
+
   /** J5+A3 — group-mean imputation: NULL → mean over the group, groups with
     * no non-null values → 0.0 (train.py:347-357 fill_missing). Window form —
     * the reference's dict-lookup join is unnecessary in Spark. */

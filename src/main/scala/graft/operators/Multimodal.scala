@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * variety per task stays bounded WITHOUT collapsing parallelism to
   * #media-types).
   *
-  * STUBBED (clearly + deterministically): the actual byte decoding. No
-  * image/audio codecs exist in this container, so [[FakeDecoded]] features
+  * REAL decode (image): [[decodeImages]] runs an actual
+  * `javax.imageio.ImageIO` PNG decode inside the mapPartitions batch
+  * stage, over deterministic PNG fixtures built by [[synthesizeImages]] —
+  * the features (dimensions, pixel sums) are pixel-derived from the
+  * decoded raster, and the oracle re-derives them from the generation
+  * formula (PNG is lossless, so the round-trip is exact).
+  *
+  * STUBBED (clearly + deterministically): audio/video byte decoding — no
+  * audio/video codecs exist in this container, so [[FakeDecoded]] features
   * are pure arithmetic over the payload bytes (length + MD5) — the
   * Spark-side plumbing is what's under test, and the fake is reproducible
   * in the DuckDB oracle.
@@ -105,6 +112,81 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** One REAL-decoded image row: dimensions and pixel aggregates read
+    * from the decoded raster. */
+  final case class ImageFeatures(
+      doc_id: Long, width: Long, height: Long, sum_gray: Long, px00: Long)
+
+  /** Deterministic PNG fixture source: per document, a W×H grayscale
+    * gradient PNG with gray(x, y) = (doc_id·31 + x + y) mod 256 and
+    * W = 16 + hex₀(md5(text)), H = 16 + hex₁(md5(text)) — pure arithmetic
+    * an external engine can re-derive, while the BYTES are a real PNG a
+    * real decoder must actually parse. Encoded per-partition through the
+    * same typed iterator a (path → bytes) object-store source would feed. */
+  def synthesizeImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, hex) =>
+          val w = 16 + hexVal(hex.charAt(0))
+          val h = 16 + hexVal(hex.charAt(1))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              val g = ((id * 31 + x + y) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              y += 1
+            }
+            x += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The REAL image-decode stage: `javax.imageio.ImageIO` PNG decode,
+    * partition-by-partition through the typed iterator (identical stage
+    * shape to [[decodeFeatures]] — a production build swaps the codec,
+    * not the plumbing). Features come from the decoded RASTER: width and
+    * height from the image header, `sum_gray` = Σ of the red channel over
+    * every pixel (the fixture is gray, so red == gray — and a decoder
+    * that skipped or mangled pixel data cannot produce the right sum),
+    * `px00` = the top-left pixel. PNG is lossless: the values equal the
+    * generation formula exactly, which is what lets the DuckDB oracle
+    * re-derive them without a decoder. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              sum += (img.getRGB(x, y) & 0xff).toLong
+              y += 1
+            }
+            x += 1
+          }
+          ImageFeatures(id, w.toLong, h.toLong, sum,
+            (img.getRGB(0, 0) & 0xff).toLong)
+        }
+      }
   }
 
   /** The batch decode stage: co-locate each media_type, then decode

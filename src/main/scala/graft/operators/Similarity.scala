@@ -308,4 +308,72 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("vec_a"), col("vec_b"))
   }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold — the SCALE path
+    * [[cosinePairs]] lacks (the [[Dedup.minhashLshPairs]] design applied
+    * to vectors): the corpus is bucketed ONCE per hash table on a
+    * `bits`-bit random-hyperplane signature (the [[lshTopK]] sketch),
+    * candidate pairs are generated within buckets by a SELF-JOIN on the
+    * (table, bucket) key, and every candidate is verified with the exact
+    * native dot product. Never all-pairs, never a full-corpus broadcast:
+    * both join sides shuffle on the narrow band key (AQE's skew-join
+    * splitting handles hot buckets), and the verify joins move only
+    * (vec_a, vec_b) id pairs back to the vectors.
+    *
+    * Precision is 1.0 by construction (exact verify); recall per pair is
+    * the OR-amplified 1−(1−P)^tables with P = p^bits + multiProbe·(1−p)·
+    * p^(bits−1) and p = 1−θ/π — tuned by (bits, tables, multiProbe)
+    * exactly like [[lshTopK]]: `multiProbe` (0..bits) also probes each
+    * bucket at Hamming distance 1 on the first `multiProbe` signature
+    * bits, probe-side fan-out only (the index stays one row per (vector,
+    * table)); in the self-join both vectors take the probe role, so a
+    * 1-bit band difference is found from either end.
+    *
+    * Honest regime note (the [[lshTopK]] caveat applies doubly here):
+    * hyperplane LSH prunes hard only when the target cosine is high. At
+    * production near-dup thresholds (cos ≥ 0.8, p ≥ 0.80) wide signatures
+    * prune background pairs by orders of magnitude; at a mid-cosine
+    * threshold like 0.45 (p ≈ 0.65, this corpus) recall needs small
+    * `bits`/many tables and the pruning factor is modest — the
+    * dedup_embedding_cosine_lsh row pins the measured recall floor
+    * against the brute-force ground truth rather than claiming exact
+    * parity there. */
+  def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
+                          bits: Int, tables: Int,
+                          multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= bits,
+      s"multiProbe must be in [0, bits], got $multiProbe / bits=$bits")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Norms computed once per vector; the frame feeds the banding pass AND
+    // both verify sides — localCheckpoint (LAZY, the Dedup convention) so
+    // the scan+norm runs once instead of three times.
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .localCheckpoint(eager = false)
+    val banded = base.select(col("vec_id"), posexplode(array(
+      (0 until tables).map(t => hyperplaneSignature("embedding", bits, t)): _*))
+      .as(Seq("table_id", "bucket")))
+    val probed =
+      if (multiProbe == 0) banded
+      else banded.select(col("vec_id"), col("table_id"),
+        explode(array(col("bucket") +:
+          (0 until multiProbe).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("bucket"))
+    // least/greatest orientation (not x < y): a pair is a candidate when
+    // EITHER end's probe set reaches the other's exact bucket, and the
+    // one-sided filter would silently drop the b-probes-into-a direction.
+    val cand = probed.alias("x")
+      .join(banded.alias("y"), Seq("table_id", "bucket"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
 }

@@ -82,6 +82,86 @@ object Sinks {
     next
   }
 
+  /** SNK1 at scale — PARTITION-SCOPED keyed upsert: the snapshot lives
+    * hash-bucketed on the upsert key (`__bucket=N/` partition
+    * directories), and a batch rewrites ONLY the buckets its keys hash
+    * into, via dynamic partition overwrite. [[upsertSnapshot]] is the
+    * reference-faithful versioned form, but it re-writes the ENTIRE
+    * snapshot per batch — at 100 TB a monthly ~GB batch would rewrite
+    * 100 TB; here the rewrite cost is O(touched buckets) =
+    * O(batch keys), the partition-pruned read matches (only touched
+    * `__bucket=` directories are scanned, IngestSpec pins the file-level
+    * behavior), and untouched buckets' files are never opened. This is
+    * what Delta/Iceberg MERGE does with a transaction log in place of
+    * the directory layout; without the log, per-partition replace is
+    * atomic per bucket, not across buckets — the documented trade vs the
+    * versioned form (readers of OTHER buckets are never disturbed).
+    *
+    * The bucket count is part of the table's layout contract: it is
+    * written to a `_graft_nbuckets` marker on creation and validated on
+    * every later batch — a mismatched `nBuckets` would hash the same key
+    * into a different bucket and silently duplicate it across buckets
+    * (the pack/probe drift hazard, failed loud instead).
+    *
+    * In-batch duplicates resolve last-write-wins in `orderCol` order and
+    * existing rows whose key appears in the batch are replaced —
+    * exactly [[Ingest.upsert]]'s contract (`INSERT … ON DUPLICATE KEY
+    * UPDATE`, main.py:175-188). */
+  def upsertSnapshotBucketed(spark: SparkSession, tableDir: String,
+                             incoming: DataFrame, key: Seq[String],
+                             orderCol: String, nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val f = fs(spark)
+    val marker = new Path(tableDir, "_graft_nbuckets")
+    // batch rows feed the touched-bucket probe AND the merge — lazy
+    // localCheckpoint (the Dedup convention) instead of recomputing the
+    // incoming pipeline per consumer
+    val inc = incoming
+      .withColumn("__bucket",
+        pmod(xxhash64(key.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(eager = false)
+    if (!f.exists(new Path(tableDir))) {
+      inc.write.partitionBy("__bucket").parquet(tableDir)
+      val out = f.create(marker, true)
+      out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
+    } else {
+      require(f.exists(marker),
+        s"$tableDir exists but carries no _graft_nbuckets marker — not an " +
+          "upsertSnapshotBucketed table")
+      val declared = {
+        val in = f.open(marker)
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
+        new String(buf.toByteArray, "UTF-8").trim.toInt
+      }
+      require(declared == nBuckets,
+        s"bucket-count mismatch: table $tableDir was created with " +
+          s"$declared buckets, batch hashed with $nBuckets — the same key " +
+          "would land in a different bucket and duplicate")
+      // O(touched buckets) ≤ nBuckets driver-side values — corpus-size-
+      // independent, the IVF-seeding budget class
+      val touched = inc.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        // isin on the partition column → partition-pruned scan of only
+        // the touched bucket directories
+        val existingTouched = spark.read.parquet(tableDir)
+          .filter(col("__bucket").isin(touched: _*))
+        Ingest.upsert(existingTouched, inc, key, orderCol)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(tableDir)
+      }
+    }
+  }
+
+  /** Current contents of an [[upsertSnapshotBucketed]] table (layout
+    * column dropped). */
+  def readBucketedSnapshot(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop("__bucket")
+
   /** Bucketed persistence for co-located joins: the table is written
     * pre-hash-partitioned (and pre-sorted) on `keys` into `buckets`
     * files, recorded in the catalog, so EVERY later equi-join or

@@ -165,7 +165,10 @@ object TextAnalysis {
                  num: Int = 1, den: Int = 10): DataFrame = {
     require(n >= 1 && num >= 0 && den >= 1, s"bad params: n=$n, $num/$den")
     docs
-      .withColumn("ws", toks(col("text")))
+      // NULL text reads as the empty document (0 grams, not repetitive) —
+      // the Decontamination convention; without the coalesce size(null)=-1
+      // would emit (-1, -1, 0.0, false) while an oracle emits NULLs.
+      .withColumn("ws", toks(coalesce(col("text"), lit(""))))
       .withColumn("sh", Dedup.shingles("ws", n))
       .select(
         col("doc_id"),

@@ -305,14 +305,27 @@ object CoreQueries {
     // would fail it ~1/3 of the time) — and the approx is positive.
     // Exact counts ride along as data so the oracle re-derives them.
     "a11_approx_distinct" -> QueryDef(
-      (s, dir) => Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx"))
-        .select(col("event_type"), col("exact_users"),
-          (abs(col("approx") - col("exact_users")).cast("double") /
-            col("exact_users") <= 0.05).as("within_5pct"),
-          (col("approx") > 0).as("positive")),
+      (s, dir) => {
+        // Mixing countDistinct with approx_count_distinct in ONE agg makes
+        // Catalyst plan an Expand (every input row duplicated per
+        // distinct/non-distinct agg group) — this was the 2nd-slowest
+        // bench row in round 5. Splitting the two aggregates over a
+        // shared lazily-checkpointed projection (the Dedup/q15
+        // convention) removes the Expand and scans the rows once; the
+        // per-type join is 5 rows.
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"))
+          .localCheckpoint(eager = false)
+        val exact = ev.distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+        val approx = ev.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        exact.join(approx, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05).as("within_5pct"),
+            (col("approx") > 0).as("positive"))
+      },
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct, TRUE AS positive
         |FROM events GROUP BY event_type""".stripMargin),

@@ -329,6 +329,50 @@ object ExtensionQueries {
          |SELECT vec_a, vec_b FROM p
          |WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin),
 
+    // Embedding near-dup pairs, SCALE path (hyperplane-LSH banding + exact
+    // verify — the minhashLshPairs design applied to vectors; never
+    // all-pairs, never a full-corpus broadcast, SimilaritySpec pins the
+    // plan). At this corpus's threshold regime (true pairs at cos
+    // 0.45–0.60, background topping out at 0.4497) exact pair-set parity
+    // is statistically unreachable for any hyperplane-LSH config — p =
+    // 1−θ/π ≈ 0.65 at the threshold — so the registered output is the
+    // invariant aggregate: n_true re-derived exactly by the oracle,
+    // precision 1.0 (found ⊆ true; exact verify guarantees it, the check
+    // catches a broken verify), and recall ≥ 4/5 against the brute-force
+    // ground truth (integer cross-multiplied; measured 1.000 at BOTH
+    // sf0.01 and sf0.1 with bits=2/tables=12/multiProbe=1 — per-pair miss
+    // ≤ (1−p)^12 ≈ 4e-6 at the threshold's p ≈ 0.65; the 4/5 floor is
+    // headroom for corpus shifts, not an observed miss rate).
+    "dedup_embedding_cosine_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // LAZY checkpoints (Dedup convention): each side feeds a count and
+        // the semi-join — without persistence the O(n²) ground truth and
+        // the band pipeline would each run twice.
+        val exact = Similarity.cosinePairs(emb, 0.45)
+          .localCheckpoint(eager = false)
+        val approx = Similarity.cosinePairsBucketed(emb, 0.45,
+          bits = 2, tables = 12, multiProbe = 1)
+          .localCheckpoint(eager = false)
+        val nTrue = exact.agg(count(lit(1)).as("n_true"))
+        val nFound = approx.agg(count(lit(1)).as("n_found"))
+        val nHit = approx.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nTrue.crossJoin(nFound).crossJoin(nHit)
+          .select(col("n_true").cast("long"),
+            (col("n_found") === col("n_hit")).as("subset_ok"),
+            (col("n_hit") * 5 >= col("n_true") * 4).as("recall_ok"))
+      },
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckDot("a.embedding", "b.embedding")} AS dab,
+         |    ${duckDot("a.embedding", "a.embedding")} AS daa,
+         |    ${duckDot("b.embedding", "b.embedding")} AS dbb
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS subset_ok,
+         |  TRUE AS recall_ok
+         |FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin),
+
     // Exact cosine top-k: every 50th vector queries the full corpus,
     // k=5, rank ties broken by neighbor id. Brute-force baseline — the
     // scale path is ann_lsh_topk.
@@ -698,7 +742,7 @@ object ExtensionQueries {
     // division rounded to 6 for the fraction itself.
     "ext_repetition" -> QueryDef(
       (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir), n = 2),
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
         |g AS (
         |  SELECT doc_id,
         |    CAST(greatest(len(ws) - 1, 0) AS INT) AS n_grams_total,
@@ -757,6 +801,40 @@ object ExtensionQueries {
         |    i -> CAST(i * n_frames // 8 AS BIGINT)))) AS frame_idx,
         |  n_frames
         |FROM vid""".stripMargin),
+
+    // REAL image decode (javax.imageio over deterministic PNG fixtures —
+    // Multimodal.synthesizeImages/decodeImages): the decoded RASTER
+    // yields width/height, the full-pixel gray sum, and the top-left
+    // pixel; the resize geometry (the mm_resize integer box-fit) runs on
+    // the real decoded dims. PNG is lossless and the fixture is a closed-
+    // form gradient, so the oracle re-derives every value from the
+    // generation formula without a decoder — a decode that mangled even
+    // one pixel breaks sum_gray.
+    "mm_image_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeImages(s,
+        Multimodal.synthesizeImages(s, Tables.documents(s, dir))).toDF()
+        .withColumn("out_w",
+          expr("CAST(width * 256 DIV greatest(width, height) AS BIGINT)"))
+        .withColumn("out_h",
+          expr("CAST(height * 256 DIV greatest(width, height) AS BIGINT)")),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |         AS BIGINT) AS width,
+        |    CAST(16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |         AS BIGINT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, x.x, y.y
+        |  FROM d,
+        |    LATERAL unnest(generate_series(0, d.width - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, d.height - 1)) AS y(y))
+        |SELECT doc_id, width, height,
+        |  CAST(sum((doc_id * 31 + x + y) % 256) AS BIGINT) AS sum_gray,
+        |  CAST((doc_id * 31) % 256 AS BIGINT) AS px00,
+        |  CAST(width * 256 // greatest(width, height) AS BIGINT) AS out_w,
+        |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
+        |FROM px GROUP BY doc_id, width, height""".stripMargin),
 
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(s,

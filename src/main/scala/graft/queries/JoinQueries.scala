@@ -84,6 +84,38 @@ object JoinQueries {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts""".stripMargin),
 
+    // The SAME attribution semantics through the SIZE-GATED entry point
+    // (AsOfJoin.autoBackward): Catalyst's size estimate of the pack
+    // columns picks the broadcast path here (the build side is key-
+    // cardinality); AsOfJoinSpec pins that an undersized budget flips the
+    // same call to the window merge with identical results. This row pins
+    // the auto plumbing end-to-end against the shared ASOF oracle.
+    "asof_attribution_auto" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            round(col("value"), 6).as("click_value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+          .agg(max(col("event_id")).as("purchase_id"),
+            round(max_by(col("value"), col("event_id")), 6).as("purchase_value"))
+        AsOfJoin.autoBackward(clicks, purchases, Seq("user_id"),
+          tsColLeft = "ts", tsColRight = "purchase_ts",
+          rightPayload = Seq("purchase_id", "purchase_value"))
+      },
+      """WITH clicks AS (
+        |  SELECT event_id, ts, user_id, round(value, 6) AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id,
+        |         round(arg_max(value, event_id), 6) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.ts, c.user_id, c.click_value,
+        |       p.purchase_ts, p.purchase_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts""".stripMargin),
+
     // As-of FORWARD with tolerance: for every purchase, the next same-user
     // error within 48 hours (time-to-failure analysis). The tolerance
     // NULLs a match that exists but is too far — both engines model

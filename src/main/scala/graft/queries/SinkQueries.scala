@@ -253,6 +253,44 @@ object SinkQueries {
         |   WHERE event_id % 3 = 0) AS jdbc_n
         |FROM events e WHERE e.event_id % 3 = 0""".stripMargin),
 
+    // SNK1 at scale — PARTITION-SCOPED keyed upsert
+    // (Sinks.upsertSnapshotBucketed): the snapshot is hash-bucketed on
+    // the upsert key and a batch rewrites only its touched buckets via
+    // dynamic partition overwrite (IngestSpec pins the file-level
+    // behavior: a 1-row batch rewrites 1 bucket). This row pins the
+    // data-visible contract — the read-back after seed + merge equals
+    // the e1 upsert semantics (batch wins on key collision, in-batch
+    // last-write-wins by orderCol).
+    "snk1_bucketed_upsert" -> QueryDef(
+      (s, dir) => {
+        val tableDir = scratch(s, "snk1b")
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val key = Seq("user_id", "event_type", "ts")
+        Sinks.upsertSnapshotBucketed(s, tableDir,
+          e.filter(col("event_id") % 4 =!= 0), key, orderCol = "event_id",
+          nBuckets = 16)
+        Sinks.upsertSnapshotBucketed(s, tableDir,
+          e.filter(col("event_id") % 2 === 0), key, orderCol = "event_id",
+          nBuckets = 16)
+        Sinks.readBucketedSnapshot(s, tableDir)
+      },
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |fresh AS (
+        |  SELECT * FROM ev WHERE event_id % 2 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type, ts
+        |    ORDER BY event_id DESC) = 1),
+        |existing AS (SELECT * FROM ev WHERE event_id % 4 <> 0)
+        |SELECT * FROM fresh
+        |UNION ALL
+        |SELECT e.* FROM existing e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fresh f
+        |  WHERE f.user_id = e.user_id AND f.event_type = e.event_type
+        |    AND f.ts = e.ts)""".stripMargin),
+
     // SRC5 — existence/metadata probe (main.py:96-114): missing table →
     // false, created table → true, as one data-visible row.
     "src5_exists_probe" -> QueryDef(

@@ -53,15 +53,22 @@ object StreamingCuration {
     * runs unchanged on the unbounded side — no state, no watermark, and
     * the gate composes anywhere in the curation chain (canonically in
     * front of [[curatedStream]]: leakage should be dropped before it can
-    * win an exact-dedup race against a clean duplicate). The collapsed
-    * benchmark is CACHED at composition time — a stream-static join
+    * win an exact-dedup race against a clean duplicate).
+    *
+    * `benchGrams` must come from [[Decontamination.benchmarkGrams]] (the
+    * gram contract travels in its metadata) and SHOULD be `cache()`d by
+    * the caller, who owns its lifecycle — a stream-static join
     * re-evaluates its static side every micro-batch, and without the
     * cache the benchmark would be re-tokenized and re-aggregated
-    * thousands of times for a byte-identical one-row result. */
-  def decontaminationGate(docs: DataFrame, benchmark: DataFrame, n: Int,
+    * thousands of times for a byte-identical one-row result. Caller-owned
+    * caching (the AsOfJoin pack()/backwardAgainst convention) is what
+    * lets a test harness or multi-stream session unpersist the pack when
+    * the streams using it stop; the previous form cached internally on
+    * every composition and orphaned an entry per rebuilt gate for the
+    * life of the session. */
+  def decontaminationGate(docs: DataFrame, benchGrams: DataFrame,
                           minShared: Int = 1): DataFrame =
-    Decontamination.annotateAgainst(docs,
-        Decontamination.benchmarkGrams(benchmark, n).cache(), n, minShared)
+    Decontamination.annotateAgainst(docs, benchGrams, minShared)
       .filter(!col("contaminated"))
       .drop("n_grams", "n_shared", "contaminated")
 

@@ -268,6 +268,74 @@ class AsOfJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("auto: size gate picks broadcast under the budget, window merge above — equal results") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val viaBcast = AsOfJoin.autoBackward(clicks, purchases, Seq("user_id"),
+      "ts", "purchase_ts", Seq("purchase_id"),
+      tiebreak = Some("purchase_id")) // default 64 MB budget — fits
+    val viaWindow = AsOfJoin.autoBackward(clicks, purchases, Seq("user_id"),
+      "ts", "purchase_ts", Seq("purchase_id"),
+      tiebreak = Some("purchase_id"),
+      maxBuildBytes = 1L) // nothing fits — MUST fall back
+    assert(canon(viaBcast) === canon(viaWindow))
+    viaBcast.collect(); viaWindow.collect()
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the gate picked structurally different plans: pack+probe broadcasts,
+    // the fallback runs the union→window merge (no broadcast-able pack)
+    assert(plan(viaBcast).contains("BroadcastHashJoin") &&
+      !plan(viaBcast).contains("Window"))
+    assert(plan(viaWindow).contains("Window") &&
+      !plan(viaWindow).contains("BroadcastHashJoin"))
+    // and the estimate itself is sane: positive, and monotone in payload
+    val est = AsOfJoin.packSizeEstimate(purchases, Seq("user_id"),
+      "purchase_ts", Seq("purchase_id"), None)
+    assert(est > 0 && est <= BigInt(64L << 20))
+  }
+
+  test("hot-key pre-split: 90%-one-key probe — equal to unsalted, hot key spread, cold keys untouched") {
+    val hotRows = (0 until 900).map(i =>
+      ("hot", f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"))
+    val coldRows = (0 until 100).map(i =>
+      (s"cold${i % 20}", f"2024-01-01 03:${i % 60}%02d:00"))
+    val probe = (hotRows ++ coldRows).toDF("k", "pts")
+      .withColumn("pts", to_timestamp(col("pts")))
+    val builds = Seq(
+      ("hot", "2024-01-01 02:00:00", "h1"), ("hot", "2024-01-01 10:00:00", "h2"),
+      ("cold0", "2024-01-01 01:00:00", "c1"), ("cold1", "2024-01-01 05:00:00", "c2"))
+      .toDF("k", "bts", "bv").withColumn("bts", to_timestamp(col("bts")))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val plain = AsOfJoin.backward(probe, builds, Seq("k"), "pts", "bts", Seq("bv"))
+    val split = AsOfJoin.backwardPreSplit(probe, builds, Seq("k"), "pts", "bts",
+      Seq("bv"), rowBudget = 100, saltBuckets = 8)
+    assert(canon(split) === canon(plain)) // row-for-row the unsalted answer
+    // the spread contract: no single (key, salt) partition holds the hot
+    // key whole — that group is exactly what one window task sorts
+    val (l, r) = AsOfJoin.preSplit(probe, builds, Seq("k"), "pts",
+      rowBudget = 100, saltBuckets = 8, sampleFraction = 1.0)
+    val hotBuckets = l.filter(col("k") === "hot")
+      .groupBy(col("__asof_salt")).count()
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(hotBuckets.size >= 4, s"hot key not spread: $hotBuckets")
+    assert(hotBuckets.values.max < 900L, s"one bucket holds the hot key: $hotBuckets")
+    assert(hotBuckets.values.sum === 900L)
+    // cold keys ride bucket 0 unsalted, and their builds are NOT replicated
+    val coldSalts = l.filter(col("k") =!= "hot")
+      .select(col("__asof_salt")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(coldSalts === Set(0L))
+    assert(r.filter(col("k") === "hot").count() === 2L * 8)  // replicated
+    assert(r.filter(col("k") =!= "hot").count() === 2L)      // not replicated
+  }
+
   test("plan: one hash exchange per side's union, no nested loop") {
     val ev = Tables.events(spark, sf0001)
     val clicks = ev.where(col("event_type") === "click")

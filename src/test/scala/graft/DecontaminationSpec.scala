@@ -104,8 +104,12 @@ class DecontaminationSpec extends SparkSpecBase {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF().toDF("doc_id", "text")
+    // caller-owned pack lifecycle: build + cache the benchmark grams once,
+    // unpersist when the stream stops (the gate no longer caches
+    // internally — repeated gate composition used to orphan cache entries)
+    val pack = Decontamination.benchmarkGrams(benchmark, n = 3).cache()
     val q = graft.streaming.StreamingCuration
-      .decontaminationGate(docs, benchmark, n = 3)
+      .decontaminationGate(docs, pack)
       .writeStream.format("memory").queryName("decon_gate")
       .outputMode("append").start()
     try {
@@ -125,7 +129,24 @@ class DecontaminationSpec extends SparkSpecBase {
         .filter(!col("contaminated"))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(batch === surviving)
-    } finally q.stop()
+    } finally { q.stop(); pack.unpersist() }
+  }
+
+  test("pack/probe contract: a frame without the gram metadata is rejected") {
+    val fake = benchmark.sparkSession.range(1)
+      .select(array(lit(1L), lit(2L)).as("bench_hs"))
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.annotateAgainst(corpus, fake)
+    }
+    assert(e.getMessage.contains("gram contract"))
+    // and the real pack round-trips its contract: annotateAgainst re-derives
+    // (n=3, md5) from metadata, so results match the one-shot form exactly
+    val pack = Decontamination.benchmarkGrams(benchmark, n = 3, algo = "md5")
+    val viaPack = Decontamination.annotateAgainst(corpus, pack)
+      .select("doc_id", "n_shared").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val oneShot = Decontamination.annotate(corpus, benchmark, n = 3, algo = "md5")
+      .select("doc_id", "n_shared").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaPack === oneShot)
   }
 
   // --- TextAnalysis.repetition ----------------------------------------

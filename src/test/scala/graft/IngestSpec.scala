@@ -82,6 +82,64 @@ class IngestSpec extends SparkSpecBase {
     assert(again.count() === 2)
   }
 
+  test("SNK1 bucketed upsert: a 1-row batch rewrites ONE bucket, the rest untouched") {
+    import graft.operators.Sinks
+    val tableDir = Files.createTempDirectory("graft_snk1b_spec")
+      .toFile.getAbsolutePath + "/tbl"
+    val key = Seq("user_id", "event_type")
+    val seed = (0 until 64).map(i => (s"u$i", if (i % 2 == 0) "view" else "click",
+      i.toLong, i.toDouble)).toDF("user_id", "event_type", "event_id", "value")
+    Sinks.upsertSnapshotBucketed(spark, tableDir, seed, key, "event_id",
+      nBuckets = 8)
+    def filesByBucket: Map[String, Set[String]] =
+      new java.io.File(tableDir).listFiles.toSeq
+        .filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
+    val before = filesByBucket
+    assert(before.size > 1, "seed must spread over several buckets")
+    // the 1-row batch: replaces (u3, click)'s row
+    val batch = Seq(("u3", "click", 100L, 99.5))
+      .toDF("user_id", "event_type", "event_id", "value")
+    Sinks.upsertSnapshotBucketed(spark, tableDir, batch, key, "event_id",
+      nBuckets = 8)
+    val after = filesByBucket
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("u3"), lit("click")), lit(8L)).cast("int"))
+      .head.getInt(0)
+    val touchedDir = s"__bucket=$touched"
+    assert(after(touchedDir) !== before(touchedDir),
+      "the batch's bucket must be rewritten")
+    (before.keySet - touchedDir).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    // data contract: upsert semantics held across the partition-scoped merge
+    val out = Sinks.readBucketedSnapshot(spark, tableDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size === 64)
+    assert(out(("u3", "click")) === ((100L, 99.5)))
+    assert(out(("u4", "view")) === ((4L, 4.0)))
+    // layout contract: a mismatched bucket count fails loud, not silently
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertSnapshotBucketed(spark, tableDir, batch, key, "event_id",
+        nBuckets = 16)
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+  }
+
+  test("SRC1 listing runs through the Hadoop FS API: a file: URI serves unchanged") {
+    val dir = Files.createTempDirectory("graft_src1_uri").toFile
+    Files.writeString(new java.io.File(dir, "b.csv").toPath,
+      "2025-01-06,17:00,EUR,CPI,High,1,2,3,0,w1\n")
+    Files.writeString(new java.io.File(dir, "a.csv").toPath,
+      "2025-01-05,17:00,USD,NFP,High,1,2,3,0,w1\n")
+    // explicit scheme — the same code path an s3a://'/gs:// prefix takes
+    val out = Ingest.readFirstCsv(spark, s"file://${dir.getAbsolutePath}")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("Currency") === "USD") // a.csv picked
+  }
+
   test("SRC2 forced schema: 10 string columns, never inferred (main.py:205-207)") {
     assert(Ingest.rawSchema.fields.length === 10)
     assert(Ingest.rawSchema.fields.forall(_.dataType.typeName == "string"))

@@ -37,6 +37,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(Sinks.tableExists(spark, s"$dir/norm_params/v=2"))
   }
 
+  test("automate: validate before train fails SOFT on the artifact gate; full chain green") {
+    val dir = Files.createTempDirectory("graft_automate").toString + "/run"
+    val ev = Tables.events(spark, sf0001)
+    // the reference's 'model not found — run /train first' behavior
+    // (main.py:320-323): gated, soft, chain continues
+    val pre = Pipeline.automate(spark, ev, dir, stages = Seq("validate", "test"))
+    assert(pre.map(_.stage) === Seq("validate", "test"))
+    assert(pre.forall(!_.ok))
+    assert(pre.forall(_.detail.contains("run train first")))
+    // full chain: train publishes artifacts, validate/test pass the gate
+    // and compute their metrics FROM the persisted artifacts
+    val all = Pipeline.automate(spark, ev, dir)
+    assert(all.map(s => s.stage -> s.ok) ===
+      Seq("train" -> true, "validate" -> true, "test" -> true))
+    // the artifact-driven validate metrics equal the in-memory run's
+    val fromArtifacts = Pipeline.stageMetrics(spark, ev, dir, "val")
+    val inMemory = Pipeline.run(spark, ev).validateMetrics
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("user_id", "event_type", "R2", "MSE", "Samples", "model_type")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(fromArtifacts) === canon(inMemory))
+    // unknown stage: 404-shaped soft failure, not a crash
+    val unk = Pipeline.automate(spark, ev, dir, stages = Seq("deploy"))
+    assert(unk === Seq(Pipeline.StageStatus("deploy", ok = false,
+      "unknown stage 'deploy'")))
+  }
+
   test("approx-split pipeline (the 100-TB plan) produces the same table shapes and near-identical split sizes") {
     val exact = Pipeline.run(spark, Tables.events(spark, sf0001))
     val approx = Pipeline.run(spark, Tables.events(spark, sf0001),

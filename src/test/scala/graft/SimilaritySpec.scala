@@ -65,6 +65,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rProbed >= rPlain, s"multi-probe recall $rProbed < exact-bucket $rPlain")
   }
 
+  test("bucketed cosine pairs: verified subset, pinned recall, never all-pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val brute = pairs(Similarity.cosinePairs(emb, 0.45))
+    assert(brute.nonEmpty) // 14 planted pairs at sf0.01 — keep the test honest
+    val q = Similarity.cosinePairsBucketed(emb, 0.45,
+      bits = 2, tables = 12, multiProbe = 1)
+    val lsh = pairs(q)
+    // precision 1.0 by construction (exact verify) — a violation means the
+    // verify filter broke
+    assert(lsh.subsetOf(brute), s"non-true pairs emitted: ${lsh -- brute}")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.8, s"bucketed recall $recall below floor (found " +
+      s"${lsh.size} of ${brute.size})")
+    // the plan contract that justifies the operator: candidates come from
+    // an equi-join on the band key and the verify joins are equi on the
+    // pair ids — the all-pairs shapes (broadcast nested loop / cartesian,
+    // cosinePairs' plan) must never appear
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketed pair generation must never go all-pairs:\n$plan")
+  }
+
   test("multimodal resize: box-fit geometry preserves aspect order, max dim hits the target") {
     val docs = Seq((0L, "alpha beta gamma"), (2L, "some video words here"))
       .toDF("doc_id", "text")
@@ -95,6 +120,26 @@ class SimilaritySpec extends SparkSpecBase {
     val byDoc = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
     assert(byDoc(5L) === 8)
     assert(byDoc(2L) < 8)
+  }
+
+  test("real image decode: ImageIO recovers the PNG fixture's pixels exactly") {
+    val fixture = Seq(3L -> "alpha beta gamma", 7L -> "the quick brown fox")
+    val docs = fixture.toDF("doc_id", "text")
+    val out = Multimodal.decodeImages(spark,
+      Multimodal.synthesizeImages(spark, docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((id, text) <- fixture) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val w = 16 + "0123456789abcdef".indexOf(hex.charAt(0))
+      val h = 16 + "0123456789abcdef".indexOf(hex.charAt(1))
+      val expectedSum = (0 until w).flatMap(x =>
+        (0 until h).map(y => (id * 31 + x + y) % 256)).sum
+      val f = out(id)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      assert(f.sum_gray === expectedSum.toLong) // every pixel decoded intact
+      assert(f.px00 === (id * 31) % 256)
+    }
   }
 
   test("multimodal fake decode: md5/length-derived features, video frame rule") {
