@@ -221,6 +221,51 @@ object Features {
     df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A14 — per-group TRAINED autoregressive model: ordinary least squares
+    * y ~ slope·x + intercept fit per key, in closed form from the normal
+    * equations (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)). This is the
+    * engine's real train→apply model path standing in for the reference's
+    * per-(Currency,Event) model training (train.py:377-499): the
+    * reference fits an LSTM/XGBoost per group — out of relational scope
+    * in a Spark-jars-only build (SURVEY §7 step 5) — but the TRAINING
+    * CONTRACT (fit parameters on the train split only, persist them as a
+    * per-key artifact, apply them to later splits) is fully relational,
+    * and an AR(1) on the lag feature is its smallest honest instance.
+    *
+    * One algebraic aggregation pass — map-side combined, no window, no
+    * driver loop; fitting a million keys costs one shuffle of five sums.
+    * Determinism follows [[regressionMetrics]] exactly: inputs snap to
+    * DECIMAL(17,6) under the |x| < 1e11 domain guard (excluded rows leave
+    * every sum, not just some), cross terms re-scale to DECIMAL(38,6)
+    * before summing (group-sum headroom ~2.5e9 worst-case rows), and only
+    * the final per-group arithmetic runs in double with a fixed
+    * expression shape — bit-equal in any engine evaluating the same IEEE
+    * ops. Degenerate groups (zero x-variance, e.g. n=1 or constant
+    * history) fit slope 0 with intercept = ȳ — the mean model. */
+  def fitAr1(df: DataFrame, key: Seq[String],
+             x: Column, y: Column): DataFrame = {
+    val domain = lit(1e11)
+    val xd = x.cast("decimal(17,6)")
+    val yd = y.cast("decimal(17,6)")
+    df.filter(x.isNotNull && y.isNotNull &&
+        abs(x) < domain && abs(y) < domain)
+      .groupBy(key.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_fit"),
+        sum(xd).cast("double").as("sx"),
+        sum(yd).cast("double").as("sy"),
+        sum((xd * yd).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((xd * xd).cast("decimal(38,6)")).cast("double").as("sxx"))
+      .withColumn("slope",
+        when(col("n_fit") * col("sxx") - col("sx") * col("sx") === 0.0, lit(0.0))
+          .otherwise((col("n_fit") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_fit") * col("sxx") - col("sx") * col("sx"))))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n_fit"))
+      .select((key.map(col) :+ col("slope") :+ col("intercept") :+
+        col("n_fit")): _*)
+  }
+
   /** A6 — per-group regression metrics (train.py:233-269): R², MSE, n.
     * Single-pass algebraic form: ss_tot = Σa² − n·mean(a)², ss_res =
     * Σ(a−p)². Groups with n<2 are skipped; ss_tot==0 → R²=−1. All built-in

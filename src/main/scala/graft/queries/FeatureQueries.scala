@@ -378,6 +378,98 @@ object FeatureQueries {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin),
 
+    // A14 — per-group TRAINED model (Features.fitAr1): closed-form OLS
+    // y ~ slope·lag1(y) + intercept, fit on the chronological TRAIN split
+    // only — the reference's per-(Currency,Event) train step
+    // (train.py:377-499) with its LSTM swapped for the smallest honest
+    // relational model (decimal-exact normal-equation sums, the A6
+    // determinism class). The oracle re-derives the whole chain: global
+    // split, keyed lag, domain-guarded decimal sums, identical final
+    // double arithmetic.
+    "a14_ar1_model" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Features
+          .chronoSplit(Tables.events(s, dir), Seq("ts", "event_id"))
+          .withColumn("x", Features.lag1(col("value"), w))
+        Features.fitAr1(feat.filter(col("split") === "train"), key,
+          col("x"), col("value"))
+      },
+      s"""WITH ${OracleSql.ar1ParamCtes}
+         |SELECT user_id, event_type, slope,
+         |  (sy - slope * sx) / n_fit AS intercept, n_fit
+         |FROM m""".stripMargin),
+
+    // A14+J4+A6 — the TRAIN→APPLY contract end-to-end: the fitted params
+    // join back onto the VAL split (the reference's reuse-train-artifacts
+    // asymmetry, validate.py:258-287), predictions are slope·x +
+    // intercept, and the A6 metrics grade them — every stage re-derived
+    // independently by the oracle. Keys never seen in training are
+    // excluded (inner join), mirroring the reference's trained-models
+    // lookup.
+    "a15_ar1_val_metrics" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        // feeds the fit AND the apply join — lazy checkpoint (Dedup
+        // convention) so the split window + lag run once
+        val feat = Features
+          .chronoSplit(Tables.events(s, dir), Seq("ts", "event_id"))
+          .withColumn("x", Features.lag1(col("value"), w))
+          .localCheckpoint(eager = false)
+        val params = Features.fitAr1(feat.filter(col("split") === "train"),
+          key, col("x"), col("value"))
+        // Predictions snap to scale 2 (the data's own scale): a full-
+        // precision double pred would put real digits at scale 7-12 of
+        // the squared-error terms, where Spark's decimal scale-down
+        // rounds HALF_UP but DuckDB's TRUNCATES — with 2-decimal pred
+        // and 2-decimal values every decimal in the metrics chain is
+        // exact and the engines cannot disagree. (round(_, 2) itself is
+        // the established cross-engine-stable op — asof rows round(_,6).)
+        val applied = feat.filter(col("split") === "val")
+          .join(broadcast(params), key)
+          .withColumn("pred",
+            round(col("slope") * col("x") + col("intercept"), 2))
+        Features.regressionMetrics(applied, key, col("value"), col("pred"))
+          .select(col("user_id"), col("event_type"),
+            col("R2"), col("MSE"), col("Samples"))
+      },
+      s"""WITH ${OracleSql.ar1ParamCtes},
+         |params AS (
+         |  SELECT user_id, event_type, slope,
+         |    (sy - slope * sx) / n_fit AS intercept
+         |  FROM m),
+         |va AS (
+         |  SELECT f.user_id, f.event_type, f.value,
+         |    round(p.slope * f.x + p.intercept, 2) AS pred
+         |  FROM feat f JOIN params p USING (user_id, event_type)
+         |  WHERE f.rn > floor(f.n_total * 0.7)
+         |    AND f.rn <= floor(f.n_total * 0.7) + floor(f.n_total * 0.15)),
+         |vg AS (
+         |  -- factor casts to DECIMAL(19,6): same exact values, but DuckDB
+         |  -- stores width <= 18 in int64 and its int64 multiply overflows
+         |  -- once |value - pred| exceeds ~3037 (scale-6 square past 2^63);
+         |  -- width 19 -> int128 multiply, exact to the (38,12) product
+         |  SELECT user_id, event_type, count(*) AS n,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(value AS DECIMAL(17,6)) - CAST(pred AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(value AS DECIMAL(17,6)) - CAST(pred AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS sum_a
+         |  FROM va
+         |  WHERE value IS NOT NULL AND pred IS NOT NULL
+         |    AND abs(value) < 1e11 AND abs(pred) < 1e11
+         |  GROUP BY user_id, event_type)
+         |SELECT user_id, event_type,
+         |  CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+         |       ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+         |  END AS R2,
+         |  ss_res / n AS MSE, n AS Samples
+         |FROM vg WHERE n >= 2""".stripMargin),
+
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).
     "a9_value_histogram" -> QueryDef(

@@ -57,6 +57,50 @@ object OracleSql {
     * with the |x| < 1e11 domain guard, per-group metrics `m(user_id,
     * event_type, R2, MSE, Samples)` (mirrors Features.regressionMetrics —
     * see its scaladoc for the determinism rationale). */
+  /** The A14 AR(1) training CTE chain over `events`: global 70/15/15 row-
+    * positional split markers (rn, n_total — the w5_chrono_split shape),
+    * keyed lag feature `x`, DECIMAL-exact normal-equation sums under the
+    * |x| < 1e11 domain guard, and the slope in `m(user_id, event_type,
+    * n_fit, sx, sy, slope)` (mirrors Features.fitAr1 — see its scaladoc
+    * for the determinism rationale). Exposes `feat` (with rn/n_total) for
+    * downstream apply CTEs. */
+  val ar1ParamCtes: String =
+    """ordered AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER () AS n_total
+      |  FROM events),
+      |feat AS (
+      |  SELECT user_id, event_type, value, rn, n_total,
+      |    lag(value) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS x
+      |  FROM ordered),
+      |train AS (SELECT * FROM feat WHERE rn <= floor(n_total * 0.7)),
+      |g AS (
+      |  -- factor casts to DECIMAL(19,6): identical values, int128 multiply
+      |  -- (DuckDB's int64 path overflows scale-6 squares past |x| ~ 3037)
+      |  SELECT user_id, event_type, count(*) AS n_fit,
+      |    CAST(sum(CAST(x AS DECIMAL(17,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(x AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      |  FROM train
+      |  WHERE x IS NOT NULL AND value IS NOT NULL
+      |    AND abs(x) < 1e11 AND abs(value) < 1e11
+      |  GROUP BY user_id, event_type),
+      |m AS (
+      |  SELECT user_id, event_type, n_fit, sx, sy,
+      |    CASE WHEN n_fit * sxx - sx * sx = 0 THEN 0.0
+      |         ELSE (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx)
+      |    END AS slope
+      |  FROM g)""".stripMargin
+
   val a6MetricsCtes: String =
     """p AS (
       |  SELECT user_id, event_type, value,
@@ -68,9 +112,16 @@ object OracleSql {
       |      AS DECIMAL(17,6)) AS pred
       |  FROM events),
       |g AS (
+      |  -- factor casts to DECIMAL(19,6): identical values, int128 multiply
+      |  -- (DuckDB's int64 path overflows scale-6 squares past ~3037 —
+      |  -- latent here, observed on the a15 apply chain)
       |  SELECT user_id, event_type, count(*) AS n,
-      |    CAST(sum(CAST((a - pred) * (a - pred) AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
-      |    CAST(sum(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+      |    CAST(sum(CAST(
+      |      CAST(a - pred AS DECIMAL(19,6)) * CAST(a - pred AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+      |    CAST(sum(CAST(
+      |      CAST(a AS DECIMAL(19,6)) * CAST(a AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
       |    CAST(sum(a) AS DOUBLE) AS sum_a
       |  FROM p WHERE value IS NOT NULL AND pred_raw IS NOT NULL
       |    AND abs(value) < 1e11 AND abs(pred_raw) < 1e11

@@ -116,6 +116,24 @@ class FeaturesSpec extends SparkSpecBase {
     assert(seqs.toList === List((4, List(10.0, null, 30.0))))
   }
 
+  test("A14 fitAr1: hand-checked OLS line; constant-x group degrades to the mean model") {
+    val df = Seq(
+      // y = 2x + 1 exactly -> slope 2, intercept 1
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+      // constant x -> zero variance -> slope 0, intercept = mean(y) = 4
+      ("b", 5.0, 3.0), ("b", 5.0, 5.0),
+      // nulls and out-of-domain rows leave the fit entirely
+      ("c", 1.0, 2.0), ("c", 2.0, 4.0), ("c", Double.NaN, 9.0))
+      .toDF("k", "x", "y")
+      .withColumn("x", when(isnan(col("x")), lit(null)).otherwise(col("x")))
+    val got = Features.fitAr1(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("a") === ((2.0, 1.0, 3L)))
+    assert(got("b") === ((0.0, 4.0, 2L)))
+    assert(got("c") === ((2.0, 0.0, 2L))) // null-x row excluded, exact line
+  }
+
   test("W6 latest per group breaks timestamp ties by the tiebreak column") {
     val df = Seq(("g", 5, 1, 100.0), ("g", 5, 2, 200.0), ("g", 4, 9, 300.0))
       .toDF("k", "t", "id", "v")
