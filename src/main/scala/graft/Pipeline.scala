@@ -34,13 +34,25 @@ object Pipeline {
     * exact row-positional split (one global-window pass, train.py:131-153);
     * true → the 100-TB plan (Features.chronoSplitApprox: percentile
     * boundaries, no single-partition stage). Membership may differ by
-    * ~relErr·n rows near each boundary — the documented trade. */
+    * ~relErr·n rows near each boundary — the documented trade.
+    *
+    * `predictor` selects the forecast model: "naive" (default — the
+    * lag-1 passthrough every existing oracle pins) or "ar1" (the TRAINED
+    * per-group OLS line [[Features.fitAr1]] fit on the train split only
+    * and applied everywhere — the reference's train→apply contract,
+    * train.py:377-499, with its LSTM swapped for the relational model;
+    * keys with no train fit fall back to the naive predictor, the
+    * reference's untrained-group else-branch). */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
       trainRatio: Double = 0.7,
       valRatio: Double = 0.15,
-      approxSplit: Boolean = false)
+      approxSplit: Boolean = false,
+      predictor: String = "naive") {
+    require(predictor == "naive" || predictor == "ar1",
+      s"unknown predictor '$predictor' (naive | ar1)")
+  }
 
   object Config {
     /** Reference key names (Model Parameters.json:1-16, UPPER_SNAKE) onto
@@ -98,7 +110,9 @@ object Pipeline {
         modelThreshold = get("modelThreshold", _.toInt, d.modelThreshold),
         trainRatio = get("trainRatio", _.toDouble, d.trainRatio),
         valRatio = get("valRatio", _.toDouble, d.valRatio),
-        approxSplit = get("approxSplit", _.toBoolean, d.approxSplit))
+        approxSplit = get("approxSplit", _.toBoolean, d.approxSplit),
+        predictor = get("predictor",
+          s => { require(s == "naive" || s == "ar1"); s }, d.predictor))
     }
   }
 
@@ -168,6 +182,28 @@ object Pipeline {
       .withColumn("pred_f", Features.ffill(col("pred"), w))
       .localCheckpoint(eager = false)
 
+    // Predictor selection (cfg.predictor): "ar1" fits the per-group OLS
+    // line on the TRAIN split of this same frame (x = the ffilled lag,
+    // y = actual), broadcast-joins the per-key params back, and replaces
+    // pred_f with round(slope·x + intercept, 2) — the scale-2 snap that
+    // keeps every downstream decimal chain rounding-free cross-engine.
+    // Keys with no train fit keep the naive pred_f (the reference's
+    // untrained-group fallback). The fit reads the lazily-checkpointed
+    // featured frame, so the feature chain still runs once.
+    val predicted = cfg.predictor match {
+      case "ar1" =>
+        val params = Features.fitAr1(
+          featured.filter(col("split") === "train"), key,
+          col("pred_f"), col("actual"))
+        featured.join(broadcast(params), key, "left")
+          .withColumn("pred_f",
+            when(col("slope").isNotNull,
+              round(col("slope") * col("pred_f") + col("intercept"), 2))
+              .otherwise(col("pred_f")))
+          .drop("slope", "intercept", "n_fit")
+      case _ => featured
+    }
+
     // A5 on the TRAIN split only: norm-param side table (train.py:467-477)
     val trainRows = featured.filter(col("split") === "train")
     val normParams = Features.normParams(trainRows, key, col("actual"))
@@ -177,7 +213,7 @@ object Pipeline {
     // the reuse shows up as the denorm join, mirroring validate.py:258-287.
     def metricsFor(split: String): DataFrame =
       Features.regressionMetrics(
-        featured.filter(col("split") === split), key,
+        predicted.filter(col("split") === split), key,
         col("actual"), col("pred_f"))
         .join(broadcast(modelTypes.select((keyCols :+ col("model_type")): _*)),
           key, "left")
@@ -200,7 +236,7 @@ object Pipeline {
     val aLocalMx = max(col("actual")).over(localW)
     val pLocalMn = min(col("pred_f")).over(localW)
     val pLocalMx = max(col("pred_f")).over(localW)
-    val validateFeatures = featured.filter(col("split") === "val")
+    val validateFeatures = predicted.filter(col("split") === "val")
       .join(broadcast(normParams.select(
         (keyCols :+ col("mn").as("t_mn") :+ col("rng").as("t_rng")): _*)),
         key, "left")
@@ -225,7 +261,7 @@ object Pipeline {
     // predictor works in raw units, so normalize-then-denormalize is
     // exercised explicitly (test.py:95-120, 126-127).
     val latest = Features.latestPerGroup(
-      featured.filter(col("pred_f").isNotNull),
+      predicted.filter(col("pred_f").isNotNull),
       key, time = "ts", tiebreak = "event_id", payload = Seq("pred_f"))
     val liveForecasts = latest
       .join(broadcast(normParams), key, "left")

@@ -64,6 +64,36 @@ class PipelineSpec extends SparkSpecBase {
       "unknown stage 'deploy'")))
   }
 
+  test("ar1 predictor: trained line engages and cannot lose to naive on its own training split") {
+    val ev = Tables.events(spark, sf0001)
+    val naive = Pipeline.run(spark, ev)
+    val ar1 = Pipeline.run(spark, ev, Pipeline.Config(predictor = "ar1"))
+    def sse(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("user_id").toString,
+        r.getAs[String]("event_type")) ->
+        ((r.getAs[Double]("MSE") * r.getAs[Long]("Samples"),
+          r.getAs[Long]("Samples")))).toMap
+    val n = sse(naive.trainMetrics)
+    val a = sse(ar1.trainMetrics)
+    assert(a.keySet === n.keySet) // same groups survive
+    // OLS minimizes train SSE over all (slope, intercept) — the naive
+    // predictor IS the member (1, 0), so the fitted line can only match
+    // or beat it per group, up to the scale-2 prediction snap (each
+    // residual moves <= 0.005 -> SSE slack <= n * (0.01*|resid| + 2.5e-5),
+    // bounded loosely here via the observed naive SSE)
+    for ((k, (sseA, cnt)) <- a) {
+      val (sseN, _) = n(k)
+      val slack = 0.011 * math.sqrt(sseN * cnt) + 2.5e-5 * cnt
+      assert(sseA <= sseN + slack, s"group $k: ar1 SSE $sseA > naive $sseN + $slack")
+    }
+    // and the model genuinely engaged: somewhere it strictly improved
+    assert(a.exists { case (k, (sseA, _)) => sseA < n(k)._1 - 1e-6 })
+    // unknown predictor fails loud at construction
+    intercept[IllegalArgumentException] {
+      Pipeline.Config(predictor = "lstm")
+    }
+  }
+
   test("approx-split pipeline (the 100-TB plan) produces the same table shapes and near-identical split sizes") {
     val exact = Pipeline.run(spark, Tables.events(spark, sf0001))
     val approx = Pipeline.run(spark, Tables.events(spark, sf0001),
