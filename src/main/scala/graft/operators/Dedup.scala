@@ -253,6 +253,138 @@ object Dedup {
     * where distance-4..8 pairs were previously found only if they happened
     * to collide on a band. In the self-join both docs take the probe role,
     * so a 1-bit band difference is found from either end. */
+  /** Connected components over an undirected edge list — the pair→cluster
+    * resolution step every near-dup pipeline needs after pair generation
+    * ([[jaccardPairs]] / [[minhashLshPairs]] / [[simhashPairs]] /
+    * `Similarity.cosinePairsBucketed` all emit PAIRS; removing duplicates
+    * requires grouping transitively-connected docs into one cluster and
+    * keeping one representative).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    * standard shared-nothing CC algorithm). Each round is two
+    * shuffle-on-node-id aggregations + joins; the edge set contracts
+    * toward depth-1 stars rooted at each component's minimum id in
+    * O(log² n) rounds (2-3 in practice for dedup graphs, whose components
+    * are small near-dup groups).
+    *
+    * Scale design (100 TB): no step ever materializes a component in one
+    * row or on the driver — neighborhoods are reduced with `min` (partial
+    * aggregation, map-side combine) and re-joined on the node id, so a
+    * hot hub (a boilerplate doc duplicated millions of times) is just a
+    * skewed join key that AQE splits. Each iteration is eagerly
+    * local-checkpointed: the convergence loop would otherwise stack an
+    * unbounded lineage (and re-run every prior round on each action).
+    * Convergence is detected by (count, order-independent xxhash64 sum)
+    * equality of consecutive edge sets — one tiny aggregate per round —
+    * and non-convergence within `maxIter` fails loud rather than
+    * returning a partially-contracted (wrong) clustering.
+    *
+    * Input: edges with long-typed `src`/`dst` columns (self-loops and
+    * duplicate/reversed edges tolerated). Output: `(node, component)` —
+    * one row per distinct node that appears in an edge; `component` is
+    * the minimum node id of the node's component (so the component id is
+    * itself a member, usable directly as a canonical-id rule).
+    */
+  def connectedComponents(edges: DataFrame, src: String = "doc_a",
+                          dst: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    // Canonicalize: big→small, no self-loops, distinct. This IS already
+    // the small-star input shape, and is also a fixpoint candidate.
+    var e = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: per node u over its FULL neighborhood Γ(u) (both edge
+    // directions), m = min(Γ(u) ∪ {u}); link every strictly-larger
+    // neighbor to m. Keeps edges pointing big→small.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: edges arrive big→small, so per node u the smaller
+    // neighborhood is exactly its out-edges; m = min of it; link every
+    // member (and u itself) to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // DECIMAL sum: a long sum of 64-bit hashes overflows (ANSI mode
+    // throws); decimal(38,0) gives overflow-free headroom to ~10^18 edges.
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(20,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "partial contraction would be a WRONG clustering")
+    // Fixpoint = depth-1 stars big→small: non-roots point at their root;
+    // roots appear only on the small side.
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Duplicate-cluster resolution over a corpus: assign every doc its
+    * near-dup cluster (transitive closure of `pairs` via
+    * [[connectedComponents]]; docs in no pair are their own singleton
+    * cluster) and elect one canonical representative per cluster by
+    * `prefer` (max wins, default: longest text, ties to the smallest id —
+    * the "keep the richest copy" production rule). Filtering to
+    * `id == canonical_id` yields the deduplicated corpus; keeping all
+    * rows yields the duplicate map (the shape a training-data pipeline
+    * logs for provenance).
+    *
+    * Scale: the canonical election is `max_by` over a struct — a
+    * declarative aggregate with map-side partial combine, so a
+    * million-member boilerplate cluster never concentrates in one task;
+    * the join back is keyed on `cluster_id` (no broadcast of anything
+    * corpus-sized). */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame,
+                      id: String = "doc_id",
+                      prefer: Option[Column] = None): DataFrame = {
+    val pref = prefer.getOrElse(
+      struct(length(coalesce(col("text"), lit(""))), -col(id)))
+    val comp = connectedComponents(pairs)
+    val assigned = docs
+      .join(comp.withColumnRenamed("node", id), Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(id)))
+      .drop("component")
+    val canon = assigned.groupBy(col("cluster_id"))
+      .agg(max_by(col(id), pref).as("canonical_id"))
+    assigned.join(canon, Seq("cluster_id"))
+  }
+
   def simhashPairsFromSketch(sk: DataFrame, maxDist: Int,
                              probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 16,

@@ -373,6 +373,51 @@ object ExtensionQueries {
          |  TRUE AS recall_ok
          |FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin),
 
+    // Pair→cluster resolution: the production step AFTER pair generation,
+    // run as the full production chain — banded LSH pairs (the scale
+    // path; its pair-set equality with the exact ground truth is pinned
+    // by dedup_minhash_lsh's own hash-matched oracle) → transitive
+    // closure via alternating large-star/small-star
+    // (Dedup.connectedComponents) → every doc assigned its cluster
+    // (singletons → themselves) → one canonical representative elected
+    // per cluster (longest text, ties to smallest doc_id). The oracle
+    // re-derives the closure with a recursive CTE over the exact-Jaccard
+    // pair SQL and elects canonicals with a window — an independent
+    // re-implementation of the whole chain.
+    "dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs,
+          n = 3, numPerm = 32, rowsPerBand = 2, num = 1, den = 2)
+        Dedup.resolveClusters(docs, pairs)
+          .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
+      },
+      s"""WITH RECURSIVE $duckShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND 2 * len(list_intersect(a.sh, b.sh)) >=
+         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |sym AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |    coalesce(d.text, '') AS t
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  first_value(doc_id) OVER (
+         |    PARTITION BY cluster_id ORDER BY len(t) DESC, doc_id) AS canonical_id
+         |FROM assigned""".stripMargin),
+
     // Exact cosine top-k: every 50th vector queries the full corpus,
     // k=5, rank ties broken by neighbor id. Brute-force baseline — the
     // scale path is ann_lsh_topk.

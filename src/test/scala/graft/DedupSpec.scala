@@ -140,4 +140,73 @@ class DedupSpec extends SparkSpecBase {
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(fp(1L)._1 === expect)
   }
+
+  private def ccMap(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), maxIter = maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: hand graph with chain, reversed dups, and self-loops") {
+    // {1,2,3} via a chain, {4,5}, self-loop 7 dropped (7 never appears:
+    // a doc paired only with itself is not in any near-dup relation)
+    val comp = ccMap(Seq((2L, 1L), (2L, 3L), (5L, 4L), (4L, 5L), (7L, 7L)))
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("connectedComponents: long path contracts to its minimum in few rounds, non-convergence is loud") {
+    // a 31-edge path is the slow-contraction worst case for naive label
+    // propagation (O(diameter)); large-star/small-star takes O(log² n)
+    val path = (0L until 31L).map(i => (i, i + 1))
+    assert(ccMap(path, maxIter = 8) ===
+      (0L to 31L).map(_ -> 0L).toMap)
+    // a budget of 0 rounds cannot converge — must throw, never return a
+    // partially-contracted clustering
+    intercept[IllegalStateException](ccMap(path, maxIter = 0))
+  }
+
+  test("connectedComponents: random-graph differential vs driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(70)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: classic union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+    // canonicalize union-find roots to the component MINIMUM (find() keeps
+    // min because union always parents max under min, but group to be safe)
+    val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+    assert(ccMap(edges) === expected)
+  }
+
+  test("resolveClusters: transitive cluster assignment, longest-text canonical, singletons intact") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),          // cluster {10,11,12}: longest is 11
+      (11L, "a b c d e f g h i j k l m"),
+      (12L, "a b c d e f g"),
+      (20L, "x y z"),                    // singleton
+      (30L, "p q r s"), (31L, "p q r s") // pair; equal length → min id 30
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(corpus, pairs)
+      .select("doc_id", "cluster_id", "canonical_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      10L -> ((10L, 11L)), 11L -> ((10L, 11L)), 12L -> ((10L, 11L)),
+      20L -> ((20L, 20L)),
+      30L -> ((30L, 30L)), 31L -> ((30L, 30L))))
+    // the deduplicated corpus = canonical rows only
+    val survivors = Dedup.resolveClusters(corpus, pairs)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L, 20L, 30L))
+  }
 }
