@@ -183,4 +183,42 @@ object TextAnalysis {
         (col("n_grams_total") - col("n_grams_distinct")) * den >
           col("n_grams_total") * num)
   }
+
+  /** PII patterns — deliberately RE2-safe (no lookaround, no backrefs,
+    * leftmost greedy semantics identical under java.util.regex and RE2)
+    * so the exact same pattern strings run in Spark's codegen'd regexp
+    * expressions AND in any RE2-based engine (DuckDB, Go, C++) for
+    * differential verification. The shapes are the standard web-corpus
+    * scrubbing targets: emails, international/US-dashed phone numbers,
+    * IPv4 literals. */
+  object Pii {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Phone = "\\+\\d{7,15}|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val Ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  }
+
+  /** PII scan + redaction: per-doc match counts for each pattern family
+    * and the text with every match replaced by a typed placeholder —
+    * email → phone → IPv4, a FIXED order (email first: its user part may
+    * contain digit runs a later pattern could half-consume; any engine
+    * re-deriving the result must apply the same order).
+    *
+    * Scale: one narrow map-only projection (codegen'd `regexp_count` /
+    * `regexp_replace`, no UDFs, no shuffle) — runs at scan speed and
+    * column-prunes to (doc_id, text), like every TextAnalysis operator.
+    * NULL text reads as the empty document (0 matches, empty redaction)
+    * per the Decontamination convention. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", coalesce(col("text"), lit("")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(Pii.Email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(Pii.Phone)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(Pii.Ipv4)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), Pii.Email, "[EMAIL]"),
+            Pii.Phone, "[PHONE]"),
+          Pii.Ipv4, "[IP]").as("redacted"))
 }

@@ -806,6 +806,54 @@ object ExtensionQueries {
         |    AS repetitive
         |FROM g""".stripMargin),
 
+    // PII scan + redaction. The corpus itself carries no PII, so both
+    // engines derive the SAME augmented text from the base table
+    // (deterministic email/phone/IPv4 plants keyed on doc_id — the %11
+    // phones under doc 100 even land BELOW the 7-digit minimum, so the
+    // no-match boundary is exercised too), then count per-family matches
+    // on the original and redact sequentially (email → phone → IP). The
+    // patterns are RE2-safe by construction (TextAnalysis.Pii) and
+    // embedded verbatim in the oracle — one source of truth, two regex
+    // engines, bit-identical output strings.
+    "ext_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val aug = docs.select(col("doc_id"), concat(
+          coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example.com for details"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(lit(" call +1555"),
+            col("doc_id").cast("string"), lit(" now"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, concat(lit(" from host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".25")))
+            .otherwise(lit(""))).as("text"))
+        TextAnalysis.piiRedact(aug)
+      },
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    coalesce(text, '')
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+         |         || CAST(doc_id AS VARCHAR) || '@mail.example.com for details'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1555'
+         |         || CAST(doc_id AS VARCHAR) || ' now' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' from host 10.0.'
+         |         || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Pii.Email}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Pii.Phone}')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Pii.Ipv4}')) AS BIGINT)
+         |    AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.Pii.Email}', '[EMAIL]', 'g'),
+         |    '${TextAnalysis.Pii.Phone}', '[PHONE]', 'g'),
+         |    '${TextAnalysis.Pii.Ipv4}', '[IP]', 'g') AS redacted
+         |FROM aug""".stripMargin),
+
     // Multimodal plumbing: binary payload column + typed mapPartitions
     // batch "decode" (deterministic fake features — see Multimodal scaladoc;
     // the oracle replicates the arithmetic from md5/length of the text the

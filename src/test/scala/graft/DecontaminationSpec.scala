@@ -175,4 +175,32 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(r.getInt(1) === 10 && r.getInt(2) === 9)
     assert(!r.getBoolean(4))
   }
+
+  // --- TextAnalysis.piiRedact ------------------------------------------
+
+  test("piiRedact: counts per family, sequential redaction, boundaries, NULL text") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@sub.example.org or admin@example.com thanks"),
+      (2L, "call +4915512345678 or 555-123-4567 today"),
+      (3L, "server at 192.168.0.1 and 10.0.255.25 responded"),
+      (4L, "short +123456 is under the 7-digit phone minimum"),
+      (5L, "version 1.2.3 has three octets, not an IP"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "mixed: bob@x.io from 127.0.0.1 dialing 800-555-1234")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) === ((2L, 0L, 0L,
+      "reach me at [EMAIL] or [EMAIL] thanks")))
+    assert(got(2L) === ((0L, 2L, 0L, "call [PHONE] or [PHONE] today")))
+    assert(got(3L) === ((0L, 0L, 2L, "server at [IP] and [IP] responded")))
+    assert(got(4L) === ((0L, 0L, 0L,
+      "short +123456 is under the 7-digit phone minimum")))
+    assert(got(5L) === ((0L, 0L, 0L,
+      "version 1.2.3 has three octets, not an IP")))
+    assert(got(6L) === ((0L, 0L, 0L, "")))
+    assert(got(7L) === ((1L, 1L, 1L,
+      "mixed: [EMAIL] from [IP] dialing [PHONE]")))
+  }
 }
