@@ -85,6 +85,82 @@ object PipelineQueries {
          |  coalesce(mt.model_type, 'xgb') AS model_type
          |FROM m LEFT JOIN mt USING (user_id, event_type)""".stripMargin),
 
+    // The TRAINED-predictor pipeline end-to-end: same chain as
+    // pipeline_e2e but with Config(predictor = "ar1") — the per-group OLS
+    // line is fit on the TRAIN split (x = the ffilled lag, decimal-exact
+    // normal equations), applied to every split as round(slope·x +
+    // intercept, 2), untrained keys falling back to the naive pred_f —
+    // then the A6 metrics grade the result. The oracle re-derives the
+    // WHOLE chain (hygiene → split → lag/ffill → fit → apply+fallback →
+    // metrics → routing join) independently. Factor casts widen to
+    // DECIMAL(19,6) before multiplying: identical values, but DuckDB
+    // stores width ≤ 18 in int64 and its scale-6 square overflows past
+    // |x| ≈ 3037 (the a15 lesson).
+    "pipeline_e2e_ar1" -> QueryDef(
+      (s, dir) => Pipeline.run(s, Tables.events(s, dir),
+        Pipeline.Config(predictor = "ar1")).trainMetrics,
+      s"""WITH $duckF2Ctes,
+         |ag AS (
+         |  SELECT user_id, event_type, count(*) AS n_fit,
+         |    CAST(sum(CAST(pred_f AS DECIMAL(17,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(actual AS DECIMAL(17,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(actual AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         |  FROM f2
+         |  WHERE split = 'train' AND pred_f IS NOT NULL AND actual IS NOT NULL
+         |    AND abs(pred_f) < 1e11 AND abs(actual) < 1e11
+         |  GROUP BY user_id, event_type),
+         |am AS (
+         |  SELECT user_id, event_type,
+         |    CASE WHEN n_fit * sxx - sx * sx = 0 THEN 0.0
+         |         ELSE (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx)
+         |    END AS slope, n_fit, sx, sy
+         |  FROM ag),
+         |am2 AS (
+         |  SELECT user_id, event_type, slope,
+         |    (sy - slope * sx) / n_fit AS intercept
+         |  FROM am),
+         |pr AS (
+         |  SELECT f.user_id, f.event_type, f.actual, f.split,
+         |    CASE WHEN am2.slope IS NOT NULL
+         |         THEN round(am2.slope * f.pred_f + am2.intercept, 2)
+         |         ELSE f.pred_f END AS pred_f
+         |  FROM f2 f LEFT JOIN am2 USING (user_id, event_type)),
+         |p AS (
+         |  SELECT user_id, event_type, actual, pred_f,
+         |    CAST(actual AS DECIMAL(17,6)) AS a,
+         |    CAST(pred_f AS DECIMAL(17,6)) AS pf
+         |  FROM pr WHERE split = 'train'),
+         |g AS (
+         |  SELECT user_id, event_type, count(*) AS n,
+         |    CAST(sum(CAST(
+         |      CAST(a - pf AS DECIMAL(19,6)) * CAST(a - pf AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(
+         |      CAST(a AS DECIMAL(19,6)) * CAST(a AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(a) AS DOUBLE) AS sum_a
+         |  FROM p WHERE actual IS NOT NULL AND pred_f IS NOT NULL
+         |    AND abs(actual) < 1e11 AND abs(pred_f) < 1e11
+         |  GROUP BY user_id, event_type),
+         |m AS (
+         |  SELECT user_id, event_type,
+         |    CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+         |         ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+         |    END AS R2,
+         |    ss_res / n AS MSE,
+         |    n AS Samples
+         |  FROM g WHERE n >= 2)
+         |SELECT m.user_id, m.event_type, m.Samples, m.R2, m.MSE,
+         |  coalesce(mt.model_type, 'xgb') AS model_type
+         |FROM m LEFT JOIN mt USING (user_id, event_type)""".stripMargin),
+
     // The validate-stage normalized feature frame: per row, 'actual'
     // normalized with the REUSED train params (has_train branch; local
     // val-split fallback otherwise), the lag feature with LOCAL val-split
