@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, JoinQueries, PipelineQueries, SamplingQueries, SinkQueries, TpchQueries}
+import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, JoinQueries, PackingQueries, PipelineQueries, SamplingQueries, SinkQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   private def all: Map[String, graft.queries.QueryDef] = {
     val maps = Seq(CoreQueries.defs, TpchQueries.defs, ExtensionQueries.defs,
       CleaningQueries.defs, FeatureQueries.defs, PipelineQueries.defs,
-      SinkQueries.defs, JoinQueries.defs, SamplingQueries.defs)
+      SinkQueries.defs, JoinQueries.defs, SamplingQueries.defs,
+      PackingQueries.defs)
     // A name collision across files would silently SHADOW a query in the
     // ++ merge — the driver would verify one implementation believing it
     // covered the other. Fail loudly instead.
