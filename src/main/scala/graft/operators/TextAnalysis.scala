@@ -221,4 +221,64 @@ object TextAnalysis {
             regexp_replace(col("t"), Pii.Email, "[EMAIL]"),
             Pii.Phone, "[PHONE]"),
           Pii.Ipv4, "[IP]").as("redacted"))
+
+  /** Lexical diversity in exact parts-per-billion: `n_uniq_tokens ·
+    * 1e9 DIV n_tokens` — all-integer (truncating division) so the score,
+    * unlike the double `type_token_ratio`, is bit-identical in any
+    * engine; quantile thresholds computed over it can never drift on
+    * float rounding. */
+  private def diversityScored(docs: DataFrame, by: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("m",
+        call_function("graft_text_metrics", coalesce(col("text"), lit(""))))
+      .select(col(by).as("grp"), col("doc_id"),
+        expr("CAST(m.n_uniq_tokens AS BIGINT) * 1000000000 DIV m.n_tokens")
+          .as("ttr_ppb"))
+  }
+
+  /** Quantile-gated quality filter, EXACT form: within each `by` group,
+    * drop the lowest `dropFraction` of documents by diversity score —
+    * rank-based (`row_number` ordered by score then doc_id, keep
+    * `rn > floor(dropFraction · n)`), so the survivor set is a
+    * deterministic exact function of the corpus with no interpolation
+    * and no float threshold. This is the correctness reference: the
+    * per-group sort is the price of exactness, and at corpus scale the
+    * production path is [[diversityGateApprox]] (same survivors up to
+    * quantile-sketch error, one aggregate + a scan instead of a sort). */
+  def diversityGateExact(docs: DataFrame, dropFraction: Double,
+                         by: String = "lang"): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in [0,1), got $dropFraction")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("ttr_ppb", "doc_id")
+    diversityScored(docs, by)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .where(col("rn") > floor(col("n") * lit(dropFraction)))
+      .select(col("grp"), col("doc_id"), col("ttr_ppb"))
+  }
+
+  /** Quantile-gated quality filter, SCALE form: per-group threshold from
+    * a single-pass `approx_percentile` sketch (t-digest-style, map-side
+    * combinable), broadcast back, then a scan-speed `score > threshold`
+    * gate — no per-group sort anywhere, the shape that survives 100 TB.
+    * Survivors agree with [[diversityGateExact]] except within the
+    * sketch's rank-error band around the cut (DiversityGateSpec pins
+    * ≥ 95% agreement on the corpus); strictly-greater comparison means
+    * the boundary score itself is dropped, matching the exact gate's
+    * treatment of the floor rank. */
+  def diversityGateApprox(docs: DataFrame, dropFraction: Double,
+                          by: String = "lang",
+                          accuracy: Int = 10000): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in [0,1), got $dropFraction")
+    val scored = diversityScored(docs, by)
+    val thresholds = scored.groupBy("grp")
+      .agg(expr(s"approx_percentile(ttr_ppb, $dropFraction, $accuracy)")
+        .as("thr"))
+    scored.join(broadcast(thresholds), "grp")
+      .where(col("ttr_ppb") > col("thr"))
+      .select(col("grp"), col("doc_id"), col("ttr_ppb"))
+  }
 }

@@ -588,6 +588,30 @@ object ExtensionQueries {
       s"""WITH $duckQualityCte
          |SELECT doc_id, n_tokens, quality_score FROM q""".stripMargin),
 
+    // Quantile-gated quality filter (exact form): within each language,
+    // drop the least lexically-diverse quarter by rank over the integer
+    // parts-per-billion diversity score — no float thresholds anywhere.
+    // The approx_percentile scale path is pinned against this row by
+    // DiversityGateSpec (≥95% survivor agreement).
+    "ext_diversity_gate" -> QueryDef(
+      (s, dir) => TextAnalysis.diversityGateExact(
+        Tables.documents(s, dir), 0.25, "lang").orderBy("grp", "doc_id"),
+      """WITH st AS (
+        |  SELECT lang AS grp, doc_id,
+        |    CAST(len(list_distinct(string_split(coalesce(text, ''), ' ')))
+        |         AS BIGINT) * 1000000000
+        |      // CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS ttr_ppb
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, doc_id, ttr_ppb,
+        |    row_number() OVER (PARTITION BY grp ORDER BY ttr_ppb, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM st)
+        |SELECT grp, doc_id, ttr_ppb FROM r
+        |WHERE rn > floor(n * 0.25)
+        |ORDER BY grp, doc_id""".stripMargin),
+
     // Language-ID heuristic: marker-token hits per language, argmax with
     // ties to the lexicographically greatest code, no hits → 'und'.
     "ext_lang_id" -> QueryDef(
