@@ -376,4 +376,48 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("vec_a"), col("vec_b"))
   }
+
+  /** Majority vote over a top-k neighbour frame (`query_id, rank,
+    * neighbor_id` — any of the top-k producers above): join neighbour
+    * labels, count votes per (query, label), predict the plurality with
+    * ties broken by smaller label — a deterministic integer-only
+    * decision, so the classification (unlike the float scores beneath
+    * it) is exactly reproducible in any engine. Emits `(query_id,
+    * label_actual, label_predicted, votes)`. */
+  def knnVote(neighbors: DataFrame, corpus: DataFrame,
+              queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = neighbors
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("cand")), "neighbor_id")
+      .groupBy(col("query_id"), col("cand"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("cand").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("label").as("label_actual")), "query_id")
+      .select(col("query_id"), col("label_actual"),
+        col("cand").as("label_predicted"), col("votes"))
+  }
+
+  /** k-NN classification, exact form: brute-force cosine top-k then
+    * [[knnVote]] — the correctness reference, O(|queries|·|corpus|). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    knnVote(bruteForceTopK(queries, corpus, k), corpus, queries)
+
+  /** k-NN classification, scale form: neighbours from a prebuilt
+    * [[IvfIndex]] (nProbe posting lists per query — the corpus is never
+    * re-scanned per query batch), then the same [[knnVote]]. Agreement
+    * with the exact form is pinned by the knn_classify_ivf invariant
+    * row; how closely agreement tracks neighbour recall depends on vote
+    * margins — wide margins (few labels, clustered classes) absorb
+    * recall loss, while this corpus's 10-way mid-cosine votes track it
+    * nearly 1:1 (see the row's regime note). */
+  def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
+                     k: Int, nProbe: Int): DataFrame =
+    knnVote(ivfTopKWithIndex(queries, corpus, index, k, nProbe),
+      corpus, queries)
 }

@@ -157,4 +157,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(2L).n_frames === 1L + "gamma delta epsilon".length % 240L) // video rule
     assert(out.values.forall(d => d.width >= 64 && d.width <= 64 + 16 * 15))
   }
+
+  test("knnVote: plurality with ties to smaller label; majority flips with k") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(0.99f, 0.14f), 1),
+      (2L, Seq(0.98f, 0.19f), 2),
+      (3L, Seq(0.97f, 0.24f), 2),
+      (4L, Seq(0.10f, 0.99f), 1),
+      (5L, Seq(0.05f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    // k=3: neighbours 1,2,3 -> labels {1, 2, 2} -> predict 2
+    val k3 = Similarity.knnClassify(queries, corpus, 3).collect().head
+    assert(k3.getAs[Int]("label_predicted") === 2 &&
+      k3.getAs[Long]("votes") === 2L &&
+      k3.getAs[Int]("label_actual") === 7)
+    // k=5: labels {1, 2, 2, 1, 1} -> predict 1
+    val k5 = Similarity.knnClassify(queries, corpus, 5).collect().head
+    assert(k5.getAs[Int]("label_predicted") === 1 &&
+      k5.getAs[Long]("votes") === 3L)
+    // k=4: {1, 2, 2, 1} -> 2-2 tie -> smaller label wins
+    val k4 = Similarity.knnClassify(queries, corpus, 4).collect().head
+    assert(k4.getAs[Int]("label_predicted") === 1)
+  }
 }
