@@ -266,6 +266,62 @@ object Features {
         col("n_fit")): _*)
   }
 
+  /** A14b — the two-feature step up from [[fitAr1]]: per-group closed-form
+    * OLS `y ~ b1·x1 + b2·x2 + intercept` by Cramer's rule on the 2×2
+    * normal equations (an AR(2) when x1/x2 are lag-1/lag-2 — the look-back
+    * window the reference's LSTM consumes, train.py:163-199, as a
+    * relational model).
+    *
+    * Same single-pass shape and determinism contract as [[fitAr1]]: one
+    * map-side-combined aggregation of eight decimal-exact sums per group
+    * (DECIMAL(17,6) inputs under the |·| < 1e11 domain guard, cross terms
+    * re-scaled to DECIMAL(38,6) before summing), then fixed-shape double
+    * arithmetic — centered moments Cab = n·Σab − Σa·Σb, determinant
+    * C11·C22 − C12², coefficients by Cramer — bit-equal in any engine
+    * evaluating the same IEEE ops. Groups need n ≥ 3 (params ≤ data);
+    * a singular system (collinear or constant lags) fits b1 = b2 = 0 with
+    * intercept = ȳ — the mean model, [[fitAr1]]'s degenerate convention. */
+  def fitAr2(df: DataFrame, key: Seq[String],
+             x1: Column, x2: Column, y: Column): DataFrame = {
+    val domain = lit(1e11)
+    val x1d = x1.cast("decimal(17,6)")
+    val x2d = x2.cast("decimal(17,6)")
+    val yd = y.cast("decimal(17,6)")
+    df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull &&
+        abs(x1) < domain && abs(x2) < domain && abs(y) < domain)
+      .groupBy(key.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_fit"),
+        sum(x1d).cast("double").as("sx1"),
+        sum(x2d).cast("double").as("sx2"),
+        sum(yd).cast("double").as("sy"),
+        sum((x1d * x1d).cast("decimal(38,6)")).cast("double").as("s11"),
+        sum((x2d * x2d).cast("decimal(38,6)")).cast("double").as("s22"),
+        sum((x1d * x2d).cast("decimal(38,6)")).cast("double").as("s12"),
+        sum((x1d * yd).cast("decimal(38,6)")).cast("double").as("s1y"),
+        sum((x2d * yd).cast("decimal(38,6)")).cast("double").as("s2y"))
+      .filter(col("n_fit") >= 3)
+      .withColumn("c11", col("n_fit") * col("s11") - col("sx1") * col("sx1"))
+      .withColumn("c22", col("n_fit") * col("s22") - col("sx2") * col("sx2"))
+      .withColumn("c12", col("n_fit") * col("s12") - col("sx1") * col("sx2"))
+      .withColumn("cy1", col("n_fit") * col("s1y") - col("sx1") * col("sy"))
+      .withColumn("cy2", col("n_fit") * col("s2y") - col("sx2") * col("sy"))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b1",
+        when(col("det") === 0.0, lit(0.0))
+          .otherwise((col("cy1") * col("c22") - col("cy2") * col("c12")) /
+            col("det")))
+      .withColumn("b2",
+        when(col("det") === 0.0, lit(0.0))
+          .otherwise((col("cy2") * col("c11") - col("cy1") * col("c12")) /
+            col("det")))
+      .withColumn("intercept",
+        (col("sy") - col("b1") * col("sx1") - col("b2") * col("sx2")) /
+          col("n_fit"))
+      .select((key.map(col) :+ col("b1") :+ col("b2") :+ col("intercept") :+
+        col("n_fit")): _*)
+  }
+
   /** A6 — per-group regression metrics (train.py:233-269): R², MSE, n.
     * Single-pass algebraic form: ss_tot = Σa² − n·mean(a)², ss_res =
     * Σ(a−p)². Groups with n<2 are skipped; ss_tot==0 → R²=−1. All built-in

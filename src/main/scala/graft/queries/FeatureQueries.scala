@@ -470,6 +470,80 @@ object FeatureQueries {
          |  ss_res / n AS MSE, n AS Samples
          |FROM vg WHERE n >= 2""".stripMargin),
 
+    // A16 — the TWO-feature trained model (Features.fitAr2): closed-form
+    // AR(2) via Cramer's rule on the centered normal equations, fit on
+    // the chronological train split — the multi-feature step toward the
+    // reference's look-back-window LSTM input (train.py:163-199), still
+    // fully relational and decimal-exact. The oracle re-derives split,
+    // both lags, all eight sums, and the identical Cramer arithmetic.
+    "a16_ar2_model" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Features
+          .chronoSplit(Tables.events(s, dir), Seq("ts", "event_id"))
+          .withColumn("x1", Features.lag1(col("value"), w))
+          .withColumn("x2", lag(col("value"), 2).over(w))
+        Features.fitAr2(feat.filter(col("split") === "train"), key,
+          col("x1"), col("x2"), col("value"))
+      },
+      s"""WITH ${OracleSql.ar2ParamCtes}
+         |SELECT user_id, event_type, b1, b2, intercept, n_fit
+         |FROM p""".stripMargin),
+
+    // A16+J4+A6 — the AR(2) train→apply→grade chain on the val split,
+    // the a15 contract with the two-lag model: inner-join params (keys
+    // unseen in training are excluded), pred = round(b1·x1 + b2·x2 +
+    // intercept, 2) (scale-2 snap — the a15 cross-engine rounding
+    // rationale), A6 metrics over the predictions.
+    "a17_ar2_val_metrics" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Features
+          .chronoSplit(Tables.events(s, dir), Seq("ts", "event_id"))
+          .withColumn("x1", Features.lag1(col("value"), w))
+          .withColumn("x2", lag(col("value"), 2).over(w))
+          .localCheckpoint(eager = false)
+        val params = Features.fitAr2(feat.filter(col("split") === "train"),
+          key, col("x1"), col("x2"), col("value"))
+        val applied = feat.filter(col("split") === "val")
+          .join(broadcast(params), key)
+          .withColumn("pred",
+            round(col("b1") * col("x1") + col("b2") * col("x2") +
+              col("intercept"), 2))
+        Features.regressionMetrics(applied, key, col("value"), col("pred"))
+          .select(col("user_id"), col("event_type"),
+            col("R2"), col("MSE"), col("Samples"))
+      },
+      s"""WITH ${OracleSql.ar2ParamCtes},
+         |va AS (
+         |  SELECT f.user_id, f.event_type, f.value,
+         |    round(p.b1 * f.x1 + p.b2 * f.x2 + p.intercept, 2) AS pred
+         |  FROM feat f JOIN p USING (user_id, event_type)
+         |  WHERE f.rn > floor(f.n_total * 0.7)
+         |    AND f.rn <= floor(f.n_total * 0.7) + floor(f.n_total * 0.15)),
+         |vg AS (
+         |  -- factor casts to DECIMAL(19,6): int128 multiply, the a15 note
+         |  SELECT user_id, event_type, count(*) AS n,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(value AS DECIMAL(17,6)) - CAST(pred AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(value AS DECIMAL(17,6)) - CAST(pred AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS sum_a
+         |  FROM va
+         |  WHERE value IS NOT NULL AND pred IS NOT NULL
+         |    AND abs(value) < 1e11 AND abs(pred) < 1e11
+         |  GROUP BY user_id, event_type)
+         |SELECT user_id, event_type,
+         |  CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+         |       ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+         |  END AS R2,
+         |  ss_res / n AS MSE, n AS Samples
+         |FROM vg WHERE n >= 2""".stripMargin),
+
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).
     "a9_value_histogram" -> QueryDef(

@@ -101,6 +101,80 @@ object OracleSql {
       |    END AS slope
       |  FROM g)""".stripMargin
 
+  /** The A14b AR(2) training CTE chain over `events`: same split/lag
+    * skeleton as [[ar1ParamCtes]] with a second lag feature, eight
+    * decimal-exact sums, and Cramer's rule on the centered 2×2 normal
+    * equations (mirrors Features.fitAr2 — identical double expression
+    * shapes, so the engines agree bitwise). Exposes `feat` (x1, x2, rn,
+    * n_total) for downstream apply CTEs and `p(user_id, event_type,
+    * n_fit, b1, b2, intercept)`. */
+  val ar2ParamCtes: String =
+    """ordered AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER () AS n_total
+      |  FROM events),
+      |feat AS (
+      |  SELECT user_id, event_type, value, rn, n_total,
+      |    lag(value) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS x1,
+      |    lag(value, 2) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS x2
+      |  FROM ordered),
+      |train AS (SELECT * FROM feat WHERE rn <= floor(n_total * 0.7)),
+      |g AS (
+      |  -- factor casts to DECIMAL(19,6): identical values, int128 multiply
+      |  -- (DuckDB's int64 path overflows scale-6 squares past |x| ~ 3037)
+      |  SELECT user_id, event_type, count(*) AS n_fit,
+      |    CAST(sum(CAST(x1 AS DECIMAL(17,6))) AS DOUBLE) AS sx1,
+      |    CAST(sum(CAST(x2 AS DECIMAL(17,6))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x1 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(x1 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x1 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x1 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+      |    CAST(sum(CAST(
+      |      CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+      |  FROM train
+      |  WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND value IS NOT NULL
+      |    AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11
+      |  GROUP BY user_id, event_type),
+      |cmom AS (
+      |  SELECT user_id, event_type, n_fit, sx1, sx2, sy,
+      |    n_fit * s11 - sx1 * sx1 AS c11,
+      |    n_fit * s22 - sx2 * sx2 AS c22,
+      |    n_fit * s12 - sx1 * sx2 AS c12,
+      |    n_fit * s1y - sx1 * sy AS cy1,
+      |    n_fit * s2y - sx2 * sy AS cy2
+      |  FROM g WHERE n_fit >= 3),
+      |cdet AS (
+      |  SELECT *, c11 * c22 - c12 * c12 AS det FROM cmom),
+      |cb AS (
+      |  SELECT user_id, event_type, n_fit, sx1, sx2, sy,
+      |    CASE WHEN det = 0 THEN 0.0
+      |         ELSE (cy1 * c22 - cy2 * c12) / det END AS b1,
+      |    CASE WHEN det = 0 THEN 0.0
+      |         ELSE (cy2 * c11 - cy1 * c12) / det END AS b2
+      |  FROM cdet),
+      |p AS (
+      |  SELECT user_id, event_type, n_fit, b1, b2,
+      |    (sy - b1 * sx1 - b2 * sx2) / n_fit AS intercept
+      |  FROM cb)""".stripMargin
+
   val a6MetricsCtes: String =
     """p AS (
       |  SELECT user_id, event_type, value,

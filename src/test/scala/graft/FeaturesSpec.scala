@@ -142,4 +142,35 @@ class FeaturesSpec extends SparkSpecBase {
     assert(out.length === 1)
     assert(out.head.getAs[Double]("v") === 200.0) // t=5 wins; id=2 beats id=1
   }
+
+  test("fitAr2: recovers exact coefficients from noiseless two-lag data") {
+    import spark.implicits._
+    // y_t = 2*x1 - 0.5*x2 + 3 exactly, on distinct non-collinear lags
+    val rows = Seq(
+      ("g", 1.0, 2.0), ("g", 2.0, 1.0), ("g", 4.0, 3.0),
+      ("g", 1.0, 5.0), ("g", 7.0, 2.0))
+      .map { case (k, x1, x2) => (k, x1, x2, 2.0 * x1 - 0.5 * x2 + 3.0) }
+      .toDF("k", "x1", "x2", "y")
+    val fit = graft.operators.Features.fitAr2(
+      rows, Seq("k"), col("x1"), col("x2"), col("y")).collect().head
+    assert(math.abs(fit.getAs[Double]("b1") - 2.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("b2") + 0.5) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("intercept") - 3.0) < 1e-9)
+    assert(fit.getAs[Long]("n_fit") === 5L)
+  }
+
+  test("fitAr2: collinear lags fall back to the mean model; n<3 dropped") {
+    import spark.implicits._
+    val collinear = Seq(
+      ("c", 1.0, 2.0, 10.0), ("c", 2.0, 4.0, 20.0), ("c", 3.0, 6.0, 24.0))
+      .toDF("k", "x1", "x2", "y")
+    val fit = graft.operators.Features.fitAr2(
+      collinear, Seq("k"), col("x1"), col("x2"), col("y")).collect().head
+    assert(fit.getAs[Double]("b1") === 0.0 && fit.getAs[Double]("b2") === 0.0)
+    assert(math.abs(fit.getAs[Double]("intercept") - 18.0) < 1e-9)
+    val tiny = Seq(("t", 1.0, 2.0, 3.0), ("t", 2.0, 3.0, 4.0))
+      .toDF("k", "x1", "x2", "y")
+    assert(graft.operators.Features.fitAr2(
+      tiny, Seq("k"), col("x1"), col("x2"), col("y")).count() === 0L)
+  }
 }
