@@ -112,4 +112,47 @@ object Sampling {
         .withColumn(tagCol, lit(tag))
     }.reduce(_ unionByName _)
   }
+
+  /** Temperature-scaled domain rebalancing — the multilingual-pretraining
+    * sampler (exponentiated-count mixing, XLM-R style): domain i keeps
+    * enough rows that its share of the output follows
+    * `q_i = n_i^α / Σ_j n_j^α` instead of its raw share, flattening the
+    * head without deleting the tail; `targetFraction` sets the output
+    * size as a fraction of the input. Per-domain keep-fraction
+    * `f_i = min(1, targetFraction·N·q_i / n_i)` feeds the same
+    * deterministic [[stratified]] hash gate as every other sampler here.
+    *
+    * Two-job shape, scale-safe: job 1 is one tiny aggregate (one row per
+    * domain — thousands at 100 TB); the fractions are derived driver-side
+    * by a fold in lexicographic domain order (the IVF-seeding convention:
+    * O(domains) driver work, corpus-size-independent) so the float sum
+    * `Σ√n` has ONE defined operation order any engine can replay; job 2
+    * is the scan-speed gate. α is 0.5 by default — `sqrt` is
+    * correctly-rounded under IEEE 754 in every engine, so the entire
+    * weight computation is bit-reproducible (general `pow` is not
+    * guaranteed correctly rounded; other α values are fine in production
+    * but excluded from the differential oracle). Domains with
+    * f_i ≥ 1 keep everything — the tail-preservation property. */
+  def temperatureMixture(df: DataFrame, key: Column, domain: Column,
+                         targetFraction: Double, seed: String,
+                         alpha: Double = 0.5,
+                         algo: String = "xxh64"): DataFrame = {
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction $targetFraction")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha")
+    def w(c: Long): Double =
+      if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+    val counts = df.groupBy(domain.as("__dom")).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMixture over an empty frame")
+    val n = counts.map(_._2).sum
+    val wsum = counts.foldLeft(0.0) { case (a, (_, c)) => a + w(c) }
+    val budget = targetFraction * n
+    val fracs = counts.map { case (d, c) =>
+      d -> math.min(1.0, budget * (w(c) / wsum) / c.toDouble)
+    }.toMap
+    // absent stratum ⇒ 0.0: a domain that appeared after the count pass
+    // is dropped rather than silently over-sampled at some default rate
+    stratified(df, key, domain, fracs, defaultFraction = 0.0, seed, algo)
+  }
 }

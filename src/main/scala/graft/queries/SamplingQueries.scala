@@ -86,5 +86,37 @@ object SamplingQueries {
           arm("books", (7 to 13).map(i => s"'src$i'").mkString(", "), 500000L),
           arm("code", (14 to 19).map(i => s"'src$i'").mkString(", "), 200000L)
         ).mkString("\nUNION ALL\n")
-      }))
+      }),
+
+    // Temperature-scaled (α = 0.5) domain rebalancing at a 20% output
+    // budget: the oracle re-derives the per-domain counts, the
+    // lexicographic-order √n fold (list_reduce over a sorted list — the
+    // same left fold the driver runs), the keep-fractions, and exact md5
+    // gate membership. sqrt is IEEE-correctly-rounded in both engines,
+    // so the thresholds match bitwise.
+    "ext_temperature_mixture" -> QueryDef(
+      (s, dir) => Sampling.temperatureMixture(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source")),
+        key = col("doc_id"), domain = col("source"),
+        targetFraction = 0.2, seed = "r6t", algo = "md5"),
+      s"""WITH c AS (
+         |  SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+         |ws AS (
+         |  SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(sqrt(CAST(n AS DOUBLE)) ORDER BY dom)),
+         |    (a, b) -> a + b) AS wsum
+         |  FROM c),
+         |f AS (
+         |  SELECT dom,
+         |    CAST(round(least(CAST(1.0 AS DOUBLE),
+         |      (CAST(0.2 AS DOUBLE) * n_total)
+         |        * (sqrt(CAST(n AS DOUBLE)) / wsum)
+         |        / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+         |  FROM c, tot, ws)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN f ON f.dom = d.source
+         |WHERE ${duckBucket("d.doc_id", "r6t")} < f.thr""".stripMargin))
 }

@@ -81,4 +81,33 @@ class SamplingSpec extends SparkSpecBase {
       assert(byTag("a").toSet !== byTag("b").toSet)
     }
   }
+
+  test("temperatureMixture: tail kept whole, head flattened, realized " +
+    "fractions in band, deterministic") {
+    import spark.implicits._
+    val skewed = (
+      (1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "mid")) ++
+      (1101 to 1110).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val out = Sampling.temperatureMixture(
+      skewed, col("id"), col("dom"), targetFraction = 0.3, seed = "tm1")
+    val kept = out.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // f_small = min(1, 333*(sqrt(10)/wsum)/10) > 1 -> every row kept
+    assert(kept("small") === 10L)
+    // f_big = 0.3*1110*(sqrt(1000)/wsum)/1000 ~ 0.2352; 4-sigma ~ 0.054
+    val fBig = kept("big") / 1000.0
+    assert(fBig > 0.235 - 0.054 && fBig < 0.235 + 0.054, s"fBig $fBig")
+    // flattening: big is 90.1% of input; the design share after α = 0.5
+    // scaling is q_big = sqrt(1000)/Σ√n ≈ 0.706 — realized share lands
+    // near it, well under the input share
+    val outShare = kept("big").toDouble / kept.values.sum
+    assert(outShare > 0.6 && outShare < 0.8,
+      s"head share $outShare not near the 0.706 design share")
+    // deterministic and partitioning-invariant
+    val again = Sampling.temperatureMixture(
+      skewed.repartition(7), col("id"), col("dom"), 0.3, "tm1")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
