@@ -149,6 +149,34 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin),
 
+    // W11 (engine extension) — the ranking-function family on one
+    // window: rank / dense_rank (gap vs no-gap tie semantics),
+    // percent_rank ((rank−1)/(n−1)) and cume_dist (peers/n) — the two
+    // fractional ranks are integer ratios evaluated identically in IEEE
+    // double by both engines, so the full table hash-matches. Ties share
+    // ranks (that is the semantics under test), rows stay unique via
+    // event_id; NULL values are filtered because ASC null placement is
+    // the one defaults-differ trap (Spark NULLS FIRST, DuckDB NULLS
+    // LAST). One shuffle on event_type.
+    "w11_rank_family" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"))
+      },
+      """SELECT event_id, event_type, value,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value)""".stripMargin),
+
     // 2f (engine extension — SURVEY §2f notes the reference has NO set
     // operations; the upsert decomposes into union internally, but the
     // set-op SURFACE deserves its own row): churn analysis via EXCEPT —

@@ -193,5 +193,46 @@ object JoinQueries {
         |      FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
         |     AND c.click_ts >= p.window_start
-        |     AND c.click_ts < p.window_end""".stripMargin))
+        |     AND c.click_ts < p.window_end""".stripMargin),
+
+    // J8 (engine extension) — FULL OUTER join: per-user purchase revenue
+    // against per-user click counts, keeping users present on EITHER
+    // side (the activity-reconciliation shape; every other join on the
+    // board is inner/left/semi/anti). The join key resolves through
+    // USING-style equi-join on both engines; absent sides surface as
+    // explicit has_* flags plus zero-coalesced measures, so the NULL
+    // padding itself is under test. Revenue sums in exact BIGINT
+    // micro-units (the registry convention). Two shuffles (one per
+    // pre-aggregate); the join keys are already co-partitioned.
+    "j8_full_outer" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(expr("CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)"))
+            .as("purchase_micros"))
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+        purchases.join(clicks, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            col("purchase_micros").isNotNull.as("has_purchases"),
+            col("n_clicks").isNotNull.as("has_clicks"),
+            coalesce(col("purchase_micros"), lit(0L)).as("purchase_micros"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      },
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(coalesce(value, 0) * 1e6) AS BIGINT))
+        |         AS BIGINT) AS purchase_micros
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |  p.purchase_micros IS NOT NULL AS has_purchases,
+        |  c.n_clicks IS NOT NULL AS has_clicks,
+        |  coalesce(p.purchase_micros, 0) AS purchase_micros,
+        |  coalesce(c.n_clicks, 0) AS n_clicks
+        |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id""".stripMargin))
 }
