@@ -270,15 +270,47 @@ object TextAnalysis {
     * treatment of the floor rank. */
   def diversityGateApprox(docs: DataFrame, dropFraction: Double,
                           by: String = "lang",
+                          accuracy: Int = 10000): DataFrame =
+    diversityGateWith(docs, diversityThresholds(docs, dropFraction, by,
+      accuracy), by)
+
+  /** The threshold ARTIFACT of the approx gate: one `(grp, thr)` row per
+    * group from a single-pass quantile sketch. Persist it (SNK6-style)
+    * and the gate below applies it to any later frame — including an
+    * unbounded stream — the train-split→apply asymmetry (J4) for
+    * corpus curation. */
+  def diversityThresholds(docs: DataFrame, dropFraction: Double,
+                          by: String = "lang",
                           accuracy: Int = 10000): DataFrame = {
     require(dropFraction >= 0.0 && dropFraction < 1.0,
       s"dropFraction must be in [0,1), got $dropFraction")
-    val scored = diversityScored(docs, by)
-    val thresholds = scored.groupBy("grp")
+    diversityScored(docs, by).groupBy("grp")
       .agg(expr(s"approx_percentile(ttr_ppb, $dropFraction, $accuracy)")
         .as("thr"))
-    scored.join(broadcast(thresholds), "grp")
+  }
+
+  /** Apply a precomputed threshold frame: scoring is a stateless
+    * projection and the join is broadcast — on a stream this is a
+    * stream-static join with no state and no watermark, so the SAME gate
+    * code curates batch and unbounded corpora (the withCurationGates
+    * zero-drift property, extended to a learned artifact). Every input
+    * column is preserved, `ttr_ppb` is added (the gate convention);
+    * working names `m`, `ttr_ppb`, `__gate_grp`, `thr` are reserved.
+    * Cache the thresholds frame caller-side for streams — the static
+    * side re-evaluates per micro-batch (the decontaminationGate
+    * convention). */
+  def diversityGateWith(docs: DataFrame, thresholds: DataFrame,
+                        by: String = "lang"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("m",
+        call_function("graft_text_metrics", coalesce(col("text"), lit(""))))
+      .withColumn("ttr_ppb",
+        expr("CAST(m.n_uniq_tokens AS BIGINT) * 1000000000 DIV m.n_tokens"))
+      .drop("m")
+      .join(broadcast(thresholds.withColumnRenamed("grp", "__gate_grp")),
+        col(by) === col("__gate_grp"))
       .where(col("ttr_ppb") > col("thr"))
-      .select(col("grp"), col("doc_id"), col("ttr_ppb"))
+      .drop("__gate_grp", "thr")
   }
 }

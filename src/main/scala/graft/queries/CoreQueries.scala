@@ -388,6 +388,52 @@ object CoreQueries {
       """SELECT event_type, TRUE AS median_in_band
         |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin),
 
+    // A18 (engine extension) — EXACT median, fully hash-paired (a12 pins
+    // only a band): the k-th-smallest formulation on BIGINT micro-units.
+    // lo = (n+1) DIV 2, hi = (n+2) DIV 2 pick the middle element(s) by
+    // row_number — the value AT a rank is deterministic under ties even
+    // though tie order isn't — and the median is (v_lo + v_hi)/2.0, a
+    // dyadic halving of an exact integer sum, so both engines agree
+    // bitwise with zero interpolation arithmetic. This is the exact
+    // path (per-group sort); a12's mergeable sketch is the 100-TB one.
+    "a18_exact_median" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .withColumn("v_micro",
+            expr("CAST(round(value * 1e6) AS BIGINT)"))
+        val ranked = e
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("v_micro"))))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        ranked.groupBy(col("event_type"))
+          .agg(
+            max(col("n")).as("n"),
+            max(when(col("rn") === expr("(n + 1) DIV 2"), col("v_micro")))
+              .as("m_lo"),
+            max(when(col("rn") === expr("(n + 2) DIV 2"), col("v_micro")))
+              .as("m_hi"))
+          .withColumn("median",
+            (col("m_lo") + col("m_hi")).cast("double") / lit(2.0) / lit(1e6))
+          .select(col("event_type"), col("n"), col("m_lo"), col("m_hi"),
+            col("median"))
+      },
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v_micro
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, v_micro,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v_micro) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v_micro END) AS m_lo,
+        |  max(CASE WHEN rn = (n + 2) // 2 THEN v_micro END) AS m_hi,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v_micro END)
+        |     + max(CASE WHEN rn = (n + 2) // 2 THEN v_micro END) AS DOUBLE)
+        |    / 2.0 / 1e6 AS median
+        |FROM r GROUP BY event_type""".stripMargin),
+
     // F-json — scalar JSON extraction over events.props (extension surface,
     // SURVEY.md §2g): per-event-type mean of props.k.
     // ONE from_json parse per row (not get_json_object, which re-walks the

@@ -72,6 +72,19 @@ object StreamingCuration {
       .filter(!col("contaminated"))
       .drop("n_grams", "n_shared", "contaminated")
 
+  /** Quantile-quality gate on a stream, from a TRAINED threshold
+    * artifact: `thresholds` comes from
+    * [[TextAnalysis.diversityThresholds]] run over a reference corpus (a
+    * batch job), and the unbounded side pays only a stateless scoring
+    * projection plus a broadcast stream-static join — no state, no
+    * watermark, composable anywhere in the chain like
+    * [[decontaminationGate]] (whose caller-owns-the-cache convention
+    * applies to `thresholds` too). This is the streaming face of
+    * [[TextAnalysis.diversityGateWith]] — same code, zero drift. */
+  def diversityGate(docs: DataFrame, thresholds: DataFrame,
+                    by: String = "lang"): DataFrame =
+    TextAnalysis.diversityGateWith(docs, thresholds, by)
+
   /** Back half: near-dup candidate pairs among the curated survivors
     * (SimHash sketch → band buckets). Chain this onto [[curatedStream]]'s
     * output for the full flow. `probeBits` per [[StreamingDedup.banded]]:

@@ -4,7 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
 import graft.operators.TextAnalysis
+import graft.streaming.StreamingCuration
 
 /** The quantile-gated quality filter: the exact rank gate is
   * oracle-checked (ext_diversity_gate); this spec pins what the oracle
@@ -13,6 +16,7 @@ import graft.operators.TextAnalysis
   * shipping the sketch path at scale, and the approx plan's shape (no
   * per-group sort, broadcast threshold join). */
 class DiversityGateSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private val sf001 = "/root/testdata/sf0.01"
 
@@ -63,5 +67,30 @@ class DiversityGateSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"unexpected window/sort:\n$plan")
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), s"thresholds not broadcast:\n$plan")
+  }
+
+  test("streaming gate with the batch threshold artifact matches the " +
+    "batch approx gate on a replayed corpus") {
+    implicit val sq = spark.sqlContext
+    val thresholds = TextAnalysis.diversityThresholds(docs, 0.25).cache()
+    try {
+      val batchIds = ids(TextAnalysis.diversityGateWith(docs, thresholds))
+      val rows = docs.select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val in = MemoryStream[(Long, String, String)]
+      val stream = in.toDF().toDF("doc_id", "lang", "text")
+      val q = StreamingCuration.diversityGate(stream, thresholds)
+        .select("doc_id")
+        .writeStream.format("memory").queryName("dg_stream")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.size / 2)
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+        val streamIds = spark.table("dg_stream").collect()
+          .map(_.getLong(0)).toSet
+        assert(streamIds === batchIds)
+      } finally q.stop()
+    } finally { thresholds.unpersist(); () }
   }
 }
