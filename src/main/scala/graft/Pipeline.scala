@@ -37,12 +37,15 @@ object Pipeline {
     * ~relErr·n rows near each boundary — the documented trade.
     *
     * `predictor` selects the forecast model: "naive" (default — the
-    * lag-1 passthrough every existing oracle pins) or "ar1" (the TRAINED
+    * lag-1 passthrough every existing oracle pins), "ar1" (the TRAINED
     * per-group OLS line [[Features.fitAr1]] fit on the train split only
     * and applied everywhere — the reference's train→apply contract,
     * train.py:377-499, with its LSTM swapped for the relational model;
     * keys with no train fit fall back to the naive predictor, the
-    * reference's untrained-group else-branch). */
+    * reference's untrained-group else-branch), or "ar2"
+    * ([[Features.fitAr2]] on the two filled lags — one step closer to
+    * the reference's look-back window; rows missing the second lag and
+    * keys with no fit fall back exactly like ar1). */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
@@ -50,8 +53,8 @@ object Pipeline {
       valRatio: Double = 0.15,
       approxSplit: Boolean = false,
       predictor: String = "naive") {
-    require(predictor == "naive" || predictor == "ar1",
-      s"unknown predictor '$predictor' (naive | ar1)")
+    require(Set("naive", "ar1", "ar2")(predictor),
+      s"unknown predictor '$predictor' (naive | ar1 | ar2)")
   }
 
   object Config {
@@ -112,7 +115,7 @@ object Pipeline {
         valRatio = get("valRatio", _.toDouble, d.valRatio),
         approxSplit = get("approxSplit", _.toBoolean, d.approxSplit),
         predictor = get("predictor",
-          s => { require(s == "naive" || s == "ar1"); s }, d.predictor))
+          s => { require(Set("naive", "ar1", "ar2")(s)); s }, d.predictor))
     }
   }
 
@@ -201,6 +204,23 @@ object Pipeline {
               round(col("slope") * col("pred_f") + col("intercept"), 2))
               .otherwise(col("pred_f")))
           .drop("slope", "intercept", "n_fit")
+      case "ar2" =>
+        // second filled lag built the way pred_f is (lag → ffill, two
+        // window passes on the already-checkpointed frame)
+        val feat2 = featured
+          .withColumn("lag2", lag(col("actual"), 2).over(w))
+          .withColumn("x2", Features.ffill(col("lag2"), w))
+          .drop("lag2")
+        val params = Features.fitAr2(
+          feat2.filter(col("split") === "train"), key,
+          col("pred_f"), col("x2"), col("actual"))
+        feat2.join(broadcast(params), key, "left")
+          .withColumn("pred_f",
+            when(col("b1").isNotNull && col("x2").isNotNull,
+              round(col("b1") * col("pred_f") + col("b2") * col("x2") +
+                col("intercept"), 2))
+              .otherwise(col("pred_f")))
+          .drop("b1", "b2", "intercept", "n_fit", "x2")
       case _ => featured
     }
 

@@ -70,7 +70,6 @@ object Packing {
         // n_tokens ≥ 1 always (split of "" is [""]), so end_off-1 ≥ start_off
         expr(s"(end_off - 1) DIV $capacity").as("last_block"))
       .withColumn("n_blocks", col("last_block") - col("first_block") + lit(1L))
-      .orderBy("shard", "doc_id")
   }
 
   // public: Spark's encoder codegen instantiates these in generated

@@ -48,7 +48,8 @@ object PackingQueries {
     // stream and the capacity-sized blocks it covers. Pure window + integer
     // division — exact on both engines.
     "pack_chunk" -> QueryDef(
-      (s, dir) => Packing.chunkPack(Tables.documents(s, dir), Cap),
+      (s, dir) => Packing.chunkPack(Tables.documents(s, dir), Cap)
+        .orderBy("shard", "doc_id"),
       s"""WITH $duckToksCte,
          |o AS (
          |  SELECT shard, doc_id, n_tokens,

@@ -266,4 +266,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(Sinks.tableExists(spark, s"$dir/snap/part=a"))
     assert(spark.read.parquet(s"$dir/snap").count() === 2L)
   }
+
+  test("ar2 predictor: two-lag model engages with the same cannot-lose-" +
+    "to-naive train guarantee") {
+    val ev = Tables.events(spark, sf0001)
+    val naive = Pipeline.run(spark, ev)
+    val ar2 = Pipeline.run(spark, ev, Pipeline.Config(predictor = "ar2"))
+    def sse(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("user_id").toString,
+        r.getAs[String]("event_type")) ->
+        ((r.getAs[Double]("MSE") * r.getAs[Long]("Samples"),
+          r.getAs[Long]("Samples")))).toMap
+    val n = sse(naive.trainMetrics)
+    val a = sse(ar2.trainMetrics)
+    assert(a.keySet === n.keySet)
+    // (b1,b2,c) = (1,0,0) reproduces naive on every fitted row, and
+    // unfitted rows/keys keep the naive pred — so per group the trained
+    // SSE can only match or beat naive, up to the scale-2 snap slack
+    for ((k, (sseA, cnt)) <- a) {
+      val (sseN, _) = n(k)
+      val slack = 0.011 * math.sqrt(sseN * cnt) + 2.5e-5 * cnt
+      assert(sseA <= sseN + slack, s"group $k: ar2 SSE $sseA > naive $sseN + $slack")
+    }
+    assert(a.exists { case (k, (sseA, _)) => sseA < n(k)._1 - 1e-6 })
+  }
 }
