@@ -322,6 +322,40 @@ object Features {
         col("n_fit")): _*)
   }
 
+  /** Per-group Pearson correlation, deterministically: the built-in
+    * `corr()` sums doubles in partition order (last-ulp nondeterminism
+    * under any distributed plan — the round-1 hash-failure class), so
+    * this uses the [[fitAr1]] machinery instead: five decimal-exact sums
+    * under the |·| < 1e11 domain guard, then ONE fixed double expression
+    * `(n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))` — sqrt is
+    * IEEE-correctly-rounded, so any engine agrees bitwise. Zero-variance
+    * groups (either side) emit NULL (undefined correlation — the
+    * convention `corr()` itself uses); n ≥ 2 required. */
+  def pearson(df: DataFrame, key: Seq[String],
+              x: Column, y: Column): DataFrame = {
+    val domain = lit(1e11)
+    val xd = x.cast("decimal(17,6)")
+    val yd = y.cast("decimal(17,6)")
+    df.filter(x.isNotNull && y.isNotNull &&
+        abs(x) < domain && abs(y) < domain)
+      .groupBy(key.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).cast("double").as("sx"),
+        sum(yd).cast("double").as("sy"),
+        sum((xd * yd).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((xd * xd).cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum((yd * yd).cast("decimal(38,6)")).cast("double").as("syy"))
+      .filter(col("n") >= 2)
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr_xy",
+        when(col("vx") > 0.0 && col("vy") > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("vx")) * sqrt(col("vy")))))
+      .select((key.map(col) :+ col("n") :+ col("corr_xy")): _*)
+  }
+
   /** A6 — per-group regression metrics (train.py:233-269): R², MSE, n.
     * Single-pass algebraic form: ss_tot = Σa² − n·mean(a)², ss_res =
     * Σ(a−p)². Groups with n<2 are skipped; ss_tot==0 → R²=−1. All built-in

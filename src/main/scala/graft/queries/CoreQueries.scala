@@ -307,6 +307,32 @@ object CoreQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, user_bucket)""".stripMargin),
 
+    // A13b (engine extension) — CUBE + GROUPING(): all four grouping
+    // combinations in one pass, with the grouping id distinguishing a
+    // real NULL key from a subtotal row (the trap ROLLUP rows dodge by
+    // having non-null keys; GROUPING() is the standard disambiguator and
+    // both engines implement it). Same exact-integer micro-unit contract
+    // as a13.
+    "a13b_cube_counts" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr("CAST(round(value * 1e6) AS BIGINT)")), lit(0L))
+            .as("value_micro"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("user_bucket")).cast("long").as("g_bucket"))
+        .select(col("event_type"), col("user_bucket"), col("g_type"),
+          col("g_bucket"), col("n"), col("value_micro")),
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS g_bucket,
+        |  count(*) AS n,
+        |  CAST(coalesce(sum(CAST(round(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |    AS value_micro
+        |FROM events
+        |GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))""".stripMargin),
+
     // P3 (engine extension) — PIVOT: per-day event-type counts as columns
     // (the wide-table reshape every dashboard feed wants). Values are
     // declared (no driver-side distinct scan); missing combinations fill

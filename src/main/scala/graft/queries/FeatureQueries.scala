@@ -544,6 +544,57 @@ object FeatureQueries {
          |  ss_res / n AS MSE, n AS Samples
          |FROM vg WHERE n >= 2""".stripMargin),
 
+    // A19 (engine extension) — per-group Pearson correlation between the
+    // lag feature and the value (the autocorrelation diagnostic behind
+    // every "is a lag model even sensible here" decision), via
+    // Features.pearson: the built-in corr() is order-nondeterministic in
+    // double, so the row runs the decimal-exact-sums + fixed-IEEE-shape
+    // form and hash-matches DuckDB re-deriving the identical chain.
+    "a19_lag_correlation" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        Features.pearson(
+          Tables.events(s, dir)
+            .withColumn("x", Features.lag1(col("value"), w)),
+          key, col("x"), col("value"))
+      },
+      """WITH feat AS (
+        |  SELECT user_id, event_type, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x
+        |  FROM events),
+        |g AS (
+        |  -- factor casts to DECIMAL(19,6): int128 multiply, the a15 note
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(17,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(
+        |      CAST(CAST(x AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(
+        |      CAST(CAST(x AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(x AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(
+        |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM feat
+        |  WHERE x IS NOT NULL AND value IS NOT NULL
+        |    AND abs(x) < 1e11 AND abs(value) < 1e11
+        |  GROUP BY user_id, event_type),
+        |v AS (
+        |  SELECT user_id, event_type, n, sx, sy, sxy,
+        |    n * sxx - sx * sx AS vx,
+        |    n * syy - sy * sy AS vy
+        |  FROM g WHERE n >= 2)
+        |SELECT user_id, event_type, n,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |       THEN (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))
+        |  END AS corr_xy
+        |FROM v""".stripMargin),
+
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).
     "a9_value_histogram" -> QueryDef(

@@ -173,4 +173,20 @@ class FeaturesSpec extends SparkSpecBase {
     assert(graft.operators.Features.fitAr2(
       tiny, Seq("k"), col("x1"), col("x2"), col("y")).count() === 0L)
   }
+
+  test("pearson: exact +1/-1 on linear data, NULL on zero variance") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
+      ("dn", 1.0, 9.0), ("dn", 2.0, 7.0), ("dn", 3.0, 5.0),
+      ("flat", 1.0, 4.0), ("flat", 2.0, 4.0), ("flat", 3.0, 4.0))
+      .toDF("k", "x", "y")
+    val out = graft.operators.Features.pearson(
+      df, Seq("k"), col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(math.abs(out("up").get - 1.0) < 1e-12)
+    assert(math.abs(out("dn").get + 1.0) < 1e-12)
+    assert(out("flat").isEmpty)
+  }
 }
