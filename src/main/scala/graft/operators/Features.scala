@@ -190,6 +190,57 @@ object Features {
     }
   }
 
+  /** Distributed EXACT global row numbering — the two-pass prefix-rank
+    * that removes the single-partition global window while keeping
+    * row-positional semantics identical: (1) range-repartition +
+    * in-partition sort on `order` (one shuffle; each partition holds a
+    * contiguous, sorted key range); (2) `zipWithIndex` assigns contiguous
+    * indices in partition order — its extra internal job only counts
+    * per-partition sizes, the O(partitions) driver-side prefix sum. The
+    * RDD hop is the honest plan here: per-partition sequential indexing
+    * is exactly what `zipWithIndex` exists for, and no window/exchange
+    * shape expresses "offset each partition by the sizes of those before
+    * it". `order` MUST be a total order (include a unique tiebreak);
+    * boundary ties under a partial order would make ranks depend on
+    * where the range partitioner cut. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[String],
+                          rnCol: String = "rn",
+                          numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "order columns required")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(p, order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+    val schema = sorted.schema
+      .add(rnCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** W5 with EXACT row-positional semantics and NO single-partition
+    * stage: [[withGlobalRowNumber]] plus one count — the scale form that
+    * keeps [[chronoSplit]]'s labels bit-identical (same floor arithmetic
+    * off the same total order; w5_chrono_split_dist pins it against the
+    * SAME oracle as the windowed row), where [[chronoSplitApprox]] trades
+    * exactness for boundary-value membership. Cost: one extra pass for
+    * the count and one for zipWithIndex's size job — both cheap scans;
+    * the windowed form's cost is every row through ONE partition. */
+  def chronoSplitDistributed(df: DataFrame, order: Seq[String],
+                             trainRatio: Double = 0.7,
+                             valRatio: Double = 0.15): DataFrame = {
+    val n = df.count()
+    withGlobalRowNumber(df, order, rnCol = "__w5_rn")
+      .withColumn("split",
+        when(col("__w5_rn") <= floor(lit(n) * trainRatio), lit("train"))
+          .when(col("__w5_rn") <= floor(lit(n) * trainRatio) +
+            floor(lit(n) * valRatio), lit("val"))
+          .otherwise(lit("test")))
+      .drop("__w5_rn")
+  }
+
   /** W4 — sliding sequence window (train.py:484-492): per group, ordered,
     * the previous `length` values of `c` as an array (the RNN sample
     * generator; the row's own value is the target). Rows whose history is

@@ -207,6 +207,27 @@ object FeatureQueries {
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin),
 
+    // W5 at scale, EXACT: the distributed prefix-rank split
+    // (Features.chronoSplitDistributed — range repartition + zipWithIndex
+    // offsets, no single-partition window anywhere) graded against the
+    // SAME oracle as the windowed w5 row: two different plans, one of
+    // them with no serial stage, one bit-identical answer.
+    "w5_chrono_split_dist" -> QueryDef(
+      (s, dir) => Features.chronoSplitDistributed(
+        Tables.events(s, dir).select(col("event_id"), col("ts")),
+        order = Seq("ts", "event_id"))
+        .select(col("event_id"), col("split")),
+      """WITH r AS (
+        |  SELECT event_id,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+        |       WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin),
+
     // W5 at scale — the percentile-based split (no global window, no
     // single-partition stage; Features.chronoSplitApprox). Row membership
     // depends on approxQuantile boundaries, which no other engine

@@ -189,4 +189,22 @@ class FeaturesSpec extends SparkSpecBase {
     assert(math.abs(out("dn").get + 1.0) < 1e-12)
     assert(out("flat").isEmpty)
   }
+
+  test("withGlobalRowNumber: equals the global window's row_number on a " +
+    "total order, under any input partitioning") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 7919) % 1000, i.toLong))
+      .toDF("k", "id")
+    val expected = df.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id")))
+        .cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = graft.operators.Features.withGlobalRowNumber(
+        df.repartition(parts), Seq("k", "id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
 }
