@@ -119,6 +119,63 @@ object Packing {
       .toDF()
   }
 
+  /** GLOBAL concat-and-chunk — one corpus-wide token stream in `orderCol`
+    * order, no shard key: the distributed prefix-SUM pattern
+    * ([[graft.operators.Features.withGlobalRowNumber]]'s prefix-rank,
+    * generalized from row counts to token counts). Pass 1: range
+    * repartition + in-partition sort, then one tiny job collects
+    * per-partition token totals (O(partitions) rows) and the driver takes
+    * their exclusive prefix. Pass 2: map-only — each partition streams
+    * its rows adding its offset to a running local sum. No window, no
+    * single-partition stage; the sorted frame is lazily checkpointed so
+    * the two passes share one sort. Same output columns and block
+    * arithmetic as [[chunkPack]]; `orderCol` must be globally unique. */
+  def chunkPackGlobal(docs: DataFrame, capacity: Int,
+                      orderCol: String = "doc_id",
+                      numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = docs
+      .select(col(orderCol).cast("long").as("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint(eager = false)
+    val partTotals = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single((i, it.foldLeft(0L)(_ + _.getLong(1))))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("start_off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val withOffsets = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = bc.value(i)
+        it.map { r =>
+          val n = r.getLong(1)
+          val start = acc
+          acc += n
+          org.apache.spark.sql.Row(r.getLong(0), n, start)
+        }
+      }, schema)
+    withOffsets
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off DIV $capacity").as("first_block"),
+        expr(s"(end_off - 1) DIV $capacity").as("last_block"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + lit(1L))
+  }
+
   /** Per-shard packing summary over a [[nextFitPack]] result: bins used,
     * the next-fit lower bound ceil(total/capacity), and utilization in
     * exact parts-per-million of `n_bins · capacity`. */

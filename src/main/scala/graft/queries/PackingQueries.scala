@@ -64,6 +64,31 @@ object PackingQueries {
          |  (end_off - 1) // $Cap - (end_off - n_tokens) // $Cap + 1 AS n_blocks
          |FROM o ORDER BY shard, doc_id""".stripMargin),
 
+    // GLOBAL concat-and-chunk: the corpus as ONE token stream, ranked by
+    // the distributed prefix-sum (no single-partition window — the plan
+    // difference is the point), graded against DuckDB's global window
+    // cumsum: two algorithms, one exact answer.
+    "pack_chunk_global" -> QueryDef(
+      (s, dir) => Packing.chunkPackGlobal(Tables.documents(s, dir), Cap)
+        .orderBy("doc_id"),
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS end_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  end_off - n_tokens AS start_off,
+         |  (end_off - n_tokens) // $Cap AS first_block,
+         |  (end_off - 1) // $Cap AS last_block,
+         |  (end_off - 1) // $Cap - (end_off - n_tokens) // $Cap + 1 AS n_blocks
+         |FROM o ORDER BY doc_id""".stripMargin),
+
     // Next-fit whole-document bins: Spark's sequential mapPartitions fold
     // vs DuckDB's recursive-CTE fold — per-doc bin assignment must agree
     // exactly.

@@ -101,4 +101,33 @@ class PackingSpec extends SparkSpecBase {
       .findAllIn(plan).size
     assert(exchanges === 1, s"expected 1 shuffle, plan:\n$plan")
   }
+
+  test("chunkPackGlobal: one tiled global stream matching the window " +
+    "form, invariant to input partitioning") {
+    import spark.implicits._
+    val docs = (1 to 300)
+      .map(i => (i.toLong, Seq.fill((i * 31) % 40 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "start_off", "first_block", "last_block")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val global = canon(graft.operators.Packing.chunkPackGlobal(docs, 64))
+    val reparted = canon(
+      graft.operators.Packing.chunkPackGlobal(docs.repartition(11), 64))
+    assert(global === reparted)
+    // equals the per-shard window form run with ONE shard
+    val windowed = canon(graft.operators.Packing.chunkPack(
+      docs.withColumn("source", lit("all")), 64))
+    assert(global === windowed)
+    // exact tiling: offsets are contiguous from 0 in doc order
+    val sortedOffs = global.toSeq.sortBy(_._1)
+    var expect = 0L
+    val toks = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    sortedOffs.foreach { case (id, (off, _, _)) =>
+      assert(off === expect, s"gap at doc $id")
+      expect += toks(id)
+    }
+  }
 }
