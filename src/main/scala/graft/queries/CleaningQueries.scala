@@ -262,6 +262,41 @@ object CleaningQueries {
       },
       "SELECT event_id, ts, user_id, event_type, value FROM events"),
 
+    // SRC6 (engine extension) — JSON-lines round-trip over documents:
+    // the interchange format crawl/annotation pipelines emit. Schema
+    // forced on read (inference re-orders columns and widens types);
+    // JSON string escaping makes embedded whitespace lossless.
+    "src6_jsonl_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val path = Scratch.dir("src6_jsonl")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+          .write.mode("overwrite").json(path)
+        s.read
+          .schema("doc_id LONG, lang STRING, source STRING, " +
+            "n_chars LONG, text STRING")
+          .json(path)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+      },
+      "SELECT doc_id, lang, source, n_chars, text FROM documents"),
+
+    // SRC7 (engine extension) — ORC round-trip: the second columnar
+    // format a lakehouse ingests beside parquet; typed and lossless.
+    "src7_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val path = Scratch.dir("src7_orc")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+      },
+      "SELECT doc_id, lang, source, n_chars, text FROM documents"),
+
     // SRC3 — SQL-string query surface over a registered temp view.
     "src3_sql_surface" -> QueryDef(
       (s, dir) => {
