@@ -226,6 +226,35 @@ object CleaningQueries {
       """SELECT event_id, strftime(CAST(ts AS DATE), '%-d %B %Y') AS date_fmt
         |FROM events""".stripMargin),
 
+    // F14 (engine extension) — calendar decomposition: the date-part
+    // fields a feature store derives once per fact. The one
+    // convention trap is day-of-week numbering (Spark dayofweek is
+    // 1=Sunday, DuckDB dayofweek is 0=Sunday): both sides emit ISO
+    // (1=Monday) explicitly — Spark `weekday()+1`, DuckDB `isodow` —
+    // so the row pins the portable formulation, not an engine default.
+    "f14_calendar_parts" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          year(col("ts")).cast("long").as("y"),
+          quarter(col("ts")).cast("long").as("q"),
+          month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          (weekday(col("ts")) + lit(1)).cast("long").as("isodow"),
+          weekofyear(col("ts")).cast("long").as("isoweek"),
+          hour(col("ts")).cast("long").as("h"),
+          expr("CAST(to_date(ts) + INTERVAL 1 MONTH AS DATE)")
+            .as("next_month")),
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y,
+        |  CAST(quarter(ts) AS BIGINT) AS q,
+        |  CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(day(ts) AS BIGINT) AS dom,
+        |  CAST(isodow(ts) AS BIGINT) AS isodow,
+        |  CAST(weekofyear(ts) AS BIGINT) AS isoweek,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month
+        |FROM events""".stripMargin),
+
     // P1+P2 — column drop + fixed-order projection for insert
     // (main.py:210-212, :184).
     "p2_projection" -> QueryDef(

@@ -565,6 +565,62 @@ object FeatureQueries {
          |  ss_res / n AS MSE, n AS Samples
          |FROM vg WHERE n >= 2""".stripMargin),
 
+    // A16+SNK6 — the PERSISTED-model serve path (the ann_ivf_persisted
+    // pattern applied to trained params): fitAr2's artifact goes to
+    // parquet, a fresh read serves the val split, and the metrics must
+    // still hash-match the SAME oracle as the in-memory a17 row — a
+    // lossy or re-ordered round-trip would shift every prediction.
+    "a17b_ar2_persisted" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Features
+          .chronoSplit(Tables.events(s, dir), Seq("ts", "event_id"))
+          .withColumn("x1", Features.lag1(col("value"), w))
+          .withColumn("x2", lag(col("value"), 2).over(w))
+          .localCheckpoint(eager = false)
+        val path = Scratch.dir("a17b_params")
+        Features.fitAr2(feat.filter(col("split") === "train"),
+          key, col("x1"), col("x2"), col("value"))
+          .write.mode("overwrite").parquet(path)
+        val params = s.read.parquet(path)
+        val applied = feat.filter(col("split") === "val")
+          .join(broadcast(params), key)
+          .withColumn("pred",
+            round(col("b1") * col("x1") + col("b2") * col("x2") +
+              col("intercept"), 2))
+        Features.regressionMetrics(applied, key, col("value"), col("pred"))
+          .select(col("user_id"), col("event_type"),
+            col("R2"), col("MSE"), col("Samples"))
+      },
+      s"""WITH ${OracleSql.ar2ParamCtes},
+         |va AS (
+         |  SELECT f.user_id, f.event_type, f.value,
+         |    round(p.b1 * f.x1 + p.b2 * f.x2 + p.intercept, 2) AS pred
+         |  FROM feat f JOIN p USING (user_id, event_type)
+         |  WHERE f.rn > floor(f.n_total * 0.7)
+         |    AND f.rn <= floor(f.n_total * 0.7) + floor(f.n_total * 0.15)),
+         |vg AS (
+         |  SELECT user_id, event_type, count(*) AS n,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(value AS DECIMAL(17,6)) - CAST(pred AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(value AS DECIMAL(17,6)) - CAST(pred AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS sum_a
+         |  FROM va
+         |  WHERE value IS NOT NULL AND pred IS NOT NULL
+         |    AND abs(value) < 1e11 AND abs(pred) < 1e11
+         |  GROUP BY user_id, event_type)
+         |SELECT user_id, event_type,
+         |  CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+         |       ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+         |  END AS R2,
+         |  ss_res / n AS MSE, n AS Samples
+         |FROM vg WHERE n >= 2""".stripMargin),
+
     // A19 (engine extension) — per-group Pearson correlation between the
     // lag feature and the value (the autocorrelation diagnostic behind
     // every "is a lag model even sensible here" decision), via
