@@ -113,6 +113,18 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** K-fold assignment: fold i = `bucket(key) mod k` — deterministic,
+    * disjoint, exhaustive, and independent of [[hashSplit]]'s range-based
+    * labels under a different seed (mod distributes the SAME uniform
+    * bucket orthogonally to `<threshold` ranges only across seeds, so
+    * always salt the fold seed). Folds are ≈n/k ± Bernoulli like every
+    * hash gate; use the complement `fold =!= i` as the training mask. */
+  def kFold(df: DataFrame, key: Column, k: Int, foldCol: String,
+            seed: String, algo: String = "xxh64"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn(foldCol, bucket(key, seed, algo) % k)
+  }
+
   /** Temperature-scaled domain rebalancing — the multilingual-pretraining
     * sampler (exponentiated-count mixing, XLM-R style): domain i keeps
     * enough rows that its share of the output follows

@@ -222,6 +222,25 @@ object TextAnalysis {
             Pii.Phone, "[PHONE]"),
           Pii.Ipv4, "[IP]").as("redacted"))
 
+  /** Feature hashing (the hashing-vectorizer trick): token → bucket =
+    * `hash(token) mod buckets`, per-doc bucket counts ARE the sparse
+    * bag-of-words vector — no vocabulary pass, no dictionary artifact to
+    * ship, collisions are the accepted trade (buckets sizes the
+    * collision rate). One explode + one groupBy on (doc, bucket): the
+    * shuffle carries integer keys and counts only, never tokens. `algo`
+    * follows the [[Sampling.bucket]] convention — xxh64 production,
+    * md5 for the differential oracle. */
+  def hashedBagOfWords(docs: DataFrame, buckets: Int, seed: String,
+                       algo: String = "xxh64"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .withColumn("bucket", Sampling.bucket(col("token"), seed, algo) % buckets)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Lexical diversity in exact parts-per-billion: `n_uniq_tokens ·
     * 1e9 DIV n_tokens` — all-integer (truncating division) so the score,
     * unlike the double `type_token_ratio`, is bit-identical in any

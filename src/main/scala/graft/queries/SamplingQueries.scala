@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Sampling
+import graft.operators.{Sampling, TextAnalysis}
 
 /** Deterministic sampling over the documents corpus (engine extension —
   * the subset/split/mixture machinery of a training-data pipeline; see
@@ -87,6 +87,29 @@ object SamplingQueries {
           arm("code", (14 to 19).map(i => s"'src$i'").mkString(", "), 200000L)
         ).mkString("\nUNION ALL\n")
       }),
+
+    // K-fold cross-validation assignment: 5 disjoint exhaustive folds by
+    // bucket mod k, exact membership re-derived by the oracle.
+    "ext_kfold" -> QueryDef(
+      (s, dir) => Sampling.kFold(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        key = col("doc_id"), k = 5, foldCol = "fold", seed = "r6k",
+        algo = "md5"),
+      s"""SELECT doc_id, lang, ${duckBucket("doc_id", "r6k")} % 5 AS fold
+         |FROM documents""".stripMargin),
+
+    // Feature hashing: 64-bucket hashed bag-of-words — the
+    // vocabulary-free sparse text vectorizer; per-(doc, bucket) counts
+    // re-derived exactly by the oracle on the md5 path.
+    "ext_hashed_bow" -> QueryDef(
+      (s, dir) => TextAnalysis.hashedBagOfWords(
+        Tables.documents(s, dir), buckets = 64, seed = "r6h", algo = "md5"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+         |  FROM documents)
+         |SELECT doc_id, ${duckBucket("token", "r6h")} % 64 AS bucket,
+         |  count(*) AS cnt
+         |FROM tok GROUP BY 1, 2""".stripMargin),
 
     // Temperature-scaled (α = 0.5) domain rebalancing at a 20% output
     // budget: the oracle re-derives the per-domain counts, the

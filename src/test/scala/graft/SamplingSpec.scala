@@ -110,4 +110,19 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.select("id").collect().map(_.getLong(0)).toSet ===
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("kFold: disjoint, exhaustive, roughly balanced, deterministic") {
+    for (algo <- Seq("xxh64", "md5")) {
+      val folds = Sampling.kFold(keys, col("id"), 5, "fold", "kf1", algo)
+      val byFold = folds.groupBy("fold").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byFold.keySet === (0L until 5L).toSet)
+      assert(byFold.values.sum === 2000L)          // exhaustive, disjoint
+      byFold.values.foreach(n => assert(n > 300 && n < 500, s"fold size $n"))
+      val again = Sampling.kFold(keys.repartition(9), col("id"), 5, "fold",
+        "kf1", algo)
+      assert(folds.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+  }
 }
