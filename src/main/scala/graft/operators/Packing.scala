@@ -106,11 +106,18 @@ object Packing {
       .sortWithinPartitions("shard", "doc_id")
       .as[TokDoc]
       .mapPartitions { rows =>
+        // explicit started flag, not a null-shard sentinel: a genuine
+        // null shard key would otherwise compare equal to the initial
+        // state and mis-bin an oversize first document (the streaming
+        // twin StreamingPacking carries the same flag in its state)
+        var started = false
         var shard: String = null
         var fill = 0L
         var bin = 0L
         rows.map { d =>
-          if (d.shard != shard) { shard = d.shard; bin = 0L; fill = d.n_tokens }
+          if (!started || d.shard != shard) {
+            started = true; shard = d.shard; bin = 0L; fill = d.n_tokens
+          }
           else if (fill + d.n_tokens <= capacity) fill += d.n_tokens
           else { bin += 1L; fill = d.n_tokens }
           Packed(d.shard, d.doc_id, d.n_tokens, bin)

@@ -154,7 +154,11 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha")
     def w(c: Long): Double =
       if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
-    val counts = df.groupBy(domain.as("__dom")).count()
+    // NULL domains are excluded from the weight computation AND gated out
+    // (defaultFraction 0 below) — same drop convention as an
+    // absent-after-count stratum, and the collect cannot NPE on toString
+    val counts = df.filter(domain.isNotNull)
+      .groupBy(domain.as("__dom")).count()
       .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
     require(counts.nonEmpty, "temperatureMixture over an empty frame")
     val n = counts.map(_._2).sum

@@ -130,4 +130,18 @@ class PackingSpec extends SparkSpecBase {
       expect += toks(id)
     }
   }
+
+  test("nextFitPack: a null shard key with an oversize first doc still " +
+    "opens bin 0") {
+    import spark.implicits._
+    val docs = Seq((Option.empty[String], 1L, 300), (None, 2L, 10))
+      .toDF("source", "doc_id", "n").select(
+        col("source"), col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), col("n")), _ => lit("w")))
+          .as("text"))
+    val got = Packing.nextFitPack(docs, 256)
+      .orderBy("doc_id").select("doc_id", "bin_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === Seq(1L -> 0L, 2L -> 1L))
+  }
 }
