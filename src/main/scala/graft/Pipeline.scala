@@ -205,12 +205,14 @@ object Pipeline {
               .otherwise(col("pred_f")))
           .drop("slope", "intercept", "n_fit")
       case "ar2" =>
-        // second filled lag built the way pred_f is (lag → ffill, two
-        // window passes on the already-checkpointed frame)
+        // second filled lag built the way pred_f is (lag → ffill); its
+        // OWN lazy checkpoint — feat2 feeds both the fit aggregate and
+        // the apply join, and without it the added window pass runs twice
         val feat2 = featured
           .withColumn("lag2", lag(col("actual"), 2).over(w))
           .withColumn("x2", Features.ffill(col("lag2"), w))
           .drop("lag2")
+          .localCheckpoint(eager = false)
         val params = Features.fitAr2(
           feat2.filter(col("split") === "train"), key,
           col("pred_f"), col("x2"), col("actual"))

@@ -194,45 +194,69 @@ object Features {
     * that removes the single-partition global window while keeping
     * row-positional semantics identical: (1) range-repartition +
     * in-partition sort on `order` (one shuffle; each partition holds a
-    * contiguous, sorted key range); (2) `zipWithIndex` assigns contiguous
-    * indices in partition order — its extra internal job only counts
-    * per-partition sizes, the O(partitions) driver-side prefix sum. The
-    * RDD hop is the honest plan here: per-partition sequential indexing
-    * is exactly what `zipWithIndex` exists for, and no window/exchange
-    * shape expresses "offset each partition by the sizes of those before
-    * it". `order` MUST be a total order (include a unique tiebreak);
-    * boundary ties under a partial order would make ranks depend on
-    * where the range partitioner cut. */
+    * contiguous, sorted key range), lazily checkpointed so both passes
+    * share one sort; (2) a tiny job collects per-partition row counts —
+    * the O(partitions) driver-side prefix sum, whose total is the global
+    * count for free — then a map-only pass offsets each partition's local
+    * index (the [[graft.operators.Packing.chunkPackGlobal]] machinery
+    * with row counts in place of token sums). The RDD hop is the honest
+    * plan: no window/exchange shape expresses "offset each partition by
+    * the sizes of those before it". `order` MUST be a total order
+    * (include a unique tiebreak); boundary ties under a partial order
+    * would make ranks depend on where the range partitioner cut. */
   def withGlobalRowNumber(df: DataFrame, order: Seq[String],
                           rnCol: String = "rn",
-                          numPartitions: Int = 0): DataFrame = {
+                          numPartitions: Int = 0): DataFrame =
+    indexedByRange(df, order, rnCol, numPartitions)._1
+
+  /** [[withGlobalRowNumber]] plus the total row count the size job
+    * already paid for — callers needing both (the W5 split) must not
+    * rescan for count(). */
+  private[graft] def indexedByRange(
+      df: DataFrame, order: Seq[String], rnCol: String,
+      numPartitions: Int): (DataFrame, Long) = {
     require(order.nonEmpty, "order columns required")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(p, order.map(col): _*)
       .sortWithinPartitions(order.map(col): _*)
+      .localCheckpoint(eager = false)
+    val sizes = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator.single((i, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
     val schema = sorted.schema
       .add(rnCol, org.apache.spark.sql.types.LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    val indexed = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var rn = bc.value(i)
+      it.map { row =>
+        rn += 1L
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rn)
+      }
     }
-    spark.createDataFrame(indexed, schema)
+    (spark.createDataFrame(indexed, schema), offsets.last)
   }
 
   /** W5 with EXACT row-positional semantics and NO single-partition
-    * stage: [[withGlobalRowNumber]] plus one count — the scale form that
-    * keeps [[chronoSplit]]'s labels bit-identical (same floor arithmetic
-    * off the same total order; w5_chrono_split_dist pins it against the
-    * SAME oracle as the windowed row), where [[chronoSplitApprox]] trades
-    * exactness for boundary-value membership. Cost: one extra pass for
-    * the count and one for zipWithIndex's size job — both cheap scans;
-    * the windowed form's cost is every row through ONE partition. */
+    * stage: [[indexedByRange]] — the scale form that keeps
+    * [[chronoSplit]]'s labels bit-identical (same floor arithmetic off
+    * the same total order; w5_chrono_split_dist pins it against the SAME
+    * oracle as the windowed row), where [[chronoSplitApprox]] trades
+    * exactness for boundary-value membership. Cost: the range shuffle
+    * plus one cheap size job (which also supplies n — no separate
+    * count() scan); the windowed form's cost is every row through ONE
+    * partition. */
   def chronoSplitDistributed(df: DataFrame, order: Seq[String],
                              trainRatio: Double = 0.7,
                              valRatio: Double = 0.15): DataFrame = {
-    val n = df.count()
-    withGlobalRowNumber(df, order, rnCol = "__w5_rn")
+    val (indexed, n) = indexedByRange(df, order, "__w5_rn", 0)
+    indexed
       .withColumn("split",
         when(col("__w5_rn") <= floor(lit(n) * trainRatio), lit("train"))
           .when(col("__w5_rn") <= floor(lit(n) * trainRatio) +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,14 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Whitespace token count — THE one definition every packing surface
+    * (per-shard chunk, global chunk, batch next-fit, streaming next-fit
+    * via [[graft.streaming.StreamingPacking.tokenize]]) derives budgets
+    * from, shared with ext_token_count's `n_ws_tokens`. NULL text reads
+    * as the empty document (one empty token — `split("")` is `[""]`). */
+  private[graft] def tokenCount(c: Column): Column =
+    size(split(coalesce(c, lit("")), " ")).cast("long")
+
   /** Concat-and-chunk layout. For each document: its token span
     * `[start_off, start_off + n_tokens)` in the shard's concatenated
     * stream, the first and last `capacity`-token block it lands in, and
@@ -58,8 +66,7 @@ object Packing {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     docs
       .select(col(shardCol).as("shard"), col(orderCol).as("doc_id"),
-        size(split(coalesce(col("text"), lit("")), " "))
-          .cast("long").as("n_tokens"))
+        tokenCount(col("text")).as("n_tokens"))
       .withColumn("end_off", sum(col("n_tokens")).over(
         Window.partitionBy("shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -100,8 +107,7 @@ object Packing {
     docs
       .select(col(shardCol).cast("string").as("shard"),
         col(orderCol).cast("long").as("doc_id"),
-        size(split(coalesce(col("text"), lit("")), " "))
-          .cast("long").as("n_tokens"))
+        tokenCount(col("text")).as("n_tokens"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .as[TokDoc]
@@ -146,8 +152,7 @@ object Packing {
       else spark.sessionState.conf.numShufflePartitions
     val sorted = docs
       .select(col(orderCol).cast("long").as("doc_id"),
-        size(split(coalesce(col("text"), lit("")), " "))
-          .cast("long").as("n_tokens"))
+        tokenCount(col("text")).as("n_tokens"))
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .localCheckpoint(eager = false)

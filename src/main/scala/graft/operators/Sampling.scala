@@ -157,9 +157,18 @@ object Sampling {
     // NULL domains are excluded from the weight computation AND gated out
     // (defaultFraction 0 below) — same drop convention as an
     // absent-after-count stratum, and the collect cannot NPE on toString
+    // UTF-8 byte order, not Java's UTF-16 code-unit order: "lexicographic
+    // domain order" must mean the same thing to an engine replaying it
+    // (ORDER BY on bytes) — the two diverge for supplementary-plane
+    // characters, and a different fold order changes wsum's last ulps
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val counts = df.filter(domain.isNotNull)
       .groupBy(domain.as("__dom")).count()
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)(utf8Order)
     require(counts.nonEmpty, "temperatureMixture over an empty frame")
     val n = counts.map(_._2).sum
     val wsum = counts.foldLeft(0.0) { case (a, (_, c)) => a + w(c) }

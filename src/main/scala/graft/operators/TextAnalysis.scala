@@ -246,14 +246,19 @@ object TextAnalysis {
     * unlike the double `type_token_ratio`, is bit-identical in any
     * engine; quantile thresholds computed over it can never drift on
     * float rounding. */
+  // ONE scoring expression shared by diversityScored and
+  // diversityGateWith — the threshold artifact is only comparable to
+  // scores produced by this exact string
+  private val ttrPpbExpr =
+    "CAST(m.n_uniq_tokens AS BIGINT) * 1000000000 DIV m.n_tokens"
+
   private def diversityScored(docs: DataFrame, by: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("m",
         call_function("graft_text_metrics", coalesce(col("text"), lit(""))))
       .select(col(by).as("grp"), col("doc_id"),
-        expr("CAST(m.n_uniq_tokens AS BIGINT) * 1000000000 DIV m.n_tokens")
-          .as("ttr_ppb"))
+        expr(ttrPpbExpr).as("ttr_ppb"))
   }
 
   /** Quantile-gated quality filter, EXACT form: within each `by` group,
@@ -303,9 +308,14 @@ object TextAnalysis {
                           accuracy: Int = 10000): DataFrame = {
     require(dropFraction >= 0.0 && dropFraction < 1.0,
       s"dropFraction must be in [0,1), got $dropFraction")
-    diversityScored(docs, by).groupBy("grp")
-      .agg(expr(s"approx_percentile(ttr_ppb, $dropFraction, $accuracy)")
-        .as("thr"))
+    // dropFraction 0 must keep EVERYTHING (the exact gate's semantics):
+    // percentile(0) is the group min and the strict '>' gate would drop
+    // every min-scorer, so the no-drop threshold is below any score
+    // (ttr_ppb ≥ 0 always)
+    val thr =
+      if (dropFraction == 0.0) lit(-1L)
+      else expr(s"approx_percentile(ttr_ppb, $dropFraction, $accuracy)")
+    diversityScored(docs, by).groupBy("grp").agg(thr.as("thr"))
   }
 
   /** Apply a precomputed threshold frame: scoring is a stateless
@@ -315,21 +325,23 @@ object TextAnalysis {
     * zero-drift property, extended to a learned artifact). Every input
     * column is preserved, `ttr_ppb` is added (the gate convention);
     * working names `m`, `ttr_ppb`, `__gate_grp`, `thr` are reserved.
-    * Cache the thresholds frame caller-side for streams — the static
-    * side re-evaluates per micro-batch (the decontaminationGate
-    * convention). */
+    * Groups with NO trained threshold (a language the reference corpus
+    * never saw, or a NULL group key) PASS THROUGH ungated — a quality
+    * filter must not silently become a group whitelist; drop-unknown is
+    * the caller's explicit post-filter if wanted. Cache the thresholds
+    * frame caller-side for streams — the static side re-evaluates per
+    * micro-batch (the decontaminationGate convention). */
   def diversityGateWith(docs: DataFrame, thresholds: DataFrame,
                         by: String = "lang"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("m",
         call_function("graft_text_metrics", coalesce(col("text"), lit(""))))
-      .withColumn("ttr_ppb",
-        expr("CAST(m.n_uniq_tokens AS BIGINT) * 1000000000 DIV m.n_tokens"))
+      .withColumn("ttr_ppb", expr(ttrPpbExpr))
       .drop("m")
       .join(broadcast(thresholds.withColumnRenamed("grp", "__gate_grp")),
-        col(by) === col("__gate_grp"))
-      .where(col("ttr_ppb") > col("thr"))
+        col(by) === col("__gate_grp"), "left")
+      .where(col("thr").isNull || col("ttr_ppb") > col("thr"))
       .drop("__gate_grp", "thr")
   }
 }

@@ -543,9 +543,11 @@ object ExtensionQueries {
           col("label_predicted").as("lp_approx"))
           .join(exact.select(col("query_id"),
             col("label_predicted").as("lp_exact")), "query_id")
+          // coalesce: an empty join (no IVF index / zero coverage) must
+          // fail DEFINITELY (false), not as a three-valued NULL boolean
           .agg(count(lit(1)).as("n_covered"),
-            sum(when(col("lp_approx") === col("lp_exact"), 1L)
-              .otherwise(0L)).as("n_agree"))
+            coalesce(sum(when(col("lp_approx") === col("lp_exact"), 1L)
+              .otherwise(0L)), lit(0L)).as("n_agree"))
         queries.agg(count(lit(1)).as("n_queries")).crossJoin(agree)
           .select(col("n_queries").cast("long"),
             (col("n_covered") === col("n_queries")).as("coverage_ok"),

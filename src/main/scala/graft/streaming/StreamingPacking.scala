@@ -71,8 +71,7 @@ object StreamingPacking {
     import docs.sparkSession.implicits._
     docs.select(col(shardCol).cast("string").as("shard"),
       col(orderCol).cast("long").as("doc_id"),
-      size(split(coalesce(col("text"), lit("")), " "))
-        .cast("long").as("n_tokens"))
+      Packing.tokenCount(col("text")).as("n_tokens"))
       .as[DocTok]
   }
 }

@@ -53,11 +53,27 @@ class DiversityGateSpec extends SparkSpecBase {
       s"$disagree/$n decisions differ between exact and approx gates")
   }
 
-  test("dropFraction 0 keeps everything; oversize fraction rejected") {
+  test("dropFraction 0 keeps everything — BOTH forms (the approx gate's " +
+    "strict '>' must not shave min-scorers); oversize fraction rejected") {
     assert(TextAnalysis.diversityGateExact(docs, 0.0).count() === docs.count())
+    assert(TextAnalysis.diversityGateApprox(docs, 0.0).count() === docs.count())
     intercept[IllegalArgumentException] {
       TextAnalysis.diversityGateExact(docs, 1.0)
     }
+  }
+
+  test("gate-with-artifact: groups absent from the thresholds PASS " +
+    "THROUGH — a quality filter must not become a group whitelist") {
+    val thresholds = TextAnalysis.diversityThresholds(docs, 0.25)
+    val unknown = Seq((90001L, "xx", "some entirely new language text here"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.diversityGateWith(
+      docs.select("doc_id", "lang", "text").unionByName(unknown), thresholds)
+    assert(ids(out).contains(90001L))
+    // known groups are still gated (survivor count matches the plain form)
+    assert(out.count() ===
+      TextAnalysis.diversityGateWith(
+        docs.select("doc_id", "lang", "text"), thresholds).count() + 1)
   }
 
   test("plan: approx gate has no per-group sort and broadcasts the " +
