@@ -414,6 +414,50 @@ object CoreQueries {
       """SELECT event_type, TRUE AS median_in_band
         |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin),
 
+    // F15 (engine extension) — tumbling event-time windows in BATCH: the
+    // window() table function (Spark) vs time_bucket (DuckDB), epoch-
+    // aligned day buckets on the NTZ timestamp — the batch twin of the
+    // streaming windowed aggregation the streaming suite pins, made
+    // data-visible. Micro-unit sums, a13's exact-integer contract.
+    "f15_tumbling_window" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr("CAST(round(value * 1e6) AS BIGINT)")), lit(0L))
+            .as("value_micro"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("value_micro")),
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+        |  event_type, count(*) AS n,
+        |  CAST(coalesce(sum(CAST(round(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |    AS value_micro
+        |FROM events GROUP BY 1, 2, 3""".stripMargin),
+
+    // J9 (engine extension) — null-safe equality join (<=> / IS NOT
+    // DISTINCT FROM): NULL keys MATCH each other instead of vanishing —
+    // the reconciliation-join semantics plain equi-joins silently drop
+    // rows under. The derived key is NULL for one event class, so the
+    // null bucket is genuinely exercised.
+    "j9_null_safe_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("k", expr("nullif(event_type, 'view')"))
+        val a = ev.groupBy(col("k")).agg(count(lit(1)).as("n_all"))
+        val b = ev.filter(col("value").isNotNull)
+          .groupBy(col("k")).agg(count(lit(1)).as("n_valued"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), col("n_all"), col("n_valued"))
+      },
+      """WITH e AS (
+        |  SELECT nullif(event_type, 'view') AS k, value FROM events),
+        |a AS (SELECT k, count(*) AS n_all FROM e GROUP BY k),
+        |b AS (SELECT k, count(*) AS n_valued FROM e
+        |      WHERE value IS NOT NULL GROUP BY k)
+        |SELECT a.k, a.n_all, b.n_valued
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin),
+
     // A18 (engine extension) — EXACT median, fully hash-paired (a12 pins
     // only a band): the k-th-smallest formulation on BIGINT micro-units.
     // lo = (n+1) DIV 2, hi = (n+2) DIV 2 pick the middle element(s) by
