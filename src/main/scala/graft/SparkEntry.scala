@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, JoinQueries, PackingQueries, PipelineQueries, SamplingQueries, SinkQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, CleaningQueries, CoreQueries, ExtensionQueries, FeatureQueries, JoinQueries, PackingQueries, PipelineQueries, SamplingQueries, SinkQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     val maps = Seq(CoreQueries.defs, TpchQueries.defs, ExtensionQueries.defs,
       CleaningQueries.defs, FeatureQueries.defs, PipelineQueries.defs,
       SinkQueries.defs, JoinQueries.defs, SamplingQueries.defs,
-      PackingQueries.defs)
+      PackingQueries.defs, AnalyticsQueries.defs)
     // A name collision across files would silently SHADOW a query in the
     // ++ merge — the driver would verify one implementation believing it
     // covered the other. Fail loudly instead.

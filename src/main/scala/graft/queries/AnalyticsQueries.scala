@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.EventAnalytics
+
+/** Event-sequence analytics rows (engine extension): ordered funnel,
+  * weekly cohort retention, and journey-path counting over the `events`
+  * table — the downstream-BI workloads of the reference's event pipeline,
+  * re-expressed as distributed operators ([[graft.operators.EventAnalytics]]).
+  *
+  * Determinism: all outputs are integer counts, DATEs, or strings built
+  * from explicitly (ts, event_id)-ordered sequences — no doubles anywhere,
+  * so the DuckDB differential is exact by construction.
+  */
+object AnalyticsQueries {
+
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // EV1 — ordered funnel: users reaching each stage with all prior
+    // stages completed in (ts, event_id) order. The oracle re-derives
+    // each stage's per-user first-completion time via row_number + a
+    // row-value comparison — an independent formulation of the same
+    // strict ordering the Spark side expresses with struct min/joins.
+    "ev1_funnel" -> QueryDef(
+      (s, dir) => EventAnalytics.funnel(Tables.events(s, dir), funnelStages),
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM base WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'view'
+        |      AND (e.ts, e.event_id) > (s1.ts, s1.event_id)) WHERE rn = 1),
+        |s3 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts, e.event_id) > (s2.ts, s2.event_id)) WHERE rn = 1),
+        |s4 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s3 ON e.user_id = s3.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts, e.event_id) > (s3.ts, s3.event_id)) WHERE rn = 1)
+        |SELECT CAST(1 AS INT) AS stage, 'signup' AS stage_name,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT CAST(2 AS INT), 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INT), 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT CAST(4 AS INT), 'purchase', (SELECT count(*) FROM s4)""".stripMargin),
+
+    // EV2 — weekly cohort retention: cohort = ISO week of first event,
+    // active_users per whole-week offset. Monday week truncation agrees
+    // between Spark and DuckDB; offsets are exact integer day-div-7.
+    "ev2_retention" -> QueryDef(
+      (s, dir) => EventAnalytics.retentionCohorts(Tables.events(s, dir), "week"),
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS period
+        |  FROM events)
+        |SELECT cohort,
+        |  CAST(datediff('day', cohort, period) // 7 AS INT) AS period_offset,
+        |  count(*) AS active_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin),
+
+    // EV3 — journey paths: the first 8 event types per user in strict
+    // (ts, event_id) order joined with '>', counted across users. The
+    // Spark side sorts (rn, type) pairs post-collect (collect_list order
+    // is nondeterministic); the oracle uses ORDER BY inside string_agg.
+    "ev3_journeys" -> QueryDef(
+      (s, dir) => EventAnalytics.journeys(Tables.events(s, dir), maxSteps = 8),
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.EventAnalytics
+
+/** Pins the event-analytics semantics the sf0.01 differential can't
+  * isolate: strict in-order funnel progression (a later stage's event
+  * BEFORE the prior stage's first completion must not count), same-ts
+  * tie-breaking by event_id, retention offsets, and the journey step cap. */
+class EventAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(day: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:${sec}%02d")
+
+  // user 1: signup → view → purchase (reaches 1,2, skips click → stops at 2)
+  // user 2: view BEFORE signup, then signup only → view must not count
+  // user 3: full in-order funnel
+  // user 4: click/purchase only → reaches nothing (no signup)
+  private val events = Seq(
+    (1L, ts(1), 1L, "signup"), (2L, ts(2), 1L, "view"), (3L, ts(3), 1L, "purchase"),
+    (4L, ts(1), 2L, "view"), (5L, ts(2), 2L, "signup"),
+    (6L, ts(5), 3L, "signup"), (7L, ts(6), 3L, "view"),
+    (8L, ts(7), 3L, "click"), (9L, ts(8), 3L, "purchase"),
+    (10L, ts(1), 4L, "click"), (11L, ts(2), 4L, "purchase")
+  ).toDF("event_id", "ts", "user_id", "event_type")
+
+  private val stages = Seq("signup", "view", "click", "purchase")
+
+  test("funnel: stages only count when reached strictly in order") {
+    val out = EventAnalytics.funnel(events, stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("funnel: same-timestamp progression is broken by event_id, strictly") {
+    val sameTs = Seq(
+      (1L, ts(1), 1L, "signup"), (2L, ts(1), 1L, "view"), // id 2 > id 1 → counts
+      (4L, ts(1), 2L, "view"), (5L, ts(1), 2L, "signup") // view id < signup id → no
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.funnel(sameTs, Seq("signup", "view"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("retention: cohort is the first-event week; offsets count whole weeks") {
+    // 2024-01-01 is a Monday. user 1 first active week 0, again weeks 0 and 2;
+    // user 2 first active in week 2 only.
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (2L, ts(3), 1L, "view"), (3L, ts(15), 1L, "view"),
+      (4L, ts(16), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.retentionCohorts(ev, "week")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L, ("2024-01-15", 0) -> 1L))
+  }
+
+  test("journeys: capped at maxSteps in (ts, event_id) order") {
+    val out = EventAnalytics.journeys(events, maxSteps = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "signup>view" -> 2L, // users 1 and 3 (truncated at 2 steps)
+      "view>signup" -> 1L, // user 2
+      "click>purchase" -> 1L)) // user 4
+  }
+}
