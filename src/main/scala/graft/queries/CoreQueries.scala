@@ -349,6 +349,31 @@ object CoreQueries {
         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin),
 
+    // P4 (engine extension) — UNPIVOT/melt: the inverse reshape of P3,
+    // wide metric columns back to (key, metric, val) long form — the
+    // shape feature stores and metric warehouses ingest. All melted
+    // values are BIGINT so the single `val` column is type-stable; the
+    // oracle re-derives via UNION ALL (the portable UNPIVOT).
+    "p4_unpivot" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          coalesce(sum(expr("CAST(round(value * 1e6) AS BIGINT)")), lit(0L))
+            .as("value_micro"))
+        .unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("n_users"), col("value_micro")),
+          "metric", "val"),
+      """WITH w AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users,
+        |    CAST(coalesce(sum(CAST(round(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |      AS value_micro
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, 'n_events' AS metric, n_events AS val FROM w
+        |UNION ALL SELECT event_type, 'n_users', n_users FROM w
+        |UNION ALL SELECT event_type, 'value_micro', value_micro FROM w""".stripMargin),
+
     // A11 (engine extension) — HyperLogLog approximate distinct: the
     // sketch every 100-TB pipeline uses where exact countDistinct's
     // per-key shuffle state is unaffordable. The HLL value itself is

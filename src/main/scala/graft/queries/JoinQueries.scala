@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, BloomPrune, RangeJoin}
 
 /** Time-series join operators (engine extensions — SURVEY §2c covers the
   * reference's five equi-join shapes; these are the two non-equi joins a
@@ -234,5 +234,28 @@ object JoinQueries {
         |  c.n_clicks IS NOT NULL AS has_clicks,
         |  coalesce(p.purchase_micros, 0) AS purchase_micros,
         |  coalesce(c.n_clicks, 0) AS n_clicks
-        |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id""".stripMargin))
+        |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id""".stripMargin),
+
+    // J10 (engine extension) — bloom-pruned semi-join: orders placed by
+    // BUILDING-segment customers, with the probe side (orders) pruned
+    // MAP-SIDE by a bloom sketch of the build keys before the exact
+    // semi-join ([[BloomPrune]] — cuts the probe shuffle to
+    // |matches| + fpp·|probe| at scale). The oracle is the plain IN
+    // semi-join: the sketch must be result-invisible by construction.
+    "j10_bloom_semi" -> QueryDef(
+      (s, dir) => {
+        val buyers = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        BloomPrune.semiJoinLong(
+          Tables.orders(s, dir), "o_custkey", buyers, "c_custkey",
+          expectedItems = 10000L)
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin))
 }
