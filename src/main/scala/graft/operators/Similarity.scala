@@ -416,6 +416,83 @@ object Similarity {
     * margins — wide margins (few labels, clustered classes) absorb
     * recall loss, while this corpus's 10-way mid-cosine votes track it
     * nearly 1:1 (see the row's regime note). */
+  // ---- int8 scalar quantization (SQ8) ----
+
+  /** Trained per-dimension int8 quantizer + the quantized corpus.
+    * `mins(d)`/`spans(d)` map dimension d's corpus range onto the 256
+    * levels; `quantized` holds (vec_id, qvec array<tinyint>) — 1 byte per
+    * dimension at rest instead of 4, the difference between a 100 TB and
+    * a 25 TB serving index. */
+  final case class SqIndex(mins: Seq[Double], spans: Seq[Double],
+                           quantized: DataFrame)
+
+  /** Train the quantizer and quantize the corpus in one pass shape:
+    * per-dimension min/max via a distributed posexplode aggregation
+    * (collects exactly D stat rows to the driver — corpus-size-
+    * independent, the IVF-seeding convention), then a codegen'd HOF
+    * transform maps each element to its level: level = round((x−mn)/span
+    * ·255), stored −128-shifted as tinyint. Zero-span dimensions quantize
+    * to level 0 and reconstruct to the (constant) min — exact. */
+  def buildSqIndex(corpus: DataFrame): SqIndex = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = stats.map(_._2).toSeq
+    val spans = stats.map { case (_, mn, mx) => math.max(mx - mn, 1e-12) }.toSeq
+    val mnL = array(mins.map(lit): _*)
+    val spL = array(spans.map(lit): _*)
+    val qvec = transform(col("embedding"), (x, i) =>
+      (round((x.cast("double") - element_at(mnL, i + 1))
+        / element_at(spL, i + 1) * 255.0).cast("int") - 128).cast("byte"))
+    SqIndex(mins, spans, corpus.select(col("vec_id"), qvec.as("qvec")))
+  }
+
+  /** Dequantized view of a qvec column under the index's params (an
+    * array<double> — feeds [[dot]] directly). */
+  def dequantize(index: SqIndex, qvecCol: Column): Column = {
+    val mnL = array(index.mins.map(lit): _*)
+    val spL = array(index.spans.map(lit): _*)
+    transform(qvecCol, (q, i) =>
+      element_at(mnL, i + 1)
+        + (q.cast("double") + 128.0) / 255.0 * element_at(spL, i + 1))
+  }
+
+  /** Quantized top-k with exact re-ranking (the FAISS SQ8 serving shape).
+    * Stage 1 scores queries ASYMMETRICALLY — full-precision query against
+    * the dequantized corpus (ADC; quantizing only one side halves the
+    * quantization noise for free) — and keeps `rerank ≥ k` candidates per
+    * query via the map-side-partial TopKAggregator. Stage 2 rescores just
+    * those |queries|·rerank candidates against the full-precision corpus
+    * and keeps k.
+    *
+    * Scale: stage 1 reads the int8 index (4× less IO/memory than the
+    * float corpus — compose with [[ivfTopK]]'s centroid pruning for the
+    * compute cut, exactly as FAISS's IVF-SQ8 does); stage 2 touches only
+    * the candidate ids, so the float corpus is read once per candidate,
+    * never scanned. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val index = buildSqIndex(corpus)
+    val c = index.quantized
+      .select(col("vec_id").as("neighbor_id"),
+        dequantize(index, col("qvec")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val q = withNorm(queries, "query_id", "qv", "qn")
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val cand = scoredTopK(scored, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    topKAmong(cand, queries, corpus, k)
+  }
+
   def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
                      k: Int, nProbe: Int): DataFrame =
     knnVote(ivfTopKWithIndex(queries, corpus, index, k, nProbe),

@@ -481,6 +481,24 @@ object ExtensionQueries {
       },
       annInvariantOracle),
 
+    // Int8 scalar-quantized top-k (SQ8 + exact re-rank, the FAISS
+    // serving shape): stage 1 scores against the 4×-smaller dequantized
+    // int8 index keeping 20 candidates/query, stage 2 rescores those
+    // exactly. Same [[annInvariants]] aggregate; the floor is high (0.9)
+    // because SQ8 noise only matters where neighbours are separated by
+    // less than ~span/255 per dim and the 4× rerank margin absorbs
+    // nearly all inversions (measured 1.0 at sf0.01).
+    "ann_sq8_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        annInvariants(queries,
+          Similarity.sqTopK(queries, emb, k = 5, rerank = 20),
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.9)
+      },
+      annInvariantOracle),
+
     // k-NN classification, exact form: brute-force cosine top-5 →
     // majority vote (plurality, ties to smaller label) — the vote is
     // integer-only, so unlike the float scores beneath it the full

@@ -181,4 +181,37 @@ class SimilaritySpec extends SparkSpecBase {
     val k4 = Similarity.knnClassify(queries, corpus, 4).collect().head
     assert(k4.getAs[Int]("label_predicted") === 1)
   }
+
+  test("SQ8: dequantization error bounded by half a level per dimension") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val index = Similarity.buildSqIndex(emb)
+    // worst per-dim |x − dequant(quant(x))| must be ≤ span/255/2 (+ float eps)
+    val maxLevel = index.spans.max / 255.0 / 2.0 + 1e-6
+    val err = emb.join(index.quantized, "vec_id")
+      .withColumn("dq", Similarity.dequantize(index, col("qvec")))
+      .select(expr("aggregate(zip_with(embedding, dq, (x, y) -> abs(CAST(x AS DOUBLE) - y)), 0D, (a, e) -> greatest(a, e))").as("m"))
+      .agg(max(col("m"))).as[Double].collect().head
+    assert(err <= maxLevel, s"max dequantization error $err > $maxLevel")
+  }
+
+  test("SQ8 top-k with re-rank: high recall vs brute force; constant dims exact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val sq = pairs(Similarity.sqTopK(queries, emb, k = 5, rerank = 20))
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall $recall below floor")
+
+    // a constant (zero-span) dimension reconstructs exactly to its min
+    import spark.implicits._
+    val const = Seq((1L, Seq(0.5f, 1.0f)), (2L, Seq(0.5f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildSqIndex(const)
+    val back = idx.quantized
+      .select(Similarity.dequantize(idx, col("qvec")).as("v"))
+      .select(expr("v[0]").as("d0")).as[Double].collect()
+    assert(back.forall(v => math.abs(v - 0.5f.toDouble) < 1e-9))
+  }
 }
