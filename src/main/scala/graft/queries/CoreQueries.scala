@@ -374,6 +374,49 @@ object CoreQueries {
         |UNION ALL SELECT event_type, 'n_users', n_users FROM w
         |UNION ALL SELECT event_type, 'value_micro', value_micro FROM w""".stripMargin),
 
+    // A20 (engine extension) — z-score anomaly detection, EXACT: flag
+    // events beyond 3σ of their event_type's value distribution. The
+    // σ comparison is integerized by cross-multiplication — |x−μ| > 3σ
+    // ⟺ (n·x−s)² > 9·(n·q−s²) with x in BIGINT micro-units, s=Σx, q=Σx²
+    // — evaluated in DECIMAL(38,0) (int128 in DuckDB, exact in Spark), so
+    // the flag involves NO floating point and hash-matches bit-for-bit.
+    // One groupBy + one broadcast-size join back: the anomaly gate is a
+    // scan predicate at scale.
+    "a20_zscore_outliers" -> QueryDef(
+      (s, dir) => {
+        val x = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 1e6) AS BIGINT)").as("xm"))
+          .localCheckpoint(eager = false)
+        val g = x.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+            sum(col("xm").cast("decimal(19,0)")).cast("decimal(19,0)").as("sx"),
+            sum(col("xm").cast("decimal(19,0)") * col("xm").cast("decimal(19,0)"))
+              .cast("decimal(38,0)").as("q"))
+        x.join(broadcast(g), "event_type")
+          .filter(
+            (col("n") * col("xm").cast("decimal(19,0)") - col("sx"))
+              * (col("n") * col("xm").cast("decimal(19,0)") - col("sx"))
+              > lit(9) * (col("n") * col("q") - col("sx") * col("sx")))
+          .select(col("event_id"), col("event_type"), col("xm"))
+      },
+      """WITH x AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS xm
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DECIMAL(19,0)) AS n,
+        |    CAST(sum(CAST(xm AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+        |    CAST(sum(CAST(xm AS DECIMAL(19,0)) * CAST(xm AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS q
+        |  FROM x GROUP BY event_type)
+        |SELECT event_id, x.event_type, xm
+        |FROM x JOIN g ON x.event_type = g.event_type
+        |WHERE (n * CAST(xm AS DECIMAL(19,0)) - sx)
+        |    * (n * CAST(xm AS DECIMAL(19,0)) - sx)
+        |  > 9 * (n * q - sx * sx)""".stripMargin),
+
     // A11 (engine extension) — HyperLogLog approximate distinct: the
     // sketch every 100-TB pipeline uses where exact countDistinct's
     // per-key shuffle state is unaffordable. The HLL value itself is

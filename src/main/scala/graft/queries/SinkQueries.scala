@@ -219,6 +219,40 @@ object SinkQueries {
         |JOIN (SELECT user_id, count(*) AS user_n
         |      FROM events GROUP BY user_id) ua USING (user_id)""".stripMargin),
 
+    // OPT — Hive-style date partitioning + partition pruning: the 100-TB
+    // layout decision. The write lays events out as event_date=YYYY-MM-DD
+    // directories; the read-back filters three days, and Catalyst prunes
+    // at PLANNING time — the scan lists only 3 of 30 partition dirs (a
+    // PartitionPruningSpec pin asserts numFiles). The oracle re-derives
+    // the same three days from the unpartitioned table, so the round trip
+    // (date typing through directory names included) is data-checked.
+    "opt_partition_pruning" -> QueryDef(
+      (s, dir) => {
+        val path = scratch(s, "part_events")
+        Tables.events(s, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("event_date"))
+          // cluster rows into their partition before the write: without
+          // this every input split emits a file into every date dir
+          // (splits × dates small files — the classic layout mistake)
+          .repartition(col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(path)
+        s.read.parquet(path)
+          .filter(col("event_date")
+            .between(lit("2024-01-05"), lit("2024-01-07")))
+          .groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(expr("CAST(round(value * 1e6) AS BIGINT)")), lit(0L))
+              .as("value_micro"))
+      },
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+        |  CAST(coalesce(sum(CAST(round(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |    AS value_micro
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        |GROUP BY 1, 2""".stripMargin),
+
     // SRC3/SNK2 over a REAL JDBC engine (embedded Derby — see
     // operators/Jdbc.scala): first load writes with the generic 1000-row
     // batchsize (db_connector.py:120), then a truncate-and-load REPLACES
