@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ingest, Sinks}
+import graft.operators.{Incremental, Ingest, Scd2, Sinks}
 
 /** Oracle-paired registrations for the sink/source semantics that round 2
   * left spec-only (round-2 verdict item 5): each query performs the sink's
@@ -252,6 +252,70 @@ object SinkQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
         |GROUP BY 1, 2""".stripMargin),
+
+    // SNK7 (engine extension) — incremental aggregate maintenance: the
+    // historical 2/3 of events is aggregated into per-type state, PERSISTED
+    // (the artifact hop), then the remaining 1/3 "new batch" is merged
+    // state-to-state — history is never rescanned ([[Incremental]]). The
+    // oracle aggregates the full table directly, so the row proves
+    // merge(state(old), state(batch)) ≡ state(old ∪ batch) through the
+    // parquet round trip.
+    "snk7_incremental_agg" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val statePath = scratch(s, "inc_state")
+        Incremental.aggState(
+          e.filter(col("event_id") % 3 =!= 0), Seq("event_type"))
+          .write.mode("overwrite").parquet(statePath)
+        val batchState = Incremental.aggState(
+          e.filter(col("event_id") % 3 === 0), Seq("event_type"))
+        Incremental.merge(s.read.parquet(statePath), batchState,
+          Seq("event_type"))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |  CAST(min(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS min_micro,
+        |  CAST(max(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS max_micro
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type""".stripMargin),
+
+    // SNK8 (engine extension) — SCD type-2 dimension merge: a per-user
+    // activity tier snapshotted mid-month seeds the history; the
+    // month-end snapshot then closes changed rows at the effective date
+    // and opens new versions ([[Scd2.merge]]) — one open-slice ⋈ snapshot
+    // full-outer join, fact table untouched. The oracle derives the same
+    // history declaratively from the two snapshots (unchanged / expired /
+    // opened slices), so interval endpoints and the null-open convention
+    // are all data-checked.
+    "snk8_scd2_dimension" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def tiers(df: DataFrame): DataFrame =
+          df.groupBy(col("user_id"))
+            .agg(expr("count(1) div 10").as("tier"))
+        val s1 = tiers(e.filter(to_date(col("ts")) <= lit("2024-01-15")))
+        val s2 = tiers(e)
+        Scd2.merge(
+          Scd2.initial(s1, java.sql.Date.valueOf("2024-01-16")),
+          s2, Seq("user_id"), Seq("tier"),
+          java.sql.Date.valueOf("2024-01-31"))
+      },
+      """WITH s1 AS (
+        |  SELECT user_id, count(*) // 10 AS tier FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-15' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT user_id, count(*) // 10 AS tier FROM events GROUP BY user_id)
+        |SELECT s1.user_id, s1.tier,
+        |  DATE '2024-01-16' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s2.user_id IS NULL OR s1.tier = s2.tier
+        |UNION ALL
+        |SELECT s1.user_id, s1.tier, DATE '2024-01-16', DATE '2024-01-31'
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id WHERE s1.tier <> s2.tier
+        |UNION ALL
+        |SELECT s2.user_id, s2.tier, DATE '2024-01-31', CAST(NULL AS DATE)
+        |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s1.tier <> s2.tier""".stripMargin),
 
     // SRC3/SNK2 over a REAL JDBC engine (embedded Derby — see
     // operators/Jdbc.scala): first load writes with the generic 1000-row
