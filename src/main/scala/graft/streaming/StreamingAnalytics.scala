@@ -113,4 +113,55 @@ object StreamingAnalytics {
           EntityLatest(key._1, key._2, s.latestTime, s.latestValue, s.n)
       }
   }
+
+  /** One raw funnel input event. */
+  final case class FunnelEvent(
+      userId: Long, eventType: String, eventTime: java.sql.Timestamp,
+      eventId: Long)
+
+  /** Per-user funnel state: stages completed so far and the strict
+    * (ts, id) position of the last completion. */
+  final case class FunnelState(stage: Int, reachMs: Long, reachId: Long)
+
+  /** Emitted per user per batch: the user's current funnel stage. */
+  final case class FunnelReach(userId: Long, stage: Int)
+
+  /** EV1, streaming: the ordered funnel ([[graft.operators.EventAnalytics
+    * .funnel]]) as per-user mapGroupsWithState — state is ONE (stage,
+    * position) record per user, advanced when the next stage's event
+    * occurs strictly after the previous stage's first completion (same
+    * (ts, event_id) strict order as the batch operator; intra-batch
+    * disorder is absorbed by sorting each user's micro-batch slice,
+    * which is bounded by the batch size).
+    *
+    * Cross-batch limitation, stated honestly: an event arriving in a
+    * LATER micro-batch but with an EARLIER event time than an already-
+    * consumed completion cannot retroactively advance the funnel —
+    * the inherent trade of single-record state. Feed the stream in
+    * event-time order (or partition-ordered, per user) for exact batch
+    * parity; the StreamingAnalyticsSpec differential does exactly that.
+    */
+  def funnelProgress(spark: SparkSession, events: Dataset[FunnelEvent],
+                     stages: Seq[String]): Dataset[FunnelReach] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          val sorted = batch.toArray.sortBy(e => (e.eventTime.getTime, e.eventId))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Long.MinValue))
+          sorted.foreach { e =>
+            val pos = (e.eventTime.getTime, e.eventId)
+            if (st.stage < stages.length && e.eventType == stages(st.stage) &&
+              (st.stage == 0 ||
+                Ordering[(Long, Long)].gt(pos, (st.reachMs, st.reachId)))) {
+              st = FunnelState(st.stage + 1, e.eventTime.getTime, e.eventId)
+            }
+          }
+          state.update(st)
+          FunnelReach(user, st.stage)
+      }
+  }
 }

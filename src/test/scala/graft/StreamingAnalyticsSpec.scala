@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.operators.EventAnalytics
 import graft.streaming.StreamingAnalytics
-import graft.streaming.StreamingAnalytics.{EntityLatest, EventRow}
+import graft.streaming.StreamingAnalytics.{EntityLatest, EventRow, FunnelEvent}
 
 /** Pins the streaming analytics semantics: watermarked windowed counts and
   * the stateful latest-per-group operator, including state evolution
@@ -136,6 +137,65 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
         (ts("2025-01-05 10:00:00"), "USD", 2L, 1L),
         (ts("2025-01-05 11:00:00"), "USD", 1L, 1L),
         (ts("2025-01-05 10:00:00"), "EUR", 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("funnelProgress: strict in-order advance across micro-batches; no retro-advance") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingAnalytics.funnelProgress(spark, in.toDS(),
+      Seq("signup", "view", "purchase"))
+      .writeStream.format("memory").queryName("fun_t").outputMode("update").start()
+    try {
+      // user 1: signup then (same batch, ts disorder) view BEFORE it — only stage 1
+      // user 2: view only — stage 0
+      in.addData(
+        FunnelEvent(1L, "view", ts("2025-01-01 09:00:00"), 1L),
+        FunnelEvent(1L, "signup", ts("2025-01-01 10:00:00"), 2L),
+        FunnelEvent(2L, "view", ts("2025-01-01 10:00:00"), 3L))
+      q.processAllAvailable()
+      // user 1: view then purchase in a later batch → advances to 3
+      in.addData(
+        FunnelEvent(1L, "view", ts("2025-01-01 11:00:00"), 4L),
+        FunnelEvent(1L, "purchase", ts("2025-01-01 12:00:00"), 5L))
+      q.processAllAvailable()
+      val stages = spark.table("fun_t").groupBy(col("userId"))
+        .agg(max(col("stage")).as("stage")) // stage is monotone per user
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stages === Map(1L -> 3, 2L -> 0))
+    } finally q.stop()
+  }
+
+  test("funnelProgress differential: event-time-ordered stream matches the batch funnel") {
+    implicit val sq = spark.sqlContext
+    val stages = Seq("signup", "view", "click", "purchase")
+    val batchEvents = Tables.events(spark, sf0001)
+    val expected = EventAnalytics.funnel(batchEvents, stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+    val rows = batchEvents
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](2)),
+        r.getLong(3)))
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingAnalytics.funnelProgress(spark, in.toDS(), stages)
+      .writeStream.format("memory").queryName("fun_d").outputMode("update").start()
+    try {
+      // three event-time-ordered chunks → state must carry across batches
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val finalStages = spark.table("fun_d").groupBy(col("userId"))
+        .agg(max(col("stage")).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+      val streamed = (1 to stages.length).map(k =>
+        k -> finalStages.count(_._2 >= k).toLong).toMap
+      assert(streamed === expected,
+        s"streamed funnel $streamed != batch funnel $expected")
     } finally q.stop()
   }
 }
