@@ -385,6 +385,63 @@ object Dedup {
     assigned.join(canon, Seq("cluster_id"))
   }
 
+  /** Frequent-passage removal (the C4 / CCNet sub-document dedup step —
+    * near-dup PAIR removal drops whole documents, but boilerplate
+    * passages shared by thousands of otherwise-distinct pages survive it;
+    * the production fix is to delete the repeated passages themselves):
+    * split each document into consecutive non-overlapping `chunkWords`-word
+    * passages, count each passage's corpus document frequency, and rebuild
+    * every document keeping only passages appearing in ≤ `maxDocFreq`
+    * distinct documents (original order preserved).
+    *
+    * Scale design (100 TB): the passage split is map-side (one pass over
+    * text, no shuffle); the document-frequency aggregate shuffles
+    * 8-byte xxhash64 passage keys — not passage text — with map-side
+    * partial `count distinct` collapsed to a two-level exact groupBy
+    * ((hash, doc) then hash) so a viral passage is combined before the
+    * exchange; the frequent-passage set (tiny by Zipf — df > k passages
+    * are a sliver of distinct passages) broadcasts back as a left-anti
+    * probe ONLY conceptually: the join below keys the full passage list
+    * against it on the 8-byte hash, which AQE plans as broadcast when it
+    * fits. Rebuild groups by doc_id — narrow rows, text reassembled from
+    * kept passages only. A 64-bit hash collision folding two distinct
+    * passages together is a ~2⁻⁶⁴-per-pair false drop — the same accepted
+    * trade as dedup_exact's key.
+    *
+    * Output: (doc_id, text_clean, n_kept, n_dropped); documents whose
+    * every passage is boilerplate yield text_clean = "".
+    */
+  def passageDedup(docs: DataFrame, chunkWords: Int, maxDocFreq: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val chunks = spread(docs)
+      .withColumn("ws", tokens(coalesce(col("text"), lit(""))))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / ${chunkWords}.0) AS INT) - 1),
+           |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"""
+          .stripMargin)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("ch", xxhash64(col("chunk")))
+      // feeds the document-frequency aggregate AND the rebuild join
+      .localCheckpoint(eager = false)
+    // exact df per passage hash: (ch, doc) dedup first — both levels get
+    // map-side partial combine, unlike a single countDistinct over a
+    // skewed viral passage
+    val frequent = chunks.select(col("ch"), col("doc_id")).distinct()
+      .groupBy(col("ch")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("ch"), lit(true).as("dup"))
+    chunks.join(frequent, Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          """transform(
+            |  array_sort(collect_list(CASE WHEN dup IS NULL
+            |    THEN struct(chunk_idx, chunk) END)),
+            |  s -> s.chunk)""".stripMargin), " ").as("text_clean"),
+        count(when(col("dup").isNull, 1)).as("n_kept"),
+        count(when(col("dup").isNotNull, 1)).as("n_dropped"))
+  }
+
   def simhashPairsFromSketch(sk: DataFrame, maxDist: Int,
                              probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 16,

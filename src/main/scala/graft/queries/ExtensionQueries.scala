@@ -418,6 +418,36 @@ object ExtensionQueries {
          |    PARTITION BY cluster_id ORDER BY len(t) DESC, doc_id) AS canonical_id
          |FROM assigned""".stripMargin),
 
+    // Frequent-passage removal (C4/CCNet sub-document dedup): 5-word
+    // passages appearing in > 2 distinct documents are boilerplate and
+    // deleted from every document that carries them (35 such passages in
+    // this corpus — the drop path is genuinely exercised). The oracle
+    // re-derives the chunking with list slicing over generate_series and
+    // the rebuild with an ordered, filtered string_agg. Spark groups the
+    // df count by the 8-byte passage hash (scale: never shuffles passage
+    // text); the oracle groups by the passage itself — same survivors
+    // absent a 64-bit collision.
+    "dedup_passages" -> QueryDef(
+      (s, dir) => Dedup.passageDedup(Tables.documents(s, dir),
+        chunkWords = 5, maxDocFreq = 2),
+      """WITH w AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(ws[i*5+1 : (i+1)*5], ' ') AS chunk
+        |  FROM w, unnest(range(0, CAST(ceil(len(ws)/5.0) AS INT))) AS t(i)),
+        |df AS (
+        |  SELECT chunk FROM ch GROUP BY chunk
+        |  HAVING count(DISTINCT doc_id) > 2)
+        |SELECT c.doc_id,
+        |  coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_idx)
+        |    FILTER (d.chunk IS NULL), '') AS text_clean,
+        |  count(*) FILTER (d.chunk IS NULL) AS n_kept,
+        |  count(*) FILTER (d.chunk IS NOT NULL) AS n_dropped
+        |FROM ch c LEFT JOIN df d ON c.chunk = d.chunk
+        |GROUP BY c.doc_id""".stripMargin),
+
     // Exact cosine top-k: every 50th vector queries the full corpus,
     // k=5, rank ties broken by neighbor id. Brute-force baseline — the
     // scale path is ann_lsh_topk.

@@ -209,4 +209,30 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors === Set(11L, 20L, 30L))
   }
+
+  test("passageDedup: frequent passages removed in place, order kept, all-boilerplate doc -> empty") {
+    // chunkWords=2: "x1 x2" is the first passage of docs 1-3 (df=3 > 2);
+    // every other passage is unique. Doc 4 is boilerplate-only.
+    val corpus = Seq(
+      (1L, "x1 x2 a b c d"),
+      (2L, "x1 x2 e f"),
+      (3L, "x1 x2 g h i"), // tail passage "i" (1 word) exercises the clamp
+      (4L, "x1 x2"),
+      (5L, "j k l m")
+    ).toDF("doc_id", "text")
+    // doc 4's only passage is dropped -> df counts docs, not occurrences
+    val out = Dedup.passageDedup(corpus, chunkWords = 2, maxDocFreq = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text_clean"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+    assert(out(0) === ((1L, "a b c d", 2L, 1L)))
+    assert(out(1) === ((2L, "e f", 1L, 1L)))
+    assert(out(2) === ((3L, "g h i", 2L, 1L)))
+    assert(out(3) === ((4L, "", 0L, 1L)))
+    assert(out(4) === ((5L, "j k l m", 2L, 0L)))
+    // maxDocFreq=4 keeps everything (df is exactly 4 for "x1 x2")
+    assert(Dedup.passageDedup(corpus, chunkWords = 2, maxDocFreq = 4)
+      .agg(sum(col("n_dropped"))).head().getLong(0) === 0L)
+  }
 }
