@@ -138,6 +138,46 @@ object Dedup {
   def minhashSignature(shCol: String, numPerm: Int): Column =
     call_function("graft_minhash_sig", col(shCol), lit(numPerm))
 
+  /** One row per document: `(doc_id, sh, sig)` — sorted hashed shingles
+    * plus the MinHash signature. This IS the persistable near-dup INDEX:
+    * write it to parquet once when the corpus is first deduplicated, and
+    * every later ingest batch probes it via [[minhashPairsAgainst]]
+    * instead of re-sketching the full corpus (the incremental-dedup
+    * production shape — at 100 TB, re-reading the corpus per ingest batch
+    * is the difference between a batch-sized job and a corpus-sized one).
+    *
+    * The sketch contract (n, numPerm) is embedded in `sig`'s column
+    * metadata — the [[Decontamination.benchmarkGrams]] pack/probe
+    * convention — and survives a parquet round-trip (Spark persists
+    * column metadata in the file footer's schema), so a probe can never
+    * silently re-sketch its batch with parameters different from the
+    * index's (a mismatch would make every true near-dup invisible — the
+    * silent false-negative direction for a dedup gate). Short documents
+    * (empty shingle sets) are excluded — they have no signature. */
+  def minhashIndex(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val contract = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_gram_n", n.toLong)
+      .putLong("graft_num_perm", numPerm.toLong)
+      .build()
+    spread(docs)
+      .withColumn("ws", tokens(coalesce(col("text"), lit(""))))
+      .withColumn("sh", hashedShingles("ws", n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        minhashSignature("sh", numPerm).as("sig", contract))
+  }
+
+  /** Banded view of a [[minhashIndex]] frame: one row per (doc, band),
+    * `band_hash` = xxhash64 of the band's signature slice (band id mixed
+    * in so equal slices of different bands never collide). Map-only. */
+  private def bandsOf(index: DataFrame, numBands: Int,
+                      rowsPerBand: Int): DataFrame =
+    index.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${numBands - 1}), " +
+        s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+      .as(Seq("band_id", "band_hash")))
+
   /** LSH candidate pairs + exact verification.
     *
     * Signature → `numPerm/rowsPerBand` bands → explode → shuffle on the
@@ -147,7 +187,6 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, numPerm: Int,
                       rowsPerBand: Int, num: Int, den: Int): DataFrame = {
     val numBands = numPerm / rowsPerBand
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     // localCheckpoint (LAZY): shingles + signatures feed four join
     // branches (two banded sides, two verification sides) — compute once,
     // reuse from cache; eager=false avoids a dedicated fill pass.
@@ -155,17 +194,9 @@ object Dedup {
     // already projected away. See the scale note in jaccardPairs:
     // MEMORY_AND_DISK per executor, not fault-tolerant; at cluster scale
     // switch to DISK_ONLY persist / reliable checkpoint.
-    val s = spread(docs)
-      .withColumn("ws", tokens(col("text")))
-      .withColumn("sh", hashedShingles("ws", n))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        minhashSignature("sh", numPerm).as("sig"))
+    val s = minhashIndex(docs, n, numPerm)
       .localCheckpoint(eager = false)
-    val banded = s.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, ${numBands - 1}), " +
-        s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
-      .as(Seq("band_id", "band_hash")))
+    val banded = bandsOf(s, numBands, rowsPerBand)
     // In-bucket pair generation as a SELF-JOIN on the band key (not a
     // collect_set + in-row pair expansion): a hot bucket — guaranteed at
     // scale, and common here because the tiny vocabulary makes popular
@@ -188,6 +219,64 @@ object Dedup {
         (col("sz_b") * den >= col("sz_a") * num))
       .filter(jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** INCREMENTAL near-dup detection: probe an ingest `batch` against a
+    * pre-built corpus [[minhashIndex]] (typically read back from parquet)
+    * and return the verified cross pairs `(doc_new, doc_old)` with
+    * Jaccard ≥ num/den — the rows an ingest pipeline uses to drop or
+    * cluster incoming duplicates WITHOUT re-sketching the existing
+    * corpus.
+    *
+    * The sketch parameters (n, numPerm) are READ FROM THE INDEX's column
+    * metadata — nothing to re-specify, so the batch is sketched under
+    * exactly the index's contract. `rowsPerBand` is a probe-time knob
+    * (banding is re-derived from the signature, map-only) and must divide
+    * numPerm.
+    *
+    * Scale design: the batch side is batch-sized everywhere; the corpus
+    * side contributes one banded projection of the index (map-only — no
+    * corpus re-scan of text, no corpus-side shuffle beyond the band-key
+    * exchange) and the shingle arrays only for candidate verification,
+    * joined on doc id. Candidate volume is the same banded-bucket product
+    * as [[minhashLshPairs]], restricted to cross pairs. Recall per true
+    * pair is 1−(1−j^r)^b, identical to the self-join path (same
+    * signatures, same band layout). */
+  def minhashPairsAgainst(batch: DataFrame, index: DataFrame,
+                          rowsPerBand: Int, num: Int, den: Int): DataFrame = {
+    require(Seq("doc_id", "sh", "sig").forall(index.columns.contains),
+      "index must come from Dedup.minhashIndex (missing doc_id/sh/sig)")
+    val md = index.schema("sig").metadata
+    require(md.contains("graft_gram_n") && md.contains("graft_num_perm"),
+      "index must come from Dedup.minhashIndex " +
+        "(sig carries no sketch contract metadata)")
+    val n = md.getLong("graft_gram_n").toInt
+    val numPerm = md.getLong("graft_num_perm").toInt
+    require(numPerm % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the index's numPerm=$numPerm")
+    val numBands = numPerm / rowsPerBand
+    // batch sketch feeds its banded view + the verify join; the index is
+    // caller-owned (persist/read-back is the caller's lifecycle, the
+    // AsOfJoin pack()/probeAgainst() convention)
+    val b = minhashIndex(batch, n, numPerm).localCheckpoint(eager = false)
+    val candidates = bandsOf(b, numBands, rowsPerBand).alias("x")
+      .join(bandsOf(index, numBands, rowsPerBand).alias("y"),
+        Seq("band_id", "band_hash"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+    candidates
+      .join(b.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"),
+        size(col("sh")).as("sz_a")), "doc_new")
+      // array_compact: parquet read-back widens the element type to
+      // nullable, which the native two-pointer intersect rejects; the
+      // compact is a data no-op (the index never contains null elements)
+      // that restores containsNull=false at the type level
+      .join(index.select(col("doc_id").as("doc_old"),
+        array_compact(col("sh")).as("sh_b"),
+        size(col("sh")).as("sz_b")), "doc_old")
+      .filter(sizeRatioCanReach(col("sz_a"), col("sz_b"), num, den))
+      .filter(jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
+      .select(col("doc_new"), col("doc_old"))
   }
 
   /** 63-bit SimHash over the hashed-shingle array column named `shCol`

@@ -448,6 +448,36 @@ object ExtensionQueries {
         |FROM ch c LEFT JOIN df d ON c.chunk = d.chunk
         |GROUP BY c.doc_id""".stripMargin),
 
+    // INCREMENTAL dedup, the production ingest shape: the existing corpus
+    // (doc_id % 5 != 0) is sketched ONCE into a parquet MinHash index
+    // (sketch contract in column metadata), read back, and probed by the
+    // incoming batch (doc_id % 5 == 0) — banded candidates, exact-Jaccard
+    // verify, no corpus re-sketch. Oracle = brute-force exact Jaccard
+    // between the two partitions; the LSH probe must recall every true
+    // cross pair (deterministic here: identical signatures/bands to
+    // dedup_minhash_lsh, whose recall over the SUPERSET of these pairs is
+    // hash-pinned at 1.0).
+    "dedup_incremental_lsh" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idxPath = scratch("minhash_idx")
+        Dedup.minhashIndex(docs.filter(col("doc_id") % 5 =!= 0),
+            n = 3, numPerm = 32)
+          .write.mode("overwrite").parquet(idxPath)
+        Dedup.minhashPairsAgainst(
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          index = s.read.parquet(idxPath).localCheckpoint(eager = false),
+          rowsPerBand = 2, num = 1, den = 2)
+      },
+      s"""WITH $duckShingles
+         |SELECT b.doc_id AS doc_new, c.doc_id AS doc_old
+         |FROM s b, s c
+         |WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+         |  AND len(b.sh) + len(c.sh) > 0
+         |  AND 2 * len(list_intersect(b.sh, c.sh)) >=
+         |      len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))"""
+        .stripMargin),
+
     // Exact cosine top-k: every 50th vector queries the full corpus,
     // k=5, rank ties broken by neighbor id. Brute-force baseline — the
     // scale path is ann_lsh_topk.

@@ -210,6 +210,27 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors === Set(11L, 20L, 30L))
   }
 
+  test("minhashPairsAgainst: cross pairs only, contract read from index metadata, frauds fail loud") {
+    val corpus = docs.filter(col("doc_id") =!= 2L) // 1,3,4,5 indexed
+    val batch = docs.filter(col("doc_id") === 2L)  // 2 arrives later
+    val idx = Dedup.minhashIndex(corpus, n = 3, numPerm = 16)
+    val pairs = Dedup.minhashPairsAgainst(batch, idx,
+      rowsPerBand = 1, num = 1, den = 2)
+      .collect().map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+    // doc 2 is a near-dup of 1 and 5 (which are exact dups of each other)
+    assert(pairs === Set((2L, 1L), (2L, 5L)))
+    // a frame without the sketch contract must be rejected, not probed
+    val stripped = idx.select(col("doc_id"), col("sh"),
+      col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty))
+    assertThrows[IllegalArgumentException] {
+      Dedup.minhashPairsAgainst(batch, stripped, rowsPerBand = 1, num = 1, den = 2)
+    }
+    // rowsPerBand must divide the index's numPerm
+    assertThrows[IllegalArgumentException] {
+      Dedup.minhashPairsAgainst(batch, idx, rowsPerBand = 3, num = 1, den = 2)
+    }
+  }
+
   test("passageDedup: frequent passages removed in place, order kept, all-boilerplate doc -> empty") {
     // chunkWords=2: "x1 x2" is the first passage of docs 1-3 (df=3 > 2);
     // every other passage is unique. Doc 4 is boilerplate-only.
