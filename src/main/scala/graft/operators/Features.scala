@@ -484,4 +484,63 @@ object Features {
       .withColumn("MSE", col("ss_res") / col("Samples"))
       .drop("ss_res", "sum_a2", "sum_a", "mean_a", "ss_tot")
   }
+
+  /** Exactly-trained decision stump (depth-1 CART): over candidate splits
+    * `x ≤ t` for every distinct value t of the integer feature, pick the
+    * one minimizing weighted Gini impurity, tie-broken to the smallest t.
+    * The classic first step past the closed-form linear family
+    * ([[fitAr1]]/[[fitAr2]]) — a trained nonlinear classifier whose
+    * training is pure integer aggregation, so (unlike gradient-descent
+    * models) an external engine re-derives the SAME model bit-for-bit.
+    *
+    * Determinism: all counts are exact BIGINTs; weighted Gini of a split
+    * is the rational num/den with num = (nL²−l1²−l0²)·nR + (nR²−r1²−r0²)·nL
+    * and den = nL·nR. The ordering key is the double quotient of the two
+    * exact integers: both are ≤ n³ < 2⁵³ for n up to ~2M rows, hence
+    * exactly representable, and IEEE division is correctly rounded — any
+    * engine computes the identical double. Beyond ~2M rows switch the
+    * products to decimal(38,0) and compare by cross-multiplication.
+    *
+    * Scale design (100 TB): the per-threshold aggregate shuffles on t with
+    * map-side combine — the exchange carries at most one row per DISTINCT
+    * feature value, so the cumulative window that follows is bounded by
+    * the feature's cardinality (integerized features: thousands), not by
+    * the data; its single-partition sort is over that tiny frame. The
+    * final argmin is a TakeOrderedAndProject (no global sort
+    * materialization).
+    *
+    * Output (1 row): threshold (the trained split), n_left/pos_left/
+    * n_right/pos_right (the leaf class-count model — predict the majority
+    * class of the landing leaf), n_correct (training accuracy numerator).
+    * Degenerate splits (empty side) are excluded; an input with a single
+    * distinct feature value yields zero rows (no valid split). */
+  def decisionStump(df: DataFrame, feature: Column, label: Column): DataFrame = {
+    val per = df.select(feature.as("t"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cumW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+    per.select(col("t"),
+        sum(col("cnt")).over(cumW).as("nl"),
+        sum(col("pos")).over(cumW).as("l1"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n")) // right side non-empty; left always is
+      .withColumn("l0", col("nl") - col("l1"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("r1", col("p") - col("l1"))
+      .withColumn("r0", col("nr") - col("r1"))
+      .withColumn("cost",
+        ((col("nl") * col("nl") - col("l1") * col("l1") - col("l0") * col("l0")) * col("nr")
+          + (col("nr") * col("nr") - col("r1") * col("r1") - col("r0") * col("r0")) * col("nl"))
+          .cast("double") / (col("nl") * col("nr")).cast("double"))
+      .orderBy(col("cost"), col("t"))
+      .limit(1)
+      .select(col("t").as("threshold"),
+        col("nl").as("n_left"), col("l1").as("pos_left"),
+        col("nr").as("n_right"), col("r1").as("pos_right"),
+        (greatest(col("l1"), col("l0")) + greatest(col("r1"), col("r0")))
+          .as("n_correct"))
+  }
 }

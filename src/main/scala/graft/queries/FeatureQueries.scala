@@ -672,6 +672,44 @@ object FeatureQueries {
         |  END AS corr_xy
         |FROM v""".stripMargin),
 
+    // A21 (engine extension) — exactly-trained decision stump: predict
+    // "is this a purchase event" from the value alone; training scans
+    // every distinct cent threshold and minimizes weighted Gini with pure
+    // integer counts (Features.decisionStump scaladoc has the determinism
+    // argument: exact BIGINTs, correctly-rounded double quotient of
+    // < 2^53 integers, smallest-threshold tie-break). The oracle retrains
+    // the identical model end-to-end in DuckDB — a full cross-engine
+    // reproduction of model FITTING, not just scoring.
+    "a21_decision_stump" -> QueryDef(
+      (s, dir) => Features.decisionStump(Tables.events(s, dir),
+        feature = expr("CAST(round(value * 100) AS BIGINT)"),
+        label = col("event_type") === "purchase"),
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT t, count(*) AS cnt, sum(y) AS pos FROM e GROUP BY t),
+        |cum AS (
+        |  SELECT t,
+        |    CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER (ORDER BY t) AS BIGINT) AS l1
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        |  FROM per),
+        |sc AS (
+        |  SELECT t, nl, l1, nl - l1 AS l0, n - nl AS nr,
+        |    p - l1 AS r1, (n - nl) - (p - l1) AS r0
+        |  FROM cum, tot WHERE nl < n)
+        |SELECT t AS threshold, nl AS n_left, l1 AS pos_left,
+        |  nr AS n_right, r1 AS pos_right,
+        |  greatest(l1, l0) + greatest(r1, r0) AS n_correct
+        |FROM sc
+        |ORDER BY CAST((nl*nl - l1*l1 - l0*l0) * nr
+        |    + (nr*nr - r1*r1 - r0*r0) * nl AS DOUBLE)
+        |  / CAST(nl * nr AS DOUBLE), t
+        |LIMIT 1""".stripMargin),
+
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).
     "a9_value_histogram" -> QueryDef(

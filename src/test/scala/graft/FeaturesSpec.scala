@@ -207,4 +207,29 @@ class FeaturesSpec extends SparkSpecBase {
       assert(got === expected, s"parts=$parts")
     }
   }
+
+  test("decisionStump: finds the perfect split, ties break small, degenerate input -> no rows") {
+    import spark.implicits._
+    // feature 1,2,3 negative; 10,11 positive — perfect split at t=3
+    val df = Seq((1L, false), (2L, false), (3L, false),
+      (10L, true), (11L, true)).toDF("f", "lab")
+    val row = graft.operators.Features.decisionStump(
+      df, col("f"), col("lab")).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getAs[Long]("threshold") === 3L)
+    assert(r.getAs[Long]("n_left") === 3L && r.getAs[Long]("pos_left") === 0L)
+    assert(r.getAs[Long]("n_right") === 2L && r.getAs[Long]("pos_right") === 2L)
+    assert(r.getAs[Long]("n_correct") === 5L)
+    // all splits equally useless (alternating labels at every value with
+    // equal counts) -> cost ties -> smallest threshold wins
+    val tied = Seq((1L, true), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, false)).toDF("f", "lab")
+    assert(graft.operators.Features.decisionStump(tied, col("f"), col("lab"))
+      .head().getAs[Long]("threshold") === 1L)
+    // single distinct feature value: no valid split, zero rows
+    val deg = Seq((7L, true), (7L, false)).toDF("f", "lab")
+    assert(graft.operators.Features.decisionStump(deg, col("f"), col("lab"))
+      .count() === 0L)
+  }
 }
