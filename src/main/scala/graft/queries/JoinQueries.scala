@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, BloomPrune, RangeJoin}
+import graft.operators.{AsOfJoin, BloomPrune, FuzzyJoin, RangeJoin}
 
 /** Time-series join operators (engine extensions — SURVEY §2c covers the
   * reference's five equi-join shapes; these are the two non-equi joins a
@@ -257,5 +257,44 @@ object JoinQueries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
         |FROM orders
         |WHERE o_custkey IN
-        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin))
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin),
+
+    // Entity resolution (engine extension): every part row probes the
+    // 64-entity distinct-name catalog with a corrupted name (leading char
+    // dropped — a deterministic stand-in for dirty upstream data both
+    // engines derive identically), blocked on the name's last word (which
+    // the corruption preserves), verified by thresholded levenshtein ≤ 2,
+    // resolved to each probe's best match (min dist, ties to the smaller
+    // name). The oracle replicates block-then-verify — the result is
+    // defined WITHIN the blocking, the dedup_simhash_pairs convention —
+    // with DuckDB's own levenshtein as the independent verifier.
+    "er_blocked_match" -> QueryDef(
+      (s, dir) => {
+        val part = Tables.part(s, dir)
+        val cand = FuzzyJoin.blockedLevenshtein(
+          probes = part.select(col("p_partkey").as("probe_id"),
+            expr("substr(p_name, 2)").as("q_name")),
+          catalog = part.select(col("p_name").as("entity_name")).distinct(),
+          probeText = col("q_name"), catalogText = col("entity_name"),
+          probeBlock = element_at(split(col("q_name"), " "), -1),
+          catalogBlock = element_at(split(col("entity_name"), " "), -1),
+          maxDist = 2)
+        FuzzyJoin.bestMatch(cand, Seq("probe_id"), Seq(col("entity_name")))
+          .select(col("probe_id"), col("entity_name").as("matched_name"),
+            col("dist").cast("long").as("dist"))
+      },
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_id, substr(p_name, 2) AS q_name
+        |  FROM part),
+        |catalog AS (SELECT DISTINCT p_name AS entity_name FROM part),
+        |cand AS (
+        |  SELECT probe_id, entity_name,
+        |    CAST(levenshtein(q_name, entity_name) AS BIGINT) AS dist
+        |  FROM probes p JOIN catalog c
+        |    ON string_split(p.q_name, ' ')[-1] = string_split(c.entity_name, ' ')[-1]
+        |  WHERE levenshtein(q_name, entity_name) <= 2)
+        |SELECT probe_id, entity_name AS matched_name, dist
+        |FROM cand
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY probe_id ORDER BY dist, entity_name) = 1""".stripMargin))
 }
