@@ -168,11 +168,25 @@ object Dedup {
         minhashSignature("sh", numPerm).as("sig", contract))
   }
 
+  /** Read and validate the sketch contract a [[minhashIndex]] frame
+    * carries in its `sig` column metadata: (n, numPerm). Loud failure on
+    * frames that did not come from minhashIndex (probing with mismatched
+    * parameters is the silent false-negative direction). */
+  private[graft] def indexContract(index: DataFrame): (Int, Int) = {
+    require(Seq("doc_id", "sh", "sig").forall(index.columns.contains),
+      "index must come from Dedup.minhashIndex (missing doc_id/sh/sig)")
+    val md = index.schema("sig").metadata
+    require(md.contains("graft_gram_n") && md.contains("graft_num_perm"),
+      "index must come from Dedup.minhashIndex " +
+        "(sig carries no sketch contract metadata)")
+    (md.getLong("graft_gram_n").toInt, md.getLong("graft_num_perm").toInt)
+  }
+
   /** Banded view of a [[minhashIndex]] frame: one row per (doc, band),
     * `band_hash` = xxhash64 of the band's signature slice (band id mixed
     * in so equal slices of different bands never collide). Map-only. */
-  private def bandsOf(index: DataFrame, numBands: Int,
-                      rowsPerBand: Int): DataFrame =
+  private[graft] def bandsOf(index: DataFrame, numBands: Int,
+                             rowsPerBand: Int): DataFrame =
     index.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${numBands - 1}), " +
         s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
@@ -244,14 +258,7 @@ object Dedup {
     * signatures, same band layout). */
   def minhashPairsAgainst(batch: DataFrame, index: DataFrame,
                           rowsPerBand: Int, num: Int, den: Int): DataFrame = {
-    require(Seq("doc_id", "sh", "sig").forall(index.columns.contains),
-      "index must come from Dedup.minhashIndex (missing doc_id/sh/sig)")
-    val md = index.schema("sig").metadata
-    require(md.contains("graft_gram_n") && md.contains("graft_num_perm"),
-      "index must come from Dedup.minhashIndex " +
-        "(sig carries no sketch contract metadata)")
-    val n = md.getLong("graft_gram_n").toInt
-    val numPerm = md.getLong("graft_num_perm").toInt
+    val (n, numPerm) = indexContract(index)
     require(numPerm % rowsPerBand == 0,
       s"rowsPerBand=$rowsPerBand must divide the index's numPerm=$numPerm")
     val numBands = numPerm / rowsPerBand

@@ -197,4 +197,60 @@ object StreamingDedup {
           }
       }
   }
+
+  /** STATELESS incremental-dedup gate: probe a document STREAM against a
+    * persisted corpus [[Dedup.minhashIndex]] and emit the verified
+    * near-dup pairs `(doc_new, doc_old)` — the streaming face of
+    * [[Dedup.minhashPairsAgainst]] (same contract metadata, same band
+    * layout, same exact-Jaccard verify; batch parity pinned by
+    * StreamingDedupSpec).
+    *
+    * Unlike [[candidatePairStream]] (which finds pairs WITHIN the stream
+    * and needs per-bucket state), probing a static index needs NO
+    * streaming state at all: sketching is a per-row projection, candidate
+    * generation is a stream-static equi-join on the band key, and
+    * verification is a second stream-static join on the matched doc id —
+    * every micro-batch is a pure map+join pass, so there is no watermark,
+    * no timeout, and nothing to bound. The caller owns the index
+    * lifecycle (read it once, cache it — the AsOfJoin pack convention).
+    *
+    * The same (doc_new, doc_old) pair can surface from several bands;
+    * with no state there is nowhere to drop duplicates without turning
+    * the gate into an aggregation, so — exactly like
+    * [[candidatePairStream]] — downstream dedupe is part of the
+    * contract. */
+  def indexProbeStream(docs: DataFrame, index: DataFrame,
+                       rowsPerBand: Int, num: Int, den: Int): DataFrame = {
+    val (n, numPerm) = Dedup.indexContract(index)
+    require(numPerm % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the index's numPerm=$numPerm")
+    val numBands = numPerm / rowsPerBand
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sketched = docs
+      .withColumn("ws", Dedup.tokens(coalesce(col("text"), lit(""))))
+      .withColumn("sh", Dedup.hashedShingles("ws", n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        Dedup.minhashSignature("sh", numPerm).as("sig"))
+    // band rows carry the probe doc's shingles inline (joining back to
+    // the stream side would be a stream-stream join) — per-batch fan-out
+    // of numBands × the shingle array, bounded by the micro-batch, never
+    // by the corpus
+    val bandedStream = sketched.select(
+      col("doc_id"), col("sh").as("sh_a"), size(col("sh")).as("sz_a"),
+      posexplode(expr(
+        s"transform(sequence(0, ${numBands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band_id", "band_hash")))
+    bandedStream
+      .join(Dedup.bandsOf(index, numBands, rowsPerBand)
+        .withColumnRenamed("doc_id", "doc_old"), Seq("band_id", "band_hash"))
+      .join(index.select(col("doc_id").as("doc_old"),
+        array_compact(col("sh")).as("sh_b"), size(col("sh")).as("sz_b")),
+        "doc_old")
+      .filter((col("sz_a") * den >= col("sz_b") * num) &&
+        (col("sz_b") * den >= col("sz_a") * num))
+      .filter(Dedup.jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
+      .select(col("doc_id").as("doc_new"), col("doc_old"))
+  }
 }

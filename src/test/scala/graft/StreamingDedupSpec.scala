@@ -195,4 +195,38 @@ class StreamingDedupSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
     }
   }
+
+  test("indexProbeStream: stream probes a persisted index across batches with batch parity") {
+    implicit val sq = spark.sqlContext
+    // corpus: docs 1 and 3; incoming stream: 2 (near-dup of 1), 4 (new),
+    // 5 (exact dup of 1) — split across two micro-batches
+    val corpus = Seq((1L, nearDupA), (3L, unrelated)).toDF("doc_id", "text")
+    val idxPath = s"/tmp/graft_test_minhash_idx_${System.nanoTime()}"
+    graft.operators.Dedup.minhashIndex(corpus, n = 3, numPerm = 16)
+      .write.parquet(idxPath)
+    val idx = spark.read.parquet(idxPath).cache()
+    try {
+      val in = MemoryStream[(Long, String)]
+      val docs = in.toDF().toDF("doc_id", "text")
+      val q = StreamingDedup.indexProbeStream(docs, idx,
+        rowsPerBand = 1, num = 1, den = 2)
+        .writeStream.format("memory").queryName("sdd_probe")
+        .outputMode("append").start()
+      try {
+        in.addData((2L, nearDupB), (4L, "some fresh words never seen in this corpus at all"))
+        q.processAllAvailable()
+        in.addData((5L, nearDupA))
+        q.processAllAvailable()
+        val got = spark.table("sdd_probe").collect()
+          .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+        val batch = graft.operators.Dedup.minhashPairsAgainst(
+          Seq((2L, nearDupB), (4L, "some fresh words never seen in this corpus at all"),
+            (5L, nearDupA)).toDF("doc_id", "text"),
+          idx, rowsPerBand = 1, num = 1, den = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === batch)
+        assert(got === Set((2L, 1L), (5L, 1L)))
+      } finally q.stop()
+    } finally idx.unpersist()
+  }
 }
