@@ -344,4 +344,113 @@ object TextAnalysis {
       .where(col("thr").isNull || col("ttr_ppb") > col("thr"))
       .drop("__gate_grp", "thr")
   }
+
+  /** First-round BPE merge candidates (Sennrich et al. 2016, the
+    * subword-tokenizer training step every LLM pipeline runs before
+    * token counting means anything): the top-k adjacent CHARACTER pairs
+    * by corpus frequency, where each distinct word contributes its
+    * character pairs weighted by the word's corpus count — exactly the
+    * statistic the first BPE merge is chosen from. Ranking is total and
+    * deterministic: count desc, then (a, b) lexicographic — the
+    * tie-break real tokenizer trainers fix by convention so retrainings
+    * reproduce the same vocab.
+    *
+    * Scale design (100 TB): the corpus collapses to the distinct-word
+    * vocabulary FIRST (one shuffle with map-side combine on Zipf-shaped
+    * word keys); the pair explosion then runs over the VOCAB — millions
+    * of rows regardless of corpus size — so the per-round cost of a full
+    * BPE training loop built on this is corpus-independent after round
+    * one's scan. Single-character words carry no pairs and are filtered
+    * before the explode (Spark's descending sequence(1,0) pitfall — see
+    * [[Dedup.shingles]]). No end-of-word marker is modeled; counts are
+    * raw adjacency. */
+  def bpePairCounts(docs: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val vocab = docs
+      .select(explode(toks(coalesce(col("text"), lit("")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("n"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> struct(substr(w, CAST(i AS INT), 1) AS a,
+          |              substr(w, CAST(i + 1 AS INT), 1) AS b))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("a"), col("b"))).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Full BPE training (Sennrich et al. 2016): `nMerges` rounds of
+    * (count adjacent symbol pairs over the weighted vocab → pick the most
+    * frequent, ties count-desc then (a,b) lexicographic → merge it
+    * left-to-right greedily in every word). Returns the learned merge
+    * table in order — THE tokenizer model — and the final segmented
+    * vocab. Training stops early when no pair remains (every word fully
+    * merged to one symbol).
+    *
+    * Determinism: pair counts are exact integers, the argmax tie-break is
+    * total, and the greedy left-to-right merge is a fold — retraining
+    * reproduces the same table on any engine (the spec differentials it
+    * against an independent naive trainer).
+    *
+    * Scale design (100 TB): the corpus is scanned ONCE (word-count
+    * collapse); every round after that is vocabulary-sized — a pair-count
+    * aggregate (map-side combine) and a map-only fold applying the merge,
+    * with the argmax collected as ONE driver row per round (the k-means
+    * seeding convention, corpus-size-independent). Per-round frames are
+    * eagerly localCheckpointed: the loop would otherwise stack an
+    * unbounded lineage and re-run all prior rounds on each action (the
+    * [[Dedup.connectedComponents]] lesson). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = docs
+      .select(explode(toks(coalesce(col("text"), lit("")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, CAST(i AS INT), 1))")
+        .as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, CAST(i AS INT)) AS a,
+            |              element_at(syms, CAST(i + 1 AS INT)) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b, best.head.getLong(2)))
+        val aC = lit(a)
+        val bC = lit(b)
+        val old = vocab
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === aC && x === bC,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(aC, bC))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        old.unpersist()
+        round += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
 }

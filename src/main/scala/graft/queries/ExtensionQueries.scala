@@ -635,6 +635,32 @@ object ExtensionQueries {
         |  TRUE AS agree_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
 
+    // BPE tokenizer-training step: the top-20 first-round merge
+    // candidates — adjacent character pairs weighted by word frequency,
+    // ranked (count DESC, a, b). Pure integer counts; the oracle
+    // re-derives the vocab collapse + pair explosion with substr over
+    // generate_series. Scale: the explosion runs over the distinct-word
+    // VOCAB, so a full merge loop on top costs per-round
+    // vocabulary-sized work, not corpus-sized.
+    "ext_bpe_merges" -> QueryDef(
+      (s, dir) => TextAnalysis.bpePairCounts(Tables.documents(s, dir),
+        topK = 20),
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, n
+        |  FROM vocab, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |agg AS (
+        |  SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM pairs GROUP BY a, b)
+        |SELECT a, b, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank
+        |FROM agg
+        |QUALIFY rank <= 20""".stripMargin),
+
     // Corpus term statistics + per-doc top terms — the TF-IDF shape
     // (explode → per-(doc, term) TF agg → per-term DF agg → join back →
     // per-doc top-k window). Ranking is (tf DESC, df ASC, token) — the

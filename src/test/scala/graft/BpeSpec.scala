@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Differentials the distributed BPE trainer against an independent
+  * naive in-memory implementation: same merge table, same final
+  * segmentation, same early stop. */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Reference trainer: textbook BPE over a word-count map. Counts
+    * overlapping adjacent pairs, argmax by (count desc, a, b), greedy
+    * left-to-right merge. */
+  private def naiveBpe(words: Map[String, Long],
+                       nMerges: Int): (List[(String, String, Long)], Map[List[String], Long]) = {
+    var vocab: Map[List[String], Long] =
+      words.map { case (w, n) => w.map(_.toString).toList -> n }
+    var merges = List.empty[(String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.length >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+      if (counts.isEmpty) dry = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges = merges :+ ((a, b, cnt))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          syms.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          }
+        } { case (_, n) => n } (_ + _)
+        round += 1
+      }
+    }
+    (merges, vocab)
+  }
+
+  private def trainBoth(texts: Seq[String], nMerges: Int) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, vocabDf) = TextAnalysis.bpeTrain(docs, nMerges)
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, refVocab) = naiveBpe(words, nMerges)
+    val gotVocab = vocabDf.collect()
+      .map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
+    (merges.toList, refMerges, gotVocab, refVocab)
+  }
+
+  test("merge table and final segmentation match the naive trainer (ties included)") {
+    // "abab" repeats force overlapping-pair counting; "aaa" exercises the
+    // greedy left-to-right fold; distinct counts force real ordering
+    val texts = Seq(
+      "abab abab aaa low lower lowest",
+      "abab low low newer newest aaa",
+      "wider new newer aaa abab")
+    val (got, ref, gotVocab, refVocab) = trainBoth(texts, nMerges = 8)
+    assert(got === ref)
+    assert(gotVocab === refVocab)
+  }
+
+  test("early stop: training past full merging halts instead of looping") {
+    val (got, ref, gotVocab, refVocab) = trainBoth(Seq("ab ab", "ab"), nMerges = 50)
+    assert(got === ref)
+    assert(got.length === 1) // one merge collapses the whole vocab
+    assert(gotVocab === refVocab)
+    assert(gotVocab.keySet === Set(List("ab")))
+  }
+}
