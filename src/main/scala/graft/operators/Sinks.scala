@@ -181,6 +181,47 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction over a versioned snapshot table (the
+    * maintenance job every long-lived table needs: streaming sinks and
+    * frequent small batches accrete thousands of KB-sized files, and at
+    * 100 TB the file-open overhead and scan-task explosion — one task per
+    * tiny file — dominate read cost long before data volume does; this is
+    * Delta OPTIMIZE / Iceberg rewrite_data_files re-expressed over the
+    * [[upsertSnapshot]] directory layout).
+    *
+    * Reads the LATEST `v=N`, sizes it from the file listing (driver-side
+    * metadata only, O(files)), targets `ceil(totalBytes / targetBytes)`
+    * output files, and rewrites via round-robin repartition into
+    * `v=N+1` — content-identical by construction (repartition moves rows,
+    * never drops), and readers always see a complete version (the
+    * upsertSnapshot atomicity story). Old versions are retained for the
+    * caller's retention policy to reap.
+    *
+    * Returns (filesBefore, filesAfter, newVersion). Compaction of an
+    * already-compact table still advances the version — idempotent in
+    * content, explicit in lineage. */
+  def compactSnapshot(spark: SparkSession, tableDir: String,
+                      targetBytes: Long): (Int, Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val f = fs(spark)
+    val versions = f.listStatus(new Path(tableDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+    require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
+    val latest = versions.max
+    val dataFiles = f.listStatus(new Path(s"$tableDir/v=$latest")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(s"$tableDir/v=$latest")
+      .repartition(nOut)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=${latest + 1}")
+    val after = f.listStatus(new Path(s"$tableDir/v=${latest + 1}")).toSeq
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    (dataFiles.size, after, latest + 1)
+  }
+
   /** Latest snapshot version of an [[upsertSnapshot]] table. */
   def readSnapshot(spark: SparkSession, tableDir: String): DataFrame = {
     val f = fs(spark)

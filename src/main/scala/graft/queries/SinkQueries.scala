@@ -55,6 +55,31 @@ object SinkQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // SNK9 (engine extension) — small-file compaction: events land as 64
+    // deliberately tiny files (v=1), Sinks.compactSnapshot rewrites them
+    // into size-targeted files (v=2). Data-visible contract: the read-back
+    // AFTER compaction must be byte-for-byte the same relation (the oracle
+    // is plain events), and the file-level outcome rides along as data —
+    // files_before=64, fewer files after, version advanced to 2 (booleans
+    // the oracle asserts TRUE; a compaction that dropped/duplicated rows
+    // hash-mismatches the relation itself).
+    "snk9_compaction" -> QueryDef(
+      (s, dir) => {
+        val tableDir = scratch(s, "snk9")
+        ev(s, dir).repartition(64)
+          .write.parquet(s"$tableDir/v=1")
+        val (before, after, version) =
+          Sinks.compactSnapshot(s, tableDir, targetBytes = 512L * 1024 * 1024)
+        Sinks.readSnapshot(s, tableDir)
+          .withColumn("files_before", lit(before).cast("long"))
+          .withColumn("compacted_fewer", lit(after < before))
+          .withColumn("version_advanced", lit(version == 2))
+      },
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(64 AS BIGINT) AS files_before,
+        |  TRUE AS compacted_fewer, TRUE AS version_advanced
+        |FROM events""".stripMargin),
+
     // SNK2 — truncate-and-load (db_connector.py:120-150): the second load
     // REPLACES the first, so the read-back must contain only the second
     // batch. A stale-write-survives bug (append instead of overwrite)

@@ -145,4 +145,29 @@ class IngestSpec extends SparkSpecBase {
     assert(Ingest.rawSchema.fields.forall(_.dataType.typeName == "string"))
     assert(Ingest.rawColumns.take(4) === Seq("Date", "Time", "Currency", "Event"))
   }
+
+  test("SNK9 compaction: sized file count, identical content, old version retained") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_test_compact_${System.nanoTime()}"
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(20).write.parquet(s"$dir/v=1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(v: Int) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/v=$v")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val total = files(1).map(_.getLen).sum
+    // target a quarter of the bytes -> exactly ceil(total / target) = 4 files
+    val target = (total + 3) / 4
+    val (before, after, version) =
+      graft.operators.Sinks.compactSnapshot(spark, dir, target)
+    assert(before === 20)
+    assert(version === 2)
+    assert(after === ((total + target - 1) / target).toInt)
+    assert(after < before)
+    assert(files(1).size === 20) // old version untouched
+    val round = spark.read.parquet(s"$dir/v=2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(round === (1 to 1000).map(i => (i.toLong, s"row$i")).toSet)
+  }
 }
