@@ -385,6 +385,46 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** Curriculum ordering: the deterministic training-order schedule that
+    * feeds quality-stratified data round-robin — rank every row by
+    * `score` (best first, ties by `id`), cut the ranking into `buckets`
+    * equal strata, then emit position r·buckets+b to the r-th best row
+    * of stratum b: each "round" of the curriculum sees one row from
+    * every stratum, best stratum first (the interleaved curriculum /
+    * anti-curriculum literature's standard schedule, made reproducible).
+    *
+    * Adds `bucket` (0-based stratum) and `position` (1-based global
+    * training order). Exact and total — retraining reproduces the same
+    * order on any engine (pure integer arithmetic off two total orders).
+    *
+    * Scale design (100 TB): built on [[Features.withGlobalRowNumber]]'s
+    * range-partitioned indexing — TWO range shuffles and two cheap
+    * size jobs, NO single-partition global window anywhere (the w5
+    * lesson). Stratum membership is arithmetic off the first index
+    * (floor((rn−1)·buckets/n)) — no second pass over ntile. */
+  def curriculumOrder(df: DataFrame, score: Column, id: String,
+                      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val Working = Seq("__cur_neg", "__cur_rn", "__cur_rib")
+    val reserved = (Working ++ Seq("bucket", "position"))
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"reserved column names $reserved in input")
+    val (ranked, n) = Features.indexedByRange(
+      df.withColumn("__cur_neg", -score), Seq("__cur_neg", id),
+      "__cur_rn", 0)
+    if (n == 0) return df.withColumn("bucket", lit(0L))
+      .withColumn("position", lit(0L)).filter(lit(false))
+    val strata = ranked
+      .withColumn("bucket",
+        expr(s"((__cur_rn - 1) * $buckets) div ${n}L"))
+      // first rank of stratum b is ceil(b·n/buckets): subtract it to get
+      // the within-stratum rank
+      .withColumn("__cur_rib",
+        expr(s"(__cur_rn - 1) - ((bucket * ${n}L + ${buckets - 1}) div $buckets)"))
+    Features.withGlobalRowNumber(strata, Seq("__cur_rib", "bucket"), "position")
+      .drop(Working: _*)
+  }
+
   /** Full BPE training (Sennrich et al. 2016): `nMerges` rounds of
     * (count adjacent symbol pairs over the weighted vocab → pick the most
     * frequent, ties count-desc then (a,b) lexicographic → merge it

@@ -661,6 +661,35 @@ object ExtensionQueries {
         |FROM agg
         |QUALIFY rank <= 20""".stripMargin),
 
+    // Curriculum schedule: rank by lexical richness, cut into 10 strata,
+    // interleave round-robin (best stratum first per round) — the exact
+    // reproducible training order. Runs on the distributed range-indexed
+    // path (no single-partition window); the oracle re-derives both
+    // orders with plain windows + the same floor arithmetic.
+    "ext_curriculum" -> QueryDef(
+      (s, dir) => TextAnalysis.curriculumOrder(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(array_distinct(split(coalesce(col("text"), lit("")), " ")))
+            .cast("long").as("score")),
+        score = col("score"), id = "doc_id", buckets = 10),
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(coalesce(text, ''), ' ')))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM s),
+        |b AS (
+        |  SELECT doc_id, score, ((rn - 1) * 10) // n AS bucket,
+        |    (rn - 1) - ((((rn - 1) * 10 // n) * n + 9) // 10) AS rib
+        |  FROM r)
+        |SELECT doc_id, score, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(row_number() OVER (ORDER BY rib, bucket) AS BIGINT) AS position
+        |FROM b""".stripMargin),
+
     // Corpus term statistics + per-doc top terms — the TF-IDF shape
     // (explode → per-(doc, term) TF agg → per-term DF agg → join back →
     // per-doc top-k window). Ranking is (tf DESC, df ASC, token) — the

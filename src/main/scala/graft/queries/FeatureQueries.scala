@@ -46,6 +46,37 @@ object FeatureQueries {
   private val duckWin =
     "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
+  /** The A21 stump-training CTE chain over `events`, ending in `best`
+    * (ONE row: the trained split t with its leaf counts) — shared by the
+    * training row and the persist-and-serve row so the two oracles can
+    * never train different models. Mirrors Features.decisionStump (see
+    * its scaladoc for the exact-integer / correctly-rounded-quotient
+    * determinism argument). */
+  private val duckStumpCtes =
+    """e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS t,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |per AS (SELECT t, count(*) AS cnt, sum(y) AS pos FROM e GROUP BY t),
+      |cum AS (
+      |  SELECT t,
+      |    CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS nl,
+      |    CAST(sum(pos) OVER (ORDER BY t) AS BIGINT) AS l1
+      |  FROM per),
+      |tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      |  FROM per),
+      |sc AS (
+      |  SELECT t, nl, l1, nl - l1 AS l0, n - nl AS nr,
+      |    p - l1 AS r1, (n - nl) - (p - l1) AS r0
+      |  FROM cum, tot WHERE nl < n),
+      |best AS (
+      |  SELECT * FROM sc
+      |  ORDER BY CAST((nl*nl - l1*l1 - l0*l0) * nr
+      |      + (nr*nr - r1*r1 - r0*r0) * nl AS DOUBLE)
+      |    / CAST(nl * nr AS DOUBLE), t
+      |  LIMIT 1)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // W2 — train-order fill: ffill THEN bfill (train.py:428-429). Leading
@@ -684,31 +715,42 @@ object FeatureQueries {
       (s, dir) => Features.decisionStump(Tables.events(s, dir),
         feature = expr("CAST(round(value * 100) AS BIGINT)"),
         label = col("event_type") === "purchase"),
-      """WITH e AS (
-        |  SELECT CAST(round(value * 100) AS BIGINT) AS t,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events),
-        |per AS (SELECT t, count(*) AS cnt, sum(y) AS pos FROM e GROUP BY t),
-        |cum AS (
-        |  SELECT t,
-        |    CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS nl,
-        |    CAST(sum(pos) OVER (ORDER BY t) AS BIGINT) AS l1
-        |  FROM per),
-        |tot AS (
-        |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
-        |  FROM per),
-        |sc AS (
-        |  SELECT t, nl, l1, nl - l1 AS l0, n - nl AS nr,
-        |    p - l1 AS r1, (n - nl) - (p - l1) AS r0
-        |  FROM cum, tot WHERE nl < n)
-        |SELECT t AS threshold, nl AS n_left, l1 AS pos_left,
-        |  nr AS n_right, r1 AS pos_right,
-        |  greatest(l1, l0) + greatest(r1, r0) AS n_correct
-        |FROM sc
-        |ORDER BY CAST((nl*nl - l1*l1 - l0*l0) * nr
-        |    + (nr*nr - r1*r1 - r0*r0) * nl AS DOUBLE)
-        |  / CAST(nl * nr AS DOUBLE), t
-        |LIMIT 1""".stripMargin),
+      s"""WITH $duckStumpCtes
+         |SELECT t AS threshold, nl AS n_left, l1 AS pos_left,
+         |  nr AS n_right, r1 AS pos_right,
+         |  greatest(l1, l0) + greatest(r1, r0) AS n_correct
+         |FROM best""".stripMargin),
+
+    // A21b — the stump's train → persist → serve lifecycle (the a17b /
+    // ann_ivf_persisted convention): train once, parquet round-trip the
+    // 1-row model, then SERVE predictions over the full event stream by
+    // broadcasting the model — each event lands in a leaf and takes the
+    // leaf's majority class. The oracle retrains end-to-end in SQL and
+    // scores every event the same way.
+    "a21b_stump_served" -> QueryDef(
+      (s, dir) => {
+        val path = Scratch.dir("stump")
+        Features.decisionStump(Tables.events(s, dir),
+          feature = expr("CAST(round(value * 100) AS BIGINT)"),
+          label = col("event_type") === "purchase")
+          .write.parquet(path)
+        val model = s.read.parquet(path)
+        Tables.events(s, dir)
+          .crossJoin(broadcast(model))
+          .select(col("event_id"),
+            when(expr("CAST(round(value * 100) AS BIGINT)") <= col("threshold"),
+              col("pos_left") * 2 > col("n_left"))
+              .otherwise(col("pos_right") * 2 > col("n_right"))
+              .as("predicted"),
+            (col("event_type") === "purchase").as("actual"))
+      },
+      s"""WITH $duckStumpCtes
+         |SELECT event_id,
+         |  CASE WHEN CAST(round(value * 100) AS BIGINT) <= b.t
+         |       THEN b.l1 * 2 > b.nl
+         |       ELSE b.r1 * 2 > b.nr END AS predicted,
+         |  event_type = 'purchase' AS actual
+         |FROM events, best b""".stripMargin),
 
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).

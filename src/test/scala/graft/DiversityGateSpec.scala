@@ -109,4 +109,32 @@ class DiversityGateSpec extends SparkSpecBase {
       } finally q.stop()
     } finally { thresholds.unpersist(); () }
   }
+
+  test("curriculumOrder: round-robin strata interleave, exact positions, partitioning-invariant") {
+    // 6 rows, 3 buckets: ranking by (score desc, id) is ids 6,5,4,3,2,1;
+    // strata {6,5} {4,3} {2,1}; interleave rounds -> 6,4,2,5,3,1
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
+      (6L, 60L)).toDF("doc_id", "score")
+    val expected = Map(6L -> 1L, 4L -> 2L, 2L -> 3L, 5L -> 4L, 3L -> 5L, 1L -> 6L)
+    for (parts <- Seq(1, 5)) {
+      val got = TextAnalysis.curriculumOrder(df.repartition(parts),
+        col("score"), "doc_id", buckets = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+    // uneven strata (7 rows, 3 buckets -> sizes 3,2,2): every position
+    // 1..n exactly once and stratum sizes follow the floor cut
+    val df7 = (1L to 7L).map(i => (i, i * 10)).toDF("doc_id", "score")
+    val out = TextAnalysis.curriculumOrder(df7, col("score"), "doc_id", 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("position")).sorted.toSeq === (1L to 7L))
+    val sizes = out.groupBy(_.getAs[Long]("bucket")).view
+      .mapValues(_.length).toMap
+    assert(sizes === Map(0L -> 3, 1L -> 2, 2L -> 2))
+    // reserved-name guard
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.curriculumOrder(
+        df.withColumn("position", lit(1)), col("score"), "doc_id", 3)
+    }
+  }
 }
