@@ -543,4 +543,55 @@ object Features {
         (greatest(col("l1"), col("l0")) + greatest(col("r1"), col("r0")))
           .as("n_correct"))
   }
+
+  /** One [[decisionStump]] PER GROUP — the "many small models" training
+    * shape ([[fitAr1]]'s convention applied to the stump): every group
+    * trains its own split over its own distinct feature values, all
+    * groups in one pass. Groups where no valid split exists (a single
+    * distinct feature value) emit no row, like the global form.
+    *
+    * Scale: the per-(group, threshold) aggregate and the cumulative
+    * window both key on the GROUP — the window sorts within a group's
+    * distinct thresholds only (feature-cardinality-bounded, thousands),
+    * never globally; the per-group totals ride the same window (frame =
+    * whole partition) instead of a join; the argmin is a declarative
+    * `min_by` with map-side partial combine. A skewed group is one hot
+    * window key — pre-split upstream via [[hotKeys]] if that matters. */
+  def decisionStumpPerGroup(df: DataFrame, groups: Seq[String],
+                            feature: Column, label: Column): DataFrame = {
+    require(groups.nonEmpty, "groups required (use decisionStump for global)")
+    val gc = groups.map(col)
+    val per = df.select((feature.as("t") +: when(label, 1L).otherwise(0L).as("y") +: gc): _*)
+      .groupBy(col("t") +: gc: _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val part = Window.partitionBy(gc: _*)
+    val cumW = part.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("nl", sum(col("cnt")).over(cumW))
+      .withColumn("l1", sum(col("pos")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(allW))
+      .withColumn("p", sum(col("pos")).over(allW))
+      .filter(col("nl") < col("n"))
+      .withColumn("l0", col("nl") - col("l1"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("r1", col("p") - col("l1"))
+      .withColumn("r0", col("nr") - col("r1"))
+      .withColumn("cost",
+        ((col("nl") * col("nl") - col("l1") * col("l1") - col("l0") * col("l0")) * col("nr")
+          + (col("nr") * col("nr") - col("r1") * col("r1") - col("r0") * col("r0")) * col("nl"))
+          .cast("double") / (col("nl") * col("nr")).cast("double"))
+      .groupBy(gc: _*)
+      .agg(min_by(
+        struct(col("t"), col("nl"), col("l1"), col("nr"), col("r1"),
+          (greatest(col("l1"), col("l0")) + greatest(col("r1"), col("r0")))
+            .as("nc")),
+        struct(col("cost"), col("t"))).as("b"))
+      .select(gc ++ Seq(
+        col("b.t").as("threshold"),
+        col("b.nl").as("n_left"), col("b.l1").as("pos_left"),
+        col("b.nr").as("n_right"), col("b.r1").as("pos_right"),
+        col("b.nc").as("n_correct")): _*)
+  }
 }

@@ -752,6 +752,44 @@ object FeatureQueries {
          |  event_type = 'purchase' AS actual
          |FROM events, best b""".stripMargin),
 
+    // A21c — one stump PER event_type (the many-small-models shape the
+    // AR(1) family established): does the event's value predict a high
+    // props.k payload, trained independently per group in one pass —
+    // group-keyed cumulative windows, min_by argmin, no global sort. The
+    // oracle partitions the identical chain by event_type and picks each
+    // group's winner with QUALIFY.
+    "a21c_stump_per_group" -> QueryDef(
+      (s, dir) => Features.decisionStumpPerGroup(
+        Tables.events(s, dir),
+        groups = Seq("event_type"),
+        feature = expr("CAST(round(value * 100) AS BIGINT)"),
+        label = expr("TRY_CAST(from_json(props, 'k STRING').k AS BIGINT)") >= 50),
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS t,
+        |    CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT g, t, count(*) AS cnt, sum(y) AS pos FROM e GROUP BY g, t),
+        |cum AS (
+        |  SELECT g, t,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY t) AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER (PARTITION BY g ORDER BY t) AS BIGINT) AS l1,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(pos) OVER (PARTITION BY g) AS BIGINT) AS p
+        |  FROM per),
+        |sc AS (
+        |  SELECT g, t, nl, l1, nl - l1 AS l0, n - nl AS nr,
+        |    p - l1 AS r1, (n - nl) - (p - l1) AS r0
+        |  FROM cum WHERE nl < n)
+        |SELECT g AS event_type, t AS threshold, nl AS n_left, l1 AS pos_left,
+        |  nr AS n_right, r1 AS pos_right,
+        |  greatest(l1, l0) + greatest(r1, r0) AS n_correct
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY g
+        |  ORDER BY CAST((nl*nl - l1*l1 - l0*l0) * nr
+        |      + (nr*nr - r1*r1 - r0*r0) * nl AS DOUBLE)
+        |    / CAST(nl * nr AS DOUBLE), t) = 1""".stripMargin),
+
     // A9 — diagnostics: value histogram over the impact ordinal + distinct
     // entity counts (train.py:341-343).
     "a9_value_histogram" -> QueryDef(

@@ -232,4 +232,26 @@ class FeaturesSpec extends SparkSpecBase {
     assert(graft.operators.Features.decisionStump(deg, col("f"), col("lab"))
       .count() === 0L)
   }
+
+  test("decisionStumpPerGroup: each group trains the stump the global form would train alone") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, false), ("a", 2L, false), ("a", 10L, true), ("a", 11L, true),
+      ("b", 5L, true), ("b", 6L, false), ("b", 7L, true), ("b", 8L, false),
+      ("c", 9L, true), ("c", 9L, false) // degenerate: no split, no row
+    ).toDF("g", "f", "lab")
+    val per = graft.operators.Features.decisionStumpPerGroup(
+      df, Seq("g"), col("f"), col("lab")).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("threshold"), r.getAs[Long]("n_left"),
+          r.getAs[Long]("pos_left"), r.getAs[Long]("n_correct"))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = graft.operators.Features.decisionStump(
+        df.filter(col("g") === g), col("f"), col("lab")).head()
+      assert(per(g) === ((solo.getAs[Long]("threshold"),
+        solo.getAs[Long]("n_left"), solo.getAs[Long]("pos_left"),
+        solo.getAs[Long]("n_correct"))), s"group $g")
+    }
+    assert(!per.contains("c"))
+  }
 }
