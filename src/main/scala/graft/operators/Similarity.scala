@@ -259,6 +259,45 @@ object Similarity {
     topKAmong(cand, queries, corpus, k)
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): near-dup pairs by
+    * embedding cosine ≥ threshold, with the candidate space bounded by
+    * K-MEANS CLUSTERS instead of LSH bands — each vector is assigned to
+    * its nearest centroid of a prebuilt [[IvfIndex]] (nProbe=1,
+    * `multiAssign` to widen), candidates are same-cluster pairs via a
+    * self-join on the cluster id, and every candidate is verified with
+    * the exact native dot product. The literature's trade vs
+    * [[cosinePairsBucketed]]: clusters adapt to the data's density (one
+    * build amortized with ANN serving) where hyperplanes are oblivious;
+    * recall is bounded by co-clustering of true pairs, so a pair
+    * straddling a cluster boundary needs `multiAssign` ≥ 2 to be seen.
+    *
+    * Scale: assignment is a broadcast of the O(K) centroid set + one
+    * map pass; the self-join shuffles on the cluster id (AQE splits hot
+    * clusters); verification moves id pairs only. Never all-pairs,
+    * never a corpus broadcast. Precision 1.0 by construction. */
+  def semanticDedupPairs(corpus: DataFrame, index: IvfIndex,
+                         threshold: Double, multiAssign: Int = 1): DataFrame = {
+    require(multiAssign >= 1, s"multiAssign must be >= 1, got $multiAssign")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // localCheckpoint (LAZY, the Dedup convention): the assignment feeds
+    // both self-join branches — one broadcast-centroid pass, not two
+    val assigned = assign(index.centroids, corpus, "vec_id",
+      keep = multiAssign).localCheckpoint(eager = false)
+    val candidates = assigned.alias("x")
+      .join(assigned.alias("y"), Seq("centroid_id"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val base = withNorm(corpus, "vec_a", "va", "na")
+      .localCheckpoint(eager = false)
+    candidates
+      .join(base, "vec_a")
+      .join(base.select(col("vec_a").as("vec_b"), col("va").as("vb"),
+        col("na").as("nb")), "vec_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** Nearest-`keep` centroid assignment: broadcast the (small) centroid
     * set, rank by cosine (ties by centroid id). */
   private def assign(cents: DataFrame, df: DataFrame, idName: String,

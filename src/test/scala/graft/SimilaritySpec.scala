@@ -90,6 +90,34 @@ class SimilaritySpec extends SparkSpecBase {
       s"bucketed pair generation must never go all-pairs:\n$plan")
   }
 
+  test("semantic dedup: verified subset, pinned recall, multiAssign widens monotonically, no all-pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val brute = pairs(Similarity.cosinePairs(emb, 0.45))
+    assert(brute.nonEmpty)
+    val idx = Similarity.buildIvfIndex(emb, nCentroids = 32, refineIters = 2).get
+    val q = Similarity.semanticDedupPairs(emb, idx, 0.45, multiAssign = 4)
+    val sem = pairs(q)
+    assert(sem.subsetOf(brute), s"non-true pairs emitted: ${sem -- brute}")
+    val recall = sem.size.toDouble / brute.size
+    assert(recall >= 0.75, s"semantic recall $recall below floor (found " +
+      s"${sem.size} of ${brute.size})")
+    // wider assignment can only ADD candidate pairs; exact verify keeps
+    // precision, so the pair set must grow monotonically
+    val narrow = pairs(Similarity.semanticDedupPairs(emb, idx, 0.45, multiAssign = 1))
+    assert(narrow.subsetOf(sem))
+    // No cartesian anywhere. (A BroadcastNestedLoopJoin IS sanctioned
+    // here — the centroid assignment broadcasts the 32-row centroid set
+    // against the corpus, corpus-linear by design — so unlike the
+    // hyperplane row this plan can't pin BNLJ absence; the subset +
+    // recall assertions above are the semantic teeth, and candidate
+    // generation itself is an equi self-join on centroid_id.)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cluster-scoped pair generation must never go cartesian:\n$plan")
+  }
+
   test("multimodal resize: box-fit geometry preserves aspect order, max dim hits the target") {
     val docs = Seq((0L, "alpha beta gamma"), (2L, "some video words here"))
       .toDF("doc_id", "text")
