@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension operators (north star, BASELINE.json):
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -700,6 +700,40 @@ object ExtensionQueries {
         |  CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank
         |FROM agg
         |QUALIFY rank <= 20""".stripMargin),
+
+    // ANALYZE-style table profile over events (value snapped to cents —
+    // raw double min/max stringify engine-specifically): per-column
+    // rows/nulls/exact-ndv/min/max, one pruned single-column pass per
+    // column (never N count_distincts in one plan — the a13 Expand trap).
+    "ext_table_profile" -> QueryDef(
+      (s, dir) => Profiling.columnProfile(
+        Tables.events(s, dir).select(
+          col("event_id"), col("user_id"), col("event_type"), col("props"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_cents")),
+        Seq("event_id", "user_id", "event_type", "props", "value_cents")),
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, props,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events)
+        |SELECT 'event_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_str,
+        |  CAST(max(event_id) AS VARCHAR) AS max_str FROM e
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR),
+        |  CAST(max(user_id) AS VARCHAR) FROM e
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), min(event_type), max(event_type) FROM e
+        |UNION ALL
+        |SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props), min(props), max(props) FROM e
+        |UNION ALL
+        |SELECT 'value_cents', count(*), count(*) - count(value_cents),
+        |  count(DISTINCT value_cents), CAST(min(value_cents) AS VARCHAR),
+        |  CAST(max(value_cents) AS VARCHAR) FROM e""".stripMargin),
 
     // Curriculum schedule: rank by lexical richness, cut into 10 strata,
     // interleave round-robin (best stratum first per round) — the exact
