@@ -536,4 +536,172 @@ object Similarity {
                      k: Int, nProbe: Int): DataFrame =
     knnVote(ivfTopKWithIndex(queries, corpus, index, k, nProbe),
       corpus, queries)
+
+  /** Product-quantization index (Jégou et al. 2011, the FAISS PQ family):
+    * `codebooks` = (sub_id, code, centv) — m per-subspace codebooks of k
+    * centroids each — and `encoded` = (vec_id, codes array<int>): each
+    * vector stored as m small codes. At k ≤ 256 that is m BYTES per
+    * vector instead of 4·D — for 64-dim floats and m=8, a 32× memory
+    * cut, past [[SqIndex]]'s 4× — the representation that makes a
+    * 100 TB float corpus servable from a ~3 TB index. */
+  final case class PqIndex(codebooks: DataFrame, m: Int, k: Int,
+                           subDim: Int, encoded: DataFrame)
+
+  /** `m` subvector rows per vector, elements cast to double. */
+  private def subvectors(df: DataFrame, idName: String, m: Int,
+                         subDim: Int): DataFrame =
+    df.select(col("vec_id").as(idName), posexplode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |  s -> transform(slice(embedding, s * $subDim + 1, $subDim),
+         |                 x -> CAST(x AS DOUBLE)))""".stripMargin))
+      .as(Seq("sub_id", "sv")))
+
+  private def l2(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  private def dotHof(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Nearest-code assignment of subvector rows against broadcast
+    * codebooks: one row per (id, sub_id) with the argmin code (L2, ties
+    * to the smaller code). Map-only relative to the corpus — the
+    * codebooks are m·k rows. */
+  private def pqAssign(codebooks: DataFrame, subs: DataFrame,
+                       idName: String): DataFrame =
+    subs.join(broadcast(codebooks), "sub_id")
+      .withColumn("d2", l2("sv", "centv"))
+      .groupBy(col(idName), col("sub_id"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Train per-subspace codebooks and encode the corpus.
+    *
+    * Seeding is the [[buildIvfIndex]] discipline per subspace: ONE
+    * hash-ordered O(k) sample collected to the driver (corpus-size-
+    * independent), farthest-point k seeds per subspace by L2 with
+    * deterministic tie-breaks. Lloyd refinement runs ALL m subspaces in
+    * one distributed pass per iteration — broadcast-codebook assign,
+    * per-(sub, code, dim) mean, reassemble — so training cost does not
+    * scale with m. Codes with no members keep their previous centroid
+    * (a dropped row would shrink k silently).
+    *
+    * Requires the embedding dimension to be divisible by m; returns None
+    * on an empty corpus (the buildIvfIndex convention). */
+  def buildPqIndex(corpus: DataFrame, m: Int, k: Int,
+                   refineIters: Int = 2): Option[PqIndex] = {
+    require(m >= 1 && k >= 2, s"need m >= 1, k >= 2; got m=$m k=$k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val sampleSize = math.max(k * 8, 256)
+    val sample = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    if (sample.isEmpty) return None
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    def l2d(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // farthest-point seeds per subspace over the shared sample
+    val seedRows = (0 until m).flatMap { s =>
+      val sub = sample.map { case (id, v) =>
+        (id, v.slice(s * subDim, (s + 1) * subDim))
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      val minDist = sub.map(x => l2d(sub(0)._2, x._2))
+      while (chosen.size < math.min(k, sub.length)) {
+        var best = -1
+        for (i <- sub.indices if !chosen.contains(i))
+          if (best < 0 || minDist(i) > minDist(best) ||
+            (minDist(i) == minDist(best) && sub(i)._1 < sub(best)._1))
+            best = i
+        chosen += best
+        val d = sub.map(x => l2d(sub(best)._2, x._2))
+        for (i <- sub.indices) minDist(i) = math.min(minDist(i), d(i))
+      }
+      chosen.toSeq.zipWithIndex.map { case (i, code) =>
+        (s, code, sub(i)._2.toSeq)
+      }
+    }
+    val seeds = spark.createDataFrame(seedRows)
+      .toDF("sub_id", "code", "centv")
+    val allSubs = subvectors(corpus, "vec_id", m, subDim)
+      .localCheckpoint(eager = false) // feeds every Lloyd pass + encoding
+    val codebooks = (1 to refineIters).foldLeft(seeds) { (cb, _) =>
+      val recentered = pqAssign(cb, allSubs, "vec_id")
+        .join(allSubs, Seq("vec_id", "sub_id"))
+        .select(col("sub_id"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub_id"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mu"))
+        .groupBy(col("sub_id"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)")
+          .as("centv"))
+      // empty codes keep their previous centroid — anti-join + union
+      cb.join(recentered, Seq("sub_id", "code"), "left_anti")
+        .unionByName(recentered)
+        .localCheckpoint(eager = false)
+    }
+    val encoded = pqAssign(codebooks, allSubs, "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub_id, code))), s -> s.code)")
+        .as("codes"))
+    Some(PqIndex(codebooks, m, k, subDim, encoded))
+  }
+
+  /** PQ top-k with exact re-rank (FAISS's ADC serving shape, expressed
+    * relationally): stage 1 scores every query against the ENCODED
+    * corpus asymmetrically — the query's m per-subspace dot products
+    * with each codebook entry form an m·k lookup table, and a corpus
+    * vector's approximate dot is the sum of its m codes' table entries;
+    * its approximate norm is likewise code-derived (query-independent,
+    * computed once). Stage 2 rescores the `rerank` shortlist per query
+    * exactly and keeps k.
+    *
+    * Scale: stage 1 touches m-byte codes, never the float corpus — the
+    * per-(sub, code) join against the broadcast table IS the table
+    * lookup, with map-side partial sums collapsing the m rows per
+    * (query, vector); compose with [[ivfTopKWithIndex]]'s centroid
+    * pruning for the candidate cut (IVF-PQ). Stage 2 reads the float
+    * corpus only for |queries|·rerank ids. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, index: PqIndex,
+             k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val cb = index.codebooks.localCheckpoint(eager = false)
+    val encSub = index.encoded
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+      .localCheckpoint(eager = false) // feeds norms + ADC
+    val vecNorm = encSub
+      .join(broadcast(cb.select(col("sub_id"), col("code"),
+        dotHof("centv", "centv").as("cn2"))), Seq("sub_id", "code"))
+      .groupBy(col("neighbor_id"))
+      .agg(sqrt(sum(col("cn2"))).as("an"))
+    val qTable = subvectors(queries, "query_id", index.m, index.subDim)
+      .join(broadcast(cb), "sub_id")
+      .select(col("query_id"), col("sub_id"), col("code"),
+        dotHof("sv", "centv").as("qc"))
+    val adc = encSub
+      .join(qTable, Seq("sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qc")).as("ad"))
+    val qn = withNorm(queries, "query_id", "qv", "qn")
+      .select(col("query_id"), col("qn"))
+    val scored = adc
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(vecNorm, "neighbor_id")
+      .join(qn, "query_id")
+      .withColumn("cos", col("ad") / (col("qn") * col("an")))
+    val cand = scoredTopK(scored, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    topKAmong(cand, queries, corpus, k)
+  }
 }

@@ -90,6 +90,29 @@ class SimilaritySpec extends SparkSpecBase {
       s"bucketed pair generation must never go all-pairs:\n$plan")
   }
 
+  test("PQ: code shape bounded by (m, k), recall floor with re-rank, empty corpus degrades") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val idx = Similarity.buildPqIndex(emb, m = 16, k = 16).get
+    assert(idx.subDim === 4) // 64-dim corpus, 16 subspaces
+    // every vector encodes to exactly m codes in [0, k)
+    val shape = idx.encoded
+      .select(size(col("codes")).as("n"),
+        expr("aggregate(codes, true, (acc, c) -> acc AND c >= 0 AND c < 16)").as("ok"))
+      .agg(min(col("n")), max(col("n")),
+        org.apache.spark.sql.functions.every(col("ok"))).head()
+    assert(shape.getInt(0) === 16 && shape.getInt(1) === 16 && shape.getBoolean(2))
+    // codebooks: m·k rows at most (empty codes retain previous centroids)
+    assert(idx.codebooks.count() === 16L * 16L)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val approx = pairs(Similarity.pqTopK(queries, emb, idx, k = 5, rerank = 100))
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall below floor")
+    assert(Similarity.buildPqIndex(emb.filter(lit(false)), m = 16, k = 16).isEmpty)
+  }
+
   test("semantic dedup: verified subset, pinned recall, multiAssign widens monotonically, no all-pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     def pairs(df: org.apache.spark.sql.DataFrame) =
