@@ -84,4 +84,32 @@ object StreamingIngest {
             mode = org.apache.spark.sql.SaveMode.Append)
       }
       .start()
+
+  /** Stream → PARTITION-SCOPED upsert: every micro-batch merges into a
+    * [[graft.operators.Sinks.upsertSnapshotBucketed]] table, so an
+    * unbounded keyed stream maintains a queryable keyed snapshot whose
+    * per-batch write cost is O(touched buckets), not O(table) — the
+    * streaming face of the SNK1 scale path (a streaming upsert through
+    * the full-rewrite `upsertSnapshot` would rewrite the whole table
+    * every trigger).
+    *
+    * Same honest exactly-once caveat as [[runToJdbc]]: foreachBatch is
+    * at-least-once on retry; re-merging the same batch is IDEMPOTENT
+    * here (same keys → same buckets → same merged rows — last-write-wins
+    * on `orderCol` absorbs the replay), which is precisely why
+    * upsert-shaped sinks are the recommended foreachBatch target. */
+  def runToBucketedSnapshot(stream: DataFrame, tableDir: String,
+                            checkpointDir: String, key: Seq[String],
+                            orderCol: String,
+                            nBuckets: Int = 64): StreamingQuery =
+    stream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sinks.upsertSnapshotBucketed(
+            batch.sparkSession, tableDir, batch, key, orderCol, nBuckets)
+      }
+      .start()
 }

@@ -65,4 +65,32 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(rows.length === 1)
     assert(rows.head.getAs[String]("Currency") === "EUR") // 2025-01.csv sorts first
   }
+
+  test("streaming bucketed upsert: micro-batches maintain the keyed snapshot, replays idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = s"/tmp/graft_test_stream_upsert_${System.nanoTime()}"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val stream = in.toDF().toDF("k", "v", "ord")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingIngest.runToBucketedSnapshot(
+        stream, s"$base/table", s"$base/ckpt", key = Seq("k"),
+        orderCol = "ord", nBuckets = 8)
+      q.awaitTermination()
+    }
+    in.addData((1L, "a", 1L), (2L, "b", 1L))
+    drain()
+    // second trigger: update key 1 (higher ord wins), insert key 3
+    in.addData((1L, "a2", 2L), (3L, "c", 1L))
+    drain()
+    val got = graft.operators.Sinks.readBucketedSnapshot(spark, s"$base/table")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got === Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // replaying the SAME rows (a foreachBatch retry) changes nothing
+    in.addData((1L, "a2", 2L), (3L, "c", 1L))
+    drain()
+    val replay = graft.operators.Sinks.readBucketedSnapshot(spark, s"$base/table")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(replay === got)
+  }
 }
