@@ -671,10 +671,11 @@ object Similarity {
     * (query, vector); compose with [[ivfTopKWithIndex]]'s centroid
     * pruning for the candidate cut (IVF-PQ). Stage 2 reads the float
     * corpus only for |queries|·rerank ids. */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, index: PqIndex,
-             k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    graft.functions.GraftFunctions.register(queries.sparkSession)
+  /** The three ADC building blocks, shared by the flat scan ([[pqTopK]])
+    * and the IVF-pruned composition ([[ivfPqTopK]]): exploded codes,
+    * code-derived vector norms, and the per-query m·k dot table. */
+  private def pqParts(queries: DataFrame, index: PqIndex)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cb = index.codebooks.localCheckpoint(eager = false)
     val encSub = index.encoded
       .select(col("vec_id").as("neighbor_id"),
@@ -689,10 +690,14 @@ object Similarity {
       .join(broadcast(cb), "sub_id")
       .select(col("query_id"), col("sub_id"), col("code"),
         dotHof("sv", "centv").as("qc"))
-    val adc = encSub
-      .join(qTable, Seq("sub_id", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("qc")).as("ad"))
+    (encSub, vecNorm, qTable)
+  }
+
+  /** Score, shortlist, exact-re-rank: the shared back half of both PQ
+    * serving paths. `adc` = (query_id, neighbor_id, ad). */
+  private def pqRerank(adc: DataFrame, vecNorm: DataFrame,
+                       queries: DataFrame, corpus: DataFrame,
+                       k: Int, rerank: Int): DataFrame = {
     val qn = withNorm(queries, "query_id", "qv", "qn")
       .select(col("query_id"), col("qn"))
     val scored = adc
@@ -703,5 +708,45 @@ object Similarity {
     val cand = scoredTopK(scored, rerank)
       .select(col("query_id"), col("neighbor_id"))
     topKAmong(cand, queries, corpus, k)
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, index: PqIndex,
+             k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val (encSub, vecNorm, qTable) = pqParts(queries, index)
+    val adc = encSub
+      .join(qTable, Seq("sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qc")).as("ad"))
+    pqRerank(adc, vecNorm, queries, corpus, k, rerank)
+  }
+
+  /** IVF-PQ (the full FAISS serving composition): candidates come from
+    * the IVF index's nProbe nearest inverted lists — a
+    * corpus/nCentroids·nProbe slice, not a scan — and ONLY those are
+    * ADC-scored against the PQ codes before the exact re-rank. At 100 TB
+    * this stacks the two cuts: IVF prunes the candidate COUNT, PQ shrinks
+    * the bytes touched per candidate to m codes; the float corpus is read
+    * only for the final |queries|·rerank ids. Both indexes are built once
+    * and parquet-persistable; recall compounds (a true neighbour must
+    * land in a probed list AND survive the quantized shortlist) — the
+    * registered row pins the measured floor. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, ivf: IvfIndex,
+                pq: PqIndex, k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val probes = assign(ivf.centroids, queries, "query_id", keep = nProbe)
+    val cand = probes.join(ivf.postings, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val (encSub, vecNorm, qTable) = pqParts(queries, pq)
+    val adc = cand
+      .join(encSub, "neighbor_id") // m code rows per candidate
+      .join(qTable, Seq("query_id", "sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qc")).as("ad"))
+    pqRerank(adc, vecNorm, queries, corpus, k, rerank)
   }
 }

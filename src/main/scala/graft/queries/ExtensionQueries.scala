@@ -436,6 +436,30 @@ object ExtensionQueries {
       },
       annInvariantOracle),
 
+    // IVF-PQ, the full FAISS serving composition: IVF prunes candidates
+    // to nProbe inverted lists, PQ's relational ADC scores only those
+    // against 16-byte codes, exact re-rank finishes. Recall compounds
+    // (probed-list ∧ quantized-shortlist survival) — floor 0.6, the IVF
+    // row's own floor, since PQ's shortlist loss is negligible at
+    // rerank=100 (PQ-alone measured 0.98/0.87).
+    "ann_ivfpq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val approx = (Similarity.buildIvfIndex(emb, nCentroids = 32,
+          refineIters = 2), Similarity.buildPqIndex(emb, m = 16, k = 16)) match {
+          case (Some(ivf), Some(pq)) =>
+            Similarity.ivfPqTopK(queries, emb, ivf, pq, k = 5,
+              nProbe = 12, rerank = 100)
+          case _ => s.range(0).select(col("id").as("query_id"),
+            col("id").as("rank"), col("id").as("neighbor_id"))
+        }
+        annInvariants(queries, approx,
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.6)
+      },
+      annInvariantOracle),
+
     // Pair→cluster resolution: the production step AFTER pair generation,
     // run as the full production chain — banded LSH pairs (the scale
     // path; its pair-set equality with the exact ground truth is pinned
