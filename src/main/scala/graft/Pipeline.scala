@@ -193,17 +193,22 @@ object Pipeline {
     // Keys with no train fit keep the naive pred_f (the reference's
     // untrained-group fallback). The fit reads the lazily-checkpointed
     // featured frame, so the feature chain still runs once.
-    val predicted = cfg.predictor match {
+    // The fitted params frame is kept alongside the applied frame so the
+    // sink tail can publish it as the `predictor_params` artifact —
+    // without it, [[stageMetrics]] could only ever re-grade the naive
+    // predictor regardless of what run() trained (the reference persists
+    // the trained model and validate/test load THAT, validate.py:171-331).
+    val (predicted, predictorParams) = cfg.predictor match {
       case "ar1" =>
         val params = Features.fitAr1(
           featured.filter(col("split") === "train"), key,
           col("pred_f"), col("actual"))
-        featured.join(broadcast(params), key, "left")
+        (featured.join(broadcast(params), key, "left")
           .withColumn("pred_f",
             when(col("slope").isNotNull,
               round(col("slope") * col("pred_f") + col("intercept"), 2))
               .otherwise(col("pred_f")))
-          .drop("slope", "intercept", "n_fit")
+          .drop("slope", "intercept", "n_fit"), Some(params))
       case "ar2" =>
         // second filled lag built the way pred_f is (lag → ffill); its
         // OWN lazy checkpoint — feat2 feeds both the fit aggregate and
@@ -216,14 +221,14 @@ object Pipeline {
         val params = Features.fitAr2(
           feat2.filter(col("split") === "train"), key,
           col("pred_f"), col("x2"), col("actual"))
-        feat2.join(broadcast(params), key, "left")
+        (feat2.join(broadcast(params), key, "left")
           .withColumn("pred_f",
             when(col("b1").isNotNull && col("x2").isNotNull,
               round(col("b1") * col("pred_f") + col("b2") * col("x2") +
                 col("intercept"), 2))
               .otherwise(col("pred_f")))
-          .drop("b1", "b2", "intercept", "n_fit", "x2")
-      case _ => featured
+          .drop("b1", "b2", "intercept", "n_fit", "x2"), Some(params))
+      case _ => (featured, None)
     }
 
     // A5 on the TRAIN split only: norm-param side table (train.py:467-477)
@@ -311,6 +316,9 @@ object Pipeline {
         key, orderCol = "total_samples")
       Sinks.upsertSnapshot(spark, s"$dir/norm_params", normParams,
         key, orderCol = "mn")
+      predictorParams.foreach(p =>
+        Sinks.upsertSnapshot(spark, s"$dir/predictor_params", p,
+          key, orderCol = "n_fit"))
       Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
       Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
       Sinks.truncateAndLoad(validateFeatures, s"$dir/validate_features")
@@ -361,14 +369,19 @@ object Pipeline {
         s"artifacts published to $outDir"
       }
       case st @ ("validate" | "test") =>
-        val missing = artifactTables.filterNot(a =>
+        // A trained (non-naive) predictor adds its params artifact to the
+        // existence gate: grading ar1/ar2 stages without the fit would
+        // silently score a different model than run() published.
+        val required = artifactTables ++
+          (if (cfg.predictor != "naive") Seq("predictor_params") else Nil)
+        val missing = required.filterNot(a =>
           Sinks.tableExists(spark, s"$outDir/$a"))
         if (missing.nonEmpty)
           StageStatus(st, ok = false,
             s"missing artifacts ${missing.mkString(", ")} — run train first")
         else attempt(st) {
           val split = if (st == "validate") "val" else "test"
-          val n = stageMetrics(spark, events, outDir, split).count()
+          val n = stageMetrics(spark, events, outDir, split, cfg).count()
           s"$n metric groups"
         }
       case other =>
@@ -385,7 +398,7 @@ object Pipeline {
     * (exactly [[run]]'s order — filtering first would corrupt the lag
     * history), and model routing comes from the persisted side table. */
   def stageMetrics(spark: SparkSession, events: DataFrame, outDir: String,
-                   split: String): DataFrame = {
+                   split: String, cfg: Config = Config()): DataFrame = {
     val w = Features.keyWindow(key, Seq("ts", "event_id"))
     val splits = Sinks.readSnapshot(spark, s"$outDir/splits")
     val modelTypes = Sinks.readSnapshot(spark, s"$outDir/model_types")
@@ -395,8 +408,37 @@ object Pipeline {
       .join(splits, Seq("event_id"))
       .withColumn("pred", Features.lag1(col("actual"), w))
       .withColumn("pred_f", Features.ffill(col("pred"), w))
+    // cfg.predictor != naive → apply the PERSISTED fit (the artifact
+    // [[run]] published), never a re-fit: these stages grade the model
+    // that was trained, exactly as the reference's validate/test load the
+    // stored params (validate.py:171-331). Same apply expressions as
+    // run()'s, same untrained-key naive fallback.
+    val predicted = cfg.predictor match {
+      case "ar1" =>
+        val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
+        featured.join(broadcast(params), key, "left")
+          .withColumn("pred_f",
+            when(col("slope").isNotNull,
+              round(col("slope") * col("pred_f") + col("intercept"), 2))
+              .otherwise(col("pred_f")))
+          .drop("slope", "intercept", "n_fit")
+      case "ar2" =>
+        val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
+        featured
+          .withColumn("lag2", lag(col("actual"), 2).over(w))
+          .withColumn("x2", Features.ffill(col("lag2"), w))
+          .drop("lag2")
+          .join(broadcast(params), key, "left")
+          .withColumn("pred_f",
+            when(col("b1").isNotNull && col("x2").isNotNull,
+              round(col("b1") * col("pred_f") + col("b2") * col("x2") +
+                col("intercept"), 2))
+              .otherwise(col("pred_f")))
+          .drop("b1", "b2", "intercept", "n_fit", "x2")
+      case _ => featured
+    }
     Features.regressionMetrics(
-      featured.filter(col("split") === split), key,
+      predicted.filter(col("split") === split), key,
       col("actual"), col("pred_f"))
       .join(broadcast(modelTypes.select((keyCols :+ col("model_type")): _*)),
         key, "left")

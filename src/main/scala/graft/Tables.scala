@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet test tables (TESTDATA.md).
   *
-  * The driver generates timestamps as parquet `TIMESTAMP(NANOS,
-  * isAdjustedToUTC=false)`, which Spark's parquet reader rejects outright
-  * ([PARQUET_TYPE_ILLEGAL]). `spark.sql.legacy.parquet.nanosAsLong` reads
-  * them as raw Long nanoseconds and [[Tables.events]] converts to
-  * TIMESTAMP_NTZ microseconds — the same truncation DuckDB applies when it
-  * reads the file, which keeps the differential oracle exact.
+  * Through round 6 the driver generated `events.ts` as parquet
+  * `TIMESTAMP(NANOS, isAdjustedToUTC=false)`, which Spark's parquet
+  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]);
+  * `spark.sql.legacy.parquet.nanosAsLong` read them as raw Long
+  * nanoseconds and [[Tables.events]] converted to TIMESTAMP_NTZ
+  * microseconds — the same truncation DuckDB applies. The round-7 data
+  * stores `timestamp[us]` natively (read as TIMESTAMP_NTZ directly), so
+  * the loader now dispatches on the ACTUAL column type: Long → the
+  * legacy ns→µs conversion, timestamp → a plain NTZ cast. Either vintage
+  * of the data serves unchanged.
   *
   * Micro-second timestamps (lineitem.l_shipdate, orders.o_orderdate) read
   * natively as TIMESTAMP_NTZ and need no conversion.
@@ -31,14 +35,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     configured(spark).read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with `ts` converted ns(Long) → µs TIMESTAMP_NTZ.
-    * `ts div 1000` is exact integer division (a Double division would lose
-    * sub-µs precision at 1.7e18 ns magnitudes and round differently than
-    * DuckDB's own ns→µs truncation).
+  /** `events` with `ts` normalized to µs TIMESTAMP_NTZ whatever the file
+    * stores. Legacy nanos: `ts div 1000` is exact integer division (a
+    * Double division would lose sub-µs precision at 1.7e18 ns magnitudes
+    * and round differently than DuckDB's own ns→µs truncation).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

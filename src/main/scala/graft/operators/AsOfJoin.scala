@@ -220,21 +220,31 @@ object AsOfJoin {
                               rowBudget: Long, saltBuckets: Int,
                               sampleFraction: Double): (DataFrame, DataFrame) = {
     require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
-    val hits = (SALT +: "__asof_hot" +: Nil)
+    val hits = (SALT +: "__asof_hot" +: keys.map(k => s"__asof_hot_$k"))
       .filter(c => left.columns.contains(c) || right.columns.contains(c))
     require(hits.isEmpty, s"reserved column names $hits in inputs")
     // Small by definition (≤ total/rowBudget keys) → broadcast onto both
     // sides; the probe side stays map-only up to the one merge shuffle.
-    val hot = Features.hotKeys(left, keys, rowBudget, sampleFraction)
-      .withColumn("__asof_hot", lit(true))
-    val l = left.join(broadcast(hot), keys, "left")
+    // The probe is NULL-SAFE (<=>): groupBy counts NULL keys as a group,
+    // and the window merge partitions NULLs together too, so a hot NULL
+    // probe key would otherwise keep salt 0 and still serialize into one
+    // task. Salting it is output-safe — the merge's null-key gate hands
+    // null-key probes a NULL payload in every bucket.
+    val hotKeyCols = keys.map(k => s"__asof_hot_$k")
+    val hot = keys.zip(hotKeyCols).foldLeft(
+      Features.hotKeys(left, keys, rowBudget, sampleFraction)) {
+        case (d, (k, hk)) => d.withColumnRenamed(k, hk)
+      }.withColumn("__asof_hot", lit(true))
+    val hotCond = keys.zip(hotKeyCols)
+      .map { case (k, hk) => col(k) <=> col(hk) }.reduce(_ && _)
+    val l = left.join(broadcast(hot), hotCond, "left")
       .withColumn(SALT, when(col("__asof_hot").isNotNull,
         pmod(xxhash64(col(tsColLeft)), lit(saltBuckets.toLong))).otherwise(lit(0L)))
-      .drop("__asof_hot")
-    val r = right.join(broadcast(hot), keys, "left")
+      .drop("__asof_hot" +: hotKeyCols: _*)
+    val r = right.join(broadcast(hot), hotCond, "left")
       .withColumn(SALT, explode(when(col("__asof_hot").isNotNull,
         sequence(lit(0L), lit(saltBuckets.toLong - 1))).otherwise(array(lit(0L)))))
-      .drop("__asof_hot")
+      .drop("__asof_hot" +: hotKeyCols: _*)
     (l, r)
   }
 

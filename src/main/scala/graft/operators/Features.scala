@@ -560,6 +560,11 @@ object Features {
   def decisionStumpPerGroup(df: DataFrame, groups: Seq[String],
                             feature: Column, label: Column): DataFrame = {
     require(groups.nonEmpty, "groups required (use decisionStump for global)")
+    // Internal projection names — a group column spelled "t" or "y" would
+    // produce a duplicate-column frame and a deep resolution failure
+    // instead of this loud guard (the FuzzyJoin/curriculumOrder convention).
+    val reserved = groups.intersect(Seq("t", "y"))
+    require(reserved.isEmpty, s"reserved column names $reserved in groups")
     val gc = groups.map(col)
     val per = df.select((feature.as("t") +: when(label, 1L).otherwise(0L).as("y") +: gc): _*)
       .groupBy(col("t") +: gc: _*)

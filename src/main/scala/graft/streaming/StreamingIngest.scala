@@ -97,7 +97,14 @@ object StreamingIngest {
     * at-least-once on retry; re-merging the same batch is IDEMPOTENT
     * here (same keys → same buckets → same merged rows — last-write-wins
     * on `orderCol` absorbs the replay), which is precisely why
-    * upsert-shaped sinks are the recommended foreachBatch target. */
+    * upsert-shaped sinks are the recommended foreachBatch target.
+    *
+    * Atomicity is PER BUCKET, not per trigger: a crash between bucket
+    * commits inside one micro-batch leaves that batch partially merged
+    * until the checkpoint replays it (at which point the idempotent
+    * re-merge converges). Readers needing cross-bucket snapshot
+    * consistency should read between triggers or use the versioned
+    * [[graft.operators.Sinks.upsertSnapshot]] form. */
   def runToBucketedSnapshot(stream: DataFrame, tableDir: String,
                             checkpointDir: String, key: Seq[String],
                             orderCol: String,

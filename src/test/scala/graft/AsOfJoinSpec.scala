@@ -336,6 +336,37 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(r.filter(col("k") =!= "hot").count() === 2L)      // not replicated
   }
 
+  test("hot-key pre-split: a hot NULL probe key is detected (null-safe probe) and salted, output unchanged") {
+    // 900 null-key probe rows: groupBy counts NULL as a group and the
+    // window merge partitions NULLs together, so before the null-safe
+    // probe these all serialized into one task at salt 0.
+    val hotNull = (0 until 900).map(i =>
+      (null: String, f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"))
+    val cold = (0 until 50).map(i =>
+      (s"c${i % 10}", f"2024-01-01 03:${i % 60}%02d:00"))
+    val probe = (hotNull ++ cold).toDF("k", "pts")
+      .withColumn("pts", to_timestamp(col("pts")))
+    val builds = Seq(("c0", "2024-01-01 01:00:00", "b1"),
+      (null: String, "2024-01-01 01:30:00", "bn"))
+      .toDF("k", "bts", "bv").withColumn("bts", to_timestamp(col("bts")))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val plain = AsOfJoin.backward(probe, builds, Seq("k"), "pts", "bts", Seq("bv"))
+    val split = AsOfJoin.backwardPreSplit(probe, builds, Seq("k"), "pts", "bts",
+      Seq("bv"), rowBudget = 100, saltBuckets = 8)
+    // null keys still never match — salting them is output-invisible
+    assert(canon(split) === canon(plain))
+    val (l, _) = AsOfJoin.preSplit(probe, builds, Seq("k"), "pts",
+      rowBudget = 100, saltBuckets = 8, sampleFraction = 1.0)
+    val nullSalts = l.filter(col("k").isNull)
+      .select(col("__asof_salt")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(nullSalts.size >= 4, s"hot NULL key not spread: $nullSalts")
+    // cold keys still unsalted
+    assert(l.filter(col("k").isNotNull).select(col("__asof_salt"))
+      .distinct().collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("plan: one hash exchange per side's union, no nested loop") {
     val ev = Tables.events(spark, sf0001)
     val clicks = ev.where(col("event_type") === "click")

@@ -254,4 +254,14 @@ class FeaturesSpec extends SparkSpecBase {
     }
     assert(!per.contains("c"))
   }
+
+  test("decisionStumpPerGroup: a group column named 't' or 'y' fails loud, not as a duplicate-column frame") {
+    import spark.implicits._
+    val df = Seq((1.0, true, "g1")).toDF("f", "lab", "t")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Features.decisionStumpPerGroup(
+        df, Seq("t"), col("f"), col("lab"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

@@ -127,6 +127,26 @@ class IngestSpec extends SparkSpecBase {
     assert(e.getMessage.contains("bucket-count mismatch"))
   }
 
+  test("SNK1 bucketed upsert: a CREATE batch with duplicate keys persists last-write-wins, not duplicates") {
+    import graft.operators.Sinks
+    val tableDir = Files.createTempDirectory("graft_snk1b_dup")
+      .toFile.getAbsolutePath + "/tbl"
+    val key = Seq("user_id", "event_type")
+    // (u1, view) appears twice — the create branch must resolve it the
+    // way every later merge batch would (last-write-wins on event_id)
+    val batch = Seq(("u1", "view", 1L, 1.0), ("u1", "view", 2L, 2.0),
+      ("u2", "click", 1L, 5.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    Sinks.upsertSnapshotBucketed(spark, tableDir, batch, key, "event_id",
+      nBuckets = 4)
+    val out = Sinks.readBucketedSnapshot(spark, tableDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size === 2, "duplicate key must not persist two rows")
+    assert(out(("u1", "view")) === ((2L, 2.0)))
+    assert(out(("u2", "click")) === ((1L, 5.0)))
+  }
+
   test("SRC1 listing runs through the Hadoop FS API: a file: URI serves unchanged") {
     val dir = Files.createTempDirectory("graft_src1_uri").toFile
     Files.writeString(new java.io.File(dir, "b.csv").toPath,

@@ -64,6 +64,33 @@ class PipelineSpec extends SparkSpecBase {
       "unknown stage 'deploy'")))
   }
 
+  test("automate honors cfg.predictor: ar1 stages grade the TRAINED model from its persisted params") {
+    val base = Files.createTempDirectory("graft_automate_ar1").toString
+    val ev = Tables.events(spark, sf0001)
+    val cfg = Pipeline.Config(predictor = "ar1")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("user_id", "event_type", "R2", "MSE", "Samples", "model_type")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // gate: a NAIVE train run publishes no predictor_params, so an ar1
+    // validate must fail soft on the artifact gate — not silently grade
+    // the naive model (the round-6 cfg-ignored defect)
+    Pipeline.run(spark, ev, outDir = Some(s"$base/naive"))
+    val gated = Pipeline.automate(spark, ev, s"$base/naive", cfg,
+      stages = Seq("validate"))
+    assert(!gated.head.ok && gated.head.detail.contains("predictor_params"))
+    // full ar1 chain: train publishes the fit, validate/test apply IT
+    val all = Pipeline.automate(spark, ev, s"$base/ar1", cfg)
+    assert(all.map(s => s.stage -> s.ok) ===
+      Seq("train" -> true, "validate" -> true, "test" -> true))
+    assert(Sinks.tableExists(spark, s"$base/ar1/predictor_params"))
+    val fromArtifacts = Pipeline.stageMetrics(spark, ev, s"$base/ar1", "val", cfg)
+    val inMemory = Pipeline.run(spark, ev, cfg).validateMetrics
+    assert(canon(fromArtifacts) === canon(inMemory))
+    // and the trained grading is NOT the naive grading
+    val naiveMetrics = Pipeline.stageMetrics(spark, ev, s"$base/ar1", "val")
+    assert(canon(fromArtifacts) !== canon(naiveMetrics))
+  }
+
   test("ar1 predictor: trained line engages and cannot lose to naive on its own training split") {
     val ev = Tables.events(spark, sf0001)
     val naive = Pipeline.run(spark, ev)
