@@ -78,4 +78,47 @@ object RangeJoin {
       .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop(BIN)
   }
+
+  /** Interval-OVERLAP join — pairs of intervals that intersect
+    * (`lStart < rEnd AND rStart < lEnd`, both sides half-open [start,
+    * end)): the third classic temporal join (concurrent sessions,
+    * conflicting bookings, validity-period reconciliation), one step up
+    * from [[pointInInterval]] where BOTH sides have extent.
+    *
+    * Same manufactured equi-key, plus an OWNERSHIP rule for exactly-once:
+    * both sides explode to every bin they touch, so an overlapping pair
+    * co-occurs in every bin their spans share — the join keeps the pair
+    * only in the bin where the overlap STARTS (`bin(greatest(lStart,
+    * rStart))`), which by construction is a bin both rows were exploded
+    * into. No post-dedup `distinct` (a full shuffle of the output) needed.
+    *
+    * Replication and skew behave as in [[pointInInterval]]: cost knob is
+    * `binMicros` vs interval length, and the composite (keys…, bin) key
+    * spreads hot keys across time. Empty/inverted/NULL-bounded intervals
+    * drop out on either side.
+    *
+    * @return left.* ++ right.* (non-key names must not collide) */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(overlap.isEmpty, s"non-key column collision: $overlap")
+    require(!left.columns.contains(BIN) && !right.columns.contains(BIN),
+      s"reserved column name $BIN in inputs")
+
+    def bin(tsExpr: String) =
+      expr(s"unix_micros(cast($tsExpr as timestamp)) div ${binMicros}L")
+    def explodeBins(df: DataFrame, s: String, e: String) =
+      df.where(col(e) > col(s))
+        .withColumn(BIN, explode(sequence(
+          bin(s), bin(s"$e - INTERVAL 1 MICROSECOND"))))
+
+    explodeBins(left, lStart, lEnd)
+      .join(explodeBins(right, rStart, rEnd), (keys :+ BIN).toIndexedSeq, "inner")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(col(BIN) === greatest(bin(lStart), bin(rStart)))
+      .drop(BIN)
+  }
 }

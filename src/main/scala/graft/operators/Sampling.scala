@@ -125,6 +125,45 @@ object Sampling {
     df.withColumn(foldCol, bucket(key, seed, algo) % k)
   }
 
+  /** EXACT-count deterministic sample: the `n` rows per group whose hash
+    * ranks smallest — the hard-count complement to the Bernoulli hash
+    * gates above (eval sets, per-domain caps, "exactly 1000 docs per
+    * language" curation quotas, where ±1/√n drift is not acceptable).
+    *
+    * Determinism contract: the rank order is (hash(key, seed), key) — a
+    * TOTAL order whenever `key` is unique within its group (the same
+    * uniqueness every keyed operator here assumes), so membership is a
+    * pure function of the group's key set and the seed: stable under
+    * re-partitioning, retries, and engine choice (md5 algo). Unlike the
+    * gates it is NOT nested across n and NOT scan-speed — the rank needs
+    * one shuffle on `groups`.
+    *
+    * Scale: one window per group; groups are the unit of parallelism and
+    * the per-task cost is the group's size. A pathologically hot group
+    * sorts in one task — cap it upstream with a coarse hash gate first
+    * (gate to ~10·n expected, then rank exactly), the two-stage shape of
+    * [[graft.functions.TopKAggregator]]. */
+  def sampleNPerGroup(df: DataFrame, groups: Seq[String], key: Column,
+                      n: Int, seed: String,
+                      algo: String = "xxh64"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("__rk"), "reserved column name __rk in input")
+    val h = algo match {
+      case "xxh64" => xxhash64(key.cast("string"), lit(seed))
+      case "md5" =>
+        conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 15),
+          16, 10).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"algo must be xxh64 or md5, got $other")
+    }
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(groups.map(col): _*)
+          .orderBy(h, key.cast("string"))))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Temperature-scaled domain rebalancing — the multilingual-pretraining
     * sampler (exponentiated-count mixing, XLM-R style): domain i keeps
     * enough rows that its share of the output follows

@@ -122,7 +122,13 @@ object Sinks {
         pmod(xxhash64(key.map(col): _*), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(eager = false)
     if (!f.exists(new Path(tableDir))) {
-      inc.write.partitionBy("__bucket").parquet(tableDir)
+      // First batch goes through the SAME last-write-wins resolution as
+      // every later one (merge against an empty snapshot): a create batch
+      // carrying duplicate keys must not persist duplicate rows, or the
+      // contract below ("in-batch duplicates resolve last-write-wins")
+      // would hold for every batch except the first.
+      Ingest.upsert(inc.limit(0), inc, key, orderCol)
+        .write.partitionBy("__bucket").parquet(tableDir)
       val out = f.create(marker, true)
       out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
     } else {
@@ -148,7 +154,18 @@ object Sinks {
         // the touched bucket directories
         val existingTouched = spark.read.parquet(tableDir)
           .filter(col("__bucket").isin(touched: _*))
+        // EAGER materialization before the overwrite: the merge READS
+        // tableDir and the write REPLACES the same touched directories.
+        // Dynamic-partition overwrite does stage to a temp location, but
+        // an un-materialized plan would still hold open scan tasks over
+        // files the commit deletes; checkpointing the merged rows first
+        // means the overwrite starts only after every source file has
+        // been fully read. Atomicity remains PER BUCKET (documented
+        // above and on runToBucketedSnapshot): a failure between bucket
+        // commits leaves some buckets merged and others not — replaying
+        // the same batch converges (last-write-wins absorbs re-merges).
         Ingest.upsert(existingTouched, inc, key, orderCol)
+          .localCheckpoint(eager = true)
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket")
@@ -220,6 +237,72 @@ object Sinks {
     val after = f.listStatus(new Path(s"$tableDir/v=${latest + 1}")).toSeq
       .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (dataFiles.size, after, latest + 1)
+  }
+
+  /** SNK10 — CDC changelog apply: merge an ordered change feed (op column
+    * ∈ I/U/D) into a keyed snapshot — the Delta `MERGE WHEN MATCHED
+    * DELETE` / Debezium-consumer shape, and the missing third verb of the
+    * reference's upsert (`ON DUPLICATE KEY UPDATE` can insert and update
+    * but never remove, main.py:175-188).
+    *
+    * Semantics: per key, changes collapse to the LATEST op in `orderCol`
+    * order (ties broken by op descending — arbitrary but total and
+    * cross-engine stable); a latest D removes the key, a latest I/U
+    * upserts its row; keys absent from the feed survive untouched.
+    * Collapsing FIRST means an I followed by a D nets to a delete and a
+    * D followed by an I nets to the insert — replaying a merged feed is
+    * idempotent, the property every at-least-once CDC consumer needs.
+    *
+    * Scale shape: one window over the CHANGE FEED (batch-sized, not
+    * table-sized) + one anti-join — identical cost to [[Ingest.upsert]];
+    * at 100 TB run it against the bucketed layout the way
+    * [[upsertSnapshotBucketed]] does (only touched buckets rewrite). */
+  def applyChanges(existing: DataFrame, changes: DataFrame,
+                   key: Seq[String], orderCol: String,
+                   opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ops = Seq("I", "U", "D")
+    // unknown ops fail LOUD at execution, not as silent deletes
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin(ops: _*), col(opCol))
+        .otherwise(raise_error(concat(lit("unknown CDC op: "), col(opCol)))))
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(orderCol).desc, col(opCol).desc)
+    val latest = checked
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    existing
+      .join(latest.select(key.map(col): _*), key, "left_anti")
+      .unionByName(
+        latest.filter(col(opCol).isin(ops.filter(_ != "D"): _*)).drop(opCol)
+          .select(existing.columns.map(col): _*))
+  }
+
+  /** SNK11 — retention vacuum over an [[upsertSnapshot]] versioned table:
+    * delete every version older than the newest `keepLast` (the Delta
+    * VACUUM / Iceberg expire_snapshots maintenance verb that completes
+    * the merge-on-write story — without it a 100 TB table re-upserted
+    * monthly retains 100 TB × months of dead versions).
+    *
+    * Deletion walks OLDEST-first so a crash mid-vacuum can only leave
+    * extra (still-consistent) versions behind, never a gap below the
+    * latest; the latest version is always retained regardless of
+    * `keepLast`. Returns (removedVersions, keptVersions). */
+  def vacuumSnapshot(spark: SparkSession, tableDir: String,
+                     keepLast: Int): (Seq[Int], Seq[Int]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark)
+    val versions = f.listStatus(new Path(tableDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted
+    require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
+    val (drop, keep) = versions.splitAt((versions.size - keepLast).max(0))
+    drop.foreach(v => f.delete(new Path(s"$tableDir/v=$v"), true))
+    (drop, keep)
   }
 
   /** Latest snapshot version of an [[upsertSnapshot]] table. */

@@ -493,4 +493,103 @@ object TextAnalysis {
     }
     (merges.result(), vocab)
   }
+
+  /** Fixed-size chunking with overlap — the RAG/context-window prep step
+    * (LangChain's CharacterTextSplitter shape): every document becomes
+    * `1 + ceil(max(0, len - chunkSize) / stride)` chunks of `chunkSize`
+    * characters starting every `stride = chunkSize - overlap` characters,
+    * with 1-based [start, end] offsets kept so downstream spans map back
+    * into the source. The last chunk may be shorter; an empty document
+    * yields one empty chunk (documents must never silently vanish in a
+    * pipeline — the F8 null-row drop is an explicit, separate gate).
+    *
+    * Pure integer arithmetic + `substring` over a `posexplode(sequence)`
+    * projection: chunk boundaries are engine-exact, and the plan is a
+    * map-only explode at scan speed — the explode fan-out is bounded by
+    * len/stride, and no shuffle happens until someone aggregates chunks.
+    * Chunk rows carry (doc_id, chunk_idx) — the composite key every
+    * downstream dedup/embedding stage keys on. */
+  def chunkWithOverlap(docs: DataFrame, chunkSize: Int,
+                       overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap (chunkSize $chunkSize)")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"),
+        // ceil((len - chunkSize) / stride) extra chunks past the first;
+        // `div` (never `/`, which is double division) keeps it integer-exact
+        posexplode(sequence(lit(0L), greatest(lit(0L), expr(
+          s"(length(text) - $chunkSize + ${stride - 1}) div $stride")))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride + 1).cast("long").as("start"),
+        least(col("pos") * stride + chunkSize, length(col("text")))
+          .cast("long").as("end"),
+        expr(s"substring(text, pos * $stride + 1, $chunkSize)").as("chunk"))
+  }
+
+  /** Reference-corpus bigram vocabulary: the `topK` word bigrams by
+    * occurrence count over `reference`, ties broken lexicographically —
+    * a total, engine-stable order. The "language model" of
+    * [[bigramCoverage]], collapsed to a frame small enough to broadcast
+    * (topK rows, corpus-size-independent — train on 100 TB, serve as a
+    * kilobyte table). */
+  def bigramVocab(reference: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val grams = reference
+      .select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    grams
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("n").desc, col("bigram"))))
+      .filter(col("__rk") <= topK)
+      .select(col("bigram"), col("n"))
+  }
+
+  /** KenLM-lite quality signal: what fraction of a document's word
+    * bigrams appear in a reference vocabulary ([[bigramVocab]]) — the
+    * integer-exact stand-in for perplexity-based quality filtering
+    * (CCNet/Gopher filter on a reference LM's perplexity; a coverage
+    * ratio ranks documents the same way for gating purposes without a
+    * single transcendental, so the score is bit-identical across
+    * engines). Returns (doc_id, n_bigrams, n_hits, coverage); documents
+    * with fewer than 2 tokens score 0/0 → coverage 0.0.
+    *
+    * Scale shape: explode doc bigrams → broadcast-join the (tiny) vocab →
+    * re-aggregate per doc. The explode is the token stream (the corpus
+    * itself, once), the join is map-only against a broadcast hash set,
+    * and the aggregate combines map-side — no all-corpus shuffle of
+    * anything wider than (doc_id, two counts). */
+  def bigramCoverage(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val exploded = docs
+      .select(col("doc_id"),
+        explode_outer(bigrams(col("text"))).as("bigram"))
+    exploded
+      .join(broadcast(vocab.select(col("bigram"), lit(1).as("__hit"))),
+        Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("bigram")).as("n_bigrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("coverage",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") /
+            col("n_bigrams").cast("double")))
+  }
+
+  /** Word bigram array of a text column: adjacent [[toks]] pairs joined
+    * with one space; fewer than 2 tokens → empty array. */
+  private[operators] def bigrams(text: Column): Column = {
+    val ws = toks(text)
+    when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+  }
 }

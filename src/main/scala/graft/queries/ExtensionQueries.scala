@@ -1042,6 +1042,63 @@ object ExtensionQueries {
         |    (a, b) -> a + b) AS subword_est
         |FROM documents""".stripMargin),
 
+    // RAG chunking with overlap (TextAnalysis.chunkWithOverlap): 120-char
+    // chunks every 90 chars (30 overlap), 1-based offsets kept. Pure
+    // integer arithmetic + substring — both engines derive the identical
+    // chunk boundaries and bodies; the map-only explode is the plan.
+    "ext_chunk_overlap" -> QueryDef(
+      (s, dir) => TextAnalysis.chunkWithOverlap(
+        Tables.documents(s, dir), chunkSize = 120, overlap = 30),
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
+        |e AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(0, greatest(0, (len - 120 + 89) // 90))) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 90 + 1 AS BIGINT) AS start,
+        |  CAST(least(i * 90 + 120, len) AS BIGINT) AS "end",
+        |  substr(text, CAST(i * 90 + 1 AS INT), 120) AS chunk
+        |FROM e""".stripMargin),
+
+    // KenLM-lite quality signal (TextAnalysis.bigramCoverage): fraction of
+    // each doc's word bigrams present in the corpus's top-200 bigram
+    // vocabulary — the integer-exact stand-in for reference-LM perplexity
+    // filtering (CCNet). The vocab rank order (count desc, bigram asc) is
+    // total, so both engines elect the identical 200; counts are exact
+    // integers and the one double division is IEEE-identical.
+    "ext_bigram_coverage" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.bigramCoverage(docs,
+          TextAnalysis.bigramVocab(docs, topK = 200))
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(ws) < 2 THEN []
+        |      ELSE list_transform(generate_series(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i+1]) END) AS bigram
+        |  FROM w),
+        |vocab AS (
+        |  SELECT bigram FROM (
+        |    SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+        |  QUALIFY row_number() OVER (ORDER BY n DESC, bigram) <= 200),
+        |sc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    count(v.bigram) AS n_hits
+        |  FROM bg b LEFT JOIN vocab v USING (bigram)
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.n_hits, 0) AS n_hits,
+        |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(sc.n_hits AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+        |  END AS coverage
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin),
+
     // Content fingerprints: MD5 of the normalized text + 31-base rolling
     // hash over tokens mod 1e9+7.
     "ext_fingerprint" -> QueryDef(

@@ -195,6 +195,38 @@ object JoinQueries {
         |     AND c.click_ts >= p.window_start
         |     AND c.click_ts < p.window_end""".stripMargin),
 
+    // J11 (engine extension) — interval-OVERLAP join
+    // (RangeJoin.overlapJoin): concurrent activity windows — every
+    // (view-session, purchase-session) pair of the same user whose
+    // half-open spans intersect. 15-min bins: the Spark plan is an
+    // equi-join on (user_id, bin) with the ownership rule deduping
+    // exactly-once (no distinct pass); the oracle is DuckDB's plain
+    // inequality join.
+    "j11_overlap_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("vs"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("ve"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("ps"),
+            (col("ts") + expr("INTERVAL 45 MINUTES")).as("pe"))
+        RangeJoin.overlapJoin(views, purchases, Seq("user_id"),
+          lStart = "vs", lEnd = "ve", rStart = "ps", rEnd = "pe",
+          binMicros = 15L * 60 * 1000000)
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+      },
+      """SELECT v.user_id, v.view_id, p.purchase_id
+        |FROM (SELECT event_id AS view_id, user_id, ts AS vs,
+        |             ts + INTERVAL 30 MINUTE AS ve
+        |      FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT event_id AS purchase_id, user_id, ts AS ps,
+        |             ts + INTERVAL 45 MINUTE AS pe
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND v.vs < p.pe AND p.ps < v.ve""".stripMargin),
+
     // J8 (engine extension) — FULL OUTER join: per-user purchase revenue
     // against per-user click counts, keeping users present on EITHER
     // side (the activity-reconciliation shape; every other join on the

@@ -34,6 +34,22 @@ object SamplingQueries {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${duckBucket("doc_id", "r5")} < 300000""".stripMargin),
 
+    // EXACT-count quota: exactly 20 docs per language (fewer only when the
+    // group is smaller), membership a pure function of (doc_id, seed) —
+    // the hard-count sibling of the Bernoulli gates. Full 60-bit md5 rank
+    // (not the bucketed %1e6) + doc_id tiebreak: a total order both
+    // engines derive identically.
+    "ext_sample_n_per_group" -> QueryDef(
+      (s, dir) => Sampling.sampleNPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        groups = Seq("lang"), key = col("doc_id"), n = 20,
+        seed = "r7q", algo = "md5"),
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r7q'),
+        |                 1, 15)) AS BIGINT),
+        |           CAST(doc_id AS VARCHAR)) <= 20""".stripMargin),
+
     // Stratified: downsample the over-represented language to rebalance
     // the mix (en keeps 25%, everything else 80%).
     "ext_stratified_sample" -> QueryDef(

@@ -80,6 +80,97 @@ object SinkQueries {
         |  TRUE AS compacted_fewer, TRUE AS version_advanced
         |FROM events""".stripMargin),
 
+    // SNK10 — CDC changelog apply (Sinks.applyChanges): an ordered I/U/D
+    // feed merges into a keyed snapshot. The feed is built to exercise
+    // every collapse rule: id%10=0 keys get a D at ord 1 THEN an I at
+    // ord 2 (nets to the insert — delete-then-reinsert must not lose the
+    // key), other id%5=0 keys get a single U, and id%3=0 keys absent from
+    // the feed must survive untouched. The oracle replays the identical
+    // collapse with QUALIFY + anti-join + union.
+    "snk10_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val existing = e.filter(col("event_id") % 3 === 0)
+        val changes = e.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") + 1)
+          .withColumn("op",
+            when(col("event_id") % 10 === 0, "D").otherwise("U"))
+          .withColumn("ord", lit(1L))
+          .unionByName(e.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("op", lit("I"))
+            .withColumn("ord", lit(2L)))
+        Sinks.applyChanges(existing, changes, Seq("event_id"), "ord", "op")
+      },
+      """WITH existing AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 3 = 0),
+        |changes AS (
+        |  SELECT event_id, user_id, event_type, value + 1 AS value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(1 AS BIGINT) AS ord
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value * 2, 'I',
+        |    CAST(2 AS BIGINT)
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT * FROM changes
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY event_id ORDER BY ord DESC, op DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value FROM existing e
+        |WHERE e.event_id NOT IN (SELECT event_id FROM latest)
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value
+        |FROM latest WHERE op <> 'D'""".stripMargin),
+
+    // SNK11 — retention vacuum (Sinks.vacuumSnapshot): three upsert
+    // batches build v=1..3, vacuum(keepLast=1) must delete v=1/v=2 and
+    // keep v=3 readable. The read-back (the cumulative upsert result) is
+    // the data contract — a vacuum that deleted the live version would
+    // lose rows; the file-level outcome rides along as asserted booleans.
+    "snk11_vacuum" -> QueryDef(
+      (s, dir) => {
+        val tableDir = scratch(s, "snk11")
+        val e = ev(s, dir)
+        Sinks.upsertSnapshot(s, tableDir,
+          e.filter(col("event_id") % 3 === 0), Seq("event_id"), "value")
+        Sinks.upsertSnapshot(s, tableDir,
+          e.filter(col("event_id") % 5 === 0)
+            .withColumn("value", col("value") + 10),
+          Seq("event_id"), "value")
+        Sinks.upsertSnapshot(s, tableDir,
+          e.filter(col("event_id") % 7 === 0)
+            .withColumn("value", col("value") + 100),
+          Seq("event_id"), "value")
+        val (removed, kept) = Sinks.vacuumSnapshot(s, tableDir, keepLast = 1)
+        Sinks.readSnapshot(s, tableDir)
+          .withColumn("removed_versions", lit(removed.mkString(",")))
+          .withColumn("kept_versions", lit(kept.mkString(",")))
+          .withColumn("old_versions_gone",
+            lit(!Sinks.tableExists(s, s"$tableDir/v=1") &&
+              !Sinks.tableExists(s, s"$tableDir/v=2")))
+      },
+      """WITH b1 AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 3 = 0),
+        |b2 AS (
+        |  SELECT event_id, user_id, event_type, value + 10 AS value
+        |  FROM events WHERE event_id % 5 = 0),
+        |b3 AS (
+        |  SELECT event_id, user_id, event_type, value + 100 AS value
+        |  FROM events WHERE event_id % 7 = 0),
+        |m1 AS (
+        |  SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
+        |  UNION ALL SELECT * FROM b2),
+        |m2 AS (
+        |  SELECT * FROM m1 WHERE event_id NOT IN (SELECT event_id FROM b3)
+        |  UNION ALL SELECT * FROM b3)
+        |SELECT event_id, user_id, event_type, value,
+        |  '1,2' AS removed_versions, '3' AS kept_versions,
+        |  TRUE AS old_versions_gone
+        |FROM m2""".stripMargin),
+
     // SNK2 — truncate-and-load (db_connector.py:120-150): the second load
     // REPLACES the first, so the read-back must contain only the second
     // batch. A stale-write-survives bug (append instead of overwrite)

@@ -147,6 +147,51 @@ class IngestSpec extends SparkSpecBase {
     assert(out(("u2", "click")) === ((1L, 5.0)))
   }
 
+  test("SNK10 applyChanges: I-then-D nets delete, D-then-I nets insert, unknown op fails loud") {
+    import graft.operators.Sinks
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", "U", 1L),            // plain update
+      (2L, "x", "I", 1L), (2L, "x", "D", 2L), // I then D -> delete
+      (4L, "d0", "D", 1L), (4L, "d1", "I", 2L), // D then I -> insert
+      (5L, "e", "U", 1L))             // update of an absent key -> appears
+      .toDF("k", "v", "op", "ord")
+    val out = Sinks.applyChanges(existing, changes, Seq("k"), "ord", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a2", 3L -> "c", 4L -> "d1", 5L -> "e"))
+    // replaying the same merged feed is a no-op (idempotent consumption)
+    val replayed = Sinks.applyChanges(
+      Seq((1L, "a2"), (3L, "c"), (4L, "d1"), (5L, "e")).toDF("k", "v"),
+      changes, Seq("k"), "ord", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replayed === out)
+    // unknown ops are loud, never silent deletes
+    val bad = Seq((9L, "z", "X", 1L)).toDF("k", "v", "op", "ord")
+    val e = intercept[Exception] {
+      Sinks.applyChanges(existing, bad, Seq("k"), "ord", "op").collect()
+    }
+    assert(e.getMessage.contains("unknown CDC op"))
+  }
+
+  test("SNK11 vacuumSnapshot: keeps the newest versions, latest always survives") {
+    import graft.operators.Sinks
+    val dir = Files.createTempDirectory("graft_vacuum").toString + "/tbl"
+    val b = Seq((1L, "x")).toDF("k", "v")
+    (1 to 4).foreach(_ => Sinks.upsertSnapshot(spark, dir, b, Seq("k"), "v"))
+    // keepLast larger than history: nothing removed
+    assert(Sinks.vacuumSnapshot(spark, dir, keepLast = 9) ===
+      ((Seq.empty[Int], Seq(1, 2, 3, 4))))
+    val (removed, kept) = Sinks.vacuumSnapshot(spark, dir, keepLast = 2)
+    assert(removed === Seq(1, 2) && kept === Seq(3, 4))
+    assert(!Sinks.tableExists(spark, s"$dir/v=1"))
+    assert(Sinks.tableExists(spark, s"$dir/v=3"))
+    assert(Sinks.readSnapshot(spark, dir).count() === 1L)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.vacuumSnapshot(spark, dir, keepLast = 0)
+    }
+    assert(e.getMessage.contains("keepLast"))
+  }
+
   test("SRC1 listing runs through the Hadoop FS API: a file: URI serves unchanged") {
     val dir = Files.createTempDirectory("graft_src1_uri").toFile
     Files.writeString(new java.io.File(dir, "b.csv").toPath,

@@ -103,4 +103,44 @@ class RangeJoinSpec extends SparkSpecBase {
       naivePlan.contains("CartesianProduct"),
       s"control lost its point — naive no longer nested-loops:\n$naivePlan")
   }
+
+  test("overlapJoin: half-open boundary, multi-bin pair exactly once, differential vs naive") {
+    def ivals(idCol: String, sCol: String, eCol: String,
+              rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF(idCol, sCol, eCol)
+        .withColumn(sCol, to_timestamp(col(sCol)))
+        .withColumn(eCol, to_timestamp(col(eCol)))
+    val left = ivals("lid", "ls", "le", Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"), // spans 24 bins
+      (3L, "2024-01-01 15:00:00", "2024-01-01 16:00:00")))
+    val right = ivals("rid", "rs", "re", Seq(
+      (10L, "2024-01-01 11:00:00", "2024-01-01 13:00:00"), // overlaps 1, 2
+      (11L, "2024-01-01 12:00:00", "2024-01-01 12:30:00"), // TOUCHES 1 (le==rs): no
+      (12L, "2024-01-01 03:00:00", "2024-01-01 23:00:00"), // overlaps 2 (+3,10,11 spans)
+      (13L, "2024-01-02 00:00:00", "2024-01-02 01:00:00"))) // touches 2: no
+    val out = RangeJoin.overlapJoin(left, right, Nil,
+        "ls", "le", "rs", "re", binMicros = Hour)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().sorted.toSeq
+    // every overlapping pair EXACTLY once, half-open semantics at touches
+    assert(out === Seq((1L, 10L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 12L)))
+    // differential on real events: keyed, vs the naive inequality join
+    val ev = Tables.events(spark, sf0001)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id"),
+        col("ts").as("vs"), (col("ts") + expr("INTERVAL 40 MINUTES")).as("ve"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puid"),
+        col("ts").as("ps"), (col("ts") + expr("INTERVAL 25 MINUTES")).as("pe"))
+    val fast = RangeJoin.overlapJoin(v,
+        p.withColumnRenamed("puid", "user_id"), Seq("user_id"),
+        "vs", "ve", "ps", "pe", binMicros = Hour / 2)
+      .select(col("vid"), col("pid")).as[(Long, Long)].collect().sorted.toSeq
+    val naive = v.join(p, v("user_id") === p("puid") &&
+        v("vs") < p("pe") && p("ps") < v("ve"))
+      .select(col("vid"), col("pid")).as[(Long, Long)].collect().sorted.toSeq
+    assert(fast === naive)
+    assert(fast.nonEmpty, "differential vacuous — no overlapping pairs")
+  }
 }

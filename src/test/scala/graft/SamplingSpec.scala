@@ -125,4 +125,37 @@ class SamplingSpec extends SparkSpecBase {
         again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     }
   }
+
+  test("sampleNPerGroup: exact quota per group, smaller groups whole, stable under repartition") {
+    import spark.implicits._
+    // groups of size 50, 12, and 3 — quota 12 must return 12, 12, 3
+    val rows = (0 until 50).map(i => ("big", i.toLong)) ++
+      (100 until 112).map(i => ("mid", i.toLong)) ++
+      (200 until 203).map(i => ("tiny", i.toLong))
+    val df = rows.toDF("g", "id")
+    for (algo <- Seq("xxh64", "md5")) {
+      val out = Sampling.sampleNPerGroup(df, Seq("g"), col("id"), n = 12,
+        seed = "s7", algo = algo)
+      val byG = out.groupBy("g").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byG === Map("big" -> 12L, "mid" -> 12L, "tiny" -> 3L), algo)
+      // membership is a pure function of (key, seed): any partitioning
+      val again = Sampling.sampleNPerGroup(df.repartition(13), Seq("g"),
+        col("id"), n = 12, seed = "s7", algo = algo)
+      def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+        d.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids(out) === ids(again), algo)
+      // a different seed draws a different quota (astronomically likely)
+      val other = Sampling.sampleNPerGroup(df, Seq("g"), col("id"), n = 12,
+        seed = "s8", algo = algo)
+      assert(ids(out.filter(col("g") === "big")) !==
+        ids(other.filter(col("g") === "big")), algo)
+    }
+    // reserved internal name fails loud
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleNPerGroup(df.withColumn("__rk", lit(1)), Seq("g"),
+        col("id"), 1, "s")
+    }
+    assert(e.getMessage.contains("__rk"))
+  }
 }
