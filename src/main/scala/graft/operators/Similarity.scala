@@ -749,4 +749,233 @@ object Similarity {
       .agg(sum(col("qc")).as("ad"))
     pqRerank(adc, vecNorm, queries, corpus, k, rerank)
   }
+
+  // --------------------------------------------------------------------
+  // PCA / whitening (the dimensionality-reduction face of the embedding
+  // toolbox: decorrelate, compress, and precondition vectors before
+  // dedup/ANN — what faiss.PCAMatrix provides around an index)
+  // --------------------------------------------------------------------
+
+  /** A fitted PCA basis: per-dim mean, eigenvalues (descending), and the
+    * matching unit eigenvectors (`components(c)(dim)`). Parquet-persist
+    * via [[pcaModelToFrame]]/[[pcaModelFromFrame]] (the IvfIndex
+    * convention: fit once on the 100 TB corpus, serve as kilobytes). */
+  final case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
+                            components: Array[Array[Double]])
+
+  /** Fit PCA over the `embedding` column — the two-job shape every
+    * distributed PCA uses (Spark MLlib's RowMatrix does the same; no
+    * MLlib dependency here by design):
+    *
+    *  1. DISTRIBUTED moment pass: per-dim sums (d rows) and the upper
+    *     triangle of the second-moment matrix Σxᵢxⱼ (d(d+1)/2 grouped
+    *     sums — each corpus vector explodes to 2080 (i,j,xᵢxⱼ) cells at
+    *     d=64, combined map-side, so the shuffle is d²-bounded and
+    *     corpus-size-independent).
+    *  2. DRIVER eigensolve: the d×d population covariance
+    *     Σxᵢxⱼ/n − μᵢμⱼ is handed to a cyclic Jacobi rotation solver
+    *     (O(d³) per sweep, quadratically convergent — milliseconds at
+    *     d=64; the k-means-seeding budget class, corpus-independent).
+    *
+    * Determinism: the grouped sums are floating-point totals whose
+    * combine order Spark does not fix, BUT the registered invariant row
+    * checks properties (orthonormality, eigen-order, trace, projected
+    * variance) that hold at tolerance for ANY combine order; the model
+    * itself is made canonical by the eigen sort (value desc, index asc)
+    * and a sign convention (first largest-|entry| made positive).
+    *
+    * Returns the top `k` components (pass k = d for the full spectrum);
+    * None on an empty corpus. */
+  def pcaFit(corpus: DataFrame, k: Int): Option[PcaModel] = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val dims = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
+      .collect()
+    if (dims.isEmpty) return None
+    val d = dims.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val n = dims.head.getLong(2)
+    val mean = new Array[Double](d)
+    dims.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
+
+    val sxx = corpus.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}, 1), i ->
+           |  transform(sequence(i, ${d - 1}, 1), j ->
+           |    struct(i AS i, j AS j,
+           |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+           |        AS xx))))""".stripMargin)).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xx"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xx")).as("sxx"))
+      .collect()
+    val cov = Array.ofDim[Double](d, d)
+    sxx.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val c = r.getDouble(2) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+
+    val (eigs, vecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => (-eigs(i), i)).take(k)
+    val comps = order.map { i =>
+      val vcol = Array.tabulate(d)(r => vecs(r)(i))
+      var m = 0
+      var best = -1.0
+      var idx = 0
+      while (idx < d) { // FIRST largest |entry| — a total sign convention
+        if (math.abs(vcol(idx)) > best) { best = math.abs(vcol(idx)); m = idx }
+        idx += 1
+      }
+      if (vcol(m) < 0) vcol.map(x => -x) else vcol
+    }
+    Some(PcaModel(mean, order.map(eigs).toArray, comps.toArray))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: rotate away each
+    * off-diagonal element in fixed (p, q) sweep order until the
+    * off-diagonal Frobenius mass is negligible. Textbook Golub & Van Loan
+    * §8.5 — deterministic (fixed order, fixed tolerance), quadratically
+    * convergent, O(d³) per sweep. Returns (eigenvalues, eigenvector
+    * matrix V with eigenvector i in COLUMN i). */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    val scale = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += a(i)(j) * a(i)(j)
+      math.max(s, java.lang.Double.MIN_NORMAL)
+    }
+    var sweep = 0
+    while (off() > 1e-24 * scale && sweep < 64) {
+      for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+          else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+        val c = 1.0 / math.sqrt(1.0 + t * t)
+        val s = t * c
+        var k0 = 0
+        while (k0 < d) { // columns p, q of A
+          val akp = a(k0)(p); val akq = a(k0)(q)
+          a(k0)(p) = c * akp - s * akq
+          a(k0)(q) = s * akp + c * akq
+          k0 += 1
+        }
+        k0 = 0
+        while (k0 < d) { // rows p, q of A
+          val apk = a(p)(k0); val aqk = a(q)(k0)
+          a(p)(k0) = c * apk - s * aqk
+          a(q)(k0) = s * apk + c * aqk
+          k0 += 1
+        }
+        k0 = 0
+        while (k0 < d) { // accumulate V := V·G
+          val vkp = v(k0)(p); val vkq = v(k0)(q)
+          v(k0)(p) = c * vkp - s * vkq
+          v(k0)(q) = s * vkp + c * vkq
+          k0 += 1
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** [[PcaModel]] → one-row-per-component frame (component_id,
+    * eigenvalue, component, mean) for parquet persistence. */
+  def pcaModelToFrame(spark: org.apache.spark.sql.SparkSession,
+                      model: PcaModel): DataFrame = {
+    import spark.implicits._
+    model.components.indices.map(c =>
+      (c, model.eigenvalues(c), model.components(c).toSeq, model.mean.toSeq))
+      .toDF("component_id", "eigenvalue", "component", "mean")
+  }
+
+  /** Inverse of [[pcaModelToFrame]] — components re-ordered by id. */
+  def pcaModelFromFrame(df: DataFrame): PcaModel = {
+    val rows = df.select(col("component_id"), col("eigenvalue"),
+        col("component"), col("mean"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "empty PCA model frame")
+    PcaModel(
+      rows.head.getSeq[Double](3).toArray,
+      rows.map(_.getDouble(1)),
+      rows.map(_.getSeq[Double](2).toArray))
+  }
+
+  /** Project (and optionally whiten) the `embedding` column onto a fitted
+    * basis: out[c] = ⟨x − μ, v_c⟩ (· λ_c^−½ when whitening — unit variance
+    * per output dim, the preconditioning trick before cosine dedup or
+    * k-means). Map-only: the k·d basis rides the plan as literals
+    * (kilobytes), each row pays k·d fused multiply-adds — no join, no
+    * shuffle, scan speed at any corpus size. */
+  def pcaProject(df: DataFrame, model: PcaModel,
+                 outCol: String = "pca", whiten: Boolean = false,
+                 eps: Double = 1e-12): DataFrame = {
+    val comps = array(model.components.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val meanL = array(model.mean.map(lit).toIndexedSeq: _*)
+    val scales = array(model.eigenvalues.map(ev =>
+      lit(if (whiten) 1.0 / math.sqrt(math.max(ev, eps)) else 1.0))
+      .toIndexedSeq: _*)
+    val centered = zip_with(col("embedding"), meanL,
+      (x, m) => x.cast("double") - m)
+    df.withColumn(outCol,
+      zip_with(comps, scales, (comp, sc) =>
+        aggregate(zip_with(centered, comp, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) * sc))
+  }
+
+  /** L2-normalized copy of the `embedding` column (zero vectors kept as
+    * zeros). Normalize BEFORE [[pcaFit]] when the serving metric is
+    * cosine: on unit vectors ‖a−b‖² = 2−2cos(a,b), so reduced-space L2
+    * ranks like cosine and [[pcaTopK]]'s shortlist is metric-consistent. */
+  def normalizedEmbeddings(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nrm = norm(col("embedding"))
+    df.withColumn("embedding",
+      when(nrm === 0.0, transform(col("embedding"), _ => lit(0.0f)))
+        .otherwise(transform(col("embedding"),
+          x => (x.cast("double") / nrm).cast("float"))))
+  }
+
+  /** ANN via PCA reduction: shortlist by L2 in the k′-dim projected space
+    * (a (d/k′)× cheaper scan than full-dim brute force — and the classic
+    * pre-filter in front of exact re-rank, faiss's PCAMatrix+Flat), then
+    * re-rank the shortlist with the exact full-dimension cosine. The
+    * model must be fit on [[normalizedEmbeddings]] of the same corpus and
+    * both sides are normalized here, so the shortlist metric agrees with
+    * the serving metric. */
+  def pcaTopK(queries: DataFrame, corpus: DataFrame, model: PcaModel,
+              k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    def projected(df: DataFrame, idName: String, outName: String) =
+      pcaProject(normalizedEmbeddings(df), model, outCol = outName)
+        .select(col("vec_id").as(idName), col(outName))
+    val q = projected(queries, "query_id", "qp")
+    val c = projected(corpus, "neighbor_id", "cp")
+    // negated L2² as the TopK score (higher = closer), ids break ties
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        -aggregate(zip_with(col("qp"), col("cp"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+    val cand = scoredTopK(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    topKAmong(cand, queries, corpus, k)
+  }
 }

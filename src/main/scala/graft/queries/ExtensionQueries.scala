@@ -460,6 +460,95 @@ object ExtensionQueries {
       },
       annInvariantOracle),
 
+    // PCA fit invariants (Similarity.pcaFit, full spectrum k = d = 64):
+    // the grouped moment sums are float totals whose combine order Spark
+    // does not fix, so the row checks ORDER-INDEPENDENT properties at
+    // tolerance instead of hashing the basis — (a) the basis is
+    // orthonormal (driver-checked Gram deviation), (b) eigenvalues
+    // descend and are non-negative, (c) a parquet round-trip of the model
+    // frame is bit-identical, and — over the DATA, in the returned plan —
+    // (d) the variance of each projected coordinate equals its
+    // eigenvalue, (e) total projected variance preserves the trace, and
+    // (f) whitened coordinates have unit variance. (d)-(f) are the
+    // end-to-end proof that the driver-side eigensolve actually
+    // diagonalizes THIS corpus's covariance.
+    "emb_pca_fit" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = Similarity.pcaFit(emb, k = 64).get
+        val d = model.mean.length
+        def dotv(a: Array[Double], b: Array[Double]): Double =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        val gramDev = (for (i <- 0 until d; j <- i until d) yield
+          math.abs(dotv(model.components(i), model.components(j)) -
+            (if (i == j) 1.0 else 0.0))).max
+        val orderOk = model.eigenvalues.sliding(2).forall(p =>
+          p.length < 2 || p(0) >= p(1)) &&
+          model.eigenvalues.forall(_ >= -1e-9)
+        val rtDir = scratch("pca-model")
+        Similarity.pcaModelToFrame(s, model)
+          .write.parquet(rtDir)
+        val rt = Similarity.pcaModelFromFrame(s.read.parquet(rtDir))
+        val rtOk = rt.mean.sameElements(model.mean) &&
+          rt.eigenvalues.sameElements(model.eigenvalues) &&
+          rt.components.zip(model.components).forall(p => p._1.sameElements(p._2))
+        val eigL = array(model.eigenvalues.map(lit).toIndexedSeq: _*)
+        val proj = Similarity.pcaProject(emb, model)
+        val projW = Similarity.pcaProject(emb, model, outCol = "pcw",
+          whiten = true)
+        val vstats = proj
+          .select(posexplode(col("pca")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(var_pop(col("x")).as("v"))
+          .withColumn("ev", element_at(eigL, col("pos") + 1))
+          .agg(
+            count(lit(1)).as("n_components"),
+            every(abs(col("v") - col("ev")) <=
+              lit(1e-6) * greatest(col("ev"), lit(1e-9))).as("variance_ok"),
+            sum(col("v")).as("vsum"))
+          .select(col("n_components"),
+            col("variance_ok"),
+            (abs(col("vsum") - lit(model.eigenvalues.sum)) <=
+              lit(1e-6) * col("vsum")).as("trace_ok"))
+        val wstats = projW
+          .select(posexplode(col("pcw")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(var_pop(col("x")).as("v"))
+          .withColumn("ev", element_at(eigL, col("pos") + 1))
+          .agg(every(col("ev") < 1e-6 || abs(col("v") - 1.0) <= 1e-4)
+            .as("whiten_ok"))
+        vstats.crossJoin(wstats)
+          .withColumn("ortho_ok", lit(gramDev < 1e-8))
+          .withColumn("order_ok", lit(orderOk))
+          .withColumn("roundtrip_ok", lit(rtOk))
+      },
+      """SELECT CAST(64 AS BIGINT) AS n_components, TRUE AS variance_ok,
+        |  TRUE AS trace_ok, TRUE AS whiten_ok, TRUE AS ortho_ok,
+        |  TRUE AS order_ok, TRUE AS roundtrip_ok""".stripMargin),
+
+    // ANN via PCA reduction (faiss PCAMatrix+Flat): shortlist by L2 in
+    // the 16-dim projected space (4× fewer multiply-adds per candidate
+    // than full-dim scan), exact full-dim cosine re-rank. Model fit on
+    // the NORMALIZED corpus so reduced-space L2 ranks like the serving
+    // cosine (‖a−b‖² = 2−2cos on unit vectors). Same invariant aggregate
+    // as the other ANN rows; floor set under the measured recall.
+    "ann_pca_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val approx = Similarity
+          .pcaFit(Similarity.normalizedEmbeddings(emb), k = 16) match {
+            case Some(model) =>
+              Similarity.pcaTopK(queries, emb, model, k = 5, shortlist = 40)
+            case None => s.range(0).select(col("id").as("query_id"),
+              col("id").as("rank"), col("id").as("neighbor_id"))
+          }
+        annInvariants(queries, approx,
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.7)
+      },
+      annInvariantOracle),
+
     // Pair→cluster resolution: the production step AFTER pair generation,
     // run as the full production chain — banded LSH pairs (the scale
     // path; its pair-set equality with the exact ground truth is pinned

@@ -31,6 +31,20 @@ object RecallCheck {
     val ivf = recall(pairs(operators.Similarity.ivfTopK(
       queries, emb, k = 5, nCentroids = 16, nProbe = 6)))
     println(f"IVF nCentroids=16 nProbe=6 recall=$ivf%.3f")
+    for (kp <- Seq(24, 32); sl <- Seq(60, 80, 120)) {
+      val model = operators.Similarity.pcaFit(
+        operators.Similarity.normalizedEmbeddings(emb), k = kp).get
+      val r = recall(pairs(operators.Similarity.pcaTopK(
+        queries, emb, model, k = 5, shortlist = sl)))
+      val evs = model.eigenvalues
+      println(f"PCA k'=$kp%d shortlist=$sl%d recall=$r%.3f " +
+        f"(top-k' var share unavailable without full fit)")
+    }
+    val full = operators.Similarity.pcaFit(
+      operators.Similarity.normalizedEmbeddings(emb), k = 64).get
+    val tot = full.eigenvalues.sum
+    Seq(8, 16, 24).foreach(kp => println(
+      f"PCA variance share k'=$kp%d: ${full.eigenvalues.take(kp).sum / tot}%.3f"))
     spark.stop()
   }
 }
