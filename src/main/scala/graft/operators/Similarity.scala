@@ -788,30 +788,41 @@ object Similarity {
     * None on an empty corpus. */
   def pcaFit(corpus: DataFrame, k: Int): Option[PcaModel] = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val dims = corpus
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("pos"))
-      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
-      .collect()
-    if (dims.isEmpty) return None
-    val d = dims.length
-    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
-    val n = dims.head.getLong(2)
-    val mean = new Array[Double](d)
-    dims.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
-
-    val sxx = corpus.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${d - 1}, 1), i ->
-           |  transform(sequence(i, ${d - 1}, 1), j ->
-           |    struct(i AS i, j AS j,
-           |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
-           |        AS xx))))""".stripMargin)).as("p"))
+    // ONE distributed moment pass (was two): every vector explodes to its
+    // d linear cells (i, j = −1, xᵢ) PLUS the d(d+1)/2 upper-triangle
+    // second-moment cells (i, j, xᵢxⱼ), all combined map-side — the
+    // shuffle stays d²-bounded and corpus-size-independent. Null/empty
+    // embeddings contribute no cells (excluded from n consistently);
+    // RAGGED vectors are rejected loudly below instead of silently
+    // skewing the means — a short vector leaves its missing dims with a
+    // lower cell count, so the equal-count guard catches it.
+    val cells = corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1, 1), i ->
+          |  concat(
+          |    array(struct(i AS i, -1 AS j,
+          |      CAST(embedding[i] AS DOUBLE) AS xx)),
+          |    transform(sequence(i, size(embedding) - 1, 1), j ->
+          |      struct(i AS i, j AS j,
+          |        CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+          |          AS xx)))))""".stripMargin)).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xx"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xx")).as("sxx"))
+      .agg(sum(col("xx")).as("sxx"), count(lit(1)).as("cnt"))
       .collect()
+    if (cells.isEmpty) return None
+    val lin = cells.filter(_.getInt(1) == -1)
+    val d = lin.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val n = lin.find(_.getInt(0) == 0).get.getLong(3)
+    require(lin.length == d && cells.forall(_.getLong(3) == n),
+      s"ragged embedding vectors: per-dim counts differ (expected every " +
+        s"dim observed in all $n rows) — fix the column before pcaFit")
+    val mean = new Array[Double](d)
+    lin.foreach(r => mean(r.getInt(0)) = r.getDouble(2) / n)
     val cov = Array.ofDim[Double](d, d)
-    sxx.foreach { r =>
+    cells.filter(_.getInt(1) >= 0).foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
       val c = r.getDouble(2) / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c
@@ -925,15 +936,24 @@ object Similarity {
     * shuffle, scan speed at any corpus size. */
   def pcaProject(df: DataFrame, model: PcaModel,
                  outCol: String = "pca", whiten: Boolean = false,
-                 eps: Double = 1e-12): DataFrame = {
+                 eps: Double = 1e-12, center: Boolean = true): DataFrame = {
     val comps = array(model.components.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val meanL = array(model.mean.map(lit).toIndexedSeq: _*)
     val scales = array(model.eigenvalues.map(ev =>
       lit(if (whiten) 1.0 / math.sqrt(math.max(ev, eps)) else 1.0))
       .toIndexedSeq: _*)
-    val centered = zip_with(col("embedding"), meanL,
-      (x, m) => x.cast("double") - m)
+    // center=false is the pure subspace projection x·V (no μ subtraction):
+    // it preserves DOT PRODUCTS up to the residual-subspace term
+    // (⟨a,b⟩ = ⟨Pa,Pb⟩ + ⟨Qa,Qb⟩), which keeps reduced-space COSINE
+    // consistent with the full-dim cosine — what the cosine-metric IVF
+    // composition needs. Centered projection preserves L2 instead
+    // (translation-invariant), which is what [[pcaTopK]]'s L2 shortlist
+    // needs. Pick per consumer metric.
+    val centered =
+      if (center) zip_with(col("embedding"), meanL,
+        (x, m) => x.cast("double") - m)
+      else transform(col("embedding"), x => x.cast("double"))
     df.withColumn(outCol,
       zip_with(comps, scales, (comp, sc) =>
         aggregate(zip_with(centered, comp, (x, w) => x * w),
@@ -977,5 +997,51 @@ object Similarity {
     val cand = scoredTopK(scored, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     topKAmong(cand, queries, corpus, k)
+  }
+
+  /** Reduced-space copy of a vector frame: L2-normalize, project onto the
+    * fitted basis, serve the k′-dim projection as the `embedding` column
+    * in the float shape the IVF machinery expects. Map-only (the basis
+    * rides as literals). */
+  private def pcaReduced(df: DataFrame, model: PcaModel): DataFrame =
+    pcaProject(normalizedEmbeddings(df), model, outCol = "pca",
+      center = false)
+      .select(col("vec_id"),
+        transform(col("pca"), x => x.cast("float")).as("embedding"))
+
+  /** ANN via PCA reduction composed with IVF — the faiss `PCAMatrix,IVF`
+    * serving chain, and the scale path [[pcaTopK]] (PCA+Flat) is not:
+    * PCA+Flat's shortlist still scans the whole corpus per query (cheaper
+    * per candidate, but linear in corpus size), whereas here the reduced
+    * corpus is clustered ONCE and each query probes only its `nProbe`
+    * posting lists — candidate volume ≈ nProbe/nCentroids of the corpus,
+    * with every per-candidate cost paid in k′ dims instead of d. The
+    * survivors are re-ranked with the exact FULL-dimension cosine, so
+    * precision of the emitted top-k is exact given the shortlist.
+    *
+    * Plan contract (spec-pinned): candidates come from an equi-join on
+    * `centroid_id`; the only nested-loop join anywhere is the O(K)
+    * centroid-set broadcast inside assignment — nothing ever
+    * nested-loops the corpus against the queries. */
+  def pcaIvfTopK(queries: DataFrame, corpus: DataFrame, model: PcaModel,
+                 k: Int, nCentroids: Int, nProbe: Int,
+                 refineIters: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // LAZY checkpoint: the reduced corpus feeds the index build (sample +
+    // Lloyd passes + postings) — project once, reuse
+    val reducedCorpus = pcaReduced(corpus, model).localCheckpoint(eager = false)
+    buildIvfIndex(reducedCorpus, nCentroids, refineIters) match {
+      case None =>
+        queries.sparkSession.range(0).select(col("id").as("query_id"),
+          col("id").as("rank"), col("id").as("neighbor_id"))
+      case Some(index) =>
+        val probes = assign(index.centroids, pcaReduced(queries, model),
+          "query_id", keep = nProbe)
+        val cand = probes.join(index.postings, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"))
+          .distinct()
+        topKAmong(cand, queries, corpus, k)
+    }
   }
 }

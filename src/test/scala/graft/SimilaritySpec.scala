@@ -265,4 +265,86 @@ class SimilaritySpec extends SparkSpecBase {
       .select(expr("v[0]").as("d0")).as[Double].collect()
     assert(back.forall(v => math.abs(v - 0.5f.toDouble) < 1e-9))
   }
+
+  test("PCA ANN: registered configs clear their recall floors with margin (measured sf0.01)") {
+    // the round-7 lesson: a fixed-size shortlist covers 10× less of a 10×
+    // corpus, so the registered (k′, shortlist) is validated here at
+    // sf0.01 AND by RecallCheck at sf0.1 (1.000 / 0.850 for PCA+Flat,
+    // 0.820 / 0.780 for PCA+IVF) before registration
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val model = Similarity.pcaFit(Similarity.normalizedEmbeddings(emb), k = 32).get
+    val flat = pairs(Similarity.pcaTopK(queries, emb, model, k = 5, shortlist = 120))
+    val flatRecall = (brute & flat).size.toDouble / brute.size
+    assert(flatRecall >= 0.9, s"PCA+Flat recall $flatRecall below the " +
+      s"measured-1.000 pin (registered floor 0.7)")
+    val ivf = pairs(Similarity.pcaIvfTopK(queries, emb, model, k = 5,
+      nCentroids = 32, nProbe = 12, refineIters = 2))
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.7, s"PCA+IVF recall $ivfRecall below the " +
+      s"measured-0.820 pin (registered floor 0.6)")
+  }
+
+  test("PCA+IVF plan contract: every nested-loop join broadcasts the centroid set, never the corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val model = Similarity.pcaFit(Similarity.normalizedEmbeddings(emb), k = 16).get
+    // AQE off so the executed plan is traversable pre-execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+      import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+      val q = Similarity.pcaIvfTopK(queries, emb, model, k = 5,
+        nCentroids = 8, nProbe = 4)
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian in PCA+IVF plan:\n$plan")
+      val bnl = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnl.nonEmpty) // the sanctioned centroid-assignment crosses
+      bnl.foreach { b =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        assert(build.output.map(_.name).contains("centv"),
+          s"nested-loop join builds a non-centroid side " +
+            s"(${build.output.map(_.name).mkString(",")}) — a corpus-wide " +
+            s"scan leaked into the PCA+IVF serve path:\n$plan")
+      }
+      // contrast: PCA+Flat's shortlist IS the corpus-wide nested loop —
+      // the shape this composition exists to remove
+      val flatBnl = Similarity.pcaTopK(queries, emb, model, k = 5,
+        shortlist = 20).queryExecution.executedPlan
+        .collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(flatBnl.exists { b =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        !build.output.map(_.name).contains("centv")
+      })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pcaFit: ragged and null embeddings — loud failure / consistent exclusion") {
+    import spark.implicits._
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.pcaFit(ragged, k = 1))
+    assert(e.getMessage.contains("ragged"))
+    // null vectors are excluded from n consistently, not silently averaged
+    val withNull = Seq((1L, Some(Seq(1.0f, 3.0f))), (2L, None),
+      (3L, Some(Seq(3.0f, 5.0f)))).toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(withNull, k = 2).get
+    assert(m.mean(0) === 2.0 && m.mean(1) === 4.0)
+  }
+
+  test("PCA whitening codepath: unit variance per kept component (emb_pca_fit's (f), spec-level)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Similarity.pcaFit(emb, k = 8).get
+    val bad = Similarity.pcaProject(emb, model, outCol = "pcw", whiten = true)
+      .select(posexplode(col("pcw")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(var_pop(col("x")).as("v"))
+      .join(Seq.tabulate(8)(i => (i, model.eigenvalues(i)))
+        .toDF("pos", "ev"), "pos")
+      .filter(col("ev") >= 1e-6 && abs(col("v") - 1.0) > 1e-4)
+      .count()
+    assert(bad === 0L)
+  }
 }

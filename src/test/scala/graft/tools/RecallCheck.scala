@@ -31,14 +31,20 @@ object RecallCheck {
     val ivf = recall(pairs(operators.Similarity.ivfTopK(
       queries, emb, k = 5, nCentroids = 16, nProbe = 6)))
     println(f"IVF nCentroids=16 nProbe=6 recall=$ivf%.3f")
-    for (kp <- Seq(24, 32); sl <- Seq(60, 80, 120)) {
+    for (kp <- Seq(16, 24, 32)) {
       val model = operators.Similarity.pcaFit(
         operators.Similarity.normalizedEmbeddings(emb), k = kp).get
-      val r = recall(pairs(operators.Similarity.pcaTopK(
-        queries, emb, model, k = 5, shortlist = sl)))
-      val evs = model.eigenvalues
-      println(f"PCA k'=$kp%d shortlist=$sl%d recall=$r%.3f " +
-        f"(top-k' var share unavailable without full fit)")
+      for (sl <- Seq(60, 80, 120)) {
+        val r = recall(pairs(operators.Similarity.pcaTopK(
+          queries, emb, model, k = 5, shortlist = sl)))
+        println(f"PCA k'=$kp%d shortlist=$sl%d recall=$r%.3f")
+      }
+      for (np <- Seq(6, 8, 12)) {
+        val r = recall(pairs(operators.Similarity.pcaIvfTopK(
+          queries, emb, model, k = 5, nCentroids = 32, nProbe = np,
+          refineIters = 2)))
+        println(f"PCA+IVF k'=$kp%d nCentroids=32 nProbe=$np%d recall=$r%.3f")
+      }
     }
     val full = operators.Similarity.pcaFit(
       operators.Similarity.normalizedEmbeddings(emb), k = 64).get
