@@ -135,12 +135,7 @@ object Sinks {
       require(f.exists(marker),
         s"$tableDir exists but carries no _graft_nbuckets marker — not an " +
           "upsertSnapshotBucketed table")
-      val declared = {
-        val in = f.open(marker)
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
-        new String(buf.toByteArray, "UTF-8").trim.toInt
-      }
+      val declared = readNBucketsMarker(spark, marker)
       require(declared == nBuckets,
         s"bucket-count mismatch: table $tableDir was created with " +
           s"$declared buckets, batch hashed with $nBuckets — the same key " +
@@ -178,6 +173,77 @@ object Sinks {
     * column dropped). */
   def readBucketedSnapshot(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir).drop("__bucket")
+
+  private def readNBucketsMarker(spark: SparkSession, marker: Path): Int = {
+    val in = fs(spark).open(marker)
+    val buf = new java.io.ByteArrayOutputStream()
+    org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
+    new String(buf.toByteArray, "UTF-8").trim.toInt
+  }
+
+  /** SNK10 at scale — [[applyChanges]] routed through the
+    * [[upsertSnapshotBucketed]] layout: a changelog batch rewrites ONLY
+    * the buckets its keys hash into, DELETE included. The frame-level
+    * [[applyChanges]] is the semantics reference; this is the shape that
+    * survives 100 TB — rewrite cost O(touched buckets) = O(batch keys),
+    * untouched buckets' files never opened (IngestSpec pins that a 1-key
+    * D batch rewrites exactly one bucket).
+    *
+    * Delete wrinkle dynamic-partition overwrite does not cover: a touched
+    * bucket whose rows ALL net to deletes yields no output partition, so
+    * the overwrite would silently leave the stale directory — such
+    * buckets are removed explicitly after the write. Atomicity remains
+    * per bucket (the documented bucketed-layout trade); replaying the
+    * same batch converges because the collapse rule is idempotent. */
+  def applyChangesBucketed(spark: SparkSession, tableDir: String,
+                           changes: DataFrame, key: Seq[String],
+                           orderCol: String, opCol: String = "op",
+                           nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val f = fs(spark)
+    val marker = new Path(tableDir, "_graft_nbuckets")
+    val inc = changes
+      .withColumn("__bucket",
+        pmod(xxhash64(key.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(eager = false)
+    if (!f.exists(new Path(tableDir))) {
+      // create branch: the SAME collapse as every later batch, against an
+      // empty snapshot — net-deletes drop, I-after-D nets to the insert
+      applyChanges(inc.drop(opCol).limit(0), inc, key, orderCol, opCol)
+        .write.partitionBy("__bucket").parquet(tableDir)
+      val out = f.create(marker, true)
+      out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
+    } else {
+      require(f.exists(marker),
+        s"$tableDir exists but carries no _graft_nbuckets marker — not a " +
+          "bucketed snapshot table")
+      val declared = readNBucketsMarker(spark, marker)
+      require(declared == nBuckets,
+        s"bucket-count mismatch: table $tableDir was created with " +
+          s"$declared buckets, batch hashed with $nBuckets — the same key " +
+          "would land in a different bucket and duplicate")
+      val touched = inc.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val existingTouched = spark.read.parquet(tableDir)
+          .filter(col("__bucket").isin(touched: _*))
+        // EAGER for the same read-then-replace reason as
+        // upsertSnapshotBucketed — and because the remaining-bucket probe
+        // below must not recompute the merge
+        val merged = applyChanges(existingTouched, inc, key, orderCol, opCol)
+          .localCheckpoint(eager = true)
+        val remaining = merged.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(tableDir)
+        touched.filterNot(remaining).foreach(b =>
+          f.delete(new Path(s"$tableDir/__bucket=$b"), true))
+      }
+    }
+  }
 
   /** Bucketed persistence for co-located joins: the table is written
     * pre-hash-partitioned (and pre-sorted) on `keys` into `buckets`

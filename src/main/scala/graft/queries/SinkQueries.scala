@@ -80,17 +80,24 @@ object SinkQueries {
         |  TRUE AS compacted_fewer, TRUE AS version_advanced
         |FROM events""".stripMargin),
 
-    // SNK10 — CDC changelog apply (Sinks.applyChanges): an ordered I/U/D
-    // feed merges into a keyed snapshot. The feed is built to exercise
-    // every collapse rule: id%10=0 keys get a D at ord 1 THEN an I at
-    // ord 2 (nets to the insert — delete-then-reinsert must not lose the
-    // key), other id%5=0 keys get a single U, and id%3=0 keys absent from
-    // the feed must survive untouched. The oracle replays the identical
-    // collapse with QUALIFY + anti-join + union.
+    // SNK10 — CDC changelog apply, run END-TO-END through the BUCKETED
+    // scale path (Sinks.applyChangesBucketed — round 7 merged
+    // frame-level only): the existing rows land as an I-batch creating
+    // the bucketed table, the change feed merges as a second batch that
+    // rewrites only its touched buckets (delete included), and the
+    // read-back is compared. The feed exercises every collapse rule:
+    // id%10=0 keys get a D at ord 1 THEN an I at ord 2 (nets to the
+    // insert — delete-then-reinsert must not lose the key), other
+    // id%5=0 keys get a single U, and id%3=0 keys absent from the feed
+    // must survive untouched. The oracle replays the identical collapse
+    // with QUALIFY + anti-join + union over the FRAME semantics — the
+    // bucketed layout must be invisible in the relation.
     "snk10_cdc_apply" -> QueryDef(
       (s, dir) => {
         val e = ev(s, dir)
+        val tableDir = scratch(s, "snk10")
         val existing = e.filter(col("event_id") % 3 === 0)
+          .withColumn("op", lit("I")).withColumn("ord", lit(0L))
         val changes = e.filter(col("event_id") % 5 === 0)
           .withColumn("value", col("value") + 1)
           .withColumn("op",
@@ -100,7 +107,13 @@ object SinkQueries {
             .withColumn("value", col("value") * 2)
             .withColumn("op", lit("I"))
             .withColumn("ord", lit(2L)))
-        Sinks.applyChanges(existing, changes, Seq("event_id"), "ord", "op")
+        Sinks.applyChangesBucketed(s, tableDir, existing,
+          Seq("event_id"), "ord", "op", nBuckets = 16)
+        Sinks.applyChangesBucketed(s, tableDir, changes,
+          Seq("event_id"), "ord", "op", nBuckets = 16)
+        Sinks.readBucketedSnapshot(s, tableDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
       },
       """WITH existing AS (
         |  SELECT event_id, user_id, event_type, value FROM events

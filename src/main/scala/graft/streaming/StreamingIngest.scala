@@ -119,4 +119,28 @@ object StreamingIngest {
             batch.sparkSession, tableDir, batch, key, orderCol, nBuckets)
       }
       .start()
+
+  /** Streaming CDC: an I/U/D changelog stream (the Debezium-consumer
+    * shape) maintains a bucketed keyed snapshot via
+    * [[graft.operators.Sinks.applyChangesBucketed]] in foreachBatch —
+    * the third verb ([[runToBucketedSnapshot]] can insert and update but
+    * never remove a key). Same per-bucket atomicity and at-least-once
+    * caveats as the upsert form; replaying a micro-batch converges
+    * because the per-key collapse rule (latest op in `orderCol` wins) is
+    * idempotent — an I→U→D key re-applied still nets to the delete. */
+  def runChangesToBucketedSnapshot(changes: DataFrame, tableDir: String,
+                                   checkpointDir: String, key: Seq[String],
+                                   orderCol: String, opCol: String = "op",
+                                   nBuckets: Int = 64): StreamingQuery =
+    changes
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sinks.applyChangesBucketed(
+            batch.sparkSession, tableDir, batch, key, orderCol, opCol,
+            nBuckets)
+      }
+      .start()
 }

@@ -173,6 +173,97 @@ class IngestSpec extends SparkSpecBase {
     assert(e.getMessage.contains("unknown CDC op"))
   }
 
+  test("SNK10 bucketed CDC: a 1-key D batch rewrites exactly its bucket; an emptied bucket's directory is removed") {
+    import graft.operators.Sinks
+    val tableDir = Files.createTempDirectory("graft_snk10b")
+      .toFile.getAbsolutePath + "/tbl"
+    val key = Seq("user_id")
+    val seed = (0 until 64).map(i => (s"u$i", i.toLong, i.toDouble, "I", 0L))
+      .toDF("user_id", "event_id", "value", "op", "ord")
+    Sinks.applyChangesBucketed(spark, tableDir, seed, key, "ord", "op",
+      nBuckets = 8)
+    def filesByBucket: Map[String, Set[String]] =
+      new java.io.File(tableDir).listFiles.toSeq
+        .filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
+    val before = filesByBucket
+    assert(before.size > 1, "seed must spread over several buckets")
+    // the 1-key DELETE batch: only u3's bucket may be rewritten
+    val dBatch = Seq(("u3", 3L, 3.0, "D", 1L))
+      .toDF("user_id", "event_id", "value", "op", "ord")
+    Sinks.applyChangesBucketed(spark, tableDir, dBatch, key, "ord", "op",
+      nBuckets = 8)
+    val after = filesByBucket
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("u3")), lit(8L)).cast("int")).head.getInt(0)
+    val touchedDir = s"__bucket=$touched"
+    assert(after(touchedDir) !== before(touchedDir),
+      "the delete's bucket must be rewritten")
+    (before.keySet - touchedDir).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    val out = Sinks.readBucketedSnapshot(spark, tableDir)
+      .select("user_id").as[String].collect().toSet
+    assert(out.size === 63 && !out.contains("u3"))
+
+    // dynamic-partition-overwrite blind spot: delete EVERY key of one
+    // bucket — no output rows for that partition, so the stale directory
+    // must be removed explicitly (a leak here = resurrection on read)
+    val bucketOf = spark.range(64)
+      .select(concat(lit("u"), col("id")).as("u"),
+        pmod(xxhash64(concat(lit("u"), col("id"))), lit(8L)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val victim = (before.keySet - touchedDir).head.stripPrefix("__bucket=").toInt
+    val keysInVictim = bucketOf.filter(_._2 == victim).keys.toSeq
+    assert(keysInVictim.nonEmpty)
+    val wipe = keysInVictim.map(u => (u, 0L, 0.0, "D", 2L))
+      .toDF("user_id", "event_id", "value", "op", "ord")
+    Sinks.applyChangesBucketed(spark, tableDir, wipe, key, "ord", "op",
+      nBuckets = 8)
+    assert(!new java.io.File(tableDir, s"__bucket=$victim").exists,
+      "fully-deleted bucket directory must be removed, not left stale")
+    val out2 = Sinks.readBucketedSnapshot(spark, tableDir)
+      .select("user_id").as[String].collect().toSet
+    assert(out2 === (0 until 64).map(i => s"u$i").toSet - "u3" -- keysInVictim)
+  }
+
+  test("SNK10 streaming CDC: I→U→D across micro-batches nets to the collapsed snapshot") {
+    import graft.operators.Sinks
+    val base = Files.createTempDirectory("graft_snk10s").toFile.getAbsolutePath
+    val landing = s"$base/landing"; new java.io.File(landing).mkdirs()
+    val tableDir = s"$base/tbl"
+    // one JSON file per micro-batch. The CDC contract is ORDERED feed
+    // delivery (a Debezium topic partition); the file source orders
+    // batches by modification time, so the fixtures get strictly
+    // increasing mtimes — name order alone is NOT honored.
+    def writeBatch(name: String, mtime: Long, body: String): Unit = {
+      val p = java.nio.file.Path.of(landing, name)
+      Files.writeString(p, body)
+      assert(p.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatch("b1.json", t0,
+      """{"k":"a","v":1,"op":"I","ord":1}
+        |{"k":"b","v":1,"op":"I","ord":1}
+        |{"k":"c","v":1,"op":"I","ord":1}""".stripMargin)
+    writeBatch("b2.json", t0 + 10000,
+      """{"k":"a","v":2,"op":"U","ord":2}
+        |{"k":"c","v":9,"op":"U","ord":2}""".stripMargin)
+    writeBatch("b3.json", t0 + 20000,
+      """{"k":"a","v":0,"op":"D","ord":3}
+        |{"k":"d","v":7,"op":"I","ord":3}""".stripMargin)
+    val schema = "k STRING, v LONG, op STRING, ord LONG"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(landing)
+    val q = graft.streaming.StreamingIngest.runChangesToBucketedSnapshot(
+      stream, tableDir, s"$base/ckpt", Seq("k"), "ord", "op", nBuckets = 4)
+    q.awaitTermination(120000)
+    val out = Sinks.readBucketedSnapshot(spark, tableDir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    // a: I then U then D → gone; b: single I; c: I then U; d: late I
+    assert(out === Map("b" -> 1L, "c" -> 9L, "d" -> 7L))
+  }
+
   test("SNK11 vacuumSnapshot: keeps the newest versions, latest always survives") {
     import graft.operators.Sinks
     val dir = Files.createTempDirectory("graft_vacuum").toString + "/tbl"
