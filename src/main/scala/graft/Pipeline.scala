@@ -316,9 +316,13 @@ object Pipeline {
         key, orderCol = "total_samples")
       Sinks.upsertSnapshot(spark, s"$dir/norm_params", normParams,
         key, orderCol = "mn")
+      // REPLACE, not merge: the reference persists its model wholesale
+      // (train.py:555-567), so a retrain must not blend stale per-key
+      // (slope, intercept) rows for keys absent from the new fit with
+      // the fresh ones — versioned replace keeps concurrent readers of
+      // the prior version safe while making v=N+1 exactly this run's fit
       predictorParams.foreach(p =>
-        Sinks.upsertSnapshot(spark, s"$dir/predictor_params", p,
-          key, orderCol = "n_fit"))
+        Sinks.replaceSnapshot(spark, s"$dir/predictor_params", p))
       Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
       Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
       Sinks.truncateAndLoad(validateFeatures, s"$dir/validate_features")

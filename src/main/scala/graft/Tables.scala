@@ -46,8 +46,18 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw // already the target type — no cast, nothing to shift
+      case other =>
+        // fail LOUD: a session-timezone TimestampType here (e.g.
+        // inferTimestampNTZ disabled) cast blindly to NTZ would shift
+        // every value by the session offset relative to DuckDB's NTZ
+        // read and silently corrupt the differential oracle
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other — expected parquet " +
+            "timestamp[us] (TIMESTAMP_NTZ) or legacy nanos-as-Long; if " +
+            "Spark read it as session-tz TIMESTAMP, enable " +
+            "spark.sql.parquet.inferTimestampNTZ instead of casting")
     }
   }
 

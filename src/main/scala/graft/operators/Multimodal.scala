@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   * decoded raster, and the oracle re-derives them from the generation
   * formula (PNG is lossless, so the round-trip is exact).
   *
-  * STUBBED (clearly + deterministically): audio/video byte decoding — no
-  * audio/video codecs exist in this container, so [[FakeDecoded]] features
-  * are pure arithmetic over the payload bytes (length + MD5) — the
-  * Spark-side plumbing is what's under test, and the fake is reproducible
-  * in the DuckDB oracle.
+  * REAL decode (audio): [[decodeAudio]] parses actual RIFF/WAVE
+  * containers via `javax.sound.sampled` over deterministic 16-bit PCM
+  * fixtures built by [[synthesizeAudio]] — sample statistics come from
+  * the decoded frames, and the oracle re-derives them from the
+  * generation formula (PCM is lossless, so the round-trip is exact).
+  *
+  * STUBBED (clearly + deterministically): video byte decoding — no video
+  * codec exists in this container (or the JDK), so [[FakeDecoded]]
+  * features are pure arithmetic over the payload bytes (length + MD5) —
+  * the Spark-side plumbing is what's under test, and the fake is
+  * reproducible in the DuckDB oracle.
   *
   * Scale notes (100 TB): payload bytes dominate — keep them OUT of
   * shuffles (derive features first, project the binary away before any
@@ -185,6 +191,84 @@ object Multimodal {
           }
           ImageFeatures(id, w.toLong, h.toLong, sum,
             (img.getRGB(0, 0) & 0xff).toLong)
+        }
+      }
+  }
+
+  /** One REAL-decoded audio row: container header fields plus sample
+    * statistics computed from the decoded PCM stream. */
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Long, sample_rate: Long, s0: Long,
+      sum_abs: Long)
+
+  /** Deterministic WAV fixture source (the audio analogue of
+    * [[synthesizeImages]]): per document, a REAL RIFF/WAVE container —
+    * 16-bit signed PCM, mono, 8 kHz, little-endian — holding
+    * n = 64 + 4·hex₀(md5(text)) samples with
+    * s(i) = ((doc_id·31 + i·7) mod 65536) − 32768. Closed-form integer
+    * arithmetic an external engine re-derives sample-exactly, while the
+    * bytes are a genuine WAV a real decoder must parse. */
+  def synthesizeAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, hex) =>
+          val n = 64 + 4 * hexVal(hex.charAt(0))
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 31 + i * 7) % 65536) - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte // little-endian 16-bit
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The REAL audio-decode stage: `javax.sound.sampled` WAV parse,
+    * partition-by-partition through the typed iterator (identical stage
+    * shape to [[decodeImages]] — production swaps the codec, not the
+    * plumbing). Header fields (frame length, sample rate) come from the
+    * parsed container; `s0`/`sum_abs` come from the decoded PCM frames —
+    * a decoder that mangled even one sample breaks `sum_abs`. PCM is
+    * lossless, so the DuckDB oracle re-derives every value from the
+    * generation formula without a decoder. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+            s"unexpected audio format for doc $id: $fmt")
+          val n = ais.getFrameLength.toInt
+          val buf = ais.readAllBytes()
+          require(buf.length == n * 2,
+            s"doc $id: expected ${n * 2} PCM bytes, decoded ${buf.length}")
+          var i = 0
+          var sumAbs = 0L
+          var s0 = 0L
+          while (i < n) {
+            val s = (buf(2 * i + 1).toInt << 8) | (buf(2 * i) & 0xff)
+            if (i == 0) s0 = s.toLong
+            sumAbs += math.abs(s.toLong)
+            i += 1
+          }
+          AudioFeatures(id, n.toLong, fmt.getSampleRate.toLong, s0, sumAbs)
         }
       }
   }

@@ -187,10 +187,12 @@ object Sampling {
   def temperatureMixture(df: DataFrame, key: Column, domain: Column,
                          targetFraction: Double, seed: String,
                          alpha: Double = 0.5,
-                         algo: String = "xxh64"): DataFrame = {
+                         algo: String = "xxh64",
+                         maxDomains: Int = 100000): DataFrame = {
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction $targetFraction")
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha")
+    require(maxDomains >= 1, s"maxDomains $maxDomains")
     def w(c: Long): Double =
       if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
     // NULL domains are excluded from the weight computation AND gated out
@@ -204,10 +206,20 @@ object Sampling {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the per-domain weight table is DRIVER-RESIDENT by design (a mixture
+    // is defined over a bounded domain set — language, source, license);
+    // the limit caps the transfer so pathological cardinality (someone
+    // passing a free-text column as `domain`) fails LOUD below instead of
+    // OOMing the driver
     val counts = df.filter(domain.isNotNull)
       .groupBy(domain.as("__dom")).count()
+      .limit(maxDomains + 1)
       .collect().map(r => r.get(0).toString -> r.getLong(1))
       .sortBy(_._1)(utf8Order)
+    require(counts.length <= maxDomains,
+      s"temperatureMixture saw more than $maxDomains distinct domains — " +
+        "the domain column looks unbounded (free text? an id?); pass a " +
+        "true mixture dimension, or raise maxDomains deliberately")
     require(counts.nonEmpty, "temperatureMixture over an empty frame")
     val n = counts.map(_._2).sum
     val wsum = counts.foldLeft(0.0) { case (a, (_, c)) => a + w(c) }

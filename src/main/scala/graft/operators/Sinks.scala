@@ -62,23 +62,41 @@ object Sinks {
     * current version (empty frame if none), merge via [[Ingest.upsert]],
     * write `v=N+1`, return the new version. Readers always see a complete
     * version; the directory listing stands in for a transaction log. */
+  private def listVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val f = fs(spark)
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted
+  }
+
   def upsertSnapshot(spark: SparkSession, tableDir: String, incoming: DataFrame,
                      key: Seq[String], orderCol: String): Int = {
-    val dir = new Path(tableDir)
-    val f = fs(spark)
-    val versions =
-      if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("v="))
-        .map(_.stripPrefix("v=").toInt)
-        .sorted
+    val versions = listVersions(spark, tableDir)
     val current = versions.lastOption
       .map(v => spark.read.parquet(s"$tableDir/v=$v"))
       .getOrElse(incoming.filter(org.apache.spark.sql.functions.lit(false)))
     val next = versions.lastOption.getOrElse(0) + 1
     Ingest.upsert(current, incoming, key, orderCol)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    next
+  }
+
+  /** Versioned REPLACE: `v=N+1` is exactly `df` — no merge with prior
+    * versions. The model-artifact publish semantics: the reference
+    * overwrites its persisted model wholesale on retrain
+    * (train.py:555-567 joblib dump), so per-key params absent from the
+    * new fit must NOT survive from an older version the way
+    * [[upsertSnapshot]]'s merge would keep them; the versioned layout is
+    * retained so a concurrent reader of `v=N` is never disturbed (unlike
+    * [[truncateAndLoad]]'s in-place overwrite). */
+  def replaceSnapshot(spark: SparkSession, tableDir: String,
+                      df: DataFrame): Int = {
+    val next = listVersions(spark, tableDir).lastOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
     next
   }
 
@@ -287,12 +305,9 @@ object Sinks {
                       targetBytes: Long): (Int, Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val f = fs(spark)
-    val versions = f.listStatus(new Path(tableDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
+    val versions = listVersions(spark, tableDir)
     require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
-    val latest = versions.max
+    val latest = versions.last
     val dataFiles = f.listStatus(new Path(s"$tableDir/v=$latest")).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val totalBytes = dataFiles.map(_.getLen).sum
@@ -360,11 +375,7 @@ object Sinks {
                      keepLast: Int): (Seq[Int], Seq[Int]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark)
-    val versions = f.listStatus(new Path(tableDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
-      .sorted
+    val versions = listVersions(spark, tableDir)
     require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
     val (drop, keep) = versions.splitAt((versions.size - keepLast).max(0))
     drop.foreach(v => f.delete(new Path(s"$tableDir/v=$v"), true))
@@ -373,12 +384,8 @@ object Sinks {
 
   /** Latest snapshot version of an [[upsertSnapshot]] table. */
   def readSnapshot(spark: SparkSession, tableDir: String): DataFrame = {
-    val f = fs(spark)
-    val latest = f.listStatus(new Path(tableDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
-      .max
-    spark.read.parquet(s"$tableDir/v=$latest")
+    val versions = listVersions(spark, tableDir)
+    require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
+    spark.read.parquet(s"$tableDir/v=${versions.last}")
   }
 }

@@ -539,14 +539,16 @@ object TextAnalysis {
     * kilobyte table). */
   def bigramVocab(reference: DataFrame, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    import org.apache.spark.sql.expressions.Window
     val grams = reference
       .select(explode(bigrams(col("text"))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-    grams
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("n").desc, col("bigram"))))
-      .filter(col("__rk") <= topK)
+    // sort-limit plans as TakeOrderedAndProject — per-partition top-K
+    // then a K·numPartitions merge (the buildIvfIndex convention), so
+    // the rank stage is corpus-size-independent like the output. The
+    // round-7 form ranked with row_number over a GLOBAL Window.orderBy,
+    // which pulled every distinct corpus bigram into one partition for a
+    // serial sort.
+    grams.orderBy(col("n").desc, col("bigram")).limit(topK)
       .select(col("bigram"), col("n"))
   }
 

@@ -1467,6 +1467,30 @@ object ExtensionQueries {
         |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
         |FROM px GROUP BY doc_id, width, height""".stripMargin),
 
+    // REAL audio decode (javax.sound.sampled over deterministic 16-bit
+    // PCM WAV fixtures — Multimodal.synthesizeAudio/decodeAudio): header
+    // fields from the parsed RIFF container, s0/sum_abs from the decoded
+    // frames. PCM is lossless and the waveform is closed-form, so the
+    // oracle re-derives every value from the generation formula without
+    // a decoder — a decode that dropped or mangled one sample breaks
+    // sum_abs.
+    "mm_audio_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeAudio(s,
+        Multimodal.synthesizeAudio(s, Tables.documents(s, dir))).toDF(),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(64 + 4 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+        |         AS BIGINT) AS n_samples
+        |  FROM documents),
+        |sm AS (
+        |  SELECT d.doc_id, d.n_samples, i.i,
+        |    (d.doc_id * 31 + i.i * 7) % 65536 - 32768 AS s
+        |  FROM d, LATERAL unnest(generate_series(0, d.n_samples - 1)) AS i(i))
+        |SELECT doc_id, n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(min(CASE WHEN i = 0 THEN s END) AS BIGINT) AS s0,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |FROM sm GROUP BY doc_id, n_samples""".stripMargin),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(s,
         Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF(),

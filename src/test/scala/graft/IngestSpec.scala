@@ -264,6 +264,24 @@ class IngestSpec extends SparkSpecBase {
     assert(out === Map("b" -> 1L, "c" -> 9L, "d" -> 7L))
   }
 
+  test("replaceSnapshot: retrain publishes exactly the new fit — stale keys do not blend in") {
+    import graft.operators.Sinks
+    val dir = Files.createTempDirectory("graft_replsnap").toString + "/tbl"
+    val fit1 = Seq(("USD", "CPI", 0.5), ("EUR", "NFP", 0.7))
+      .toDF("Currency", "Event", "slope")
+    assert(Sinks.replaceSnapshot(spark, dir, fit1) === 1)
+    // the second fit covers FEWER keys — upsertSnapshot would keep
+    // (EUR, NFP) from v=1 and serve a blend no run ever produced
+    val fit2 = Seq(("USD", "CPI", 0.9)).toDF("Currency", "Event", "slope")
+    assert(Sinks.replaceSnapshot(spark, dir, fit2) === 2)
+    val served = Sinks.readSnapshot(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(served === Map(("USD", "CPI") -> 0.9))
+    // prior version retained for concurrent readers
+    assert(spark.read.parquet(s"$dir/v=1").count() === 2)
+  }
+
   test("SNK11 vacuumSnapshot: keeps the newest versions, latest always survives") {
     import graft.operators.Sinks
     val dir = Files.createTempDirectory("graft_vacuum").toString + "/tbl"

@@ -111,6 +111,23 @@ class SamplingSpec extends SparkSpecBase {
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMixture: unbounded domain cardinality fails loud, never OOMs the driver") {
+    import spark.implicits._
+    // a free-text-grade domain column: every row its own domain
+    val unbounded = (1 to 50).map(i => (i.toLong, s"dom$i")).toDF("id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(unbounded, col("id"), col("dom"),
+        targetFraction = 0.5, seed = "tmx", maxDomains = 10)
+    }
+    assert(e.getMessage.contains("distinct domains"))
+    // a bounded mixture at the same cap is unaffected
+    val ok = Sampling.temperatureMixture(
+      (1 to 50).map(i => (i.toLong, s"dom${i % 3}")).toDF("id", "dom"),
+      col("id"), col("dom"), targetFraction = 0.5, seed = "tmx",
+      maxDomains = 10)
+    assert(ok.count() > 0)
+  }
+
   test("kFold: disjoint, exhaustive, roughly balanced, deterministic") {
     for (algo <- Seq("xxh64", "md5")) {
       val folds = Sampling.kFold(keys, col("id"), 5, "fold", "kf1", algo)

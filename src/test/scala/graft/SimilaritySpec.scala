@@ -266,6 +266,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(back.forall(v => math.abs(v - 0.5f.toDouble) < 1e-9))
   }
 
+  test("real audio decode: javax.sound.sampled recovers the WAV fixture's samples exactly") {
+    val docs = Seq((3L, "alpha beta"), (7L, "some words here"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeAudio(spark,
+      Multimodal.synthesizeAudio(spark, docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    docs.collect().foreach { row =>
+      val id = row.getLong(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.getString(1).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val n = 64 + 4 * "0123456789abcdef".indexOf(hex.charAt(0))
+      val samples = (0 until n).map(i => (id * 31 + i * 7) % 65536 - 32768)
+      val r = out(id)
+      assert(r.n_samples === n.toLong)
+      assert(r.sample_rate === 8000L)
+      assert(r.s0 === samples.head)
+      assert(r.sum_abs === samples.map(math.abs(_)).sum)
+    }
+  }
+
   test("PCA ANN: registered configs clear their recall floors with margin (measured sf0.01)") {
     // the round-7 lesson: a fixed-size shortlist covers 10× less of a 10×
     // corpus, so the registered (k′, shortlist) is validated here at
