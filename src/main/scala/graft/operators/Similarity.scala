@@ -933,31 +933,38 @@ object Similarity {
     * per output dim, the preconditioning trick before cosine dedup or
     * k-means). Map-only: the k·d basis rides the plan as literals
     * (kilobytes), each row pays k·d fused multiply-adds — no join, no
-    * shuffle, scan speed at any corpus size. */
+    * shuffle, scan speed at any corpus size.
+    *
+    * Each output coordinate is one NATIVE [[graft.functions.DotProduct]]
+    * call with the centering folded into a driver constant
+    * (⟨x − μ, v⟩ = ⟨x, v⟩ − ⟨μ, v⟩) — the round-8 rewrite of an
+    * interpreted zip_with/aggregate chain that paid a lambda per
+    * multiply-add and made emb_pca_fit the most expensive bench row. The
+    * regrouping shifts results by ~1 ulp; every consumer (the variance
+    * invariants, the ANN recall floors) is tolerance-based.
+    *
+    * center=false is the pure subspace projection x·V (no μ subtraction):
+    * it preserves DOT PRODUCTS up to the residual-subspace term
+    * (⟨a,b⟩ = ⟨Pa,Pb⟩ + ⟨Qa,Qb⟩), which keeps reduced-space COSINE
+    * consistent with the full-dim cosine — what the cosine-metric IVF
+    * composition needs. Centered projection preserves L2 instead
+    * (translation-invariant), which is what [[pcaTopK]]'s L2 shortlist
+    * needs. Pick per consumer metric. */
   def pcaProject(df: DataFrame, model: PcaModel,
                  outCol: String = "pca", whiten: Boolean = false,
                  eps: Double = 1e-12, center: Boolean = true): DataFrame = {
-    val comps = array(model.components.map(c =>
-      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val meanL = array(model.mean.map(lit).toIndexedSeq: _*)
-    val scales = array(model.eigenvalues.map(ev =>
-      lit(if (whiten) 1.0 / math.sqrt(math.max(ev, eps)) else 1.0))
-      .toIndexedSeq: _*)
-    // center=false is the pure subspace projection x·V (no μ subtraction):
-    // it preserves DOT PRODUCTS up to the residual-subspace term
-    // (⟨a,b⟩ = ⟨Pa,Pb⟩ + ⟨Qa,Qb⟩), which keeps reduced-space COSINE
-    // consistent with the full-dim cosine — what the cosine-metric IVF
-    // composition needs. Centered projection preserves L2 instead
-    // (translation-invariant), which is what [[pcaTopK]]'s L2 shortlist
-    // needs. Pick per consumer metric.
-    val centered =
-      if (center) zip_with(col("embedding"), meanL,
-        (x, m) => x.cast("double") - m)
-      else transform(col("embedding"), x => x.cast("double"))
-    df.withColumn(outCol,
-      zip_with(comps, scales, (comp, sc) =>
-        aggregate(zip_with(centered, comp, (x, w) => x * w),
-          lit(0.0), (acc, x) => acc + x) * sc))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val coords = model.components.zipWithIndex.map { case (comp, c) =>
+      val compL = array(comp.map(lit).toIndexedSeq: _*)
+      val mu =
+        if (center) comp.zip(model.mean).map { case (v, m) => v * m }.sum
+        else 0.0
+      val sc =
+        if (whiten) 1.0 / math.sqrt(math.max(model.eigenvalues(c), eps))
+        else 1.0
+      (dot(col("embedding"), compL) - lit(mu)) * lit(sc)
+    }
+    df.withColumn(outCol, array(coords.toIndexedSeq: _*))
   }
 
   /** L2-normalized copy of the `embedding` column (zero vectors kept as
@@ -984,16 +991,21 @@ object Similarity {
               k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    def projected(df: DataFrame, idName: String, outName: String) =
+    def projected(df: DataFrame, idName: String, outName: String,
+                  n2Name: String) =
       pcaProject(normalizedEmbeddings(df), model, outCol = outName)
         .select(col("vec_id").as(idName), col(outName))
-    val q = projected(queries, "query_id", "qp")
-    val c = projected(corpus, "neighbor_id", "cp")
-    // negated L2² as the TopK score (higher = closer), ids break ties
+        .withColumn(n2Name, dot(col(outName), col(outName)))
+    val q = projected(queries, "query_id", "qp", "qn2")
+    val c = projected(corpus, "neighbor_id", "cp", "cn2")
+    // negated L2² as the TopK score (higher = closer), ids break ties;
+    // expanded as 2⟨a,b⟩ − ‖a‖² − ‖b‖² so the per-pair cost is ONE native
+    // dot product (norms precomputed per side) instead of an interpreted
+    // element-wise lambda chain — ranking-identical up to fp regrouping,
+    // and the exact full-dim re-rank below absorbs near-tie flips
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        -aggregate(zip_with(col("qp"), col("cp"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        lit(2.0) * dot(col("qp"), col("cp")) - col("qn2") - col("cn2"))
     val cand = scoredTopK(scored, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     topKAmong(cand, queries, corpus, k)
