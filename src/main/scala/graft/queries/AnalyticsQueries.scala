@@ -90,5 +90,46 @@ object AnalyticsQueries {
         |p AS (
         |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
         |  FROM r WHERE rn <= 8 GROUP BY user_id)
-        |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin))
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path""".stripMargin),
+
+    // Count-min sketch (Sketches.countMin/cmsEstimate): build a 4×64
+    // counter matrix over events.user_id, estimate every distinct user's
+    // event count from the sketch, grade against the exact count. The
+    // md5 cell hashing is the engine's cross-engine convention, so the
+    // oracle re-derives the ENTIRE sketch (build + min-estimate) and the
+    // compare is a full hash match — est is deterministic, over_ok pins
+    // the one-sided error contract in-data. Width 64 << distinct users'
+    // spread guarantees real collisions at sf0.01+, so the row proves
+    // overestimates happen AND stay one-sided.
+    "sketch_count_min" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sketches
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir)
+        val sk = Sketches.countMin(e, col("user_id"),
+          width = 64, depth = 4, seed = "cms8")
+        val est = Sketches.cmsEstimate(sk, e, col("user_id"),
+          width = 64, depth = 4, seed = "cms8")
+        val truth = e.groupBy(col("user_id").as("key"))
+          .agg(count(lit(1)).as("true_n"))
+        est.join(truth, "key")
+          .select(col("key").as("user_id"), col("est"), col("true_n"),
+            (col("est") >= col("true_n")).as("over_ok"))
+      },
+      """WITH cells AS (
+        |  SELECT user_id, i.i AS sk_row,
+        |    CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR) || ':cms8'), 1, 15)) AS BIGINT) % 64
+        |      AS sk_col
+        |  FROM events, LATERAL unnest(generate_series(0, 3)) AS i(i)),
+        |sketch AS (
+        |  SELECT sk_row, sk_col, count(*) AS c FROM cells GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT user_id, sk_row, sk_col FROM cells),
+        |est AS (
+        |  SELECT p.user_id, min(coalesce(s.c, 0)) AS est
+        |  FROM probe p LEFT JOIN sketch s USING (sk_row, sk_col)
+        |  GROUP BY p.user_id),
+        |truth AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
+        |SELECT user_id, est, true_n, est >= true_n AS over_ok
+        |FROM est JOIN truth USING (user_id)""".stripMargin))
 }
