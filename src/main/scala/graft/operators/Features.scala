@@ -397,6 +397,120 @@ object Features {
         col("n_fit")): _*)
   }
 
+  /** A trained general linear model: intercept-first coefficient vector
+    * over p features, with the fit size for provenance. */
+  final case class LinearModel(coef: Array[Double], nFit: Long)
+
+  /** A14c — GENERAL p-feature OLS/ridge, the step past [[fitAr2]]'s
+    * Cramer 2×2 and the engine's closest relational analogue of the
+    * reference's multi-feature regressors (train.py:377-499; XGBoost/LSTM
+    * themselves stay out of scope in a Spark-jars-only build — SURVEY §7
+    * step 5 — but the train→persist→apply contract and a real
+    * multi-feature fit are fully relational):
+    *
+    *  1. DISTRIBUTED moment pass (the pcaFit shape): ONE aggregation
+    *     computes the (p+1)×(p+1) upper triangle of ZᵀZ and the vector
+    *     Zᵀy (Z = [1 | x₁..x_p]) — (p+1)(p+2)/2 + (p+1) + 2 grouped sums,
+    *     map-side combined, so the shuffle is p²-bounded and
+    *     corpus-size-independent. Sums follow the [[fitAr1]] determinism
+    *     contract exactly: DECIMAL(17,6)-snapped inputs under the
+    *     |·| < 1e11 domain guard, cross terms re-scaled to DECIMAL(38,6)
+    *     before summing — bit-stable under any combine order.
+    *  2. DRIVER solve of (ZᵀZ + λ·n·I₋)β = Zᵀy (λ ridge on non-intercept
+    *     diagonal; λ=0 is plain OLS) by Gaussian elimination with partial
+    *     pivoting — O(p³), fixed operation order, microseconds at real
+    *     p. A singular system (collinear features) falls back to the
+    *     mean model (intercept = ȳ, slopes 0) — [[fitAr1]]'s degenerate
+    *     convention, never an exception at serve time.
+    *
+    * Returns None on an empty (post-guard) input. */
+  def linearFit(df: DataFrame, features: Seq[Column], target: Column,
+                ridge: Double = 0.0): Option[LinearModel] = {
+    require(features.nonEmpty, "linearFit needs at least one feature")
+    require(ridge >= 0.0, s"ridge must be >= 0, got $ridge")
+    val p = features.length
+    val domain = lit(1e11)
+    val guard = (features :+ target)
+      .map(c => c.isNotNull && abs(c) < domain)
+      .reduce(_ && _)
+    val z: IndexedSeq[Column] =
+      (lit(1).cast("decimal(17,6)") +: features.map(_.cast("decimal(17,6)")))
+        .toIndexedSeq
+    val yd = target.cast("decimal(17,6)")
+    val aggs =
+      (for (i <- 0 to p; j <- i to p)
+        yield sum((z(i) * z(j)).cast("decimal(38,6)")).cast("double")
+          .as(s"s_${i}_$j")) ++
+      (0 to p).map(i =>
+        sum((z(i) * yd).cast("decimal(38,6)")).cast("double").as(s"sy_$i")) :+
+      count(lit(1)).as("n")
+    val row = df.filter(guard).agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    if (n == 0L) return None
+    val a = Array.ofDim[Double](p + 1, p + 1)
+    for (i <- 0 to p; j <- i to p) {
+      val v = row.getAs[Double](s"s_${i}_$j")
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 1 to p) a(i)(i) += ridge * n
+    val b = Array.tabulate(p + 1)(i => row.getAs[Double](s"sy_$i"))
+    solveInPlace(a, b) match {
+      case Some(beta) => Some(LinearModel(beta, n))
+      case None => // singular: the mean model, the fitAr1 convention
+        val mean = row.getAs[Double]("sy_0") / n
+        Some(LinearModel(mean +: Array.fill(p)(0.0), n))
+    }
+  }
+
+  /** Gaussian elimination with partial pivoting, in place; None when the
+    * system is singular at working precision. Fixed operation order —
+    * deterministic for a given (a, b). */
+  private[operators] def solveInPlace(
+      a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
+    val m = a.length
+    val scale = (0 until m).map(i => a(i).map(math.abs).max).max
+      .max(java.lang.Double.MIN_NORMAL)
+    for (c <- 0 until m) {
+      var piv = c
+      for (r <- c + 1 until m) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      if (math.abs(a(piv)(c)) <= 1e-12 * scale) return None
+      if (piv != c) {
+        val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb
+      }
+      for (r <- c + 1 until m) {
+        val f = a(r)(c) / a(c)(c)
+        var k = c
+        while (k < m) { a(r)(k) -= f * a(c)(k); k += 1 }
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](m)
+    for (c <- m - 1 to 0 by -1) {
+      var s = b(c)
+      var k = c + 1
+      while (k < m) { s -= a(c)(k) * x(k); k += 1 }
+      x(c) = s / a(c)(c)
+    }
+    Some(x)
+  }
+
+  /** Serve a [[LinearModel]]: prediction = β₀ + Σ βᵢ·xᵢ with the
+    * coefficients riding the plan as literals — map-only, scan speed at
+    * any corpus size. Features are DECIMAL(17,6)-snapped first, matching
+    * the fit's determinism contract (the residual-orthogonality
+    * invariant holds only against the snapped design matrix). */
+  def linearPredict(df: DataFrame, model: LinearModel,
+                    features: Seq[Column],
+                    outCol: String = "prediction"): DataFrame = {
+    require(features.length + 1 == model.coef.length,
+      s"model has ${model.coef.length - 1} features, got ${features.length}")
+    val terms = features.zipWithIndex.map { case (c, i) =>
+      lit(model.coef(i + 1)) * c.cast("decimal(17,6)").cast("double")
+    }
+    df.withColumn(outCol, terms.foldLeft(lit(model.coef(0)))(_ + _))
+  }
+
   /** Per-group Pearson correlation, deterministically: the built-in
     * `corr()` sums doubles in partition order (last-ulp nondeterminism
     * under any distributed plan — the round-1 hash-failure class), so

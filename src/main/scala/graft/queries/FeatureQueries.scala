@@ -806,6 +806,84 @@ object FeatureQueries {
         |  count(*) AS cnt,
         |  count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT event_type) AS n_event_types
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin),
+
+    // A14c — GENERAL p-feature trained model (Features.linearFit, p = 3
+    // lag features): the distributed normal-equation pass (p²-bounded
+    // moment shuffle, decimal-exact sums) + deterministic driver solve —
+    // the step past AR(2)'s Cramer 2×2 toward the reference's
+    // multi-feature regressors. Coefficients are data-derived doubles no
+    // portable SQL can re-solve for general p, so the row follows the
+    // emb_pca_fit convention: ORDER-INDEPENDENT invariants checked
+    // in-plan over the SAME guarded train rows — (a) the served
+    // residuals are orthogonal to every design column (the defining OLS
+    // property, graded at a tolerance covering the documented
+    // DECIMAL(38,6) product snap of ±5e-7/row), (b) SSE ≤ SST (an
+    // intercept-bearing OLS can never lose to the mean model), (c) the
+    // λ=10 ridge refit shrinks the slope-vector norm (the penalized-
+    // minimizer inequality). The oracle re-derives n_fit — the split,
+    // all three lags, and the domain guard — independently.
+    "a22_linear_model" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Features
+          .chronoSplit(Tables.events(s, dir), Seq("ts", "event_id"))
+          .withColumn("x1", Features.lag1(col("value"), w))
+          .withColumn("x2", lag(col("value"), 2).over(w))
+          .withColumn("x3", lag(col("value"), 3).over(w))
+        val fs = Seq(col("x1"), col("x2"), col("x3"))
+        val guard = (fs :+ col("value"))
+          .map(c => c.isNotNull && abs(c) < lit(1e11)).reduce(_ && _)
+        // one guarded train frame feeds the two fits AND the invariant
+        // re-aggregation — lazy checkpoint (the Dedup convention)
+        val train = feat.filter(col("split") === "train" && guard)
+          .localCheckpoint(eager = false)
+        val ols = Features.linearFit(train, fs, col("value")).get
+        val rdg = Features.linearFit(train, fs, col("value"), ridge = 10.0).get
+        def norm2(m: Features.LinearModel) =
+          math.sqrt(m.coef.drop(1).map(x => x * x).sum)
+        val shrinks = norm2(rdg) <= norm2(ols) + 1e-9
+        def zd(c: org.apache.spark.sql.Column) =
+          c.cast("decimal(17,6)").cast("double")
+        val served = Features.linearPredict(train, ols, fs)
+          .withColumn("r", zd(col("value")) - col("prediction"))
+        served.agg(
+            count(lit(1)).as("n_fit"),
+            sum(col("r")).as("d0"),
+            sum(zd(col("x1")) * col("r")).as("d1"),
+            sum(zd(col("x2")) * col("r")).as("d2"),
+            sum(zd(col("x3")) * col("r")).as("d3"),
+            sum(col("r") * col("r")).as("sse"),
+            sum(zd(col("value"))).as("sv"),
+            sum(zd(col("value")) * zd(col("value"))).as("svv"))
+          .select(
+            col("n_fit"),
+            (greatest(abs(col("d0")), abs(col("d1")), abs(col("d2")),
+              abs(col("d3"))) <= lit(1e-3) * col("n_fit")).as("normal_ok"),
+            (col("sse") <= (col("svv") - col("sv") * col("sv") / col("n_fit"))
+              * lit(1.0 + 1e-9) + lit(1e-6)).as("sse_le_sst"),
+            lit(shrinks).as("ridge_shrinks"))
+      },
+      """WITH ordered AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER () AS n_total
+        |  FROM events),
+        |feat AS (
+        |  SELECT user_id, event_type, value, rn, n_total,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x1,
+        |    lag(value, 2) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x2,
+        |    lag(value, 3) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x3
+        |  FROM ordered)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fit, TRUE AS normal_ok,
+        |  TRUE AS sse_le_sst, TRUE AS ridge_shrinks
+        |FROM feat
+        |WHERE rn <= floor(n_total * 0.7)
+        |  AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+        |  AND value IS NOT NULL AND abs(x1) < 1e11 AND abs(x2) < 1e11
+        |  AND abs(x3) < 1e11 AND abs(value) < 1e11""".stripMargin)
   )
 }

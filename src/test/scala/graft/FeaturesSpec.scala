@@ -264,4 +264,47 @@ class FeaturesSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("linearFit: exact coefficient recovery on noiseless data; ridge shrinks; singular falls back to mean model") {
+    import spark.implicits._
+    // y = 5 + 2·x1 − 3·x2, exactly representable at 6 decimals
+    val df = (1 to 40).map { i =>
+      val x1 = i * 0.25; val x2 = (i % 7) * 1.5
+      (x1, x2, 5.0 + 2.0 * x1 - 3.0 * x2)
+    }.toDF("x1", "x2", "y")
+    val m = Features.linearFit(df, Seq(col("x1"), col("x2")), col("y")).get
+    assert(m.nFit === 40L)
+    assert(math.abs(m.coef(0) - 5.0) < 1e-8)
+    assert(math.abs(m.coef(1) - 2.0) < 1e-8)
+    assert(math.abs(m.coef(2) + 3.0) < 1e-8)
+    // serve: predictions reproduce y on the training points
+    val maxErr = Features.linearPredict(df, m, Seq(col("x1"), col("x2")))
+      .select(max(abs(col("y") - col("prediction")))).head.getDouble(0)
+    assert(maxErr < 1e-8)
+    // ridge: slope norm never grows (the penalized-minimizer inequality)
+    val r = Features.linearFit(df, Seq(col("x1"), col("x2")), col("y"),
+      ridge = 5.0).get
+    def n2(c: Array[Double]) = math.sqrt(c.drop(1).map(x => x * x).sum)
+    assert(n2(r.coef) <= n2(m.coef) + 1e-12)
+    // collinear design (x2 = 2·x1): singular system -> mean model
+    val coll = (1 to 10).map(i => (i * 1.0, i * 2.0, i * 3.0))
+      .toDF("x1", "x2", "y")
+    val mm = Features.linearFit(coll, Seq(col("x1"), col("x2")), col("y")).get
+    assert(mm.coef(1) === 0.0 && mm.coef(2) === 0.0)
+    assert(math.abs(mm.coef(0) - (1 to 10).map(_ * 3.0).sum / 10) < 1e-9)
+    // empty (post-guard) input -> None
+    assert(Features.linearFit(coll.filter(lit(false)),
+      Seq(col("x1")), col("y")).isEmpty)
+  }
+
+  test("linearFit at p=1 agrees with fitAr1's closed form (same decimal contract)") {
+    import spark.implicits._
+    val df = (1 to 30).map(i =>
+      ("g", i * 1.0, 3.0 + 0.5 * i + (if (i % 2 == 0) 0.25 else -0.25)))
+      .toDF("k", "x", "y")
+    val ar1 = Features.fitAr1(df, Seq("k"), col("x"), col("y")).head
+    val gen = Features.linearFit(df, Seq(col("x")), col("y")).get
+    assert(math.abs(gen.coef(1) - ar1.getAs[Double]("slope")) < 1e-9)
+    assert(math.abs(gen.coef(0) - ar1.getAs[Double]("intercept")) < 1e-9)
+  }
 }
