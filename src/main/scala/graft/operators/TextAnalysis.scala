@@ -476,22 +476,68 @@ object TextAnalysis {
       else {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
         merges += ((a, b, best.head.getLong(2)))
-        val aC = lit(a)
-        val bC = lit(b)
         val old = vocab
-        vocab = vocab.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === aC && x === bC,
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(aC, bC))))
-              .otherwise(concat(acc, array(x)))))
+        vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
           .localCheckpoint()
         old.unpersist()
         round += 1
       }
     }
     (merges.result(), vocab)
+  }
+
+  /** One greedy left-to-right application of merge (a, b) over a symbol
+    * array — the fold both [[bpeTrain]] and [[bpeEncode]] replay, so
+    * encoding is BY CONSTRUCTION the training transformation. */
+  private def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(lit(a), lit(b)))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Encode DISTINCT words with a trained merge table: each word's
+    * character sequence runs the merges in training order (nMerges
+    * chained map-only folds over a vocab-bounded frame). Input: a frame
+    * with a `w` column; output adds `syms array<string>`. */
+  def bpeEncodeWords(words: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      words.withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substr(w, CAST(i AS INT), 1))"))
+    ) { case (df, (a, b)) => df.withColumn("syms", mergeOnce(col("syms"), a, b)) }
+
+  /** BPE ENCODING — the serve half of the tokenizer ([[bpeTrain]] is the
+    * train half): apply a trained merge table to every document,
+    * returning (doc_id, tokens, n_tokens) with tokens in document order.
+    *
+    * Scale design (100 TB): encode work is DISTINCT-WORD-sized, never
+    * corpus-sized — the distinct words run the merge fold once
+    * ([[bpeEncodeWords]], lazily checkpointed so the join consumes one
+    * computed copy), then an equi-join puts each word's tokens back on
+    * the (doc_id, word-position) stream and a per-doc sort-reassemble
+    * emits the stream (the buildIvfIndex collect_list/array_sort
+    * convention — collect_list order is nondeterministic, the sort key
+    * makes it total). Docs with no words (empty/null text) keep a row
+    * with empty tokens — documents never silently vanish. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(toks(coalesce(col("text"), lit("")))).as(Seq("wpos", "w")))
+      .filter(length(col("w")) > 0)
+    val encoded = bpeEncodeWords(words.select(col("w")).distinct(), merges)
+      .localCheckpoint(eager = false)
+    val assembled = words.join(encoded, "w")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(wpos, syms))), s -> s.syms))")
+        .as("tokens"))
+    docs.select(col("doc_id")).join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), expr("CAST(array() AS array<string>)"))
+          .as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
   /** Fixed-size chunking with overlap — the RAG/context-window prep step

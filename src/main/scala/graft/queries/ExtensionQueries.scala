@@ -875,6 +875,55 @@ object ExtensionQueries {
         |FROM agg
         |QUALIFY rank <= 20""".stripMargin),
 
+    // BPE train→ENCODE end-to-end (TextAnalysis.bpeTrain + bpeEncode):
+    // train 12 merges on the corpus, encode the same corpus with them,
+    // and grade the serve path in-plan — (a) every distinct word's
+    // encoding equals the trained vocab's final segmentation (encoding
+    // replays training by construction, this pins it over real data),
+    // (b) concatenating each doc's tokens reproduces its space-stripped
+    // text (no symbol lost or invented), (c) every multi-char token is a
+    // trained merge output (closure). Merge tables and token arrays are
+    // data-derived — no portable SQL replays a greedy BPE — so the row
+    // follows the invariant-oracle convention; n_docs and n_words are
+    // re-derived independently by DuckDB.
+    "ext_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (trained, vocabDf) = TextAnalysis.bpeTrain(docs, nMerges = 12)
+        val merges = trained.map(m => (m._1, m._2))
+        val enc = TextAnalysis.bpeEncode(docs, merges)
+          .localCheckpoint(eager = false)
+        val allowed = array(merges.map { case (a, b) => lit(a + b) }: _*)
+        val words = docs.select(
+            explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+          .filter(length(col("w")) > 0).distinct()
+        val vocabMatch = TextAnalysis.bpeEncodeWords(words, merges)
+          .join(vocabDf.select(concat_ws("", col("syms")).as("w"),
+            col("syms").as("trained_syms")), "w")
+          .agg(count(lit(1)).as("n_words"),
+            every(col("syms") === col("trained_syms")).as("vocab_match_ok"))
+        val docChecks = enc
+          .join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            every(concat_ws("", col("tokens")) ===
+              regexp_replace(coalesce(col("text"), lit("")), " ", ""))
+              .as("recon_ok"),
+            every(forall(col("tokens"),
+              t => length(t) === 1 || array_contains(allowed, t)))
+              .as("closure_ok"))
+        docChecks.crossJoin(vocabMatch)
+          .select(col("n_docs"), col("n_words"), col("vocab_match_ok"),
+            col("recon_ok"), col("closure_ok"))
+      },
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (
+        |     SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |     FROM documents) WHERE len(w) > 0) AS n_words,
+        |  TRUE AS vocab_match_ok, TRUE AS recon_ok,
+        |  TRUE AS closure_ok""".stripMargin),
+
     // ANALYZE-style table profile over events (value snapped to cents —
     // raw double min/max stringify engine-specifically): per-column
     // rows/nulls/exact-ndv/min/max, one pruned single-column pass per

@@ -70,4 +70,42 @@ class BpeSpec extends SparkSpecBase {
     assert(gotVocab === refVocab)
     assert(gotVocab.keySet === Set(List("ab")))
   }
+
+  /** Reference encoder: replay merges greedily left-to-right per word. */
+  private def naiveEncode(text: String,
+                          merges: Seq[(String, String)]): List[String] =
+    text.split(" ").filter(_.nonEmpty).toList.flatMap { w =>
+      merges.foldLeft(w.map(_.toString).toList) { case (syms, (a, b)) =>
+        syms.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    }
+
+  test("bpeEncode: per-doc token stream matches the naive encoder; training corpus reproduces trained vocab; empty doc keeps a row") {
+    val texts = Seq(
+      "abab abab aaa low lower lowest",
+      "abab low low newer newest aaa",
+      "",
+      "wider new newer aaa abab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (trained, _) = TextAnalysis.bpeTrain(docs, nMerges = 8)
+    val merges = trained.map(m => (m._1, m._2))
+    val got = TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    assert(got.size === texts.length) // empty doc did not vanish
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = naiveEncode(t, merges)
+      assert(got(i.toLong)._1 === ref, s"doc $i")
+      assert(got(i.toLong)._2 === ref.length.toLong)
+    }
+    // unseen words at serve time: encodable with the same merges
+    val fresh = Seq((9L, "lowest ababab unseen")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(fresh, merges)
+      .collect().head.getSeq[String](1).toList
+    assert(enc === naiveEncode("lowest ababab unseen", merges))
+  }
 }
