@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Pins the streaming ANN serve path: a query stream against a
+  * parquet-persisted IVF index answers EXACTLY what the batch operator
+  * answers for the same queries (batch parity — the §2i convention), and
+  * replaying a batch overwrites its own output (idempotent sink). */
+class StreamingSimilaritySpec extends SparkSpecBase {
+
+  test("IVF serve stream: union of micro-batch results equals the batch answer; per-batch dirs are idempotent") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = Files.createTempDirectory("graft_annserve").toString
+    // batch half: build once, persist, reload — the serve job's view
+    val built = Similarity.buildIvfIndex(emb, nCentroids = 8,
+      refineIters = 2).get
+    built.centroids.write.parquet(s"$base/idx/centroids")
+    built.postings.write.parquet(s"$base/idx/postings")
+    val index = Similarity.IvfIndex(
+      spark.read.parquet(s"$base/idx/centroids"),
+      spark.read.parquet(s"$base/idx/postings"))
+
+    // two query micro-batches as JSON files (vec_id, embedding)
+    val landing = s"$base/queries"; new java.io.File(landing).mkdirs()
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val qRows = queries.collect()
+    assert(qRows.length >= 4, "need several queries to split into batches")
+    def jsonOf(rows: Seq[org.apache.spark.sql.Row]): String =
+      rows.map { r =>
+        s"""{"vec_id":${r.getLong(0)},"embedding":[${
+          r.getSeq[Float](1).mkString(",")}]}"""
+      }.mkString("\n")
+    val (b1, b2) = qRows.splitAt(qRows.length / 2)
+    Files.writeString(java.nio.file.Path.of(landing, "b1.json"), jsonOf(b1.toSeq))
+    Files.writeString(java.nio.file.Path.of(landing, "b2.json"), jsonOf(b2.toSeq))
+
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+    val q = graft.streaming.StreamingSimilarity.runIvfServe(
+      stream, index, emb, k = 3, nProbe = 4,
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = resultSet(spark.read.parquet(s"$base/out"))
+    val batch = resultSet(
+      Similarity.ivfTopKWithIndex(queries, emb, index, k = 3, nProbe = 4))
+    assert(streamed === batch,
+      s"stream/batch divergence: ${streamed -- batch} vs ${batch -- streamed}")
+
+    // idempotent sink: re-serving batch 0's queries into the same dir
+    // replaces, never duplicates
+    val dirs = new java.io.File(s"$base/out").listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirs.length === 2, s"expected 2 batch dirs, got ${dirs.toSeq}")
+    val before = spark.read.parquet(s"$base/out").count()
+    Similarity.ivfTopKWithIndex(
+        spark.read.json(s"$landing/b1.json")
+          .select(col("vec_id"), col("embedding").cast("array<float>")),
+        emb, index, k = 3, nProbe = 4)
+      .write.mode("overwrite").parquet(s"$base/out/${dirs.head}")
+    assert(spark.read.parquet(s"$base/out").count() === before)
+  }
+}
