@@ -788,44 +788,80 @@ object Similarity {
     * None on an empty corpus. */
   def pcaFit(corpus: DataFrame, k: Int): Option[PcaModel] = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // ONE distributed moment pass (was two): every vector explodes to its
-    // d linear cells (i, j = −1, xᵢ) PLUS the d(d+1)/2 upper-triangle
-    // second-moment cells (i, j, xᵢxⱼ), all combined map-side — the
-    // shuffle stays d²-bounded and corpus-size-independent. Null/empty
-    // embeddings contribute no cells (excluded from n consistently);
-    // RAGGED vectors are rejected loudly below instead of silently
-    // skewing the means — a short vector leaves its missing dims with a
-    // lower cell count, so the equal-count guard catches it.
-    val cells = corpus
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ONE distributed moment pass, accumulated per partition in tight
+    // primitive loops (the MLlib RowMatrix computeGramianMatrix shape —
+    // a sanctioned mapPartitions: genuinely imperative per-partition
+    // numerics; the round-8-early exploded-struct form paid an
+    // interpreted struct per (i, j) cell, ~2,100 per row at d=64, and
+    // made emb_pca_fit the most expensive bench row). Each partition
+    // emits ONE (n, linear sums, upper-triangle second moments) row —
+    // the shuffle-free d²-bounded reduction, corpus-size-independent.
+    // Null/empty embeddings contribute nothing (excluded from n
+    // consistently); RAGGED vectors fail loud instead of silently
+    // skewing the means. Double accumulation order is fixed within a
+    // partition but not across partition compositions — the documented
+    // combine-order caveat (invariants are order-independent).
+    val parts = corpus
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(embedding) - 1, 1), i ->
-          |  concat(
-          |    array(struct(i AS i, -1 AS j,
-          |      CAST(embedding[i] AS DOUBLE) AS xx)),
-          |    transform(sequence(i, size(embedding) - 1, 1), j ->
-          |      struct(i AS i, j AS j,
-          |        CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
-          |          AS xx)))))""".stripMargin)).as("p"))
-      .select(col("p.i"), col("p.j"), col("p.xx"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xx")).as("sxx"), count(lit(1)).as("cnt"))
-      .collect()
-    if (cells.isEmpty) return None
-    val lin = cells.filter(_.getInt(1) == -1)
-    val d = lin.map(_.getInt(0)).max + 1
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var lin: Array[Double] = null
+        var upper: Array[Double] = null
+        it.foreach { v =>
+          if (d < 0) {
+            d = v.length
+            lin = new Array[Double](d)
+            upper = new Array[Double](d * (d + 1) / 2)
+          }
+          require(v.length == d,
+            s"ragged embedding vectors: saw lengths $d and ${v.length} — " +
+              "fix the column before pcaFit")
+          n += 1
+          var i = 0
+          var c = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            lin(i) += xi
+            var j = i
+            while (j < d) { upper(c) += xi * v(j); j += 1; c += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((n, lin.toSeq, upper.toSeq))
+      }.collect()
+    if (parts.isEmpty) return None
+    val d = parts.head._2.length
+    require(parts.forall(_._2.length == d),
+      s"ragged embedding vectors across partitions: dimension mismatch — " +
+        "fix the column before pcaFit")
     require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
-    val n = lin.find(_.getInt(0) == 0).get.getLong(3)
-    require(lin.length == d && cells.forall(_.getLong(3) == n),
-      s"ragged embedding vectors: per-dim counts differ (expected every " +
-        s"dim observed in all $n rows) — fix the column before pcaFit")
+    val n = parts.map(_._1).sum
     val mean = new Array[Double](d)
-    lin.foreach(r => mean(r.getInt(0)) = r.getDouble(2) / n)
+    val sxx = new Array[Double](d * (d + 1) / 2)
+    parts.foreach { case (_, l, u) =>
+      var i = 0
+      while (i < d) { mean(i) += l(i); i += 1 }
+      var c = 0
+      while (c < sxx.length) { sxx(c) += u(c); c += 1 }
+    }
+    var mi = 0
+    while (mi < d) { mean(mi) /= n; mi += 1 }
     val cov = Array.ofDim[Double](d, d)
-    cells.filter(_.getInt(1) >= 0).foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      val c = r.getDouble(2) / n - mean(i) * mean(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    var ci = 0
+    var cc = 0
+    while (ci < d) {
+      var cj = ci
+      while (cj < d) {
+        val c = sxx(cc) / n - mean(ci) * mean(cj)
+        cov(ci)(cj) = c; cov(cj)(ci) = c
+        cj += 1; cc += 1
+      }
+      ci += 1
     }
 
     val (eigs, vecs) = jacobiEigen(cov)
