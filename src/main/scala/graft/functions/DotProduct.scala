@@ -188,6 +188,27 @@ object GraftFunctions {
         val e = arity("graft_hyperplane_sig", 3)(es)
         HyperplaneSig(e.head, intLit("graft_hyperplane_sig", "bits")(e(1)),
           intLit("graft_hyperplane_sig", "table")(e(2)))
+      }),
+    ("graft_mat_project", classOf[MatProject],
+      "_FUNC_(v, comps, mu, scales) - project a numeric array onto a " +
+        "literal basis: out[c] = (v . comps[c] - mu[c]) * scales[c]",
+      es => {
+        val e = arity("graft_mat_project", 4)(es)
+        def litData(what: String)(x: Expression): org.apache.spark.sql.catalyst.util.ArrayData =
+          x match {
+            case l if l.foldable && l.eval() != null =>
+              l.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            case other => throw new IllegalArgumentException(
+              s"graft_mat_project: $what must be a non-null array literal, got $other")
+          }
+        val cr = litData("comps")(e(1))
+        val rows = (0 until cr.numElements())
+          .map(i => cr.getArray(i).toDoubleArray())
+        require(rows.nonEmpty && rows.forall(_.length == rows.head.length),
+          "graft_mat_project: comps must be a non-empty rectangular matrix")
+        MatProject(e.head, rows.flatten.toArray,
+          litData("mu")(e(2)).toDoubleArray(),
+          litData("scales")(e(3)).toDoubleArray(), rows.head.length)
       }))
 
   def register(spark: SparkSession): Unit = {

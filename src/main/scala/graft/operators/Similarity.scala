@@ -990,17 +990,18 @@ object Similarity {
                  outCol: String = "pca", whiten: Boolean = false,
                  eps: Double = 1e-12, center: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val coords = model.components.zipWithIndex.map { case (comp, c) =>
-      val compL = array(comp.map(lit).toIndexedSeq: _*)
-      val mu =
-        if (center) comp.zip(model.mean).map { case (v, m) => v * m }.sum
-        else 0.0
-      val sc =
-        if (whiten) 1.0 / math.sqrt(math.max(model.eigenvalues(c), eps))
-        else 1.0
-      (dot(col("embedding"), compL) - lit(mu)) * lit(sc)
-    }
-    df.withColumn(outCol, array(coords.toIndexedSeq: _*))
+    // ONE fused native expression ([[graft.functions.MatProject]]) for
+    // the whole k×d mat-vec: k separate dot expressions in one Project
+    // blew the codegen budget into interpreted eval (230 µs/row measured
+    // at k=d=64). Centering rides as the driver constant ⟨μ, v_c⟩.
+    val mu = typedlit(model.components.map(comp =>
+      if (center) comp.zip(model.mean).map { case (v, m) => v * m }.sum
+      else 0.0).toIndexedSeq)
+    val scales = typedlit(model.eigenvalues.map(ev =>
+      if (whiten) 1.0 / math.sqrt(math.max(ev, eps)) else 1.0).toIndexedSeq)
+    val comps = typedlit(model.components.map(_.toIndexedSeq).toIndexedSeq)
+    df.withColumn(outCol, call_function("graft_mat_project",
+      col("embedding"), comps, mu, scales))
   }
 
   /** L2-normalized copy of the `embedding` column (zero vectors kept as
