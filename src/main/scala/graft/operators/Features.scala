@@ -495,6 +495,104 @@ object Features {
     Some(x)
   }
 
+  /** A trained logistic model: intercept-first coefficients, fit size,
+    * and the converged gradient norm for provenance. */
+  final case class LogisticModel(coef: Array[Double], nFit: Long,
+                                 gradNorm: Double, iters: Int)
+
+  /** A14d — LOGISTIC REGRESSION via distributed IRLS (iteratively
+    * reweighted least squares — the textbook GLM fit, Hastie et al. ESL
+    * §4.4): each iteration computes the weighted normal-equation moments
+    * (ZᵀWZ, ZᵀWu with W = diag(p(1−p)), working response
+    * u = η + (y−p)/w) in ONE p²-bounded aggregation pass — map-side
+    * combined, corpus-size-independent shuffle, the [[linearFit]] shape
+    * with a weight column — and solves the (p+1)×(p+1) system on the
+    * driver ([[solveInPlace]]). A real trained CLASSIFIER in-plan, the
+    * step past [[linearFit]]'s regressor toward the reference's model
+    * zoo.
+    *
+    * Numerics: weights are floored at 1e-6 (a saturated row's w → 0
+    * would blow up the working response); features should be roughly
+    * unit-scale (standardize upstream — the reference normalizes before
+    * its fits too, train.py:430-470). Sums run in plain double: sigmoid
+    * makes decimal exactness meaningless, so (unlike linearFit) the
+    * coefficients are deterministic only up to float combine order —
+    * consumers pin tolerance-based invariants (score equations ≈ 0,
+    * deviance below the null model), never hashes. Stops when the
+    * max-coordinate score (gradient) drops under `tol` or after
+    * `maxIters`. Returns None on an empty (post-guard) input or a
+    * singular first iteration. */
+  def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
+                  maxIters: Int = 10, tol: Double = 1e-8,
+                  ridge: Double = 0.0): Option[LogisticModel] = {
+    require(features.nonEmpty, "logisticFit needs at least one feature")
+    require(maxIters >= 1 && tol > 0.0 && ridge >= 0.0,
+      s"bad hyperparameters: maxIters=$maxIters tol=$tol ridge=$ridge")
+    val p = features.length
+    val domain = lit(1e11)
+    val guard = features.map(c => c.isNotNull && abs(c) < domain)
+      .reduce(_ && _) && label.isNotNull
+    val src = df.filter(guard)
+      .select((features.map(_.cast("double")) :+
+        label.cast("boolean").cast("int").cast("double").as("__y"))
+        .zipWithIndex.map { case (c, i) =>
+          if (i < p) c.as(s"__z$i") else c
+        }: _*)
+      .localCheckpoint(eager = false) // one computed copy feeds every iter
+    val z: IndexedSeq[Column] = lit(1.0) +: (0 until p).map(i => col(s"__z$i"))
+    var beta = new Array[Double](p + 1)
+    var n = -1L
+    var grad = Double.MaxValue
+    var it = 0
+    while (it < maxIters && grad > tol) {
+      val eta = z.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }
+        .reduce(_ + _)
+      val prob = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = greatest(prob * (lit(1.0) - prob), lit(1e-6))
+      val u = eta + (col("__y") - prob) / w
+      val aggs =
+        (for (i <- 0 to p; j <- i to p)
+          yield sum(w * z(i) * z(j)).as(s"s_${i}_$j")) ++
+        (0 to p).map(i => sum(w * z(i) * u).as(s"su_$i")) ++
+        (0 to p).map(i => sum(z(i) * (col("__y") - prob)).as(s"g_$i")) :+
+        count(lit(1)).as("n")
+      val row = src.agg(aggs.head, aggs.tail: _*).head()
+      n = row.getAs[Long]("n")
+      if (n == 0L) return None
+      grad = (0 to p).map(i => math.abs(row.getAs[Double](s"g_$i"))).max / n
+      if (grad > tol) {
+        val a = Array.ofDim[Double](p + 1, p + 1)
+        for (i <- 0 to p; j <- i to p) {
+          val v = row.getAs[Double](s"s_${i}_$j")
+          a(i)(j) = v; a(j)(i) = v
+        }
+        for (i <- 1 to p) a(i)(i) += ridge * n
+        val b = Array.tabulate(p + 1)(i => row.getAs[Double](s"su_$i"))
+        solveInPlace(a, b) match {
+          case Some(next) => beta = next
+          case None =>
+            if (it == 0) return None
+            else it = maxIters // keep the last stable β
+        }
+      }
+      it += 1
+    }
+    Some(LogisticModel(beta, n, grad, it))
+  }
+
+  /** Serve a [[LogisticModel]]: P(y=1 | x) = σ(β₀ + Σ βᵢ·xᵢ), map-only
+    * with the coefficients as plan literals. */
+  def logisticPredict(df: DataFrame, model: LogisticModel,
+                      features: Seq[Column],
+                      outCol: String = "probability"): DataFrame = {
+    require(features.length + 1 == model.coef.length,
+      s"model has ${model.coef.length - 1} features, got ${features.length}")
+    val eta = features.zipWithIndex
+      .map { case (c, i) => lit(model.coef(i + 1)) * c.cast("double") }
+      .foldLeft(lit(model.coef(0)))(_ + _)
+    df.withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-eta)))
+  }
+
   /** Serve a [[LinearModel]]: prediction = β₀ + Σ βᵢ·xᵢ with the
     * coefficients riding the plan as literals — map-only, scan speed at
     * any corpus size. Features are DECIMAL(17,6)-snapped first, matching

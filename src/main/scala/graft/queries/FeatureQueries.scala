@@ -884,6 +884,60 @@ object FeatureQueries {
         |WHERE rn <= floor(n_total * 0.7)
         |  AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
         |  AND value IS NOT NULL AND abs(x1) < 1e11 AND abs(x2) < 1e11
-        |  AND abs(x3) < 1e11 AND abs(value) < 1e11""".stripMargin)
+        |  AND abs(x3) < 1e11 AND abs(value) < 1e11""".stripMargin),
+
+    // A14d — a trained CLASSIFIER (Features.logisticFit): logistic
+    // regression via distributed IRLS, predicting purchase events from
+    // z-scored value and hour-of-day. Coefficients depend on float
+    // combine order (sigmoid forecloses the decimal trick), so the row
+    // checks MLE-defining invariants in-plan with the persisted β: (a)
+    // the score equations hold at convergence (Σ z_j(y − p̂) ≈ 0 per
+    // design column — THE first-order condition of logistic MLE), (b)
+    // every served probability lies strictly inside (0, 1), (c) the fit
+    // deviance never exceeds the intercept-only null model's (MLE can
+    // only improve likelihood). n_fit re-derived by DuckDB.
+    "a23_logistic_model" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("event_type").isNotNull)
+        val st = e.agg(
+          avg(col("value")).as("mv"), stddev_pop(col("value")).as("sv"),
+          avg(hour(col("ts")).cast("double")).as("mh"),
+          stddev_pop(hour(col("ts")).cast("double")).as("sh")).head()
+        val f1 = (col("value") - lit(st.getDouble(0))) / lit(st.getDouble(1))
+        val f2 = (hour(col("ts")).cast("double") - lit(st.getDouble(2))) /
+          lit(st.getDouble(3))
+        val labelC = (col("event_type") === "purchase")
+        val model = Features.logisticFit(e, Seq(f1, f2), labelC,
+          maxIters = 15).get
+        val guarded = e.filter(f1.isNotNull && abs(f1) < lit(1e11) &&
+          f2.isNotNull && abs(f2) < lit(1e11))
+        val yy = labelC.cast("int").cast("double")
+        val ybar = guarded.agg(avg(yy)).head().getDouble(0)
+        val served = Features.logisticPredict(guarded, model, Seq(f1, f2))
+          .withColumn("yy", yy)
+        def dev(prob: org.apache.spark.sql.Column) =
+          lit(-2.0) * sum(col("yy") * log(prob) +
+            (lit(1.0) - col("yy")) * log(lit(1.0) - prob))
+        served.agg(
+            count(lit(1)).as("n_fit"),
+            sum(col("yy") - col("probability")).as("g0"),
+            sum(f1 * (col("yy") - col("probability"))).as("g1"),
+            sum(f2 * (col("yy") - col("probability"))).as("g2"),
+            every(col("probability") > 0.0 && col("probability") < 1.0)
+              .as("probs_ok"),
+            dev(col("probability")).as("dev_fit"),
+            dev(lit(ybar)).as("dev_null"))
+          .select(
+            col("n_fit"),
+            (greatest(abs(col("g0")), abs(col("g1")), abs(col("g2"))) <=
+              lit(1e-6) * col("n_fit")).as("score_ok"),
+            col("probs_ok"),
+            (col("dev_fit") <= col("dev_null") + lit(1e-6)).as("beats_null"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_fit, TRUE AS score_ok,
+        |  TRUE AS probs_ok, TRUE AS beats_null
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND ts IS NOT NULL""".stripMargin)
   )
 }

@@ -297,6 +297,77 @@ class FeaturesSpec extends SparkSpecBase {
       Seq(col("x1")), col("y")).isEmpty)
   }
 
+  test("logisticFit: coefficients match a driver-side IRLS reference; invariants hold; served probs calibrated") {
+    import spark.implicits._
+    // deterministic pseudo-random labels from a known model
+    // η = −0.5 + 1.2·x1 − 0.8·x2, y = 1 iff σ(η) > u(i) with u a hash
+    def u(i: Int): Double = ((i * 2654435761L) % 1000).abs / 1000.0
+    def sig(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+    val rows = (1 to 400).map { i =>
+      val x1 = (i % 20) / 10.0 - 1.0
+      val x2 = (i % 7) / 3.5 - 1.0
+      val y = sig(-0.5 + 1.2 * x1 - 0.8 * x2) > u(i)
+      (x1, x2, y)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val m = Features.logisticFit(df, Seq(col("x1"), col("x2")), col("y"),
+      maxIters = 25, tol = 1e-10).get
+    assert(m.nFit === 400L)
+    assert(m.gradNorm <= 1e-10)
+
+    // independent driver-side IRLS over the same data (own tiny solver —
+    // no shared code with the operator under test)
+    def solve3(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+      val a = a0.map(_.clone()); val b = b0.clone()
+      for (c <- 0 to 2) {
+        val piv = (c to 2).maxBy(r => math.abs(a(r)(c)))
+        val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb
+        for (r <- c + 1 to 2) {
+          val f = a(r)(c) / a(c)(c)
+          for (k2 <- c to 2) a(r)(k2) -= f * a(c)(k2)
+          b(r) -= f * b(c)
+        }
+      }
+      val x = new Array[Double](3)
+      for (c <- 2 to 0 by -1)
+        x(c) = (b(c) - (c + 1 to 2).map(k2 => a(c)(k2) * x(k2)).sum) / a(c)(c)
+      x
+    }
+    var beta = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to 25) {
+      val a = Array.ofDim[Double](3, 3)
+      val b = new Array[Double](3)
+      rows.foreach { case (x1, x2, y) =>
+        val z = Array(1.0, x1, x2)
+        val eta = z.zip(beta).map { case (zi, bi) => zi * bi }.sum
+        val pr = sig(eta)
+        val w = math.max(pr * (1 - pr), 1e-6)
+        val uu = eta + ((if (y) 1.0 else 0.0) - pr) / w
+        for (i <- 0 to 2; j <- 0 to 2) a(i)(j) += w * z(i) * z(j)
+        for (i <- 0 to 2) b(i) += w * z(i) * uu
+      }
+      beta = solve3(a, b)
+    }
+    m.coef.zip(beta).foreach { case (got, ref) =>
+      assert(math.abs(got - ref) < 1e-6, s"coef $got vs reference $ref")
+    }
+    // recovered signs/magnitudes in the generating model's neighborhood
+    assert(m.coef(1) > 0.5 && m.coef(2) < -0.3)
+    // serve: probabilities strictly inside (0,1), better-than-chance
+    // separation on the training labels
+    val served = Features.logisticPredict(df, m, Seq(col("x1"), col("x2")))
+    val agg = served.agg(
+      min(col("probability")), max(col("probability")),
+      avg(when(col("y") === (col("probability") > 0.5), 1.0).otherwise(0.0)))
+      .head()
+    assert(agg.getDouble(0) > 0.0 && agg.getDouble(1) < 1.0)
+    assert(agg.getDouble(2) > 0.6, s"train accuracy ${agg.getDouble(2)}")
+    // empty input -> None
+    assert(Features.logisticFit(df.filter(lit(false)),
+      Seq(col("x1")), col("y")).isEmpty)
+  }
+
   test("linearFit at p=1 agrees with fitAr1's closed form (same decimal contract)") {
     import spark.implicits._
     val df = (1 to 30).map(i =>
