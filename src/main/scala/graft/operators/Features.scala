@@ -580,6 +580,39 @@ object Features {
     Some(LogisticModel(beta, n, grad, it))
   }
 
+  /** [[LinearModel]] → one-row frame for parquet persistence (the
+    * pcaModelToFrame / IvfIndex convention: train once, serve the
+    * artifact from storage — the reference's joblib-dump contract). */
+  def linearModelToFrame(spark: org.apache.spark.sql.SparkSession,
+                         model: LinearModel): DataFrame = {
+    import spark.implicits._
+    Seq((model.coef.toSeq, model.nFit)).toDF("coef", "n_fit")
+  }
+
+  /** Inverse of [[linearModelToFrame]]. */
+  def linearModelFromFrame(df: DataFrame): LinearModel = {
+    val r = df.select(col("coef"), col("n_fit")).collect()
+    require(r.length == 1, s"expected one model row, got ${r.length}")
+    LinearModel(r.head.getSeq[Double](0).toArray, r.head.getLong(1))
+  }
+
+  /** [[LogisticModel]] → one-row frame for parquet persistence. */
+  def logisticModelToFrame(spark: org.apache.spark.sql.SparkSession,
+                           model: LogisticModel): DataFrame = {
+    import spark.implicits._
+    Seq((model.coef.toSeq, model.nFit, model.gradNorm, model.iters))
+      .toDF("coef", "n_fit", "grad_norm", "iters")
+  }
+
+  /** Inverse of [[logisticModelToFrame]]. */
+  def logisticModelFromFrame(df: DataFrame): LogisticModel = {
+    val r = df.select(col("coef"), col("n_fit"), col("grad_norm"),
+      col("iters")).collect()
+    require(r.length == 1, s"expected one model row, got ${r.length}")
+    LogisticModel(r.head.getSeq[Double](0).toArray, r.head.getLong(1),
+      r.head.getDouble(2), r.head.getInt(3))
+  }
+
   /** Serve a [[LogisticModel]]: P(y=1 | x) = σ(β₀ + Σ βᵢ·xᵢ), map-only
     * with the coefficients as plan literals. */
   def logisticPredict(df: DataFrame, model: LogisticModel,

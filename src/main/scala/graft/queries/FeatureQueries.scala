@@ -838,11 +838,17 @@ object FeatureQueries {
         // re-aggregation — lazy checkpoint (the Dedup convention)
         val train = feat.filter(col("split") === "train" && guard)
           .localCheckpoint(eager = false)
-        val ols = Features.linearFit(train, fs, col("value")).get
+        val fit = Features.linearFit(train, fs, col("value")).get
         val rdg = Features.linearFit(train, fs, col("value"), ridge = 10.0).get
         def norm2(m: Features.LinearModel) =
           math.sqrt(m.coef.drop(1).map(x => x * x).sum)
-        val shrinks = norm2(rdg) <= norm2(ols) + 1e-9
+        val shrinks = norm2(rdg) <= norm2(fit) + 1e-9
+        // the artifact contract: persist, reload, serve through the
+        // RELOADED model — a lossy round-trip would break normal_ok
+        val rtDir = Scratch.dir("a22-model")
+        Features.linearModelToFrame(s, fit).write.parquet(rtDir)
+        val ols = Features.linearModelFromFrame(s.read.parquet(rtDir))
+        val rtOk = ols.coef.sameElements(fit.coef) && ols.nFit == fit.nFit
         def zd(c: org.apache.spark.sql.Column) =
           c.cast("decimal(17,6)").cast("double")
         val served = Features.linearPredict(train, ols, fs)
@@ -862,7 +868,8 @@ object FeatureQueries {
               abs(col("d3"))) <= lit(1e-3) * col("n_fit")).as("normal_ok"),
             (col("sse") <= (col("svv") - col("sv") * col("sv") / col("n_fit"))
               * lit(1.0 + 1e-9) + lit(1e-6)).as("sse_le_sst"),
-            lit(shrinks).as("ridge_shrinks"))
+            lit(shrinks).as("ridge_shrinks"),
+            lit(rtOk).as("roundtrip_ok"))
       },
       """WITH ordered AS (
         |  SELECT event_id, ts, user_id, event_type, value,
@@ -879,7 +886,7 @@ object FeatureQueries {
         |      ORDER BY ts, event_id) AS x3
         |  FROM ordered)
         |SELECT CAST(count(*) AS BIGINT) AS n_fit, TRUE AS normal_ok,
-        |  TRUE AS sse_le_sst, TRUE AS ridge_shrinks
+        |  TRUE AS sse_le_sst, TRUE AS ridge_shrinks, TRUE AS roundtrip_ok
         |FROM feat
         |WHERE rn <= floor(n_total * 0.7)
         |  AND x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
@@ -907,8 +914,14 @@ object FeatureQueries {
         val f2 = (hour(col("ts")).cast("double") - lit(st.getDouble(2))) /
           lit(st.getDouble(3))
         val labelC = (col("event_type") === "purchase")
-        val model = Features.logisticFit(e, Seq(f1, f2), labelC,
+        val fit = Features.logisticFit(e, Seq(f1, f2), labelC,
           maxIters = 15).get
+        // artifact contract: serve through the persisted + reloaded model
+        val rtDir = Scratch.dir("a23-model")
+        Features.logisticModelToFrame(s, fit).write.parquet(rtDir)
+        val model = Features.logisticModelFromFrame(s.read.parquet(rtDir))
+        val rtOk = model.coef.sameElements(fit.coef) &&
+          model.nFit == fit.nFit && model.gradNorm == fit.gradNorm
         val guarded = e.filter(f1.isNotNull && abs(f1) < lit(1e11) &&
           f2.isNotNull && abs(f2) < lit(1e11))
         val yy = labelC.cast("int").cast("double")
@@ -932,10 +945,11 @@ object FeatureQueries {
             (greatest(abs(col("g0")), abs(col("g1")), abs(col("g2"))) <=
               lit(1e-6) * col("n_fit")).as("score_ok"),
             col("probs_ok"),
-            (col("dev_fit") <= col("dev_null") + lit(1e-6)).as("beats_null"))
+            (col("dev_fit") <= col("dev_null") + lit(1e-6)).as("beats_null"),
+            lit(rtOk).as("roundtrip_ok"))
       },
       """SELECT CAST(count(*) AS BIGINT) AS n_fit, TRUE AS score_ok,
-        |  TRUE AS probs_ok, TRUE AS beats_null
+        |  TRUE AS probs_ok, TRUE AS beats_null, TRUE AS roundtrip_ok
         |FROM events
         |WHERE event_type IS NOT NULL AND value IS NOT NULL
         |  AND ts IS NOT NULL""".stripMargin)
