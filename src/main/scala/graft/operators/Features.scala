@@ -580,6 +580,189 @@ object Features {
     Some(LogisticModel(beta, n, grad, it))
   }
 
+  /** One boosted stump: split on `featureIdx`'s histogram bin ≤ `bin`,
+    * contributing `leftValue`/`rightValue` (pre-learning-rate). */
+  final case class GbmStump(featureIdx: Int, bin: Int,
+                            leftValue: Double, rightValue: Double)
+
+  /** A trained gradient-boosted-stumps model. Bin geometry (mins, spans,
+    * nBins) is part of the model: serving recomputes the EXACT training
+    * bin arithmetic, so train/serve can never disagree on a boundary
+    * row. `sses(t)` = training SSE after t rounds (sses(0) = SST under
+    * the mean model) — the monotonicity certificate. */
+  final case class GbmModel(f0: Double, learningRate: Double, nBins: Int,
+                            mins: Array[Double], spans: Array[Double],
+                            stumps: Seq[GbmStump], nFit: Long,
+                            sses: Seq[Double])
+
+  /** A14e — GRADIENT-BOOSTED STUMPS over histogram bins, the engine's
+    * honest XGBoost-lite (Friedman 2001 gradient boosting with
+    * least-squares stumps; the histogram split search is XGBoost's
+    * `tree_method=hist`): features are binned ONCE into `nBins`
+    * equi-width bins (driver min/max pass + a map-only bin projection,
+    * lazily checkpointed), then every boosting round is ONE corpus
+    * aggregation collapsing residuals to ≤ p·nBins (feature, bin) cells
+    * — map-side combined, corpus-size-independent shuffle — collected to
+    * the driver, where prefix sums over ≤ nBins bins per feature find
+    * the best split (max variance reduction, ties to smallest (feature,
+    * bin)) in microseconds. Left/right contributions are the residual
+    * means of the two sides; the round's SSE is tracked from the same
+    * cells. Early-stops when no split improves.
+    *
+    * Scale honesty: rounds × one-corpus-scan is the irreducible GBM
+    * training cost (XGBoost pays the same per iteration); everything
+    * else in the loop is ≤ p·nBins rows. Coefficients depend on float
+    * combine order (residual sums are doubles) — consumers pin
+    * tolerance invariants, never hashes, the [[logisticFit]] contract. */
+  def gbmFit(df: DataFrame, features: Seq[Column], target: Column,
+             rounds: Int, learningRate: Double = 0.5,
+             nBins: Int = 64): Option[GbmModel] = {
+    require(features.nonEmpty, "gbmFit needs at least one feature")
+    require(rounds >= 1 && learningRate > 0.0 && learningRate <= 1.0 &&
+      nBins >= 2, s"bad hyperparameters: rounds=$rounds lr=$learningRate " +
+      s"nBins=$nBins")
+    val p = features.length
+    val domain = lit(1e11)
+    val guard = (features :+ target)
+      .map(c => c.isNotNull && abs(c) < domain).reduce(_ && _)
+    val base = df.filter(guard)
+    val mmAggs = features.zipWithIndex.flatMap { case (c, f) =>
+      Seq(min(c.cast("double")).as(s"mn$f"), max(c.cast("double")).as(s"mx$f"))
+    } ++ Seq(count(lit(1)).as("n"), sum(target.cast("double")).as("sy"))
+    val mm = base.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val n = mm.getAs[Long]("n")
+    if (n == 0L) return None
+    val f0 = mm.getAs[Double]("sy") / n
+    val mins = Array.tabulate(p)(f => mm.getAs[Double](s"mn$f"))
+    val spans = Array.tabulate(p) { f =>
+      val s = mm.getAs[Double](s"mx$f") - mins(f)
+      if (s > 0.0) s else 1.0 // constant feature: one bin, never splits
+    }
+    val binCols = features.zipWithIndex.map { case (c, f) =>
+      least(lit(nBins - 1), greatest(lit(0),
+        floor((c.cast("double") - lit(mins(f))) / lit(spans(f)) * nBins)))
+        .cast("int").as(s"__b$f")
+    }
+    val src = base
+      .select(binCols :+ target.cast("double").as("__y"): _*)
+      .localCheckpoint(eager = false) // bin once, scan per round
+    val stumps = scala.collection.mutable.ArrayBuffer.empty[GbmStump]
+    val sses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var stop = false
+    while (stumps.length < rounds && !stop) {
+      val pred = stumps.foldLeft(lit(f0): Column) { (acc, st) =>
+        acc + lit(learningRate) * when(
+          col(s"__b${st.featureIdx}") <= st.bin,
+          lit(st.leftValue)).otherwise(lit(st.rightValue))
+      }
+      val r = col("__y") - pred
+      val cells = src
+        .select(r.as("__r"), explode(array((0 until p).map(f =>
+          struct(lit(f).as("f"), col(s"__b$f").as("bin"))): _*)).as("fb"))
+        .groupBy(col("fb.f").as("f"), col("fb.bin").as("bin"))
+        .agg(count(lit(1)).as("cnt"), sum(col("__r")).as("sr"),
+          sum(col("__r") * col("__r")).as("srr"))
+        .collect()
+      // SSE from feature 0's cells — every row appears exactly once per
+      // feature, so one feature's partition of the corpus carries Σr²
+      // entry t = SSE BEFORE this round's stump, so the ledger reads
+      // [SST-under-f0, after round 1, ..., after round T] once the
+      // closing pass below appends the final state
+      sses += cells.filter(_.getAs[Int]("f") == 0)
+        .map(_.getAs[Double]("srr")).sum
+      // driver split search: prefix sums over each feature's ≤ nBins bins
+      var best: Option[(Double, Int, Int, Double, Double)] = None
+      (0 until p).foreach { f =>
+        val bins = cells.filter(_.getAs[Int]("f") == f)
+          .map(row => (row.getAs[Int]("bin"), row.getAs[Long]("cnt"),
+            row.getAs[Double]("sr"))).sortBy(_._1)
+        val nTot = bins.map(_._2).sum
+        val sTot = bins.map(_._3).sum
+        var nl = 0L
+        var sl = 0.0
+        bins.dropRight(1).foreach { case (b, c, s) =>
+          nl += c; sl += s
+          val nr = nTot - nl
+          val gain = sl * sl / nl + (sTot - sl) * (sTot - sl) / nr
+          val better = best match {
+            case None => true
+            case Some((g, bf, bb, _, _)) =>
+              gain > g || (gain == g && (f < bf || (f == bf && b < bb)))
+          }
+          if (better)
+            best = Some((gain, f, b, sl / nl, (sTot - sl) / nr))
+        }
+      }
+      best match {
+        case Some((gain, f, b, l, rgt)) if gain > 1e-12 =>
+          stumps += GbmStump(f, b, l, rgt)
+        case _ => stop = true // nothing splittable / no improvement
+      }
+    }
+    // final SSE after the last stump (the loop records SSE BEFORE fitting
+    // each round's stump, so close the ledger with one more cell pass)
+    if (stumps.nonEmpty) {
+      val pred = stumps.foldLeft(lit(f0): Column) { (acc, st) =>
+        acc + lit(learningRate) * when(
+          col(s"__b${st.featureIdx}") <= st.bin,
+          lit(st.leftValue)).otherwise(lit(st.rightValue))
+      }
+      sses += src.agg(sum((col("__y") - pred) * (col("__y") - pred)))
+        .head().getDouble(0)
+    }
+    Some(GbmModel(f0, learningRate, nBins, mins, spans,
+      stumps.toSeq, n, sses.toSeq))
+  }
+
+  /** Serve a [[GbmModel]]: ŷ = f₀ + lr·Σ stump contributions, with bins
+    * recomputed by the model's own geometry — map-only, the exact
+    * training arithmetic. */
+  def gbmPredict(df: DataFrame, model: GbmModel, features: Seq[Column],
+                 outCol: String = "prediction"): DataFrame = {
+    require(features.length == model.mins.length,
+      s"model has ${model.mins.length} features, got ${features.length}")
+    val binOf = features.zipWithIndex.map { case (c, f) =>
+      least(lit(model.nBins - 1), greatest(lit(0),
+        floor((c.cast("double") - lit(model.mins(f))) /
+          lit(model.spans(f)) * model.nBins))).cast("int")
+    }
+    val pred = model.stumps.foldLeft(lit(model.f0): Column) { (acc, st) =>
+      acc + lit(model.learningRate) * when(
+        binOf(st.featureIdx) <= st.bin,
+        lit(st.leftValue)).otherwise(lit(st.rightValue))
+    }
+    df.withColumn(outCol, pred)
+  }
+
+  /** [[GbmModel]] → frame for parquet persistence: one row per stump
+    * (param columns repeated — one relation, no side files). */
+  def gbmModelToFrame(spark: org.apache.spark.sql.SparkSession,
+                      model: GbmModel): DataFrame = {
+    import spark.implicits._
+    model.stumps.zipWithIndex.map { case (st, i) =>
+      (i, st.featureIdx, st.bin, st.leftValue, st.rightValue, model.f0,
+        model.learningRate, model.nBins, model.mins.toSeq,
+        model.spans.toSeq, model.nFit, model.sses.toSeq)
+    }.toDF("round", "feature_idx", "bin", "left_val", "right_val", "f0",
+      "lr", "n_bins", "mins", "spans", "n_fit", "sses")
+  }
+
+  /** Inverse of [[gbmModelToFrame]] — stumps re-ordered by round. */
+  def gbmModelFromFrame(df: DataFrame): GbmModel = {
+    val rows = df.collect().sortBy(_.getAs[Int]("round"))
+    require(rows.nonEmpty, "empty GBM model frame")
+    val h = rows.head
+    GbmModel(h.getAs[Double]("f0"), h.getAs[Double]("lr"),
+      h.getAs[Int]("n_bins"),
+      h.getAs[scala.collection.Seq[Double]]("mins").toArray,
+      h.getAs[scala.collection.Seq[Double]]("spans").toArray,
+      rows.toSeq.map(r => GbmStump(r.getAs[Int]("feature_idx"),
+        r.getAs[Int]("bin"), r.getAs[Double]("left_val"),
+        r.getAs[Double]("right_val"))),
+      h.getAs[Long]("n_fit"),
+      h.getAs[scala.collection.Seq[Double]]("sses").toSeq)
+  }
+
   /** [[LinearModel]] → one-row frame for parquet persistence (the
     * pcaModelToFrame / IvfIndex convention: train once, serve the
     * artifact from storage — the reference's joblib-dump contract). */

@@ -952,6 +952,58 @@ object FeatureQueries {
         |  TRUE AS probs_ok, TRUE AS beats_null, TRUE AS roundtrip_ok
         |FROM events
         |WHERE event_type IS NOT NULL AND value IS NOT NULL
-        |  AND ts IS NOT NULL""".stripMargin)
+        |  AND ts IS NOT NULL""".stripMargin),
+
+    // A14e — GRADIENT-BOOSTED STUMPS (Features.gbmFit), the engine's
+    // honest XGBoost-lite: 8 boosting rounds over histogram bins of two
+    // lag features predicting value — features binned once, each round
+    // ONE corpus aggregation to ≤ p·nBins cells + a driver split search
+    // (the tree_method=hist shape; rounds × one-scan is the irreducible
+    // GBM training cost). Stump values are float-combine-order-dependent,
+    // so the row pins the BOOSTING-defining invariants: (a) the training
+    // SSE ledger never rises across rounds (each stump fits residual
+    // means — the greedy guarantee), (b) the final model beats the mean
+    // model, (c) serving through the PERSISTED + reloaded model
+    // reproduces the ledger's final SSE (train/serve bin arithmetic
+    // identical). n_fit re-derived by DuckDB.
+    "a24_gbm_model" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Tables.events(s, dir)
+          .withColumn("x1", Features.lag1(col("value"), w))
+          .withColumn("x2", lag(col("value"), 2).over(w))
+        val fs = Seq(col("x1"), col("x2"))
+        val model = Features.gbmFit(feat, fs, col("value"),
+          rounds = 8, learningRate = 0.5, nBins = 64).get
+        val monotone = model.sses.sliding(2).forall(p =>
+          p.length < 2 || p(1) <= p(0) + 1e-9)
+        val rtDir = Scratch.dir("a24-model")
+        Features.gbmModelToFrame(s, model).write.parquet(rtDir)
+        val rt = Features.gbmModelFromFrame(s.read.parquet(rtDir))
+        val guard = (fs :+ col("value"))
+          .map(c => c.isNotNull && abs(c) < lit(1e11)).reduce(_ && _)
+        Features.gbmPredict(feat.filter(guard), rt, fs)
+          .agg(
+            count(lit(1)).as("n_fit"),
+            sum(pow(col("value") - col("prediction"), 2)).as("sse"))
+          .select(
+            col("n_fit"),
+            lit(monotone).as("sse_monotone"),
+            (col("sse") <= lit(model.sses.head) + lit(1e-6)).as("beats_null"),
+            (abs(col("sse") - lit(model.sses.last)) <=
+              lit(1e-6) * (col("sse") + lit(1.0))).as("serve_consistent"))
+      },
+      """WITH feat AS (
+        |  SELECT value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x1,
+        |    lag(value, 2) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x2
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fit, TRUE AS sse_monotone,
+        |  TRUE AS beats_null, TRUE AS serve_consistent
+        |FROM feat
+        |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND value IS NOT NULL
+        |  AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11""".stripMargin)
   )
 }

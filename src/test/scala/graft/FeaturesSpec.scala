@@ -368,6 +368,83 @@ class FeaturesSpec extends SparkSpecBase {
       Seq(col("x1")), col("y")).isEmpty)
   }
 
+  test("gbmFit: matches an independent driver GBM exactly; SSE monotone; serve through persisted model; early stop") {
+    import spark.implicits._
+    // y = step functions of two features + deterministic perturbation —
+    // stumps are the right model class, so boosting must bite
+    val rows = (1 to 300).map { i =>
+      val x1 = (i % 30) / 3.0
+      val x2 = (i % 11) / 2.0
+      val y = (if (x1 > 5.0) 4.0 else 1.0) + (if (x2 > 2.5) -2.0 else 0.5) +
+        ((i * 2654435761L) % 100).abs / 1000.0
+      (x1, x2, y)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val m = Features.gbmFit(df, Seq(col("x1"), col("x2")), col("y"),
+      rounds = 6, learningRate = 0.5, nBins = 16).get
+    assert(m.nFit === 300L)
+    assert(m.stumps.nonEmpty)
+    // SSE trajectory: starts at SST under the mean model, never rises
+    assert(m.sses.length === m.stumps.length + 1)
+    m.sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"SSE rose: $a -> $b")
+    }
+
+    // independent driver reference: same binning, same greedy stumps
+    val mins = Array(rows.map(_._1).min, rows.map(_._2).min)
+    val spans = Array(rows.map(_._1).max - mins(0), rows.map(_._2).max - mins(1))
+    def bin(f: Int, x: Double): Int =
+      math.min(15, math.max(0, math.floor((x - mins(f)) / spans(f) * 16).toInt))
+    val f0 = rows.map(_._3).sum / rows.length
+    var pred = rows.map(_ => f0)
+    var stumps = List.empty[(Int, Int, Double, Double)]
+    for (_ <- 1 to 6) {
+      val res = rows.zip(pred).map { case ((_, _, y), pr) => y - pr }
+      var best: Option[(Double, Int, Int, Double, Double)] = None
+      for (f <- 0 to 1) {
+        val byBin = rows.zip(res).groupBy { case ((x1, x2, _), _) =>
+          bin(f, if (f == 0) x1 else x2) }
+        val binsSorted = byBin.toSeq.sortBy(_._1)
+          .map { case (b, g) => (b, g.size.toLong, g.map(_._2).sum) }
+        val nTot = binsSorted.map(_._2).sum
+        val sTot = binsSorted.map(_._3).sum
+        var nl = 0L; var sl = 0.0
+        binsSorted.dropRight(1).foreach { case (b, c, s) =>
+          nl += c; sl += s
+          val gain = sl * sl / nl + (sTot - sl) * (sTot - sl) / (nTot - nl)
+          val better = best.forall { case (g, bf, bb, _, _) =>
+            gain > g || (gain == g && (f < bf || (f == bf && b < bb))) }
+          if (better) best = Some((gain, f, b, sl / nl, (sTot - sl) / (nTot - nl)))
+        }
+      }
+      val Some((_, f, b, l, r)) = best
+      stumps = stumps :+ ((f, b, l, r))
+      pred = rows.zip(pred).map { case ((x1, x2, _), pr) =>
+        pr + 0.5 * (if (bin(f, if (f == 0) x1 else x2) <= b) l else r) }
+    }
+    assert(m.stumps.map(s => (s.featureIdx, s.bin)) ===
+      stumps.map(s => (s._1, s._2)))
+    m.stumps.zip(stumps).foreach { case (got, (_, _, l, r)) =>
+      assert(math.abs(got.leftValue - l) < 1e-9 &&
+        math.abs(got.rightValue - r) < 1e-9)
+    }
+
+    // serve through the persisted + reloaded model: SSE equals the
+    // ledger's final entry
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbm").toString
+    Features.gbmModelToFrame(spark, m).write.parquet(s"$dir/model")
+    val rt = Features.gbmModelFromFrame(spark.read.parquet(s"$dir/model"))
+    val sse = Features.gbmPredict(df, rt, Seq(col("x1"), col("x2")))
+      .agg(sum(pow(col("y") - col("prediction"), 2))).head.getDouble(0)
+    assert(math.abs(sse - m.sses.last) < 1e-6 * (1.0 + m.sses.last))
+
+    // constant target: nothing splittable -> early stop, f0 carries all
+    val const = (1 to 50).map(i => (i.toDouble, 7.5)).toDF("x1", "y")
+    val cm = Features.gbmFit(const, Seq(col("x1")), col("y"),
+      rounds = 5, nBins = 8).get
+    assert(cm.stumps.isEmpty && cm.f0 === 7.5)
+  }
+
   test("linearFit at p=1 agrees with fitAr1's closed form (same decimal contract)") {
     import spark.implicits._
     val df = (1 to 30).map(i =>
