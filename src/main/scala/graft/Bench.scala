@@ -151,6 +151,11 @@ object Bench {
         }
       }
     var rerunBudget = 20 // bound the hygiene pass, it must not double the run
+    // every re-measured row's FIRST-pass value is preserved and published
+    // in BENCH_FULL.json: math.min() below is a one-sided load rescue, and
+    // without the first pass on record a real regression could hide behind
+    // a stale BENCH_REF entry
+    val rerunFirstPass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (name, v, ok) =>
       val suspect = ok && rerunBudget > 0 &&
         ref.get(name).exists(rv => rv > 0 && v > 0.15 && v > 2.0 * rv)
@@ -159,6 +164,7 @@ object Bench {
         rerunBudget -= 1
         val v2 = try timedMedian(SparkEntry.queries(name))
         catch { case _: Throwable => v }
+        rerunFirstPass(name) = v
         if (v2 < v) System.err.println(
           f"[bench] $name re-measured $v%.3f -> $v2%.3f (ref ${ref(name)}%.3f)")
         (name, math.min(v, v2), ok)
@@ -189,7 +195,9 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"calib_sec_end":$calibEnd,"contended":$contended,"reran":$reran,"n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      val rr = rerunFirstPass.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"calib_sec_end":$calibEnd,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     }
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,

@@ -544,7 +544,8 @@ object Features {
     var n = -1L
     var grad = Double.MaxValue
     var it = 0
-    while (it < maxIters && grad > tol) {
+    var singular = false // IRLS went singular past iter 0: keep last β
+    while (it < maxIters && grad > tol && !singular) {
       val eta = z.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }
         .reduce(_ + _)
       val prob = lit(1.0) / (lit(1.0) + exp(-eta))
@@ -572,10 +573,12 @@ object Features {
           case Some(next) => beta = next
           case None =>
             if (it == 0) return None
-            else it = maxIters // keep the last stable β
+            else singular = true // keep the last stable β
         }
       }
-      it += 1
+      // a singular iteration produced no new β — don't count it, so the
+      // persisted provenance `iters` can never exceed maxIters
+      if (!singular) it += 1
     }
     Some(LogisticModel(beta, n, grad, it))
   }
@@ -700,8 +703,12 @@ object Features {
       }
     }
     // final SSE after the last stump (the loop records SSE BEFORE fitting
-    // each round's stump, so close the ledger with one more cell pass)
-    if (stumps.nonEmpty) {
+    // each round's stump, so close the ledger with one more cell pass).
+    // Skip it when the loop ended via early stop: that round's recorded
+    // SSE already IS the post-final-stump state (no stump was added
+    // after it), so closing again would duplicate the last entry and
+    // break the sses.length == stumps.length + 1 contract.
+    if (stumps.nonEmpty && !stop) {
       val pred = stumps.foldLeft(lit(f0): Column) { (acc, st) =>
         acc + lit(learningRate) * when(
           col(s"__b${st.featureIdx}") <= st.bin,

@@ -805,7 +805,13 @@ object Similarity {
     // combine-order caveat (invariants are order-independent).
     val parts = corpus
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      .select(col("embedding")).as[Array[Float]]
+      // a null ELEMENT inside the array would die as an opaque codegen
+      // NPE in the primitive decode below — fail loud instead, matching
+      // the ragged-vector convention
+      .select(when(exists(col("embedding"), e => e.isNull),
+        raise_error(lit("null element inside embedding vector — fix the " +
+          "column before pcaFit"))).otherwise(col("embedding"))
+        .as("embedding")).as[Array[Float]]
       .mapPartitions { it =>
         var d = -1
         var n = 0L

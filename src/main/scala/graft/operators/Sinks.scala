@@ -227,9 +227,14 @@ object Sinks {
       .localCheckpoint(eager = false)
     if (!f.exists(new Path(tableDir))) {
       // create branch: the SAME collapse as every later batch, against an
-      // empty snapshot — net-deletes drop, I-after-D nets to the insert
-      applyChanges(inc.drop(opCol).limit(0), inc, key, orderCol, opCol)
-        .write.partitionBy("__bucket").parquet(tableDir)
+      // empty snapshot — net-deletes drop, I-after-D nets to the insert.
+      // BOTH feed bookkeeping columns (op AND order) are dropped from the
+      // empty existing frame so the snapshot schema carries only data
+      // columns + __bucket, same as the frame-level applyChanges whose
+      // existing side never has feed columns — the bucketed layout stays
+      // relation-invisible for readBucketedSnapshot
+      applyChanges(inc.drop(opCol, orderCol).limit(0), inc, key, orderCol,
+        opCol).write.partitionBy("__bucket").parquet(tableDir)
       val out = f.create(marker, true)
       out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
     } else {

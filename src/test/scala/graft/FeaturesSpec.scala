@@ -443,6 +443,20 @@ class FeaturesSpec extends SparkSpecBase {
     val cm = Features.gbmFit(const, Seq(col("x1")), col("y"),
       rounds = 5, nBins = 8).get
     assert(cm.stumps.isEmpty && cm.f0 === 7.5)
+
+    // early stop AFTER >=1 stump: lr=1.0 on an exactly-separable step
+    // zeroes the residuals after round 1, round 2 finds no gain — the
+    // sses ledger must NOT duplicate its final entry (the
+    // sses.length == stumps.length + 1 contract on the early-stop path)
+    val sep = (1 to 60).map(i =>
+      (if (i % 2 == 0) 0.0 else 10.0, if (i % 2 == 0) 0.0 else 4.0))
+      .toDF("x1", "y")
+    val em = Features.gbmFit(sep, Seq(col("x1")), col("y"),
+      rounds = 5, learningRate = 1.0, nBins = 4).get
+    assert(em.stumps.length === 1)
+    assert(em.sses.length === em.stumps.length + 1,
+      s"early-stop sses ledger duplicated: ${em.sses}")
+    assert(em.sses.last === 0.0)
   }
 
   test("linearFit at p=1 agrees with fitAr1's closed form (same decimal contract)") {

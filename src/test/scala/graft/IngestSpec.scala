@@ -188,6 +188,11 @@ class IngestSpec extends SparkSpecBase {
         .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
     val before = filesByBucket
     assert(before.size > 1, "seed must spread over several buckets")
+    // the bucketed layout is relation-invisible: NEITHER feed
+    // bookkeeping column (op, ord) leaks into the snapshot schema
+    val snapCols = Sinks.readBucketedSnapshot(spark, tableDir).columns.toSet
+    assert(snapCols === Set("user_id", "event_id", "value"),
+      s"feed bookkeeping leaked into snapshot schema: $snapCols")
     // the 1-key DELETE batch: only u3's bucket may be rewritten
     val dBatch = Seq(("u3", 3L, 3.0, "D", 1L))
       .toDF("user_id", "event_id", "value", "op", "ord")

@@ -354,6 +354,16 @@ class SimilaritySpec extends SparkSpecBase {
       (3L, Some(Seq(3.0f, 5.0f)))).toDF("vec_id", "embedding")
     val m = Similarity.pcaFit(withNull, k = 2).get
     assert(m.mean(0) === 2.0 && m.mean(1) === 4.0)
+    // a null ELEMENT inside a vector fails loud with the ragged-vector
+    // convention's message, not an opaque codegen NPE
+    val nullElem = Seq((1L, Seq(Some(1.0f), Some(2.0f))),
+      (2L, Seq(Some(3.0f), None))).toDF("vec_id", "embedding")
+    val ne = intercept[Exception](Similarity.pcaFit(nullElem, k = 1))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ne).exists(_.contains("null element inside embedding")),
+      s"unexpected failure: $ne")
   }
 
   test("PCA whitening codepath: unit variance per kept component (emb_pca_fit's (f), spec-level)") {
