@@ -45,7 +45,14 @@ object Pipeline {
     * reference's untrained-group else-branch), or "ar2"
     * ([[Features.fitAr2]] on the two filled lags — one step closer to
     * the reference's look-back window; rows missing the second lag and
-    * keys with no fit fall back exactly like ar1). */
+    * keys with no fit fall back exactly like ar1), or "routed" (the
+    * reference's core ML dispatch, train.py:377-394 + :453: each
+    * (user_id, event_type) group is scored by ITS routed family —
+    * total samples ≥ modelThreshold → the sequence model ("rnn" branch,
+    * AR(2) here), else the boosted-tree branch ("xgb",
+    * [[Features.regressionStumpPerGroup]]: one exact GBM round per
+    * group); artifacts persist per family and untrained groups keep the
+    * naive fallback). */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
@@ -53,8 +60,8 @@ object Pipeline {
       valRatio: Double = 0.15,
       approxSplit: Boolean = false,
       predictor: String = "naive") {
-    require(Set("naive", "ar1", "ar2")(predictor),
-      s"unknown predictor '$predictor' (naive | ar1 | ar2)")
+    require(Set("naive", "ar1", "ar2", "routed")(predictor),
+      s"unknown predictor '$predictor' (naive | ar1 | ar2 | routed)")
   }
 
   object Config {
@@ -115,7 +122,8 @@ object Pipeline {
         valRatio = get("valRatio", _.toDouble, d.valRatio),
         approxSplit = get("approxSplit", _.toBoolean, d.approxSplit),
         predictor = get("predictor",
-          s => { require(Set("naive", "ar1", "ar2")(s)); s }, d.predictor))
+          s => { require(Set("naive", "ar1", "ar2", "routed")(s)); s },
+          d.predictor))
     }
   }
 
@@ -131,6 +139,47 @@ object Pipeline {
 
   private val key = Seq("user_id", "event_type")
   private val keyCols = key.map(col)
+
+  /** Routed-predictor feature frame, shared by [[run]] and
+    * [[stageMetrics]]: the second filled lag (built the way pred_f is,
+    * lag → ffill) plus each group's route from the model-routing side
+    * table (keys missing from it default "xgb", the [[run]] metrics
+    * convention). */
+  private def routedFeatures(featured: DataFrame,
+                             w: org.apache.spark.sql.expressions.WindowSpec,
+                             modelTypes: DataFrame): DataFrame =
+    featured
+      .withColumn("lag2", lag(col("actual"), 2).over(w))
+      .withColumn("x2", Features.ffill(col("lag2"), w))
+      .drop("lag2")
+      .join(broadcast(modelTypes.select(
+        (keyCols :+ col("model_type").as("__route")): _*)), key, "left")
+      .withColumn("__route", coalesce(col("__route"), lit("xgb")))
+
+  /** Score each row by its group's routed family: rnn → the AR(2) apply,
+    * xgb → the stump's landing-leaf mean (both with the scale-2 snap
+    * that keeps the downstream decimal metric chain rounding-free
+    * cross-engine); rows whose family has no fit for the group — or
+    * missing the feature the family needs — keep the naive pred_f, the
+    * reference's untrained-group else-branch. */
+  private def applyRouted(feat2: DataFrame, rnnParams: DataFrame,
+                          xgbParams: DataFrame): DataFrame =
+    feat2
+      .join(broadcast(rnnParams.drop("n_fit")), key, "left")
+      .join(broadcast(xgbParams.select((keyCols :+ col("threshold") :+
+        col("left_mean") :+ col("right_mean")): _*)), key, "left")
+      .withColumn("pred_f",
+        when(col("__route") === "rnn" && col("b1").isNotNull &&
+          col("x2").isNotNull,
+          round(col("b1") * col("pred_f") + col("b2") * col("x2") +
+            col("intercept"), 2))
+        .when(col("__route") === "xgb" && col("threshold").isNotNull &&
+          col("pred_f").isNotNull,
+          when(col("pred_f") <= col("threshold"), round(col("left_mean"), 2))
+            .otherwise(round(col("right_mean"), 2)))
+        .otherwise(col("pred_f")))
+      .drop("b1", "b2", "intercept", "x2", "threshold", "left_mean",
+        "right_mean", "__route")
 
   /** Run E2+E3 over the canonical events frame (driver test schema:
     * event_id, ts, user_id, event_type, value). When `outDir` is set the
@@ -198,7 +247,8 @@ object Pipeline {
     // without it, [[stageMetrics]] could only ever re-grade the naive
     // predictor regardless of what run() trained (the reference persists
     // the trained model and validate/test load THAT, validate.py:171-331).
-    val (predicted, predictorParams) = cfg.predictor match {
+    val (predicted, predictorParams): (DataFrame, Seq[(String, DataFrame)]) =
+      cfg.predictor match {
       case "ar1" =>
         val params = Features.fitAr1(
           featured.filter(col("split") === "train"), key,
@@ -208,7 +258,8 @@ object Pipeline {
             when(col("slope").isNotNull,
               round(col("slope") * col("pred_f") + col("intercept"), 2))
               .otherwise(col("pred_f")))
-          .drop("slope", "intercept", "n_fit"), Some(params))
+          .drop("slope", "intercept", "n_fit"),
+          Seq("predictor_params" -> params))
       case "ar2" =>
         // second filled lag built the way pred_f is (lag → ffill); its
         // OWN lazy checkpoint — feat2 feeds both the fit aggregate and
@@ -227,8 +278,30 @@ object Pipeline {
               round(col("b1") * col("pred_f") + col("b2") * col("x2") +
                 col("intercept"), 2))
               .otherwise(col("pred_f")))
-          .drop("b1", "b2", "intercept", "n_fit", "x2"), Some(params))
-      case _ => (featured, None)
+          .drop("b1", "b2", "intercept", "n_fit", "x2"),
+          Seq("predictor_params" -> params))
+      case "routed" =>
+        // The reference's core ML dispatch (train.py:377-394 routes each
+        // (Currency, Event) group by sample count; :453 scores it with
+        // its own family's model): groups at/over cfg.modelThreshold
+        // train the sequence family (AR(2) — the rnn branch's relational
+        // analogue), the rest train one exact GBM round per group
+        // (regressionStumpPerGroup — the xgb branch). BOTH fits read only
+        // their own routed train rows; each family persists its own
+        // artifact; untrained groups keep the naive pred_f. Same lazy
+        // checkpoint as ar2: feat2 feeds two fit aggregates + the apply.
+        val feat2 = routedFeatures(featured, w, modelTypes)
+          .localCheckpoint(eager = false)
+        val rnnParams = Features.fitAr2(
+          feat2.filter(col("split") === "train" && col("__route") === "rnn"),
+          key, col("pred_f"), col("x2"), col("actual"))
+        val xgbParams = Features.regressionStumpPerGroup(
+          feat2.filter(col("split") === "train" && col("__route") === "xgb"),
+          key, col("pred_f"), col("actual"))
+        (applyRouted(feat2, rnnParams, xgbParams),
+          Seq("predictor_params_rnn" -> rnnParams,
+            "predictor_params_xgb" -> xgbParams))
+      case _ => (featured, Nil)
     }
 
     // A5 on the TRAIN split only: norm-param side table (train.py:467-477)
@@ -321,8 +394,12 @@ object Pipeline {
       // (slope, intercept) rows for keys absent from the new fit with
       // the fresh ones — versioned replace keeps concurrent readers of
       // the prior version safe while making v=N+1 exactly this run's fit
-      predictorParams.foreach(p =>
-        Sinks.replaceSnapshot(spark, s"$dir/predictor_params", p))
+      // routed publishes one artifact PER FAMILY (predictor_params_rnn /
+      // predictor_params_xgb) — the reference persists each group's model
+      // under its family's registry, and grading a family with the other
+      // family's params would silently score the wrong model
+      predictorParams.foreach { case (name, p) =>
+        Sinks.replaceSnapshot(spark, s"$dir/$name", p) }
       Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
       Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
       Sinks.truncateAndLoad(validateFeatures, s"$dir/validate_features")
@@ -376,8 +453,11 @@ object Pipeline {
         // A trained (non-naive) predictor adds its params artifact to the
         // existence gate: grading ar1/ar2 stages without the fit would
         // silently score a different model than run() published.
-        val required = artifactTables ++
-          (if (cfg.predictor != "naive") Seq("predictor_params") else Nil)
+        val required = artifactTables ++ (cfg.predictor match {
+          case "naive" => Nil
+          case "routed" => Seq("predictor_params_rnn", "predictor_params_xgb")
+          case _ => Seq("predictor_params")
+        })
         val missing = required.filterNot(a =>
           Sinks.tableExists(spark, s"$outDir/$a"))
         if (missing.nonEmpty)
@@ -439,6 +519,12 @@ object Pipeline {
                 col("intercept"), 2))
               .otherwise(col("pred_f")))
           .drop("b1", "b2", "intercept", "n_fit", "x2")
+      case "routed" =>
+        // both persisted family artifacts + the persisted routing table —
+        // the same dispatch run() trained, never a re-fit
+        val rnnP = Sinks.readSnapshot(spark, s"$outDir/predictor_params_rnn")
+        val xgbP = Sinks.readSnapshot(spark, s"$outDir/predictor_params_xgb")
+        applyRouted(routedFeatures(featured, w, modelTypes), rnnP, xgbP)
       case _ => featured
     }
     Features.regressionMetrics(

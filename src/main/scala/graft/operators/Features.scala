@@ -1034,4 +1034,76 @@ object Features {
         col("b.nr").as("n_right"), col("b.r1").as("pos_right"),
         col("b.nc").as("n_correct")): _*)
   }
+
+  /** A21d — one REGRESSION stump per group: a depth-1 regression tree
+    * (exactly one round of [[gbmFit]] at lr = 1) trained independently
+    * per group. This is the per-group "xgb" branch of the routed
+    * pipeline — the reference trains an XGBoost model per
+    * (Currency, Event) group (fastapi model/ML Pipeline/train.py:377-394,
+    * 453); its smallest exact relational instance is the single
+    * SSE-minimizing split with mean-valued leaves, which IS what each
+    * xgboost-hist round builds.
+    *
+    * Determinism (the [[fitAr1]] contract, so the FIT — not just the
+    * serve — is re-derivable cross-engine): the target snaps to
+    * DECIMAL(17,6) under the |·| < 1e11 domain guard; the
+    * per-(group, threshold) sums AND both cumulative sums stay decimal
+    * (exact under any combine order); only the final gain/leaf-mean
+    * arithmetic runs in double with a fixed IEEE shape
+    * (gain = sl²/nl + sr²/nr, the variance-reduction objective); ties
+    * break to the smallest threshold.
+    *
+    * Scale follows [[decisionStumpPerGroup]]: the exchange carries one
+    * row per DISTINCT (group, feature value) — map-side combined — the
+    * cumulative window sorts within a group's own thresholds only, and
+    * the argmax is a declarative min_by with partial combine; no global
+    * sort, no driver loop, a million groups train in one pass. Groups
+    * with a single distinct feature value emit no row (no valid split —
+    * callers fall back to their untrained-group branch). */
+  def regressionStumpPerGroup(df: DataFrame, groups: Seq[String],
+                              feature: Column, target: Column): DataFrame = {
+    require(groups.nonEmpty, "groups required")
+    val reserved = groups.intersect(Seq("t", "y"))
+    require(reserved.isEmpty, s"reserved column names $reserved in groups")
+    val domain = lit(1e11)
+    val gc = groups.map(col)
+    val per = df
+      .filter(feature.isNotNull && target.isNotNull &&
+        abs(feature) < domain && abs(target) < domain)
+      .select((feature.as("t") +:
+        target.cast("decimal(17,6)").as("y") +: gc): _*)
+      .groupBy(col("t") +: gc: _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("y")).cast("decimal(38,6)").as("sy"))
+    val part = Window.partitionBy(gc: _*)
+    val cumW = part.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = part.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("nl", sum(col("cnt")).over(cumW))
+      .withColumn("sl", sum(col("sy")).over(cumW).cast("decimal(38,6)"))
+      .withColumn("n", sum(col("cnt")).over(allW))
+      .withColumn("s", sum(col("sy")).over(allW).cast("decimal(38,6)"))
+      .filter(col("nl") < col("n")) // right side non-empty; left always is
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("sld", col("sl").cast("double"))
+      .withColumn("srd", (col("s") - col("sl")).cast("double"))
+      // negated gain so the shared min_by(struct(cost, t)) idiom picks
+      // max gain, smallest threshold on ties
+      .withColumn("cost",
+        -(col("sld") * col("sld") / col("nl") +
+          col("srd") * col("srd") / col("nr")))
+      .groupBy(gc: _*)
+      .agg(min_by(
+        struct(col("t"), (col("sld") / col("nl")).as("lm"),
+          (col("srd") / col("nr")).as("rm"),
+          col("nl"), col("nr"), col("n")),
+        struct(col("cost"), col("t"))).as("b"))
+      .select(gc ++ Seq(
+        col("b.t").as("threshold"),
+        col("b.lm").as("left_mean"), col("b.rm").as("right_mean"),
+        col("b.nl").as("n_left"), col("b.nr").as("n_right"),
+        col("b.n").as("n_fit")): _*)
+  }
 }

@@ -161,6 +161,168 @@ object PipelineQueries {
          |  coalesce(mt.model_type, 'xgb') AS model_type
          |FROM m LEFT JOIN mt USING (user_id, event_type)""".stripMargin),
 
+    // The ROUTED pipeline end-to-end — the reference's core ML dispatch
+    // (train.py:377-394 + :453): each (user_id, event_type) group is
+    // scored by ITS routed family — total samples >= 50 → "rnn" (AR(2)
+    // here), else "xgb" (one exact GBM round per group,
+    // Features.regressionStumpPerGroup) — and the A6 metrics grade the
+    // result. The oracle re-derives the ENTIRE chain independently:
+    // hygiene → split → lag/ffill ×2 → routing → BOTH family fits (the
+    // a16 Cramer AR(2) chain on rnn train rows; the cumulative-decimal
+    // stump search with smallest-threshold tie-break on xgb train rows)
+    // → per-family apply with the naive untrained fallback → decimal
+    // metrics → routing join. Both fits follow the fitAr1 determinism
+    // contract (decimal-exact sums, fixed-IEEE-shape finals), so this is
+    // a full cross-engine reproduction of routed model FITTING.
+    // modelThreshold = 14 (the fixture's median group size) so BOTH
+    // families genuinely train and serve at every SF — the default 50
+    // routes every group "xgb" on this data and the rnn path would go
+    // un-exercised; mtr is the threshold-14 routing table.
+    "pipeline_e2e_routed" -> QueryDef(
+      (s, dir) => Pipeline.run(s, Tables.events(s, dir),
+        Pipeline.Config(predictor = "routed", modelThreshold = 14))
+        .trainMetrics,
+      s"""WITH $duckF2Ctes,
+         |mtr AS (
+         |  SELECT user_id, event_type,
+         |    CASE WHEN count(*) >= 14 THEN 'rnn' ELSE 'xgb' END AS model_type
+         |  FROM kept GROUP BY user_id, event_type),
+         |f3 AS (
+         |  SELECT *,
+         |    last_value(lag2 IGNORE NULLS) OVER (
+         |      PARTITION BY user_id, event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x2
+         |  FROM (SELECT *, lag(actual, 2) OVER (
+         |          PARTITION BY user_id, event_type
+         |          ORDER BY ts, event_id) AS lag2 FROM f2)),
+         |rt AS (
+         |  SELECT f3.*, coalesce(mtr.model_type, 'xgb') AS route
+         |  FROM f3 LEFT JOIN mtr USING (user_id, event_type)),
+         |rg AS (
+         |  -- AR(2) moments on rnn-routed train rows (the a16 chain with
+         |  -- x1 = pred_f; factor casts to DECIMAL(19,6): int128 multiply)
+         |  SELECT user_id, event_type, count(*) AS n_fit,
+         |    CAST(sum(CAST(pred_f AS DECIMAL(17,6))) AS DOUBLE) AS sx1,
+         |    CAST(sum(CAST(x2 AS DECIMAL(17,6))) AS DOUBLE) AS sx2,
+         |    CAST(sum(CAST(actual AS DECIMAL(17,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(pred_f AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(actual AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+         |    CAST(sum(CAST(
+         |      CAST(CAST(x2 AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      * CAST(CAST(actual AS DECIMAL(17,6)) AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+         |  FROM rt
+         |  WHERE route = 'rnn' AND split = 'train'
+         |    AND pred_f IS NOT NULL AND x2 IS NOT NULL AND actual IS NOT NULL
+         |    AND abs(pred_f) < 1e11 AND abs(x2) < 1e11 AND abs(actual) < 1e11
+         |  GROUP BY user_id, event_type),
+         |rmom AS (
+         |  SELECT user_id, event_type, n_fit, sx1, sx2, sy,
+         |    n_fit * s11 - sx1 * sx1 AS c11,
+         |    n_fit * s22 - sx2 * sx2 AS c22,
+         |    n_fit * s12 - sx1 * sx2 AS c12,
+         |    n_fit * s1y - sx1 * sy AS cy1,
+         |    n_fit * s2y - sx2 * sy AS cy2
+         |  FROM rg WHERE n_fit >= 3),
+         |rdet AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM rmom),
+         |rb AS (
+         |  SELECT user_id, event_type, n_fit, sx1, sx2, sy,
+         |    CASE WHEN det = 0 THEN 0.0
+         |         ELSE (cy1 * c22 - cy2 * c12) / det END AS b1,
+         |    CASE WHEN det = 0 THEN 0.0
+         |         ELSE (cy2 * c11 - cy1 * c12) / det END AS b2
+         |  FROM rdet),
+         |rp AS (
+         |  SELECT user_id, event_type, b1, b2,
+         |    (sy - b1 * sx1 - b2 * sx2) / n_fit AS intercept
+         |  FROM rb),
+         |sper AS (
+         |  -- per-(group, threshold) exact sums on xgb-routed train rows
+         |  SELECT user_id, event_type, pred_f AS t, count(*) AS cnt,
+         |    CAST(sum(CAST(actual AS DECIMAL(17,6))) AS DECIMAL(38,6)) AS sy
+         |  FROM rt
+         |  WHERE route = 'xgb' AND split = 'train'
+         |    AND pred_f IS NOT NULL AND actual IS NOT NULL
+         |    AND abs(pred_f) < 1e11 AND abs(actual) < 1e11
+         |  GROUP BY user_id, event_type, pred_f),
+         |scum AS (
+         |  SELECT user_id, event_type, t,
+         |    CAST(sum(cnt) OVER cw AS BIGINT) AS nl,
+         |    CAST(sum(sy) OVER cw AS DECIMAL(38,6)) AS sl,
+         |    CAST(sum(cnt) OVER pw AS BIGINT) AS n,
+         |    CAST(sum(sy) OVER pw AS DECIMAL(38,6)) AS s
+         |  FROM sper
+         |  WINDOW cw AS (PARTITION BY user_id, event_type ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    pw AS (PARTITION BY user_id, event_type)),
+         |scand AS (
+         |  SELECT user_id, event_type, t, nl, n - nl AS nr,
+         |    CAST(sl AS DOUBLE) AS sld, CAST(s - sl AS DOUBLE) AS srd
+         |  FROM scum WHERE nl < n),
+         |sbest AS (
+         |  SELECT user_id, event_type, t AS threshold,
+         |    sld / nl AS left_mean, srd / nr AS right_mean
+         |  FROM scand
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY -(sld * sld / nl + srd * srd / nr), t) = 1),
+         |pr AS (
+         |  SELECT r.user_id, r.event_type, r.actual, r.split,
+         |    CASE WHEN r.route = 'rnn' AND rp.b1 IS NOT NULL
+         |              AND r.x2 IS NOT NULL
+         |         THEN round(rp.b1 * r.pred_f + rp.b2 * r.x2
+         |                    + rp.intercept, 2)
+         |         WHEN r.route = 'xgb' AND sb.threshold IS NOT NULL
+         |              AND r.pred_f IS NOT NULL
+         |         THEN CASE WHEN r.pred_f <= sb.threshold
+         |                   THEN round(sb.left_mean, 2)
+         |                   ELSE round(sb.right_mean, 2) END
+         |         ELSE r.pred_f END AS pred_f
+         |  FROM rt r
+         |  LEFT JOIN rp USING (user_id, event_type)
+         |  LEFT JOIN sbest sb USING (user_id, event_type)),
+         |p AS (
+         |  SELECT user_id, event_type, actual, pred_f,
+         |    CAST(actual AS DECIMAL(17,6)) AS a,
+         |    CAST(pred_f AS DECIMAL(17,6)) AS pf
+         |  FROM pr WHERE split = 'train'),
+         |g AS (
+         |  SELECT user_id, event_type, count(*) AS n,
+         |    CAST(sum(CAST(
+         |      CAST(a - pf AS DECIMAL(19,6)) * CAST(a - pf AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(
+         |      CAST(a AS DECIMAL(19,6)) * CAST(a AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(a) AS DOUBLE) AS sum_a
+         |  FROM p WHERE actual IS NOT NULL AND pred_f IS NOT NULL
+         |    AND abs(actual) < 1e11 AND abs(pred_f) < 1e11
+         |  GROUP BY user_id, event_type),
+         |m AS (
+         |  SELECT user_id, event_type,
+         |    CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+         |         ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+         |    END AS R2,
+         |    ss_res / n AS MSE,
+         |    n AS Samples
+         |  FROM g WHERE n >= 2)
+         |SELECT m.user_id, m.event_type, m.Samples, m.R2, m.MSE,
+         |  coalesce(mtr.model_type, 'xgb') AS model_type
+         |FROM m LEFT JOIN mtr USING (user_id, event_type)""".stripMargin),
+
     // The validate-stage normalized feature frame: per row, 'actual'
     // normalized with the REUSED train params (has_train branch; local
     // val-split fallback otherwise), the lag feature with LOCAL val-split

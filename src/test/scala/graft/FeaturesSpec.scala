@@ -459,6 +459,47 @@ class FeaturesSpec extends SparkSpecBase {
     assert(em.sses.last === 0.0)
   }
 
+  test("regressionStumpPerGroup: matches an exhaustive driver split search; ties to smallest threshold; degenerate groups emit nothing") {
+    import spark.implicits._
+    val data = Map(
+      "a" -> Seq((1.0, 10.0), (1.0, 12.0), (2.0, 20.0), (3.0, 30.0), (3.0, 28.0)),
+      "b" -> Seq((5.0, 1.0), (6.0, 2.0), (7.0, 100.0), (8.0, 101.0)),
+      // symmetric group: both candidate splits tie on gain → smallest t
+      "t" -> Seq((1.0, 0.0), (2.0, 5.0), (3.0, 0.0)),
+      "c" -> Seq((9.0, 4.2), (9.0, 4.4))) // single distinct x → no split
+    val df = data.toSeq.flatMap { case (g, rs) =>
+      rs.map { case (x, y) => (g, x, y) } }.toDF("g", "x", "y")
+    val got = Features.regressionStumpPerGroup(df, Seq("g"),
+      col("x"), col("y")).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(!got.contains("c"))
+    // exhaustive driver reference: every distinct x but the last is a
+    // candidate; maximize sl²/nl + sr²/nr, ties to smallest threshold
+    def ref(rs: Seq[(Double, Double)]): (Double, Double, Double, Long, Long) = {
+      val cands = rs.map(_._1).distinct.sorted.dropRight(1)
+      cands.map { t =>
+        val (l, r) = rs.partition(_._1 <= t)
+        val (sl, sr) = (l.map(_._2).sum, r.map(_._2).sum)
+        val gain = sl * sl / l.size + sr * sr / r.size
+        (gain, t, sl / l.size, sr / r.size, l.size.toLong, r.size.toLong)
+      }.maxBy(c => (c._1, -c._2)) match {
+        case (_, t, lm, rm, nl, nr) => (t, lm, rm, nl, nr)
+      }
+    }
+    for (g <- Seq("a", "b", "t")) {
+      val (t, lm, rm, nl, nr) = ref(data(g))
+      val row = got(g)
+      assert(row.getAs[Double]("threshold") === t, s"group $g threshold")
+      assert(math.abs(row.getAs[Double]("left_mean") - lm) < 1e-12)
+      assert(math.abs(row.getAs[Double]("right_mean") - rm) < 1e-12)
+      assert(row.getAs[Long]("n_left") === nl &&
+        row.getAs[Long]("n_right") === nr)
+      assert(row.getAs[Long]("n_fit") === nl + nr)
+    }
+    // the tie group really did tie and really did take the smaller t
+    assert(got("t").getAs[Double]("threshold") === 1.0)
+  }
+
   test("linearFit at p=1 agrees with fitAr1's closed form (same decimal contract)") {
     import spark.implicits._
     val df = (1 to 30).map(i =>

@@ -121,6 +121,59 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("routed predictor: each group scored by ITS routed family, families demonstrably disagree, artifacts persisted per family") {
+    val base = Files.createTempDirectory("graft_routed").toString
+    val ev = Tables.events(spark, sf0001)
+    // threshold 14 = the fixture's median group size, so both families
+    // genuinely train (every sf0.001 group is under the default 50)
+    val cfg = Pipeline.Config(predictor = "routed", modelThreshold = 14)
+    val routed = Pipeline.run(spark, ev, cfg, Some(base))
+    val ar2 = Pipeline.run(spark, ev, Pipeline.Config(predictor = "ar2"))
+    val naive = Pipeline.run(spark, ev)
+    def canon(df: org.apache.spark.sql.DataFrame): Map[(Long, String), String] =
+      df.collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type")) ->
+        Seq(r.getAs[Double]("R2"), r.getAs[Double]("MSE"),
+          r.getAs[Long]("Samples")).map(String.valueOf).mkString("|")).toMap
+    val r = canon(routed.trainMetrics)
+    val a2 = canon(ar2.trainMetrics)
+    val nv = canon(naive.trainMetrics)
+    assert(r.keySet === nv.keySet) // same groups survive the hygiene chain
+    val route = routed.modelTypes
+      .select("user_id", "event_type", "model_type").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type")) ->
+        x.getAs[String]("model_type")).toMap
+    val rnnKeys = r.keySet.filter(k => route.get(k).contains("rnn"))
+    val xgbKeys = r.keySet.filter(k => route.get(k).contains("xgb"))
+    assert(rnnKeys.nonEmpty && xgbKeys.nonEmpty,
+      "fixture must route both families or the dispatch is unobservable")
+    // a per-group AR(2) fit sees exactly the same rows whether trained
+    // alongside every group or only the rnn-routed ones — so rnn-routed
+    // groups must match the ar2 pipeline BIT-FOR-BIT
+    rnnKeys.foreach(k =>
+      assert(r(k) === a2(k), s"rnn-routed group $k diverged from AR(2)"))
+    // the families DISAGREE: some xgb-routed group is scored differently
+    // by its stump than the AR(2) family would have scored it, and the
+    // stump genuinely moved predictions off the naive fallback somewhere
+    assert(xgbKeys.exists(k => r(k) != a2(k)),
+      "families never disagreed — routing is a no-op on this fixture")
+    assert(xgbKeys.exists(k => r(k) != nv(k)),
+      "xgb family never moved a prediction off naive")
+    // artifacts per family, and grading from them matches the run
+    assert(Sinks.tableExists(spark, s"$base/predictor_params_rnn"))
+    assert(Sinks.tableExists(spark, s"$base/predictor_params_xgb"))
+    val fromArtifacts = Pipeline.stageMetrics(spark, ev, base, "val", cfg)
+    assert(canon(fromArtifacts) === canon(routed.validateMetrics))
+    // gate: a naive train published neither family artifact, so a routed
+    // validate must fail soft instead of grading the wrong model
+    Pipeline.run(spark, ev, outDir = Some(s"$base/naive"))
+    val gated = Pipeline.automate(spark, ev, s"$base/naive", cfg,
+      stages = Seq("validate"))
+    assert(!gated.head.ok &&
+      gated.head.detail.contains("predictor_params_rnn") &&
+      gated.head.detail.contains("predictor_params_xgb"))
+  }
+
   test("approx-split pipeline (the 100-TB plan) produces the same table shapes and near-identical split sizes") {
     val exact = Pipeline.run(spark, Tables.events(spark, sf0001))
     val approx = Pipeline.run(spark, Tables.events(spark, sf0001),
