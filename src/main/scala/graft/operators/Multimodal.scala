@@ -28,11 +28,20 @@ import org.apache.spark.sql.functions._
   * the decoded frames, and the oracle re-derives them from the
   * generation formula (PCM is lossless, so the round-trip is exact).
   *
-  * STUBBED (clearly + deterministically): video byte decoding — no video
-  * codec exists in this container (or the JDK), so [[FakeDecoded]]
-  * features are pure arithmetic over the payload bytes (length + MD5) —
-  * the Spark-side plumbing is what's under test, and the fake is
-  * reproducible in the DuckDB oracle.
+  * REAL decode (video): [[decodeVideos]] reads actual MULTI-FRAME media —
+  * animated GIF, the one multi-frame container a bare JDK can both write
+  * and read via `javax.imageio` — over deterministic fixtures built by
+  * [[synthesizeVideos]]; frame count comes from the container directory
+  * (`getNumImages`), per-frame pixel sums from each decoded raster, and
+  * GIF's indexed palette is lossless for the grayscale fixture so the
+  * oracle re-derives everything from the generation formula.
+  *
+  * STILL STUBBED (clearly + deterministically): generic any-codec byte
+  * decoding ([[fakeDecode]], exercised by [[decodeFeatures]]) — features
+  * are pure arithmetic over payload length + MD5. It remains the stage
+  * a production H.264/VP9 decoder would slot into (no such codec exists
+  * in this container); the three REAL decodes above prove the plumbing
+  * with genuine codecs end-to-end.
   *
   * Scale notes (100 TB): payload bytes dominate — keep them OUT of
   * shuffles (derive features first, project the binary away before any
@@ -271,6 +280,136 @@ object Multimodal {
           AudioFeatures(id, n.toLong, fmt.getSampleRate.toLong, s0, sumAbs)
         }
       }
+  }
+
+  /** One REAL-decoded video row: frame count from the container
+    * directory, dimensions from the first frame, pixel aggregates over
+    * EVERY decoded frame. */
+  final case class VideoFeatures(
+      doc_id: Long, n_frames: Long, width: Long, height: Long,
+      sum_gray: Long, px000: Long)
+
+  /** Deterministic multi-frame fixture source (the video analogue of
+    * [[synthesizeImages]]): per document, a REAL animated GIF —
+    * F = 2 + hex₀(md5(text)) frames of W×H = (8+hex₁)×(8+hex₂) grayscale
+    * pixels with gray(f, x, y) = (doc_id·31 + x + y + 7·f) mod 256 —
+    * written frame-by-frame through `javax.imageio`'s GIF sequence
+    * writer. Frames use an explicit 256-gray indexed palette, so the GIF
+    * encoding is LOSSLESS and an external engine re-derives every pixel
+    * from the formula while the bytes remain a genuine multi-frame
+    * container a real reader must walk. */
+  def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        // 256-entry grayscale palette: index i ↦ (i, i, i) — shared per
+        // partition, the codec-context-amortization the iterator buys
+        val grays = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(
+          8, 256, grays, grays, grays)
+        batch.map { case (id, hex) =>
+          val f = 2 + hexVal(hex.charAt(0))
+          val w = 8 + hexVal(hex.charAt(1))
+          val h = 8 + hexVal(hex.charAt(2))
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var fi = 0
+          while (fi < f) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                val g = ((id * 31 + x + y + 7L * fi) % 256).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                y += 1
+              }
+              x += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            fi += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The REAL video-decode stage: a multi-frame `javax.imageio` GIF read,
+    * partition-by-partition (identical stage shape to [[decodeImages]] —
+    * production swaps in an H.264/VP9 codec, not new plumbing).
+    * `n_frames` comes from the container's image directory
+    * (`getNumImages(allowSearch = true)` — a reader that misparsed the
+    * frame structure gets it wrong), `sum_gray` sums the red channel over
+    * EVERY pixel of EVERY decoded frame, `px000` is frame 0's top-left
+    * pixel. The fixture's indexed-palette GIF decodes losslessly, so the
+    * DuckDB oracle re-derives all of it from the generation formula. */
+  def decodeVideos(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          require(n >= 1, s"no frames decoded for doc $id")
+          var sum = 0L
+          var px000 = 0L
+          var w = 0L
+          var h = 0L
+          var fi = 0
+          while (fi < n) {
+            val img = reader.read(fi)
+            if (fi == 0) {
+              w = img.getWidth.toLong
+              h = img.getHeight.toLong
+              px000 = (img.getRGB(0, 0) & 0xff).toLong
+            }
+            var x = 0
+            while (x < img.getWidth) {
+              var y = 0
+              while (y < img.getHeight) {
+                sum += (img.getRGB(x, y) & 0xff).toLong
+                y += 1
+              }
+              x += 1
+            }
+            fi += 1
+          }
+          reader.dispose()
+          iis.close()
+          VideoFeatures(id, n.toLong, w, h, sum, px000)
+        }
+      }
+  }
+
+  /** Frame sampling over REAL decoded frame counts: up to `k`
+    * evenly-spaced indices (i·n_frames / k, deduplicated) per video —
+    * [[sampleFrames]]'s arithmetic fed by [[decodeVideos]]' container-
+    * derived `n_frames` instead of the fake's. Runs after payload
+    * projection: only (doc_id, frame_idx) rows fan out. */
+  def sampleVideoFrames(spark: SparkSession, videos: Dataset[VideoFeatures],
+                        k: Int): Dataset[FrameRef] = {
+    import spark.implicits._
+    videos.mapPartitions { batch =>
+      batch.flatMap { v =>
+        val idx = (0 until k).map(i => i.toLong * v.n_frames / k).distinct
+        idx.iterator.map(FrameRef(v.doc_id, _, v.n_frames))
+      }
+    }
   }
 
   /** The batch decode stage: co-locate each media_type, then decode

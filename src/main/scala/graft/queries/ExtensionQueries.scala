@@ -1482,6 +1482,58 @@ object ExtensionQueries {
         |  n_frames
         |FROM vid""".stripMargin),
 
+    // REAL video decode (multi-frame javax.imageio GIF over deterministic
+    // animated-GIF fixtures — Multimodal.synthesizeVideos/decodeVideos):
+    // n_frames from the container's image directory, width/height from
+    // frame 0, sum_gray over EVERY pixel of EVERY decoded frame. The
+    // fixture's 256-gray indexed palette makes the GIF encoding lossless
+    // and the per-frame gradient closed-form, so the oracle re-derives
+    // frame count AND per-frame pixel stats from the generation formula
+    // without a decoder — a reader that missed a frame or mangled a
+    // pixel breaks sum_gray.
+    "mm_video_decode" -> QueryDef(
+      (s, dir) => Multimodal.decodeVideos(s,
+        Multimodal.synthesizeVideos(s, Tables.documents(s, dir))).toDF(),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(2 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |         AS BIGINT) AS n_frames,
+        |    CAST(8 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |         AS BIGINT) AS width,
+        |    CAST(8 + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1
+        |         AS BIGINT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.n_frames, d.width, d.height, f.f, x.x, y.y
+        |  FROM d,
+        |    LATERAL unnest(generate_series(0, d.n_frames - 1)) AS f(f),
+        |    LATERAL unnest(generate_series(0, d.width - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, d.height - 1)) AS y(y))
+        |SELECT doc_id, n_frames, width, height,
+        |  CAST(sum((doc_id * 31 + x + y + 7 * f) % 256) AS BIGINT) AS sum_gray,
+        |  CAST((doc_id * 31) % 256 AS BIGINT) AS px000
+        |FROM px GROUP BY doc_id, n_frames, width, height""".stripMargin),
+
+    // Frame sampling driven by the REAL container-derived frame count
+    // (mm_frame_sample's arithmetic over decodeVideos' n_frames instead
+    // of the fake's): k=4 evenly-spaced indices per clip, deduplicated
+    // when the clip is shorter than k.
+    "mm_video_frame_sample" -> QueryDef(
+      (s, dir) => Multimodal.sampleVideoFrames(s,
+        Multimodal.decodeVideos(s,
+          Multimodal.synthesizeVideos(s, Tables.documents(s, dir))),
+        k = 4).toDF(),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(2 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |         AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(list_distinct(list_transform(generate_series(0, 3),
+        |    i -> CAST(i * n_frames // 4 AS BIGINT)))) AS frame_idx,
+        |  n_frames
+        |FROM d""".stripMargin),
+
     // REAL image decode (javax.imageio over deterministic PNG fixtures —
     // Multimodal.synthesizeImages/decodeImages): the decoded RASTER
     // yields width/height, the full-pixel gray sum, and the top-left

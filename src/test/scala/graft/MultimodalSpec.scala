@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Real-codec multimodal decode stages: every value must round-trip the
+  * actual container format bit-exactly against the fixtures' closed-form
+  * generation formulas (PNG / indexed GIF / PCM are lossless). */
+class MultimodalSpec extends SparkSpecBase {
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, "alpha"), (1L, "bravo"), (2L, "charlie delta"),
+      (7L, "the quick brown fox"), (41L, "zz"))
+      .toDF("doc_id", "text")
+  }
+
+  test("video: animated-GIF fixtures decode to the exact frame count and per-frame pixel sums of the generation formula") {
+    val feats = Multimodal.decodeVideos(spark,
+      Multimodal.synthesizeVideos(spark, docs))
+      .collect().map(v => v.doc_id -> v).toMap
+    // driver reference: hex digits of md5(text) drive F/W/H, pixels are
+    // (id*31 + x + y + 7f) mod 256 — re-derived with java's own MD5
+    def hexVal(c: Char): Int = "0123456789abcdef".indexOf(c)
+    val texts = Map(0L -> "alpha", 1L -> "bravo", 2L -> "charlie delta",
+      7L -> "the quick brown fox", 41L -> "zz")
+    assert(feats.keySet === texts.keySet)
+    for ((id, text) <- texts) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val f = 2 + hexVal(hex.charAt(0))
+      val w = 8 + hexVal(hex.charAt(1))
+      val h = 8 + hexVal(hex.charAt(2))
+      val sum = (for (fi <- 0 until f; x <- 0 until w; y <- 0 until h)
+        yield (id * 31 + x + y + 7L * fi) % 256).sum
+      val v = feats(id)
+      assert(v.n_frames === f.toLong, s"doc $id frame count")
+      assert(v.width === w.toLong && v.height === h.toLong)
+      assert(v.sum_gray === sum, s"doc $id pixel sum — lossy GIF round-trip?")
+      assert(v.px000 === (id * 31) % 256)
+    }
+    // frame sampling reads the REAL container frame count
+    val refs = Multimodal.sampleVideoFrames(spark,
+      Multimodal.decodeVideos(spark,
+        Multimodal.synthesizeVideos(spark, docs)), k = 4)
+      .collect().groupBy(_.doc_id)
+    for ((id, rs) <- refs) {
+      val n = feats(id).n_frames
+      assert(rs.map(_.frame_idx).sorted.toSeq ===
+        (0 until 4).map(i => i.toLong * n / 4).distinct.sorted)
+      assert(rs.forall(_.n_frames == n))
+    }
+  }
+}
