@@ -100,8 +100,18 @@ object Dedup {
   /** Ground-truth near-dup pairs by exact shingle Jaccard ≥ num/den.
     * O(n²) pair evaluations — correctness reference and small-scale path
     * only (the scale path is [[minhashLshPairs]]); hashed-long sets + the
-    * size prefilter keep the constant factor honest at bench scale. */
-  def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    * size prefilter keep the constant factor honest at bench scale.
+    *
+    * `maxRows` fails LOUD (one cheap parquet-count job) if this
+    * correctness reference is pointed at a production-sized corpus where
+    * the O(n²) pair loop would silently burn the cluster; raise it
+    * explicitly only for a deliberate large ground-truth run. */
+  def jaccardPairs(docs: DataFrame, n: Int, num: Int, den: Int,
+                   maxRows: Long = 100000L): DataFrame = {
+    val rows = docs.count()
+    require(rows <= maxRows,
+      s"jaccardPairs is an O(n²) ground-truth reference: input has $rows rows > maxRows=$maxRows. " +
+        "Use minhashLshPairs for production corpora, or pass maxRows explicitly for a deliberate large run.")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // localCheckpoint (LAZY): the shingle computation feeds BOTH join
     // sides — without persistence the whole tokenize+hash pipeline runs

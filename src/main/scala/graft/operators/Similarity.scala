@@ -329,7 +329,15 @@ object Similarity {
     * directions deduplicated to vec_a < vec_b). Brute force with per-
     * vector precomputed norms — pair set only, no float similarity column
     * in the output. */
-  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  maxRows: Long = 100000L): DataFrame = {
+    // Fail LOUD (one cheap parquet-count job) if this O(n²) correctness
+    // reference is pointed at a production corpus — the scale sibling is
+    // [[cosinePairsBucketed]]; raise maxRows only for a deliberate run.
+    val rows = corpus.count()
+    require(rows <= maxRows,
+      s"cosinePairs is an O(n²) ground-truth reference: input has $rows rows > maxRows=$maxRows. " +
+        "Use cosinePairsBucketed for production corpora, or pass maxRows explicitly for a deliberate large run.")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Spread the streamed side: a small parquet is one input split, and a
     // single-partition nested-loop join would run the O(n²) pair scoring

@@ -40,6 +40,18 @@ class DedupSpec extends SparkSpecBase {
       rowsPerBand = 1, num = 1, den = 2).count() === 0)
   }
 
+  test("jaccardPairs fails loud past maxRows; override allows a deliberate run") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, n = 3, num = 1, den = 2, maxRows = 2)
+    }
+    assert(ex.getMessage.contains("O(n²) ground-truth reference"))
+    assert(ex.getMessage.contains("minhashLshPairs"))
+    // explicit override: same result as the default-guard path
+    val guarded = Dedup.jaccardPairs(docs, n = 3, num = 1, den = 2, maxRows = docs.count())
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(guarded === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("exact-Jaccard ground truth finds the near-dup and exact-dup pairs only") {
     val pairs = Dedup.jaccardPairs(docs, n = 3, num = 1, den = 2)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

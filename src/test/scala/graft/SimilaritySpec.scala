@@ -65,6 +65,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rProbed >= rPlain, s"multi-probe recall $rProbed < exact-bucket $rPlain")
   }
 
+  test("cosinePairs fails loud past maxRows; points at the bucketed sibling") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(emb, 0.45, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("O(n²) ground-truth reference"))
+    assert(ex.getMessage.contains("cosinePairsBucketed"))
+  }
+
   test("bucketed cosine pairs: verified subset, pinned recall, never all-pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     def pairs(df: org.apache.spark.sql.DataFrame) =
