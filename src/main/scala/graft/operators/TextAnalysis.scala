@@ -241,6 +241,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** WIDE hashed bag-of-words: one row per doc with `b0..b{buckets-1}`
+    * long count columns — the dense-feature shape trained models consume
+    * ([[hashedBagOfWords]] is the sparse sibling; identical hashing).
+    * One explode + ONE doc_id-keyed aggregation (map-side combined
+    * conditional sums, no pivot second pass); every doc keeps a row
+    * (split of an empty text yields one "" token). Σ b_i == the raw
+    * split token count, so downstream features can use the total without
+    * a join back to the text. Intended for SMALL `buckets` (a model's
+    * feature width, ≤ a few hundred) — the row stays one cache line per
+    * doc and the aggregate is corpus-shaped, never vocabulary-shaped. */
+  def hashedBowWide(docs: DataFrame, buckets: Int, seed: String,
+                    algo: String = "xxh64"): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val cols = (0 until buckets).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"b$i"))
+    docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .withColumn("bucket", Sampling.bucket(col("token"), seed, algo) % buckets)
+      .groupBy(col("doc_id"))
+      .agg(cols.head, cols.tail: _*)
+  }
+
   /** Lexical diversity in exact parts-per-billion: `n_uniq_tokens ·
     * 1e9 DIV n_tokens` — all-integer (truncating division) so the score,
     * unlike the double `type_token_ratio`, is bit-identical in any
@@ -445,33 +469,29 @@ object TextAnalysis {
     * seeding convention, corpus-size-independent). Per-round frames are
     * eagerly localCheckpointed: the loop would otherwise stack an
     * unbounded lineage and re-run all prior rounds on each action (the
-    * [[Dedup.connectedComponents]] lesson). */
+    * [[Dedup.connectedComponents]] lesson).
+    *
+    * Delegates to [[bpeTrainBatched]]: one distributed round can emit a
+    * whole BATCH of argmax-tied, provably-independent merges (exact — see
+    * the soundness note there), cutting driver rounds on the long tied
+    * tail without changing the merge table. */
   def bpeTrain(docs: DataFrame, nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    val (m, v, _) = bpeTrainBatched(docs, nMerges)
+    (m, v)
+  }
+
+  /** The one-merge-per-distributed-round trainer — the differential
+    * REFERENCE for [[bpeTrainBatched]] (BpeSpec proves the batched merge
+    * table identical); not a production entry point. */
+  private[graft] def bpeTrainSequential(
+      docs: DataFrame, nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var vocab = docs
-      .select(explode(toks(coalesce(col("text"), lit("")))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(expr(
-        "transform(sequence(1, length(w)), i -> substr(w, CAST(i AS INT), 1))")
-        .as("syms"), col("n"))
-      .localCheckpoint()
+    var vocab = bpeInitialVocab(docs)
     val merges = Seq.newBuilder[(String, String, Long)]
     var round = 0
     var dry = false
     while (round < nMerges && !dry) {
-      val best = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("n"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-            |  i -> struct(element_at(syms, CAST(i AS INT)) AS a,
-            |              element_at(syms, CAST(i + 1 AS INT)) AS b))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
+      val best = bpePairCountsOf(vocab).limit(1).collect()
       if (best.isEmpty) dry = true
       else {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
@@ -484,6 +504,129 @@ object TextAnalysis {
       }
     }
     (merges.result(), vocab)
+  }
+
+  /** Word-count collapse + per-character symbol split — the single
+    * corpus-sized pass both trainers share. */
+  private def bpeInitialVocab(docs: DataFrame): DataFrame = docs
+    .select(explode(toks(coalesce(col("text"), lit("")))).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    .select(expr(
+      "transform(sequence(1, length(w)), i -> substr(w, CAST(i AS INT), 1))")
+      .as("syms"), col("n"))
+    .localCheckpoint()
+
+  /** Adjacent-pair counts over a segmented vocab, sorted by the trainer's
+    * total order (cnt desc, a, b). */
+  private def bpePairCountsOf(vocab: DataFrame): DataFrame = vocab
+    .filter(size(col("syms")) >= 2)
+    .select(col("n"), explode(expr(
+      """transform(sequence(1, size(syms) - 1),
+        |  i -> struct(element_at(syms, CAST(i AS INT)) AS a,
+        |              element_at(syms, CAST(i + 1 AS INT)) AS b))"""
+        .stripMargin)).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("n")).as("cnt"))
+    .orderBy(col("cnt").desc, col("a"), col("b"))
+
+  /** BPE training with EXACT batched merge rounds: per distributed
+    * pair-count job, emit not just the argmax but the longest prefix of
+    * the argmax-TIED candidates that is provably order-independent, then
+    * apply the whole batch in one map-only fold. Returns the merge table,
+    * the final vocab, and the number of distributed rounds executed
+    * (== merges.size for the sequential trainer; ≤ it here).
+    *
+    * Soundness (why the merge table is IDENTICAL to the sequential
+    * trainer's, not merely similar): let C be the round's max count and T
+    * the (complete) set of pairs with count C, in (a, b) order. A batch
+    * p1..pm — a strict prefix of T — replays the sequential choices iff at
+    * each p_i's turn p_i is still the (count desc, a, b) argmax after
+    * applying p1..p_{i-1}. Three facts close this:
+    *  1. merging pairs can only DECREASE counts of other old pairs (no
+    *     adjacency between old symbols is ever created), so no old
+    *     non-batch pair can climb past C — and batch members keep count C
+    *     exactly when pairwise symbol-disjoint (condition a);
+    *  2. a NEW pair (x, s_j) / (s_j, y) around a merged symbol
+    *     s_j = a_j+b_j can only reach count C if EVERY merge site shares
+    *     that context — which forces the original context pair (x, a_j) /
+    *     (b_j, y) to also have count ≥ C, i.e. to be IN T and to share a
+    *     symbol with p_j. Requiring that no member of T outside the batch
+    *     shares a symbol with any batch member except the LAST (condition
+    *     b; the last member's new pairs have nobody left to displace)
+    *     therefore caps every new pair strictly below C;
+    *  3. new-pair counts could only aggregate with pre-existing counts if
+    *     the merged string s_j already names a live symbol — impossible
+    *     for the single-character initial symbols (|s_j| ≥ 2) and
+    *     driver-checkable against the set of prior merge products
+    *     (condition c, again exempting the last member).
+    * If T overflows the collected topK window the round conservatively
+    * emits the argmax alone — identical to sequential by definition. */
+  def bpeTrainBatched(docs: DataFrame, nMerges: Int,
+                      topK: Int = 64): (Seq[(String, String, Long)], DataFrame, Int) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    var vocab = bpeInitialVocab(docs)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    val products = collection.mutable.Set.empty[String]
+    var taken = 0
+    var rounds = 0
+    var dry = false
+    while (taken < nMerges && !dry) {
+      val rows = bpePairCountsOf(vocab).limit(topK + 1).collect()
+      rounds += 1
+      if (rows.isEmpty) dry = true
+      else {
+        val c = rows.head.getLong(2)
+        val tied = rows.takeWhile(_.getLong(2) == c)
+          .map(r => (r.getString(0), r.getString(1)))
+        // T truncated by the collect window → can't verify condition (b);
+        // fall back to the sequential single argmax for this round.
+        val tTruncated = rows.length == topK + 1 && rows.last.getLong(2) == c
+        val all = if (tTruncated) tied.take(1) else tied
+        var m = math.min(if (tTruncated) 1 else all.length,
+          nMerges - taken)
+        // (a) strict prefix of pairwise symbol-disjoint members
+        def syms(p: (String, String)) = Set(p._1, p._2)
+        var used = Set.empty[String]
+        var i = 0
+        while (i < m && (syms(all(i)) & used).isEmpty) {
+          used ++= syms(all(i)); i += 1
+        }
+        m = i
+        // (b) no tied member outside the batch shares a symbol with a
+        // non-last batch member; (c) non-last products fresh + distinct.
+        // m only decreases → fixpoint terminates.
+        var changed = true
+        while (changed && m > 1) {
+          changed = false
+          val outside = all.drop(m)
+          var j = 0
+          while (j < m - 1 && !changed) {
+            val s = syms(all(j))
+            val prod = all(j)._1 + all(j)._2
+            val clash =
+              outside.exists(t => (syms(t) & s).nonEmpty) ||
+                products.contains(prod) ||
+                all.take(m).zipWithIndex.exists { case (t, k) =>
+                  k != j && k < m - 1 && t._1 + t._2 == prod }
+            if (clash) { m = j + 1; changed = true }
+            j += 1
+          }
+        }
+        val batch = all.take(m)
+        batch.foreach { case (a, b) =>
+          merges += ((a, b, c)); products += (a + b)
+        }
+        val old = vocab
+        vocab = batch.foldLeft(vocab) { case (v, (a, b)) =>
+          v.withColumn("syms", mergeOnce(col("syms"), a, b))
+        }.localCheckpoint()
+        old.unpersist()
+        taken += m
+      }
+    }
+    (merges.result(), vocab, rounds)
   }
 
   /** One greedy left-to-right application of merge (a, b) over a symbol

@@ -71,6 +71,40 @@ class BpeSpec extends SparkSpecBase {
     assert(gotVocab.keySet === Set(List("ab")))
   }
 
+  test("batched rounds: adversarial tie where naive tied-batching would diverge") {
+    // Pairs (a,z), (b,b), (z,y) all tie at count 3. Sequentially, merging
+    // (a,z) creates ("az", y) at count 3, which sorts BEFORE (b,b) — so a
+    // batcher that naively emitted the disjoint tied prefix
+    // [(a,z), (b,b)] would diverge. Condition (b) must shrink the batch
+    // to (a,z) alone because (z,y) ∈ T shares 'z' with it.
+    val texts = Seq("azy azy azy bb bb bb")
+    val (got, ref, gotVocab, refVocab) = trainBoth(texts, nMerges = 4)
+    assert(got === ref)
+    assert(ref.take(2).map(m => (m._1, m._2)) === List(("a", "z"), ("az", "y")))
+    assert(gotVocab === refVocab)
+  }
+
+  test("batched rounds: disjoint tied pairs merge in one distributed round, table unchanged") {
+    val texts = Seq("ab ab ab ab ab cd cd cd cd cd ef ef ef ef ef gh gh gh gh gh")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, _, rounds) = TextAnalysis.bpeTrainBatched(docs, nMerges = 4)
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, _) = naiveBpe(words, nMerges = 4)
+    assert(merges.toList === refMerges)
+    assert(merges.length === 4)
+    assert(rounds === 1, s"4 disjoint tied merges should take 1 round, took $rounds")
+  }
+
+  test("batched trainer table == sequential distributed trainer on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (seq, _) = TextAnalysis.bpeTrainSequential(docs, nMerges = 12)
+    val (bat, _, rounds) = TextAnalysis.bpeTrainBatched(docs, nMerges = 12)
+    assert(bat.toList === seq.toList)
+    assert(rounds <= 12)
+  }
+
   /** Reference encoder: replay merges greedily left-to-right per word. */
   private def naiveEncode(text: String,
                           merges: Seq[(String, String)]): List[String] =
