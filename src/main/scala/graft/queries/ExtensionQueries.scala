@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Features, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension operators (north star, BASELINE.json):
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -1189,6 +1189,105 @@ object ExtensionQueries {
          |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
          |SELECT doc_id, lang_predicted, n_tokens, quality_score FROM ek
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+
+    // TRAINED quality classifier for curation — the fastText-style gate
+    // real LLM pipelines run (train a cheap classifier on a labeled seed
+    // set, gate the whole corpus with the served model), composed from
+    // two green components: Features.logisticFit (distributed IRLS,
+    // ridge-regularized) over TextAnalysis.hashedBowWide features. The
+    // seed set is a deterministic 50% md5 doc_id sample ("the annotated
+    // subset"); the label is the deterministic heuristic rule nt >= 55
+    // (raw split token count). Features are b0..b14 + z(nt): b15 is
+    // deliberately dropped — nt is the sum of ALL 16 buckets, so a full
+    // bucket basis plus nt would be perfectly collinear; the ridge
+    // (0.03) additionally keeps the fit well-posed when a bucket is
+    // empty on a given corpus (zero-variance column) and keeps the
+    // separable-direction coefficients finite so served probabilities
+    // stay strictly inside (0, 1).
+    // Oracle split (the a23 contract): integer-deterministic columns —
+    // n_fit, n_total, and the heuristic-rule count n_rule — are
+    // re-derived EXACTLY by DuckDB (md5 sample + tokenization + rule);
+    // float-dependent MODEL facts ride as in-plan booleans SQL can't
+    // reach: the learned gate agrees with its training heuristic on
+    // ≥ 95% of the corpus and within ±5% on gate volume (a trained
+    // approximation, not a copy — boundary docs may legitimately flip),
+    // probabilities strictly inside (0,1), fit deviance below the null
+    // model's (the MLE-improvement invariant), artifact persist+reload
+    // identity, and fit-size consistency.
+    // Scale: featurize is one explode + one map-side-combined doc_id
+    // aggregation; each IRLS iteration is ONE p²-bounded moment pass;
+    // serve is map-only literals — corpus-size-independent model state.
+    "ext_quality_model" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nBuckets = 16
+        val wide = TextAnalysis.hashedBowWide(docs, nBuckets,
+          seed = "r9q", algo = "md5")
+        val ntC = (0 until nBuckets).map(i => col(s"b$i")).reduce(_ + _)
+          .cast("double")
+        // LAZY checkpoint: the featurized frame feeds the fit-set stats,
+        // the IRLS source, and the full-corpus serve
+        val w = wide.withColumn("nt", ntC)
+          .withColumn("seedset",
+            Sampling.bucket(col("doc_id"), "r9qs", "md5") < lit(500000L))
+          .localCheckpoint(eager = false)
+        val fitSet = w.filter(col("seedset"))
+        val st = fitSet.agg(avg(col("nt")).as("m"),
+          stddev_pop(col("nt")).as("sd")).head()
+        val (mean, sd) = (st.getDouble(0), st.getDouble(1))
+        val feats = ((col("nt") - lit(mean)) / lit(sd)) +:
+          (0 until nBuckets - 1).map(i => col(s"b$i").cast("double"))
+        val rule = col("nt") >= lit(55.0)
+        val fit = Features.logisticFit(fitSet, feats, rule,
+          maxIters = 25, ridge = 0.03).get
+        val rtDir = scratch("quality-model")
+        Features.logisticModelToFrame(s, fit).write.parquet(rtDir)
+        val model = Features.logisticModelFromFrame(s.read.parquet(rtDir))
+        val rtOk = model.coef.sameElements(fit.coef) &&
+          model.nFit == fit.nFit && model.gradNorm == fit.gradNorm
+        val ybar = fitSet.agg(avg(rule.cast("int").cast("double")))
+          .head().getDouble(0)
+        val served = Features.logisticPredict(w, model, feats)
+          .withColumn("gated", col("probability") >= 0.5)
+          .withColumn("yy", rule.cast("int").cast("double"))
+        def dev(prob: org.apache.spark.sql.Column) =
+          lit(-2.0) * sum(when(col("seedset"),
+            col("yy") * log(prob) +
+              (lit(1.0) - col("yy")) * log(lit(1.0) - prob)).otherwise(0.0))
+        served.agg(
+            sum(col("seedset").cast("long")).as("n_fit"),
+            count(lit(1)).as("n_total"),
+            sum(rule.cast("long")).as("n_rule"),
+            sum(col("gated").cast("long")).as("n_gated"),
+            sum((col("gated") === rule).cast("long")).as("n_agree"),
+            every(col("probability") > 0.0 && col("probability") < 1.0)
+              .as("probs_ok"),
+            dev(col("probability")).as("dev_fit"),
+            dev(lit(ybar)).as("dev_null"))
+          .select(
+            col("n_fit"), col("n_total"), col("n_rule"),
+            (col("n_agree") * lit(100L) >= col("n_total") * lit(95L))
+              .as("gate_agrees"),
+            (abs(col("n_gated") - col("n_rule")) * lit(100L) <=
+              col("n_total") * lit(5L)).as("gate_volume_ok"),
+            col("probs_ok"),
+            (col("dev_fit") <= col("dev_null") + lit(1e-6)).as("beats_null"),
+            lit(rtOk).as("roundtrip_ok"),
+            (col("n_fit") === lit(fit.nFit)).as("nfit_consistent"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split(coalesce(text, ''), ' ')) AS nt,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r9qs'), 1, 15))
+         |      AS BIGINT) % 1000000 AS bkt
+         |  FROM documents)
+         |SELECT
+         |  CAST(sum(CASE WHEN bkt < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN nt >= 55 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule,
+         |  TRUE AS gate_agrees, TRUE AS gate_volume_ok, TRUE AS probs_ok,
+         |  TRUE AS beats_null, TRUE AS roundtrip_ok, TRUE AS nfit_consistent
+         |FROM t""".stripMargin),
 
     // Token counting (north star: whitespace + a BPE-ish regex): the
     // GPT-2-style pre-tokenizer shape — contraction suffixes, space-glued
