@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Features
+
+/** Streaming model serve — the inference topology for the trained
+  * regression/classifier artifacts (§2i × the model surface), mirroring
+  * [[StreamingSimilarity.runIvfServe]]: the model is fitted ONCE in
+  * batch and persisted as a parquet frame (the reference's joblib-dump
+  * contract, fastapi model/ML Pipeline/train.py:555-567 — retrain
+  * republishes wholesale), then an unbounded FEATURE stream is scored
+  * per micro-batch by the IDENTICAL batch predict operator inside
+  * foreachBatch.
+  *
+  * Scale shape: the artifact is model-sized (p+1 coefficients, or
+  * nRounds stumps), loaded on the driver once at stream start and
+  * riding every micro-batch plan as LITERALS — scoring is map-only at
+  * scan speed, no join, no shuffle, no state store. The stream can be
+  * 100 TB/day; per-row cost is a fixed fold of p multiply-adds.
+  *
+  * Batch parity is the fidelity contract (StreamingModelServeSpec): the
+  * union of per-batch outputs equals the batch predict over the same
+  * rows, bit for bit — scoring is per-row, so batch boundaries cannot
+  * change any prediction.
+  *
+  * Delivery: each micro-batch overwrites its own `batch=<id>` directory
+  * — the idempotent-foreachBatch-sink recipe shared with the ANN serve,
+  * so an at-least-once replay replaces its own output instead of
+  * appending duplicates. */
+object StreamingModelServe {
+
+  /** Shared runner: score each micro-batch with a batch-identical
+    * `score` function into `outDir/batch=<id>/`. */
+  private def runServe(featureStream: DataFrame,
+                       score: DataFrame => DataFrame,
+                       outDir: String, checkpointDir: String): StreamingQuery =
+    featureStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          score(batch).write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+      }
+      .start()
+
+  /** Serve a parquet-persisted [[Features.LinearModel]]
+    * ([[Features.linearModelToFrame]] layout at `modelDir`) over a
+    * feature stream via [[Features.linearPredict]]. */
+  def runLinearServe(spark: SparkSession, featureStream: DataFrame,
+                     modelDir: String, features: Seq[String],
+                     outDir: String, checkpointDir: String,
+                     outCol: String = "prediction"): StreamingQuery = {
+    val model = Features.linearModelFromFrame(spark.read.parquet(modelDir))
+    runServe(featureStream,
+      b => Features.linearPredict(b, model, features.map(col), outCol),
+      outDir, checkpointDir)
+  }
+
+  /** Serve a parquet-persisted [[Features.LogisticModel]] over a feature
+    * stream via [[Features.logisticPredict]] — P(y=1|x) per row. */
+  def runLogisticServe(spark: SparkSession, featureStream: DataFrame,
+                       modelDir: String, features: Seq[String],
+                       outDir: String, checkpointDir: String,
+                       outCol: String = "probability"): StreamingQuery = {
+    val model = Features.logisticModelFromFrame(spark.read.parquet(modelDir))
+    runServe(featureStream,
+      b => Features.logisticPredict(b, model, features.map(col), outCol),
+      outDir, checkpointDir)
+  }
+
+  /** Serve a parquet-persisted [[Features.GbmModel]] over a feature
+    * stream via [[Features.gbmPredict]] — the boosted-stump fold as plan
+    * literals, one `when` chain per round. */
+  def runGbmServe(spark: SparkSession, featureStream: DataFrame,
+                  modelDir: String, features: Seq[String],
+                  outDir: String, checkpointDir: String,
+                  outCol: String = "prediction"): StreamingQuery = {
+    val model = Features.gbmModelFromFrame(spark.read.parquet(modelDir))
+    runServe(featureStream,
+      b => Features.gbmPredict(b, model, features.map(col), outCol),
+      outDir, checkpointDir)
+  }
+}
