@@ -366,6 +366,36 @@ object Sinks {
           .select(existing.columns.map(col): _*))
   }
 
+  /** [[applyChanges]] over the VERSIONED snapshot layout — the CDC
+    * consumer whose every applied batch is a durable, independently
+    * readable version (`v=N+1`), mirroring [[upsertSnapshot]] exactly but
+    * with the three-verb changelog contract (a latest D removes the key).
+    * First batch creates `v=1` against an empty snapshot whose schema is
+    * the feed minus its bookkeeping columns (op AND order) — same
+    * relation-invisibility rule as [[applyChangesBucketed]]'s create
+    * branch. Returns the new version number.
+    *
+    * This is the layout [[compactSnapshot]] and [[vacuumSnapshot]]
+    * maintain; the three interleave freely (SnapshotSoakSpec pins the
+    * full lifecycle: every version a reader ever sees is the exact
+    * net-effect state of the changes applied so far). At 100 TB prefer
+    * [[applyChangesBucketed]] (O(touched buckets) rewrite); this form
+    * rewrites the full snapshot per batch but keeps readers of `v=N`
+    * undisturbed forever — the documented trade between the two. */
+  def applyChangesSnapshot(spark: SparkSession, tableDir: String,
+                           changes: DataFrame, key: Seq[String],
+                           orderCol: String, opCol: String = "op"): Int = {
+    val versions = listVersions(spark, tableDir)
+    val current = versions.lastOption
+      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
+      .getOrElse(changes.drop(opCol, orderCol)
+        .filter(org.apache.spark.sql.functions.lit(false)))
+    val next = versions.lastOption.getOrElse(0) + 1
+    applyChanges(current, changes, key, orderCol, opCol)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    next
+  }
+
   /** SNK11 — retention vacuum over an [[upsertSnapshot]] versioned table:
     * delete every version older than the newest `keepLast` (the Delta
     * VACUUM / Iceberg expire_snapshots maintenance verb that completes
