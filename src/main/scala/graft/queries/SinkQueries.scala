@@ -184,6 +184,106 @@ object SinkQueries {
         |  TRUE AS old_versions_gone
         |FROM m2""".stripMargin),
 
+    // SNK12 (round 9) — the full snapshot LIFECYCLE as one data-visible
+    // contract: versioned CDC apply (Sinks.applyChangesSnapshot) →
+    // compaction → a second change batch ON TOP of the compacted version
+    // → retention vacuum. v=1 existing I-batch, v=2 first changelog
+    // (every collapse rule: D-then-I nets to insert, single U, untouched
+    // survivors), v=3 compaction rewrite (content-identical by contract —
+    // any drop/dup poisons everything downstream and hash-mismatches),
+    // v=4 second changelog (D %9, U %7 at a later ord; a %63 key gets
+    // both and the later U must win), vacuum keepLast=2 reaps v=1/v=2
+    // and MUST leave v=3/v=4 readable. The oracle replays both collapses
+    // with QUALIFY + anti-join + union and pins the version bookkeeping
+    // as asserted columns. SnapshotSoakSpec covers the per-step state;
+    // this row makes the lifecycle part of the cross-engine gate.
+    "snk12_cdc_lifecycle" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val tableDir = scratch(s, "snk12")
+        val existing = e.filter(col("event_id") % 3 === 0)
+          .withColumn("op", lit("I")).withColumn("ord", lit(0L))
+        val c1 = e.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") + 1)
+          .withColumn("op",
+            when(col("event_id") % 10 === 0, "D").otherwise("U"))
+          .withColumn("ord", lit(1L))
+          .unionByName(e.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("op", lit("I"))
+            .withColumn("ord", lit(2L)))
+        val c2 = e.filter(col("event_id") % 9 === 0)
+          .withColumn("op", lit("D")).withColumn("ord", lit(3L))
+          .unionByName(e.filter(col("event_id") % 7 === 0)
+            .withColumn("value", col("value") + 1000)
+            .withColumn("op", lit("U"))
+            .withColumn("ord", lit(4L)))
+        val v1 = Sinks.applyChangesSnapshot(s, tableDir, existing,
+          Seq("event_id"), "ord")
+        val v2 = Sinks.applyChangesSnapshot(s, tableDir, c1,
+          Seq("event_id"), "ord")
+        val (fb, fa, v3) = Sinks.compactSnapshot(s, tableDir,
+          targetBytes = 512L * 1024 * 1024)
+        val v4 = Sinks.applyChangesSnapshot(s, tableDir, c2,
+          Seq("event_id"), "ord")
+        val (removed, kept) = Sinks.vacuumSnapshot(s, tableDir, keepLast = 2)
+        Sinks.readSnapshot(s, tableDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .withColumn("versions_ok",
+            lit(Seq(v1, v2, v3, v4) == Seq(1, 2, 3, 4) && fa <= fb))
+          .withColumn("removed_versions", lit(removed.mkString(",")))
+          .withColumn("kept_versions", lit(kept.mkString(",")))
+          .withColumn("old_versions_gone",
+            lit(!Sinks.tableExists(s, s"$tableDir/v=1") &&
+              !Sinks.tableExists(s, s"$tableDir/v=2") &&
+              Sinks.tableExists(s, s"$tableDir/v=3")))
+      },
+      """WITH existing AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 3 = 0),
+        |c1 AS (
+        |  SELECT event_id, user_id, event_type, value + 1 AS value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(1 AS BIGINT) AS ord
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value * 2, 'I',
+        |    CAST(2 AS BIGINT)
+        |  FROM events WHERE event_id % 10 = 0),
+        |l1 AS (
+        |  SELECT * FROM c1
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY event_id ORDER BY ord DESC, op DESC) = 1),
+        |m1 AS (
+        |  SELECT e.event_id, e.user_id, e.event_type, e.value FROM existing e
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM l1)
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value
+        |  FROM l1 WHERE op <> 'D'),
+        |c2 AS (
+        |  SELECT event_id, user_id, event_type, value, 'D' AS op,
+        |    CAST(3 AS BIGINT) AS ord
+        |  FROM events WHERE event_id % 9 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value + 1000, 'U',
+        |    CAST(4 AS BIGINT)
+        |  FROM events WHERE event_id % 7 = 0),
+        |l2 AS (
+        |  SELECT * FROM c2
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY event_id ORDER BY ord DESC, op DESC) = 1),
+        |m2 AS (
+        |  SELECT m.event_id, m.user_id, m.event_type, m.value FROM m1 m
+        |  WHERE m.event_id NOT IN (SELECT event_id FROM l2)
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value
+        |  FROM l2 WHERE op <> 'D')
+        |SELECT event_id, user_id, event_type, value,
+        |  TRUE AS versions_ok, '1,2' AS removed_versions,
+        |  '3,4' AS kept_versions, TRUE AS old_versions_gone
+        |FROM m2""".stripMargin),
+
     // SNK2 — truncate-and-load (db_connector.py:120-150): the second load
     // REPLACES the first, so the read-back must contain only the second
     // batch. A stale-write-survives bug (append instead of overwrite)
