@@ -131,6 +131,20 @@ object ExtensionQueries {
     * oracle asserts them (TRUE constants + the exact query count); any
     * violation flips a boolean and hash-mismatches. All lazily composed —
     * no driver-side actions at construction. */
+  /** Scale-aware candidate budget for shortlist/re-rank stages: a FIXED
+    * budget covers 10× less of a 10× corpus, so recall decays with scale
+    * (the round-7 ann_pca_topk red row; the round-9 ScaleRecallCheck
+    * sweep measured PCA+Flat at 0.524 with shortlist=120 on a 20k-vector
+    * corpus). Budgets therefore scale linearly with corpus size with the
+    * tuned sf0.1 value as the floor — at the driver's SFs (500/2000
+    * rows) the formula reproduces the tuned constants exactly; beyond,
+    * the candidate FRACTION stays constant so measured recall holds
+    * (sweep at n=20000: PCA 0.524→0.944, PQ 0.719→0.988, IVF-PQ
+    * 0.616→0.761 — RECALL_SCALE.md). Costs one metadata-cheap count()
+    * per registered row. */
+  private def scaledBudget(n: Long, base: Int, frac: Double): Int =
+    math.max(base, math.ceil(frac * n).toInt)
+
   private def annInvariants(queries: DataFrame, approx: DataFrame,
                             exact: DataFrame, k: Int,
                             recallFloor: Double): DataFrame = {
@@ -417,18 +431,23 @@ object ExtensionQueries {
     // of 16 centroids each store every 64-dim float vector as 16 codes —
     // a 16× memory cut past SQ8's 4× — served by relational ADC (the
     // query's m·k dot table broadcast against the exploded codes, map-side
-    // partial sums) with exact re-rank of the 100-candidate shortlist.
+    // partial sums) with exact re-rank of the scaled candidate shortlist.
     // Same invariant-aggregate oracle as every approximate ANN row;
-    // recall floor 0.7 (measured 0.98 sf0.01 / 0.87 sf0.1).
+    // recall floor 0.7 (measured 0.98 sf0.01 / 0.87 sf0.1). Round 9:
+    // rerank rides [[scaledBudget]] (5% of the corpus, min 100 — exactly
+    // 100 at both driver SFs) so the exact re-rank keeps covering the
+    // same corpus fraction past sf0.1 (surrogate sweep at n=20000:
+    // 0.719 with the fixed 100 → 0.988 scaled).
     "ann_pq_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") % 50 === 0)
+        val rerank = scaledBudget(emb.count(), base = 100, frac = 0.05)
         val approx = Similarity.buildPqIndex(emb, m = 16, k = 16) match {
           case None => s.range(0).select(col("id").as("query_id"),
             col("id").as("rank"), col("id").as("neighbor_id"))
           case Some(idx) =>
-            Similarity.pqTopK(queries, emb, idx, k = 5, rerank = 100)
+            Similarity.pqTopK(queries, emb, idx, k = 5, rerank = rerank)
         }
         annInvariants(queries, approx,
           Similarity.bruteForceTopK(queries, emb, k = 5),
@@ -446,11 +465,12 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") % 50 === 0)
+        val rerank = scaledBudget(emb.count(), base = 100, frac = 0.05)
         val approx = (Similarity.buildIvfIndex(emb, nCentroids = 32,
           refineIters = 2), Similarity.buildPqIndex(emb, m = 16, k = 16)) match {
           case (Some(ivf), Some(pq)) =>
             Similarity.ivfPqTopK(queries, emb, ivf, pq, k = 5,
-              nProbe = 12, rerank = 100)
+              nProbe = 12, rerank = rerank)
           case _ => s.range(0).select(col("id").as("query_id"),
             col("id").as("rank"), col("id").as("neighbor_id"))
         }
@@ -540,15 +560,21 @@ object ExtensionQueries {
     // 0.850 at sf0.1, clearing the 0.7 floor with margin at both scales
     // (the round-7 k′=16/40 registration measured 0.52 at sf0.1 — a
     // fixed-size shortlist covers 10× less of a 10× corpus, so the
-    // tuning must be validated at the LARGEST served scale).
+    // tuning must be validated at the LARGEST served scale). Round 9
+    // closed the same hole one scale up: the ScaleRecallCheck surrogate
+    // sweep measured 0.524 at n=20000 with the fixed 120, so shortlist
+    // now rides [[scaledBudget]] (6% of the corpus, min 120 — exactly
+    // 120 at both driver SFs; 0.944 at 10× with the scaled budget).
     "ann_pca_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") % 50 === 0)
+        val shortlist = scaledBudget(emb.count(), base = 120, frac = 0.06)
         val approx = Similarity
           .pcaFit(Similarity.normalizedEmbeddings(emb), k = 32) match {
             case Some(model) =>
-              Similarity.pcaTopK(queries, emb, model, k = 5, shortlist = 120)
+              Similarity.pcaTopK(queries, emb, model, k = 5,
+                shortlist = shortlist)
             case None => s.range(0).select(col("id").as("query_id"),
               col("id").as("rank"), col("id").as("neighbor_id"))
           }

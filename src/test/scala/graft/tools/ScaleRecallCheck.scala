@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Round-9 ask #4 — ANN recall evidence beyond sf0.1. `/root/testdata`
+  * tops out at sf0.1 (2,000 embeddings) and is read-only, so this
+  * prober measures every REGISTERED ANN configuration on a
+  * deterministic sf1-SCALE SURROGATE corpus: n seeded isotropic unit
+  * vectors (d=64), which matches the measured generating distribution
+  * of the real corpus — unit norms (σ≈4e-8), label-cosine separation
+  * ≈0 (within 0.006 / cross −0.002 at sf0.1), and nearest-neighbour
+  * cosine growth consistent with isotropy (0.37@500 → 0.41@2000).
+  * Isotropy is also the HARD case for every index here (no cluster
+  * structure to exploit), so surrogate recall is a conservative bound.
+  *
+  * The tool first re-measures each config on the surrogate at n=2000
+  * (sf0.1 scale) to validate the surrogate against the real-corpus
+  * numbers pinned in ExtensionQueries, then at n=20000 (sf1 scale,
+  * 10×). Results are committed in RECALL_SCALE.md; a registered floor
+  * above its measured sf1-scale recall is a retuning bug.
+  *
+  * Usage: sbt "Test/runMain graft.tools.ScaleRecallCheck [n ...]" */
+object ScaleRecallCheck {
+
+  /** Deterministic isotropic unit vector for `id` — one Random stream
+    * per vector, seeded by a splitmix64-style mix so ids are decorrelated. */
+  private def unitVec(id: Long, d: Int): Array[Float] = {
+    var z = id * 0x9E3779B97F4A7C15L + 42L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val rnd = new java.util.Random(z ^ (z >>> 31))
+    val v = Array.fill(d)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private def corpus(spark: SparkSession, n: Int, d: Int = 64): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, unitVec(i.toLong, d).toSeq, i % 10)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .repartition(8)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2000, 20000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (n <- sizes) {
+      val emb = corpus(spark, n).localCheckpoint(eager = true)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .localCheckpoint(eager = true)
+      def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+      def rec(name: String, floor: Double, df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = (brute & pairs(df)).size.toDouble / brute.size
+        val sec = (System.nanoTime() - t0) / 1e9
+        val flag = if (r >= floor) "ok" else "BELOW FLOOR"
+        println(f"n=$n%6d  $name%-14s recall=$r%.3f floor=$floor%.1f " +
+          f"margin=${r - floor}%+.3f  $flag%s (${sec}%.1f s)")
+      }
+
+      // exactly the registered configurations (ExtensionQueries.scala)
+      rec("lsh", 0.7, Similarity.lshTopK(queries, emb, k = 5, bits = 4,
+        tables = 8, multiProbe = 2))
+      rec("ivf", 0.6, Similarity.ivfTopK(queries, emb, k = 5,
+        nCentroids = 32, nProbe = 12, refineIters = 2))
+      rec("sq8", 0.9, Similarity.sqTopK(queries, emb, k = 5, rerank = 20))
+      // scale-aware candidate budgets — a FIXED shortlist/rerank covers
+      // 10× less of a 10× corpus (the round-7 red-row class; this sweep
+      // caught PCA+Flat at 0.524 with shortlist=120 at n=20000). The
+      // registered queries use these same formulas.
+      val rerank = math.max(100, math.ceil(0.05 * n).toInt)
+      val shortlist = math.max(120, math.ceil(0.06 * n).toInt)
+      val pqIdx = Similarity.buildPqIndex(emb, m = 16, k = 16).get
+      rec("pq", 0.7,
+        Similarity.pqTopK(queries, emb, pqIdx, k = 5, rerank = rerank))
+      rec("ivfpq", 0.6, Similarity.buildIvfIndex(emb, nCentroids = 32,
+        refineIters = 2)
+        .map(ivf => Similarity.ivfPqTopK(queries, emb, ivf, pqIdx, k = 5,
+          nProbe = 12, rerank = rerank)).get)
+      val pcaModel = Similarity.pcaFit(
+        Similarity.normalizedEmbeddings(emb), k = 32).get
+      rec("pca", 0.7, Similarity.pcaTopK(queries, emb, pcaModel, k = 5,
+        shortlist = shortlist))
+      rec("pca_ivf", 0.6, Similarity.pcaIvfTopK(queries, emb, pcaModel,
+        k = 5, nCentroids = 32, nProbe = 12, refineIters = 2))
+    }
+    spark.stop()
+  }
+}
