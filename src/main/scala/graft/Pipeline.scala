@@ -181,6 +181,25 @@ object Pipeline {
       .drop("b1", "b2", "intercept", "x2", "threshold", "left_mean",
         "right_mean", "__route")
 
+  /** Public routed-serve entry (the reference's predict endpoint shape,
+    * main.py:320-391: look up the group's registered family, score with
+    * THAT family's stored model): score a feature frame carrying the two
+    * lag features — `pred_f` (last value, possibly forward-filled) and
+    * `x2` (second lag) — against the three persisted artifacts
+    * [[run]] publishes with `predictor = "routed"`. Keys absent from the
+    * routing table default "xgb"; groups whose routed family has no fit
+    * (or rows missing the feature the family needs) keep their incoming
+    * naive `pred_f` — exactly [[run]]'s train-time dispatch, so serve
+    * and train can never disagree. All three artifact joins broadcast
+    * (model-sized); the feature side streams at scan speed. */
+  def routedScore(feat: DataFrame, modelTypes: DataFrame,
+                  rnnParams: DataFrame, xgbParams: DataFrame): DataFrame =
+    applyRouted(
+      feat.join(broadcast(modelTypes.select(
+        (keyCols :+ col("model_type").as("__route")): _*)), key, "left")
+        .withColumn("__route", coalesce(col("__route"), lit("xgb"))),
+      rnnParams, xgbParams)
+
   /** Run E2+E3 over the canonical events frame (driver test schema:
     * event_id, ts, user_id, event_type, value). When `outDir` is set the
     * stage outputs are persisted through the reference's sink modes. */

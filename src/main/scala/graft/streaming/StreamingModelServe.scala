@@ -84,4 +84,33 @@ object StreamingModelServe {
       b => Features.gbmPredict(b, model, features.map(col), outCol),
       outDir, checkpointDir)
   }
+
+  /** Streaming sibling of the ROUTED pipeline serve (the reference's
+    * predict endpoint, main.py:320-391, as an unbounded feed): each
+    * micro-batch of feature rows — `(user_id, event_type, pred_f, x2)`,
+    * the caller supplies the recent-history lags exactly as the HTTP
+    * endpoint is called with recent values — is dispatched per group to
+    * its routed family via [[graft.Pipeline.routedScore]] against the
+    * three artifacts a `predictor = "routed"` [[graft.Pipeline.run]]
+    * persisted under `artifactsDir` (`model_types`,
+    * `predictor_params_rnn`, `predictor_params_xgb`). Artifacts load
+    * once at stream start (latest snapshot version, all model-sized and
+    * broadcast per batch); the identical batch dispatch expression
+    * scores every row, so batch parity is structural. */
+  def runRoutedServe(spark: SparkSession, featureStream: DataFrame,
+                     artifactsDir: String,
+                     outDir: String, checkpointDir: String): StreamingQuery = {
+    val modelTypes = graft.operators.Sinks
+      .readSnapshot(spark, s"$artifactsDir/model_types")
+      .localCheckpoint(eager = true)
+    val rnnParams = graft.operators.Sinks
+      .readSnapshot(spark, s"$artifactsDir/predictor_params_rnn")
+      .localCheckpoint(eager = true)
+    val xgbParams = graft.operators.Sinks
+      .readSnapshot(spark, s"$artifactsDir/predictor_params_xgb")
+      .localCheckpoint(eager = true)
+    runServe(featureStream,
+      b => graft.Pipeline.routedScore(b, modelTypes, rnnParams, xgbParams),
+      outDir, checkpointDir)
+  }
 }

@@ -117,6 +117,74 @@ class StreamingModelServeSpec extends SparkSpecBase {
     assert(sse < sse0 * 0.5, s"served GBM barely beats the mean: $sse vs $sse0")
   }
 
+  test("routed serve stream: per-group family dispatch through persisted pipeline artifacts, batch parity, both families engage") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_routedserve").toString
+    val ev = Tables.events(spark, sf0001)
+    // threshold 14: both families genuinely train (PipelineSpec fixture)
+    val cfg = Pipeline.Config(predictor = "routed", modelThreshold = 14)
+    val result = Pipeline.run(spark, ev, cfg, Some(s"$base/artifacts"))
+
+    // feature requests over REAL routed groups of both families + one
+    // unknown group (must fall back to the naive pred_f untouched)
+    val routes = result.modelTypes
+      .select("user_id", "event_type", "model_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rnnGroups = routes.filter(_._3 == "rnn").take(3)
+    val xgbGroups = routes.filter(_._3 == "xgb").take(3)
+    assert(rnnGroups.nonEmpty && xgbGroups.nonEmpty,
+      "fixture must route both families")
+    val requests = (rnnGroups ++ xgbGroups).zipWithIndex.toSeq.map {
+      case ((u, et, _), i) => (i.toLong, u, et, 40.0 + i, 35.0 + i)
+    } :+ ((99L, -1L, "no_such_type", 50.0, 45.0))
+    val reqDf = requests
+      .toDF("req_id", "user_id", "event_type", "pred_f", "x2")
+
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    val rows = reqDf.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def jsonOf(rs: Seq[org.apache.spark.sql.Row]): String =
+      rs.map { r =>
+        s"""{"req_id":${r.getLong(0)},"user_id":${r.getLong(1)},""" +
+          s""""event_type":"${r.getString(2)}","pred_f":${r.getDouble(3)},""" +
+          s""""x2":${r.getDouble(4)}}"""
+      }.mkString("\n")
+    Files.writeString(java.nio.file.Path.of(landing, "b1.json"), jsonOf(b1.toSeq))
+    Files.writeString(java.nio.file.Path.of(landing, "b2.json"), jsonOf(b2.toSeq))
+
+    val stream = spark.readStream
+      .schema("req_id LONG, user_id LONG, event_type STRING, pred_f DOUBLE, x2 DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+    val q = graft.streaming.StreamingModelServe.runRoutedServe(
+      spark, stream, s"$base/artifacts",
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def preds(d: org.apache.spark.sql.DataFrame) =
+      d.select("req_id", "pred_f").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = preds(spark.read.parquet(s"$base/out"))
+    val batch = preds(Pipeline.routedScore(reqDf,
+      operators.Sinks.readSnapshot(spark, s"$base/artifacts/model_types"),
+      operators.Sinks.readSnapshot(spark, s"$base/artifacts/predictor_params_rnn"),
+      operators.Sinks.readSnapshot(spark, s"$base/artifacts/predictor_params_xgb")))
+    assert(streamed.size === requests.length)
+    assert(streamed === batch)
+
+    // the unknown group kept its naive pred_f; each family changed at
+    // least one of its requests (the dispatch genuinely fired per route)
+    assert(streamed(99L) === 50.0)
+    val naive = requests.map(r => r._1 -> r._4).toMap
+    val rnnIds = requests.take(rnnGroups.length).map(_._1)
+    val xgbIds = requests.slice(rnnGroups.length,
+      rnnGroups.length + xgbGroups.length).map(_._1)
+    assert(rnnIds.exists(id => streamed(id) != naive(id)),
+      "no rnn-routed request was rescored")
+    assert(xgbIds.exists(id => streamed(id) != naive(id)),
+      "no xgb-routed request was rescored")
+  }
+
   test("logistic serve stream: served probabilities equal the batch sigmoid fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_logserve").toString
