@@ -1106,4 +1106,72 @@ object Features {
         col("b.nl").as("n_left"), col("b.nr").as("n_right"),
         col("b.n").as("n_fit")): _*)
   }
+
+  /** Rolling-origin (expanding-window) backtest — the standard
+    * time-series model-evaluation protocol the reference's single
+    * chronological validate split approximates (train.py:341-360 splits
+    * once; Tashman 2000 re-forecasts from k successive origins): each
+    * group's history is cut into `nFolds` chronological folds by the W5
+    * floor arithmetic, and every fold f ≥ 1 is scored against a model
+    * trained ONLY on folds < f — here the expanding-window mean model,
+    * the backtest baseline whose training is pure aggregation, so an
+    * external engine re-derives the SAME backtest bit-for-bit (the A6
+    * determinism contract: decimal-exact sums, one fixed double
+    * expression at the end).
+    *
+    * Output: one row per (group, fold ≥ 1) — n_test, n_train (rows in
+    * earlier folds), pred (the expanding-mean forecast), mse (per-fold
+    * test error, via MSE = Σv²/n − 2·pred·Σv/n + pred², exact sums).
+    * Fold 0 has no training window and is not scored; groups shorter
+    * than nFolds leave later folds empty (absent rows, never NULL
+    * metrics).
+    *
+    * Scale shape: one shuffle on the group key (the fold index is a
+    * PER-GROUP window over its own ordered rows — partitioned, never
+    * global), then an aggregation to ≤ nFolds rows per group and a
+    * window over that nFolds-bounded frame. Cost is indifferent to
+    * group count and linear in rows — the 100 TB shape. */
+  def rollingOriginBacktest(df: DataFrame, key: Seq[String],
+                            order: Seq[String], value: Column,
+                            nFolds: Int): DataFrame = {
+    require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
+    val domain = lit(1e11)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(order.map(col): _*)
+    val wcnt = Window.partitionBy(key.map(col): _*)
+    val vd = value.cast("decimal(17,6)")
+    val folded = df
+      .filter(value.isNotNull && abs(value) < domain)
+      .select((key.map(col) ++ order.map(col) :+ vd.as("__v")): _*)
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("__cnt", count(lit(1)).over(wcnt))
+      // W5 boundary arithmetic: rn*k and cnt are exact integers < 2^53,
+      // the double quotient is correctly rounded, floor of it exact —
+      // any engine lands every row in the same fold
+      .withColumn("fold",
+        least(lit(nFolds - 1).cast("long"),
+          floor(col("__rn") * nFolds / col("__cnt"))))
+    val perFold = folded
+      .groupBy((key.map(col) :+ col("fold")): _*)
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(col("__v")).as("__s1"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).as("__s2"))
+    val wf = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("fold"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perFold
+      .withColumn("__cum_n", sum(col("n_test")).over(wf))
+      .withColumn("__cum_s1", sum(col("__s1")).over(wf))
+      .filter(col("__cum_n").isNotNull && col("__cum_n") >= 1)
+      .withColumn("n_train", col("__cum_n").cast("long"))
+      .withColumn("pred",
+        col("__cum_s1").cast("double") / col("n_train"))
+      .withColumn("mse",
+        col("__s2").cast("double") / col("n_test") -
+          lit(2.0) * col("pred") *
+            (col("__s1").cast("double") / col("n_test")) +
+          col("pred") * col("pred"))
+      .drop("__s1", "__s2", "__cum_n", "__cum_s1")
+  }
 }

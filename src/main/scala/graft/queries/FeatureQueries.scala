@@ -1004,6 +1004,55 @@ object FeatureQueries {
         |  TRUE AS beats_null, TRUE AS serve_consistent
         |FROM feat
         |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND value IS NOT NULL
-        |  AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11""".stripMargin)
+        |  AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11""".stripMargin),
+
+    // A25 (round 9) — rolling-origin backtest
+    // (Features.rollingOriginBacktest): each group's history cut into 5
+    // chronological folds (the W5 floor arithmetic), every fold f >= 1
+    // scored by the expanding-window mean model trained on folds < f —
+    // the time-series evaluation protocol the reference's single
+    // validate split approximates. The whole backtest is decimal-exact
+    // sums + one fixed double expression per row (the A6 contract), so
+    // DuckDB re-derives every per-fold (n_train, pred, mse) bit-for-bit.
+    "a25_backtest" -> QueryDef(
+      (s, dir) => {
+        Features.rollingOriginBacktest(Tables.events(s, dir), key,
+          Seq("ts", "event_id"), col("value"), nFolds = 5)
+          .select(col("user_id"), col("event_type"), col("fold"),
+            col("n_test"), col("n_train"), col("pred"), col("mse"))
+      },
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(value AS DECIMAL(17,6)) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND abs(value) < 1e11),
+        |folded AS (
+        |  SELECT user_id, event_type, v,
+        |    least(CAST(4 AS BIGINT), CAST(floor(
+        |      (row_number() OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts, event_id) - 1) * 5 /
+        |      count(*) OVER (PARTITION BY user_id, event_type))
+        |      AS BIGINT)) AS fold
+        |  FROM base),
+        |per_fold AS (
+        |  SELECT user_id, event_type, fold,
+        |    count(*) AS n_test, sum(v) AS s1,
+        |    sum(CAST(v * v AS DECIMAL(38,6))) AS s2
+        |  FROM folded GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT *,
+        |    sum(n_test) OVER w AS cum_n, sum(s1) OVER w AS cum_s1
+        |  FROM per_fold
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY fold
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_type, fold, n_test,
+        |  CAST(cum_n AS BIGINT) AS n_train,
+        |  CAST(cum_s1 AS DOUBLE) / CAST(cum_n AS BIGINT) AS pred,
+        |  CAST(s2 AS DOUBLE) / n_test -
+        |    2.0 * (CAST(cum_s1 AS DOUBLE) / CAST(cum_n AS BIGINT)) *
+        |      (CAST(s1 AS DOUBLE) / n_test) +
+        |    (CAST(cum_s1 AS DOUBLE) / CAST(cum_n AS BIGINT)) *
+        |      (CAST(cum_s1 AS DOUBLE) / CAST(cum_n AS BIGINT)) AS mse
+        |FROM cum WHERE cum_n IS NOT NULL AND cum_n >= 1""".stripMargin)
   )
 }

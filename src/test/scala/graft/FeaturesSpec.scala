@@ -510,4 +510,38 @@ class FeaturesSpec extends SparkSpecBase {
     assert(math.abs(gen.coef(1) - ar1.getAs[Double]("slope")) < 1e-9)
     assert(math.abs(gen.coef(0) - ar1.getAs[Double]("intercept")) < 1e-9)
   }
+
+  test("rollingOriginBacktest: hand-checked folds, short groups, nulls excluded, partitioning-invariant") {
+    import spark.implicits._
+    // group a: values 1..10 over 5 folds of 2; group b: 3 rows (sparse
+    // folds 0/1/3); one null row must vanish before fold assignment
+    val rows = (1 to 10).map(i => ("a", i.toLong, Some(i.toDouble))) ++
+      Seq(("b", 1L, Some(10.0)), ("b", 2L, None), ("b", 3L, Some(20.0)),
+        ("b", 4L, Some(60.0)))
+    val df = rows.toDF("k", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Features.rollingOriginBacktest(d, Seq("k"), Seq("t"), col("v"), nFolds = 5)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("fold")) ->
+          ((r.getAs[Long]("n_test"), r.getAs[Long]("n_train"),
+            r.getAs[Double]("pred"), r.getAs[Double]("mse")))).toMap
+    val out = run(df)
+    // group a: expanding means 1.5/2.5/3.5/4.5, per-fold MSEs by hand
+    assert(out(("a", 1L)) === ((2L, 2L, 1.5, 4.25)))
+    assert(out(("a", 2L)) === ((2L, 4L, 2.5, 9.25)))
+    assert(out(("a", 3L)) === ((2L, 6L, 3.5, 16.25)))
+    assert(out(("a", 4L)) === ((2L, 8L, 4.5, 25.25)))
+    // group b: the null row is excluded BEFORE fold assignment, so 3
+    // surviving rows land in folds {0,1,3} (floor(rn*5/3)); fold 1
+    // trains on {10}, fold 3 on {10,20}; folds 2/4 are absent, not NULL
+    assert(out(("b", 1L)) === ((1L, 1L, 10.0, 100.0)))
+    assert(out(("b", 3L)) === ((1L, 2L, 15.0, 2025.0)))
+    assert(out.keySet === Set(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 1L), ("b", 3L)))
+    // fold boundaries are a pure function of (group order, count) —
+    // physical partitioning must not move any row across folds
+    assert(run(df.repartition(7)) === out)
+    intercept[IllegalArgumentException] {
+      Features.rollingOriginBacktest(df, Seq("k"), Seq("t"), col("v"), 1)
+    }
+  }
 }
