@@ -131,5 +131,50 @@ object AnalyticsQueries {
         |  GROUP BY p.user_id),
         |truth AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
         |SELECT user_id, est, true_n, est >= true_n AS over_ok
-        |FROM est JOIN truth USING (user_id)""".stripMargin))
+        |FROM est JOIN truth USING (user_id)""".stripMargin),
+
+    // HLL sketch artifacts (round 9) — the OTHER mergeable sketch the
+    // 100 TB playbook needs (count-min counts occurrences; HLL counts
+    // DISTINCTs): per-shard sketches built once (here one per
+    // event_type via the built-in Apache DataSketches hll_sketch_agg —
+    // kilobytes each, the persistable artifact), merged WITHOUT
+    // re-scanning data via hll_union_agg. The key law this row pins
+    // in-data: merging the per-shard sketches estimates the SAME global
+    // distinct count as sketching the whole corpus directly — the
+    // property that lets a 1000-executor fleet sketch partitions
+    // independently and combine results, and lets daily sketches roll
+    // up to monthly without touching raw data. Estimates are
+    // sketch-internal (no oracle re-derivation), so the registered
+    // output is exact distincts (hash-matched) + tolerance/merge-law
+    // booleans, the a11/ANN invariant convention; at the driver's
+    // cardinalities (≤1500) lgK=12 keeps the sketch in exact mode, and
+    // the 2%/5% tolerances cover the estimation regime beyond.
+    "sketch_hll_union" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir)
+        val perType = e.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            count_distinct(col("user_id")).as("n_exact"))
+        val laws = perType
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("sk"))).as("est_union"))
+          .crossJoin(e.agg(
+            hll_sketch_estimate(
+              hll_sketch_agg(col("user_id"), lit(12))).as("est_direct"),
+            count_distinct(col("user_id")).as("n_global")))
+          .select(
+            (abs(col("est_union") - col("est_direct")) <=
+              lit(0.02) * col("n_global")).as("merge_law_ok"),
+            (abs(col("est_union") - col("n_global")) <=
+              lit(0.05) * col("n_global")).as("global_est_ok"))
+        perType
+          .select(col("event_type"), col("n_exact"),
+            (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+              lit(0.05) * col("n_exact")).as("type_est_ok"))
+          .crossJoin(laws)
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS type_est_ok, TRUE AS merge_law_ok, TRUE AS global_est_ok
+        |FROM events GROUP BY 1""".stripMargin))
 }
