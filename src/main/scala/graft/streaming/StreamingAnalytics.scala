@@ -164,4 +164,116 @@ object StreamingAnalytics {
           FunnelReach(user, st.stage)
       }
   }
+
+  /** Incremental distinct counting over an unbounded stream via a
+    * persisted HLL sketch artifact (round 9 — the streaming face of the
+    * sketch_hll_union row): each micro-batch is sketched
+    * (`hll_sketch_agg`, kilobytes regardless of batch size), unioned
+    * with the artifact's current sketch (`hll_union`), and republished
+    * through [[graft.operators.Sinks.replaceSnapshot]] — so any reader
+    * gets the running distinct estimate for pennies and the raw stream
+    * is never re-scanned.
+    *
+    * Replay safety comes from the ALGEBRA, not the sink: HLL union is
+    * idempotent (per-register max), so an at-least-once redelivery of a
+    * batch unions in values the sketch already absorbed and the
+    * artifact is unchanged — no dedup bookkeeping, no state store. The
+    * versioned snapshot keeps concurrent readers on a complete
+    * artifact. State is ONE sketch row at lgK=12 (~2.5 KB) no matter
+    * how many billions of events pass — contrast exact streaming
+    * count-distinct, whose state grows with cardinality. */
+  def runHllDistinct(spark: SparkSession, stream: DataFrame, keyCol: String,
+                     artifactDir: String, checkpointDir: String,
+                     lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val batchSk = batch.agg(
+            hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
+          val merged =
+            if (graft.operators.Sinks.tableExists(spark, artifactDir))
+              graft.operators.Sinks.readSnapshot(spark, artifactDir)
+                .select(col("sk"))
+                .unionByName(batchSk)
+                .agg(hll_union_agg(col("sk")).as("sk"))
+            else batchSk
+          graft.operators.Sinks.replaceSnapshot(spark, artifactDir,
+            merged.select(col("sk"),
+              hll_sketch_estimate(col("sk")).as("estimate")))
+          ()
+        }
+      }
+      .start()
+
+  /** Incremental FREQUENCY sketch over an unbounded stream (round 9 —
+    * the streaming face of sketch_count_min, and the exactly-once
+    * pattern [[runHllDistinct]] does not need): each micro-batch's
+    * count-min cells ([[graft.operators.Sketches.countMin]], ≤ d·w rows
+    * whatever the batch size) are ADDED cell-wise into a persisted
+    * sketch artifact. Counter addition is NOT idempotent — an
+    * at-least-once redelivery would double-count — so the artifact
+    * carries a BATCH LEDGER: the apply step skips any batch id already
+    * recorded, making the merge transactional per batch (the standard
+    * foreachBatch exactly-once recipe: idempotence by bookkeeping where
+    * the algebra doesn't provide it; Spark's batch ids are stable across
+    * checkpoint-recovered retries, which is exactly what the ledger
+    * keys on). State is ≤ d·w cells + one ledger row per batch —
+    * kilobytes, never keyed by the stream's cardinality. */
+  def runCountMin(spark: SparkSession, stream: DataFrame, keyCol: String,
+                  width: Int, depth: Int, seed: String, artifactDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyCountMinBatch(spark, batch, id, keyCol, width, depth, seed,
+          artifactDir)
+      }
+      .start()
+
+  /** The transactional merge step of [[runCountMin]], factored out so a
+    * redelivery is directly testable: no-op when `batchId` is already in
+    * the ledger, otherwise cell-wise add + ledger append, both published
+    * through the same versioned snapshot (readers see a complete
+    * sketch+ledger pair or the previous version). */
+  private[graft] def applyCountMinBatch(spark: SparkSession, batch: DataFrame,
+                                        batchId: Long, keyCol: String,
+                                        width: Int, depth: Int, seed: String,
+                                        artifactDir: String): Unit = {
+    import graft.operators.{Sinks, Sketches}
+    if (batch.isEmpty) return
+    val cells = Sketches.countMin(batch, col(keyCol), width, depth, seed)
+      .withColumn("batch_id", lit(-1L)) // sketch rows carry no ledger id
+    if (!Sinks.tableExists(spark, artifactDir)) {
+      Sinks.replaceSnapshot(spark, artifactDir,
+        cells.unionByName(ledgerRow(spark, batchId)))
+    } else {
+      val current = Sinks.readSnapshot(spark, artifactDir)
+      val applied = current.filter(col("batch_id") >= 0)
+        .select("batch_id").collect().map(_.getLong(0)).toSet
+      if (applied.contains(batchId)) return // redelivery: exact no-op
+      val merged = current.filter(col("batch_id") < 0)
+        .unionByName(cells)
+        .groupBy(col("sk_row"), col("sk_col"))
+        .agg(sum(col("c")).as("c"))
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(current.filter(col("batch_id") >= 0))
+        .unionByName(ledgerRow(spark, batchId))
+      Sinks.replaceSnapshot(spark, artifactDir, merged)
+    }
+    ()
+  }
+
+  /** One ledger row marking `batchId` applied (cells are null/zero). */
+  private def ledgerRow(spark: SparkSession, batchId: Long): DataFrame = {
+    import spark.implicits._
+    Seq((batchId)).toDF("batch_id")
+      .select(lit(null).cast("int").as("sk_row"),
+        lit(null).cast("long").as("sk_col"), lit(0L).as("c"),
+        col("batch_id"))
+  }
 }

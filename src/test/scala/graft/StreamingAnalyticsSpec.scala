@@ -198,4 +198,93 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
         s"streamed funnel $streamed != batch funnel $expected")
     } finally q.stop()
   }
+
+  test("runHllDistinct: persisted sketch tracks the exact distinct count across batches; re-union of a delivered batch is a no-op") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    // two micro-batches with overlapping user sets (1-40, 21-60)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b1.json"),
+      (1 to 40).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b2.json"),
+      (21 to 60).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    val stream = spark.readStream.schema("user_id LONG")
+      .option("maxFilesPerTrigger", 1).json(landing)
+    val q = StreamingAnalytics.runHllDistinct(spark, stream, "user_id",
+      artifactDir = s"$base/artifact", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    // lgK=12 keeps cardinality 60 in the sketch's exact regime
+    val art = graft.operators.Sinks.readSnapshot(spark, s"$base/artifact")
+    assert(art.select("estimate").head.getLong(0) === 60L)
+    // two versions exist: v=1 after b1 (estimate 40), v=2 after both
+    assert(spark.read.parquet(s"$base/artifact/v=1")
+      .select("estimate").head.getLong(0) === 40L)
+
+    // at-least-once replay: unioning batch 1's sketch AGAIN leaves the
+    // estimate unchanged — HLL union is idempotent by algebra
+    val replayed = art.select(col("sk"))
+      .unionByName(spark.read.json(s"$landing/b1.json")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk")))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"))).as("estimate"))
+    assert(replayed.head.getLong(0) === 60L)
+  }
+
+  test("runCountMin: cell-wise sketch accretion across batches; redelivered batch id is an exact no-op (ledger)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sinks, Sketches}
+    val base = java.nio.file.Files.createTempDirectory("graft_scms").toString
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    // batch 1: users 1..10 once each; batch 2: users 1..5 again
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b1.json"),
+      (1 to 10).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b2.json"),
+      (1 to 5).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    val stream = spark.readStream.schema("user_id LONG")
+      .option("maxFilesPerTrigger", 1).json(landing)
+    val q = StreamingAnalytics.runCountMin(spark, stream, "user_id",
+      width = 32, depth = 4, seed = "scms", artifactDir = s"$base/artifact",
+      checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def estimates(): Map[Long, Long] = {
+      val sk = Sinks.readSnapshot(spark, s"$base/artifact")
+        .filter(col("batch_id") < 0).drop("batch_id")
+      val probes = (1 to 10).map(_.toLong).toDF("user_id")
+      Sketches.cmsEstimate(sk, probes, col("user_id"),
+        width = 32, depth = 4, seed = "scms")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val est = estimates()
+    // one-sided error: every estimate >= the true streamed count
+    (1 to 5).foreach(u => assert(est(u.toLong) >= 2L))
+    (6 to 10).foreach(u => assert(est(u.toLong) >= 1L))
+    // total mass is exact: cell sums per row equal total occurrences
+    val mass = Sinks.readSnapshot(spark, s"$base/artifact")
+      .filter(col("batch_id") < 0)
+      .groupBy(col("sk_row")).agg(sum(col("c")).as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(mass === Set(15L))
+
+    // redelivery of an APPLIED batch id: exact no-op, artifact unchanged
+    val before = Sinks.readSnapshot(spark, s"$base/artifact")
+      .collect().map(_.toString).sorted.toSeq
+    StreamingAnalytics.applyCountMinBatch(spark,
+      spark.read.json(s"$landing/b1.json"), batchId = 0L, "user_id",
+      width = 32, depth = 4, seed = "scms", artifactDir = s"$base/artifact")
+    val after = Sinks.readSnapshot(spark, s"$base/artifact")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "replayed batch mutated the sketch")
+    // a NEW batch id with the same rows DOES accrete (counts, not sets)
+    StreamingAnalytics.applyCountMinBatch(spark,
+      spark.read.json(s"$landing/b1.json"), batchId = 7L, "user_id",
+      width = 32, depth = 4, seed = "scms", artifactDir = s"$base/artifact")
+    val est2 = estimates()
+    (1 to 5).foreach(u => assert(est2(u.toLong) >= 3L))
+  }
 }
