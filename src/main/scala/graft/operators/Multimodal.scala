@@ -412,6 +412,57 @@ object Multimodal {
     }
   }
 
+  /** Container-metadata-only video row. */
+  final case class VideoMeta(doc_id: Long, n_frames: Long)
+
+  /** HEADER probe (round 9): frame count from the container's image
+    * directory WITHOUT decoding a single raster —
+    * `getNumImages(allowSearch = true)` walks the GIF block structure
+    * (skipping LZW image data), so the probe costs container parsing,
+    * not pixel decompression. This is the production shape for every
+    * stage that needs media METADATA (frame sampling plans, duration
+    * filters, shape-based routing): at 100 TB, decoding rasters to learn
+    * a frame count would burn the pipeline's entire CPU budget on pixels
+    * nobody reads. Same per-partition iterator shape as [[decodeVideos]]
+    * — a production probe swaps in an MP4 moov-box parse, not new
+    * plumbing. Still a REAL parse of real container bytes: a payload
+    * with a mangled frame directory fails loud here, identically to the
+    * full decode. */
+  def probeVideoFrames(spark: SparkSession,
+                       media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          require(n >= 1, s"no frames in container for doc $id")
+          reader.dispose()
+          iis.close()
+          VideoMeta(id, n.toLong)
+        }
+      }
+  }
+
+  /** [[sampleVideoFrames]]'s arithmetic over the HEADER probe instead of
+    * the full decode — the pair a real sampling pipeline runs (probe
+    * counts, pick indices, then decode ONLY the chosen frames). */
+  def sampleProbedFrames(spark: SparkSession, meta: Dataset[VideoMeta],
+                         k: Int): Dataset[FrameRef] = {
+    import spark.implicits._
+    meta.mapPartitions { batch =>
+      batch.flatMap { v =>
+        val idx = (0 until k).map(i => i.toLong * v.n_frames / k).distinct
+        idx.iterator.map(FrameRef(v.doc_id, _, v.n_frames))
+      }
+    }
+  }
+
   /** The batch decode stage: co-locate each media_type, then decode
     * partition-by-partition through the typed iterator (mapInPandas
     * shape). Returns the typed feature Dataset — payload projected away.

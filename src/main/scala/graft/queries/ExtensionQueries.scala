@@ -1639,13 +1639,17 @@ object ExtensionQueries {
         |  CAST((doc_id * 31) % 256 AS BIGINT) AS px000
         |FROM px GROUP BY doc_id, n_frames, width, height""".stripMargin),
 
-    // Frame sampling driven by the REAL container-derived frame count
-    // (mm_frame_sample's arithmetic over decodeVideos' n_frames instead
-    // of the fake's): k=4 evenly-spaced indices per clip, deduplicated
-    // when the clip is shorter than k.
+    // Frame sampling driven by the REAL container-derived frame count:
+    // k=4 evenly-spaced indices per clip, deduplicated when the clip is
+    // shorter than k. Round 9: n_frames comes from the HEADER probe
+    // (Multimodal.probeVideoFrames — container directory walk, zero
+    // raster decodes), the production shape for metadata-driven
+    // sampling; probe ≡ decode frame counts is spec-pinned on the same
+    // fixtures (MultimodalSpec), and mm_video_decode keeps the
+    // pixel-exact full decode under oracle.
     "mm_video_frame_sample" -> QueryDef(
-      (s, dir) => Multimodal.sampleVideoFrames(s,
-        Multimodal.decodeVideos(s,
+      (s, dir) => Multimodal.sampleProbedFrames(s,
+        Multimodal.probeVideoFrames(s,
           Multimodal.synthesizeVideos(s, Tables.documents(s, dir))),
         k = 4).toDF(),
       """WITH d AS (

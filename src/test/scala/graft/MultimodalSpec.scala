@@ -51,4 +51,32 @@ class MultimodalSpec extends SparkSpecBase {
       assert(rs.forall(_.n_frames == n))
     }
   }
+
+  test("video header probe: frame counts match the full decode on the same containers; sampling parity; corrupt container fails loud") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val media = Multimodal.synthesizeVideos(spark, docs)
+      .localCheckpoint(eager = true)
+    val probed = Multimodal.probeVideoFrames(spark, media)
+      .collect().map(m => m.doc_id -> m.n_frames).toMap
+    val decoded = Multimodal.decodeVideos(spark, media)
+      .collect().map(v => v.doc_id -> v.n_frames).toMap
+    assert(probed === decoded,
+      "header-probe frame counts diverge from the raster decode")
+    // sampling over the probe ≡ sampling over the decode
+    val viaProbe = Multimodal.sampleProbedFrames(spark,
+      Multimodal.probeVideoFrames(spark, media), k = 4)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.n_frames)).toSet
+    val viaDecode = Multimodal.sampleVideoFrames(spark,
+      Multimodal.decodeVideos(spark, media), k = 4)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.n_frames)).toSet
+    assert(viaProbe === viaDecode)
+    // a payload that is not a parseable container must fail loud, not
+    // report zero frames
+    import spark.implicits._
+    val junk = Seq((999L, Array.fill[Byte](64)(0x2a))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.probeVideoFrames(spark, junk).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
