@@ -423,4 +423,69 @@ object Sinks {
     require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
     spark.read.parquet(s"$tableDir/v=${versions.last}")
   }
+
+  /** A specific version of an [[upsertSnapshot]] table — time travel for
+    * the versioned layout (the Delta `VERSION AS OF` verb). Fails loud
+    * on a vacuumed or never-written version. */
+  def readSnapshotVersion(spark: SparkSession, tableDir: String,
+                          version: Int): DataFrame = {
+    val versions = listVersions(spark, tableDir)
+    require(versions.contains(version),
+      s"$tableDir has no v=$version (available: ${versions.mkString(",")})")
+    spark.read.parquet(s"$tableDir/v=$version")
+  }
+
+  /** INVERSE of [[applyChanges]] (round 9) — derive the I/U/D changelog
+    * that turns keyed snapshot `before` into `after`: the CDC SOURCE for
+    * systems that only keep snapshots (the Delta CHANGE DATA FEED verb
+    * computed by diff, or nightly-dump CDC where no transaction log
+    * exists). A key only in `after` emits I with its row; only in
+    * `before` emits D (payload from the old row); in both with ANY
+    * non-key column changed emits U with the new row; identical rows
+    * emit nothing — the MINIMAL feed.
+    *
+    * Round-trip law (spec- and oracle-pinned):
+    * `applyChanges(before, snapshotDiff(before, after, key)) ≡ after`,
+    * and the diff of identical snapshots is empty. Null-safe comparison
+    * (`<=>` per column) so a null→value or value→null change is a U,
+    * null==null is unchanged.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — the same
+    * exchange any snapshot comparison pays; no window, no skew pivot
+    * (keys are unique per side by the snapshot contract). Both sides
+    * must share the schema; columns are compared positionally by name. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   key: Seq[String], opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schema mismatch: ${before.columns.mkString(",")} vs " +
+        after.columns.mkString(","))
+    require(!before.columns.contains(opCol),
+      s"snapshot already carries a '$opCol' column")
+    val dataCols = before.columns.filterNot(key.contains).toSeq
+    // presence markers instead of key-null probes: a full-outer miss
+    // nulls the whole side, and unlike key columns the markers are
+    // never legitimately null
+    val b = before.select(
+      (before.columns.map(c => col(c).as(s"__b_$c")).toSeq :+
+        lit(true).as("__in_b")): _*)
+    val a = after.select(
+      (after.columns.map(c => col(c).as(s"__a_$c")).toSeq :+
+        lit(true).as("__in_a")): _*)
+    val joinCond = key.map(k => col(s"__b_$k") <=> col(s"__a_$k"))
+      .reduce(_ && _)
+    val changed = dataCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, joinCond, "full_outer")
+      .withColumn(opCol,
+        when(col("__in_b").isNull, "I")
+          .when(col("__in_a").isNull, "D")
+          .when(changed, "U"))
+      .filter(col(opCol).isNotNull)
+      .select((key.map(k =>
+        coalesce(col(s"__a_$k"), col(s"__b_$k")).as(k)) ++
+        dataCols.map(c =>
+          when(col(opCol) === "D", col(s"__b_$c"))
+            .otherwise(col(s"__a_$c")).as(c)) :+ col(opCol)): _*)
+  }
 }

@@ -284,6 +284,56 @@ object SinkQueries {
         |  '3,4' AS kept_versions, TRUE AS old_versions_gone
         |FROM m2""".stripMargin),
 
+    // SNK13 (round 9) — snapshot DIFF as a CDC source
+    // (Sinks.snapshotDiff, the inverse of applyChanges): derive the
+    // minimal I/U/D feed between two snapshot states — before =
+    // event_id%2, after = event_id%3 with %12 values bumped — so all
+    // three verbs occur (odd multiples of 3 → I, evens not divisible by
+    // 3 → D, %12 → U, %6-but-not-%12 → NOTHING, the minimality claim).
+    // The oracle re-derives the feed with a FULL OUTER JOIN + IS NOT
+    // DISTINCT FROM change predicate; the round-trip law
+    // applyChanges(before, diff) ≡ after is computed in-plan and rides
+    // as an asserted boolean (and is independently spec-pinned with
+    // nulls and multi-column keys in IngestSpec).
+    "snk13_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val before = e.filter(col("event_id") % 2 === 0)
+        val after = e.filter(col("event_id") % 3 === 0)
+          .withColumn("value",
+            when(col("event_id") % 12 === 0, col("value") + 1)
+              .otherwise(col("value")))
+        val diff = Sinks.snapshotDiff(before, after, Seq("event_id"))
+        val applied = Sinks.applyChanges(before,
+          diff.withColumn("ord", lit(1L)), Seq("event_id"), "ord")
+        val rt = applied.exceptAll(after).count() == 0 &&
+          after.exceptAll(applied).count() == 0
+        diff.withColumn("roundtrip_ok", lit(rt))
+      },
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 2 = 0),
+        |a AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 12 = 0 THEN value + 1 ELSE value END AS value
+        |  FROM events WHERE event_id % 3 = 0)
+        |SELECT
+        |  coalesce(a.event_id, b.event_id) AS event_id,
+        |  CASE WHEN a.event_id IS NULL THEN b.user_id ELSE a.user_id END
+        |    AS user_id,
+        |  CASE WHEN a.event_id IS NULL THEN b.event_type ELSE a.event_type END
+        |    AS event_type,
+        |  CASE WHEN a.event_id IS NULL THEN b.value ELSE a.value END AS value,
+        |  CASE WHEN b.event_id IS NULL THEN 'I'
+        |       WHEN a.event_id IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  TRUE AS roundtrip_ok
+        |FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
+        |WHERE b.event_id IS NULL OR a.event_id IS NULL
+        |  OR NOT (b.user_id IS NOT DISTINCT FROM a.user_id
+        |      AND b.event_type IS NOT DISTINCT FROM a.event_type
+        |      AND b.value IS NOT DISTINCT FROM a.value)""".stripMargin),
+
     // SNK2 — truncate-and-load (db_connector.py:120-150): the second load
     // REPLACES the first, so the read-back must contain only the second
     // batch. A stale-write-survives bug (append instead of overwrite)

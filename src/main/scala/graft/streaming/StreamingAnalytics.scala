@@ -220,8 +220,10 @@ object StreamingAnalytics {
     * foreachBatch exactly-once recipe: idempotence by bookkeeping where
     * the algebra doesn't provide it; Spark's batch ids are stable across
     * checkpoint-recovered retries, which is exactly what the ledger
-    * keys on). State is ≤ d·w cells + one ledger row per batch —
-    * kilobytes, never keyed by the stream's cardinality. */
+    * keys on). Batch ids are MONOTONIC, so the ledger is ONE row
+    * holding the highest applied id — `batchId <= maxApplied` means
+    * already-applied. State is ≤ d·w cells + 1 ledger row — kilobytes
+    * forever, never keyed by stream cardinality OR stream length. */
   def runCountMin(spark: SparkSession, stream: DataFrame, keyCol: String,
                   width: Int, depth: Int, seed: String, artifactDir: String,
                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -236,10 +238,12 @@ object StreamingAnalytics {
       .start()
 
   /** The transactional merge step of [[runCountMin]], factored out so a
-    * redelivery is directly testable: no-op when `batchId` is already in
-    * the ledger, otherwise cell-wise add + ledger append, both published
-    * through the same versioned snapshot (readers see a complete
-    * sketch+ledger pair or the previous version). */
+    * redelivery is directly testable: no-op when `batchId` is at or
+    * below the ledger's high-water mark (batch ids are monotonic — the
+    * [[runCountMin]] contract), otherwise cell-wise add + ledger
+    * advance, both published through the same versioned snapshot
+    * (readers see a complete sketch+ledger pair or the previous
+    * version). */
   private[graft] def applyCountMinBatch(spark: SparkSession, batch: DataFrame,
                                         batchId: Long, keyCol: String,
                                         width: Int, depth: Int, seed: String,
@@ -253,15 +257,14 @@ object StreamingAnalytics {
         cells.unionByName(ledgerRow(spark, batchId)))
     } else {
       val current = Sinks.readSnapshot(spark, artifactDir)
-      val applied = current.filter(col("batch_id") >= 0)
-        .select("batch_id").collect().map(_.getLong(0)).toSet
-      if (applied.contains(batchId)) return // redelivery: exact no-op
+      val maxApplied = current.filter(col("batch_id") >= 0)
+        .agg(max(col("batch_id"))).head.getLong(0)
+      if (batchId <= maxApplied) return // redelivery: exact no-op
       val merged = current.filter(col("batch_id") < 0)
         .unionByName(cells)
         .groupBy(col("sk_row"), col("sk_col"))
         .agg(sum(col("c")).as("c"))
         .withColumn("batch_id", lit(-1L))
-        .unionByName(current.filter(col("batch_id") >= 0))
         .unionByName(ledgerRow(spark, batchId))
       Sinks.replaceSnapshot(spark, artifactDir, merged)
     }

@@ -349,4 +349,57 @@ class IngestSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(round === (1 to 1000).map(i => (i.toLong, s"row$i")).toSet)
   }
+
+  test("snapshotDiff: minimal I/U/D feed, null-safe change detection, multi-col key, round-trip law, guards") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val before = Seq(
+      (1L, "a", Option(10.0)), // unchanged
+      (2L, "a", Option(20.0)), // value changes -> U
+      (3L, "b", Option(30.0)), // deleted -> D
+      (4L, "b", None),         // null -> value -> U
+      (5L, "c", Option(50.0)), // value -> null -> U
+      (6L, "c", None)          // null -> null: unchanged
+    ).toDF("k1", "k2", "v")
+    val after = Seq(
+      (1L, "a", Option(10.0)),
+      (2L, "a", Option(21.0)),
+      (4L, "b", Option(40.0)),
+      (5L, "c", Option.empty[Double]),
+      (6L, "c", None),
+      (7L, "d", Option(70.0)) // new -> I
+    ).toDF("k1", "k2", "v")
+
+    val diff = Sinks.snapshotDiff(before, after, Seq("k1", "k2"))
+    val got = diff.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (2L, "a", Some(21.0), "U"),
+      (3L, "b", Some(30.0), "D"),
+      (4L, "b", Some(40.0), "U"),
+      (5L, "c", None, "U"),
+      (7L, "d", Some(70.0), "I")))
+
+    // round-trip law: applying the diff to `before` reproduces `after`
+    val applied = Sinks.applyChanges(before,
+      diff.withColumn("ord", org.apache.spark.sql.functions.lit(1L)),
+      Seq("k1", "k2"), "ord")
+    assert(applied.exceptAll(after).count() === 0)
+    assert(after.exceptAll(applied).count() === 0)
+
+    // identical snapshots diff to the empty feed
+    assert(Sinks.snapshotDiff(before, before, Seq("k1", "k2")).count() === 0)
+
+    // guards: schema mismatch and pre-existing op column fail loud
+    intercept[IllegalArgumentException] {
+      Sinks.snapshotDiff(before, after.withColumnRenamed("v", "w"), Seq("k1"))
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.snapshotDiff(
+        before.withColumn("op", org.apache.spark.sql.functions.lit("x")),
+        after.withColumn("op", org.apache.spark.sql.functions.lit("x")),
+        Seq("k1"))
+    }
+  }
 }
