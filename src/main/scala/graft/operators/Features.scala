@@ -1174,4 +1174,140 @@ object Features {
           col("pred") * col("pred"))
       .drop("__s1", "__s2", "__cum_n", "__cum_s1")
   }
+
+  /** Out-of-fold smoothed target encoding (round 9) — the leakage-safe
+    * categorical encoder every tabular training pipeline needs: the
+    * encoding a row sees EXCLUDES its own fold's target values,
+    *   te = (S_cat − S_{cat,fold} + m·prior) / (n_cat − n_{cat,fold} + m)
+    * with `prior` the global target mean and `m` the smoothing
+    * pseudo-count (the standard mean-encoding regularizer; a category
+    * seen only in the row's own fold falls back to the prior exactly).
+    *
+    * Scale shape: ONE shuffle on (cat, fold) for the sufficient
+    * statistics (map-side combined), category totals via a window over
+    * the tiny per-(cat,fold) frame — never a second scan — and the
+    * join back to rows is on (cat, fold) where AQE broadcasts the
+    * statistics side (cardinality = |cats|·k, data-independent).
+    * Determinism: all sums DECIMAL(17,6) (A6 convention), the final
+    * arithmetic is single IEEE ops on identically-derived doubles.
+    *
+    * `fold` must be a deterministic pure function of the row (e.g.
+    * `pmod(col("id"), lit(k))`) so train/serve agree. */
+  def targetEncode(
+      df: DataFrame,
+      cat: Column,
+      target: Column,
+      fold: Column,
+      smoothing: Double): DataFrame = {
+    val stats = df
+      .groupBy(cat.as("__cat"), fold.as("__fold"))
+      .agg(sum(target.cast("decimal(17,6)")).as("__s"),
+        count(target).as("__n"))
+    val wc = Window.partitionBy(col("__cat"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val oof = stats
+      .withColumn("__cat_s", sum(col("__s")).over(wc))
+      .withColumn("__cat_n", sum(col("__n")).over(wc))
+    val prior = df.agg(
+      (sum(target.cast("decimal(17,6)")).cast("double") /
+        count(target)).as("__prior"))
+    df.withColumn("__cat", cat).withColumn("__fold", fold)
+      .join(oof, Seq("__cat", "__fold"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("te",
+        ((col("__cat_s") - col("__s")).cast("double") +
+          lit(smoothing) * col("__prior")) /
+          ((col("__cat_n") - col("__n")).cast("double") + lit(smoothing)))
+      .drop("__cat", "__fold", "__s", "__n", "__cat_s", "__cat_n", "__prior")
+  }
+
+  /** Equi-depth discretization (round 9): per-group TYPE-1 (lower order
+    * statistic) quantile cut points — cut_p = value at rank ceil(p·n) —
+    * and bin(x) = #cuts strictly below x. Order statistics instead of
+    * interpolation for the a18 reason: a value AT a rank is
+    * bitwise-identical across engines, an interpolated value is not
+    * (Spark computes v_l·(1−f)+v_h·f, DuckDB v_l+(v_h−v_l)·f — equal
+    * algebra, different last-ulp). Nulls are excluded from ranking and
+    * bin to 0 (the CASE's ELSE), matching the SQL oracle shape.
+    *
+    * Scale: one per-group sort window for the ranks (the a18-accepted
+    * exact path; swap in approx_percentile at the call site when a
+    * single group outgrows a partition), then the cut frame is
+    * |groups|×|probs| — broadcast back, never a second data shuffle. */
+  def quantileBins(
+      df: DataFrame,
+      group: Seq[String],
+      value: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0),
+      s"probs must lie strictly inside (0,1): $probs")
+    val gc = group.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(value)
+    val frame = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df.filter(value.isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(frame))
+    val cutCols = probs.zipWithIndex.map { case (p, i) =>
+      max(when(col("__rn") ===
+        ceil(lit(p) * col("__n")).cast("long"), value)).as(s"cut_$i")
+    }
+    val cuts = ranked.groupBy(gc: _*).agg(cutCols.head, cutCols.tail: _*)
+    val bin = probs.indices
+      .map(i => when(value > col(s"cut_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.join(broadcast(cuts), group).withColumn("bin", bin)
+  }
+
+  /** Robust per-group outlier flagging (round 9): median/MAD z-score —
+    * the skew-immune alternative to the mean/std z-score (a20). A point
+    * is an outlier when |x − median| > k · 1.4826 · MAD (1.4826 scales
+    * MAD to σ under normality; MAD = median of absolute deviations).
+    *
+    * Exactness: values are quantized to BIGINT micro-units (the a18
+    * convention) and both medians come from the k-th-smallest
+    * formulation, kept in DOUBLED micro-units (m_lo+m_hi) so the
+    * even-count halving never leaves the integers — every quantity in
+    * the comparison is an exact integer rendered to double, and the
+    * single k·1.4826 multiply is the only rounding step, identical in
+    * both engines. Zero-MAD groups degrade naturally: the threshold
+    * collapses to 0 and any deviation from the median flags, while the
+    * constant group itself stays clean (strict `>`).
+    *
+    * Scale: two per-group sort windows (median, then deviation median)
+    * — the exact path; the group-statistics joins are broadcast-sized
+    * (|groups| rows). */
+  def madOutliers(
+      df: DataFrame,
+      group: Seq[String],
+      value: Column,
+      k: Double): DataFrame = {
+    val gc = group.map(col)
+    def medianDoubled(in: DataFrame, c: Column, out: String): DataFrame = {
+      val w = Window.partitionBy(gc: _*).orderBy(c)
+      val frame = Window.partitionBy(gc: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(frame))
+        .groupBy(gc: _*)
+        .agg((max(when(col("__rn") === expr("(__n + 1) DIV 2"), c)) +
+          max(when(col("__rn") === expr("(__n + 2) DIV 2"), c))).as(out))
+    }
+    val vMicro = round(value * lit(1e6)).cast("long")
+    val base = df.filter(value.isNotNull).withColumn("__v", vMicro)
+    // med2 = 2·median in micro-units (exact integer)
+    val med = medianDoubled(base, col("__v"), "med2")
+    val withMed = base.join(broadcast(med), group)
+      // |x − median| in doubled micro-units — still exact integers
+      .withColumn("__dev2", abs(col("__v") * 2 - col("med2")))
+    // mad4 = 2·MAD in doubled micro-units = 4·MAD in micro-units
+    val mad = medianDoubled(withMed, col("__dev2"), "mad4")
+    withMed.join(broadcast(mad), group)
+      .withColumn("median", col("med2").cast("double") / lit(2e6))
+      .withColumn("mad", col("mad4").cast("double") / lit(4e6))
+      .withColumn("is_outlier",
+        col("__dev2").cast("double") / lit(2e6) >
+          lit(k * 1.4826) * col("mad"))
+      .drop("__v", "__dev2")
+  }
 }

@@ -37,4 +37,54 @@ object Profiling {
           col("n_distinct"), col("min_str"), col("max_str"))
     }.reduce(_ unionAll _)
   }
+
+  /** Pairwise Pearson correlation matrix (round 9) — the first screen
+    * of any feature audit. ONE aggregate pass computes every pair's
+    * sufficient statistics (n, Σx, Σy, Σxy, Σxx, Σyy) — unlike
+    * [[columnProfile]] there is no exact-distinct Expand trap here, so
+    * a single map-side-combined pass is strictly better than p(p−1)/2
+    * scans. Rows where EITHER side of a pair is null/over-domain drop
+    * from that pair only (pairwise deletion, the pandas `.corr()`
+    * default).
+    *
+    * Determinism: sums follow the ar1ParamCtes DECIMAL ladder
+    * (17,6 → 19,6 factors, 38,6 products) so both engines reduce in
+    * exact arithmetic regardless of partition order; the final
+    * (n·Σxy − ΣxΣy)/√(…·…) is a fixed IEEE expression on
+    * identically-derived doubles. Zero-variance columns yield NULL
+    * corr (0/0 guard), the SQL convention. */
+  def corrMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, s"need at least two columns: $columns")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns $missing not in frame")
+    val pairs = for {
+      i <- columns.indices; j <- columns.indices if i < j
+    } yield (columns(i), columns(j))
+    def d17(c: String) = col(c).cast("decimal(17,6)")
+    def d19(c: String) = d17(c).cast("decimal(19,6)")
+    def ok(c: String) = col(c).isNotNull && abs(col(c)) < 1e11
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = ok(x) && ok(y)
+      def s(e: org.apache.spark.sql.Column, name: String) =
+        sum(when(both, e)).as(s"${name}_$i")
+      Seq(
+        count(when(both, lit(1))).as(s"n_$i"),
+        s(d17(x), "sx"), s(d17(y), "sy"),
+        s((d19(x) * d19(y)).cast("decimal(38,6)"), "sxy"),
+        s((d19(x) * d19(x)).cast("decimal(38,6)"), "sxx"),
+        s((d19(y) * d19(y)).cast("decimal(38,6)"), "syy"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val n = col(s"n_$i").cast("double")
+      def dbl(p: String) = col(s"${p}_$i").cast("double")
+      val cov = n * dbl("sxy") - dbl("sx") * dbl("sy")
+      val vx = n * dbl("sxx") - dbl("sx") * dbl("sx")
+      val vy = n * dbl("syy") - dbl("sy") * dbl("sy")
+      stats.select(
+        lit(x).as("col_x"), lit(y).as("col_y"), col(s"n_$i").as("n"),
+        when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("corr"))
+    }
+    rows.reduce(_ unionAll _)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: per-group calendar resampling with
+  * gap-fill — the pandas `groupby(...).resample(...).agg(...).ffill()`
+  * shape the reference's calendar pipeline implies (a per-(Currency,
+  * Event) series with missing days between economic releases; fastapi
+  * model/ML Pipeline/train.py:423-429 sorts + ffills but never
+  * regularizes the grid — AR-style lag features silently treat a
+  * 3-day gap like a 1-step lag. This operator materializes the even
+  * grid those models actually assume).
+  *
+  * Scale shape (north star = 100 TB):
+  *  - the spine is generated PER GROUP with `sequence()` + `explode` —
+  *    distributed, never a driver-side calendar loop; output size is
+  *    bounded by groups × (span / interval), independent of input row
+  *    count within a bucket.
+  *  - the daily aggregate and the spine join share the (group, bucket)
+  *    key, so AQE coalesces them into one co-partitioned exchange.
+  *  - the forward-fill is the standard per-group ordered window — the
+  *    same single shuffle every other W-op in this file family uses.
+  *
+  * Determinism: the per-bucket value sum runs in DECIMAL(17,6) (the A6
+  * convention — see Features.regressionMetrics scaladoc) so engines
+  * agree bitwise regardless of intra-bucket reduction order.
+  */
+object Resample {
+
+  /** Per-`keys` daily resample of `valueCol`: one row per (group, day)
+    * from the group's first to last day, `day_sum` = decimal-exact sum
+    * of that day's values (0 on empty days is NOT assumed — see
+    * `filled`), `n_rows` = that day's row count, `is_gap` = no source
+    * rows, `filled` = day_sum forward-filled across gaps (a gap day
+    * carries the last observed day's total, the pandas
+    * `.resample('D').sum(min_count=1).ffill()` semantics).
+    */
+  def resampleDailyFfill(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val day = to_date(col(tsCol))
+    // per-(group, day) pre-aggregate: decimal-exact, map-side combined
+    val daily = df
+      .groupBy(kc :+ day.as("day"): _*)
+      .agg(
+        sum(col(valueCol).cast("decimal(17,6)")).cast("double").as("day_sum"),
+        count(lit(1)).as("n_rows"))
+    // per-group spine: sequence() is evaluated row-wise on the executor
+    // holding that group's min/max — no driver calendar materialization
+    val spine = df
+      .groupBy(kc: _*)
+      .agg(min(day).as("d0"), max(day).as("d1"))
+      .select(kc :+ explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(daily, keys :+ "day", "left")
+      .select(kc ++ Seq(
+        col("day"),
+        col("day_sum"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("day_sum").isNull.as("is_gap"),
+        last(col("day_sum"), ignoreNulls = true).over(w).as("filled")): _*)
+  }
+}

@@ -231,4 +231,53 @@ object Sampling {
     // is dropped rather than silently over-sampled at some default rate
     stratified(df, key, domain, fracs, defaultFraction = 0.0, seed, algo)
   }
+
+  /** Weighted sampling, Poisson-PPS form (round 9): each row is kept
+    * independently with probability min(1, k·w/W) — expected sample
+    * size k, inclusion probability proportional to weight. This is the
+    * 100 TB path: ONE long-sum aggregate for W (exact, order-free),
+    * then a MAP-ONLY gate `bucket(key) < p·Scale` — no global sort, no
+    * top-k shuffle, and fully deterministic (the hash bucket is exact
+    * integer arithmetic; p is a fixed chain of IEEE ops on
+    * exactly-derived operands — no `pow`, the temperatureMixture
+    * lesson). Rows with null/non-positive weight are excluded (they
+    * have no well-defined inclusion probability).
+    *
+    * For EXACT sample size use [[weightedTopK]] (A-Res) — at the cost
+    * of a top-k reduction and a `pow` that keeps it out of the
+    * cross-engine oracle. */
+  def ppsSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                seed: String, algo: String = "xxh64"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val eligible = df.filter(weight.isNotNull && weight > 0)
+    val tot = eligible.agg(sum(weight.cast("long")).as("__w_total"))
+    eligible.crossJoin(broadcast(tot))
+      .withColumn("p", least(lit(1.0),
+        (lit(k.toDouble) * weight.cast("double")) /
+          col("__w_total").cast("double")))
+      .filter(bucket(key, seed, algo).cast("double") < col("p") * Scale)
+      .drop("__w_total")
+  }
+
+  /** Weighted sampling WITHOUT replacement, exact size k — the
+    * Efraimidis–Spirakis A-Res reservoir: es_key = u^(1/w) with u a
+    * deterministic 60-bit hash uniform in (0,1], take the k largest.
+    * Distributed as per-partition top-k merged on the driver
+    * (TakeOrderedAndProject — never a global sort). `pow` is not
+    * correctly-rounded-guaranteed across engines, so this variant is
+    * spec-pinned rather than oracle-paired; [[ppsSample]] is the
+    * oracle-clean sibling. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int,
+                   seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 60-bit md5 uniform — finer than bucket()'s 1e6 grid so es_key ties
+    // are hash collisions (2^-60), not grid collisions
+    val v = conv(substring(md5(concat(key.cast("string"), lit(":" + seed))),
+      1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("es_key", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("es_key").desc, key.asc)
+      .limit(k)
+  }
 }

@@ -16,7 +16,97 @@ object AnalyticsQueries {
 
   private val funnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** Generated DuckDB oracle for a27_corr_matrix — one statistics CTE
+    * mirroring Profiling.corrMatrix's DECIMAL ladder (the ar1ParamCtes
+    * 17,6 → 19,6 → 38,6 shape) per pair, then one SELECT per pair
+    * unioned. Generated from the same pair list as the Spark side so
+    * the two can never drift. */
+  private def corrOracle(cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def d19(c: String) = s"CAST(CAST($c AS DECIMAL(17,6)) AS DECIMAL(19,6))"
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = s"$x IS NOT NULL AND abs($x) < 1e11 AND " +
+        s"$y IS NOT NULL AND abs($y) < 1e11"
+      Seq(
+        s"count(CASE WHEN $both THEN 1 END) AS n_$i",
+        s"sum(CASE WHEN $both THEN CAST($x AS DECIMAL(17,6)) END) AS sx_$i",
+        s"sum(CASE WHEN $both THEN CAST($y AS DECIMAL(17,6)) END) AS sy_$i",
+        s"sum(CASE WHEN $both THEN CAST(${d19(x)} * ${d19(y)} AS DECIMAL(38,6)) END) AS sxy_$i",
+        s"sum(CASE WHEN $both THEN CAST(${d19(x)} * ${d19(x)} AS DECIMAL(38,6)) END) AS sxx_$i",
+        s"sum(CASE WHEN $both THEN CAST(${d19(y)} * ${d19(y)} AS DECIMAL(38,6)) END) AS syy_$i")
+    }
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val n = s"CAST(n_$i AS DOUBLE)"
+      def dbl(p: String) = s"CAST(${p}_$i AS DOUBLE)"
+      val cov = s"($n * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vx = s"($n * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val vy = s"($n * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      s"SELECT '$x' AS col_x, '$y' AS col_y, n_$i AS n, " +
+        s"CASE WHEN $vx > 0 AND $vy > 0 THEN $cov / sqrt($vx * $vy) END AS corr FROM s"
+    }
+    s"WITH s AS (SELECT ${aggs.mkString(", ")} FROM lineitem)\n" +
+      rows.mkString("\nUNION ALL\n")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // A27 (ext, round 9) — pairwise Pearson correlation matrix over the
+    // lineitem measures in ONE aggregate pass (sufficient statistics
+    // per pair; no Expand trap — see Profiling.corrMatrix scaladoc).
+    // Decimal-exact sums make the matrix hash-pairable; the oracle SQL
+    // is GENERATED from the same pair list so the ladders cannot drift.
+    "a27_corr_matrix" -> QueryDef(
+      (s, dir) => graft.operators.Profiling.corrMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      corrOracle(Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // SK3 (ext, round 9) — HLL set-operation estimates: distinct-user
+    // overlap between two behavioral segments via inclusion–exclusion
+    // (|A∩B| ≈ est(A)+est(B)−est(A∪B)) — the audience-overlap question
+    // sketches answer at 100 TB without a distinct-join. hll_union is
+    // the pairwise (non-agg) merge of two persisted sketch artifacts.
+    // Estimates are sketch-internal, so as with sketch_hll_union the
+    // registered row hash-pins EXACT counts and in-data tolerance
+    // booleans (intersection error is relative to the UNION size, the
+    // standard inclusion–exclusion caveat).
+    "sketch_hll_intersect" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir)
+        val a = e.filter(col("event_type") === "purchase")
+        val b = e.filter(col("event_type") === "click")
+        val sk = a.agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk_a"),
+            count_distinct(col("user_id")).as("n_a"))
+          .crossJoin(b.agg(
+            hll_sketch_agg(col("user_id"), lit(12)).as("sk_b"),
+            count_distinct(col("user_id")).as("n_b")))
+        val exact = a.select(col("user_id"))
+          .intersect(b.select(col("user_id")))
+          .agg(count(lit(1)).as("n_intersect"))
+          .crossJoin(a.select(col("user_id")).union(b.select(col("user_id")))
+            .distinct().agg(count(lit(1)).as("n_union")))
+        sk.crossJoin(exact)
+          .select(col("n_a"), col("n_b"), col("n_union"), col("n_intersect"),
+            (abs(hll_sketch_estimate(col("sk_a"))
+              + hll_sketch_estimate(col("sk_b"))
+              - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+              - col("n_intersect")) <= lit(0.05) * col("n_union"))
+              .as("intersect_ok"))
+      },
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'click')
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+        |    AS n_union,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        |    AS n_intersect,
+        |  TRUE AS intersect_ok""".stripMargin),
 
     // EV1 — ordered funnel: users reaching each stage with all prior
     // stages completed in (ts, event_id) order. The oracle re-derives

@@ -584,6 +584,55 @@ object CoreQueries {
         .agg(count(col("k")).as("n_k"), round(avg(col("k")), 6).as("avg_k")),
       """SELECT event_type, count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
         |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    // A26 (ext, round 9) — robust median/MAD outlier flagging, the
+    // skew-immune sibling of a20's mean/std z-score. Both medians ride
+    // the a18 k-th-smallest BIGINT-micro-unit formulation (med2 = 2·med,
+    // mad4 = 4·MAD — the doubled units keep even-count halving integer),
+    // so every compared quantity is an exact integer rendered to double
+    // and the engines agree bitwise. k = 3 of the normal-consistent
+    // 1.4826·MAD. Scale notes in Features.madOutliers.
+    "a26_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Features.madOutliers(Tables.events(s, dir),
+          Seq("event_type"), col("value"), k = 3.0)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("median"), col("mad"), col("is_outlier"))
+      },
+      """WITH v AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN vm END)
+        |      + max(CASE WHEN rn = (n + 2) // 2 THEN vm END) AS med2
+        |  FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT v.event_id, v.event_type, v.value, v.vm, med.med2,
+        |    abs(v.vm * 2 - med.med2) AS dev2
+        |  FROM v JOIN med USING (event_type)),
+        |dr AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+        |      + max(CASE WHEN rn = (n + 2) // 2 THEN dev2 END) AS mad4
+        |  FROM dr GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  CAST(d.med2 AS DOUBLE) / 2e6 AS median,
+        |  CAST(mad.mad4 AS DOUBLE) / 4e6 AS mad,
+        |  CAST(d.dev2 AS DOUBLE) / 2e6 >
+        |    3.0 * 1.4826 * (CAST(mad.mad4 AS DOUBLE) / 4e6) AS is_outlier
+        |FROM d JOIN mad USING (event_type)""".stripMargin)
   )
 }

@@ -1053,6 +1053,108 @@ object FeatureQueries {
         |      (CAST(s1 AS DOUBLE) / n_test) +
         |    (CAST(cum_s1 AS DOUBLE) / CAST(cum_n AS BIGINT)) *
         |      (CAST(cum_s1 AS DOUBLE) / CAST(cum_n AS BIGINT)) AS mse
-        |FROM cum WHERE cum_n IS NOT NULL AND cum_n >= 1""".stripMargin)
+        |FROM cum WHERE cum_n IS NOT NULL AND cum_n >= 1""".stripMargin),
+
+    // W12 (ext) — per-group daily resample + gap-fill (round 9): the
+    // pandas `.resample('D').sum(min_count=1).ffill()` the reference's
+    // AR-style lag features silently assume (train.py:423-429 ffills but
+    // never regularizes the grid, so a 3-day gap reads as a 1-step lag).
+    // Spine rows = groups × span-days (19,930 at sf0.01, ~60% gap days) —
+    // bounded by calendar span, not input rows. Decimal-exact day sums;
+    // the ffill is the standard single-shuffle group window. Scale shape
+    // in Resample scaladoc: per-group sequence()+explode, no driver loop.
+    "w12_resample_gapfill" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Resample.resampleDailyFfill(
+          Tables.events(s, dir), key, "ts", "value")
+      },
+      """WITH daily AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE) AS day_sum,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2, 3),
+        |bounds AS (
+        |  SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, event_type, CAST(g.g AS DATE) AS day
+        |  FROM bounds, LATERAL unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY))
+        |    AS g(g))
+        |SELECT s.user_id, s.event_type, s.day, d.day_sum,
+        |  CAST(coalesce(d.n_rows, 0) AS BIGINT) AS n_rows,
+        |  d.day_sum IS NULL AS is_gap,
+        |  last_value(d.day_sum IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id, s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN daily d USING (user_id, event_type, day)"""
+        .stripMargin),
+
+    // FT1 (ext, round 9) — out-of-fold smoothed target encoding, the
+    // leakage-safe categorical encoder (fold = event_id % 5, a pure row
+    // function both engines derive identically; smoothing m=10 toward
+    // the global prior). Sufficient statistics in DECIMAL(17,6) (the A6
+    // convention) so the fold-exclusion subtraction is exact; the one
+    // data shuffle is the (cat, fold) aggregate, the join back is
+    // AQE-broadcast (|cats|·k rows). Scale notes in Features.targetEncode.
+    "ft_target_encode" -> QueryDef(
+      (s, dir) => {
+        Features.targetEncode(Tables.events(s, dir), col("event_type"),
+          col("value"), pmod(col("event_id"), lit(5)), smoothing = 10.0)
+          .select(col("event_id"), col("event_type"), col("value"), col("te"))
+      },
+      """WITH stats AS (
+        |  SELECT event_type, event_id % 5 AS fold,
+        |    sum(CAST(value AS DECIMAL(17,6))) AS s, count(value) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, fold, s, n,
+        |    sum(s) OVER (PARTITION BY event_type) AS cat_s,
+        |    sum(n) OVER (PARTITION BY event_type) AS cat_n
+        |  FROM stats),
+        |prior AS (
+        |  SELECT CAST(sum(CAST(value AS DECIMAL(17,6))) AS DOUBLE)
+        |    / count(value) AS p
+        |  FROM events)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (CAST(t.cat_s - t.s AS DOUBLE) + 10.0 * prior.p) /
+        |  (CAST(t.cat_n - t.n AS DOUBLE) + 10.0) AS te
+        |FROM events e
+        |JOIN tot t ON e.event_type = t.event_type AND e.event_id % 5 = t.fold,
+        |  prior""".stripMargin),
+
+    // FT2 (ext, round 9) — equi-depth binning from TYPE-1 (order
+    // statistic) quartile cuts: cut_p = value at rank ceil(p·n) per
+    // group, bin = #cuts strictly below the value. Order statistics,
+    // not interpolation — the a18 bitwise-determinism argument (see
+    // Features.quantileBins scaladoc for why interpolated quantiles
+    // can't be hash-paired across engines).
+    "ft_quantile_bins" -> QueryDef(
+      (s, dir) => {
+        Features.quantileBins(Tables.events(s, dir), Seq("event_type"),
+          col("value"), Seq(0.25, 0.5, 0.75))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("cut_0").as("q1"), col("cut_1").as("q2"),
+            col("cut_2").as("q3"), col("bin").cast("long").as("bin"))
+      },
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |cuts AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+        |        THEN value END) AS q1,
+        |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |        THEN value END) AS q2,
+        |    max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+        |        THEN value END) AS q3
+        |  FROM v GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, c.q1, c.q2, c.q3,
+        |  CAST(CASE WHEN e.value > c.q1 THEN 1 ELSE 0 END
+        |     + CASE WHEN e.value > c.q2 THEN 1 ELSE 0 END
+        |     + CASE WHEN e.value > c.q3 THEN 1 ELSE 0 END AS BIGINT) AS bin
+        |FROM events e JOIN cuts c USING (event_type)""".stripMargin)
   )
 }

@@ -157,5 +157,33 @@ object SamplingQueries {
          |  FROM c, tot, ws)
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN f ON f.dom = d.source
-         |WHERE ${duckBucket("d.doc_id", "r6t")} < f.thr""".stripMargin))
+         |WHERE ${duckBucket("d.doc_id", "r6t")} < f.thr""".stripMargin),
+
+    // Weighted (PPS) sampling (round 9): inclusion probability
+    // proportional to n_chars — the "sample long documents more" knob a
+    // token-budgeted curation pass needs. Poisson-PPS: p = min(1,
+    // k·w/W), gate = bucket(doc_id) < p·1e6 — W is ONE exact long sum,
+    // the gate is map-only, and every arithmetic step is a fixed IEEE
+    // chain both engines replay bitwise (no pow — that's why the A-Res
+    // exact-k sibling Sampling.weightedTopK is spec-pinned instead of
+    // registered). Expected size 200; actual size is data-deterministic.
+    "ext_weighted_sample" -> QueryDef(
+      (s, dir) => Sampling.ppsSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        key = col("doc_id"), weight = col("n_chars"), k = 200,
+        seed = "r9w", algo = "md5")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("p")),
+      s"""WITH w AS (
+         |  SELECT CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS wt
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         |SELECT doc_id, source, n_chars,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    (CAST(200.0 AS DOUBLE) * CAST(n_chars AS DOUBLE)) / w.wt) AS p
+         |FROM documents, w
+         |WHERE n_chars IS NOT NULL AND n_chars > 0
+         |  AND CAST(${duckBucket("doc_id", "r9w")} AS DOUBLE) <
+         |    least(CAST(1.0 AS DOUBLE),
+         |      (CAST(200.0 AS DOUBLE) * CAST(n_chars AS DOUBLE)) / w.wt)
+         |      * 1000000""".stripMargin))
 }

@@ -544,4 +544,97 @@ class FeaturesSpec extends SparkSpecBase {
       Features.rollingOriginBacktest(df, Seq("k"), Seq("t"), col("v"), 1)
     }
   }
+
+  test("W12 resampleDailyFfill: even grid, gap flags, decimal day sums, ffill across gaps") {
+    val df = Seq(
+      // group a: days 1, 2, 2, 5 — gap days 3 and 4
+      ("a", "2024-01-01 10:00:00", 1.0),
+      ("a", "2024-01-02 01:00:00", 2.5),
+      ("a", "2024-01-02 23:00:00", 0.5),
+      ("a", "2024-01-05 12:00:00", 7.0),
+      // group b: single day — spine is one row, no gaps
+      ("b", "2024-02-10 00:00:00", 4.0)
+    ).toDF("k", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.operators.Resample
+      .resampleDailyFfill(df, Seq("k"), "ts", "v")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[java.sql.Date]("day").toString) ->
+        ((Option(r.getAs[java.lang.Double]("day_sum")).map(_.toDouble),
+          r.getAs[Long]("n_rows"), r.getAs[Boolean]("is_gap"),
+          r.getAs[Double]("filled"))))
+      .toMap
+    assert(out.size === 6) // a: Jan 1..5 (5 rows), b: 1 row
+    assert(out(("a", "2024-01-01")) === ((Some(1.0), 1L, false, 1.0)))
+    assert(out(("a", "2024-01-02")) === ((Some(3.0), 2L, false, 3.0)))
+    // gap days carry NULL sum, zero rows, and the last observed total
+    assert(out(("a", "2024-01-03")) === ((None, 0L, true, 3.0)))
+    assert(out(("a", "2024-01-04")) === ((None, 0L, true, 3.0)))
+    assert(out(("a", "2024-01-05")) === ((Some(7.0), 1L, false, 7.0)))
+    assert(out(("b", "2024-02-10")) === ((Some(4.0), 1L, false, 4.0)))
+  }
+
+  test("FT1 targetEncode: fold exclusion, smoothing toward prior, own-fold-only category hits prior exactly") {
+    val df = Seq(
+      // category x: rows in folds 0 and 1
+      (0L, "x", 10.0), (1L, "x", 20.0), (2L, "x", 30.0),
+      // category y: all rows in ONE fold — those rows must see the
+      // pure prior (no other-fold evidence)
+      (3L, "y", 100.0)
+    ).toDF("id", "cat", "v")
+    val fold = pmod(col("id"), lit(2))
+    val m = 2.0
+    val out = Features.targetEncode(df, col("cat"), col("v"), fold, m)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("te")).toMap
+    val prior = (10.0 + 20.0 + 30.0 + 100.0) / 4.0 // 40.0
+    // id=0 (x, fold 0): other-fold x = {20}; (20 + 2*40)/(1 + 2)
+    assert(out(0L) === (20.0 + m * prior) / (1.0 + m))
+    // id=1 (x, fold 1): other-fold x = {10, 30}; (40 + 80)/(2 + 2)
+    assert(out(1L) === (40.0 + m * prior) / (2.0 + m))
+    assert(out(2L) === out(0L))
+    // id=3 (y, fold 1): y has NO other folds -> (0 + 2*40)/(0 + 2) = prior
+    assert(out(3L) === prior)
+  }
+
+  test("FT2 quantileBins: type-1 cuts at rank ceil(p*n); boundary value stays in the lower bin") {
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Features.quantileBins(df, Seq("k"), col("v"),
+      Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getAs[Double]("v") ->
+        ((r.getAs[Double]("cut_0"), r.getAs[Double]("cut_1"),
+          r.getAs[Double]("cut_2"), r.getAs[Int]("bin")))).toMap
+    // n=8: cuts at ranks ceil(2)=2, ceil(4)=4, ceil(6)=6 -> values 2,4,6
+    assert(out(1.0) === ((2.0, 4.0, 6.0, 0)))
+    assert(out(2.0)._4 === 0) // equal to cut -> strictly-below rule
+    assert(out(3.0)._4 === 1)
+    assert(out(4.0)._4 === 1)
+    assert(out(5.0)._4 === 2)
+    assert(out(7.0)._4 === 3)
+    intercept[IllegalArgumentException] {
+      Features.quantileBins(df, Seq("k"), col("v"), Seq(0.0, 0.5))
+    }
+  }
+
+  test("A26 madOutliers: exact integer medians, outlier flag, zero-MAD group degrades cleanly") {
+    val df = Seq(
+      // group g: {1,2,3,4,100} — median 3, deviations {2,1,0,1,97},
+      // MAD 1; 100 is the only point with |x-med| > 3*1.4826*1
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+      // group c: constant — MAD 0, nothing flags (strict >)
+      ("c", 5.0), ("c", 5.0), ("c", 5.0),
+      // group z: {0,0,0,1} — median 0, MAD 0, the 1 deviates -> flags
+      ("z", 0.0), ("z", 0.0), ("z", 0.0), ("z", 1.0)
+    ).toDF("k", "v")
+    val out = Features.madOutliers(df, Seq("k"), col("v"), k = 3.0)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("v")) ->
+        ((r.getAs[Double]("median"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_outlier"))))
+      .toMap
+    assert(out(("g", 3.0)) === ((3.0, 1.0, false)))
+    assert(out(("g", 100.0)) === ((3.0, 1.0, true)))
+    assert(out(("g", 4.0))._3 === false)
+    assert(out(("c", 5.0)) === ((5.0, 0.0, false)))
+    assert(out(("z", 0.0)) === ((0.0, 0.0, false)))
+    assert(out(("z", 1.0)) === ((0.0, 0.0, true)))
+  }
 }
