@@ -85,6 +85,45 @@ object Sinks {
     next
   }
 
+  /** [[upsertSnapshot]] with ADDITIVE schema evolution (round 9) — the
+    * Delta `mergeSchema` semantics: the batch may carry columns the
+    * current snapshot lacks (and vice versa); `v=N+1`'s schema is the
+    * union in (current ++ new-in-batch) order, absent values NULL.
+    * Same-name/different-type conflicts fail LOUD — silent casts are
+    * how a `string` user_id sneaks into a `long` table; an intentional
+    * type migration is a rewrite ([[replaceSnapshot]]), not an upsert.
+    * Scale: alignment is a projection (zero extra shuffles over the
+    * plain upsert); old versions keep their old schema — readers of
+    * `v=N` are undisturbed, the versioned-layout contract. */
+  def upsertSnapshotEvolving(spark: SparkSession, tableDir: String,
+                             incoming: DataFrame, key: Seq[String],
+                             orderCol: String): Int = {
+    val versions = listVersions(spark, tableDir)
+    val current = versions.lastOption
+      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
+      .getOrElse(incoming.filter(org.apache.spark.sql.functions.lit(false)))
+    val conflicts = current.schema.flatMap { cf =>
+      incoming.schema.find(_.name == cf.name)
+        .filter(_.dataType != cf.dataType)
+        .map(inf => s"${cf.name}: snapshot ${cf.dataType.simpleString} " +
+          s"vs batch ${inf.dataType.simpleString}")
+    }
+    require(conflicts.isEmpty,
+      s"schema evolution is additive only; type conflicts: " +
+        conflicts.mkString("; "))
+    val union = current.schema.fields ++
+      incoming.schema.fields.filterNot(f =>
+        current.schema.fieldNames.contains(f.name))
+    def align(df: DataFrame) = df.select(union.map { f =>
+      if (df.columns.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val next = versions.lastOption.getOrElse(0) + 1
+    Ingest.upsert(align(current), align(incoming), key, orderCol)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    next
+  }
+
   /** Versioned REPLACE: `v=N+1` is exactly `df` — no merge with prior
     * versions. The model-artifact publish semantics: the reference
     * overwrites its persisted model wholesale on retrain

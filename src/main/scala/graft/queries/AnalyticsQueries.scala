@@ -50,7 +50,74 @@ object AnalyticsQueries {
       rows.mkString("\nUNION ALL\n")
   }
 
+  /** Generated DuckDB oracle for graph_pagerank: the same edge
+    * derivation, then `iters` unrolled rank CTEs, each mirroring
+    * Graph.pageRank's arithmetic exactly — per-edge contribution
+    * `rank * (w/ow)` in doubles, quantized to BIGINT 1e-15 units for
+    * an exact integer reduction (a double-to-DECIMAL cast is NOT
+    * bitwise-portable — see Graph.pageRank scaladoc; measured, not
+    * theorized), damping update `d*(Σ/1e15) + (1.0-d)*r0` (both
+    * engines compute `1.0-d` in IEEE rather than hard-coding 0.15,
+    * which is NOT the same double). Generated from the same
+    * (damping, iters) as the Spark side so the formulas cannot
+    * drift. */
+  private def pageRankOracle(damping: Double, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (
+         |  SELECT n.id,
+         |    $damping * (CAST(coalesce(s.cs, 0) AS DOUBLE) / 1e15)
+         |      + (1.0 - $damping) * (SELECT r0 FROM nn) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      sum(CAST(round((r.rank
+         |        * (CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE))) * 1e15)
+         |        AS BIGINT)) AS cs
+         |    FROM edges e
+         |    JOIN outw o ON e.src = o.src
+         |    JOIN r${t - 1} r ON r.id = e.src
+         |    GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    }
+    s"""WITH lagged AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, count(*) AS w
+       |  FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(1.0 AS DOUBLE) / count(*) AS r0 FROM nodes),
+       |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, (SELECT r0 FROM nn) AS rank FROM nodes),
+       |${rounds.mkString(",\n")}
+       |SELECT id, rank FROM r$iters""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // GR1 (ext, round 9) — damped PageRank over the event-type
+    // transition graph (edges = per-user consecutive (prev → next)
+    // event pairs in (ts, event_id) order). The operator is the generic
+    // join+aggregate iteration in Graph.pageRank — no driver adjacency,
+    // one shuffle join + one decimal-summed aggregate per round, the
+    // shape that runs unchanged on a billion-node graph; the oracle
+    // unrolls the same three iterations as CTEs, generated from the
+    // same constants so Spark and DuckDB agree bitwise.
+    "graph_pagerank" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = Tables.events(s, dir)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.Graph.pageRank(edges, damping = 0.85, iters = 3)
+      },
+      pageRankOracle(damping = 0.85, iters = 3)),
 
     // A27 (ext, round 9) — pairwise Pearson correlation matrix over the
     // lineitem measures in ONE aggregate pass (sufficient statistics

@@ -679,6 +679,75 @@ object SinkQueries {
         s.range(1).select(lit(before).as("exists_before"),
           lit(after).as("exists_after"))
       },
-      "SELECT false AS exists_before, true AS exists_after")
+      "SELECT false AS exists_before, true AS exists_after"),
+
+    // SNK14 (ext, round 9) — keyed upsert with ADDITIVE schema
+    // evolution (Delta mergeSchema): batch 2 carries a column batch 1
+    // never had; the merged snapshot serves the union schema with NULL
+    // for rows the evolved column never reached. End-to-end through the
+    // real versioned layout (write v=1 → evolve-upsert v=2 → read
+    // back); type-conflict fail-loud and old-version schema isolation
+    // are IngestSpec pins.
+    "snk14_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        val tableDir = scratch(s, "snk14")
+        val e = Tables.events(s, dir)
+        val b1 = e.filter(col("event_id") % 2 === 0)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val b2 = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"),
+            max(to_date(col("ts"))).as("last_day"))
+        Sinks.upsertSnapshotEvolving(s, tableDir, b1, Seq("user_id"),
+          orderCol = "n_events")
+        val v = Sinks.upsertSnapshotEvolving(s, tableDir, b2, Seq("user_id"),
+          orderCol = "n_events")
+        Sinks.readSnapshot(s, tableDir)
+          .withColumn("n_versions", lit(v.toLong))
+      },
+      """WITH b1 AS (
+        |  SELECT user_id, count(*) AS n_events FROM events
+        |  WHERE event_id % 2 = 0 GROUP BY 1),
+        |b2 AS (
+        |  SELECT user_id, count(*) AS n_events, max(CAST(ts AS DATE)) AS last_day
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT user_id, n_events, last_day, CAST(2 AS BIGINT) AS n_versions
+        |FROM b2
+        |UNION ALL
+        |SELECT b1.user_id, b1.n_events, CAST(NULL AS DATE), CAST(2 AS BIGINT)
+        |FROM b1 WHERE NOT EXISTS (
+        |  SELECT 1 FROM b2 WHERE b2.user_id = b1.user_id)""".stripMargin),
+
+    // OPT-Z (ext, round 9) — Morton z-value layout arithmetic: the
+    // bit-interleave that drives two-column file skipping
+    // (Layout.writeZOrdered; per-file bounding-box locality is pinned in
+    // ZorderSpec against a single-column-sort control). Pure integer
+    // bit math — the oracle re-derives every z bitwise; zbucket is the
+    // top-4-bit range cell a 16-way layout would put the row in.
+    "opt_zorder_layout" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Layout
+        val e = ev(s, dir)
+        val x = col("user_id")
+        val y = floor(col("value"))
+        e.select(col("event_id"), col("user_id"), col("value"),
+          Layout.zValue(x, y, bits = 16).as("z"))
+          .withColumn("zbucket", shiftright(col("z"), 28))
+      }, {
+        val terms = (0 until 16).flatMap { i =>
+          Seq(s"(((zx >> $i) & 1) * ${1L << (2 * i)})",
+            s"(((zy >> $i) & 1) * ${1L << (2 * i + 1)})")
+        }
+        s"""WITH c AS (
+           |  SELECT event_id, user_id, value,
+           |    least(greatest(CAST(user_id AS BIGINT), 0), 65535) AS zx,
+           |    least(greatest(CAST(floor(value) AS BIGINT), 0), 65535) AS zy
+           |  FROM events),
+           |z AS (
+           |  SELECT event_id, user_id, value,
+           |    ${terms.mkString("\n|      + ")} AS z
+           |  FROM c)
+           |SELECT event_id, user_id, value, z, z >> 28 AS zbucket
+           |FROM z""".stripMargin
+      })
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Pins Graph.pageRank semantics: the damped update, weighted edge
+  * split, dangling-mass drop, teleport floor for sources, and physical-
+  * layout invariance of the quantized arithmetic. */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int = 3) =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), damping = 0.85, iters)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("rank"))
+      .toMap
+
+  test("two-node cycle converges to the uniform fixed point exactly") {
+    // a->b, b->a, equal weights: r = 0.85*r + 0.15*(1/2) has fixed point
+    // 0.5 for both; starting AT the fixed point, every iterate stays 0.5
+    // up to the 1e-15 quantization
+    val m = ranks(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(m.keySet === Set("a", "b"))
+    assert(math.abs(m("a") - 0.5) < 1e-12)
+    assert(math.abs(m("b") - 0.5) < 1e-12)
+  }
+
+  test("a sink hub accumulates rank; a pure source keeps only the teleport floor") {
+    // star: a,b,c all point at hub h; nobody points back
+    val m = ranks(Seq(("a", "h", 1L), ("b", "h", 1L), ("c", "h", 1L)))
+    val teleport = 0.15 * (1.0 / 4)
+    assert(math.abs(m("a") - teleport) < 1e-12) // no in-edges at all
+    assert(m("h") > 3 * m("a")) // the hub dominates
+    // h is dangling: its mass is DROPPED (documented), so the total is < 1
+    // (3 sources at 0.0375 + hub at 0.85*3*0.0375+0.0375 = 0.245625)
+    val total = m.values.sum
+    assert(total < 1.0 && total > 0.2)
+  }
+
+  test("edge weights split a node's rank proportionally") {
+    // s sends 3/4 of its mass to a, 1/4 to b; a and b have no other
+    // in-edges, so after one iteration rank(a)-teleport = 3*(rank(b)-teleport)
+    val one = Graph.pageRank(
+      Seq(("s", "a", 3L), ("s", "b", 1L)).toDF("src", "dst", "w"),
+      damping = 0.85, iters = 1)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("rank")).toMap
+    val teleport = 0.15 * (1.0 / 3)
+    val ca = one("a") - teleport
+    val cb = one("b") - teleport
+    assert(math.abs(ca - 3 * cb) < 1e-12)
+  }
+
+  test("quantized arithmetic is invariant to physical partitioning") {
+    val edges = (1L to 200L).map(i =>
+      (s"n${i % 17}", s"n${(i * 7) % 17}", 1L + i % 5))
+    val a = ranks(edges)
+    val b = Graph.pageRank(
+      edges.toDF("src", "dst", "w").repartition(13), damping = 0.85, iters = 3)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("rank")).toMap
+    assert(a === b) // bitwise, not approximately
+  }
+
+  test("guards: empty edges, bad damping, bad iters fail loud") {
+    val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e.filter(lit(false)), 0.85, 3)
+    }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, 1.0, 3) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, 0.85, 0) }
+  }
+}

@@ -402,4 +402,40 @@ class IngestSpec extends SparkSpecBase {
         Seq("k1"))
     }
   }
+
+  test("SNK14 upsertSnapshotEvolving: additive column, old version schema intact, type conflict loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sinks
+    val tableDir = Files.createTempDirectory("graft_snk14_spec").toString
+    val b1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val b2 = Seq((2L, 21.0, "fresh"), (3L, 30.0, "new")).toDF("k", "v", "tag")
+    assert(Sinks.upsertSnapshotEvolving(spark, tableDir, b1, Seq("k"), "v") === 1)
+    assert(Sinks.upsertSnapshotEvolving(spark, tableDir, b2, Seq("k"), "v") === 2)
+    val cur = Sinks.readSnapshot(spark, tableDir)
+    assert(cur.columns.toSeq === Seq("k", "v", "tag")) // union order: current ++ new
+    val rows = cur.collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Double]("v"), Option(r.getAs[String]("tag"))))).toMap
+    assert(rows === Map(
+      1L -> ((10.0, None)),       // untouched key: evolved column NULL
+      2L -> ((21.0, Some("fresh"))), // upserted by batch 2
+      3L -> ((30.0, Some("new")))))
+    // v=1 on disk keeps its ORIGINAL two-column schema — old readers
+    // of the pinned version are never rewritten
+    val v1 = spark.read.parquet(s"$tableDir/v=1")
+    assert(v1.columns.toSeq === Seq("k", "v"))
+    // shrinking batches are fine too (missing columns null-filled)...
+    val b3 = Seq((4L, 40.0)).toDF("k", "v")
+    assert(Sinks.upsertSnapshotEvolving(spark, tableDir, b3, Seq("k"), "v") === 3)
+    val v3 = Sinks.readSnapshot(spark, tableDir)
+    assert(v3.count() === 4)
+    assert(v3.filter(col("k") === 4L).head.getAs[String]("tag") === null)
+    // ...but a same-name TYPE change is a migration, not an upsert
+    val bad = Seq((5L, "oops", "t")).toDF("k", "v", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertSnapshotEvolving(spark, tableDir, bad, Seq("k"), "v")
+    }
+    assert(e.getMessage.contains("type conflicts"))
+  }
 }

@@ -24,4 +24,30 @@ class ProfilingSpec extends SparkSpecBase {
       Profiling.columnProfile(df, Seq("x", "nope"))
     }
   }
+
+  test("corrMatrix: perfect/anti/zero correlation, pairwise deletion, constant-column NULL") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0, Some(1.0)),
+      (2.0, 4.0, -2.0, 5.0, Some(4.0)),
+      (3.0, 6.0, -3.0, 5.0, None),
+      (4.0, 8.0, -4.0, 5.0, Some(2.0))
+    ).toDF("a", "b", "neg", "const", "holey")
+    val out = Profiling.corrMatrix(df, Seq("a", "b", "neg", "const", "holey"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.getAs[java.lang.Double]("corr"))
+          .map(_.toDouble)))).toMap
+    assert(out.size === 10) // 5 choose 2
+    assert(math.abs(out(("a", "b"))._2.get - 1.0) < 1e-9)   // y = 2x
+    assert(math.abs(out(("a", "neg"))._2.get + 1.0) < 1e-9) // y = -x
+    assert(out(("a", "const"))._2 === None) // zero variance -> NULL
+    // pairwise deletion: (a, holey) uses only the 3 complete rows
+    assert(out(("a", "holey"))._1 === 3L)
+    assert(out(("a", "b"))._1 === 4L)
+    assertThrows[IllegalArgumentException] {
+      Profiling.corrMatrix(df, Seq("a"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Profiling.corrMatrix(df, Seq("a", "nope"))
+    }
+  }
 }

@@ -175,4 +175,67 @@ class SamplingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("__rk"))
   }
+
+  test("ppsSample: expected-k PPS gate — saturated weights always kept, nonpositive excluded, partition-invariant") {
+    import spark.implicits._
+    // 999 unit-weight rows + one whale carrying half the total weight
+    val df = ((1L to 999L).map(i => (i, 1L)) :+ (1000L, 999L))
+      .toDF("id", "w")
+      .unionByName(Seq((1001L, 0L), (1002L, -5L)).toDF("id", "w"))
+      .unionByName(Seq((Some(1003L), None: Option[Long])).toDF("id", "w"))
+    val out = Sampling.ppsSample(df, col("id"), col("w"), k = 50,
+      seed = "pps1", algo = "md5")
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    // whale: p = min(1, 50*999/1998) = 1 -> always in the sample
+    assert(ids.contains(1000L))
+    // w <= 0 and null weights can never appear
+    assert(!ids.exists(_ >= 1001L))
+    // expected |sample| = 1 (whale) + 999 * (50/1998 * 999/999) ~ 26
+    assert(ids.size > 5 && ids.size < 80)
+    // membership is a pure function of (id, w, W, seed)
+    val again = Sampling.ppsSample(df.repartition(7), col("id"), col("w"),
+      k = 50, seed = "pps1", algo = "md5")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+    // p column is exposed and capped at 1
+    val ps = out.select("p").collect().map(_.getDouble(0))
+    assert(ps.forall(p => p > 0.0 && p <= 1.0))
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSample(df, col("id"), col("w"), k = 0, seed = "s")
+    }
+  }
+
+  test("weightedTopK: exact k, weight monotonicity in expectation, driver differential, determinism") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i <= 200) 1L else 20L))
+      .toDF("id", "w")
+      .unionByName(Seq((500L, 0L)).toDF("id", "w")) // ineligible
+    val out = Sampling.weightedTopK(df, col("id"), col("w"), k = 40,
+      seed = "es1").collect()
+    assert(out.length === 40)
+    val ids = out.map(_.getAs[Long]("id")).toSet
+    assert(!ids.contains(500L))
+    // heavy items (w=20) should dominate a weight-proportional draw:
+    // E[heavy] ~ 40 * (200*20)/(200*21) ~ 38
+    assert(ids.count(_ > 200L) > 25)
+    // differential: the selection is exactly the driver-side top-k of
+    // the same md5 -> u -> u^(1/w) formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def esKey(id: Long, w: Long): Double = {
+      val hex = md.digest(s"$id:es1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+        math.pow(2.0, 60)
+      math.pow(u, 1.0 / w)
+    }
+    val expect = (1L to 400L).map(i => (i, if (i <= 200) 1L else 20L))
+      .map { case (i, w) => (esKey(i, w), i) }
+      .sortBy { case (k2, i) => (-k2, i) }.take(40).map(_._2).toSet
+    assert(ids === expect)
+    // partition-invariant
+    val again = Sampling.weightedTopK(df.repartition(11), col("id"),
+      col("w"), k = 40, seed = "es1")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again === ids)
+  }
 }
