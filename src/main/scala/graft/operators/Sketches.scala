@@ -74,4 +74,101 @@ object Sketches {
       .groupBy(col("key"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  /** Mergeable fixed-bin histogram (round 9) — the third mergeable
+    * sketch family next to count-min (occurrences) and HLL (distincts):
+    * QUANTILES. Per (group, bin) counts over an equi-width grid between
+    * the group's min and max; shards built independently merge by
+    * integer ADDITION (exact, order-free), daily histograms roll up to
+    * monthly without touching raw data, and any engine re-derives the
+    * whole sketch bitwise (bin = clamped floor((v−lo)/width), a fixed
+    * IEEE chain — no sampling, no interpolation). Error is bounded by
+    * one bin width; for long-tailed domains pick log-spaced callsite
+    * pre-transforms rather than more bins.
+    *
+    * Output: (group…, bin, cnt) plus the group's (lo, width, n_bins)
+    * carried on every row so the sketch is self-describing (the
+    * persisted-artifact convention: serve needs no side channel). */
+  def binHistogram(df: DataFrame, group: Seq[String], value: Column,
+                   nBins: Int): DataFrame =
+    binHistogramWith(df, histBounds(df, group, value, nBins),
+      group, value, nBins)
+
+  /** The grid contract: per-group (lo, width) for an nBins equi-width
+    * histogram. Shards MUST share one grid to be mergeable — compute
+    * bounds once (or fix them by domain contract) and pass the same
+    * frame to every [[binHistogramWith]] call; per-shard bounds would
+    * produce incompatible bins, the pack/probe drift hazard. */
+  def histBounds(df: DataFrame, group: Seq[String], value: Column,
+                 nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, s"nBins must be in [2,1e5]: $nBins")
+    val gc = group.map(col)
+    df.filter(value.isNotNull)
+      .groupBy(gc: _*).agg(min(value).as("lo"), max(value).as("hi"))
+      .withColumn("width",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("hi") - col("lo")) / lit(nBins.toDouble)))
+      .drop("hi")
+  }
+
+  /** Histogram of one shard against a FIXED grid (see [[histBounds]]).
+    * Values outside the grid clamp to the edge bins — a late shard with
+    * a new outlier still lands in the sketch. */
+  def binHistogramWith(df: DataFrame, bounds: DataFrame, group: Seq[String],
+                       value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, s"nBins must be in [2,1e5]: $nBins")
+    val gc = group.map(col)
+    df.filter(value.isNotNull)
+      .join(broadcast(bounds), group)
+      .withColumn("bin",
+        least(greatest(floor((value - col("lo")) / col("width"))
+          .cast("long"), lit(0L)), lit(nBins.toLong - 1)))
+      .groupBy(gc :+ col("bin") :+ col("lo") :+ col("width"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_bins", lit(nBins))
+  }
+
+  /** Merge histogram shards built on the SAME grid: integer addition
+    * per (group, bin) — exact, order-free, associative; the property
+    * that lets 1000 executors sketch independently and daily sketches
+    * roll up to monthly. */
+  def mergeHistograms(shards: Seq[DataFrame], group: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "no histogram shards to merge")
+    val gc = group.map(col)
+    shards.reduce(_ unionByName _)
+      .groupBy(gc :+ col("bin") :+ col("lo") :+ col("width")
+        :+ col("n_bins"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .select((gc :+ col("bin") :+ col("lo") :+ col("width")
+        :+ col("cnt") :+ col("n_bins")): _*)
+  }
+
+  /** Quantile estimates from a (merged) [[binHistogram]]: for each
+    * probability p the estimate is the RIGHT EDGE `lo + (bin+1)·width`
+    * of the first bin whose cumulative count reaches rank ceil(p·n) —
+    * a fixed arithmetic rule on exact integers, so estimates from any
+    * merge order (or any engine) agree bitwise. One window pass over
+    * the |groups|·nBins sketch — data-size-independent serve cost. */
+  def histQuantiles(hist: DataFrame, group: Seq[String],
+                    probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must lie in (0,1]: $probs")
+    val gc = group.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col("bin"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(frame))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"),
+        col("lo") + (col("bin") + lit(1L)) * col("width"))).as(s"q_$i")
+    }
+    cum.groupBy(gc: _*)
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
 }

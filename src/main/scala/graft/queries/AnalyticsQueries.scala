@@ -119,6 +119,67 @@ object AnalyticsQueries {
       },
       pageRankOracle(damping = 0.85, iters = 3)),
 
+    // SK4 (ext, round 9) — the MERGEABLE QUANTILE sketch, completing
+    // the sketch triad (count-min = occurrences, HLL = distincts,
+    // binned histogram = quantiles). Two shards are built against ONE
+    // shared grid (histBounds — per-shard grids would not merge),
+    // merged by exact integer addition, and served as p50/p90/p99 via
+    // the fixed right-edge rank rule. Everything is integer counts +
+    // fixed IEEE chains, so unlike the DataSketches HLL row the
+    // estimates themselves hash-pair cross-engine; merge_law_ok
+    // additionally pins merged == direct-build bin-for-bin in-data.
+    "sketch_bin_quantiles" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sketches._
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir)
+        val g = Seq("event_type")
+        val v = col("value")
+        val bounds = histBounds(e, g, v, nBins = 32)
+        val shards = Seq(0, 1).map(i => binHistogramWith(
+          e.filter(pmod(col("event_id"), lit(2)) === i), bounds, g, v, 32))
+        val merged = mergeHistograms(shards, g)
+        val direct = binHistogram(e, g, v, nBins = 32)
+        val law = merged
+          .select(col("event_type"), col("bin"), col("cnt").as("cm"))
+          .join(direct.select(col("event_type"), col("bin"),
+            col("cnt").as("cd")), Seq("event_type", "bin"), "full_outer")
+          .agg(min(col("cm") <=> col("cd")).as("merge_law_ok"))
+        histQuantiles(merged, g, Seq(0.5, 0.9, 0.99))
+          .select(col("event_type"), col("n"), col("q_0").as("p50"),
+            col("q_1").as("p90"), col("q_2").as("p99"))
+          .crossJoin(law)
+      },
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |bw AS (
+        |  SELECT event_type, lo,
+        |    CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 32.0 END AS width
+        |  FROM b),
+        |h AS (
+        |  SELECT e.event_type,
+        |    least(greatest(CAST(floor((e.value - bw.lo) / bw.width)
+        |      AS BIGINT), 0), 31) AS bin,
+        |    bw.lo AS lo, bw.width AS width, count(*) AS cnt
+        |  FROM events e JOIN bw USING (event_type)
+        |  WHERE e.value IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4),
+        |c AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN lo + (bin + 1) * width END) AS p50,
+        |  min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+        |      THEN lo + (bin + 1) * width END) AS p90,
+        |  min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+        |      THEN lo + (bin + 1) * width END) AS p99,
+        |  TRUE AS merge_law_ok
+        |FROM c GROUP BY 1""".stripMargin),
+
     // A27 (ext, round 9) — pairwise Pearson correlation matrix over the
     // lineitem measures in ONE aggregate pass (sufficient statistics
     // per pair; no Expand trap — see Profiling.corrMatrix scaladoc).

@@ -1732,6 +1732,76 @@ object ExtensionQueries {
         |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS BIGINT) AS width,
         |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // DQ (ext, round 9) — declarative data-quality gate
+    // (Deequ/Great-Expectations shape): a six-check suite over events
+    // producing the (check, column, observed, threshold, passed) report
+    // a pipeline asserts on before shipping a partition downstream.
+    // One aggregate per check (the columnProfile anti-Expand shape —
+    // see Expectations scaladoc); observed values are ratios of exact
+    // longs, so the whole report hash-pairs. The in_range band is
+    // deliberately tighter than the data (value spans ~0..490; the
+    // ≤100 band fails) so the report carries a REAL failure row — a
+    // suite that can only say "passed" proves nothing.
+    "ext_expectations" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Expectations._
+        run(Tables.events(s, dir), Seq(
+          Completeness("value", 0.95),
+          Completeness("event_type", 1.0),
+          Uniqueness("event_id", 1.0),
+          InRange("value", 0.0, 100.0, 0.99),
+          InSet("event_type",
+            Seq("click", "purchase", "view", "signup", "error"), 1.0),
+          MinCount(100.0)))
+      },
+      """SELECT 'completeness' AS check_name, 'value' AS col_name,
+        |  CAST(count(value) AS DOUBLE)
+        |    / CAST(greatest(count(*), 1) AS DOUBLE) AS observed,
+        |  0.95 AS threshold,
+        |  CAST(count(value) AS DOUBLE)
+        |    / CAST(greatest(count(*), 1) AS DOUBLE) >= 0.95 AS passed
+        |FROM events
+        |UNION ALL
+        |SELECT 'completeness', 'event_type',
+        |  CAST(count(event_type) AS DOUBLE)
+        |    / CAST(greatest(count(*), 1) AS DOUBLE),
+        |  1.0,
+        |  CAST(count(event_type) AS DOUBLE)
+        |    / CAST(greatest(count(*), 1) AS DOUBLE) >= 1.0
+        |FROM events
+        |UNION ALL
+        |SELECT 'uniqueness', 'event_id',
+        |  CAST(count(DISTINCT event_id) AS DOUBLE)
+        |    / CAST(greatest(count(event_id), 1) AS DOUBLE),
+        |  1.0,
+        |  CAST(count(DISTINCT event_id) AS DOUBLE)
+        |    / CAST(greatest(count(event_id), 1) AS DOUBLE) >= 1.0
+        |FROM events
+        |UNION ALL
+        |SELECT 'in_range', 'value',
+        |  CAST(count(CASE WHEN value BETWEEN 0.0 AND 100.0 THEN 1 END)
+        |    AS DOUBLE) / CAST(greatest(count(value), 1) AS DOUBLE),
+        |  0.99,
+        |  CAST(count(CASE WHEN value BETWEEN 0.0 AND 100.0 THEN 1 END)
+        |    AS DOUBLE) / CAST(greatest(count(value), 1) AS DOUBLE) >= 0.99
+        |FROM events
+        |UNION ALL
+        |SELECT 'in_set', 'event_type',
+        |  CAST(count(CASE WHEN event_type IN
+        |    ('click', 'purchase', 'view', 'signup', 'error') THEN 1 END)
+        |    AS DOUBLE) / CAST(greatest(count(event_type), 1) AS DOUBLE),
+        |  1.0,
+        |  CAST(count(CASE WHEN event_type IN
+        |    ('click', 'purchase', 'view', 'signup', 'error') THEN 1 END)
+        |    AS DOUBLE) / CAST(greatest(count(event_type), 1) AS DOUBLE)
+        |    >= 1.0
+        |FROM events
+        |UNION ALL
+        |SELECT 'min_count', '*',
+        |  CAST(count(*) AS DOUBLE), 100.0,
+        |  CAST(count(*) AS DOUBLE) >= 100.0
+        |FROM events""".stripMargin)
   )
 }

@@ -50,4 +50,45 @@ class SketchesSpec extends SparkSpecBase {
       8, 2, "n1").head.getLong(1)
     assert(est >= 0L) // never negative; may collide up, never down
   }
+
+  test("binned histogram: shared-grid shards merge EXACTLY to the direct build; quantiles follow the rank rule") {
+    import spark.implicits._
+    // 1..100 in one group: lo=1, hi=100, 10 bins of width 9.9
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val g = Seq("k")
+    val bounds = Sketches.histBounds(df, g, col("v"), nBins = 10)
+    val s1 = Sketches.binHistogramWith(
+      df.filter(col("v") <= 37.0), bounds, g, col("v"), 10)
+    val s2 = Sketches.binHistogramWith(
+      df.filter(col("v") > 37.0), bounds, g, col("v"), 10)
+    val merged = Sketches.mergeHistograms(Seq(s1, s2), g)
+    def cells(h: org.apache.spark.sql.DataFrame) = h
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    assert(cells(merged) === cells(Sketches.binHistogram(df, g, col("v"), 10)))
+    assert(cells(merged).values.sum === 100L)
+    // quantiles: p=0.5 -> rank 50; value 50 lands in bin
+    // floor((50-1)/9.9)=4, cum through bin 4 = 50 >= 50, so
+    // p50 = 1 + 5*9.9 = 50.5; p=1.0 -> last bin right edge = 100
+    val q = Sketches.histQuantiles(merged, g, Seq(0.5, 1.0)).head
+    assert(math.abs(q.getAs[Double]("q_0") - 50.5) < 1e-9)
+    assert(math.abs(q.getAs[Double]("q_1") - 100.0) < 1e-9)
+    assert(q.getAs[Long]("n") === 100L)
+    // constant group: width degrades to 1.0, everything in bin 0,
+    // quantile = lo + 1 (right edge of the single occupied bin)
+    val const = Seq(("c", 5.0), ("c", 5.0)).toDF("k", "v")
+    val qc = Sketches.histQuantiles(
+      Sketches.binHistogram(const, g, col("v"), 10), g, Seq(0.5)).head
+    assert(qc.getAs[Double]("q_0") === 6.0)
+    // out-of-grid values clamp to the edge bins rather than vanishing
+    val late = Sketches.binHistogramWith(
+      Seq(("g", -50.0), ("g", 1e6)).toDF("k", "v"), bounds, g, col("v"), 10)
+      .collect().map(r => r.getAs[Long]("bin")).sorted
+    assert(late.toSeq === Seq(0L, 9L))
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantiles(merged, g, Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.binHistogram(df, g, col("v"), nBins = 1)
+    }
+  }
 }
