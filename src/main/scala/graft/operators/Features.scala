@@ -1281,7 +1281,15 @@ object Features {
       df: DataFrame,
       group: Seq[String],
       value: Column,
-      k: Double): DataFrame = {
+      k: Double): DataFrame =
+    madFlag(df, madStats(df, group, value), group, value, k)
+
+  /** The FIT half of [[madOutliers]]: per-group robust statistics
+    * `(group…, med2, mad4)` in the exact doubled-micro-unit encoding
+    * (med2 = 2·median, mad4 = 4·MAD, both BIGINT micro-units) — a
+    * persistable artifact the streaming serve joins against
+    * (StreamingModelServe.runMadAnomalyServe). */
+  def madStats(df: DataFrame, group: Seq[String], value: Column): DataFrame = {
     val gc = group.map(col)
     def medianDoubled(in: DataFrame, c: Column, out: String): DataFrame = {
       val w = Window.partitionBy(gc: _*).orderBy(c)
@@ -1293,16 +1301,35 @@ object Features {
         .agg((max(when(col("__rn") === expr("(__n + 1) DIV 2"), c)) +
           max(when(col("__rn") === expr("(__n + 2) DIV 2"), c))).as(out))
     }
-    val vMicro = round(value * lit(1e6)).cast("long")
-    val base = df.filter(value.isNotNull).withColumn("__v", vMicro)
+    val base = df.filter(value.isNotNull)
+      .withColumn("__v", round(value * lit(1e6)).cast("long"))
     // med2 = 2·median in micro-units (exact integer)
     val med = medianDoubled(base, col("__v"), "med2")
     val withMed = base.join(broadcast(med), group)
       // |x − median| in doubled micro-units — still exact integers
       .withColumn("__dev2", abs(col("__v") * 2 - col("med2")))
     // mad4 = 2·MAD in doubled micro-units = 4·MAD in micro-units
-    val mad = medianDoubled(withMed, col("__dev2"), "mad4")
-    withMed.join(broadcast(mad), group)
+    medianDoubled(withMed, col("__dev2"), "mad4")
+      .join(med, group)
+      .select((gc :+ col("med2") :+ col("mad4")): _*)
+  }
+
+  /** The APPLY half of [[madOutliers]]: flag `df`'s rows against
+    * previously-fitted [[madStats]] — a broadcast join (|groups| rows)
+    * plus per-row exact-integer arithmetic; map-speed, stateless, so it
+    * serves unbounded streams unchanged. Rows whose group is absent
+    * from the stats (a key never seen at fit time) flag NULL — the
+    * caller decides whether unseen means suspect. */
+  def madFlag(df: DataFrame, stats: DataFrame, group: Seq[String],
+              value: Column, k: Double): DataFrame = {
+    val statCols = group ++ Seq("med2", "mad4")
+    require(stats.columns.sorted.toSeq == statCols.sorted,
+      s"stats must be a madStats frame ${statCols.mkString("(", ",", ")")}, " +
+        s"got ${stats.columns.mkString("(", ",", ")")}")
+    df.filter(value.isNotNull)
+      .withColumn("__v", round(value * lit(1e6)).cast("long"))
+      .join(broadcast(stats), group, "left")
+      .withColumn("__dev2", abs(col("__v") * 2 - col("med2")))
       .withColumn("median", col("med2").cast("double") / lit(2e6))
       .withColumn("mad", col("mad4").cast("double") / lit(4e6))
       .withColumn("is_outlier",

@@ -113,4 +113,23 @@ object StreamingModelServe {
       b => graft.Pipeline.routedScore(b, modelTypes, rnnParams, xgbParams),
       outDir, checkpointDir)
   }
+
+  /** Streaming anomaly detection against a persisted robust-statistics
+    * artifact (round 9): [[Features.madStats]] is fitted in batch and
+    * written to parquet (per-group med2/mad4 — the exact integer
+    * encoding), then every micro-batch is flagged by the IDENTICAL
+    * batch operator [[Features.madFlag]] — a broadcast join plus
+    * map-speed integer arithmetic, no state store, so parity with the
+    * batch flagger is structural and replay is idempotent via the
+    * shared batch=<id> sink recipe. The monitoring topology: yesterday
+    * fits, today's firehose flags. */
+  def runMadAnomalyServe(spark: SparkSession, eventStream: DataFrame,
+                         statsDir: String, group: Seq[String],
+                         valueCol: String, k: Double,
+                         outDir: String, checkpointDir: String): StreamingQuery = {
+    val stats = spark.read.parquet(statsDir).localCheckpoint(eager = true)
+    runServe(eventStream,
+      b => Features.madFlag(b, stats, group, col(valueCol), k),
+      outDir, checkpointDir)
+  }
 }

@@ -218,4 +218,48 @@ class StreamingModelServeSpec extends SparkSpecBase {
     val neg = streamed.collect { case (id, p) if labels(id) == 0.0 => p }
     assert(pos.sum / pos.size > 0.8 && neg.sum / neg.size < 0.2)
   }
+
+  test("MAD anomaly serve: streamed flags equal the batch flagger; unseen groups flag NULL") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_madserve").toString
+    // fit corpus: group g tight around 10, group h around 100
+    val fit = ((1 to 40).map(i => ("g", 10.0 + (i % 5) * 0.1)) ++
+      (1 to 40).map(i => ("h", 100.0 + (i % 7)))).toDF("k", "v")
+    Features.madStats(fit, Seq("k"), col("v"))
+      .write.parquet(s"$base/stats")
+    // serve feed: normals, one blatant anomaly per group, one UNSEEN group
+    val feed = Seq(
+      (1L, "g", 10.2), (2L, "g", 55.0), (3L, "h", 103.0),
+      (4L, "h", 9.0), (5L, "zz", 1.0)
+    ).toDF("row_id", "k", "v")
+    val landing = s"$base/feed"
+    new java.io.File(landing).mkdirs()
+    val json = feed.collect().map(r =>
+      s"""{"row_id":${r.getLong(0)},"k":"${r.getString(1)}","v":${r.getDouble(2)}}""")
+    Files.writeString(java.nio.file.Path.of(landing, "b1.json"),
+      json.take(3).mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(landing, "b2.json"),
+      json.drop(3).mkString("\n"))
+    val feedStream = spark.readStream
+      .schema("row_id LONG, k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(landing)
+
+    val q = graft.streaming.StreamingModelServe.runMadAnomalyServe(
+      spark, feedStream, s"$base/stats", Seq("k"), "v", k = 3.0,
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def flags(d: org.apache.spark.sql.DataFrame) =
+      d.select("row_id", "is_outlier").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Boolean](1))).toMap
+    val streamed = flags(spark.read.parquet(s"$base/out"))
+    val batch = flags(Features.madFlag(feed,
+      spark.read.parquet(s"$base/stats"), Seq("k"), col("v"), 3.0))
+    assert(streamed === batch) // structural parity, bit for bit
+    assert(streamed(1L) === Some(false))
+    assert(streamed(2L) === Some(true))  // 55 vs median~10, MAD~0.1
+    assert(streamed(3L) === Some(false))
+    assert(streamed(4L) === Some(true))  // 9 vs median~103
+    assert(streamed(5L) === None)        // unseen group -> NULL flag
+  }
 }
