@@ -1259,6 +1259,19 @@ object Features {
     df.join(broadcast(cuts), group).withColumn("bin", bin)
   }
 
+  /** Tail clipping (round 9): winsorize `value` to the per-group
+    * [pLo, pHi] type-1 quantile band from [[quantileBins]] — the
+    * standard heavy-tail taming before moment-based models (means,
+    * OLS) whose sums one outlier can own. Adds `v_winsor` alongside
+    * [[quantileBins]]' cut/bin columns; null values stay null. */
+  def winsorize(df: DataFrame, group: Seq[String], value: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"pLo $pLo must be < pHi $pHi")
+    quantileBins(df, group, value, Seq(pLo, pHi))
+      .withColumn("v_winsor",
+        least(greatest(value, col("cut_0")), col("cut_1")))
+  }
+
   /** Robust per-group outlier flagging (round 9): median/MAD z-score —
     * the skew-immune alternative to the mean/std z-score (a20). A point
     * is an outlier when |x − median| > k · 1.4826 · MAD (1.4826 scales
@@ -1312,6 +1325,82 @@ object Features {
     medianDoubled(withMed, col("__dev2"), "mad4")
       .join(med, group)
       .select((gc :+ col("med2") :+ col("mad4")): _*)
+  }
+
+  /** Probability calibration, isotonic (PAV) over fixed score bins
+    * (round 9) — the classifier post-processing step every production
+    * scorer needs (a gate that says "0.9" should be right ~90% of the
+    * time): scores bin into `nBins` equal-width cells, per-bin label
+    * means come from ONE decimal-exact aggregate, and
+    * pool-adjacent-violators runs on the DRIVER over the ≤ nBins bin
+    * rows (bounded like every other model solve in this file — never
+    * row data). Returns the step-function mapping
+    * `(bin, n, mean_label, calibrated)`; apply is a broadcast join on
+    * the bin id ([[calibrate]]).
+    *
+    * PAV here is weighted: pooling adjacent violator blocks replaces
+    * them with their n-weighted mean, which preserves total label mass
+    * and yields the unique monotone least-squares fit. Empty bins get
+    * no row (they calibrate via the step function's neighbor at apply
+    * time — see [[calibrate]]'s last-known-bin rule). */
+  def isotonicBins(df: DataFrame, score: Column, label: Column,
+                   nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,1e4]: $nBins")
+    val bin = least(floor(score * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1))
+    val bins = df
+      .filter(score.isNotNull && label.isNotNull &&
+        score >= 0.0 && score <= 1.0)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(label.cast("decimal(17,6)")).as("__s"))
+      .withColumn("mean_label", col("__s").cast("double") / col("n"))
+      .drop("__s")
+    val rows = bins.orderBy(col("bin")).collect() // ≤ nBins rows — bounded
+    // weighted PAV: stack of (binStart, weight, mean); merge while the
+    // top two blocks violate monotonicity
+    case class Block(weight: Double, mean: Double, bins: List[Long])
+    val blocks = rows.foldLeft(List.empty[Block]) { (acc, r) =>
+      var cur = Block(r.getAs[Long]("n").toDouble,
+        r.getAs[Double]("mean_label"), List(r.getAs[Long]("bin")))
+      var rest = acc
+      while (rest.nonEmpty && rest.head.mean >= cur.mean) {
+        val top = rest.head
+        cur = Block(top.weight + cur.weight,
+          (top.weight * top.mean + cur.weight * cur.mean) /
+            (top.weight + cur.weight),
+          top.bins ++ cur.bins)
+        rest = rest.tail
+      }
+      cur :: rest
+    }.reverse
+    val cal = blocks.flatMap(b => b.bins.map(_ -> b.mean)).toMap
+    import df.sparkSession.implicits._
+    val calFrame = cal.toSeq.sortBy(_._1).toDF("bin", "calibrated")
+    bins.join(broadcast(calFrame), "bin")
+  }
+
+  /** Apply an [[isotonicBins]] mapping to a score column: broadcast
+    * join on the bin id; scores falling in a bin unseen at fit time
+    * take the nearest FITTED bin at or below (step functions are
+    * right-continuous here), or the lowest fitted bin for underflow. */
+  def calibrate(df: DataFrame, mapping: DataFrame, score: Column,
+                nBins: Int, outCol: String = "calibrated_p"): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,1e4]: $nBins")
+    val bin = least(floor(score * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1))
+    // dense serve table: every bin 0..nBins-1 resolved to its step value
+    val m = mapping.select(col("bin"), col("calibrated"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    require(m.nonEmpty, "empty calibration mapping")
+    val dense = (0L until nBins.toLong).map { b =>
+      val atOrBelow = m.takeWhile(_._1 <= b)
+      b -> (if (atOrBelow.nonEmpty) atOrBelow.last._2 else m.head._2)
+    }
+    import df.sparkSession.implicits._
+    val serveFrame = dense.toDF("bin", outCol)
+    df.withColumn("bin", bin)
+      .join(broadcast(serveFrame), "bin")
   }
 
   /** The APPLY half of [[madOutliers]]: flag `df`'s rows against

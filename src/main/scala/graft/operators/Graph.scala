@@ -39,14 +39,20 @@ object Graph {
   def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    // nodes and the out-weighted edge list are read EVERY iteration —
+    // persist both or each round re-derives the full upstream lineage
+    // (measured: 3 iterations = 3 re-scans without this). MEMORY_AND_DISK
+    // so a 100 TB-derived edge list spills instead of OOMing.
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // ONE scalar to the driver, never row data
     require(n > 0, "pageRank over an empty edge list")
     val r0 = 1.0 / n
     val outw = edges.groupBy(col("src"))
       .agg(sum(col("w").cast("long")).as("ow"))
     val edgesN = edges.join(outw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(r0))
     for (_ <- 1 to iters) {
       val contribs = edgesN.join(ranks, col("src") === col("id"))

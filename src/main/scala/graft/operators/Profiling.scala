@@ -75,16 +75,21 @@ object Profiling {
         s((d19(y) * d19(y)).cast("decimal(38,6)"), "syy"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+    // ONE row of sufficient statistics exploded into |pairs| result rows
+    // — a unionAll of per-pair selects would re-run the whole aggregate
+    // once per pair (measured 3x the scan cost at sf0.1)
+    val pairStructs = pairs.zipWithIndex.map { case ((x, y), i) =>
       val n = col(s"n_$i").cast("double")
       def dbl(p: String) = col(s"${p}_$i").cast("double")
       val cov = n * dbl("sxy") - dbl("sx") * dbl("sy")
       val vx = n * dbl("sxx") - dbl("sx") * dbl("sx")
       val vy = n * dbl("syy") - dbl("sy") * dbl("sy")
-      stats.select(
+      struct(
         lit(x).as("col_x"), lit(y).as("col_y"), col(s"n_$i").as("n"),
         when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("corr"))
     }
-    rows.reduce(_ unionAll _)
+    stats.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.n").as("n"), col("p.corr").as("corr"))
   }
 }

@@ -96,6 +96,143 @@ object AnalyticsQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // A28 (ext, round 9) — isotonic (PAV) probability calibration.
+    // Deterministic synthetic scorer: score = value/500 clamped to
+    // [0,1]; label drawn by a SECOND independent md5 gate with
+    // P(label=1) ≈ value/500 — so the scorer is roughly calibrated
+    // with hash noise, and PAV has real violators to pool. The per-bin
+    // reliability table is decimal-exact and hash-paired; `calibrated`
+    // itself is the driver PAV solve (bounded at ≤ nBins rows, like
+    // every model solve), which SQL cannot re-derive — so the oracle
+    // pins the PAV OUTPUT through its two defining laws as in-data
+    // booleans: monotonicity and label-mass conservation.
+    "a28_calibration" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{Features, Sampling}
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(
+            least(col("value") / lit(500.0), lit(1.0)).as("score"),
+            when(Sampling.bucket(col("event_id"), "cal9", "md5") <
+              col("value") * lit(2000.0), 1.0).otherwise(0.0).as("label"))
+        val bins = Features.isotonicBins(e, col("score"), col("label"),
+          nBins = 20)
+        // 20-row frame: the single-partition window is bounded by nBins
+        val w = Window.orderBy(col("bin"))
+        val laws = bins
+          .withColumn("prev", lag(col("calibrated"), 1).over(w))
+          .agg(
+            min(col("prev").isNull || col("calibrated") >= col("prev"))
+              .as("monotone_ok"),
+            (abs(sum(col("calibrated") * col("n")) -
+              sum(col("mean_label") * col("n"))) <=
+              lit(1e-6) * sum(col("n"))).as("mass_ok"))
+        bins.select(col("bin"), col("n"), col("mean_label"))
+          .crossJoin(laws)
+      },
+      """WITH scored AS (
+        |  SELECT least(value / 500.0, 1.0) AS score,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':cal9'), 1, 15)) AS BIGINT) % 1000000
+        |        < value * 2000.0 THEN 1.0 ELSE 0.0 END AS label
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT least(CAST(floor(score * 20.0) AS BIGINT), 19) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(label AS DECIMAL(17,6))) AS DOUBLE) / count(*)
+        |    AS mean_label,
+        |  TRUE AS monotone_ok, TRUE AS mass_ok
+        |FROM scored
+        |GROUP BY 1""".stripMargin),
+
+    // A29 (ext, round 9) — two-sample A/B z-test: treatment assignment
+    // by the deterministic md5 user gate (50/50 on user_id, the
+    // experiment-bucketing the hash-sampling family exists for), Welch
+    // z on the value metric per event_type. ONE aggregate pass with
+    // conditional decimal sums per arm (ar1 ladder); the z statistic
+    // and the |z| > 1.96 verdict are fixed IEEE chains — hash-paired,
+    // not invariant-boolean'd. Degenerate arms (n < 2 or zero
+    // variance) yield NULL z, the SQL convention.
+    "a29_ab_ztest" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Sampling
+        val t = Sampling.bucket(col("user_id"), "ab9", "md5") < 500000L
+        def d17(c: org.apache.spark.sql.Column) = c.cast("decimal(17,6)")
+        def d19(c: org.apache.spark.sql.Column) =
+          d17(c).cast("decimal(19,6)")
+        val e = Tables.events(s, dir)
+          .filter(col("value").isNotNull && abs(col("value")) < 1e11)
+        val g = e.groupBy(col("event_type")).agg(
+          count(when(t, lit(1))).as("n_t"),
+          sum(when(t, d17(col("value")))).as("s_t"),
+          sum(when(t, (d19(col("value")) * d19(col("value")))
+            .cast("decimal(38,6)"))).as("ss_t"),
+          count(when(!t, lit(1))).as("n_c"),
+          sum(when(!t, d17(col("value")))).as("s_c"),
+          sum(when(!t, (d19(col("value")) * d19(col("value")))
+            .cast("decimal(38,6)"))).as("ss_c"))
+        def m(sf: String, nf: String) =
+          col(sf).cast("double") / col(nf).cast("double")
+        def v(ssf: String, sf: String, nf: String) =
+          (col(ssf).cast("double") -
+            col(sf).cast("double") * col(sf).cast("double") /
+              col(nf).cast("double")) /
+            (col(nf).cast("double") - lit(1.0))
+        val withStats = g
+          .withColumn("mean_t", m("s_t", "n_t"))
+          .withColumn("mean_c", m("s_c", "n_c"))
+          .withColumn("var_t", v("ss_t", "s_t", "n_t"))
+          .withColumn("var_c", v("ss_c", "s_c", "n_c"))
+          .withColumn("z",
+            when(col("n_t") >= 2 && col("n_c") >= 2 &&
+              (col("var_t") > 0.0 || col("var_c") > 0.0),
+              (col("mean_t") - col("mean_c")) /
+                sqrt(col("var_t") / col("n_t").cast("double") +
+                  col("var_c") / col("n_c").cast("double"))))
+        withStats.select(col("event_type"), col("n_t"), col("n_c"),
+          col("mean_t"), col("mean_c"), col("z"),
+          (abs(col("z")) > lit(1.96)).as("significant"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab9'),
+        |      1, 15)) AS BIGINT) % 1000000 < 500000 AS t
+        |  FROM events WHERE value IS NOT NULL AND abs(value) < 1e11),
+        |g AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN t THEN 1 END) AS n_t,
+        |    sum(CASE WHEN t THEN CAST(value AS DECIMAL(17,6)) END) AS s_t,
+        |    sum(CASE WHEN t THEN CAST(
+        |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(38,6)) END) AS ss_t,
+        |    count(CASE WHEN NOT t THEN 1 END) AS n_c,
+        |    sum(CASE WHEN NOT t THEN CAST(value AS DECIMAL(17,6)) END) AS s_c,
+        |    sum(CASE WHEN NOT t THEN CAST(
+        |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(38,6)) END) AS ss_c
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, n_t, n_c,
+        |    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+        |    CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+        |    (CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+        |      / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0) AS var_t,
+        |    (CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+        |      / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) AS var_c
+        |  FROM g)
+        |SELECT event_type, n_t, n_c, mean_t, mean_c,
+        |  CASE WHEN n_t >= 2 AND n_c >= 2 AND (var_t > 0.0 OR var_c > 0.0)
+        |    THEN (mean_t - mean_c) / sqrt(var_t / CAST(n_t AS DOUBLE)
+        |      + var_c / CAST(n_c AS DOUBLE)) END AS z,
+        |  abs(CASE WHEN n_t >= 2 AND n_c >= 2
+        |      AND (var_t > 0.0 OR var_c > 0.0)
+        |    THEN (mean_t - mean_c) / sqrt(var_t / CAST(n_t AS DOUBLE)
+        |      + var_c / CAST(n_c AS DOUBLE)) END) > 1.96 AS significant
+        |FROM s""".stripMargin),
+
     // GR1 (ext, round 9) — damped PageRank over the event-type
     // transition graph (edges = per-user consecutive (prev → next)
     // event pairs in (ts, event_id) order). The operator is the generic

@@ -1155,6 +1155,34 @@ object FeatureQueries {
         |  CAST(CASE WHEN e.value > c.q1 THEN 1 ELSE 0 END
         |     + CASE WHEN e.value > c.q2 THEN 1 ELSE 0 END
         |     + CASE WHEN e.value > c.q3 THEN 1 ELSE 0 END AS BIGINT) AS bin
+        |FROM events e JOIN cuts c USING (event_type)""".stripMargin),
+
+    // FT3 (ext, round 9) — winsorization: clip to the per-group
+    // [p05, p95] type-1 quantile band before moment-based modeling.
+    // least/greatest on exact order-statistic cuts — bitwise-pairable
+    // like ft_quantile_bins.
+    "ft_winsorize" -> QueryDef(
+      (s, dir) => {
+        Features.winsorize(Tables.events(s, dir), Seq("event_type"),
+          col("value"), pLo = 0.05, pHi = 0.95)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("cut_0").as("p05"), col("cut_1").as("p95"),
+            col("v_winsor"))
+      },
+      """WITH v AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |cuts AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |        THEN value END) AS p05,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |        THEN value END) AS p95
+        |  FROM v GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, c.p05, c.p95,
+        |  least(greatest(e.value, c.p05), c.p95) AS v_winsor
         |FROM events e JOIN cuts c USING (event_type)""".stripMargin)
   )
 }

@@ -615,6 +615,71 @@ class FeaturesSpec extends SparkSpecBase {
     }
   }
 
+  test("A28 isotonicBins: PAV pools violators to the weighted mean, preserves mass, stays monotone") {
+    // scores land in 4 of 10 bins; bins 2 and 3 VIOLATE monotonicity
+    // (means 0.8 then 0.2) -> PAV must pool them to (2*0.8+2*0.2)/4 = 0.5
+    val df = Seq(
+      (0.05, 0.0), (0.15, 0.0),            // bins 0,1: means 0, 0
+      (0.25, 1.0), (0.26, 0.6),            // bin 2: mean 0.8
+      (0.35, 0.2), (0.36, 0.2),            // bin 3: mean 0.2  <- violator
+      (0.95, 1.0)                          // bin 9: mean 1
+    ).toDF("score", "label")
+    val out = Features.isotonicBins(df, col("score"), col("label"), nBins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_label"),
+          r.getAs[Double]("calibrated")))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 9L))
+    assert(out(2L)._2 === 0.8 && out(3L)._2 === 0.2)
+    assert(out(2L)._3 === 0.5 && out(3L)._3 === 0.5) // pooled
+    assert(out(0L)._3 === 0.0 && out(9L)._3 === 1.0) // untouched
+    // monotone + mass preserved
+    val cal = out.toSeq.sortBy(_._1).map(_._2._3)
+    assert(cal === cal.sorted)
+    val mass = out.values.map(v => v._1 * v._3).sum
+    val labelMass = out.values.map(v => v._1 * v._2).sum
+    assert(math.abs(mass - labelMass) < 1e-9)
+    // score exactly 1.0 joins the top bin, out-of-[0,1] scores drop
+    val edge = Features.isotonicBins(
+      Seq((1.0, 1.0), (1.5, 1.0), (-0.1, 0.0)).toDF("score", "label"),
+      col("score"), col("label"), nBins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    assert(edge === Map(9L -> 1L))
+  }
+
+  test("A28 calibrate: served step function fills unfitted bins from the nearest fitted bin below") {
+    val fitDf = Seq(
+      (0.05, 0.0), (0.15, 0.0),
+      (0.25, 1.0), (0.26, 0.6), (0.35, 0.2), (0.36, 0.2), (0.95, 1.0)
+    ).toDF("score", "label")
+    val mapping = Features.isotonicBins(fitDf, col("score"), col("label"), 10)
+    val serve = Seq((1L, 0.31), (2L, 0.55), (3L, 0.99), (4L, 0.01))
+      .toDF("id", "score")
+    val out = Features.calibrate(serve, mapping, col("score"), 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("calibrated_p")).toMap
+    assert(out(1L) === 0.5)  // bin 3: fitted (pooled)
+    assert(out(2L) === 0.5)  // bin 5: unfitted -> nearest below = bin 3
+    assert(out(3L) === 1.0)  // bin 9: fitted
+    assert(out(4L) === 0.0)  // bin 0: fitted
+  }
+
+  test("FT3 winsorize: values clip to the [p05, p95] order-statistic band, interior untouched") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Features.winsorize(df, Seq("k"), col("v"), 0.05, 0.95)
+      .collect().map(r => r.getAs[Double]("v") ->
+        r.getAs[Double]("v_winsor")).toMap
+    // n=100: p05 cut = value at rank 5 = 5.0; p95 at rank 95 = 95.0
+    assert(out(1.0) === 5.0)
+    assert(out(4.0) === 5.0)
+    assert(out(5.0) === 5.0)
+    assert(out(50.0) === 50.0)
+    assert(out(95.0) === 95.0)
+    assert(out(99.0) === 95.0)
+    intercept[IllegalArgumentException] {
+      Features.winsorize(df, Seq("k"), col("v"), 0.9, 0.1)
+    }
+  }
+
   test("A26 madOutliers: exact integer medians, outlier flag, zero-MAD group degrades cleanly") {
     val df = Seq(
       // group g: {1,2,3,4,100} — median 3, deviations {2,1,0,1,97},
