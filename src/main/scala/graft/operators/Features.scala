@@ -1259,6 +1259,28 @@ object Features {
     df.join(broadcast(cuts), group).withColumn("bin", bin)
   }
 
+  /** Quantile (rank) transform (round 9): map each row to its group
+    * rank scaled to [0, 1] — `(rn−1)/(n−1)` under a caller-supplied
+    * TOTAL order (pass a tiebreak column; rank under ties is otherwise
+    * partition-dependent). Singleton groups map to 0.5. The
+    * distribution-free normalization for heavy-tailed features —
+    * where [[minMaxNormalize]] lets one outlier own the scale and
+    * z-scores assume moments exist. One per-group sort window. */
+  def rankNormalize(df: DataFrame, group: Seq[String],
+                    order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "rankNormalize needs an explicit total order")
+    val w = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+    val frame = Window.partitionBy(group.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("rank_norm",
+        when(col("__n") === 1, lit(0.5))
+          .otherwise((col("__rn") - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .drop("__rn", "__n")
+  }
+
   /** Tail clipping (round 9): winsorize `value` to the per-group
     * [pLo, pHi] type-1 quantile band from [[quantileBins]] — the
     * standard heavy-tail taming before moment-based models (means,

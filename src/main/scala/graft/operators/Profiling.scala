@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Catalog statistics (the ANALYZE TABLE shape): per-column row count,
@@ -91,5 +91,55 @@ object Profiling {
     stats.select(explode(array(pairStructs: _*)).as("p"))
       .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
         col("p.n").as("n"), col("p.corr").as("corr"))
+  }
+
+  /** Chi-square test of independence between two categorical columns
+    * (round 9) — "does segment membership depend on the category?", the
+    * categorical counterpart of [[corrMatrix]]. One count aggregate
+    * builds the contingency table; expected counts e = rowTot·colTot/N
+    * and the per-cell terms (o−e)²/e ride window totals over the
+    * |rows|·|cols| cell frame (never a second data pass). The cell-term
+    * reduction is quantized to BIGINT 1e-12 units (the Graph.pageRank
+    * portability recipe — a double→DECIMAL cast is not bitwise-stable
+    * across engines, round-to-integer of the same double is). Output:
+    * one row with chi2, the degrees of freedom, and the α=0.05 verdict
+    * against the caller-supplied critical value (kept a parameter —
+    * no chi-square CDF in either engine's portable surface). */
+  def chiSquareIndependence(df: DataFrame, rowCat: Column, colCat: Column,
+                            critical: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = df
+      .filter(rowCat.isNotNull && colCat.isNotNull)
+      .groupBy(rowCat.as("r"), colCat.as("c"))
+      .agg(count(lit(1)).as("o"))
+    // the FULL grid, zeros included: an absent (r,c) combination still
+    // contributes (0−e)²/e = e — dropping empty cells understates chi2
+    val cells = observed.select(col("r")).distinct()
+      .crossJoin(observed.select(col("c")).distinct())
+      .join(observed, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wr = Window.partitionBy(col("r")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wc = Window.partitionBy(col("c")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val terms = cells
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("rt", sum(col("o")).over(wr))
+      .withColumn("ct", sum(col("o")).over(wc))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+      .withColumn("t",
+        round(((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e")) * lit(1e12))
+          .cast("long"))
+    terms.agg(
+      (sum(col("t")).cast("double") / lit(1e12)).as("chi2"),
+      ((count_distinct(col("r")) - 1) * (count_distinct(col("c")) - 1))
+        .as("dof"),
+      max(col("n")).as("n"))
+      .withColumn("significant", col("chi2") > lit(critical))
   }
 }

@@ -233,6 +233,58 @@ object AnalyticsQueries {
         |      + var_c / CAST(n_c AS DOUBLE)) END) > 1.96 AS significant
         |FROM s""".stripMargin),
 
+    // A30 (ext, round 9) — chi-square test of independence: does the
+    // md5 experiment arm depend on event_type? (It must not — a skewed
+    // answer means a broken bucketing hash; this row is the
+    // sample-ratio-mismatch check every A/B platform runs.) Full
+    // contingency grid including empty cells; the (o−e)²/e reduction
+    // rides the BIGINT 1e-12 quantization (the pageRank portability
+    // recipe), so chi2 hash-pairs. Critical value 9.488 = χ²(df=4,
+    // α=0.05), supplied by the caller — no CDF in either engine.
+    "a30_chi_square" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Profiling, Sampling}
+        val arm = when(
+          Sampling.bucket(col("user_id"), "chi9", "md5") < 500000L,
+          "t").otherwise("c")
+        Profiling.chiSquareIndependence(Tables.events(s, dir),
+          col("event_type"), arm, critical = 9.488)
+      },
+      """WITH e AS (
+        |  SELECT event_type AS r,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |      || ':chi9'), 1, 15)) AS BIGINT) % 1000000 < 500000
+        |      THEN 't' ELSE 'c' END AS c
+        |  FROM events WHERE event_type IS NOT NULL),
+        |o AS (SELECT r, c, count(*) AS o FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT rr.r, cc.c, coalesce(o.o, 0) AS o
+        |  FROM (SELECT DISTINCT r FROM o) rr
+        |  CROSS JOIN (SELECT DISTINCT c FROM o) cc
+        |  LEFT JOIN o ON o.r = rr.r AND o.c = cc.c),
+        |w AS (
+        |  SELECT r, c, o,
+        |    sum(o) OVER () AS n,
+        |    sum(o) OVER (PARTITION BY r) AS rt,
+        |    sum(o) OVER (PARTITION BY c) AS ct
+        |  FROM grid),
+        |t AS (
+        |  SELECT r, c, n,
+        |    CAST(round(((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(n AS DOUBLE))) * 1e12) AS BIGINT) AS tq
+        |  FROM w)
+        |SELECT CAST(sum(tq) AS DOUBLE) / 1e12 AS chi2,
+        |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(tq) AS DOUBLE) / 1e12 > 9.488 AS significant
+        |FROM t""".stripMargin),
+
     // GR1 (ext, round 9) — damped PageRank over the event-type
     // transition graph (edges = per-user consecutive (prev → next)
     // event pairs in (ts, event_id) order). The operator is the generic

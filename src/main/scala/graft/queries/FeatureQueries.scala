@@ -1183,6 +1183,26 @@ object FeatureQueries {
         |  FROM v GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, c.p05, c.p95,
         |  least(greatest(e.value, c.p05), c.p95) AS v_winsor
-        |FROM events e JOIN cuts c USING (event_type)""".stripMargin)
+        |FROM events e JOIN cuts c USING (event_type)""".stripMargin),
+
+    // FT4 (ext, round 9) — quantile (rank) transform: per-group rank
+    // scaled to [0,1] under the total order (value, event_id) — the
+    // distribution-free normalization for heavy tails. Ratios of exact
+    // integers; null values excluded (they have no rank).
+    "ft_rank_normalize" -> QueryDef(
+      (s, dir) => {
+        Features.rankNormalize(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          Seq("event_type"), Seq(col("value"), col("event_id")))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("rank_norm"))
+      },
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0.5
+        |    ELSE CAST(row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value, event_id) - 1 AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)
+        |  END AS rank_norm
+        |FROM events WHERE value IS NOT NULL""".stripMargin)
   )
 }

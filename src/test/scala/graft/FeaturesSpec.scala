@@ -663,6 +663,30 @@ class FeaturesSpec extends SparkSpecBase {
     assert(out(4L) === 0.0)  // bin 0: fitted
   }
 
+  test("FT4 rankNormalize: [0,1] endpoints, tiebreak determinism, singleton group = 0.5") {
+    val df = Seq(
+      ("g", 1L, 10.0), ("g", 2L, 30.0), ("g", 3L, 20.0),
+      ("g", 4L, 20.0), ("g", 5L, 40.0), // tie at 20.0 broken by id
+      ("solo", 9L, 7.0)
+    ).toDF("k", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Features.rankNormalize(d, Seq("k"), Seq(col("v"), col("id")))
+        .collect().map(r => r.getAs[Long]("id") ->
+          r.getAs[Double]("rank_norm")).toMap
+    val out = run(df)
+    // sorted: 10(id1), 20(id3), 20(id4), 30(id2), 40(id5)
+    assert(out(1L) === 0.0)
+    assert(out(3L) === 0.25) // first of the 20.0 tie (smaller id)
+    assert(out(4L) === 0.5)  // second of the tie
+    assert(out(2L) === 0.75)
+    assert(out(5L) === 1.0)
+    assert(out(9L) === 0.5)  // singleton
+    assert(run(df.repartition(7)) === out) // total order => layout-proof
+    intercept[IllegalArgumentException] {
+      Features.rankNormalize(df, Seq("k"), Seq.empty)
+    }
+  }
+
   test("FT3 winsorize: values clip to the [p05, p95] order-statistic band, interior untouched") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
     val out = Features.winsorize(df, Seq("k"), col("v"), 0.05, 0.95)

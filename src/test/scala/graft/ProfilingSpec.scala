@@ -50,4 +50,39 @@ class ProfilingSpec extends SparkSpecBase {
       Profiling.corrMatrix(df, Seq("a", "nope"))
     }
   }
+
+  test("chiSquareIndependence: hand-computed 2x2, empty cells counted, independence reads not-significant") {
+    // contingency: r=a: (t=30, c=10); r=b: (t=10, c=30)
+    val dep = (Seq.fill(30)(("a", "t")) ++ Seq.fill(10)(("a", "c")) ++
+      Seq.fill(10)(("b", "t")) ++ Seq.fill(30)(("b", "c")))
+      .toDF("r", "c")
+    val out = Profiling.chiSquareIndependence(dep, col("r"), col("c"),
+      critical = 3.841).head
+    // e = 20 everywhere; chi2 = 4 * (10^2/20) = 20
+    assert(math.abs(out.getAs[Double]("chi2") - 20.0) < 1e-9)
+    assert(out.getAs[Long]("dof") === 1L)
+    assert(out.getAs[Long]("n") === 80L)
+    assert(out.getAs[Boolean]("significant"))
+    // perfectly balanced -> chi2 = 0, not significant
+    val indep = (Seq.fill(20)(("a", "t")) ++ Seq.fill(20)(("a", "c")) ++
+      Seq.fill(20)(("b", "t")) ++ Seq.fill(20)(("b", "c"))).toDF("r", "c")
+    val o2 = Profiling.chiSquareIndependence(indep, col("r"), col("c"), 3.841)
+      .head
+    assert(o2.getAs[Double]("chi2") === 0.0)
+    assert(!o2.getAs[Boolean]("significant"))
+    // an (r,c) combo with ZERO observations still contributes e:
+    // r=z only ever appears with c=t; the (z,c) cell is absent from the
+    // data but must enter the statistic
+    val zero = (Seq.fill(10)(("a", "t")) ++ Seq.fill(10)(("a", "c")) ++
+      Seq.fill(10)(("z", "t"))).toDF("r", "c")
+    val o3 = Profiling.chiSquareIndependence(zero, col("r"), col("c"), 3.841)
+      .head
+    // grid: a:(10,10), z:(10,0); n=30, rt(a)=20, rt(z)=10, ct(t)=20, ct(c)=10
+    // e(a,t)=40/3, e(a,c)=20/3, e(z,t)=20/3, e(z,c)=10/3
+    // chi2 = (10-40/3)^2/(40/3) + (10-20/3)^2/(20/3)*2 + (0-10/3)^2/(10/3)
+    val expect = math.pow(10 - 40.0 / 3, 2) / (40.0 / 3) +
+      2 * math.pow(10 - 20.0 / 3, 2) / (20.0 / 3) +
+      math.pow(10.0 / 3, 2) / (10.0 / 3)
+    assert(math.abs(o3.getAs[Double]("chi2") - expect) < 1e-9)
+  }
 }
