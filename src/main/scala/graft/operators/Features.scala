@@ -1259,6 +1259,47 @@ object Features {
     df.join(broadcast(cuts), group).withColumn("bin", bin)
   }
 
+  /** Truncated exponential moving average (round 9): per-group
+    *   ewma_t = Σ_{j<min(t,L)} α(1−α)^j · x_{t−j}  /  Σ_{j} α(1−α)^j
+    * — the L-lag truncation of the recursive EWMA (pandas
+    * `ewm(alpha).mean()` up to the (1−α)^L tail, which at the default
+    * α=0.3, L=8 is < 6% and renormalized away by the denominator).
+    * Truncating makes the operator a fixed-width WINDOW FRAME instead
+    * of an unbounded sequential recursion — one per-group sort window,
+    * no sequential scan, the form that distributes.
+    *
+    * Determinism: the weights are driver-computed constants shared
+    * with any oracle as literals; each term x·w quantizes to BIGINT
+    * 1e-12 units (the pageRank recipe) so the frame reduction is an
+    * exact integer fold, and the result is a ratio of two exact
+    * integer sums. Nulls must be excluded upstream (a null inside the
+    * frame would silently misalign weights — collect_list drops it). */
+  def ewma(df: DataFrame, group: Seq[String], order: Seq[Column],
+           value: Column, alpha: Double, maxLag: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64]: $maxLag")
+    val weights = ewmaWeights(alpha, maxLag)
+    val warr = array(weights.map(lit): _*)
+    val w = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(maxLag - 1), 0)
+    // frame newest-first so position i pairs with weight α(1−α)^i
+    val hist = reverse(collect_list(value).over(w))
+    val used = slice(warr, lit(1), size(hist))
+    val num = aggregate(
+      zip_with(hist, used, (x, wt) =>
+        round(x * wt * lit(1e12)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    val den = aggregate(
+      transform(used, wt => round(wt * lit(1e12)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    df.withColumn("ewma", num.cast("double") / den.cast("double"))
+  }
+
+  /** The truncated-EWMA weight table — exposed so an oracle embeds the
+    * IDENTICAL constants. */
+  def ewmaWeights(alpha: Double, maxLag: Int): Seq[Double] =
+    (0 until maxLag).map(j => alpha * math.pow(1 - alpha, j))
+
   /** Quantile (rank) transform (round 9): map each row to its group
     * rank scaled to [0, 1] — `(rn−1)/(n−1)` under a caller-supplied
     * TOTAL order (pass a tiebreak column; rank under ties is otherwise

@@ -1203,6 +1203,44 @@ object FeatureQueries {
         |        ORDER BY value, event_id) - 1 AS DOUBLE)
         |      / CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)
         |  END AS rank_norm
-        |FROM events WHERE value IS NOT NULL""".stripMargin)
+        |FROM events WHERE value IS NOT NULL""".stripMargin),
+
+    // W13 (ext, round 9) — truncated EWMA (α=0.3, L=8): the fixed-frame
+    // distributable form of the recursive exponential smoother. The
+    // weight table is ONE driver-computed constant embedded verbatim in
+    // both engines (Features.ewmaWeights — a VALUES literal in the
+    // oracle), terms quantize to BIGINT 1e-12 units, and the result is
+    // a ratio of two exact integer sums — so the Spark window-frame
+    // fold and the oracle's rank self-join, two entirely different
+    // algorithms, agree bitwise.
+    "w13_ewma" -> QueryDef(
+      (s, dir) => {
+        Features.ewma(Tables.events(s, dir).filter(col("value").isNotNull),
+          key, Seq(col("ts"), col("event_id")), col("value"),
+          alpha = 0.3, maxLag = 8)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ewma"))
+      }, {
+        val wvals = Features.ewmaWeights(0.3, 8).zipWithIndex
+          .map { case (wt, j) => s"($j, CAST(${"%.17g".format(wt)} AS DOUBLE))" }
+          .mkString(", ")
+        s"""WITH r AS (
+           |  SELECT event_id, user_id, event_type, value,
+           |    row_number() OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE value IS NOT NULL),
+           |j AS (
+           |  SELECT cur.event_id, cur.user_id, cur.event_type, cur.value,
+           |    CAST(round(hist.value * w.wt * 1e12) AS BIGINT) AS tq,
+           |    CAST(round(w.wt * 1e12) AS BIGINT) AS wq
+           |  FROM r cur
+           |  JOIN r hist ON cur.user_id = hist.user_id
+           |    AND cur.event_type = hist.event_type
+           |    AND hist.rn BETWEEN cur.rn - 7 AND cur.rn
+           |  JOIN (VALUES $wvals) AS w(j, wt) ON w.j = cur.rn - hist.rn)
+           |SELECT event_id, user_id, event_type, value,
+           |  CAST(sum(tq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS ewma
+           |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
+      })
   )
 }

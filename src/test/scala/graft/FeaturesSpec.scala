@@ -663,6 +663,39 @@ class FeaturesSpec extends SparkSpecBase {
     assert(out(4L) === 0.0)  // bin 0: fitted
   }
 
+  test("W13 ewma: truncated weights, warm-up renormalization, constant series fixed point") {
+    val df = Seq(
+      ("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
+      ("c", 1L, 7.0), ("c", 2L, 7.0), ("c", 3L, 7.0)
+    ).toDF("k", "t", "v")
+    val out = Features.ewma(df, Seq("k"), Seq(col("t")), col("v"),
+      alpha = 0.5, maxLag = 4)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("t")) ->
+        r.getAs[Double]("ewma")).toMap
+    // weights (newest first): 0.5, 0.25, 0.125, 0.0625
+    // t=1: only itself -> 10
+    assert(math.abs(out(("g", 1L)) - 10.0) < 1e-9)
+    // t=2: (0.5*20 + 0.25*10) / 0.75 = 12.5/0.75
+    assert(math.abs(out(("g", 2L)) - 12.5 / 0.75) < 1e-9)
+    // t=3: (0.5*30 + 0.25*20 + 0.125*10) / 0.875
+    assert(math.abs(out(("g", 3L)) - 21.25 / 0.875) < 1e-9)
+    // constant series is a fixed point regardless of warm-up
+    Seq(1L, 2L, 3L).foreach(t =>
+      assert(math.abs(out(("c", t)) - 7.0) < 1e-9))
+    // physical layout cannot move rows between frames
+    val again = Features.ewma(df.repartition(5), Seq("k"), Seq(col("t")),
+      col("v"), 0.5, 4)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("t")) ->
+        r.getAs[Double]("ewma")).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      Features.ewma(df, Seq("k"), Seq(col("t")), col("v"), 1.0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Features.ewma(df, Seq("k"), Seq(col("t")), col("v"), 0.5, 0)
+    }
+  }
+
   test("FT4 rankNormalize: [0,1] endpoints, tiebreak determinism, singleton group = 0.5") {
     val df = Seq(
       ("g", 1L, 10.0), ("g", 2L, 30.0), ("g", 3L, 20.0),
