@@ -63,18 +63,28 @@ object Profiling {
     def d17(c: String) = col(c).cast("decimal(17,6)")
     def d19(c: String) = d17(c).cast("decimal(19,6)")
     def ok(c: String) = col(c).isNotNull && abs(col(c)) < 1e11
+    // project each cast/guard/product ONCE, then aggregate the
+    // precomputed columns — repeating the decimal ladder inside every
+    // conditional aggregate re-evaluated it 18 times per row (measured
+    // 5x the steady-state cost at sf0.1); the aggregated VALUES are
+    // identical, so the cross-engine contract is unchanged
+    val proj = df.select(
+      columns.flatMap { c => Seq(
+        d17(c).as(s"__d_$c"), ok(c).as(s"__ok_$c"),
+        (d19(c) * d19(c)).cast("decimal(38,6)").as(s"__q_$c")) } ++
+        pairs.zipWithIndex.map { case ((x, y), i) =>
+          (d19(x) * d19(y)).cast("decimal(38,6)").as(s"__p_$i") }: _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val both = ok(x) && ok(y)
-      def s(e: org.apache.spark.sql.Column, name: String) =
-        sum(when(both, e)).as(s"${name}_$i")
+      val both = col(s"__ok_$x") && col(s"__ok_$y")
+      def s(c: org.apache.spark.sql.Column, name: String) =
+        sum(when(both, c)).as(s"${name}_$i")
       Seq(
         count(when(both, lit(1))).as(s"n_$i"),
-        s(d17(x), "sx"), s(d17(y), "sy"),
-        s((d19(x) * d19(y)).cast("decimal(38,6)"), "sxy"),
-        s((d19(x) * d19(x)).cast("decimal(38,6)"), "sxx"),
-        s((d19(y) * d19(y)).cast("decimal(38,6)"), "syy"))
+        s(col(s"__d_$x"), "sx"), s(col(s"__d_$y"), "sy"),
+        s(col(s"__p_$i"), "sxy"),
+        s(col(s"__q_$x"), "sxx"), s(col(s"__q_$y"), "syy"))
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val stats = proj.agg(aggs.head, aggs.tail: _*)
     // ONE row of sufficient statistics exploded into |pairs| result rows
     // — a unionAll of per-pair selects would re-run the whole aggregate
     // once per pair (measured 3x the scan cost at sf0.1)
@@ -105,6 +115,55 @@ object Profiling {
     * one row with chi2, the degrees of freedom, and the α=0.05 verdict
     * against the caller-supplied critical value (kept a parameter —
     * no chi-square CDF in either engine's portable surface). */
+  /** One-way ANOVA F-test (round 9) — "does the metric's MEAN differ
+    * across groups?", completing the stats triad ([[corrMatrix]] =
+    * numeric×numeric, [[chiSquareIndependence]] = cat×cat, this =
+    * cat×numeric). One decimal-exact aggregate per group, then the
+    * between/within sum-of-squares terms quantize to BIGINT 1e-6 units
+    * (magnitudes here are n·mean² ≈ 1e8, so 1e-6 grain keeps the sums
+    * far inside int64 — same recipe, coarser grain than pageRank's
+    * rank-scale 1e-12). Zero within-variance (all groups constant)
+    * yields NULL F. `critical` is the caller's F(df1, df2, α) quantile
+    * — no F CDF in either engine's portable surface. */
+  def anovaF(df: DataFrame, group: Column, value: Column,
+             critical: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d17(c: Column) = c.cast("decimal(17,6)")
+    def d19(c: Column) = d17(c).cast("decimal(19,6)")
+    val g = df
+      .filter(group.isNotNull && value.isNotNull && abs(value) < 1e11)
+      .groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(d17(value)).as("s_g"),
+        sum((d19(value) * d19(value)).cast("decimal(38,6)")).as("ss_g"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val terms = g
+      .withColumn("n", sum(col("n_g")).over(all))
+      .withColumn("s", sum(col("s_g")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("m_g", col("s_g").cast("double") / col("n_g").cast("double"))
+      .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("bq",
+        round(col("n_g").cast("double") * (col("m_g") - col("m")) *
+          (col("m_g") - col("m")) * lit(1e6)).cast("long"))
+      .withColumn("wq",
+        round((col("ss_g").cast("double") -
+          col("n_g").cast("double") * col("m_g") * col("m_g")) * lit(1e6))
+          .cast("long"))
+    terms.agg(
+      max(col("n")).as("n"), max(col("k")).as("k"),
+      sum(col("bq")).as("sb"), sum(col("wq")).as("sw"))
+      .select(
+        col("n"), (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+        when(col("sw") > 0 && col("k") > 1 && col("n") > col("k"),
+          (col("sb").cast("double") / lit(1e6) /
+            (col("k") - 1).cast("double")) /
+            (col("sw").cast("double") / lit(1e6) /
+              (col("n") - col("k")).cast("double"))).as("f"))
+      .withColumn("significant", col("f") > lit(critical))
+  }
+
   def chiSquareIndependence(df: DataFrame, rowCat: Column, colCat: Column,
                             critical: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -285,6 +285,60 @@ object AnalyticsQueries {
         |  CAST(sum(tq) AS DOUBLE) / 1e12 > 9.488 AS significant
         |FROM t""".stripMargin),
 
+    // A31 (ext, round 9) — one-way ANOVA F: does mean(value) differ by
+    // event_type? Completes the stats triad (corr = num×num, chi2 =
+    // cat×cat, F = cat×num). Decimal-exact per-group statistics, BIGINT
+    // 1e-6 quantized sum-of-squares reduction, fixed IEEE F chain —
+    // hash-paired. Critical 2.372 ≈ F(4, ∞, 0.05), caller-supplied.
+    "a31_anova_f" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Profiling.anovaF(Tables.events(s, dir),
+          col("event_type"), col("value"), critical = 2.372)
+      },
+      """WITH g AS (
+        |  SELECT event_type AS g, count(*) AS n_g,
+        |    sum(CAST(value AS DECIMAL(17,6))) AS s_g,
+        |    sum(CAST(
+        |      CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(value AS DECIMAL(17,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(38,6))) AS ss_g
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND abs(value) < 1e11
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT g.*,
+        |    sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+        |    count(*) OVER () AS k
+        |  FROM g),
+        |m AS (
+        |  SELECT n, k,
+        |    CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS m_g,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    n_g, ss_g
+        |  FROM w),
+        |t AS (
+        |  SELECT n, k,
+        |    CAST(round(CAST(n_g AS DOUBLE) * (m_g - m) * (m_g - m) * 1e6)
+        |      AS BIGINT) AS bq,
+        |    CAST(round((CAST(ss_g AS DOUBLE)
+        |      - CAST(n_g AS DOUBLE) * m_g * m_g) * 1e6) AS BIGINT) AS wq
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(k) - 1 AS BIGINT) AS df1,
+        |  CAST(max(n) - max(k) AS BIGINT) AS df2,
+        |  CASE WHEN sum(wq) > 0 AND max(k) > 1 AND max(n) > max(k) THEN
+        |    (CAST(sum(bq) AS DOUBLE) / 1e6 / CAST(max(k) - 1 AS DOUBLE))
+        |    / (CAST(sum(wq) AS DOUBLE) / 1e6
+        |       / CAST(max(n) - max(k) AS DOUBLE)) END AS f,
+        |  CASE WHEN sum(wq) > 0 AND max(k) > 1 AND max(n) > max(k) THEN
+        |    (CAST(sum(bq) AS DOUBLE) / 1e6 / CAST(max(k) - 1 AS DOUBLE))
+        |    / (CAST(sum(wq) AS DOUBLE) / 1e6
+        |       / CAST(max(n) - max(k) AS DOUBLE)) END > 2.372
+        |    AS significant
+        |FROM t""".stripMargin),
+
     // GR1 (ext, round 9) — damped PageRank over the event-type
     // transition graph (edges = per-user consecutive (prev → next)
     // event pairs in (ts, event_id) order). The operator is the generic

@@ -279,4 +279,57 @@ object StreamingAnalytics {
         lit(null).cast("long").as("sk_col"), lit(0L).as("c"),
         col("batch_id"))
   }
+
+  /** One input row for the streaming EWMA: key, event order, value. */
+  final case class EwmaEvent(key: String, ts: Long, id: Long, v: Double)
+
+  /** Emitted per input row: its truncated-EWMA at arrival. */
+  final case class EwmaPoint(key: String, id: Long, v: Double, ewma: Double)
+
+  /** W13, streaming (round 9): the truncated EWMA over an unbounded
+    * per-key stream via flatMapGroupsWithState — state is the last
+    * maxLag−1 values (newest first), a FIXED-size ring per key
+    * regardless of stream length (the reason the truncated form
+    * streams and the unbounded recursion doesn't checkpoint cleanly).
+    * Arithmetic is the [[graft.operators.Features.ewma]] quantized
+    * chain verbatim (same weights, same BIGINT 1e-12 terms, same
+    * integer-ratio finish), so a row's streamed EWMA equals the batch
+    * operator's bit for bit — StreamingModelServeSpec-style parity is
+    * structural, pinned in StreamingAnalyticsSpec.
+    *
+    * Ordering contract: rows are folded in (ts, id) order WITHIN a
+    * batch, and batches are assumed key-ordered across triggers (the
+    * same in-order-feed contract as [[runningLatest]]); an out-of-order
+    * late row would smooth against the wrong history — feed through a
+    * watermarked sort upstream when the source can reorder. */
+  def streamingEwma(spark: SparkSession, in: Dataset[EwmaEvent],
+                    alpha: Double, maxLag: Int): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64]: $maxLag")
+    val weights = graft.operators.Features.ewmaWeights(alpha, maxLag)
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaEvent],
+         state: GroupState[List[Double]]) =>
+          var hist = state.getOption.getOrElse(Nil) // newest first
+          // Spark SQL round(double) is BigDecimal HALF_UP — replicate it
+          // exactly (math.round is floor(x+0.5), which differs on
+          // negative .5 ties) so streamed == batch bit for bit
+          def q(d: Double): Long =
+            BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val out = rows.toSeq.sortBy(r => (r.ts, r.id)).map { r =>
+            val window = (r.v :: hist).take(maxLag)
+            val num = window.zip(weights)
+              .map { case (x, wt) => q(x * wt * 1e12) }.sum
+            val den = weights.take(window.size).map(wt => q(wt * 1e12)).sum
+            hist = window.take(maxLag - 1)
+            EwmaPoint(key, r.id, r.v, num.toDouble / den.toDouble)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
 }

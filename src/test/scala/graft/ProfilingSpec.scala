@@ -85,4 +85,30 @@ class ProfilingSpec extends SparkSpecBase {
       math.pow(10.0 / 3, 2) / (10.0 / 3)
     assert(math.abs(o3.getAs[Double]("chi2") - expect) < 1e-9)
   }
+
+  test("anovaF: hand-computed two-group F, constant groups give NULL F, null/abs guards") {
+    // groups: a = {1,2,3} (mean 2), b = {5,6,7} (mean 6); grand mean 4
+    // SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24; SSW = 2 + 2 = 4
+    // F = (24/1) / (4/4) = 24, df1=1, df2=4
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)
+    ).toDF("g", "v")
+    val out = Profiling.anovaF(df, col("g"), col("v"), critical = 7.71).head
+    assert(out.getAs[Long]("n") === 6L)
+    assert(out.getAs[Long]("df1") === 1L)
+    assert(out.getAs[Long]("df2") === 4L)
+    assert(math.abs(out.getAs[Double]("f") - 24.0) < 1e-6)
+    assert(out.getAs[Boolean]("significant")) // 24 > 7.71
+    // zero within-variance -> NULL F, NULL verdict
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0))
+      .toDF("g", "v")
+    val oc = Profiling.anovaF(const, col("g"), col("v"), 7.71).head
+    assert(oc.isNullAt(oc.fieldIndex("f")))
+    // null group/value rows are excluded before counting
+    val dirty = df.unionByName(Seq((null.asInstanceOf[String], 1.0))
+      .toDF("g", "v"))
+    assert(Profiling.anovaF(dirty, col("g"), col("v"), 7.71)
+      .head.getAs[Long]("n") === 6L)
+  }
 }

@@ -287,4 +287,54 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     val est2 = estimates()
     (1 to 5).foreach(u => assert(est2(u.toLong) >= 3L))
   }
+
+  test("streamingEwma: state carries the ring across batches; streamed equals the batch operator bit for bit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamingAnalytics.EwmaEvent]
+    val q = StreamingAnalytics.streamingEwma(spark, in.toDS(),
+      alpha = 0.5, maxLag = 4)
+      .writeStream.format("memory").queryName("ewma_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: first three points of g, one of h
+      in.addData(
+        StreamingAnalytics.EwmaEvent("g", 1L, 1L, 10.0),
+        StreamingAnalytics.EwmaEvent("g", 2L, 2L, 20.0),
+        StreamingAnalytics.EwmaEvent("g", 3L, 3L, 30.0),
+        StreamingAnalytics.EwmaEvent("h", 1L, 9L, 7.0))
+      q.processAllAvailable()
+      // batch 2: g continues PAST the ring boundary (row 5 must forget 10.0)
+      in.addData(
+        StreamingAnalytics.EwmaEvent("g", 4L, 4L, 40.0),
+        StreamingAnalytics.EwmaEvent("g", 5L, 5L, 50.0),
+        StreamingAnalytics.EwmaEvent("h", 2L, 10L, 7.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_t").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Double]("ewma")).toMap
+      // batch differential: identical rows through Features.ewma
+      val batchDf = Seq(
+        ("g", 1L, 1L, 10.0), ("g", 2L, 2L, 20.0), ("g", 3L, 3L, 30.0),
+        ("g", 4L, 4L, 40.0), ("g", 5L, 5L, 50.0),
+        ("h", 1L, 9L, 7.0), ("h", 2L, 10L, 7.0)
+      ).toDF("key", "ts", "id", "v")
+      val batch = graft.operators.Features.ewma(batchDf, Seq("key"),
+        Seq(org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("id")),
+        org.apache.spark.sql.functions.col("v"), alpha = 0.5, maxLag = 4)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("ewma"))
+        .toMap
+      assert(streamed === batch) // bitwise, across the batch boundary
+      // the ring actually truncates: row 5's window is {50,40,30,20}
+      val w5 = Seq(50.0, 40.0, 30.0, 20.0)
+      val ws = graft.operators.Features.ewmaWeights(0.5, 4)
+      val num = w5.zip(ws).map { case (x, w) =>
+        BigDecimal(x * w * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.sum
+      val den = ws.map(w => BigDecimal(w * 1e12)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      assert(streamed(5L) === num.toDouble / den.toDouble)
+      assert(streamed(10L) === 7.0) // constant series fixed point
+    } finally q.stop()
+  }
 }
