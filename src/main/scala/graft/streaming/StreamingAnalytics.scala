@@ -280,6 +280,79 @@ object StreamingAnalytics {
         col("batch_id"))
   }
 
+  /** Incremental QUANTILE sketch over an unbounded stream (round 9) —
+    * the streaming face of sketch_bin_quantiles, completing the
+    * streaming sketch triad: HLL (idempotent by algebra), count-min
+    * (additive + ledger), binned histogram (additive + ledger on a
+    * FIXED grid). The grid — per-group (lo, width) from
+    * [[graft.operators.Sketches.histBounds]], fitted in batch — lives
+    * at `gridDir` and NEVER moves while the stream runs (the
+    * shared-grid mergeability contract; refitting the grid mid-stream
+    * would silently rebucket history). Each micro-batch bins against
+    * that grid (≤ |groups|·nBins cells whatever the batch size), adds
+    * cell-wise under the one-row high-water ledger, and publishes
+    * through the versioned snapshot — replay-idempotent, state bounded
+    * by the grid, not the stream. Serve = [[graft.operators.Sketches
+    * .histQuantiles]] over the snapshot's sketch rows. */
+  def runBinHistogram(spark: SparkSession, stream: DataFrame,
+                      group: Seq[String], valueCol: String, nBins: Int,
+                      gridDir: String, artifactDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyHistBatch(spark, batch, id, group, valueCol, nBins, gridDir,
+          artifactDir)
+      }
+      .start()
+
+  /** The transactional merge step of [[runBinHistogram]] (same recipe
+    * as [[applyCountMinBatch]]: skip at-or-below the ledger high-water
+    * mark, else cell-add + ledger advance in one snapshot publish). */
+  private[graft] def applyHistBatch(spark: SparkSession, batch: DataFrame,
+                                    batchId: Long, group: Seq[String],
+                                    valueCol: String, nBins: Int,
+                                    gridDir: String,
+                                    artifactDir: String): Unit = {
+    import graft.operators.{Sinks, Sketches}
+    if (batch.isEmpty) return
+    val bounds = spark.read.parquet(gridDir)
+    val cells = Sketches.binHistogramWith(batch, bounds, group,
+      col(valueCol), nBins)
+      .withColumn("batch_id", lit(-1L))
+    val sketchKey = group ++ Seq("bin", "lo", "width", "n_bins")
+    def ledger(id: Long) = cells.limit(0)
+      .unionByName(
+        spark.range(1).select(cells.schema.fields.map { f =>
+          (f.name match {
+            case "cnt" => lit(0L)
+            case "batch_id" => lit(id)
+            case _ => lit(null)
+          }).cast(f.dataType).as(f.name)
+        }: _*))
+    if (!Sinks.tableExists(spark, artifactDir)) {
+      Sinks.replaceSnapshot(spark, artifactDir,
+        cells.unionByName(ledger(batchId)))
+      ()
+    } else {
+      val current = Sinks.readSnapshot(spark, artifactDir)
+      val maxApplied = current.filter(col("batch_id") >= 0)
+        .agg(max(col("batch_id"))).head.getLong(0)
+      if (batchId <= maxApplied) return // redelivery: exact no-op
+      val merged = current.filter(col("batch_id") < 0)
+        .unionByName(cells)
+        .groupBy(sketchKey.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("batch_id", lit(-1L))
+        .select(cells.columns.map(col): _*)
+        .unionByName(ledger(batchId))
+      Sinks.replaceSnapshot(spark, artifactDir, merged)
+      ()
+    }
+  }
+
   /** One input row for the streaming EWMA: key, event order, value. */
   final case class EwmaEvent(key: String, ts: Long, id: Long, v: Double)
 

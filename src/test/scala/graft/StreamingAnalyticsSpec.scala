@@ -288,6 +288,58 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     (1 to 5).foreach(u => assert(est2(u.toLong) >= 3L))
   }
 
+  test("runBinHistogram: fixed-grid cells accrete across batches to the batch sketch; redelivery is a no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_shist").toString
+    val all = ((1 to 50).map(i => ("g", i.toDouble)) ++
+      (1 to 30).map(i => ("h", (i * 10).toDouble))).toDF("k", "v")
+    // grid fitted ONCE in batch, persisted — the stream never refits
+    graft.operators.Sketches.histBounds(all, Seq("k"), col("v"), nBins = 10)
+      .write.parquet(s"$base/grid")
+    // batch 1 through the streaming entry point (AvailableNow drains
+    // what exists, then terminates)...
+    val in = MemoryStream[(String, Double)]
+    in.addData((1 to 50).map(i => ("g", i.toDouble)): _*)
+    val q = StreamingAnalytics.runBinHistogram(spark,
+      in.toDS().toDF("k", "v"), Seq("k"), "v", nBins = 10,
+      gridDir = s"$base/grid", artifactDir = s"$base/artifact",
+      checkpointDir = s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // ...batch 2 through the factored transactional step (the
+    // applyCountMinBatch testing convention — same code the stream runs)
+    StreamingAnalytics.applyHistBatch(spark,
+      (1 to 30).map(i => ("h", (i * 10).toDouble)).toDF("k", "v"),
+      batchId = 1L, Seq("k"), "v", 10, s"$base/grid", s"$base/artifact")
+    def servedQuantiles() = graft.operators.Sketches.histQuantiles(
+      graft.operators.Sinks.readSnapshot(spark, s"$base/artifact")
+        .filter(col("batch_id") < 0).drop("batch_id"),
+      Seq("k"), Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("q_0"),
+          r.getAs[Double]("q_1")))).toMap
+    val streamed = servedQuantiles()
+    val batch = graft.operators.Sketches.histQuantiles(
+      graft.operators.Sketches.binHistogram(all, Seq("k"), col("v"), 10),
+      Seq("k"), Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("q_0"),
+          r.getAs[Double]("q_1")))).toMap
+    assert(streamed === batch) // cell-exact accretion on the shared grid
+    assert(streamed("g")._1 === 50L && streamed("h")._1 === 30L)
+    // REDELIVERY of an applied batch id: bit-exact no-op
+    val before = servedQuantiles()
+    StreamingAnalytics.applyHistBatch(spark,
+      (1 to 50).map(i => ("g", i.toDouble)).toDF("k", "v"), batchId = 0L,
+      Seq("k"), "v", 10, s"$base/grid", s"$base/artifact")
+    assert(servedQuantiles() === before)
+    // a NEW batch id accretes (counts double for g)
+    StreamingAnalytics.applyHistBatch(spark,
+      (1 to 50).map(i => ("g", i.toDouble)).toDF("k", "v"), batchId = 9L,
+      Seq("k"), "v", 10, s"$base/grid", s"$base/artifact")
+    assert(servedQuantiles()("g")._1 === 100L)
+  }
+
   test("streamingEwma: state carries the ring across batches; streamed equals the batch operator bit for bit") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
