@@ -139,6 +139,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** CONTAINMENT ground truth (round 9): pairs where
+    * |A∩B| / |A| ≥ num/den — the ASYMMETRIC near-dup relation Jaccard
+    * misses: a tweet quoted inside an article has tiny Jaccard but
+    * containment ≈ 1 (the quote/subset detection a filtering pipeline
+    * needs alongside symmetric near-dup). Directed: (doc_a ⊂ doc_b)
+    * and (doc_b ⊂ doc_a) are separate rows. Same integer threshold
+    * discipline (`inter·den ≥ |A|·num`, no float ratio), same shingle
+    * machinery, same O(n²) row-cap guard as [[jaccardPairs]] — this is
+    * the labeled correctness reference; the banded production sibling
+    * for containment is the MinHash-LSH candidate set verified with
+    * this predicate instead of the Jaccard one. */
+  def containmentPairs(docs: DataFrame, n: Int, num: Int, den: Int,
+                       maxRows: Long = 100000L): DataFrame = {
+    val rows = docs.count()
+    require(rows <= maxRows,
+      s"containmentPairs is an O(n²) ground-truth reference: input has $rows rows > maxRows=$maxRows. " +
+        "Verify banded candidates with the containment predicate for production corpora, " +
+        "or pass maxRows explicitly for a deliberate large run.")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val s = spread(docs)
+      .withColumn("ws", tokens(col("text")))
+      .select(col("doc_id"), hashedShingles("ws", n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0) // an empty set is vacuously contained — drop
+      .localCheckpoint(eager = false)
+    val inner = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val outer = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    val inter = call_function("graft_sorted_intersect_count",
+      col("sh_a"), col("sh_b"))
+    inner.join(broadcast(outer),
+      // containment needs |A| ≤ |B|·den/num at minimum? No: A⊂B possible
+      // only when inter ≤ min(szA, szB); inter ≥ szA·num/den requires
+      // szB·den ≥ szA·num — the one-sided size prefilter
+      col("doc_a") =!= col("doc_b") &&
+        (col("sz_b") * den >= col("sz_a") * num))
+      .filter((inter * den) >= (col("sz_a") * num))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signature over the hashed-shingle array column named `shCol`
     * (array<long>): for permutation p, min over shingles of
     * xxhash64(h, p). Computed by the single-pass native expression

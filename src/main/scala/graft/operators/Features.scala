@@ -1259,6 +1259,33 @@ object Features {
     df.join(broadcast(cuts), group).withColumn("bin", bin)
   }
 
+  /** Additive weekly seasonal decomposition (round 9):
+    *   value = group_mean + dow_effect + residual,
+    * with dow_effect = mean(value | group, ISO weekday) − group_mean —
+    * the first-order calendar decomposition an economic-events series
+    * begs for (NFP lands Fridays, CPI mid-week: a "day effect" is
+    * structure, not noise, and a model that never sees it eats it as
+    * variance). Means are decimal-exact window aggregates (A6
+    * convention); the two windows share the group hash partitioning,
+    * so the whole decomposition is one shuffle. Null values keep their
+    * row with NULL effect/residual. */
+  def seasonalDecompose(df: DataFrame, group: Seq[String], ts: Column,
+                        value: Column): DataFrame = {
+    val gc = group.map(col)
+    val isodow = (weekday(ts) + lit(1)).cast("long")
+    val wg = Window.partitionBy(gc: _*)
+    val wd = Window.partitionBy(gc :+ col("isodow"): _*)
+    def mean(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(value.cast("decimal(17,6)")).over(w).cast("double") /
+        count(value).over(w).cast("double")
+    df.withColumn("isodow", isodow)
+      .withColumn("group_mean", mean(wg))
+      .withColumn("dow_mean", mean(wd))
+      .withColumn("dow_effect", col("dow_mean") - col("group_mean"))
+      .withColumn("residual", value - col("dow_mean"))
+      .drop("dow_mean")
+  }
+
   /** Truncated exponential moving average (round 9): per-group
     *   ewma_t = Σ_{j<min(t,L)} α(1−α)^j · x_{t−j}  /  Σ_{j} α(1−α)^j
     * — the L-lag truncation of the recursive EWMA (pandas

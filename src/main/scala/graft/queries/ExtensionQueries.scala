@@ -225,6 +225,23 @@ object ExtensionQueries {
         n = 3, numPerm = 32, rowsPerBand = 2, num = 1, den = 2),
       duckJaccardPairs),
 
+    // CONTAINMENT near-dup (round 9): |A∩B|/|A| ≥ 0.7 — the DIRECTED
+    // subset/quote relation symmetric Jaccard misses (a doc embedded
+    // inside a longer one has tiny Jaccard, containment ≈ 1). Ground-
+    // truth reference with the jaccardPairs row-cap guard; 50 directed
+    // pairs drop at sf0.01, a real filter path. Integer threshold
+    // (10·inter ≥ 7·|A|), string-shingle oracle like the Jaccard row.
+    "dedup_containment" -> QueryDef(
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir),
+        n = 3, num = 7, den = 10),
+      s"""WITH $duckShingles
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM s a, s b
+         |WHERE a.doc_id <> b.doc_id
+         |  AND len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND 10 * len(list_intersect(a.sh, b.sh)) >= 7 * len(a.sh)"""
+        .stripMargin),
+
     // SimHash sketch per doc: 63-bit signature + 16-bit bands, over the
     // md5-parameterized shingle hash so DuckDB re-derives the identical
     // sketch bit-for-bit (hash-to-band chain fully differential-tested;

@@ -1241,6 +1241,41 @@ object FeatureQueries {
            |SELECT event_id, user_id, event_type, value,
            |  CAST(sum(tq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS ewma
            |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
-      })
+      }),
+
+    // A32 (ext, round 9) — additive weekly decomposition per
+    // event_type: value = group_mean + dow_effect + residual. The
+    // first-order calendar structure of an economic-events series
+    // (day-of-week release schedules), decimal-exact window means, one
+    // shuffle for both windows. isodow follows the f14 convention
+    // (Spark weekday+1 == DuckDB isodow).
+    "a32_seasonal_decompose" -> QueryDef(
+      (s, dir) => {
+        Features.seasonalDecompose(Tables.events(s, dir),
+          Seq("event_type"), col("ts"), col("value"))
+          .select(col("event_id"), col("event_type"), col("isodow"),
+            col("value"), col("group_mean"), col("dow_effect"),
+            col("residual"))
+      },
+      """WITH d AS (
+        |  SELECT event_id, event_type,
+        |    CAST(isodow(ts) AS BIGINT) AS isodow, value
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, event_type, isodow, value,
+        |    CAST(sum(CAST(value AS DECIMAL(17,6)))
+        |        OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(count(value) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      AS group_mean,
+        |    CAST(sum(CAST(value AS DECIMAL(17,6)))
+        |        OVER (PARTITION BY event_type, isodow) AS DOUBLE)
+        |      / CAST(count(value)
+        |          OVER (PARTITION BY event_type, isodow) AS DOUBLE)
+        |      AS dow_mean
+        |  FROM d)
+        |SELECT event_id, event_type, isodow, value, group_mean,
+        |  dow_mean - group_mean AS dow_effect,
+        |  value - dow_mean AS residual
+        |FROM m""".stripMargin)
   )
 }

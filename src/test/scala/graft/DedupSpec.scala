@@ -268,4 +268,30 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.passageDedup(corpus, chunkWords = 2, maxDocFreq = 4)
       .agg(sum(col("n_dropped"))).head().getLong(0) === 0L)
   }
+
+  test("containmentPairs: directed subset detection Jaccard misses; threshold, guard") {
+    import spark.implicits._
+    // doc 1 is a quote EMBEDDED in doc 2 (containment 1→2 = 1.0, but
+    // Jaccard is small); doc 3 is unrelated; doc 4 shares ~half of 1
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "article begins here saying the quick brown fox jumps over dogs and then continues with much more unrelated prose about markets"),
+      (3L, "completely different words everywhere in this one"),
+      (4L, "the quick brown fox sat still")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, n = 3, num = 7, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // the quote is contained
+    assert(!pairs.contains((2L, 1L))) // NOT symmetric: 2 is not inside 1
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // Jaccard at the same corpus misses the quote pair entirely (j ~ 0.3)
+    val j = Dedup.jaccardPairs(docs, n = 3, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)))
+    // O(n²) guard fails loud, overridable
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, 3, 7, 10, maxRows = 2)
+    }
+    assert(e.getMessage.contains("ground-truth"))
+  }
 }

@@ -663,6 +663,29 @@ class FeaturesSpec extends SparkSpecBase {
     assert(out(4L) === 0.0)  // bin 0: fitted
   }
 
+  test("A32 seasonalDecompose: hand-computed day effects, exact reconstruction, effects sum to zero") {
+    // 2024-01-01 is a Monday; two Mondays and one Tuesday in group g
+    val df = Seq(
+      ("g", "2024-01-01 10:00:00", 10.0), // Mon
+      ("g", "2024-01-08 10:00:00", 20.0), // Mon
+      ("g", "2024-01-02 10:00:00", 30.0)  // Tue
+    ).toDF("k", "ts_s", "v").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Features.seasonalDecompose(df, Seq("k"), col("ts"), col("v"))
+      .collect().map(r => r.getAs[Double]("v") ->
+        ((r.getAs[Long]("isodow"), r.getAs[Double]("group_mean"),
+          r.getAs[Double]("dow_effect"), r.getAs[Double]("residual"))))
+      .toMap
+    assert(out(10.0) === ((1L, 20.0, -5.0, -5.0))) // Mon mean 15
+    assert(out(20.0) === ((1L, 20.0, -5.0, 5.0)))
+    assert(out(30.0) === ((2L, 20.0, 10.0, 0.0)))  // Tue mean 30
+    // identity: value = group_mean + dow_effect + residual, per row
+    out.foreach { case (v, (_, gm, eff, res)) =>
+      assert(math.abs(v - (gm + eff + res)) < 1e-12)
+    }
+    // row-weighted day effects cancel within the group
+    assert(math.abs(out.values.map(_._3).sum) < 1e-9)
+  }
+
   test("W13 ewma: truncated weights, warm-up renormalization, constant series fixed point") {
     val df = Seq(
       ("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
