@@ -135,4 +135,41 @@ object EventAnalytics {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition model over per-user event sequences —
+    * the next-event predictor behind "users who did X usually do Y next"
+    * (and the maximum-likelihood fit of a Markov chain: transition
+    * probability = observed count / source total). Consecutive pairs come
+    * from one lag window in strict (ts, id) order per user; sequence
+    * boundaries between users are never paired (the window partitions by
+    * user).
+    *
+    * Returns `(src, dst, n, n_src, p, rnk)`: transition count, source
+    * row-total, MLE probability (ONE exactly-rounded integer division —
+    * hash-stable), and the per-src rank under (n DESC, dst ASC) — a total
+    * order, so rnk = 1 IS the deterministic next-event prediction.
+    *
+    * Scale: one user-keyed window + one aggregate on (src, dst) — state
+    * bounded by |states|², not by corpus size; the rank window runs on
+    * that |states|²-row frame, never on row data. */
+  def markovTransitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(typeCol).as("dst"),
+        lag(col(typeCol), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("src"))
+    pairs
+      .withColumn("n_src", sum(col("n")).over(totals))
+      .withColumn("p", col("n").cast("double") / col("n_src").cast("double"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("n").desc, col("dst"))))
+  }
 }

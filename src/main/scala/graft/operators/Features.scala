@@ -1516,4 +1516,63 @@ object Features {
           lit(k * 1.4826) * col("mad"))
       .drop("__v", "__dev2")
   }
+
+  /** Offline changepoint detection per group (round 9): the classic
+    * CUSUM single-changepoint statistic. For a series x₁..xₙ in
+    * (orderCols) order, the cumulative deviation from the series mean is
+    *   S_i = Σ_{j≤i} x_j − (i/n)·Σ x_j ,
+    * and the most likely single level-shift point is argmax_i |S_i|
+    * (Page 1954's CUSUM, in the offline mean-shift form; S_i is, up to a
+    * scale factor, the two-sample mean gap between x₁..x_i and the
+    * rest). The magnitude |S*|/n is the shift evidence in value units.
+    *
+    * Exactness (the cross-engine contract): values quantize to BIGINT
+    * micro-units (the a18/MAD convention) and the statistic is kept in
+    * the n-SCALED form
+    *   T_i = n·prefix_i − i·total   (all BIGINT — no mean division),
+    * so the argmax compares exact integers; ties break to the EARLIEST
+    * index (the conventional first-hit report), a total order. The only
+    * doubles in the output are one exactly-rounded division each for
+    * `cusum_stat` = |T*|/(n·1e6) (the |S*| magnitude) and nothing else —
+    * both hash-stable.
+    *
+    * Output: one row per group `(group…, n, cp_index, cusum_stat)` —
+    * cp_index is the 1-based position of the last element of the left
+    * segment; join back on a row_number window to recover its timestamp.
+    * Groups with n < 2 are dropped (no interior split exists).
+    *
+    * Scale: one window pass for prefix sums + one aggregate — a single
+    * shuffle on the group key; series order is per-group (the W1/EWMA
+    * window shape), never a global sort. */
+  def cusumChangepoint(
+      df: DataFrame,
+      group: Seq[String],
+      value: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    val gc = group.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(orderCols: _*)
+    val frame = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = df.filter(value.isNotNull)
+      .withColumn("__v", round(value * lit(1e6)).cast("long"))
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__pre", sum(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__tot", sum(col("__v")).over(frame))
+      // n-scaled CUSUM at i — exact integers end to end
+      .withColumn("__t", col("__n") * col("__pre") - col("__i") * col("__tot"))
+    // argmax |T_i| over interior indices (i = n is always 0 — excluded so
+    // the earliest-tie rule can't report the vacuous endpoint), ties to
+    // the earliest index: max on the (|T|, -i) pair struct is a total order
+    base.filter(col("__i") < col("__n"))
+      .groupBy(gc: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(struct(abs(col("__t")).as("t"), (-col("__i")).as("ni")))
+          .as("__best"))
+      .select((gc :+ col("n") :+ (-col("__best.ni")).as("cp_index") :+
+        (col("__best.t").cast("double") / (col("n").cast("double") * lit(1e6)))
+          .as("cusum_stat")): _*)
+  }
 }

@@ -68,4 +68,72 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle counting + local clustering coefficient over an UNDIRECTED
+    * edge list `(src, dst)` with `src < dst` and no duplicates (the
+    * canonical undirected encoding; callers own dedup/orientation, as
+    * with [[pageRank]]'s edge contract). Returns one row per node:
+    * `(id, degree, triangles, lcc)` where `lcc` = 2·triangles /
+    * (degree·(degree−1)) — NULL for degree < 2 (the coefficient is
+    * undefined, not zero).
+    *
+    * Algorithm (Suri & Vassilvitskii 2011's MapReduce node-iterator, the
+    * standard distributed shape): orient every edge from its LOWER
+    * endpoint to its HIGHER endpoint under the total order
+    * (degree, id) — out-degrees are then bounded by O(√m) on any graph
+    * (a node of degree d only points at neighbours of degree ≥ d, and
+    * there can only be ~√m of those), so wedge generation is
+    * Σ C(outdeg, 2) instead of the unbounded Σ C(deg, 2) a hub would
+    * cause. Wedges (b < c out of a) probe the oriented edge set with one
+    * equi-join; each match is a triangle found EXACTLY ONCE (a is the
+    * orientation-minimum of the three). Per-node counts then credit all
+    * three corners via one explode + aggregate.
+    *
+    * Scale: two shuffle joins on edge keys + one aggregate — no driver
+    * adjacency, no vertex collect; everything is integer counts, so the
+    * cross-engine oracle is exact by construction (the lcc division is
+    * ONE exactly-rounded IEEE op on integers, hash-stable). */
+  def triangles(edges: DataFrame): DataFrame = {
+    // degrees over the undirected list: each edge contributes to both ends
+    val deg = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // orient by (degree, id): lower endpoint → higher endpoint
+    val ds = deg.select(col("id").as("src"), col("degree").as("dsrc"))
+    val dd = deg.select(col("id").as("dst"), col("degree").as("ddst"))
+    val oriented = edges.join(ds, "src").join(dd, "dst")
+      .select(
+        when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("lo"),
+        when(col("dsrc") < col("ddst") ||
+          (col("dsrc") === col("ddst") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges out of each orientation-minimum corner: pairs (b, c) of
+    // out-neighbours, canonicalized b < c so the closing probe is one
+    // equi-join against the UNDIRECTED edge set (src < dst — b < c in
+    // node order is exactly that encoding, independent of degrees)
+    val o1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
+    val o2 = oriented.select(col("lo").as("a"), col("hi").as("c"))
+    // the self-join emits each unordered out-pair twice ((b,c) and
+    // (c,b)); keeping the node-order half b < c both dedups the wedge
+    // AND matches the undirected src < dst edge encoding for the probe
+    val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
+      .select(col("a"), col("b").as("src"), col("c").as("dst"))
+    val tris = wedges.join(edges, Seq("src", "dst"))
+      .select(col("a"), col("src").as("b"), col("dst").as("c"))
+    // credit all three corners of each triangle
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * lit(2L)).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .as("lcc"))
+  }
 }

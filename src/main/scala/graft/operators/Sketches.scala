@@ -143,6 +143,78 @@ object Sketches {
         :+ col("cnt") :+ col("n_bins")): _*)
   }
 
+  /** Bloom filter (Bloom 1970) — the FOURTH mergeable sketch family
+    * (count-min answers "how often", HLL "how many distinct", the binned
+    * histogram "what quantile"; bloom answers MEMBERSHIP: "was this key
+    * ever seen?"): an m-bit array where inserting a key sets the k
+    * md5-derived positions h₀(key)..h_{k−1}(key), and a probe answers
+    * "possibly present" iff ALL k positions are set. False negatives are
+    * impossible (inserting a key sets every bit its probe will read);
+    * false positives occur at ≈ (1 − e^{−kn/m})^k — the one-sided-error
+    * trade every sketch in this file makes, stated in the probe contract.
+    *
+    * Representation: the sketch frame IS the set-bit set — one `bit` row
+    * per set position, ≤ m rows no matter the corpus size (the distinct
+    * combines map-side, so the shuffle carries ≤ m rows per partition).
+    * Merging sketches built with the same (bits, hashes, seed) is bitwise
+    * OR = UNION DISTINCT of bit rows — exact, order-free, and IDEMPOTENT,
+    * which is why the streaming maintenance
+    * (StreamingAnalytics.runBloomMembership) needs no batch ledger:
+    * re-delivering a batch re-unions bits already present, HLL-style
+    * idempotence-by-algebra (count-min's additive cells need the ledger).
+    *
+    * Hashing is the engine's md5 cross-engine convention (position i of a
+    * key = 60-bit md5("i:key:seed") prefix mod bits — the [[cell]] chain
+    * count-min uses), so any engine with md5 re-derives the ENTIRE bit
+    * set and a DuckDB oracle hash-matches probes instead of settling for
+    * invariant booleans.
+    *
+    * 100 TB shape: build is one map-side-combined aggregate to ≤ m rows;
+    * the built sketch is kilobytes (parquet-persistable, broadcastable);
+    * a probe is a broadcast join — the cheap pre-filter in front of an
+    * expensive exact lookup (seen-URL gates, incremental-dedup prefilters,
+    * the runtime bloom-join pruning BloomPrune makes explicit). */
+  def bloom(df: DataFrame, key: Column, bits: Int, hashes: Int,
+            seed: String): DataFrame = {
+    require(bits >= 2, s"bits must be >= 2, got $bits")
+    require(hashes >= 1, s"hashes must be >= 1, got $hashes")
+    df.filter(key.isNotNull)
+      .select(explode(array(
+        (0 until hashes).map(i => cell(key, i, seed, bits)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Membership probes for the distinct keys of `probes` against a built
+    * [[bloom]] sketch (same (bits, hashes, seed) as the build — the
+    * caller-owned contract, as with [[cmsEstimate]]). The sketch side is
+    * ≤ m rows, so the lookup join broadcasts. Output:
+    * `(key, might_contain)` — `false` is definitive (never inserted),
+    * `true` means "inserted, or a k-way hash collision". */
+  def bloomMightContain(sketch: DataFrame, probes: DataFrame, key: Column,
+                        bits: Int, hashes: Int, seed: String): DataFrame = {
+    require(bits >= 2, s"bits must be >= 2, got $bits")
+    require(hashes >= 1, s"hashes must be >= 1, got $hashes")
+    probes.filter(key.isNotNull)
+      .select(key.as("key")).distinct()
+      .select(col("key"), explode(array(
+        (0 until hashes).map(i => cell(col("key"), i, seed, bits)): _*))
+        .as("bit"))
+      .join(broadcast(sketch.withColumn("__set", lit(true))), Seq("bit"), "left")
+      .groupBy(col("key"))
+      // a key probes exactly `hashes` rows (duplicate positions probe the
+      // same bit twice and match twice) — all-present ⇔ `hashes` matches
+      .agg((count(col("__set")) === lit(hashes.toLong)).as("might_contain"))
+  }
+
+  /** Merge bloom shards built on the same (bits, hashes, seed): bitwise
+    * OR = union-distinct of bit rows — exact, order-free, idempotent.
+    * Shards sketched independently on 1000 executors (or daily sketches
+    * rolling up to monthly) merge without touching raw data. */
+  def mergeBlooms(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "no bloom shards to merge")
+    shards.reduce(_ unionByName _).distinct()
+  }
+
   /** Quantile estimates from a (merged) [[binHistogram]]: for each
     * probability p the estimate is the RIGHT EDGE `lo + (bin+1)·width`
     * of the first bin whose cumulative count reaches rank ceil(p·n) —

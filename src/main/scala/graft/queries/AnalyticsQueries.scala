@@ -637,5 +637,145 @@ object AnalyticsQueries {
       },
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS type_est_ok, TRUE AS merge_law_ok, TRUE AS global_est_ok
-        |FROM events GROUP BY 1""".stripMargin))
+        |FROM events GROUP BY 1""".stripMargin),
+
+    // Bloom membership sketch (round 9) — the FOURTH mergeable sketch
+    // family (count-min = occurrences, HLL = distincts, histogram =
+    // quantiles, bloom = MEMBERSHIP). Members are users with
+    // user_id % 7 == 0 (a deterministic subset both engines derive
+    // identically — the events data has every user purchasing, so no
+    // natural predicate yields a strict subset); probes are ALL users.
+    // bits = 128 is deliberately tight (≈21 members × 3 hashes at
+    // sf0.01) so REAL false positives occur among the ~129 non-member
+    // probes — proving the error is one-sided in data, not just in
+    // theory. The md5 bit derivation is the engine's cross-engine
+    // convention: the oracle re-derives the ENTIRE bit set and every
+    // probe answer — a full hash match, not an invariant boolean. The
+    // merge law (OR of parity-shard sketches ≡ the direct sketch) is
+    // exact set algebra, pinned in-plan via a full-outer bit diff.
+    "sketch_bloom" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sketches
+        import org.apache.spark.sql.functions._
+        val e = Tables.events(s, dir)
+        val members = e.filter(pmod(col("user_id"), lit(7)) === 0)
+        val direct = Sketches.bloom(members, col("user_id"),
+          bits = 128, hashes = 3, seed = "bl9")
+        val merged = Sketches.mergeBlooms(Seq(0, 1).map(par =>
+          Sketches.bloom(members.filter(pmod(col("event_id"), lit(2)) === par),
+            col("user_id"), bits = 128, hashes = 3, seed = "bl9")))
+        val law = direct.withColumn("__a", lit(1))
+          .join(merged.withColumn("__b", lit(1)), Seq("bit"), "full_outer")
+          .agg(coalesce(sum(when(col("__a").isNull || col("__b").isNull,
+            lit(1)).otherwise(lit(0))), lit(0L)).as("__nd"))
+          .select((col("__nd") === 0).as("merge_law_ok"))
+        Sketches.bloomMightContain(direct, e, col("user_id"),
+          bits = 128, hashes = 3, seed = "bl9")
+          .withColumnRenamed("key", "user_id")
+          .withColumn("truly_in", pmod(col("user_id"), lit(7)) === 0)
+          .select(col("user_id"), col("might_contain"), col("truly_in"),
+            (!col("truly_in") || col("might_contain")).as("one_sided_ok"))
+          .crossJoin(law)
+      },
+      """WITH members AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 7 = 0),
+        |bits AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |    || ':' || CAST(user_id AS VARCHAR) || ':bl9'), 1, 15))
+        |    AS BIGINT) % 128 AS bit
+        |  FROM members, LATERAL unnest(generate_series(0, 2)) AS i(i)),
+        |probes AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |pb AS (
+        |  SELECT user_id, CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |    || ':' || CAST(user_id AS VARCHAR) || ':bl9'), 1, 15))
+        |    AS BIGINT) % 128 AS bit
+        |  FROM probes, LATERAL unnest(generate_series(0, 2)) AS i(i)),
+        |mc AS (
+        |  SELECT p.user_id, count(b.bit) = 3 AS might_contain
+        |  FROM pb p LEFT JOIN bits b USING (bit) GROUP BY p.user_id)
+        |SELECT user_id, might_contain, user_id % 7 = 0 AS truly_in,
+        |  (NOT user_id % 7 = 0) OR might_contain AS one_sided_ok,
+        |  TRUE AS merge_law_ok
+        |FROM mc""".stripMargin),
+
+    // Triangle counting + local clustering coefficient (round 9) over
+    // the co-purchase graph: parts are connected when they appear in
+    // the same order in >= 2 distinct orders (the support floor keeps
+    // the graph at real-signal pairs — and keeps the oracle's naive
+    // triple-join tractable). The Spark side runs the degree-oriented
+    // node-iterator (each triangle found exactly once at its
+    // orientation-minimum corner, out-degrees O(sqrt(m))-bounded); the
+    // oracle enumerates naively by node order — two different
+    // algorithms agreeing on exact integers, plus ONE hash-stable IEEE
+    // division for the coefficient.
+    "graph_triangles" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Graph
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("src"), col("dst"))
+        Graph.triangles(edges).withColumnRenamed("id", "l_partkey")
+      },
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS src, b2.pk AS dst
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.dst = e2.src
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |pn AS (
+        |  SELECT id, count(*) AS triangles FROM (
+        |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t)
+        |  GROUP BY 1)
+        |SELECT deg.id AS l_partkey, deg.degree,
+        |  coalesce(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    CAST(coalesce(pn.triangles, 0) * 2 AS DOUBLE)
+        |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+        |  END AS lcc
+        |FROM deg LEFT JOIN pn USING (id)""".stripMargin),
+
+    // EV4 (round 9) — first-order Markov next-event model: MLE
+    // transition matrix over per-user event sequences with a
+    // deterministic (n DESC, dst ASC) next-event ranking. Counts and
+    // totals are exact integers; p is ONE exactly-rounded division.
+    "ev4_markov" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        EventAnalytics.markovTransitions(Tables.events(s, dir))
+          .withColumn("rnk", col("rnk").cast("long"))
+      },
+      """WITH l AS (
+        |  SELECT event_type AS dst,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |c AS (
+        |  SELECT src, dst, count(*) AS n FROM l
+        |  WHERE src IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT src, dst, n,
+        |    CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS n_src
+        |  FROM c)
+        |SELECT src, dst, n, n_src,
+        |  CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS p,
+        |  row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rnk
+        |FROM w""".stripMargin))
 }

@@ -1276,6 +1276,46 @@ object FeatureQueries {
         |SELECT event_id, event_type, isodow, value, group_mean,
         |  dow_mean - group_mean AS dow_effect,
         |  value - dow_mean AS residual
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    // A35 (ext, round 9) — offline CUSUM changepoint per series: the
+    // level-shift detector for monitoring pipelines (Page 1954, offline
+    // mean-shift form). The statistic is kept in the n-scaled all-BIGINT
+    // form T_i = n·prefix_i − i·total over micro-unit values, so the
+    // argmax compares exact integers in both engines; ties report the
+    // EARLIEST index; the only double is ONE |T*|/(n·1e6) render.
+    "a35_cusum_changepoint" -> QueryDef(
+      (s, dir) => {
+        Features.cusumChangepoint(Tables.events(s, dir),
+          Seq("user_id", "event_type"), col("value"),
+          Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"), col("n"),
+            col("cp_index").cast("long").as("cp_index"), col("cusum_stat"))
+      },
+      """WITH b AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS i
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT user_id, event_type, i,
+        |    sum(v) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY i ROWS UNBOUNDED PRECEDING) AS pre,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n,
+        |    sum(v) OVER (PARTITION BY user_id, event_type) AS tot
+        |  FROM b),
+        |t AS (
+        |  SELECT user_id, event_type, n, i,
+        |    abs(n * pre - i * tot) AS at
+        |  FROM p WHERE i < n),
+        |s AS (
+        |  SELECT user_id, event_type, n, i, at,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY at DESC, i ASC) AS r
+        |  FROM t)
+        |SELECT user_id, event_type, n, i AS cp_index,
+        |  CAST(at AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS cusum_stat
+        |FROM s WHERE r = 1""".stripMargin)
   )
 }

@@ -65,4 +65,32 @@ class EventAnalyticsSpec extends SparkSpecBase {
       "view>signup" -> 1L, // user 2
       "click>purchase" -> 1L)) // user 4
   }
+
+  test("markov: MLE transition counts, no cross-user pairing, deterministic ranking") {
+    // user 1: A,B,A,B  → A>B ×2, B>A ×1 ; user 2: A,C → A>C ×1
+    // user 1 ends with B and user 2 starts with A: B>A must NOT gain a
+    // cross-user transition (the window partitions by user)
+    val ev = Seq(
+      (1L, ts(1), 1L, "A"), (2L, ts(2), 1L, "B"),
+      (3L, ts(3), 1L, "A"), (4L, ts(4), 1L, "B"),
+      (5L, ts(1), 2L, "A"), (6L, ts(2), 2L, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.markovTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 3L, 2.0 / 3.0, 1)),
+      ("A", "C") -> ((1L, 3L, 1.0 / 3.0, 2)),
+      ("B", "A") -> ((1L, 1L, 1.0, 1))))
+  }
+
+  test("markov: equal counts rank by destination name — a total order") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "A"), (2L, ts(2), 1L, "Z"),
+      (3L, ts(1), 2L, "A"), (4L, ts(2), 2L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.markovTransitions(ev)
+      .collect().map(r => r.getString(1) -> r.getInt(5)).toMap
+    assert(out === Map("B" -> 1, "Z" -> 2)) // n ties at 1 → dst ASC
+  }
 }

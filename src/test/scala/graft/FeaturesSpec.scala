@@ -782,4 +782,43 @@ class FeaturesSpec extends SparkSpecBase {
     assert(out(("z", 0.0)) === ((0.0, 0.0, false)))
     assert(out(("z", 1.0)) === ((0.0, 0.0, true)))
   }
+
+  test("A35 cusumChangepoint: hand-checked level shift, earliest tie, degenerate groups") {
+    // g: 0,0,0,10,10 — T_i = n·prefix_i − i·total (micro-units):
+    // |T| = 2e7, 4e7, 6e7, 3e7 → argmax at i=3 (the true shift point),
+    // stat = 6e7 / (5·1e6) = 12.0 exactly
+    // r: 0,5,10 (a pure ramp) — |T_1| = |T_2| = 15e6 → tie reports the
+    // EARLIEST index; stat = 15e6/(3e6) = 5.0
+    // c: constant — every T = 0, stat 0, index 1
+    // s: singleton — dropped (no interior split)
+    val df = Seq(
+      ("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 0.0), ("g", 4, 10.0), ("g", 5, 10.0),
+      ("r", 1, 0.0), ("r", 2, 5.0), ("r", 3, 10.0),
+      ("c", 1, 7.0), ("c", 2, 7.0), ("c", 3, 7.0),
+      ("s", 1, 42.0)
+    ).toDF("k", "i", "v")
+    val out = Features.cusumChangepoint(df, Seq("k"), col("v"), Seq(col("i")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out("g") === ((5L, 3, 12.0)))
+    assert(out("r") === ((3L, 1, 5.0)))
+    assert(out("c") === ((3L, 1, 0.0)))
+    assert(!out.contains("s"))
+  }
+
+  test("A35 cusumChangepoint: null rows excluded, layout-invariant integers") {
+    val df = Seq(
+      ("a", 1, Some(1.25)), ("a", 2, None), ("a", 3, Some(1.25)),
+      ("a", 4, Some(9.75)), ("a", 5, Some(9.75))
+    ).toDF("k", "i", "v")
+    // nulls drop BEFORE indexing: effective series 1.25,1.25,9.75,9.75
+    // → split exactly in the middle (i=2), stat = |4·2.5e6 − 2·22e6|/4e6 = 8.5
+    val out = Features.cusumChangepoint(df, Seq("k"), col("v"), Seq(col("i")))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((4L, 2, 8.5)))
+    val repart = Features.cusumChangepoint(
+      df.repartition(5), Seq("k"), col("v"), Seq(col("i")))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(repart.toSeq === out.toSeq) // bitwise: exact integers + one division
+  }
 }

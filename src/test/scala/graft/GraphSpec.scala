@@ -68,4 +68,58 @@ class GraphSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Graph.pageRank(e, 1.0, 3) }
     intercept[IllegalArgumentException] { Graph.pageRank(e, 0.85, 0) }
   }
+
+  private def triMap(edges: Seq[(Long, Long)]) =
+    Graph.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          Option(r.getAs[Any]("lcc")).map(_.asInstanceOf[Double]))))
+      .toMap
+
+  test("triangles: K4 — every node in 3 triangles, lcc exactly 1") {
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val m = triMap(k4)
+    assert(m.keySet === Set(1L, 2L, 3L, 4L))
+    m.values.foreach { case (deg, tri, lcc) =>
+      assert(deg === 3L && tri === 3L && lcc === Some(1.0))
+    }
+  }
+
+  test("triangles: path graph has none; lcc is 0 for interior, NULL for leaves") {
+    val m = triMap(Seq((1L, 2L), (2L, 3L)))
+    assert(m(2L) === ((2L, 0L, Some(0.0))))
+    assert(m(1L) === ((1L, 0L, None))) // degree 1: coefficient undefined
+    assert(m(3L) === ((1L, 0L, None)))
+  }
+
+  test("triangles: two triangles sharing an edge count per corner") {
+    // abc and abd share edge (a,b): a,b in 2 triangles; c,d in 1
+    val m = triMap(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    assert(m(1L)._2 === 2L && m(2L)._2 === 2L)
+    assert(m(3L)._2 === 1L && m(4L)._2 === 1L)
+    // lcc(a) = 2·2/(3·2) = 2/3 — one exactly-rounded division
+    assert(m(1L)._3 === Some(2.0 / 3.0))
+  }
+
+  test("triangles: differential vs brute-force enumeration, layout-invariant") {
+    // deterministic pseudo-random graph, canonicalized src < dst distinct
+    val raw = (1 to 300).map(i => ((i * 7L) % 23L, (i * i * 5L) % 23L))
+    val edges = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val brute = nodes.map { v =>
+      val nbrs = nodes.filter(u => es((math.min(u, v), math.max(u, v))))
+      val tri = (for {
+        a <- nbrs; b <- nbrs if a < b && es((math.min(a, b), math.max(a, b)))
+      } yield 1).size
+      v -> ((nbrs.size.toLong, tri.toLong))
+    }.toMap
+    val m = triMap(edges)
+    assert(m.view.mapValues(v => (v._1, v._2)).toMap === brute)
+    val repart = Graph.triangles(edges.toDF("src", "dst").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(repart.toSeq ===
+      m.toSeq.map { case (k, v) => (k, v._1, v._2) }.sortBy(_._1))
+  }
 }

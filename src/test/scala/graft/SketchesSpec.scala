@@ -91,4 +91,54 @@ class SketchesSpec extends SparkSpecBase {
       Sketches.binHistogram(df, g, col("v"), nBins = 1)
     }
   }
+
+  test("bloom: no false negatives ever; tight widths produce real false positives") {
+    val keys = (1L to 20L).toDF("k")
+    val sk = Sketches.bloom(keys, col("k"), bits = 32, hashes = 3, seed = "b1")
+    assert(sk.count() <= 32L) // the sketch can never exceed its bit budget
+    // every inserted key answers true — the defining one-sided guarantee
+    val in = Sketches.bloomMightContain(sk, keys, col("k"), 32, 3, "b1")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(in.size === 20 && in.values.forall(identity))
+    // 100 never-inserted keys against 32 bits: collisions are forced —
+    // at least one false positive AND at least one definitive negative
+    val out = Sketches.bloomMightContain(
+      sk, (1000L to 1099L).toDF("k"), col("k"), 32, 3, "b1")
+      .collect().map(r => r.getBoolean(1))
+    assert(out.length === 100)
+    assert(out.exists(identity), "no false positive at 32 bits — widen the test's reach")
+    assert(out.exists(!_), "saturated filter: every probe answered true")
+  }
+
+  test("bloom: merge is exact set union, idempotent, and equals the direct sketch") {
+    val a = (1L to 30L).toDF("k")
+    val b = (20L to 50L).toDF("k")
+    def bits(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val direct = Sketches.bloom(a.union(b), col("k"), 64, 3, "b2")
+    val merged = Sketches.mergeBlooms(Seq(
+      Sketches.bloom(a, col("k"), 64, 3, "b2"),
+      Sketches.bloom(b, col("k"), 64, 3, "b2")))
+    assert(bits(merged) === bits(direct)) // OR of shards ≡ sketch of union
+    // idempotence by algebra: re-merging a delivered shard is a no-op —
+    // the property that lets the streaming maintenance skip the ledger
+    val again = Sketches.mergeBlooms(Seq(
+      merged, Sketches.bloom(a, col("k"), 64, 3, "b2")))
+    assert(bits(again) === bits(direct))
+  }
+
+  test("bloom: null keys are excluded and guards fail loud") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val sk = Sketches.bloom(df, col("k"), 64, 3, "b3")
+    val expected = Sketches.bloom(Seq(1L, 2L).toDF("k"), col("k"), 64, 3, "b3")
+    assert(sk.collect().map(_.getLong(0)).toSet ===
+      expected.collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      Sketches.bloom(df, col("k"), bits = 1, hashes = 3, seed = "x")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(sk, df, col("k"), 64, 0, "x")
+    }
+    intercept[IllegalArgumentException] { Sketches.mergeBlooms(Seq.empty) }
+  }
 }
