@@ -777,5 +777,45 @@ object AnalyticsQueries {
         |SELECT src, dst, n, n_src,
         |  CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS p,
         |  row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rnk
-        |FROM w""".stripMargin))
+        |FROM w""".stripMargin),
+
+    // Market-basket association rules (round 9) — directed A→B rules
+    // over orders-as-baskets (order = basket of parts): support ≥ 2
+    // co-orders, confidence ≥ 0.10 applied by INTEGER cross-multiply
+    // (1000·n_pair ≥ 100·n_ante); confidence and lift are each one
+    // exactly-rounded division of exact integers. The Spark side runs
+    // the apriori-pruned pair self-join (Association.pairRules); the
+    // oracle re-derives every rule naively.
+    "mb_assoc_rules" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Association
+        import org.apache.spark.sql.functions.col
+        Association.pairRules(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L, minConfMilli = 100L)
+      },
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+        |ic AS (SELECT it, count(*) AS ni FROM b GROUP BY 1),
+        |bf AS (
+        |  SELECT bk, it FROM b WHERE it IN
+        |    (SELECT it FROM ic WHERE ni >= 2)),
+        |pc AS (
+        |  SELECT a.it AS i1, c.it AS i2, count(*) AS np
+        |  FROM bf a JOIN bf c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT i1 AS antecedent, i2 AS consequent, np FROM pc
+        |  UNION ALL SELECT i2, i1, np FROM pc)
+        |SELECT r.antecedent, r.consequent, r.np AS n_pair,
+        |  ia.ni AS n_ante, ik.ni AS n_cons,
+        |  (SELECT n_baskets FROM nb) AS n_baskets,
+        |  CAST(r.np AS DOUBLE) / CAST(ia.ni AS DOUBLE) AS confidence,
+        |  CAST(r.np * (SELECT n_baskets FROM nb) AS DOUBLE)
+        |    / CAST(ia.ni * ik.ni AS DOUBLE) AS lift
+        |FROM r
+        |JOIN ic ia ON ia.it = r.antecedent
+        |JOIN ic ik ON ik.it = r.consequent
+        |WHERE 1000 * r.np >= 100 * ia.ni""".stripMargin))
 }

@@ -208,6 +208,43 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Incremental MEMBERSHIP sketch over an unbounded stream (round 9) —
+    * the streaming face of sketch_bloom, completing the streaming sketch
+    * quartet: each micro-batch's keys fold into a persisted bloom bit
+    * set ([[graft.operators.Sketches.bloom]], ≤ `bits` rows whatever the
+    * batch size) by set union. Like HLL — and unlike count-min — the
+    * merge is IDEMPOTENT BY ALGEBRA (OR-ing bits already present is a
+    * no-op), so at-least-once redelivery needs no batch ledger; the
+    * artifact is just the current bit set, versioned per batch through
+    * the snapshot sink. Serve = [[graft.operators.Sketches
+    * .bloomMightContain]] against the snapshot: "was this key ever seen
+    * on the stream?" with no false negatives ever — the streaming
+    * seen-before gate (URL dedup, incremental-crawl prefilters) at
+    * kilobytes of state regardless of stream length. */
+  def runBloomMembership(spark: SparkSession, stream: DataFrame,
+                         keyCol: String, bits: Int, hashes: Int, seed: String,
+                         artifactDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.{Sinks, Sketches}
+          val batchBits = Sketches.bloom(batch, col(keyCol), bits, hashes, seed)
+          val merged =
+            if (Sinks.tableExists(spark, artifactDir))
+              Sketches.mergeBlooms(Seq(
+                Sinks.readSnapshot(spark, artifactDir).select(col("bit")),
+                batchBits))
+            else batchBits
+          Sinks.replaceSnapshot(spark, artifactDir, merged)
+          ()
+        }
+      }
+      .start()
+
   /** Incremental FREQUENCY sketch over an unbounded stream (round 9 —
     * the streaming face of sketch_count_min, and the exactly-once
     * pattern [[runHllDistinct]] does not need): each micro-batch's

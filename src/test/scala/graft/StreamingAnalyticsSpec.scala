@@ -389,4 +389,48 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
       assert(streamed(10L) === 7.0) // constant series fixed point
     } finally q.stop()
   }
+
+  test("runBloomMembership: bit set tracks the union across batches; redelivery is a bit-exact no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sinks, Sketches}
+    val base = java.nio.file.Files.createTempDirectory("graft_sbloom").toString
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    // two micro-batches with overlapping key sets (1-40, 21-60)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b1.json"),
+      (1 to 40).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b2.json"),
+      (21 to 60).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    val stream = spark.readStream.schema("user_id LONG")
+      .option("maxFilesPerTrigger", 1).json(landing)
+    val q = StreamingAnalytics.runBloomMembership(spark, stream, "user_id",
+      bits = 1024, hashes = 3, seed = "sbl",
+      artifactDir = s"$base/artifact", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def bits(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("bit").collect().map(_.getLong(0)).toSet
+    // final artifact == the batch-built sketch of the full union — the
+    // streamed fold and the one-shot build agree BIT FOR BIT
+    val art = Sinks.readSnapshot(spark, s"$base/artifact")
+    val direct = Sketches.bloom((1L to 60L).toDF("user_id"),
+      col("user_id"), 1024, 3, "sbl")
+    assert(bits(art) === bits(direct))
+    // v=1 is exactly batch 1's sketch
+    assert(bits(spark.read.parquet(s"$base/artifact/v=1")) ===
+      bits(Sketches.bloom((1L to 40L).toDF("user_id"),
+        col("user_id"), 1024, 3, "sbl")))
+    // membership serve: every streamed key answers true (no false
+    // negatives — the defining guarantee), and redelivering batch 1
+    // leaves the bit set unchanged (idempotence by algebra, no ledger)
+    val served = Sketches.bloomMightContain(art.select("bit"),
+      (1L to 60L).toDF("user_id"), col("user_id"), 1024, 3, "sbl")
+      .collect().map(_.getBoolean(1))
+    assert(served.length === 60 && served.forall(identity))
+    val replayed = Sketches.mergeBlooms(Seq(art.select(col("bit")),
+      Sketches.bloom((1L to 40L).toDF("user_id"), col("user_id"),
+        1024, 3, "sbl")))
+    assert(bits(replayed) === bits(direct))
+  }
 }
