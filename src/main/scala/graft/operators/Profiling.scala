@@ -201,4 +201,60 @@ object Profiling {
       max(col("n")).as("n"))
       .withColumn("significant", col("chi2") > lit(critical))
   }
+
+  /** First-significant-digit distribution of `value` expressed in exact
+    * cents, for Benford's-law forensics. */
+  private[graft] def benfordProbs: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law goodness-of-fit (round 9) — the fraud/synthetic-data
+    * forensic: naturally-occurring multi-magnitude amounts lead with
+    * digit d at rate log₁₀(1 + 1/d) (Benford 1938; Newcomb 1881), and a
+    * χ² goodness-of-fit against that expectation flags fabricated or
+    * truncated figures. Completes the test quartet (corr = num×num,
+    * chi2 = cat×cat, F = cat×num, this = one observed distribution vs a
+    * CLOSED-FORM expectation).
+    *
+    * Determinism: amounts quantize to exact BIGINT cents and the leading
+    * digit is the first character of the INTEGER's decimal rendering
+    * (integer→string is engine-stable; a double's rendering is not —
+    * the fingerprints lesson). The expected probabilities are literal
+    * constants generated from ONE Scala table and embedded verbatim in
+    * both engines; each digit's χ² term is a fixed IEEE chain quantized
+    * to BIGINT 1e-9 units for the exact order-free reduction (1e-9, not
+    * the pageRank 1e-12: terms reach ~1e7 at large n, and the coarser
+    * grain keeps 100× headroom inside int64). The 9-cell grid always
+    * materializes — an absent digit still contributes its full expected
+    * mass, the chiSquareIndependence zero-cell lesson.
+    *
+    * Output: 9 rows `(digit, observed, expected_p, chi2, significant)` —
+    * the reconciliation table with the verdict on every row (dof is
+    * always 8). `critical` is χ²(8, α) from the caller. Scale: one
+    * map-side-combined 9-cell aggregate; the window runs on 9 rows. */
+  def benfordTest(df: DataFrame, value: Column, critical: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(value.isNotNull && value > 0)
+      .withColumn("__cents", round(value * lit(100)).cast("long"))
+      .filter(col("__cents") > 0)
+      .withColumn("digit",
+        substring(col("__cents").cast("string"), 1, 1).cast("long"))
+    val obs = base.groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    import df.sparkSession.implicits._
+    val expected = benfordProbs.map { case (d, p) => (d.toLong, p) }
+      .toDF("digit", "expected_p")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    expected.join(obs, Seq("digit"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .withColumn("n", sum(col("observed")).over(all))
+      .withColumn("e", col("n").cast("double") * col("expected_p"))
+      .withColumn("t",
+        round(((col("observed").cast("double") - col("e")) *
+          (col("observed").cast("double") - col("e")) / col("e")) * lit(1e9))
+          .cast("long"))
+      .withColumn("chi2", sum(col("t")).over(all).cast("double") / lit(1e9))
+      .withColumn("significant", col("chi2") > lit(critical))
+      .select(col("digit"), col("observed"), col("expected_p"),
+        col("chi2"), col("significant"))
+  }
 }

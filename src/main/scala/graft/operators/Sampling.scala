@@ -280,4 +280,84 @@ object Sampling {
       .orderBy(col("es_key").desc, key.asc)
       .limit(k)
   }
+
+  /** Cumulative Poisson(1) CDF on the [[bucket]] grid (CDF(k)·Scale for
+    * k = 0..7, rounded): the inverse-CDF table [[poissonBootstrap]] draws
+    * deterministic per-(row, replicate) weights from. Shared with the
+    * generated DuckDB oracle so the two engines can never drift. P(w > 8)
+    * ≈ 1e-5 is truncated to 8 — the standard bounded-weight variant. */
+  private[graft] val PoissonCdfMicro: Seq[Long] = {
+    var fact = 1.0
+    val pmf = (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      math.exp(-1.0) / fact
+    }
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * Scale))
+  }
+
+  /** Type-1 order-statistic ranks of the 2.5%/97.5% bootstrap interval
+    * for `replicates` replicate means (rank ceil(p·B) — interpolated
+    * quantiles are not hash-pairable, the ft_quantile_bins lesson). */
+  private[graft] def bootstrapRanks(replicates: Int): (Int, Int) =
+    (math.ceil(0.025 * replicates).toInt, math.ceil(0.975 * replicates).toInt)
+
+  /** Poisson bootstrap confidence intervals for per-group means (round
+    * 9) — THE bootstrap that works on a cluster (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams"): instead of
+    * resampling n rows WITH replacement B times (which needs global
+    * coordination per replicate), every row independently draws a
+    * Poisson(1) weight per replicate — the multinomial resample's limit —
+    * so the whole procedure is ONE map-only explode (×B) over the scan
+    * followed by ONE aggregate. No row ever leaves its partition before
+    * the (group, replicate) combine.
+    *
+    * Determinism (the cross-engine contract): the weight for (row b) is
+    * the inverse-CDF table [[PoissonCdfMicro]] applied to the engine's
+    * md5 [[bucket]] of "key:b" — a pure function any engine re-derives.
+    * Replicate means are exact integer micro-unit sums with ONE fixed
+    * (Σwv/Σw)/1e6 double chain; the CI bounds are type-1 order statistics
+    * of the B replicate means at ranks [[bootstrapRanks]], ties broken by
+    * replicate id — total order, bit-stable.
+    *
+    * Output: `(group…, n, mean, ci_lo, ci_hi)`. A replicate whose total
+    * weight lands at 0 is dropped (possible only for tiny groups,
+    * P ≈ e^−n); if that pushes the hi rank past the surviving count the
+    * bound reads NULL — loud, not silently shifted. */
+  def poissonBootstrap(df: DataFrame, group: Seq[String], key: Column,
+                       value: Column, replicates: Int,
+                       seed: String): DataFrame = {
+    require(replicates >= 4 && replicates <= 1000,
+      s"replicates must be in [4,1000], got $replicates")
+    val (loRank, hiRank) = bootstrapRanks(replicates)
+    val gc = group.map(col)
+    val base = df.filter(value.isNotNull && key.isNotNull)
+      .withColumn("__v", round(value * lit(1e6)).cast("long"))
+    val full = base.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__sv"))
+      .withColumn("mean",
+        col("__sv").cast("double") / col("n").cast("double") / lit(1e6))
+      .drop("__sv")
+    val wCol = PoissonCdfMicro
+      .map(t => when(col("__u") >= t, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__u",
+        bucket(concat_ws(":", key.cast("string"), col("__b")), seed, "md5"))
+      .withColumn("__w", wCol)
+      .groupBy(gc :+ col("__b"): _*)
+      .agg(sum(col("__w") * col("__v")).as("__swv"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .withColumn("mean_b",
+        col("__swv").cast("double") / col("__sw").cast("double") / lit(1e6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col("mean_b"), col("__b"))
+    val ci = reps.withColumn("__rn", row_number().over(w))
+      .groupBy(gc: _*)
+      .agg(max(when(col("__rn") === loRank, col("mean_b"))).as("ci_lo"),
+        max(when(col("__rn") === hiRank, col("mean_b"))).as("ci_hi"))
+    full.join(ci, group)
+      .select(gc :+ col("n") :+ col("mean") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
 }

@@ -783,4 +783,61 @@ object TextAnalysis {
         slice(ws, lit(2), size(ws) - 1),
         (a, b) => concat_ws(" ", a, b)))
   }
+
+  /** PMI collocation scoring (round 9) — the statistical phrase detector
+    * (Church & Hanks 1990; the word2vec phrase-merge preprocessing step):
+    * for each adjacent token pair (w₁, w₂), pointwise mutual information
+    * compares the pair's observed rate with what independence predicts,
+    *   PMI = ln [ p(w₁w₂) / (p(w₁)·p(w₂)) ] ,
+    * with p(w₁w₂) = n_pair/N_bigrams and p(w) = n_w/N_tokens. This
+    * operator exports the RATIO inside the ln (`score`; PMI = ln(score) —
+    * monotone, so every ranking/gating decision is identical) because a
+    * transcendental would break bit-stable cross-engine agreement — the
+    * ext_top_terms log-free-ranking convention.
+    *
+    * Exactness: all five counts are exact integers; `is_colloc`
+    * (score ≥ threshold) is decided by DECIMAL(38) INTEGER
+    * cross-multiplication — 1000·n_pair·N_tok² ≥ milli·N_bi·n_w1·n_w2 —
+    * never by comparing doubles; `score` itself is one fixed
+    * left-associated IEEE chain, identical in any engine (and exact
+    * until products pass 2⁵³ — the gate never relies on it).
+    *
+    * Scale shape: one token-stream explode each for unigram and bigram
+    * counts (map-side-combined aggregates: vocab-sized and
+    * distinct-pair-sized outputs), the pair↔unigram joins are against
+    * the vocab-sized count frame (AQE broadcasts), totals ride two
+    * one-row cross joins. `minPairCount` floors hapax noise before the
+    * joins. */
+  def collocations(docs: DataFrame, minPairCount: Long,
+                   thresholdMilli: Long): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    require(thresholdMilli >= 1, s"thresholdMilli must be >= 1: $thresholdMilli")
+    val toksOf = docs.filter(col("text").isNotNull)
+      .select(explode(toks(col("text"))).as("t"))
+    val uniCounts = toksOf.groupBy(col("t")).agg(count(lit(1)).as("n_w"))
+    val nTok = toksOf.agg(count(lit(1)).as("n_tokens"))
+    val pairsOf = docs.filter(col("text").isNotNull)
+      .select(explode(bigrams(col("text"))).as("bg"))
+    val nBi = pairsOf.agg(count(lit(1)).as("n_bigrams"))
+    val pairCounts = pairsOf
+      .select(split(col("bg"), " ", 2).as("p"))
+      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    pairCounts
+      .join(uniCounts.select(col("t").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uniCounts.select(col("t").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(nTok).crossJoin(nBi)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        col("n_tokens"), col("n_bigrams"),
+        (col("n_pair").cast("double") * col("n_tokens").cast("double") *
+          col("n_tokens").cast("double") /
+          (col("n_bigrams").cast("double") * col("n_w1").cast("double") *
+            col("n_w2").cast("double"))).as("score"),
+        (lit(1000L).cast(d38) * col("n_pair").cast(d38) *
+          col("n_tokens").cast(d38) * col("n_tokens").cast(d38) >=
+          lit(thresholdMilli).cast(d38) * col("n_bigrams").cast(d38) *
+            col("n_w1").cast(d38) * col("n_w2").cast(d38)).as("is_colloc"))
+  }
 }

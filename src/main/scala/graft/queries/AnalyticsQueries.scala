@@ -94,7 +94,126 @@ object AnalyticsQueries {
        |SELECT id, rank FROM r$iters""".stripMargin
   }
 
+  /** Generated DuckDB oracle for a34_bootstrap_ci — the weight CASE
+    * chain comes from the SAME inverse-CDF table
+    * (Sampling.PoissonCdfMicro) and the CI ranks from the same
+    * Sampling.bootstrapRanks as the Spark side, so the two engines
+    * cannot drift (the corrOracle/pageRankOracle pattern). */
+  private def bootstrapOracle(replicates: Int, seed: String): String = {
+    val (loRank, hiRank) = graft.operators.Sampling.bootstrapRanks(replicates)
+    val wCase = graft.operators.Sampling.PoissonCdfMicro
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_type, event_id,
+       |    CAST(round(value * 1e6) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+       |f AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 AS mean
+       |  FROM base GROUP BY 1),
+       |r AS (
+       |  SELECT event_type, v, b.b AS b,
+       |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+       |      || CAST(b.b AS VARCHAR) || ':$seed'), 1, 15)) AS BIGINT)
+       |      % 1000000 AS u
+       |  FROM base,
+       |    LATERAL unnest(generate_series(0, ${replicates - 1})) AS b(b)),
+       |wt AS (SELECT event_type, b, v, $wCase AS w FROM r),
+       |rep AS (
+       |  SELECT event_type, b, sum(w * v) AS swv, sum(w) AS sw
+       |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+       |m0 AS (
+       |  SELECT event_type, b,
+       |    CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1e6 AS mean_b
+       |  FROM rep),
+       |m AS (
+       |  SELECT event_type, mean_b, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY mean_b, b) AS rn
+       |  FROM m0),
+       |ci AS (
+       |  SELECT event_type,
+       |    min(CASE WHEN rn = $loRank THEN mean_b END) AS ci_lo,
+       |    min(CASE WHEN rn = $hiRank THEN mean_b END) AS ci_hi
+       |  FROM m GROUP BY 1)
+       |SELECT f.event_type, f.n, f.mean, ci.ci_lo, ci.ci_hi
+       |FROM f JOIN ci USING (event_type)""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for a33_benford — the expected-probability
+    * literals come from the SAME Scala table (Profiling.benfordProbs) as
+    * the Spark side; each is CAST to DOUBLE explicitly (a bare decimal
+    * literal parses as DECIMAL in DuckDB and would change the
+    * arithmetic). */
+  private def benfordOracle(critical: Double): String = {
+    // CAST('…' AS DOUBLE): the string→double parse is correctly rounded;
+    // a bare numeric literal parses as DECIMAL first and CASTs a
+    // one-ulp-off double (measured on digit 2's probability)
+    val expVals = graft.operators.Profiling.benfordProbs
+      .map { case (d, p) => s"($d, CAST('$p' AS DOUBLE))" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+       |    AS digit, count(*) AS observed
+       |  FROM base WHERE cents > 0 GROUP BY 1),
+       |ex AS (SELECT * FROM (VALUES $expVals) AS e(digit, expected_p)),
+       |cells AS (
+       |  SELECT CAST(ex.digit AS BIGINT) AS digit,
+       |    coalesce(o.observed, CAST(0 AS BIGINT)) AS observed,
+       |    ex.expected_p
+       |  FROM ex LEFT JOIN obs o ON o.digit = ex.digit),
+       |terms AS (
+       |  SELECT digit, observed, expected_p,
+       |    CAST(sum(observed) OVER () AS BIGINT) AS n
+       |  FROM cells),
+       |t2 AS (
+       |  SELECT digit, observed, expected_p,
+       |    CAST(round(((CAST(observed AS DOUBLE)
+       |        - CAST(n AS DOUBLE) * expected_p)
+       |      * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+       |      / (CAST(n AS DOUBLE) * expected_p)) * 1e9) AS BIGINT) AS t
+       |  FROM terms)
+       |SELECT digit, observed, expected_p,
+       |  CAST(sum(t) OVER () AS DOUBLE) / 1e9 AS chi2,
+       |  CAST(sum(t) OVER () AS DOUBLE) / 1e9 > $critical AS significant
+       |FROM t2""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // A33 (ext, round 9) — Benford first-digit goodness-of-fit over
+    // l_extendedprice in exact cents: leading digit from the integer's
+    // decimal rendering, closed-form expected shares embedded verbatim
+    // in both engines, χ² terms quantized to BIGINT 1e-9 for an exact
+    // order-free sum. The synthetic TPC-H price distribution is NOT
+    // Benford — the verdict row legitimately reads significant=true;
+    // what the oracle pins is the exact statistic.
+    "a33_benford" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Profiling.benfordTest(Tables.lineitem(s, dir),
+          col("l_extendedprice"), critical = 15.507313055865453)
+      },
+      benfordOracle(critical = 15.507313055865453)),
+
+    // A34 (ext, round 9) — Poisson-bootstrap confidence intervals for
+    // the per-event_type mean: every row draws a deterministic
+    // inverse-CDF Poisson(1) weight per replicate from the md5 bucket
+    // of "event_id:b" (map-only explode ×80, one aggregate — the
+    // cluster-scale bootstrap), replicate means are exact micro-unit
+    // ratios, and the 2.5/97.5 bounds are type-1 order statistics.
+    // Oracle fully generated from the same tables/ranks — hash match.
+    "a34_bootstrap_ci" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Sampling.poissonBootstrap(Tables.events(s, dir),
+          Seq("event_type"), col("event_id"), col("value"),
+          replicates = 80, seed = "bs9")
+      },
+      bootstrapOracle(replicates = 80, seed = "bs9")),
 
     // A28 (ext, round 9) — isotonic (PAV) probability calibration.
     // Deterministic synthetic scorer: score = value/500 clamped to

@@ -1417,6 +1417,48 @@ object ExtensionQueries {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN sc USING (doc_id)""".stripMargin),
 
+    // PMI collocations (round 9) — statistical phrase detection over
+    // adjacent token pairs: the exported `score` is the ratio inside the
+    // PMI ln (monotone — same ranking/gating, no transcendental), the
+    // is_colloc gate (score ≥ 1.2) is decided by DECIMAL/HUGEINT integer
+    // cross-multiplication, and the score itself is one fixed
+    // left-associated IEEE chain. 153 of 900 pairs gate true at sf0.01 —
+    // both classes realized in data.
+    "ext_collocations" -> QueryDef(
+      (s, dir) => TextAnalysis.collocations(Tables.documents(s, dir),
+        minPairCount = 5L, thresholdMilli = 1200L),
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL),
+        |u AS (SELECT unnest(ws) AS t FROM w),
+        |uc AS (SELECT t, count(*) AS n_w FROM u GROUP BY 1),
+        |nu AS (SELECT count(*) AS n_tokens FROM u),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(ws) < 2 THEN []
+        |    ELSE list_transform(generate_series(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1]) END) AS b
+        |  FROM w),
+        |nb AS (SELECT count(*) AS n_bigrams FROM bg),
+        |pc AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*) AS n_pair
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pc.w1, pc.w2, pc.n_pair, c1.n_w AS n_w1, c2.n_w AS n_w2,
+        |  (SELECT n_tokens FROM nu) AS n_tokens,
+        |  (SELECT n_bigrams FROM nb) AS n_bigrams,
+        |  CAST(pc.n_pair AS DOUBLE)
+        |    * CAST((SELECT n_tokens FROM nu) AS DOUBLE)
+        |    * CAST((SELECT n_tokens FROM nu) AS DOUBLE)
+        |    / (CAST((SELECT n_bigrams FROM nb) AS DOUBLE)
+        |       * CAST(c1.n_w AS DOUBLE) * CAST(c2.n_w AS DOUBLE)) AS score,
+        |  CAST(1000 AS HUGEINT) * pc.n_pair
+        |    * (SELECT n_tokens FROM nu) * (SELECT n_tokens FROM nu)
+        |    >= CAST(1200 AS HUGEINT) * (SELECT n_bigrams FROM nb)
+        |       * c1.n_w * c2.n_w AS is_colloc
+        |FROM pc
+        |JOIN uc c1 ON c1.t = pc.w1
+        |JOIN uc c2 ON c2.t = pc.w2""".stripMargin),
+
     // Content fingerprints: MD5 of the normalized text + 31-base rolling
     // hash over tokens mod 1e9+7.
     "ext_fingerprint" -> QueryDef(

@@ -111,4 +111,34 @@ class ProfilingSpec extends SparkSpecBase {
     assert(Profiling.anovaF(dirty, col("g"), col("v"), 7.71)
       .head.getAs[Long]("n") === 6L)
   }
+
+  test("benfordTest: leading digit in exact cents, full 9-cell grid, driver-exact chi2, exclusions") {
+    import spark.implicits._
+    // digits: 1.00→1, 1.50→1, 2.00→2, 30.00→3, 0.95→9, 0.05→5
+    // excluded: zero, negative, null, and 0.004 (rounds to 0 cents)
+    val df = Seq(Some(1.0), Some(1.5), Some(2.0), Some(30.0), Some(0.95),
+      Some(0.05), Some(0.0), Some(-3.0), None, Some(0.004)).toDF("v")
+    val critical = 15.507313055865453
+    val out = Profiling.benfordTest(df, col("v"), critical)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet === (1L to 9L).toSet) // absent digits still present
+    val obs = Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L)
+      .withDefaultValue(0L)
+    // independent driver re-derivation of the quantized statistic
+    val n = 6.0
+    val chi2 = Profiling.benfordProbs.map { case (d, p) =>
+      val e = n * p
+      val o = obs(d.toLong).toDouble
+      math.round((o - e) * (o - e) / e * 1e9)
+    }.sum.toDouble / 1e9
+    (1L to 9L).foreach { d =>
+      val (o, p, c, sig) = out(d)
+      assert(o === obs(d))
+      assert(p === math.log10(1.0 + 1.0 / d))
+      assert(c === chi2)
+      assert(sig === (chi2 > critical))
+    }
+  }
 }

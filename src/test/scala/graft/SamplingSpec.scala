@@ -238,4 +238,51 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(again === ids)
   }
+
+  test("poissonBootstrap: inverse-CDF table pinned; full differential vs a driver re-derivation; layout-invariant") {
+    // the shared table IS the cross-engine contract — pin its exact cells
+    assert(Sampling.PoissonCdfMicro === Seq(367879L, 735759L, 919699L,
+      981012L, 996340L, 999406L, 999917L, 999990L))
+    assert(Sampling.bootstrapRanks(80) === ((2, 78)))
+
+    val df = (1L to 200L).map(i => ("g", i, (i % 10).toDouble))
+      .toDF("k", "id", "v")
+    val out = Sampling.poissonBootstrap(df, Seq("k"), col("id"), col("v"),
+      replicates = 40, seed = "bt")
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length === 1)
+
+    // independent driver-side re-derivation of the ENTIRE procedure
+    // (own md5, own weight fold, own order statistics)
+    def u(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    def weight(uu: Long): Long = Sampling.PoissonCdfMicro.count(uu >= _).toLong
+    val rows = (1L to 200L).map(i => i -> math.round((i % 10).toDouble * 1e6))
+    val means = (0 until 40).flatMap { b =>
+      val ws = rows.map { case (i, v) => (weight(u(s"$i:$b:bt")), v) }
+      val sw = ws.map(_._1).sum
+      if (sw == 0) None
+      else Some((ws.map { case (w, v) => w * v }.sum.toDouble / sw.toDouble
+        / 1e6, b))
+    }.sortBy(identity)
+    val (loRank, hiRank) = Sampling.bootstrapRanks(40)
+    val expMean = rows.map(_._2).sum.toDouble / 200.0 / 1e6
+    assert(out.head === ((200L, expMean,
+      means(loRank - 1)._1, means(hiRank - 1)._1)))
+    // the interval is a real interval around the mean on this data
+    assert(out.head._3 < expMean && expMean < out.head._4)
+    // physical layout cannot move a deterministic resample
+    val repart = Sampling.poissonBootstrap(df.repartition(13), Seq("k"),
+      col("id"), col("v"), replicates = 40, seed = "bt")
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(repart.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrap(df, Seq("k"), col("id"), col("v"), 2, "bt")
+    }
+  }
 }

@@ -73,4 +73,31 @@ class TextAnalysisSpec extends SparkSpecBase {
       11L -> ((0L, 0L, 0.0)),
       12L -> ((3L, 3L, 1.0))))
   }
+
+  test("collocations: hand-counted PMI ratios, inclusive integer gate, pair floor, null text") {
+    // d1 "a b a b": tokens a,b,a,b ; bigrams (a,b)×2 (b,a)×1
+    // d2 "c c": bigram (c,c)×1 → N_tok = 6, N_bi = 4
+    val docs = Seq((1L, "a b a b"), (2L, "c c"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minPairCount = 1L,
+      thresholdMilli = 4500L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7), r.getBoolean(8)))).toMap
+    // score(a,b) = 2·6²/(4·2·2) = 4.5 — lands EXACTLY on the 4.5 gate:
+    // the ≥ cross-multiply must include it (72000 vs 72000)
+    assert(out(("a", "b")) === ((2L, 2L, 2L, 6L, 4L, 4.5, true)))
+    // score(b,a) = 1·36/(4·2·2) = 2.25 < 4.5 → false, same counts
+    assert(out(("b", "a")) === ((1L, 2L, 2L, 6L, 4L, 2.25, false)))
+    assert(out(("c", "c")) === ((1L, 2L, 2L, 6L, 4L, 2.25, false)))
+    assert(out.size === 3) // null text contributes nothing
+    // the pair floor drops hapax pairs before scoring
+    val floored = TextAnalysis.collocations(docs, minPairCount = 2L,
+      thresholdMilli = 1000L).collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.collocations(docs, 0L, 1000L)
+    }
+  }
 }
