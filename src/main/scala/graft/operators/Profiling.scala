@@ -202,6 +202,94 @@ object Profiling {
       .withColumn("significant", col("chi2") > lit(critical))
   }
 
+  /** Distribution-drift detection by total variation distance (round 9)
+    * — the monitoring primitive behind "has this feature's distribution
+    * moved?": each group's series splits positionally into an early and
+    * a late half (row_number under the caller's total order — the W5
+    * chronological-split shape), both halves histogram onto ONE shared
+    * equi-width grid (per-group min/max over the WHOLE series — the
+    * Sketches.histBounds shared-grid contract, inlined), and
+    *   TVD = ½ Σ_bins |p_early(bin) − p_late(bin)|
+    * is computed in the exact integer cross-multiplied form
+    * Σ|n₁ᵢ·N₂ − n₂ᵢ·N₁| / (2·N₁·N₂). TVD ∈ [0,1] is the maximum
+    * probability mass any event can disagree by — the standard
+    * PSI-alternative with no logarithm, so the whole statistic is exact
+    * integers plus ONE hash-stable division; the `drifted` verdict
+    * (TVD ≥ thresholdMilli/1000) never touches a double.
+    *
+    * Output: `(group…, n_early, n_late, tvd, drifted)`; singleton groups
+    * (no interior split) are dropped. Scale: one group-keyed window pass
+    * + one (group, bin, half) aggregate; int64 headroom needs
+    * n₁ᵢ·N₂ < 2⁶³ — fine to ~3·10⁹ rows per group, recast the products
+    * to DECIMAL(38) beyond. */
+  def driftTvd(df: DataFrame, group: Seq[String], value: Column,
+               orderCols: Seq[Column], nBins: Int,
+               thresholdMilli: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2 && nBins <= 100000, s"nBins must be in [2,1e5]: $nBins")
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [0,1000]: $thresholdMilli")
+    val gc = group.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(orderCols: _*)
+    val frame = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = df.filter(value.isNotNull)
+      .withColumn("__v", value)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__lo", min(value).over(frame))
+      .withColumn("__hi", max(value).over(frame))
+      .filter(col("__n") >= 2)
+      .withColumn("__width",
+        when(col("__hi") === col("__lo"), lit(1.0))
+          .otherwise((col("__hi") - col("__lo")) / lit(nBins.toDouble)))
+      .withColumn("__bin",
+        least(greatest(floor((col("__v") - col("__lo")) / col("__width"))
+          .cast("long"), lit(0L)), lit(nBins.toLong - 1)))
+      .withColumn("__early", col("__rn") * 2 <= col("__n"))
+    val cells = base.groupBy(gc :+ col("__bin"): _*)
+      .agg(sum(when(col("__early"), lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(!col("__early"), lit(1L)).otherwise(lit(0L))).as("n2"))
+    val totals = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("t1", sum(col("n1")).over(totals))
+      .withColumn("t2", sum(col("n2")).over(totals))
+      .withColumn("__d", abs(col("n1") * col("t2") - col("n2") * col("t1")))
+      .groupBy(gc: _*)
+      .agg(max(col("t1")).as("n_early"), max(col("t2")).as("n_late"),
+        sum(col("__d")).as("__s"))
+      .select((gc :+ col("n_early") :+ col("n_late") :+
+        (col("__s").cast("double") /
+          (lit(2.0) * col("n_early").cast("double") *
+            col("n_late").cast("double"))).as("tvd") :+
+        (col("__s") * lit(1000L) >=
+          lit(2L * thresholdMilli) * col("n_early") * col("n_late"))
+          .as("drifted")): _*)
+  }
+
+  /** Gini impurity of a categorical distribution per group (round 9) —
+    * the no-logarithm diversity index (CART's split criterion; entropy's
+    * exact-arithmetic sibling): G = 1 − Σ (nᵢ/N)² = (N² − Σ nᵢ²)/N²,
+    * computed entirely in exact integers with ONE final division.
+    * 0 = all mass on one category; (k−1)/k = uniform over k. Output:
+    * `(group…, n, n_cats, gini)`. Two map-side-combined aggregates
+    * (category cells, then groups) — one shuffle chain on the group key. */
+  def giniImpurity(df: DataFrame, group: Seq[String],
+                   cat: Column): DataFrame = {
+    val gc = group.map(col)
+    df.filter(cat.isNotNull)
+      .groupBy(gc :+ cat.as("__c"): _*)
+      .agg(count(lit(1)).as("__nc"))
+      .groupBy(gc: _*)
+      .agg(sum(col("__nc")).as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__nc") * col("__nc")).as("__ss"))
+      .select((gc :+ col("n") :+ col("n_cats") :+
+        ((col("n") * col("n") - col("__ss")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini")): _*)
+  }
+
   /** First-significant-digit distribution of `value` expressed in exact
     * cents, for Benford's-law forensics. */
   private[graft] def benfordProbs: Seq[(Int, Double)] =

@@ -784,6 +784,46 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b)))
   }
 
+  /** Lexical keyword search (round 9) — the sparse-retrieval half of a
+    * hybrid search stack: documents scored against a fixed query-term
+    * set by integer TF×rarity,
+    *   score(d) = Σ_{t ∈ query} tf(t, d) · (10⁶·N_docs div df(t)) ,
+    * the BM25/TF-IDF ranking family with the transcendental replaced by
+    * an exact integer rarity weight (floor-divided — monotone in 1/df,
+    * which is all a RANKING needs; the ext_top_terms log-free lesson).
+    * Returns the top `k` as `(doc_id, score, rank)` under the total
+    * order (score DESC, doc_id).
+    *
+    * Scale shape: the token explode is filtered to the query terms AT
+    * THE SCAN (an `isin` predicate on a handful of literals — virtually
+    * the whole corpus drops before any shuffle); df/N are query-term- and
+    * scalar-sized broadcasts; the rank is orderBy+limit =
+    * TakeOrderedAndProject (per-partition top-k + driver merge of
+    * k·partitions rows, never a global sort). */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(terms.nonEmpty, "keywordSearch needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs.filter(col("text").isNotNull)
+    val hits = base
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", expr("(1000000 * n_docs) div df"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
   /** PMI collocation scoring (round 9) — the statistical phrase detector
     * (Church & Hanks 1990; the word2vec phrase-merge preprocessing step):
     * for each adjacent token pair (w₁, w₂), pointwise mutual information

@@ -199,6 +199,72 @@ object AnalyticsQueries {
       },
       benfordOracle(critical = 15.507313055865453)),
 
+    // A36 (ext, round 9) — drift detection: total variation distance
+    // between each event_type's early and late half-distributions of
+    // `value` on a shared 10-bin grid. Exact integer cross-multiplied
+    // TVD with one division; the drifted verdict (θ=0.1) never touches
+    // a double.
+    "a36_drift_tvd" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Profiling.driftTvd(Tables.events(s, dir),
+          Seq("event_type"), col("value"), Seq(col("ts"), col("event_id")),
+          nBins = 10, thresholdMilli = 100L)
+      },
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    min(value) OVER (PARTITION BY event_type) AS lo,
+        |    max(value) OVER (PARTITION BY event_type) AS hi
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor((value - lo) /
+        |      (CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 10.0 END))
+        |      AS BIGINT), 0), 9) AS bin,
+        |    rn * 2 <= n AS early
+        |  FROM b WHERE n >= 2),
+        |cells AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM c GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, n1, n2,
+        |    CAST(sum(n1) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+        |    CAST(sum(n2) OVER (PARTITION BY event_type) AS BIGINT) AS t2
+        |  FROM cells),
+        |g AS (
+        |  SELECT event_type, max(t1) AS n_early, max(t2) AS n_late,
+        |    CAST(sum(abs(n1 * t2 - n2 * t1)) AS BIGINT) AS s
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n_early, n_late,
+        |  CAST(s AS DOUBLE) / (2.0 * CAST(n_early AS DOUBLE)
+        |    * CAST(n_late AS DOUBLE)) AS tvd,
+        |  s * 1000 >= 200 * n_early * n_late AS drifted
+        |FROM g""".stripMargin),
+
+    // A37 (ext, round 9) — Gini impurity of each user's event-type mix:
+    // the no-logarithm diversity index, exact integers + one division.
+    "a37_gini_diversity" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Profiling.giniImpurity(Tables.events(s, dir),
+          Seq("user_id"), col("event_type"))
+      },
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS nc FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, CAST(sum(nc) AS BIGINT) AS n,
+        |    count(*) AS n_cats, CAST(sum(nc * nc) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n, n_cats,
+        |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+        |FROM g""".stripMargin),
+
     // A34 (ext, round 9) — Poisson-bootstrap confidence intervals for
     // the per-event_type mean: every row draws a deterministic
     // inverse-CDF Poisson(1) weight per replicate from the md5 bucket

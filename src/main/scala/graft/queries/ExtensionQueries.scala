@@ -761,6 +761,101 @@ object ExtensionQueries {
          |  FROM sc)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin),
 
+    // Lexical keyword search (round 9) — the sparse-retrieval half of
+    // hybrid search: integer TF×rarity scoring (w = 10⁶·N div df, the
+    // log-free IDF), top-20 under (score DESC, doc_id). "dup" is the
+    // corpus's one rare term (df 26 of 500 at sf0.01) — rarity weighting
+    // visibly dominates the ranking, not just tf.
+    "ext_keyword_search" -> QueryDef(
+      (s, dir) => TextAnalysis.keywordSearch(Tables.documents(s, dir),
+        Seq("dup", "spark", "join"), k = 20),
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |nd AS (SELECT count(*) AS n_docs FROM base),
+        |hits AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM hits
+        |  WHERE t IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf *
+        |    ((1000000 * (SELECT n_docs FROM nd)) // dfq.df)) AS BIGINT)
+        |    AS score
+        |  FROM tf JOIN dfq USING (t) GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT doc_id, score, rank FROM r WHERE rank <= 20""".stripMargin),
+
+    // Hybrid retrieval by reciprocal rank fusion (round 9; Cormack et
+    // al. 2009) — the modern search-stack composition: the lexical
+    // top-20 (ext_keyword_search's ranker) fused with the semantic
+    // top-20 (exact cosine for query vector 42) by
+    // RRF(d) = Σ_rankers 1/(60 + rank_r(d)), quantized per term to
+    // BIGINT 10¹² div (60+rank) so the fusion sum and final ranking are
+    // exact integers (the pageRank quantization recipe applied to rank
+    // fusion; a missing ranker contributes 0). The final rank window
+    // runs on ≤ 40 fused rows — bounded, never corpus-sized.
+    "ext_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = TextAnalysis.keywordSearch(Tables.documents(s, dir),
+          Seq("dup", "spark", "join"), k = 20)
+          .select(col("doc_id"), col("rank").as("lex_rank"))
+        val emb = Tables.embeddings(s, dir)
+        val sem = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 42), emb, k = 20)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").as("sem_rank"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_q",
+            coalesce(expr("1000000000000 div (60 + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000000000 div (60 + sem_rank)"), lit(0L)))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf_q").desc, col("doc_id"))).cast("long"))
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |nd AS (SELECT count(*) AS n_docs FROM base),
+         |hits AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base),
+         |tf AS (
+         |  SELECT doc_id, t, count(*) AS tf FROM hits
+         |  WHERE t IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf *
+         |    ((1000000 * (SELECT n_docs FROM nd)) // dfq.df)) AS BIGINT)
+         |    AS score
+         |  FROM tf JOIN dfq USING (t) GROUP BY 1),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS lex_rank
+         |  FROM sc QUALIFY lex_rank <= 20),
+         |q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+         |scs AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    ${duckDot("q.qv", "e.embedding")} /
+         |      (sqrt(${duckDot("q.qv", "q.qv")}) *
+         |       sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> 42),
+         |sem AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+         |    AS sem_rank
+         |  FROM scs QUALIFY sem_rank <= 20),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
+         |    l.lex_rank, s2.sem_rank,
+         |    coalesce(1000000000000 // (60 + l.lex_rank), 0)
+         |      + coalesce(1000000000000 // (60 + s2.sem_rank), 0) AS rrf_q
+         |  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf_q,
+         |  row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rank
+         |FROM f""".stripMargin),
+
     // Multi-table LSH approximate top-k (8 tables × 4-bit signatures,
     // 2 extra Hamming-1 probes per query — measured recall at sf0.01:
     // 0.82 exact-bucket → 0.90 multi-probe, query-side fan-out only):

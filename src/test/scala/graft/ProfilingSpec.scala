@@ -141,4 +141,49 @@ class ProfilingSpec extends SparkSpecBase {
       assert(sig === (chi2 > critical))
     }
   }
+
+  test("driftTvd: disjoint halves hit TVD 1, identical halves 0, constant and singleton groups degrade") {
+    import spark.implicits._
+    val df = Seq(
+      // g: first half all 0, second half all 9 → total separation
+      ("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 0.0), ("g", 4, 0.0),
+      ("g", 5, 9.0), ("g", 6, 9.0), ("g", 7, 9.0), ("g", 8, 9.0),
+      // h: identical halves {1,2} vs {1,2}
+      ("h", 1, 1.0), ("h", 2, 2.0), ("h", 3, 1.0), ("h", 4, 2.0),
+      // c: constant series — degenerate grid must not NaN
+      ("c", 1, 5.0), ("c", 2, 5.0),
+      // s: singleton — dropped
+      ("s", 1, 3.0)
+    ).toDF("k", "i", "v")
+    val out = Profiling.driftTvd(df, Seq("k"), col("v"), Seq(col("i")),
+      nBins = 10, thresholdMilli = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out("g") === ((4L, 4L, 1.0, true)))
+    assert(out("h") === ((2L, 2L, 0.0, false)))
+    assert(out("c") === ((1L, 1L, 0.0, false)))
+    assert(!out.contains("s"))
+    // null values drop before the split
+    val withNull = df.unionByName(
+      Seq(("h", 5, Option.empty[Double])).toDF("k", "i", "v"))
+    assert(Profiling.driftTvd(withNull, Seq("k"), col("v"), Seq(col("i")),
+      10, 100L).collect().length === 3)
+  }
+
+  test("giniImpurity: exact integer impurity — pure, uniform, mixed, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", "A"), ("u1", "A"), ("u1", "B"), // (9−5)/9 = 4/9
+      ("u2", "A"), ("u2", "A"), // pure → 0
+      ("u3", "A"), ("u3", "B"), // uniform 2 → 1/2
+      ("u3", null.asInstanceOf[String])
+    ).toDF("u", "c")
+    val out = Profiling.giniImpurity(df, Seq("u"), col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("u1") === ((3L, 2L, 4.0 / 9.0)))
+    assert(out("u2") === ((2L, 1L, 0.0)))
+    assert(out("u3") === ((2L, 2L, 0.5)))
+  }
 }

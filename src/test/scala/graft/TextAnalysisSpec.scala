@@ -100,4 +100,43 @@ class TextAnalysisSpec extends SparkSpecBase {
       TextAnalysis.collocations(docs, 0L, 1000L)
     }
   }
+
+  test("keywordSearch: integer TF×rarity scoring, rarity dominates tf, tiebreak, k cap") {
+    // 4 docs; "rare" appears in d1 only (df=1 → w = 4e6);
+    // "common" in all four (df=4 → w = 1e6)
+    val docs = Seq(
+      (1L, "rare common x"),
+      (2L, "common common common x"), // tf=3 on the common term
+      (3L, "common x y"),
+      (4L, "common y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordSearch(docs, Seq("rare", "common"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // d1: 1·4e6 + 1·1e6 = 5e6 beats d2's 3·1e6 — rarity outranks raw tf
+    assert(out.toSeq === Seq(
+      (1L, 5000000L, 1L),
+      (2L, 3000000L, 2L),
+      (3L, 1000000L, 3L))) // d4 ties d3 at 1e6 → doc_id breaks; k caps at 3
+  }
+
+  test("ext_hybrid_rrf: fused ranking is consistent with its own per-ranker columns") {
+    val rows = graft.queries.ExtensionQueries.defs("ext_hybrid_rrf")
+      .fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("lex_rank")),
+        Option(r.getAs[Any]("sem_rank")), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every row's quantized RRF score re-derives from its rank columns
+    rows.foreach { case (_, lex, sem, rrfQ, _) =>
+      val exp = lex.map(x => 1000000000000L / (60L + x.asInstanceOf[Long]))
+        .getOrElse(0L) +
+        sem.map(x => 1000000000000L / (60L + x.asInstanceOf[Long]))
+          .getOrElse(0L)
+      assert(rrfQ === exp)
+    }
+    // the final rank is the dense total order (rrf_q DESC, doc_id)
+    val sorted = rows.sortBy { case (id, _, _, q, _) => (-q, id) }
+    assert(sorted.map(_._5).toSeq === (1L to rows.length).toSeq)
+    // both rankers contributed, and at least one doc carries both ranks
+    // at sf0.001 OR the fused set is exactly the disjoint union
+    assert(rows.exists(_._2.isDefined) && rows.exists(_._3.isDefined))
+  }
 }
