@@ -140,6 +140,65 @@ object AnalyticsQueries {
        |FROM f JOIN ci USING (event_type)""".stripMargin
   }
 
+  /** Generated DuckDB oracle for cluster_kmeans — the same weighted
+    * distinct tuples, lexicographic seeding, per-round assignment
+    * (argmin of the identical fixed IEEE distance chain, ties to the
+    * smaller cid) and exact micro-unit centroid updates as
+    * Clustering.kmeansLloyd, unrolled one CTE pair per Lloyd round
+    * (the pageRankOracle pattern). `featSql` are the p feature
+    * expressions over `srcSql`. */
+  private def kmeansOracle(srcSql: String, featSql: Seq[String], k: Int,
+                           iters: Int): String = {
+    val p = featSql.indices
+    val xs = p.map(d => s"x$d").mkString(", ")
+    val notNull = featSql.map(f => s"$f IS NOT NULL").mkString(" AND ")
+    val ptsSel = (p.map(d => s"${featSql(d)} AS x$d") ++
+      p.map(d => s"CAST(round(${featSql(d)} * 1e6) AS BIGINT) AS m$d"))
+      .mkString(", ")
+    val d2 = p.map(d => s"(p.x$d - c.c$d) * (p.x$d - c.c$d)")
+      .mkString(" + ")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT * EXCLUDE (rn) FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY $xs
+         |      ORDER BY d2, cid) AS rn
+         |    FROM (
+         |      SELECT p.*, c.cid, $d2 AS d2
+         |      FROM pts p CROSS JOIN $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val upd = p.map(d =>
+        s"coalesce(CAST(s.s$d AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e6, " +
+          s"c.c$d) AS c$d").mkString(", ")
+      val sums = p.map(d => s"CAST(sum(m$d * w) AS BIGINT) AS s$d")
+        .mkString(", ")
+      s"""${assignCte(s"a$t", s"c${t - 1}")},
+         |c$t AS (
+         |  SELECT c.cid, $upd
+         |  FROM c${t - 1} c LEFT JOIN (
+         |    SELECT cid, CAST(sum(w) AS BIGINT) AS n, $sums
+         |    FROM a$t GROUP BY 1) s ON s.cid = c.cid)""".stripMargin
+    }
+    s"""WITH pts AS (
+       |  SELECT $xs, ${p.map(d => s"m$d").mkString(", ")},
+       |    count(*) AS w
+       |  FROM (SELECT $ptsSel FROM $srcSql WHERE $notNull)
+       |  GROUP BY ALL),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $xs) - 1 AS INTEGER)
+       |    AS cid, ${p.map(d => s"x$d AS c$d").mkString(", ")}
+       |  FROM (SELECT DISTINCT $xs FROM pts)
+       |  QUALIFY cid < $k),
+       |${rounds.mkString(",\n")},
+       |${assignCte("afin", s"c$iters")}
+       |SELECT a.cid AS cluster, CAST(sum(a.w) AS BIGINT) AS n,
+       |  ${p.map(d => s"any_value(c.c$d) AS c$d").mkString(", ")},
+       |  CAST(CAST(sum(CAST(round(a.d2 * 1e6) AS BIGINT) * a.w)
+       |    AS BIGINT) AS DOUBLE) / 1e6 AS inertia
+       |FROM afin a JOIN c$iters c ON c.cid = a.cid
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Generated DuckDB oracle for a33_benford — the expected-probability
     * literals come from the SAME Scala table (Profiling.benfordProbs) as
     * the Spark side; each is CAST to DOUBLE explicitly (a bare decimal
@@ -183,6 +242,26 @@ object AnalyticsQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+
+    // Oracle-exact k-means (round 9) — 3 Lloyd rounds, k=4, over the
+    // first two embedding dimensions: deterministic lexicographic
+    // seeding, argmin assignment on a fixed IEEE distance chain (ties
+    // to the smaller cluster), centroid updates from exact BIGINT
+    // micro-unit sums, quantized inertia. The oracle unrolls the SAME
+    // arithmetic per round — bitwise agreement, the pageRank recipe
+    // applied to clustering (the high-dim production k-means lives in
+    // the IVF/PQ builders; this is its reproducible relational face).
+    "cluster_kmeans" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, element_at}
+        graft.operators.Clustering.kmeansLloyd(Tables.embeddings(s, dir),
+          Seq(element_at(col("embedding"), 1).cast("double"),
+            element_at(col("embedding"), 2).cast("double")),
+          k = 4, iters = 3)
+      },
+      kmeansOracle("embeddings",
+        Seq("CAST(embedding[1] AS DOUBLE)", "CAST(embedding[2] AS DOUBLE)"),
+        k = 4, iters = 3)),
 
     // A33 (ext, round 9) — Benford first-digit goodness-of-fit over
     // l_extendedprice in exact cents: leading digit from the integer's
