@@ -136,4 +136,35 @@ object Graph {
             (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .as("lcc"))
   }
+
+  /** Bounded-hop BFS distances over an UNDIRECTED edge list `(src, dst)`
+    * from a set of source nodes: `(id, dist)` with dist = minimum hop
+    * count ≤ `maxHops` (unreached nodes are absent — the caller decides
+    * whether absent means "far" or "disconnected"). The frontier-expand
+    * shape every distributed BFS uses (Pregel's SSSP specialized to unit
+    * weights): each hop joins ONLY the previous frontier against the
+    * edge list and min-folds into the distance set — hop h's shuffle is
+    * proportional to frontier h's out-edges, not the graph. Distances
+    * are exact integers; per-round lazy checkpoints cut the iterative
+    * lineage (the connectedComponents lesson). */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1,50]: $maxHops")
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = false)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val next = frontier.join(sym, frontier("id") === sym("u"))
+        .select(sym("v").as("id"), lit(h.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
 }

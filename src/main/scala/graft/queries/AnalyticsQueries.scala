@@ -1016,6 +1016,83 @@ object AnalyticsQueries {
         |  END AS lcc
         |FROM deg LEFT JOIN pn USING (id)""".stripMargin),
 
+    // Connected components (round 9) — the large/small-star operator
+    // (Dedup.connectedComponents, built for near-dup clustering) exposed
+    // on the co-purchase graph. The oracle is a genuinely DIFFERENT
+    // algorithm: WITH RECURSIVE min-label propagation to fixpoint —
+    // exact integer labels, so agreement is bitwise.
+    "graph_components" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Dedup
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("src"), col("dst"))
+        Dedup.connectedComponents(edges, src = "src", dst = "dst")
+          .withColumnRenamed("node", "l_partkey")
+      },
+      """WITH RECURSIVE
+        |b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS src, b2.pk AS dst
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION SELECT dst, src FROM e),
+        |walk(node, lbl) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.node
+        |  WHERE w.lbl < s.v)
+        |SELECT node AS l_partkey, min(lbl) AS component
+        |FROM walk GROUP BY 1""".stripMargin),
+
+    // Bounded-hop BFS (round 9) — frontier-expand distances from the
+    // graph's smallest part over the same co-purchase edges, 4 hops.
+    // Exact integer distances; the oracle walks the graph by recursive
+    // CTE instead of frontier joins — two algorithms, one answer.
+    "graph_bfs_dist" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Graph
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("src"), col("dst"))
+        val source = edges
+          .select(least(col("src"), col("dst")).as("id"))
+          .agg(min(col("id")).as("id"))
+        Graph.bfsDistances(edges, source, maxHops = 4)
+      },
+      """WITH RECURSIVE
+        |b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS src, b2.pk AS dst
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION SELECT dst, src FROM e),
+        |s0 AS (SELECT min(u) AS id FROM sym),
+        |walk(node, d) AS (
+        |  SELECT id, CAST(0 AS BIGINT) FROM s0
+        |  UNION
+        |  SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node
+        |  WHERE w.d < 4)
+        |SELECT node AS id, min(d) AS dist FROM walk GROUP BY 1""".stripMargin),
+
     // EV4 (round 9) — first-order Markov next-event model: MLE
     // transition matrix over per-user event sequences with a
     // deterministic (n DESC, dst ASC) next-event ranking. Counts and

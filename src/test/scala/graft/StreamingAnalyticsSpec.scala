@@ -433,4 +433,48 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
         1024, 3, "sbl")))
     assert(bits(replayed) === bits(direct))
   }
+
+  test("runDriftMonitor: matching batch grades clean, shifted batch flags, redelivery idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val base = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    // reference: group g uniform over 0..9, one per bin on the 10-bin grid
+    val ref = Sketches.binHistogram(
+      (0 to 9).map(v => ("g", v.toDouble)).toDF("k", "v"),
+      Seq("k"), col("v"), nBins = 10)
+    ref.write.mode("overwrite").parquet(s"$base/ref")
+    // batch 0 matches the reference exactly; batch 1 is all 9s (shifted)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b0.json"),
+      (0 to 9).map(v => s"""{"k":"g","v":$v.0}""").mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b1.json"),
+      Seq.fill(5)("""{"k":"g","v":9.0}""").mkString("\n"))
+    // the file source orders ties by timestamp — pin b0 strictly earlier
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Path.of(landing, "b0.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream.schema("k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(landing)
+    val q = StreamingAnalytics.runDriftMonitor(spark, stream, Seq("k"), "v",
+      nBins = 10, refDir = s"$base/ref", outDir = s"$base/out",
+      checkpointDir = s"$base/ckpt", thresholdMilli = 100L)
+    q.awaitTermination(120000)
+
+    def verdict(id: Int) = spark.read.parquet(s"$base/out/batch=$id")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_batch"), r.getAs[Double]("tvd"),
+        r.getAs[Boolean]("drifted"))).toSeq
+    assert(verdict(0) === Seq(("g", 10L, 10L, 0.0, false)))
+    // shifted batch: S = 9·|1·5| + |1·5 − 5·10| = 90 → TVD = 90/(2·10·5)
+    assert(verdict(1) === Seq(("g", 10L, 5L, 0.9, true)))
+    // at-least-once redelivery: regrading batch 1 overwrites bit-exactly
+    StreamingAnalytics.applyDriftBatch(spark,
+      Seq(("g", 9.0), ("g", 9.0), ("g", 9.0), ("g", 9.0), ("g", 9.0))
+        .toDF("k", "v"), 1L, Seq("k"), "v", 10, s"$base/ref", s"$base/out",
+      100L)
+    assert(verdict(1) === Seq(("g", 10L, 5L, 0.9, true)))
+  }
 }
