@@ -120,7 +120,11 @@ object Bench {
         sec
       }.sorted.apply(passes / 2)
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing names: dev-loop filter (the driver passes none)
+    val only = args.toSet
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       try (name, timedMedian(fn), true)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -200,8 +204,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"calib_sec_end":$calibEnd,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     }
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-    java.nio.file.Files.write(fullPath,
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a filtered dev run must not clobber the committed full-suite map
+    if (only.isEmpty) {
+      java.nio.file.Files.write(fullPath,
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     // stdout line: 3-decimal values, and the per-query map filled to a
     // byte budget — TPC-H rows first (the headline suite), then the

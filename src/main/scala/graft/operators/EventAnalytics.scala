@@ -46,21 +46,48 @@ object EventAnalytics {
       userCol: String = "user_id",
       typeCol: String = "event_type",
       tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    funnelWindowed(events, stages, maxGapDays = None,
+      userCol, typeCol, tsCol, idCol)
+
+  /** [[funnel]] with a CONVERSION WINDOW: stage k's qualifying event
+    * must land within `maxGapDays` of stage k−1's reach (strictly after
+    * it, as before) — the product-analytics "converted within N days"
+    * funnel. Semantics are GREEDY-FROM-FIRST, the standard convention:
+    * each stage is reached at its earliest qualifying event given the
+    * previous stage's (unique) reach time; an abandoned-then-retried
+    * journey that only converts from a LATER stage-1 event does not
+    * count. `maxGapDays = None` disables the window (= [[funnel]]). */
+  def funnelWindowed(
+      events: DataFrame,
+      stages: Seq[String],
+      maxGapDays: Option[Int],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapDays.forall(_ >= 1), s"maxGapDays must be >= 1: $maxGapDays")
     val base = events
       .filter(col(typeCol).isin(stages: _*))
-      .select(col(userCol), col(typeCol), ord(tsCol, idCol).as("__ord"))
+      .select(col(userCol), col(typeCol), col(tsCol),
+        ord(tsCol, idCol).as("__ord"))
       .localCheckpoint(eager = false)
 
-    // reached(k): per-user first time the user completes stages 1..k in order
+    // reached(k): per-user first time the user completes stages 1..k in
+    // order (each step inside the conversion window when one is set)
     val first = base.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col("__ord")).as("__reach"))
       .localCheckpoint(eager = false)
     val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      val inWindow = maxGapDays match {
+        case Some(d) => col(tsCol) <=
+          col(s"__reach.$tsCol") + expr(s"INTERVAL $d DAYS")
+        case None => lit(true)
+      }
       base.filter(col(typeCol) === stage)
         .join(prev, userCol)
-        .filter(col("__ord") > col("__reach"))
+        .filter(col("__ord") > col("__reach") && inWindow)
         .groupBy(col(userCol)).agg(min(col("__ord")).as("__reach"))
         .localCheckpoint(eager = false)
     }

@@ -307,16 +307,22 @@ object Sampling {
     * resampling n rows WITH replacement B times (which needs global
     * coordination per replicate), every row independently draws a
     * Poisson(1) weight per replicate — the multinomial resample's limit —
-    * so the whole procedure is ONE map-only explode (×B) over the scan
-    * followed by ONE aggregate. No row ever leaves its partition before
-    * the (group, replicate) combine.
+    * so the whole procedure is ONE map-only fan-out (×B, a broadcast
+    * cross join against the replicate-id range — no per-row array
+    * allocation) followed by ONE aggregate. No row ever leaves its
+    * partition before the (group, replicate) combine.
     *
-    * Determinism (the cross-engine contract): the weight for (row b) is
-    * the inverse-CDF table [[PoissonCdfMicro]] applied to the engine's
-    * md5 [[bucket]] of "key:b" — a pure function any engine re-derives.
-    * Replicate means are exact integer micro-unit sums with ONE fixed
-    * (Σwv/Σw)/1e6 double chain; the CI bounds are type-1 order statistics
-    * of the B replicate means at ranks [[bootstrapRanks]], ties broken by
+    * Determinism (the cross-engine contract): the uniform for (row, b)
+    * is a 40-BIT SLICE of md5("key:⌊b/3⌋:seed") — one md5 serves three
+    * replicates (slice b mod 3: hex chars 1-10 / 11-20 / 21-30), cutting
+    * the dominant hash cost 3× (measured: the per-(row, replicate) md5
+    * was the whole row's bench cost); 40 bits mod the 1e6 [[bucket]]
+    * grid leaves ~1e-6 modulo bias, statistically invisible. The weight
+    * is the inverse-CDF table [[PoissonCdfMicro]] applied to that
+    * uniform — a pure function any engine re-derives. Replicate means
+    * are exact integer micro-unit sums with ONE fixed (Σwv/Σw)/1e6
+    * double chain; the CI bounds are type-1 order statistics of the B
+    * replicate means at ranks [[bootstrapRanks]], ties broken by
     * replicate id — total order, bit-stable.
     *
     * Output: `(group…, n, mean, ci_lo, ci_hi)`. A replicate whose total
@@ -340,10 +346,25 @@ object Sampling {
     val wCol = PoissonCdfMicro
       .map(t => when(col("__u") >= t, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
+    // fan out by HASH GROUP g = ⌊b/3⌋ first so each md5 is computed once
+    // and genuinely serves its three replicates (slicing per (row, b)
+    // would re-hash per replicate — measured as the row's whole cost),
+    // then explode the three 40-bit slices into replicate ids
+    val nGroups = (replicates + 2) / 3
+    val gFrame = df.sparkSession.range(nGroups)
+      .select(col("id").cast("int").as("__g"))
+    val baseCols = base.columns.map(col).toSeq
     val reps = base
-      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__u",
-        bucket(concat_ws(":", key.cast("string"), col("__b")), seed, "md5"))
+      .crossJoin(broadcast(gFrame))
+      .withColumn("__h", md5(concat_ws(":", key.cast("string"),
+        col("__g"), lit(seed))))
+      .select(baseCols :+ col("__g") :+
+        posexplode(array(substring(col("__h"), 1, 10),
+          substring(col("__h"), 11, 10),
+          substring(col("__h"), 21, 10))).as(Seq("__s", "__hex")): _*)
+      .withColumn("__b", col("__g") * 3 + col("__s"))
+      .filter(col("__b") < replicates)
+      .withColumn("__u", conv(col("__hex"), 16, 10).cast("long") % lit(Scale))
       .withColumn("__w", wCol)
       .groupBy(gc :+ col("__b"): _*)
       .agg(sum(col("__w") * col("__v")).as("__swv"),

@@ -115,8 +115,8 @@ object AnalyticsQueries {
        |r AS (
        |  SELECT event_type, v, b.b AS b,
        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-       |      || CAST(b.b AS VARCHAR) || ':$seed'), 1, 15)) AS BIGINT)
-       |      % 1000000 AS u
+       |      || CAST(b.b // 3 AS VARCHAR) || ':$seed'),
+       |      1 + (b.b % 3) * 10, 10)) AS BIGINT) % 1000000 AS u
        |  FROM base,
        |    LATERAL unnest(generate_series(0, ${replicates - 1})) AS b(b)),
        |wt AS (SELECT event_type, b, v, $wCase AS w FROM r),
@@ -1092,6 +1092,52 @@ object AnalyticsQueries {
         |  SELECT s.v, w.d + 1 FROM walk w JOIN sym s ON s.u = w.node
         |  WHERE w.d < 4)
         |SELECT node AS id, min(d) AS dist FROM walk GROUP BY 1""".stripMargin),
+
+    // EV5 (round 9) — the ordered funnel under a CONVERSION WINDOW:
+    // each stage must fire within 2 days of the previous stage's reach
+    // (greedy-from-first semantics, the ev1 chain + a bound per step).
+    // 150 → 81 users survive signup→view at sf0.01 vs 150 unbounded —
+    // the window genuinely bites.
+    "ev5_funnel_windowed" -> QueryDef(
+      (s, dir) => EventAnalytics.funnelWindowed(Tables.events(s, dir),
+        funnelStages, maxGapDays = Some(2)),
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM base WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'view'
+        |      AND (e.ts, e.event_id) > (s1.ts, s1.event_id)
+        |      AND e.ts <= s1.ts + INTERVAL 2 DAY) WHERE rn = 1),
+        |s3 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts, e.event_id) > (s2.ts, s2.event_id)
+        |      AND e.ts <= s2.ts + INTERVAL 2 DAY) WHERE rn = 1),
+        |s4 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s3 ON e.user_id = s3.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts, e.event_id) > (s3.ts, s3.event_id)
+        |      AND e.ts <= s3.ts + INTERVAL 2 DAY) WHERE rn = 1)
+        |SELECT 1 AS stage, 'signup' AS stage_name,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin),
 
     // EV4 (round 9) — first-order Markov next-event model: MLE
     // transition matrix over per-user event sequences with a

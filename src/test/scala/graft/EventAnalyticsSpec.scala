@@ -84,6 +84,30 @@ class EventAnalyticsSpec extends SparkSpecBase {
       ("B", "A") -> ((1L, 1L, 1.0, 1))))
   }
 
+  test("funnelWindowed: conversion window bounds each step; greedy-from-first never retries") {
+    val ev = Seq(
+      // user 1: view 1 day after signup → converts under a 2-day window
+      (1L, ts(1), 1L, "signup"), (2L, ts(2), 1L, "view"),
+      // user 2: view 4 days after signup → outside the window
+      (3L, ts(1), 2L, "signup"), (4L, ts(5), 2L, "view"),
+      // user 3: first signup d1, second d4, view d5 — within 2 days of
+      // the SECOND signup only; greedy-from-first anchors at d1 → no
+      (5L, ts(1), 3L, "signup"), (6L, ts(4), 3L, "signup"),
+      (7L, ts(5), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val windowed = EventAnalytics.funnelWindowed(ev, Seq("signup", "view"),
+      maxGapDays = Some(2))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(windowed === Map(1 -> 3L, 2 -> 1L))
+    // the unbounded funnel converts all three — the window is what bites
+    val unbounded = EventAnalytics.funnel(ev, Seq("signup", "view"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(unbounded === Map(1 -> 3L, 2 -> 3L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelWindowed(ev, Seq("signup"), Some(0))
+    }
+  }
+
   test("markov: equal counts rank by destination name — a total order") {
     val ev = Seq(
       (1L, ts(1), 1L, "A"), (2L, ts(2), 1L, "Z"),

@@ -254,16 +254,19 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.length === 1)
 
     // independent driver-side re-derivation of the ENTIRE procedure
-    // (own md5, own weight fold, own order statistics)
-    def u(s: String): Long = {
+    // (own md5, own 40-bit slice selection, own weight fold, own order
+    // statistics) — one md5 serves replicates 3b..3b+2 via hex slices
+    def u(key: Long, b: Int): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+        .digest(s"$key:${b / 3}:bt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val off = (b % 3) * 10
+      java.lang.Long.parseLong(hex.substring(off, off + 10), 16) % 1000000L
     }
     def weight(uu: Long): Long = Sampling.PoissonCdfMicro.count(uu >= _).toLong
     val rows = (1L to 200L).map(i => i -> math.round((i % 10).toDouble * 1e6))
     val means = (0 until 40).flatMap { b =>
-      val ws = rows.map { case (i, v) => (weight(u(s"$i:$b:bt")), v) }
+      val ws = rows.map { case (i, v) => (weight(u(i, b)), v) }
       val sw = ws.map(_._1).sum
       if (sw == 0) None
       else Some((ws.map { case (w, v) => w * v }.sum.toDouble / sw.toDouble
