@@ -69,6 +69,53 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (round 9) — [[pageRank]] with the teleport
+    * mass concentrated on a SOURCE SET instead of spread uniformly:
+    *   r₀ = e;  rₜ₊₁(v) = d · Σ_{(u,v)} rₜ(u) · w(u,v)/outw(u) + (1−d)·e(v)
+    * with e(v) = 1/|S| for v ∈ S, 0 otherwise — the random walk that
+    * restarts AT the sources, i.e. "importance from the perspective of
+    * S": the recommendation/similar-items primitive (Pinterest's
+    * Pixie-style related-pins walk, done as batch linear algebra).
+    * Same determinism contract as [[pageRank]] (fixed IEEE contribution
+    * chain, BIGINT 1e-15 quantized reduction, dangling mass dropped);
+    * sources absent from the node set are ignored; an empty effective
+    * source set fails loud. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           damping: Double, iters: Int): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val srcSet = nodes.join(sources.select(col("id")).distinct(), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nS = srcSet.count() // ONE scalar, never row data
+    require(nS > 0, "personalizedPageRank: no source appears in the graph")
+    val e0 = 1.0 / nS
+    val nodesE = nodes
+      .join(srcSet.withColumn("__isrc", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__isrc"), lit(e0)).otherwise(lit(0.0)).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outw = edges.groupBy(col("src"))
+      .agg(sum(col("w").cast("long")).as("ow"))
+    val edgesN = edges.join(outw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodesE.select(col("id"), col("e").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesN.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          round((col("rank") *
+            (col("w").cast("double") / col("ow").cast("double"))) * lit(1e15))
+            .cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodesE.join(contribs, nodesE("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / lit(1e15)) +
+            lit(1.0 - damping) * col("e")).as("rank"))
+    }
+    ranks
+  }
+
   /** Triangle counting + local clustering coefficient over an UNDIRECTED
     * edge list `(src, dst)` with `src < dst` and no duplicates (the
     * canonical undirected encoding; callers own dedup/orientation, as

@@ -140,6 +140,56 @@ object AnalyticsQueries {
        |FROM f JOIN ci USING (event_type)""".stripMargin
   }
 
+  /** Generated DuckDB oracle for graph_ppr — pageRankOracle's unrolled
+    * rounds with the uniform teleport replaced by the source-set
+    * e-vector (e(v) = 1/|S∩nodes| on sources, else 0); generated from
+    * the same (damping, iters, sources) as the Spark side. */
+  private def pprOracle(damping: Double, iters: Int,
+                        sources: Seq[String]): String = {
+    val srcList = sources.map(s => s"'$s'").mkString(", ")
+    // CAST('…' AS DOUBLE): embed Spark's EXACT teleport factor — DuckDB
+    // evaluates a bare (1.0 - 0.85) in DECIMAL (= exact 0.15, one ulp
+    // BELOW Scala's IEEE 1.0-0.85), measured as a rank mismatch
+    val tele = s"CAST('${1.0 - damping}' AS DOUBLE)"
+    val damp = s"CAST('$damping' AS DOUBLE)"
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (
+         |  SELECT n.id,
+         |    $damp * (CAST(coalesce(s.cs, 0) AS DOUBLE) / 1e15)
+         |      + $tele * n.e AS rank
+         |  FROM ne n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      sum(CAST(round((r.rank
+         |        * (CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE))) * 1e15)
+         |        AS BIGINT)) AS cs
+         |    FROM edges e
+         |    JOIN outw o ON e.src = o.src
+         |    JOIN r${t - 1} r ON r.id = e.src
+         |    GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    }
+    s"""WITH lagged AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, count(*) AS w
+       |  FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |ns AS (
+       |  SELECT CAST(1.0 AS DOUBLE) / count(*) AS e0 FROM nodes
+       |  WHERE id IN ($srcList)),
+       |ne AS (
+       |  SELECT id, CASE WHEN id IN ($srcList)
+       |    THEN (SELECT e0 FROM ns) ELSE 0.0 END AS e
+       |  FROM nodes),
+       |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, e AS rank FROM ne),
+       |${rounds.mkString(",\n")}
+       |SELECT id, rank FROM r$iters""".stripMargin
+  }
+
   /** Generated DuckDB oracle for cluster_kmeans — the same weighted
     * distinct tuples, lexicographic seeding, per-round assignment
     * (argmin of the identical fixed IEEE distance chain, ties to the
@@ -625,6 +675,28 @@ object AnalyticsQueries {
         graft.operators.Graph.pageRank(edges, damping = 0.85, iters = 3)
       },
       pageRankOracle(damping = 0.85, iters = 3)),
+
+    // Personalized PageRank (round 9) — the random walk restarting AT
+    // 'signup': which event types are important FROM the signup state's
+    // perspective (the related-items/recommendation primitive), on the
+    // same transition graph as graph_pagerank; same quantized
+    // determinism contract, oracle generated with the source e-vector.
+    "graph_ppr" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = Tables.events(s, dir)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        import s.implicits._
+        graft.operators.Graph.personalizedPageRank(edges,
+          Seq("signup").toDF("id"), damping = 0.85, iters = 3)
+      },
+      pprOracle(damping = 0.85, iters = 3, sources = Seq("signup"))),
 
     // SK4 (ext, round 9) — the MERGEABLE QUANTILE sketch, completing
     // the sketch triad (count-min = occurrences, HLL = distincts,

@@ -856,6 +856,79 @@ object ExtensionQueries {
          |  row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rank
          |FROM f""".stripMargin),
 
+    // Contrastive training-pair mining (round 9) — the dataset-side
+    // half of embedding training (SimCLR/DPR-style): for each query
+    // vector, ONE positive (its exact top-1 cosine neighbor) and THREE
+    // deterministic random negatives drawn by md5 rank from candidates
+    // OUTSIDE the top-10 cosine neighborhood (the exclusion zone keeps
+    // near-positives from becoming false negatives — the standard
+    // hard-negative hygiene). Membership is a pure hash function, so
+    // the sampled negatives are reproducible across runs, engines, and
+    // partitionings — the Sampling-gate property applied to pair
+    // mining.
+    "ext_training_pairs" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+        val top10 = Similarity.bruteForceTopK(q, emb, k = 10)
+        val pos = top10.filter(col("rank") === 1)
+          .select(col("query_id"), lit("pos").as("role"),
+            col("neighbor_id").as("cand_id"), col("rank"))
+        val negCands = q.select(col("vec_id").as("query_id"))
+          .crossJoin(emb.select(col("vec_id").as("cand_id")))
+          .filter(col("query_id") =!= col("cand_id"))
+          .join(top10.select(col("query_id"),
+            col("neighbor_id").as("cand_id")), Seq("query_id", "cand_id"),
+            "left_anti")
+        val h = conv(substring(md5(concat_ws(":",
+          col("query_id").cast("string"), col("cand_id").cast("string"),
+          lit("tp9"))), 1, 15), 16, 10).cast("long")
+        val neg = negCands.withColumn("__h", h)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("__h"), col("cand_id"))).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), lit("neg").as("role"), col("cand_id"),
+            col("rank"))
+        pos.unionByName(neg)
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT q.query_id, e.vec_id AS cand_id,
+         |    ${duckDot("q.qv", "e.embedding")} /
+         |      (sqrt(${duckDot("q.qv", "q.qv")}) *
+         |       sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |top10 AS (
+         |  SELECT query_id, cand_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id) AS r
+         |  FROM sc QUALIFY r <= 10),
+         |pos AS (
+         |  SELECT query_id, 'pos' AS role, cand_id, CAST(1 AS BIGINT) AS rank
+         |  FROM top10 WHERE r = 1),
+         |negc AS (
+         |  SELECT q.query_id, e.vec_id AS cand_id
+         |  FROM q, embeddings e
+         |  WHERE e.vec_id <> q.query_id AND NOT EXISTS (
+         |    SELECT 1 FROM top10 t
+         |    WHERE t.query_id = q.query_id AND t.cand_id = e.vec_id)),
+         |negh AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':'
+         |      || CAST(cand_id AS VARCHAR) || ':tp9'), 1, 15)) AS BIGINT)
+         |      AS h
+         |  FROM negc),
+         |neg AS (
+         |  SELECT query_id, 'neg' AS role, cand_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY h, cand_id)
+         |      AS rank
+         |  FROM negh QUALIFY rank <= 3)
+         |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin),
+
     // Multi-table LSH approximate top-k (8 tables × 4-bit signatures,
     // 2 extra Hamming-1 probes per query — measured recall at sf0.01:
     // 0.82 exact-bucket → 0.90 multi-probe, query-side fan-out only):

@@ -1278,6 +1278,73 @@ object FeatureQueries {
         |  value - dow_mean AS residual
         |FROM m""".stripMargin),
 
+    // W14 (round 9) — gaps-and-islands, the islands half: each event
+    // opens a 4-hour activity interval; overlapping-or-touching
+    // intervals merge into maximal islands per user (median inter-event
+    // gap is ~7.3h at sf0.01, so real merging AND real splits occur).
+    // Pure window arithmetic on exact timestamps.
+    "w14_interval_merge" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Intervals
+        Intervals.mergeIntervals(
+          Tables.events(s, dir)
+            .withColumn("iv_end", col("ts") + expr("INTERVAL 4 HOURS")),
+          Seq("user_id"), col("ts"), col("iv_end"))
+      },
+      """WITH iv AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 4 HOUR AS e FROM events
+        |  WHERE ts IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, s, e,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        |  FROM g)
+        |SELECT user_id, island_id, min(s) AS start, max(e) AS "end",
+        |  count(*) AS n_intervals
+        |FROM h GROUP BY 1, 2""".stripMargin),
+
+    // W15 (round 9) — gaps-and-islands, the runs half: consecutive
+    // equal event types per user collapse into episodes (run-length
+    // encoding of the state sequence) via the lag-change-flag +
+    // cumulative-sum chain. Exact integers and timestamps throughout.
+    "w15_state_episodes" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Intervals
+        Intervals.stateEpisodes(Tables.events(s, dir), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_type"))
+          .select(col("user_id"), col("episode_id"), col("state"),
+            col("n_events"), col("first_ord.ts").as("first_ts"),
+            col("last_ord.ts").as("last_ts"))
+      },
+      """WITH b AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |         OR lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode_id
+        |  FROM f)
+        |SELECT user_id, episode_id, event_type AS state,
+        |  count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM g GROUP BY 1, 2, 3""".stripMargin),
+
     // A35 (ext, round 9) — offline CUSUM changepoint per series: the
     // level-shift detector for monitoring pipelines (Page 1954, offline
     // mean-shift form). The statistic is kept in the n-scaled all-BIGINT

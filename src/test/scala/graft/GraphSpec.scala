@@ -101,6 +101,28 @@ class GraphSpec extends SparkSpecBase {
     assert(m(1L)._3 === Some(2.0 / 3.0))
   }
 
+  test("personalizedPageRank: teleport mass restarts at the sources only") {
+    // chain s -> a -> b; PPR from s: r0 = (1,0,0)
+    // r1: a gets 0.85·1, s keeps teleport 0.15, b gets 0
+    val edges = Seq(("s", "a", 1L), ("a", "b", 1L)).toDF("src", "dst", "w")
+    val one = Graph.personalizedPageRank(edges, Seq("s").toDF("id"),
+      damping = 0.85, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one("s") === (1.0 - 0.85) * 1.0)
+    assert(one("a") === 0.85 * 1.0)
+    assert(one("b") === 0.0)
+    // two iterations push mass to b; a non-source far node still gets
+    // NO teleport floor (unlike uniform pageRank)
+    val two = Graph.personalizedPageRank(edges, Seq("s").toDF("id"),
+      damping = 0.85, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(two("b") > 0.0 && two("s") === (1.0 - 0.85) * 1.0)
+    // unknown source fails loud
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq("zz").toDF("id"), 0.85, 1)
+    }
+  }
+
   test("triangles: differential vs brute-force enumeration, layout-invariant") {
     // deterministic pseudo-random graph, canonicalized src < dst distinct
     val raw = (1 to 300).map(i => ((i * 7L) % 23L, (i * i * 5L) % 23L))

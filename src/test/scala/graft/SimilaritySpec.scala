@@ -387,4 +387,36 @@ class SimilaritySpec extends SparkSpecBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("ext_training_pairs: one positive, three hash-negatives outside the top-10 zone, deterministic") {
+    val rows = graft.queries.ExtensionQueries.defs("ext_training_pairs")
+      .fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    val emb = Tables.embeddings(spark, sf0001)
+    byQuery.foreach { case (q, rs) =>
+      val pos = rs.filter(_._2 == "pos")
+      val neg = rs.filter(_._2 == "neg")
+      assert(pos.length === 1 && neg.length === 3)
+      assert(neg.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L))
+      // the exclusion zone holds: no negative is a top-10 neighbor and
+      // the positive IS the exact rank-1 neighbor
+      val top10 = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === q), emb, k = 10)
+        .collect().map(r => r.getAs[Long]("rank") ->
+          r.getAs[Long]("neighbor_id"))
+      assert(pos.head._3 === top10.find(_._1 == 1L).get._2)
+      val zone = top10.map(_._2).toSet
+      assert(neg.forall(n => !zone.contains(n._3) && n._3 != q))
+    }
+    // pure-hash membership: a second evaluation is identical
+    val again = graft.queries.ExtensionQueries.defs("ext_training_pairs")
+      .fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(again.sortBy(t => (t._1, t._2, t._4)).toSeq ===
+      rows.sortBy(t => (t._1, t._2, t._4)).toSeq)
+  }
 }
