@@ -824,6 +824,45 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** The SERVABLE half of [[keywordSearch]] (round 9): a persisted
+    * inverted postings index `(t, doc_id, tf, df)` built once over the
+    * corpus — the artifact an unbounded query stream is answered
+    * against (StreamingSimilarity.runHybridServe). `df` rides every
+    * posting row so the index is self-describing except for the scalar
+    * `n_docs`, which the caller persists alongside (the histBounds
+    * grid-contract convention). */
+  def buildLexicalIndex(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.join(tf.groupBy(col("t")).agg(count(lit(1)).as("df")), "t")
+  }
+
+  /** Serve [[keywordSearch]] rankings from a prebuilt
+    * [[buildLexicalIndex]] for a FRAME of queries `(query_id,
+    * terms array<string>)` — identical integer TF×rarity arithmetic
+    * (w = 10⁶·n_docs div df), per-query top-k under (score DESC,
+    * doc_id). The query side explodes to (query, term) pairs and
+    * equi-joins the postings on the term key — per-batch cost scales
+    * with the queries' posting lists, never the corpus. */
+  def keywordSearchWithIndex(index: DataFrame, nDocs: Long,
+                             queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
+    queries
+      .select(col("query_id"), explode(col("terms")).as("t"))
+      .distinct() // duplicate query terms score once, as in keywordSearch
+      .join(index, Seq("t"))
+      .withColumn("w", expr(s"(1000000 * $nDocs) div df"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** PMI collocation scoring (round 9) — the statistical phrase detector
     * (Church & Hanks 1990; the word2vec phrase-merge preprocessing step):
     * for each adjacent token pair (w₁, w₂), pointwise mutual information

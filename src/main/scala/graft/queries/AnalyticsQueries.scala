@@ -1211,6 +1211,55 @@ object AnalyticsQueries {
         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin),
 
+    // EV6 (round 9) — exact audience overlap: segments are "users with
+    // ≥ 15 events of type t" (sizes 50-57 at sf0.01, intersections
+    // 16-27 — real structure, not the degenerate everyone-everywhere);
+    // |A∩B| by self-join, |A∪B| by inclusion-exclusion, Jaccard one
+    // exact division. The EXACT face of sketch_hll_intersect.
+    "ev6_audience_overlap" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val aud = Tables.events(s, dir)
+          .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") >= 15)
+          .select(col("event_type"), col("user_id"))
+        val inter = aud.select(col("event_type").as("t1"), col("user_id"))
+          .join(aud.select(col("event_type").as("t2"), col("user_id")),
+            "user_id")
+          .filter(col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_inter"))
+        val sizes = aud.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        inter
+          .join(sizes.select(col("event_type").as("t1"),
+            col("n").as("n_a")), "t1")
+          .join(sizes.select(col("event_type").as("t2"),
+            col("n").as("n_b")), "t2")
+          .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+          .select(col("t1"), col("t2"), col("n_a"), col("n_b"),
+            col("n_inter"), col("n_union"),
+            (col("n_inter").cast("double") / col("n_union").cast("double"))
+              .as("jaccard"))
+      },
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a AS (SELECT event_type, user_id FROM c WHERE n >= 15),
+        |s AS (SELECT event_type, count(*) AS n FROM a GROUP BY 1),
+        |i AS (
+        |  SELECT x.event_type AS t1, y.event_type AS t2, count(*) AS n_inter
+        |  FROM a x JOIN a y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.t1, i.t2, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+        |  sa.n + sb.n - i.n_inter AS n_union,
+        |  CAST(i.n_inter AS DOUBLE)
+        |    / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON sa.event_type = i.t1
+        |JOIN s sb ON sb.event_type = i.t2""".stripMargin),
+
     // EV4 (round 9) — first-order Markov next-event model: MLE
     // transition matrix over per-user event sequences with a
     // deterministic (n DESC, dst ASC) next-event ranking. Counts and

@@ -443,6 +443,61 @@ object StreamingAnalytics {
       }
   }
 
+  /** One observation for the online CUSUM detector. */
+  final case class CusumEvent(key: String, ts: Long, id: Long, v: Double)
+
+  /** Per-event CUSUM state emission: the two one-sided statistics (in
+    * value units) and whether this event fired the alarm. */
+  final case class CusumPoint(key: String, id: Long, v: Double,
+                              sPlus: Double, sMinus: Double, alarm: Boolean)
+
+  /** ONLINE CUSUM change detection (round 9) — the streaming face of
+    * Features.cusumChangepoint (which finds the single best split
+    * offline; this RAISES ALARMS as data arrives — Page 1954's original
+    * sequential form): per key,
+    *   S⁺ ← max(0, S⁺ + (x − target − slack)),
+    *   S⁻ ← max(0, S⁻ + (target − slack − x)),
+    * alarm when either side exceeds `threshold`, then both sides reset
+    * (the standard restart convention — each alarm starts a fresh
+    * detection run). State per key is TWO exact BIGINT micro-unit
+    * counters (the streamingEwma quantization: values round via
+    * BigDecimal HALF_UP, so every comparison is exact integers and the
+    * detector is bit-deterministic across replays and engines);
+    * `slack` is the usual half-shift allowance k that keeps in-control
+    * noise from drifting the statistic. Rows inside a batch process in
+    * (ts, id) order; batches are assumed key-ordered across triggers
+    * (the runningLatest in-order-feed contract). */
+  def streamingCusum(spark: SparkSession, in: Dataset[CusumEvent],
+                     target: Double, slack: Double,
+                     threshold: Double): Dataset[CusumPoint] = {
+    import spark.implicits._
+    require(slack >= 0.0, s"slack must be >= 0: $slack")
+    require(threshold > 0.0, s"threshold must be > 0: $threshold")
+    def q(d: Double): Long =
+      BigDecimal(d * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tMicro = q(target); val kMicro = q(slack); val hMicro = q(threshold)
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CusumEvent],
+         state: GroupState[(Long, Long)]) =>
+          var (sp, sm) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r.ts, r.id)).map { r =>
+            val vm = q(r.v)
+            sp = math.max(0L, sp + (vm - tMicro - kMicro))
+            sm = math.max(0L, sm + (tMicro - kMicro - vm))
+            val alarm = sp > hMicro || sm > hMicro
+            val point = CusumPoint(key, r.id, r.v,
+              sp.toDouble / 1e6, sm.toDouble / 1e6, alarm)
+            if (alarm) { sp = 0L; sm = 0L } // restart after each alarm
+            point
+          }
+          state.update((sp, sm))
+          out.iterator
+      }
+  }
+
   /** Streaming distribution-drift monitor (round 9) — the unbounded
     * face of Profiling.driftTvd, and the alerting piece of the
     * monitoring stack (MAD serve flags anomalous ROWS; this flags

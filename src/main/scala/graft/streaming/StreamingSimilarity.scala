@@ -42,4 +42,58 @@ object StreamingSimilarity {
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
       }
       .start()
+
+  /** Streaming HYBRID search serve (round 9) — the full modern
+    * retrieval stack on an unbounded query stream: each micro-batch of
+    * queries `(query_id, embedding, terms)` is answered by BOTH rankers
+    * against their persisted batch-built artifacts — semantic top-k
+    * from the IVF index (the [[runIvfServe]] path) and lexical top-k
+    * from the inverted postings index
+    * ([[graft.operators.TextAnalysis.keywordSearchWithIndex]]) — then
+    * fused by reciprocal rank fusion with the ext_hybrid_rrf
+    * quantization (BIGINT 10¹² div (60 + rank) per ranker, missing
+    * ranker contributes 0), final rank per query under
+    * (rrf_q DESC, doc_id). Per-batch cost scales with the batch's
+    * candidate lists; the corpus and both indexes never move. Results
+    * land in `outDir/batch=<id>` with overwrite — replay-idempotent. */
+  def runHybridServe(queryStream: DataFrame, index: Similarity.IvfIndex,
+                     corpus: DataFrame, postings: DataFrame, nDocs: Long,
+                     k: Int, nProbe: Int, outDir: String,
+                     checkpointDir: String): StreamingQuery =
+    queryStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          hybridBatch(batch, index, corpus, postings, nDocs, k, nProbe)
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+      }
+      .start()
+
+  /** The per-batch fusion of [[runHybridServe]], factored out so batch
+    * parity is directly testable. */
+  private[graft] def hybridBatch(batch: DataFrame,
+                                 index: Similarity.IvfIndex,
+                                 corpus: DataFrame, postings: DataFrame,
+                                 nDocs: Long, k: Int,
+                                 nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sem = Similarity.ivfTopKWithIndex(
+      batch.select(col("query_id").as("vec_id"), col("embedding")),
+      corpus, index, k, nProbe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val lex = graft.operators.TextAnalysis.keywordSearchWithIndex(
+      postings, nDocs, batch.select(col("query_id"), col("terms")), k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_q",
+        coalesce(expr("1000000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000000 div (60 + sem_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_q").desc, col("doc_id"))).cast("long"))
+  }
 }

@@ -434,6 +434,45 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     assert(bits(replayed) === bits(direct))
   }
 
+  test("streamingCusum: hand-computed alarm point, cross-batch carry, post-alarm restart, in-control silence") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamingAnalytics.CusumEvent]
+    // target 10, slack 1, threshold 5: values of 13 add +2 per event to
+    // S⁺ — the third 13 crosses 5 (6 > 5) and fires, then resets
+    val q = StreamingAnalytics.streamingCusum(spark, in.toDS(),
+      target = 10.0, slack = 1.0, threshold = 5.0)
+      .writeStream.format("memory").queryName("cusum_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamingAnalytics.CusumEvent("g", 1L, 1L, 13.0),
+        StreamingAnalytics.CusumEvent("g", 2L, 2L, 13.0),
+        StreamingAnalytics.CusumEvent("h", 1L, 9L, 10.0))
+      q.processAllAvailable()
+      // batch 2 continues g's accumulated state (2+2 = 4 carried over)
+      in.addData(
+        StreamingAnalytics.CusumEvent("g", 3L, 3L, 13.0),
+        StreamingAnalytics.CusumEvent("g", 4L, 4L, 10.0),
+        StreamingAnalytics.CusumEvent("h", 2L, 10L, 10.0),
+        StreamingAnalytics.CusumEvent("h", 3L, 11L, 3.0))
+      q.processAllAvailable()
+      val out = spark.table("cusum_t").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Double]("sPlus"), r.getAs[Double]("sMinus"),
+            r.getAs[Boolean]("alarm")))).toMap
+      assert(out(1L) === ((2.0, 0.0, false)))
+      assert(out(2L) === ((4.0, 0.0, false)))
+      assert(out(3L) === ((6.0, 0.0, true))) // crossed across the batch boundary
+      // after the alarm the statistic restarted: 10.0 adds max(0, 0-1)=0
+      assert(out(4L) === ((0.0, 0.0, false)))
+      // in-control values never alarm; a low value grows S⁻
+      assert(out(9L) === ((0.0, 0.0, false)))
+      assert(out(10L) === ((0.0, 0.0, false)))
+      assert(out(11L) === ((0.0, 6.0, true))) // 10-1-3 = 6 > 5, low side
+    } finally q.stop()
+  }
+
   test("runDriftMonitor: matching batch grades clean, shifted batch flags, redelivery idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches

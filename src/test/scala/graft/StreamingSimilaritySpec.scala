@@ -70,4 +70,71 @@ class StreamingSimilaritySpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$base/out/${dirs.head}")
     assert(spark.read.parquet(s"$base/out").count() === before)
   }
+
+  test("hybrid serve stream: per-batch RRF fusion equals the batch fusion; both rankers engage") {
+    import graft.operators.TextAnalysis
+    val emb = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val base = Files.createTempDirectory("graft_hybserve").toString
+    // batch-built artifacts: IVF index + inverted postings, persisted
+    val built = Similarity.buildIvfIndex(emb, nCentroids = 8,
+      refineIters = 2).get
+    built.centroids.write.parquet(s"$base/idx/centroids")
+    built.postings.write.parquet(s"$base/idx/postings")
+    val index = Similarity.IvfIndex(
+      spark.read.parquet(s"$base/idx/centroids"),
+      spark.read.parquet(s"$base/idx/postings"))
+    TextAnalysis.buildLexicalIndex(docs).write.parquet(s"$base/lex")
+    val postings = spark.read.parquet(s"$base/lex")
+    val nDocs = docs.filter(col("text").isNotNull).count()
+
+    // queries: each query doc's embedding + its first three text tokens
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(docs.select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 3).as("terms")), "query_id")
+    val qRows = queries.collect()
+    assert(qRows.length >= 4)
+    def jsonOf(rows: Seq[org.apache.spark.sql.Row]): String =
+      rows.map { r =>
+        val terms = r.getSeq[String](2).map(t => s""""$t"""").mkString(",")
+        s"""{"query_id":${r.getLong(0)},"embedding":[${
+          r.getSeq[Float](1).mkString(",")}],"terms":[$terms]}"""
+      }.mkString("\n")
+    val landing = s"$base/queries"; new java.io.File(landing).mkdirs()
+    val (b1, b2) = qRows.splitAt(qRows.length / 2)
+    Files.writeString(java.nio.file.Path.of(landing, "b1.json"), jsonOf(b1.toSeq))
+    Files.writeString(java.nio.file.Path.of(landing, "b2.json"), jsonOf(b2.toSeq))
+    val stream = spark.readStream
+      .schema("query_id LONG, embedding ARRAY<FLOAT>, terms ARRAY<STRING>")
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+    val q = graft.streaming.StreamingSimilarity.runHybridServe(
+      stream, index, emb, postings, nDocs, k = 5, nProbe = 4,
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "rrf_q", "rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val streamed = resultSet(spark.read.parquet(s"$base/out"))
+    val batch = resultSet(graft.streaming.StreamingSimilarity.hybridBatch(
+      queries, index, emb, postings, nDocs, k = 5, nProbe = 4))
+    assert(streamed === batch,
+      s"stream/batch divergence: ${streamed -- batch} vs ${batch -- streamed}")
+    // both rankers really contribute: some row carries both rank columns
+    val fusedRows = spark.read.parquet(s"$base/out")
+    assert(fusedRows.filter(col("lex_rank").isNotNull).count() > 0)
+    assert(fusedRows.filter(col("sem_rank").isNotNull).count() > 0)
+    // every query's final ranking is the dense 1..n order
+    val perQuery = fusedRows.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+      .collect()
+    perQuery.foreach { r =>
+      assert(r.getAs[Long]("mn") === 1L && r.getAs[Long]("mx") === r.getAs[Long]("n"))
+    }
+  }
 }
