@@ -37,4 +37,48 @@ class TpchPlanSpec extends SparkSpecBase {
       assert(!plan.contains("LeftAnti"),
         s"empty exclusion set should have elided the anti join:\n$plan")
   }
+
+  private def executedPlan(name: String): String = {
+    val q = SparkEntry.queries(name)(spark, sf0001)
+    q.collect()
+    q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("round-9 graph/basket rows: every join is an equi-join — no nested loop ever") {
+    // triangles and association rules are both pair self-joins — the
+    // shapes that silently degrade to cartesians when a key is lost in
+    // a refactor. Values stay right; only the plan pin catches it.
+    Seq("graph_triangles", "graph_components").foreach { n =>
+      val plan = executedPlan(n)
+      assert(!plan.contains("CartesianProduct"),
+        s"$n planned a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$n planned a nested loop:\n$plan")
+    }
+    // the rules row carries EXACTLY ONE nested loop by design: the
+    // one-row n_baskets aggregate cross-joined onto every rule — a
+    // broadcast of a scalar, not a pair blow-up. Anything beyond that
+    // one (or any true cartesian) is the regression this pin catches.
+    val rules = executedPlan("mb_assoc_rules")
+    assert(!rules.contains("CartesianProduct"),
+      s"mb_assoc_rules planned a cartesian:\n$rules")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(rules).length <= 1,
+      s"mb_assoc_rules grew extra nested loops:\n$rules")
+  }
+
+  test("keyword search ranks via TakeOrderedAndProject, never a global sort") {
+    val plan = executedPlan("ext_keyword_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge:\n$plan")
+  }
+
+  test("cluster_kmeans: centroid joins broadcast the k-row side only — the corpus is never broadcast") {
+    val plan = executedPlan("cluster_kmeans")
+    // every nested-loop join in the Lloyd rounds is the EXPECTED
+    // broadcast cross join against the ≤k-row centroid frame; a
+    // SortMergeJoin or shuffled join against centroids would mean the
+    // tiny side stopped broadcasting (scale regression)
+    assert(!plan.contains("CartesianProduct"),
+      s"kmeans planned a non-broadcast cartesian:\n$plan")
+  }
 }
