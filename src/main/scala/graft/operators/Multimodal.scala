@@ -204,6 +204,109 @@ object Multimodal {
       }
   }
 
+  /** Deterministic VARIED image fixtures for perceptual-hash testing
+    * (round 9): per document one base PNG whose gray value is the
+    * XOR-mixed pattern
+    *   g(id, x, y) = ((x·(3 + id%7)) XOR (y·(5 + id%11)) + id) mod 256
+    * (dimensions from the md5 digits, the [[synthesizeImages]] rule) —
+    * XOR mixing gives every id a visually DISTINCT texture, unlike the
+    * smooth gradient whose dHash is degenerate-constant — plus, for
+    * every id divisible by 10, a PLANTED NEAR-DUPLICATE twin at
+    * doc_id + 1000000: the same pattern brightness-shifted by +5 mod
+    * 256. dHash compares neighboring averages, so a uniform brightness
+    * shift flips only the few bits where the mod wraps — the planted
+    * twins are exactly what a perceptual near-dup detector must find. */
+  def synthesizeImagesVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, hex) =>
+          val w = 16 + hexVal(hex.charAt(0))
+          val h = 16 + hexVal(hex.charAt(1))
+          def png(shift: Int): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                val g = ((((x * (3 + id % 7)) ^ (y * (5 + id % 11))) + id) % 256
+                  + shift).toInt % 256
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                y += 1
+              }
+              x += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            out.toByteArray
+          }
+          val base = Seq((id, png(0)))
+          if (id % 10 == 0) base :+ ((id + 1000000L, png(5))) else base
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One perceptual-hash row from a REAL decode. */
+  final case class ImageHash(doc_id: Long, width: Long, height: Long,
+                             dhash: Long)
+
+  /** Perceptual difference-hash (dHash, Krawetz 2013 — the standard
+    * cheap image near-dup fingerprint) over REAL PNG decodes: the
+    * decoded raster area-averages onto a 9×8 grid with the INTEGER rule
+    * cell(x) = x·9 div w (every step exact — a bilinear resize would not
+    * be cross-engine re-derivable), bit (r, c) = [avg(r, c+1) >
+    * avg(r, c)] for r < 8, c < 8, packed little-endian at k = r·8 + c
+    * with bit 63 dropped — 63 bits, the SimHash63 sign-safety
+    * convention. Brightness shifts leave neighbor DIFFERENCES intact,
+    * so near-identical images collide — which is the point.
+    * Same mapPartitions batch shape as [[decodeImages]]. */
+  def dhashImages(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          require(w >= 9 && h >= 8, s"image $id too small for dHash: ${w}x$h")
+          val sums = Array.ofDim[Long](8, 9)
+          val counts = Array.ofDim[Long](8, 9)
+          var x = 0
+          while (x < w) {
+            val c = x * 9 / w
+            var y = 0
+            while (y < h) {
+              val r = y * 8 / h
+              sums(r)(c) += (img.getRGB(x, y) & 0xff).toLong
+              counts(r)(c) += 1L
+              y += 1
+            }
+            x += 1
+          }
+          var bits = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val k = r * 8 + c
+              if (k < 63 &&
+                sums(r)(c + 1) / counts(r)(c + 1) >
+                  sums(r)(c) / counts(r)(c))
+                bits |= 1L << k
+              c += 1
+            }
+            r += 1
+          }
+          ImageHash(id, w.toLong, h.toLong, bits)
+        }
+      }
+  }
+
   /** One REAL-decoded audio row: container header fields plus sample
     * statistics computed from the decoded PCM stream. */
   final case class AudioFeatures(

@@ -1924,6 +1924,82 @@ object ExtensionQueries {
         |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
         |FROM px GROUP BY doc_id, width, height""".stripMargin),
 
+    // Image near-dup detection by perceptual dHash (round 9) — the
+    // multimodal face of the dedup family: REAL PNG decodes hash to a
+    // 63-bit neighbor-difference fingerprint (integer area-average 9×8
+    // grid — bilinear resize would not be cross-engine re-derivable),
+    // candidate pairs come from NINE 7-bit band buckets (63 = 9×7:
+    // hamming ≤ 8 < 9 bands ⇒ some band matches — pigeonhole-exact,
+    // never all-pairs), verified by exact bit_count(xor) ≤ 8. Fixtures
+    // carry 50 PLANTED brightness-shifted twins (dHash is invariant to
+    // uniform shifts except at mod wraps — measured hamming 0-8, all
+    // caught) over XOR-textured bases (measured: only 36 background
+    // pairs collide among ~125k). The oracle re-derives the ENTIRE
+    // chain — pixels from the generation formula, grid, bits, hash,
+    // brute-force pairing (a different pairing algorithm).
+    "mm_image_dhash" -> QueryDef(
+      (s, dir) => {
+        val hashes = Multimodal.dhashImages(s,
+          Multimodal.synthesizeImagesVaried(s, Tables.documents(s, dir)))
+          .toDF().localCheckpoint(eager = false)
+        val bands = (0 until 9).map(b =>
+          hashes.select(col("doc_id"), col("dhash"), lit(b).as("band"),
+            shiftrightunsigned(col("dhash"), b * 7)
+              .bitwiseAND(lit(0x7FL)).as("bkey")))
+          .reduce(_ unionByName _)
+        bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+          .filter(col("hamming") <= 8)
+          .select(col("doc_a"), col("doc_b"), col("hamming"),
+            (col("doc_b") === col("doc_a") + 1000000L).as("is_planted"))
+      },
+      """WITH ids AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS pid, 0 AS shift, hx FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 5, hx FROM ids
+        |  WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT img_id, pid, shift,
+        |    CAST(16 + strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+        |         AS BIGINT) AS w,
+        |    CAST(16 + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+        |         AS BIGINT) AS hh
+        |  FROM imgs),
+        |px AS (
+        |  SELECT img_id, (x.x * 9) // w AS c, (y.y * 8) // hh AS r,
+        |    (((xor(x.x * (3 + pid % 7), y.y * (5 + pid % 11)) + pid) % 256)
+        |      + shift) % 256 AS g
+        |  FROM dims,
+        |    LATERAL unnest(generate_series(0, w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, hh - 1)) AS y(y)),
+        |cells AS (
+        |  SELECT img_id, r, c, CAST(sum(g) AS BIGINT) // count(*) AS a
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.img_id, l.r * 8 + l.c AS k,
+        |    CASE WHEN rr.a > l.a THEN 1 ELSE 0 END AS b
+        |  FROM cells l JOIN cells rr
+        |    ON rr.img_id = l.img_id AND rr.r = l.r AND rr.c = l.c + 1
+        |  WHERE l.c < 8 AND l.r < 8 AND l.r * 8 + l.c < 63),
+        |hashes AS (
+        |  SELECT img_id, CAST(sum(CASE WHEN b = 1
+        |    THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
+        |    AS BIGINT) AS dh
+        |  FROM bits GROUP BY 1)
+        |SELECT a.img_id AS doc_a, b2.img_id AS doc_b,
+        |  CAST(bit_count(xor(a.dh, b2.dh)) AS BIGINT) AS hamming,
+        |  b2.img_id = a.img_id + 1000000 AS is_planted
+        |FROM hashes a JOIN hashes b2 ON a.img_id < b2.img_id
+        |WHERE bit_count(xor(a.dh, b2.dh)) <= 8""".stripMargin),
+
     // REAL audio decode (javax.sound.sampled over deterministic 16-bit
     // PCM WAV fixtures — Multimodal.synthesizeAudio/decodeAudio): header
     // fields from the parsed RIFF container, s0/sum_abs from the decoded

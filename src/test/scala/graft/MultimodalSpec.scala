@@ -79,4 +79,55 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("dhashImages: every planted brightness twin collides within 8 bits; banding loses no pair") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val hashes = Multimodal.dhashImages(spark,
+      Multimodal.synthesizeImagesVaried(spark, docs)).toDF()
+    // every planted twin (id % 10 == 0 → id + 1000000) is a near-dup
+    val twins = hashes.as("a").join(hashes.as("b"),
+      col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.doc_id"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("ham"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val nBase = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(twins.length.toLong === nBase && nBase > 0)
+    twins.foreach { case (id, ham) =>
+      assert(ham <= 8, s"planted twin of $id drifted to hamming $ham")
+    }
+    // the registered 9-band candidate pairing equals brute force at ≤ 8
+    val brute = hashes.as("a").join(hashes.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ham",
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
+      .filter(col("ham") <= 8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = graft.queries.ExtensionQueries.defs("mm_image_dhash")
+      .fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute) // pigeonhole: 8 < 9 bands — exact, not heuristic
+  }
+
+  test("dhash is exactly invariant to a wrap-free brightness shift") {
+    import spark.implicits._
+    // hand-built 18x16 image with values far from the mod boundary:
+    // +5 cannot wrap, so the fingerprint must be IDENTICAL
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 18; y <- 0 until 16) {
+        val g = 40 + ((x * 7 + y * 13) % 150) + shift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val hs = Multimodal.dhashImages(spark,
+      Seq((1L, png(0)), (2L, png(5))).toDF("doc_id", "payload"))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    assert(hs(1L) === hs(2L))
+  }
 }
