@@ -1345,6 +1345,63 @@ object FeatureQueries {
         |  count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         |FROM g GROUP BY 1, 2, 3""".stripMargin),
 
+    // A38 (ext, round 9) — Kaplan-Meier time-to-conversion: days from
+    // first signup to first subsequent purchase, users without a
+    // purchase CENSORED at their last activity (the thing naive
+    // averages get wrong). Exact risk-set integers + one division per
+    // step; the global step window runs on distinct DURATIONS (days),
+    // never subjects. Survival curve = consumer's running product of
+    // factors (no order-free exact form — deliberate boundary).
+    "a38_survival_km" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Survival
+        val e = Tables.events(s, dir)
+        val t0 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .join(t0, "user_id").filter(col("ts") > col("t0"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+        val lastTs = e.groupBy(col("user_id")).agg(max(col("ts")).as("lt"))
+        val subj = t0.join(purch, Seq("user_id"), "left")
+          .join(lastTs, "user_id")
+          .select(
+            datediff(coalesce(col("pt"), col("lt")).cast("date"),
+              col("t0").cast("date")).cast("long").as("dur"),
+            col("pt").isNotNull.as("obs"))
+        Survival.kaplanMeierTable(subj, Seq.empty, col("dur"), col("obs"))
+      },
+      """WITH t0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS pt
+        |  FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t0.t0 GROUP BY 1),
+        |lt AS (SELECT user_id, max(ts) AS lt FROM events GROUP BY 1),
+        |subj AS (
+        |  SELECT t0.user_id,
+        |    CAST(date_diff('day', CAST(t0.t0 AS DATE),
+        |      CAST(coalesce(p.pt, lt.lt) AS DATE)) AS BIGINT) AS d,
+        |    p.pt IS NOT NULL AS obs
+        |  FROM t0
+        |  LEFT JOIN p ON p.user_id = t0.user_id
+        |  JOIN lt ON lt.user_id = t0.user_id),
+        |c AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS n_at_d,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d_events
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT d, n_at_d, d_events,
+        |    CAST(sum(n_at_d) OVER () AS BIGINT) AS total,
+        |    CAST(coalesce(sum(n_at_d) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM c)
+        |SELECT d AS duration, total - bef AS n_at_risk, d_events,
+        |  CAST(total - bef - d_events AS DOUBLE)
+        |    / CAST(total - bef AS DOUBLE) AS factor
+        |FROM r WHERE d_events > 0""".stripMargin),
+
     // A35 (ext, round 9) — offline CUSUM changepoint per series: the
     // level-shift detector for monitoring pipelines (Page 1954, offline
     // mean-shift form). The statistic is kept in the n-scaled all-BIGINT
