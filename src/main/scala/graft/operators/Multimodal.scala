@@ -347,6 +347,105 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic VARIED audio fixtures for fingerprint testing
+    * (round 9, the audio analogue of [[synthesizeImagesVaried]]): per
+    * document one base WAV whose NON-NEGATIVE waveform is an
+    * XOR texture shaped by the document's own md5 ENVELOPE,
+    *   s(id, i) = (((i·(31 + id mod 13)) XOR (id·7)) mod 32768)
+    *              · (1 + hexval(md5[w mod 16])) div 16,  w = i·64 div n
+    * (n = 64 + 4·hex₀ samples, the synthesizeAudio container contract;
+    * everything non-negative, so integer division is engine-portable
+    * truncation) — the md5 staircase gives every document an
+    * effectively-random 16-step energy profile, so unrelated
+    * fingerprints land far apart; a smooth shared texture measured
+    * 178 background collisions at hamming ≤ 2, the md5 envelope ~0.
+    * For id mod 10 == 0 a PLANTED twin at doc_id + 1000000 carries the
+    * amplitude-scaled copy s' = (s·9) div 10 — the energy PROFILE keeps
+    * its shape, exactly what a level-robust fingerprint must match. */
+  def synthesizeAudioVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, hex) =>
+          val n = 64 + 4 * hexVal(hex.charAt(0))
+          def wav(scale: Boolean): Array[Byte] = {
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val w = i * 64 / n
+              val env = 1 + hexVal(hex.charAt(w % 16))
+              val base = ((((i * (31 + id % 13)) ^ (id * 7)) % 32768)
+                * env / 16).toInt
+              val s = if (scale) (base * 9) / 10 else base
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+            out.toByteArray
+          }
+          val rows = Seq((id, wav(false)))
+          if (id % 10 == 0) rows :+ ((id + 1000000L, wav(true))) else rows
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One audio fingerprint from a REAL decode. */
+  final case class AudioHash(doc_id: Long, n_samples: Long, ahash: Long)
+
+  /** Audio energy-profile fingerprint (round 9) — the audio member of
+    * the near-dup family (text SimHash, image dHash, THIS): decoded PCM
+    * partitions into 64 windows by the integer rule
+    * window(i) = i·64 div n, each window's mean |s| is an exact integer
+    * (Σ|s| div count), and bit j compares adjacent window energies
+    * (e(j+1) > e(j)), packed at k = j with bit 63 dropped — 63 bits,
+    * level-robust by construction (a volume change scales every window
+    * together, leaving comparisons intact except at truncation ties).
+    * Same decode plumbing as [[decodeAudio]]. */
+  def audioFingerprints(spark: SparkSession,
+                        media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected WAV format for doc $id: $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          require(n >= 64, s"audio $id too short for 64 windows: $n")
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toLong
+            val w = (i * 64) / n
+            sums(w) += math.abs(s)
+            counts(w) += 1L
+            i += 1
+          }
+          var bits = 0L
+          var j = 0
+          while (j < 63) {
+            if (sums(j + 1) / counts(j + 1) > sums(j) / counts(j))
+              bits |= 1L << j
+            j += 1
+          }
+          AudioHash(id, n.toLong, bits)
+        }
+      }
+  }
+
   /** The REAL audio-decode stage: `javax.sound.sampled` WAV parse,
     * partition-by-partition through the typed iterator (identical stage
     * shape to [[decodeImages]] — production swaps the codec, not the

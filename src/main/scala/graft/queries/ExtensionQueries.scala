@@ -2000,6 +2000,82 @@ object ExtensionQueries {
         |FROM hashes a JOIN hashes b2 ON a.img_id < b2.img_id
         |WHERE bit_count(xor(a.dh, b2.dh)) <= 8""".stripMargin),
 
+    // Audio near-dup detection by energy-profile fingerprint (round 9)
+    // — completing the near-dup family across modalities (text
+    // SimHash, image dHash, audio THIS): real WAV decodes hash to a
+    // 63-bit adjacent-window energy-comparison fingerprint (64 integer
+    // windows, exact mean |s| per window), candidates via THREE 21-bit
+    // bands (hamming ≤ 2 < 3 bands — pigeonhole-exact), verified by
+    // popcount. 50 planted amplitude-scaled twins all land at hamming
+    // 0 (a volume change scales every window together); the md5-driven
+    // energy envelopes keep unrelated docs far apart (0 background
+    // collisions at ≤ 2; a smooth shared texture measured 178). Oracle
+    // re-derives samples, windows, bits, hash, and brute-force pairs.
+    "mm_audio_fingerprint" -> QueryDef(
+      (s, dir) => {
+        val hashes = Multimodal.audioFingerprints(s,
+          Multimodal.synthesizeAudioVaried(s, Tables.documents(s, dir)))
+          .toDF().localCheckpoint(eager = false)
+        val bands = (0 until 3).map(b =>
+          hashes.select(col("doc_id"), col("ahash"), lit(b).as("band"),
+            shiftrightunsigned(col("ahash"), b * 21)
+              .bitwiseAND(lit(0x1FFFFFL)).as("bkey")))
+          .reduce(_ unionByName _)
+        bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+          .filter(col("hamming") <= 2)
+          .select(col("doc_a"), col("doc_b"), col("hamming"),
+            (col("doc_b") === col("doc_a") + 1000000L).as("is_planted"))
+      },
+      """WITH ids AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |snd AS (
+        |  SELECT doc_id AS snd_id, doc_id AS pid, FALSE AS scaled, hx
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, TRUE, hx FROM ids
+        |  WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT snd_id, pid, scaled, hx,
+        |    CAST(64 + 4 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |         AS BIGINT) AS n
+        |  FROM snd),
+        |raw AS (
+        |  SELECT snd_id, scaled, (i.i * 64) // n AS w,
+        |    ((xor(i.i * (31 + pid % 13), pid * 7) % 32768)
+        |      * strpos('0123456789abcdef',
+        |          substr(hx, CAST((((i.i * 64) // n) % 16) + 1 AS INTEGER),
+        |            1))) // 16 AS base
+        |  FROM dims, LATERAL unnest(generate_series(0, n - 1)) AS i(i)),
+        |smp AS (
+        |  SELECT snd_id, w,
+        |    CASE WHEN scaled THEN (base * 9) // 10 ELSE base END AS s
+        |  FROM raw),
+        |en AS (
+        |  SELECT snd_id, w, CAST(sum(s) AS BIGINT) // count(*) AS e
+        |  FROM smp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT l.snd_id, l.w AS k,
+        |    CASE WHEN rr.e > l.e THEN 1 ELSE 0 END AS b
+        |  FROM en l JOIN en rr ON rr.snd_id = l.snd_id AND rr.w = l.w + 1
+        |  WHERE l.w < 63),
+        |hashes AS (
+        |  SELECT snd_id, CAST(sum(CASE WHEN b = 1
+        |    THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
+        |    AS BIGINT) AS ah
+        |  FROM bits GROUP BY 1)
+        |SELECT a.snd_id AS doc_a, b2.snd_id AS doc_b,
+        |  CAST(bit_count(xor(a.ah, b2.ah)) AS BIGINT) AS hamming,
+        |  b2.snd_id = a.snd_id + 1000000 AS is_planted
+        |FROM hashes a JOIN hashes b2 ON a.snd_id < b2.snd_id
+        |WHERE bit_count(xor(a.ah, b2.ah)) <= 2""".stripMargin),
+
     // REAL audio decode (javax.sound.sampled over deterministic 16-bit
     // PCM WAV fixtures — Multimodal.synthesizeAudio/decodeAudio): header
     // fields from the parsed RIFF container, s0/sum_abs from the decoded

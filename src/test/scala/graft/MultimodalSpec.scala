@@ -110,6 +110,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(banded === brute) // pigeonhole: 8 < 9 bands — exact, not heuristic
   }
 
+  test("audioFingerprints: amplitude twins collide at hamming 0; banding equals brute force at <= 2") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val hashes = Multimodal.audioFingerprints(spark,
+      Multimodal.synthesizeAudioVaried(spark, docs)).toDF()
+    val twins = hashes.as("a").join(hashes.as("b"),
+      col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("ham"))
+      .collect().map(_.getInt(0))
+    val nBase = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(twins.length.toLong === nBase && nBase > 0)
+    // a uniform volume change scales every window mean together — the
+    // fingerprint is invariant up to integer-truncation near-ties
+    // (all 50 twins measured hamming 0 at sf0.01; the tiny sf0.001
+    // fixture set hits one truncation flip) — every twin stays inside
+    // the detection threshold
+    assert(twins.forall(_ <= 2), s"twin hammings: ${twins.toSeq}")
+    assert(twins.exists(_ === 0))
+    val brute = hashes.as("a").join(hashes.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ham",
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))))
+      .filter(col("ham") <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = graft.queries.ExtensionQueries.defs("mm_audio_fingerprint")
+      .fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute) // 2 < 3 bands — pigeonhole-exact pairing
+  }
+
   test("dhash is exactly invariant to a wrap-free brightness shift") {
     import spark.implicits._
     // hand-built 18x16 image with values far from the mod boundary:
