@@ -1517,6 +1517,69 @@ object Features {
       .drop("__v", "__dev2")
   }
 
+  /** Theil–Sen robust trend per group (round 9; Theil 1950, Sen 1968)
+    * — the median of all pairwise slopes: up to ~29% of the points can
+    * be arbitrarily corrupted without moving the estimate, which is why
+    * it is the standard trend detector for sensor/metric series where
+    * OLS (a22's linearFit) chases outliers. The regressor is the
+    * series' POSITION index under the caller's total order (1..n —
+    * trend per step; rescale externally for per-unit-time slopes).
+    *
+    * Exactness: values quantize to BIGINT micro-units; each pairwise
+    * slope is ONE exactly-rounded division of exact integers
+    * ((v_j − v_i)/1e6) / (j − i); the reported slope is the LOWER
+    * MEDIAN (rank ⌈m/2⌉ of m slopes under (slope, i, j) — a total
+    * order), never an average of two middle values, so identical double
+    * multisets give identical answers in any engine — the
+    * ft_quantile_bins type-1 lesson applied to a robust estimator.
+    *
+    * Scale: the pair enumeration is O(n²) PER GROUP by definition —
+    * right for the many-short-series shape (the reference's
+    * (Currency, Event) panels); `maxGroupRows` fails LOUD when a group
+    * exceeds it (the jaccardPairs guard convention — a million-row
+    * series would silently generate 5·10¹¹ pairs). The production
+    * sibling for long series is linearFit (one p²-bounded pass). */
+  def theilSenSlope(df: DataFrame, group: Seq[String], value: Column,
+                    orderCols: Seq[Column],
+                    maxGroupRows: Long = 10000L): DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows must be >= 2: $maxGroupRows")
+    val gc = group.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(orderCols: _*)
+    val frame = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = df.filter(value.isNotNull)
+      .withColumn("__v", round(value * lit(1e6)).cast("long"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__i",
+        when(col("__n") > maxGroupRows,
+          raise_error(concat(lit("theilSenSlope: group exceeds "),
+            lit(maxGroupRows).cast("string"),
+            lit(" rows — use linearFit for long series"))))
+          .otherwise(col("__i")))
+      .filter(col("__n") >= 2)
+      .select((gc :+ col("__i") :+ col("__v") :+ col("__n")): _*)
+    val left = base.select((gc :+ col("__i").as("i") :+
+      col("__v").as("vi") :+ col("__n")): _*)
+    val right = base.select((gc :+ col("__i").as("j") :+
+      col("__v").as("vj")): _*)
+    val slopes = left.join(right, group)
+      .filter(col("j") > col("i"))
+      .withColumn("__s",
+        (col("vj") - col("vi")).cast("double") / lit(1e6) /
+          (col("j") - col("i")).cast("double"))
+    val rankW = Window.partitionBy(gc: _*)
+      .orderBy(col("__s"), col("i"), col("j"))
+    val cntW = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    slopes
+      .withColumn("__r", row_number().over(rankW).cast("long"))
+      .withColumn("__m", count(lit(1)).over(cntW))
+      .filter(col("__r") === expr("(__m + 1) div 2")) // lower median, exact
+      .select((gc :+ col("__n").as("n") :+ col("__m").as("n_pairs") :+
+        col("__s").as("ts_slope")): _*)
+  }
+
   /** Offline changepoint detection per group (round 9): the classic
     * CUSUM single-changepoint statistic. For a series x₁..xₙ in
     * (orderCols) order, the cumulative deviation from the series mean is

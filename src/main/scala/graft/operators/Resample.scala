@@ -68,4 +68,73 @@ object Resample {
         col("day_sum").isNull.as("is_gap"),
         last(col("day_sum"), ignoreNulls = true).over(w).as("filled")): _*)
   }
+
+  /** Linear interpolation onto the daily grid (round 9) — the OTHER
+    * regularization [[resampleDailyFfill]]'s step-function fill can't
+    * express: at each midnight t between a series' first and last
+    * observation,
+    *   y(t) = y₀ + (y₁ − y₀) · (t − t₀)/(t₁ − t₀)
+    * from the latest observation at-or-before t and the earliest
+    * strictly after (the pandas `.resample('D').interpolate('time')`
+    * semantics; a grid point landing exactly ON an observation
+    * reproduces it, t = t₀). Determinism: timestamps difference in
+    * exact integer microseconds, the fraction and blend are ONE fixed
+    * IEEE chain on identically-derived doubles — hash-stable.
+    *
+    * Shape: observations and spine rows UNION into one per-group
+    * ordered window pass — prev fields ride a last-ignoreNulls over
+    * [start, current], next fields a first-ignoreNulls over
+    * [current+1, end]; observations sort BEFORE the grid point at equal
+    * timestamps (the kind column), which is what makes the
+    * exactly-on-a-point case exact. One shuffle on the group key; grid
+    * rows bounded by groups × span-days. Boundary days with no
+    * surrounding pair (before first / after last observation) are
+    * dropped, never extrapolated. */
+  def interpolateDaily(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val pts = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(kc ++ Seq(col(tsCol).as("__ts"), col(idCol).as("__id"),
+        col(valueCol).as("__v"), lit(0).as("__kind")): _*)
+    val spine = pts.groupBy(kc: _*)
+      .agg(min(to_date(col("__ts"))).as("d0"),
+        max(to_date(col("__ts"))).as("d1"))
+      .select(kc :+ explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"): _*)
+      .select(kc ++ Seq(col("day").cast("timestamp_ntz").as("__ts"),
+        lit(null).cast("long").as("__id"),
+        lit(null).cast("double").as("__v"), lit(1).as("__kind")): _*)
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col("__ts"), col("__kind"), col("__id"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+    pts.unionByName(spine)
+      .withColumn("__t0",
+        last(when(col("__kind") === 0, col("__ts")), ignoreNulls = true)
+          .over(prevW))
+      .withColumn("__y0",
+        last(when(col("__kind") === 0, col("__v")), ignoreNulls = true)
+          .over(prevW))
+      .withColumn("__t1",
+        first(when(col("__kind") === 0, col("__ts")), ignoreNulls = true)
+          .over(nextW))
+      .withColumn("__y1",
+        first(when(col("__kind") === 0, col("__v")), ignoreNulls = true)
+          .over(nextW))
+      .filter(col("__kind") === 1 &&
+        col("__t0").isNotNull && col("__t1").isNotNull)
+      .select(kc ++ Seq(
+        col("__ts").as("day"),
+        (col("__y0") + (col("__y1") - col("__y0")) *
+          ((unix_micros(col("__ts").cast("timestamp")) -
+            unix_micros(col("__t0").cast("timestamp"))).cast("double") /
+            (unix_micros(col("__t1").cast("timestamp")) -
+              unix_micros(col("__t0").cast("timestamp"))).cast("double")))
+          .as("y_interp")): _*)
+  }
 }

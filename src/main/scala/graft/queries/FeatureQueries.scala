@@ -1345,6 +1345,90 @@ object FeatureQueries {
         |  count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         |FROM g GROUP BY 1, 2, 3""".stripMargin),
 
+    // W16 (round 9) — time-weighted linear interpolation onto the
+    // daily grid (pandas .resample('D').interpolate('time')): the
+    // between-observations regularization the ffill resample (w12)
+    // can't express. Integer-microsecond time deltas, one fixed IEEE
+    // blend chain; boundary days without a surrounding pair drop.
+    "w16_interpolate" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Resample
+        Resample.interpolateDaily(Tables.events(s, dir),
+          Seq("event_type"), "ts", "event_id", "value")
+      },
+      """WITH pts AS (
+        |  SELECT event_type, ts AS t, event_id AS id, value AS v,
+        |    0 AS kind
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |sp AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(
+        |      CAST(min(CAST(t AS DATE)) AS TIMESTAMP),
+        |      CAST(max(CAST(t AS DATE)) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS t
+        |  FROM pts GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, t, id, v, kind FROM pts
+        |  UNION ALL
+        |  SELECT event_type, t, NULL, NULL, 1 FROM sp),
+        |wnd AS (
+        |  SELECT event_type, t, kind,
+        |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+        |      OVER win0 AS t0,
+        |    last_value(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+        |      OVER win0 AS y0,
+        |    first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+        |      OVER win1 AS t1,
+        |    first_value(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+        |      OVER win1 AS y1
+        |  FROM u
+        |  WINDOW
+        |    win0 AS (PARTITION BY event_type ORDER BY t, kind, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    win1 AS (PARTITION BY event_type ORDER BY t, kind, id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, t AS day,
+        |  y0 + (y1 - y0) * (CAST(epoch_us(t) - epoch_us(t0) AS DOUBLE)
+        |    / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) AS y_interp
+        |FROM wnd
+        |WHERE kind = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL""".stripMargin),
+
+    // A39 (ext, round 9) — Theil–Sen robust trend per series: the
+    // median of all pairwise slopes (position-index regressor); slopes
+    // are one exact division each, the estimate is the LOWER MEDIAN
+    // under a total order (never an average) — identical double
+    // multisets, identical answer. The O(n²)-per-group enumeration is
+    // guarded loud; the long-series sibling is a22's linearFit.
+    "a39_theil_sen" -> QueryDef(
+      (s, dir) => {
+        Features.theilSenSlope(Tables.events(s, dir),
+          Seq("user_id", "event_type"), col("value"),
+          Seq(col("ts"), col("event_id")))
+      },
+      """WITH b AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS i,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT l.user_id, l.event_type, l.n, l.i, r.i AS j,
+        |    CAST(r.v - l.v AS DOUBLE) / 1e6 / CAST(r.i - l.i AS DOUBLE)
+        |      AS s
+        |  FROM b l JOIN b r ON l.user_id = r.user_id
+        |    AND l.event_type = r.event_type AND r.i > l.i
+        |  WHERE l.n >= 2),
+        |r AS (
+        |  SELECT user_id, event_type, n, s,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY s, i, j) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY user_id, event_type)
+        |      AS BIGINT) AS m
+        |  FROM p)
+        |SELECT user_id, event_type, n, m AS n_pairs, s AS ts_slope
+        |FROM r WHERE rk = (m + 1) // 2""".stripMargin),
+
     // A38 (ext, round 9) — Kaplan-Meier time-to-conversion: days from
     // first signup to first subsequent purchase, users without a
     // purchase CENSORED at their last activity (the thing naive

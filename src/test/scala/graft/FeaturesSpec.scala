@@ -783,6 +783,52 @@ class FeaturesSpec extends SparkSpecBase {
     assert(out(("z", 1.0)) === ((0.0, 0.0, true)))
   }
 
+  test("A39 theilSenSlope: outlier-immune hand case, lower-median rule, guard, nulls") {
+    val df = Seq(
+      // g: 1,2,3,4,100 — a clean unit trend plus one wild outlier; the
+      // slope median stays 1.0 (6 of 10 pairwise slopes are exactly 1)
+      ("g", 1, Some(1.0)), ("g", 2, Some(2.0)), ("g", 3, Some(3.0)),
+      ("g", 4, Some(4.0)), ("g", 5, Some(100.0)),
+      // h: 0,1,3 — slopes {1, 1.5, 2}, lower median at rank 2 → 1.5
+      ("h", 1, Some(0.0)), ("h", 2, Some(1.0)), ("h", 3, Some(3.0)),
+      // n: null row excluded → single point → no output
+      ("n", 1, Some(7.0)), ("n", 2, None)
+    ).toDF("k", "i", "v")
+    val out = Features.theilSenSlope(df, Seq("k"), col("v"), Seq(col("i")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("g") === ((5L, 10L, 1.0)))
+    assert(out("h") === ((3L, 3L, 1.5)))
+    assert(!out.contains("n"))
+    val ex = intercept[Exception] {
+      Features.theilSenSlope(df.filter(col("k") === "g"), Seq("k"),
+        col("v"), Seq(col("i")), maxGroupRows = 3L).collect()
+    }
+    assert(ex.getMessage.contains("theilSenSlope")
+      || Option(ex.getCause).exists(_.getMessage.contains("theilSenSlope")))
+  }
+
+  test("W16 interpolateDaily: exact on-point days, midpoint blend, boundaries drop") {
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-$day%02d $hour%02d:00:00")
+    val df = Seq(
+      // g: observations at day1 00:00 (10) and day3 00:00 (30):
+      //    day1 reproduces the observation, day2 blends to 20,
+      //    day3 (== last obs) has no NEXT → dropped, never extrapolated
+      ("g", ts(1, 0), 1L, 10.0), ("g", ts(3, 0), 2L, 30.0),
+      // h: noon-to-noon pair: day2 00:00 sits exactly halfway → 12.0;
+      //    day1 00:00 precedes the first observation → dropped
+      ("h", ts(1, 12), 3L, 0.0), ("h", ts(2, 12), 4L, 24.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = graft.operators.Resample.interpolateDaily(
+      df, Seq("k"), "ts", "id", "v")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString.substring(8, 10)) -> r.getDouble(2))
+      .toMap
+    assert(out === Map(
+      ("g", "01") -> 10.0, ("g", "02") -> 20.0, ("h", "02") -> 12.0))
+  }
+
   test("A35 cusumChangepoint: hand-checked level shift, earliest tie, degenerate groups") {
     // g: 0,0,0,10,10 — T_i = n·prefix_i − i·total (micro-units):
     // |T| = 2e7, 4e7, 6e7, 3e7 → argmax at i=3 (the true shift point),
