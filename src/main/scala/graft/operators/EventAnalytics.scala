@@ -65,7 +65,42 @@ object EventAnalytics {
       userCol: String = "user_id",
       typeCol: String = "event_type",
       tsCol: String = "ts",
-      idCol: String = "event_id"): DataFrame = {
+      idCol: String = "event_id"): DataFrame =
+    reachFrames(events, stages, maxGapDays, userCol, typeCol, tsCol, idCol)
+      .zipWithIndex.map { case (df, i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"),
+            col("users"))
+      }.reduce(_ unionByName _)
+
+  /** Per-user funnel REACH TIMES (round 9): one row per (user, stage
+    * reached) with the stage's first-completion order key — the
+    * relation [[funnel]]'s counts aggregate away, needed for
+    * time-to-convert analytics. Same greedy in-order semantics. */
+  def funnelReaches(
+      events: DataFrame,
+      stages: Seq[String],
+      maxGapDays: Option[Int] = None,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    reachFrames(events, stages, maxGapDays, userCol, typeCol, tsCol, idCol)
+      .zipWithIndex.map { case (df, i) =>
+        df.select(col(userCol), lit(i + 1).as("stage"),
+          lit(stages(i)).as("stage_name"),
+          col(s"__reach.$tsCol").as("reach_ts"))
+      }.reduce(_ unionByName _)
+
+  /** reached(k) frames, one per stage: per-user first completion of
+    * stages 1..k in order (each step inside the conversion window when
+    * one is set). */
+  private def reachFrames(
+      events: DataFrame,
+      stages: Seq[String],
+      maxGapDays: Option[Int],
+      userCol: String, typeCol: String, tsCol: String,
+      idCol: String): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapDays.forall(_ >= 1), s"maxGapDays must be >= 1: $maxGapDays")
     val base = events
@@ -74,12 +109,10 @@ object EventAnalytics {
         ord(tsCol, idCol).as("__ord"))
       .localCheckpoint(eager = false)
 
-    // reached(k): per-user first time the user completes stages 1..k in
-    // order (each step inside the conversion window when one is set)
     val first = base.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col("__ord")).as("__reach"))
       .localCheckpoint(eager = false)
-    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+    stages.tail.scanLeft(first) { (prev, stage) =>
       val inWindow = maxGapDays match {
         case Some(d) => col(tsCol) <=
           col(s"__reach.$tsCol") + expr(s"INTERVAL $d DAYS")
@@ -91,12 +124,6 @@ object EventAnalytics {
         .groupBy(col(userCol)).agg(min(col("__ord")).as("__reach"))
         .localCheckpoint(eager = false)
     }
-
-    reached.zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"),
-          col("users"))
-    }.reduce(_ unionByName _)
   }
 
   /** Cohort retention: users grouped by the period of their FIRST event

@@ -1211,6 +1211,98 @@ object AnalyticsQueries {
         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin),
 
+    // EV7 (round 9) — funnel time-to-convert: per adjacent stage pair,
+    // how long converting users took (exact microsecond deltas between
+    // greedy reach times; LOWER-median + decimal-exact mean — the two
+    // numbers a growth team reads first). Composed on funnelReaches,
+    // the per-user relation the counts-only funnel aggregates away.
+    "ev7_funnel_ttc" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val reaches = EventAnalytics.funnelReaches(
+          Tables.events(s, dir), funnelStages)
+        val nxt = reaches.select((col("stage") - 1).as("stage"),
+          col("user_id"), col("stage_name").as("to_name"),
+          col("reach_ts").as("next_ts"))
+        val deltas = reaches
+          .select(col("stage"), col("stage_name").as("from_name"),
+            col("user_id"), col("reach_ts"))
+          .join(nxt, Seq("stage", "user_id"))
+          .withColumn("d",
+            unix_micros(col("next_ts").cast("timestamp")) -
+              unix_micros(col("reach_ts").cast("timestamp")))
+        val w = Window.partitionBy(col("stage"))
+        val ranked = deltas
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("d"), col("user_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("sd", sum(col("d")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        ranked.groupBy(col("stage").as("from_stage"), col("from_name"),
+          col("to_name"))
+          .agg(max(col("n")).as("n"),
+            (max(when(col("rk") === expr("(n + 1) div 2"), col("d")))
+              .cast("double") / lit(1e6)).as("median_secs"),
+            (max(col("sd")).cast("double") / max(col("n")).cast("double") /
+              lit(1e6)).as("mean_secs"))
+      },
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM base WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'view'
+        |      AND (e.ts, e.event_id) > (s1.ts, s1.event_id)) WHERE rn = 1),
+        |s3 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts, e.event_id) > (s2.ts, s2.event_id)) WHERE rn = 1),
+        |s4 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s3 ON e.user_id = s3.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts, e.event_id) > (s3.ts, s3.event_id)) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT 1 AS from_stage, 'signup' AS from_name, 'view' AS to_name,
+        |    s1.user_id, epoch_us(s2.ts) - epoch_us(s1.ts) AS d
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT 2, 'view', 'click', s2.user_id,
+        |    epoch_us(s3.ts) - epoch_us(s2.ts)
+        |  FROM s2 JOIN s3 USING (user_id)
+        |  UNION ALL
+        |  SELECT 3, 'click', 'purchase', s3.user_id,
+        |    epoch_us(s4.ts) - epoch_us(s3.ts)
+        |  FROM s3 JOIN s4 USING (user_id)),
+        |r AS (
+        |  SELECT from_stage, from_name, to_name, d,
+        |    CAST(row_number() OVER (PARTITION BY from_stage
+        |      ORDER BY d, user_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY from_stage) AS BIGINT) AS n,
+        |    CAST(sum(d) OVER (PARTITION BY from_stage) AS BIGINT) AS sd
+        |  FROM pairs)
+        |SELECT from_stage, from_name, to_name, max(n) AS n,
+        |  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN d END) AS DOUBLE)
+        |    / 1e6 AS median_secs,
+        |  CAST(max(sd) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 1e6
+        |    AS mean_secs
+        |FROM r GROUP BY 1, 2, 3""".stripMargin),
+
     // EV6 (round 9) — exact audience overlap: segments are "users with
     // ≥ 15 events of type t" (sizes 50-57 at sf0.01, intersections
     // 16-27 — real structure, not the degenerate everyone-everywhere);

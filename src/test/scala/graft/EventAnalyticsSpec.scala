@@ -84,6 +84,24 @@ class EventAnalyticsSpec extends SparkSpecBase {
       ("B", "A") -> ((1L, 1L, 1.0, 1))))
   }
 
+  test("funnelReaches: per-user greedy reach times match the counted funnel") {
+    val out = EventAnalytics.funnelReaches(events, stages)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getTimestamp(3)).toMap
+    // user 1 reaches signup@d1 then view@d2, stops before click
+    assert(out((1L, 1)) === ts(1) && out((1L, 2)) === ts(2))
+    assert(!out.contains((1L, 3)))
+    // user 2's pre-signup view never counts as a reach
+    assert(out((2L, 1)) === ts(2) && !out.contains((2L, 2)))
+    // user 3 completes all four stages in order
+    assert((1 to 4).map(k => out((3L, k))) === Seq(ts(5), ts(6), ts(7), ts(8)))
+    // per-stage reach counts equal the counted funnel exactly
+    val counts = out.keySet.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val funnel = EventAnalytics.funnel(events, stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts === funnel.filter(_._2 > 0))
+  }
+
   test("funnelWindowed: conversion window bounds each step; greedy-from-first never retries") {
     val ev = Seq(
       // user 1: view 1 day after signup → converts under a 2-day window
