@@ -83,8 +83,13 @@ object Resample {
     *
     * Shape: observations and spine rows UNION into one per-group
     * ordered window pass — prev fields ride a last-ignoreNulls over
-    * [start, current], next fields a first-ignoreNulls over
-    * [current+1, end]; observations sort BEFORE the grid point at equal
+    * [start, current]; next fields ride the SAME running-frame shape
+    * over the REVERSED ordering ([start, current−1] descending ≡
+    * "first strictly after" ascending) — NOT a [current+1, end] frame:
+    * Spark evaluates unbounded-FOLLOWING frames by rescanning to the
+    * partition end per row, O(n²) per group (measured: 75 s at sf0.1
+    * vs 0.4 s for the reversed running frame; running frames are
+    * incremental). Observations sort BEFORE the grid point at equal
     * timestamps (the kind column), which is what makes the
     * exactly-on-a-point case exact. One shuffle on the group key; grid
     * rows bounded by groups × span-days. Boundary days with no
@@ -109,10 +114,15 @@ object Resample {
       .select(kc ++ Seq(col("day").cast("timestamp_ntz").as("__ts"),
         lit(null).cast("long").as("__id"),
         lit(null).cast("double").as("__v"), lit(1).as("__kind")): _*)
-    val w = Window.partitionBy(kc: _*)
+    val prevW = Window.partitionBy(kc: _*)
       .orderBy(col("__ts"), col("__kind"), col("__id"))
-    val prevW = w.rowsBetween(Window.unboundedPreceding, 0)
-    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // "first observation strictly after" as a RUNNING frame over the
+    // reversed ordering — incremental, never the O(n²) rescan an
+    // unbounded-FOLLOWING frame costs
+    val nextW = Window.partitionBy(kc: _*)
+      .orderBy(col("__ts").desc, col("__kind").desc, col("__id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     pts.unionByName(spine)
       .withColumn("__t0",
         last(when(col("__kind") === 0, col("__ts")), ignoreNulls = true)
@@ -121,10 +131,10 @@ object Resample {
         last(when(col("__kind") === 0, col("__v")), ignoreNulls = true)
           .over(prevW))
       .withColumn("__t1",
-        first(when(col("__kind") === 0, col("__ts")), ignoreNulls = true)
+        last(when(col("__kind") === 0, col("__ts")), ignoreNulls = true)
           .over(nextW))
       .withColumn("__y1",
-        first(when(col("__kind") === 0, col("__v")), ignoreNulls = true)
+        last(when(col("__kind") === 0, col("__v")), ignoreNulls = true)
           .over(nextW))
       .filter(col("__kind") === 1 &&
         col("__t0").isNotNull && col("__t1").isNotNull)
