@@ -1592,8 +1592,13 @@ object Features {
     * Exactness (the cross-engine contract): values quantize to BIGINT
     * micro-units (the a18/MAD convention) and the statistic is kept in
     * the n-SCALED form
-    *   T_i = n·prefix_i − i·total   (all BIGINT — no mean division),
-    * so the argmax compares exact integers; ties break to the EARLIEST
+    *   T_i = n·prefix_i − i·total   (no mean division),
+    * computed in DECIMAL(38,0) (DuckDB: HUGEINT): |T| is bounded by
+    * 2·n²·max|v·1e6|, which silently wraps Int64 for large groups ×
+    * large magnitudes (n~1e5 with |v|~1e6 already crosses 2⁶³) — 38
+    * digits carry n²·|v| up to ~1e38 exactly, the same headroom
+    * treatment as driftTvd. The argmax compares exact integers either
+    * way; ties break to the EARLIEST
     * index (the conventional first-hit report), a total order. The only
     * doubles in the output are one exactly-rounded division each for
     * `cusum_stat` = |T*|/(n·1e6) (the |S*| magnitude) and nothing else —
@@ -1623,8 +1628,11 @@ object Features {
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__n", count(lit(1)).over(frame))
       .withColumn("__tot", sum(col("__v")).over(frame))
-      // n-scaled CUSUM at i — exact integers end to end
-      .withColumn("__t", col("__n") * col("__pre") - col("__i") * col("__tot"))
+      // n-scaled CUSUM at i — exact integers end to end, in DECIMAL(38,0)
+      // so n·prefix can't wrap Int64 (scale 0 products stay exact)
+      .withColumn("__t",
+        col("__n").cast("decimal(38,0)") * col("__pre").cast("decimal(38,0)") -
+          col("__i").cast("decimal(38,0)") * col("__tot").cast("decimal(38,0)"))
     // argmax |T_i| over interior indices (i = n is always 0 — excluded so
     // the earliest-tie rule can't report the vacuous endpoint), ties to
     // the earliest index: max on the (|T|, -i) pair struct is a total order

@@ -49,8 +49,14 @@ object Graph {
     val n = nodes.count() // ONE scalar to the driver, never row data
     require(n > 0, "pageRank over an empty edge list")
     val r0 = 1.0 / n
+    // out-weight in 1e-6 micro-units on BOTH sides of the w/outw ratio:
+    // a long-truncated denominator against a full-double numerator lets
+    // fractional edge weights leak rank mass (ratios no longer sum to 1
+    // per node). round(w·1e6) keeps the sum an exact deterministic
+    // integer; for integer weights the quotient is bit-identical to the
+    // unscaled w/Σw (both operands exactly ×1e6).
     val outw = edges.groupBy(col("src"))
-      .agg(sum(col("w").cast("long")).as("ow"))
+      .agg(sum(round(col("w").cast("double") * lit(1e6)).cast("long")).as("ow"))
     val edgesN = edges.join(outw, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(r0))
@@ -58,7 +64,8 @@ object Graph {
       val contribs = edgesN.join(ranks, col("src") === col("id"))
         .select(col("dst"),
           round((col("rank") *
-            (col("w").cast("double") / col("ow").cast("double"))) * lit(1e15))
+            (round(col("w").cast("double") * lit(1e6))
+              / col("ow").cast("double"))) * lit(1e15))
             .cast("long").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
       ranks = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
@@ -96,8 +103,9 @@ object Graph {
       .select(col("id"),
         when(col("__isrc"), lit(e0)).otherwise(lit(0.0)).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // micro-unit out-weights, same num/denom quantization as pageRank
     val outw = edges.groupBy(col("src"))
-      .agg(sum(col("w").cast("long")).as("ow"))
+      .agg(sum(round(col("w").cast("double") * lit(1e6)).cast("long")).as("ow"))
     val edgesN = edges.join(outw, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodesE.select(col("id"), col("e").as("rank"))
@@ -105,7 +113,8 @@ object Graph {
       val contribs = edgesN.join(ranks, col("src") === col("id"))
         .select(col("dst"),
           round((col("rank") *
-            (col("w").cast("double") / col("ow").cast("double"))) * lit(1e15))
+            (round(col("w").cast("double") * lit(1e6))
+              / col("ow").cast("double"))) * lit(1e15))
             .cast("long").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
       ranks = nodesE.join(contribs, nodesE("id") === contribs("dst"), "left")

@@ -190,12 +190,17 @@ object Profiling {
       .withColumn("e",
         col("rt").cast("double") * col("ct").cast("double") /
           col("n").cast("double"))
+      // 1e-9 grain (the benfordTest choice, NOT 1e-12): a per-cell term
+      // quantizes to BIGINT only while term·grain < 2⁶³, and large-n
+      // strongly-dependent tables push single-cell terms past the ~9.2e6
+      // ceiling a 1e12 multiplier leaves — 1e9 raises that ceiling to
+      // ~9.2e9 while chi2 still carries 9 exact decimals
       .withColumn("t",
         round(((col("o").cast("double") - col("e")) *
-          (col("o").cast("double") - col("e")) / col("e")) * lit(1e12))
+          (col("o").cast("double") - col("e")) / col("e")) * lit(1e9))
           .cast("long"))
     terms.agg(
-      (sum(col("t")).cast("double") / lit(1e12)).as("chi2"),
+      (sum(col("t")).cast("double") / lit(1e9)).as("chi2"),
       ((count_distinct(col("r")) - 1) * (count_distinct(col("c")) - 1))
         .as("dof"),
       max(col("n")).as("n"))

@@ -249,11 +249,19 @@ object Sampling {
   def ppsSample(df: DataFrame, key: Column, weight: Column, k: Int,
                 seed: String, algo: String = "xxh64"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // micro-unit quantization on BOTH sides of the ratio: W is an exact
+    // integer sum of round(w·1e6) and the numerator uses the SAME
+    // quantized weight, so fractional weights are honored to 1e-6 grain
+    // instead of truncating to 0 in the denominator while counting full
+    // in the numerator (which biased p for non-integer weights). For
+    // integer weights the quotient is bit-identical to k·w/W — numerator
+    // and denominator are both scaled by an exact 1e6.
+    val wMicro = round(weight.cast("double") * lit(1e6)).cast("long")
     val eligible = df.filter(weight.isNotNull && weight > 0)
-    val tot = eligible.agg(sum(weight.cast("long")).as("__w_total"))
+    val tot = eligible.agg(sum(wMicro).as("__w_total"))
     eligible.crossJoin(broadcast(tot))
       .withColumn("p", least(lit(1.0),
-        (lit(k.toDouble) * weight.cast("double")) /
+        (lit(k.toDouble) * wMicro.cast("double")) /
           col("__w_total").cast("double")))
       .filter(bucket(key, seed, algo).cast("double") < col("p") * Scale)
       .drop("__w_total")

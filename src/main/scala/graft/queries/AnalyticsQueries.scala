@@ -552,8 +552,9 @@ object AnalyticsQueries {
     // answer means a broken bucketing hash; this row is the
     // sample-ratio-mismatch check every A/B platform runs.) Full
     // contingency grid including empty cells; the (o−e)²/e reduction
-    // rides the BIGINT 1e-12 quantization (the pageRank portability
-    // recipe), so chi2 hash-pairs. Critical value 9.488 = χ²(df=4,
+    // rides the BIGINT 1e-9 quantization (the benfordTest grain — per-
+    // cell terms up to ~9.2e9 before Int64 saturation), so chi2
+    // hash-pairs. Critical value 9.488 = χ²(df=4,
     // α=0.05), supplied by the caller — no CDF in either engine.
     "a30_chi_square" -> QueryDef(
       (s, dir) => {
@@ -590,13 +591,13 @@ object AnalyticsQueries {
         |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
         |      * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
         |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-        |      / CAST(n AS DOUBLE))) * 1e12) AS BIGINT) AS tq
+        |      / CAST(n AS DOUBLE))) * 1e9) AS BIGINT) AS tq
         |  FROM w)
-        |SELECT CAST(sum(tq) AS DOUBLE) / 1e12 AS chi2,
+        |SELECT CAST(sum(tq) AS DOUBLE) / 1e9 AS chi2,
         |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
         |    AS BIGINT) AS dof,
         |  CAST(max(n) AS BIGINT) AS n,
-        |  CAST(sum(tq) AS DOUBLE) / 1e12 > 9.488 AS significant
+        |  CAST(sum(tq) AS DOUBLE) / 1e9 > 9.488 AS significant
         |FROM t""".stripMargin),
 
     // A31 (ext, round 9) — one-way ANOVA F: does mean(value) differ by

@@ -1488,10 +1488,12 @@ object FeatureQueries {
 
     // A35 (ext, round 9) — offline CUSUM changepoint per series: the
     // level-shift detector for monitoring pipelines (Page 1954, offline
-    // mean-shift form). The statistic is kept in the n-scaled all-BIGINT
-    // form T_i = n·prefix_i − i·total over micro-unit values, so the
-    // argmax compares exact integers in both engines; ties report the
-    // EARLIEST index; the only double is ONE |T*|/(n·1e6) render.
+    // mean-shift form). The statistic is kept in the n-scaled form
+    // T_i = n·prefix_i − i·total over micro-unit values, computed in
+    // DECIMAL(38,0) (DuckDB: HUGEINT) so large-n × large-|v| groups
+    // can't wrap Int64; the argmax compares exact integers in both
+    // engines; ties report the EARLIEST index; the only double is ONE
+    // |T*|/(n·1e6) render.
     "a35_cusum_changepoint" -> QueryDef(
       (s, dir) => {
         Features.cusumChangepoint(Tables.events(s, dir),
@@ -1515,7 +1517,7 @@ object FeatureQueries {
         |  FROM b),
         |t AS (
         |  SELECT user_id, event_type, n, i,
-        |    abs(n * pre - i * tot) AS at
+        |    abs(CAST(n AS HUGEINT) * pre - CAST(i AS HUGEINT) * tot) AS at
         |  FROM p WHERE i < n),
         |s AS (
         |  SELECT user_id, event_type, n, i, at,

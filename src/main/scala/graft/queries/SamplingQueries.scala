@@ -162,7 +162,8 @@ object SamplingQueries {
     // Weighted (PPS) sampling (round 9): inclusion probability
     // proportional to n_chars — the "sample long documents more" knob a
     // token-budgeted curation pass needs. Poisson-PPS: p = min(1,
-    // k·w/W), gate = bucket(doc_id) < p·1e6 — W is ONE exact long sum,
+    // k·w/W), gate = bucket(doc_id) < p·1e6 — W is ONE exact micro-unit
+    // BIGINT sum (same quantization as the numerator, fractional-safe),
     // the gate is map-only, and every arithmetic step is a fixed IEEE
     // chain both engines replay bitwise (no pow — that's why the A-Res
     // exact-k sibling Sampling.weightedTopK is spec-pinned instead of
@@ -175,15 +176,17 @@ object SamplingQueries {
         seed = "r9w", algo = "md5")
         .select(col("doc_id"), col("source"), col("n_chars"), col("p")),
       s"""WITH w AS (
-         |  SELECT CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS wt
+         |  SELECT CAST(sum(CAST(round(CAST(n_chars AS DOUBLE) * 1e6)
+         |    AS BIGINT)) AS DOUBLE) AS wt
          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          |SELECT doc_id, source, n_chars,
          |  least(CAST(1.0 AS DOUBLE),
-         |    (CAST(200.0 AS DOUBLE) * CAST(n_chars AS DOUBLE)) / w.wt) AS p
+         |    (CAST(200.0 AS DOUBLE) * CAST(round(CAST(n_chars AS DOUBLE)
+         |      * 1e6) AS BIGINT)) / w.wt) AS p
          |FROM documents, w
          |WHERE n_chars IS NOT NULL AND n_chars > 0
          |  AND CAST(${duckBucket("doc_id", "r9w")} AS DOUBLE) <
          |    least(CAST(1.0 AS DOUBLE),
-         |      (CAST(200.0 AS DOUBLE) * CAST(n_chars AS DOUBLE)) / w.wt)
-         |      * 1000000""".stripMargin))
+         |      (CAST(200.0 AS DOUBLE) * CAST(round(CAST(n_chars AS DOUBLE)
+         |        * 1e6) AS BIGINT)) / w.wt) * 1000000""".stripMargin))
 }
