@@ -259,6 +259,120 @@ object Similarity {
     topKAmong(cand, queries, corpus, k)
   }
 
+  /** Deterministic per-(query, candidate) negative-sampling rank key: a
+    * 60-bit md5 uniform — shared by [[trainingPairs]] and
+    * [[trainingPairsExact]] so the prod and ground-truth miners draw
+    * negatives from the SAME pseudo-random order (differing only in the
+    * candidate set they rank). */
+  private def negRankKey(seed: String): Column =
+    conv(substring(md5(concat_ws(":",
+      col("query_id").cast("string"), col("cand_id").cast("string"),
+      lit(seed))), 1, 15), 16, 10).cast("long")
+
+  /** Contrastive training-pair mining, PRODUCTION shape (SimCLR/DPR
+    * dataset-side): for each query vector, one positive — its top-1
+    * approximate cosine neighbour served from the prebuilt [[IvfIndex]]
+    * — and `numNeg` deterministic random negatives drawn from a
+    * hash-gated candidate POOL, anti-joined against the query's
+    * `exclusionK`-neighbourhood (the standard hard-negative hygiene:
+    * near-positives must not become false negatives).
+    *
+    * Scale (the whole point vs [[trainingPairsExact]]): nothing here is
+    * O(|Q|·N). Positives ride the IVF serve path (probed postings — a
+    * corpus FRACTION per query); the negative candidate set is bounded
+    * BEFORE any per-query pairing by a corpus-side bucket gate
+    * (expected `negPoolSize` rows regardless of N — the gate is a
+    * scan-speed predicate, [[Sampling.bucket]]), so the pairing join is
+    * |Q| × pool, linear in |Q| with a broadcast build side of ~64 rows.
+    * The md5 rank inside the pool keeps per-query negative draws
+    * reproducible across runs, engines, and partitionings.
+    *
+    * The trade is explicit: negatives come from one shared pool rather
+    * than each query's full complement — for RANDOM (not hard) negatives
+    * that is distribution-equivalent, and the exclusion anti-join still
+    * personalizes the pool per query. Pool shortfall fails loud rather
+    * than silently under-delivering negatives. */
+  def trainingPairs(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
+                    nProbe: Int, numNeg: Int, exclusionK: Int,
+                    negPoolSize: Int, seed: String): DataFrame = {
+    require(numNeg >= 1, s"numNeg must be >= 1, got $numNeg")
+    require(exclusionK >= 1, s"exclusionK must be >= 1, got $exclusionK")
+    // worst case every exclusion neighbour and the query itself land in
+    // the pool; ~4σ Binomial slack on top so expected-size pools still
+    // deliver numNeg negatives per query
+    require(negPoolSize >= 2 * (numNeg + exclusionK + 1),
+      s"negPoolSize=$negPoolSize too small for numNeg=$numNeg + exclusionK=$exclusionK headroom")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val n = corpus.count() // ONE scalar (pool fraction), never row data
+    require(n > 0, "trainingPairs over an empty corpus")
+    // lazy localCheckpoint: the neighbourhood feeds BOTH the positive
+    // selection and the negative anti-join — serve once, reuse
+    val topK = ivfTopKWithIndex(queries, corpus, index, exclusionK, nProbe)
+      .localCheckpoint(eager = false)
+    val pos = topK.filter(col("rank") === 1)
+      .select(col("query_id"), lit("pos").as("role"),
+        col("neighbor_id").as("cand_id"), lit(1L).as("rank"))
+    val thr = math.min(Sampling.Scale,
+      math.ceil(negPoolSize.toDouble / n * Sampling.Scale).toLong)
+    val pool = corpus.select(col("vec_id").as("cand_id"))
+      .filter(Sampling.bucket(col("cand_id"), seed, "md5") < thr)
+    val negCand = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(pool)) // |Q| × O(negPoolSize) — never × N
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(topK.select(col("query_id"),
+        col("neighbor_id").as("cand_id")), Seq("query_id", "cand_id"),
+        "left_anti")
+    val neg = negCand.withColumn("__h", negRankKey(seed))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__h"), col("cand_id"))).cast("long"))
+      .filter(col("rank") <= numNeg)
+      .select(col("query_id"), lit("neg").as("role"), col("cand_id"),
+        col("rank"))
+    pos.unionByName(neg)
+  }
+
+  /** Ground-truth sibling of [[trainingPairs]]: positives are the EXACT
+    * top-1 cosine neighbour ([[bruteForceTopK]] — a theta join against
+    * the full corpus) and negatives rank the query's FULL complement
+    * outside the exact `exclusionK`-neighbourhood. O(|Q|·N) twice over —
+    * `maxRows` fails LOUD (one cheap count job) if this reference is
+    * pointed at a production corpus (the jaccardPairs/cosinePairs
+    * contract); the registered scale path is [[trainingPairs]]. */
+  def trainingPairsExact(queries: DataFrame, corpus: DataFrame,
+                         numNeg: Int, exclusionK: Int, seed: String,
+                         maxRows: Long = 100000L): DataFrame = {
+    require(numNeg >= 1, s"numNeg must be >= 1, got $numNeg")
+    require(exclusionK >= 1, s"exclusionK must be >= 1, got $exclusionK")
+    val rows = corpus.count()
+    require(rows <= maxRows,
+      s"trainingPairsExact is an O(|Q|*N) ground-truth reference: corpus has $rows rows > maxRows=$maxRows. " +
+        "Use trainingPairs (IVF positives + hash-gated negative pool) for production corpora, " +
+        "or pass maxRows explicitly for a deliberate large run.")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val topK = bruteForceTopK(queries, corpus, exclusionK)
+      .localCheckpoint(eager = false)
+    val pos = topK.filter(col("rank") === 1)
+      .select(col("query_id"), lit("pos").as("role"),
+        col("neighbor_id").as("cand_id"), col("rank"))
+    val negCand = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(corpus.select(col("vec_id").as("cand_id")))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(topK.select(col("query_id"),
+        col("neighbor_id").as("cand_id")), Seq("query_id", "cand_id"),
+        "left_anti")
+    val neg = negCand.withColumn("__h", negRankKey(seed))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__h"), col("cand_id"))).cast("long"))
+      .filter(col("rank") <= numNeg)
+      .select(col("query_id"), lit("neg").as("role"), col("cand_id"),
+        col("rank"))
+    pos.unionByName(neg)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): near-dup pairs by
     * embedding cosine ≥ threshold, with the candidate space bounded by
     * K-MEANS CLUSTERS instead of LSH bands — each vector is assigned to
