@@ -52,7 +52,12 @@ object Pipeline {
     * AR(2) here), else the boosted-tree branch ("xgb",
     * [[Features.regressionStumpPerGroup]]: one exact GBM round per
     * group); artifacts persist per family and untrained groups keep the
-    * naive fallback). */
+    * naive fallback), or "seq" (round 10 — the multi-feature sequence
+    * fit: [[Features.fitLinearPerGroup]] on the two filled lags PLUS
+    * the exogenous row features, the relational narrowing of the
+    * reference LSTM's per-step multi-feature window, train.py:463-492;
+    * see [[run]]'s seq branch for the feature choice and the F6
+    * singularity note). */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
@@ -60,8 +65,8 @@ object Pipeline {
       valRatio: Double = 0.15,
       approxSplit: Boolean = false,
       predictor: String = "naive") {
-    require(Set("naive", "ar1", "ar2", "routed")(predictor),
-      s"unknown predictor '$predictor' (naive | ar1 | ar2 | routed)")
+    require(Set("naive", "ar1", "ar2", "routed", "seq")(predictor),
+      s"unknown predictor '$predictor' (naive | ar1 | ar2 | routed | seq)")
   }
 
   object Config {
@@ -122,7 +127,7 @@ object Pipeline {
         valRatio = get("valRatio", _.toDouble, d.valRatio),
         approxSplit = get("approxSplit", _.toBoolean, d.approxSplit),
         predictor = get("predictor",
-          s => { require(Set("naive", "ar1", "ar2", "routed")(s)); s },
+          s => { require(Set("naive", "ar1", "ar2", "routed", "seq")(s)); s },
           d.predictor))
     }
   }
@@ -139,6 +144,10 @@ object Pipeline {
 
   private val key = Seq("user_id", "event_type")
   private val keyCols = key.map(col)
+
+  /** F6 stand-in ordinal on the driver schema (CoreQueries convention):
+    * 'purchase' is the high-impact class. */
+  private val impactMap = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
 
   /** Routed-predictor feature frame, shared by [[run]] and
     * [[stageMetrics]]: the second filled lag (built the way pred_f is,
@@ -199,6 +208,39 @@ object Pipeline {
         (keyCols :+ col("model_type").as("__route")): _*)), key, "left")
         .withColumn("__route", coalesce(col("__route"), lit("xgb"))),
       rnnParams, xgbParams)
+
+  /** Seq-predictor feature frame, shared by [[run]] and [[stageMetrics]]:
+    * the second filled lag plus the two exogenous row features — x3 =
+    * the J1 high-impact day count (purchases per (user, day) — varies
+    * inside a group), x4 = ISO weekday. */
+  private def seqFeatures(featured: DataFrame,
+                          w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    featured
+      .withColumn("lag2", lag(col("actual"), 2).over(w))
+      .withColumn("x2", Features.ffill(col("lag2"), w))
+      .drop("lag2")
+      .withColumn("x3", Features.highImpactCount(
+        graft.functions.cleaning.ordinalEncode(
+          col("event_type"), impactMap) === 3,
+        "user_id", to_date(col("ts"))).cast("double"))
+      .withColumn("x4", (weekday(col("ts")) + lit(1)).cast("double"))
+
+  /** Apply a [[Features.fitLinearPerGroup]] artifact to a seq feature
+    * frame: ill-conditioned groups are dropped from the join (naive
+    * fallback — an unreliable solve is an untrained group), fitted rows
+    * score round(Σbᵢxᵢ + intercept, 2). Keeps the x-feature columns for
+    * the caller to drop. */
+  private def applySeq(feat2: DataFrame, params: DataFrame): DataFrame =
+    feat2.join(broadcast(
+      params.filter(col("well_conditioned"))
+        .drop("n_fit", "well_conditioned")), key, "left")
+      .withColumn("pred_f",
+        when(col("b1").isNotNull && col("x2").isNotNull,
+          round(col("b1") * col("pred_f") + col("b2") * col("x2") +
+            col("b3") * col("x3") + col("b4") * col("x4") +
+            col("intercept"), 2))
+          .otherwise(col("pred_f")))
+      .drop("b1", "b2", "b3", "b4", "intercept")
 
   /** Run E2+E3 over the canonical events frame (driver test schema:
     * event_id, ts, user_id, event_type, value). When `outDir` is set the
@@ -320,6 +362,35 @@ object Pipeline {
         (applyRouted(feat2, rnnParams, xgbParams),
           Seq("predictor_params_rnn" -> rnnParams,
             "predictor_params_xgb" -> xgbParams))
+      case "seq" =>
+        // Multi-feature per-group sequence fit (round 10): the reference
+        // LSTM consumes a SIX-feature normalized row per step
+        // (train.py:463-492) where the engine's ar2/rnn branch consumed
+        // two lags — this branch narrows that gap with
+        // fitLinearPerGroup over AR(2) lags PLUS the exogenous row
+        // features: x3 = the J1 high-impact day count (varies daily
+        // inside a group) and x4 = ISO weekday (the calendar feature a
+        // day-granular forecaster sees). The F6 impact ordinal is
+        // deliberately NOT a feature: it is a function of event_type —
+        // CONSTANT inside a (user_id, event_type) group — so its
+        // centered moments are exactly zero and every group's normal
+        // system would be singular (see fitLinearPerGroup scaladoc);
+        // within this key its information content IS the key. The
+        // reference can feed it anyway because an LSTM ignores constant
+        // inputs gracefully; closed-form OLS cannot.
+        val feat2 = seqFeatures(featured, w).localCheckpoint(eager = false)
+        val params = Features.fitLinearPerGroup(
+          feat2.filter(col("split") === "train"), key,
+          Seq(col("pred_f"), col("x2"), col("x3"), col("x4")),
+          col("actual"))
+        // ill-conditioned groups (collinear feature rows — the fit's
+        // well_conditioned gate) are treated as UNTRAINED: filtered out
+        // of the apply join so they keep the naive pred_f, the same
+        // else-branch as a missing fit. The published artifact keeps
+        // every group WITH its flag so stageMetrics re-applies the
+        // identical dispatch.
+        (applySeq(feat2, params).drop("x2", "x3", "x4"),
+          Seq("predictor_params" -> params))
       case _ => (featured, Nil)
     }
 
@@ -544,6 +615,11 @@ object Pipeline {
         val rnnP = Sinks.readSnapshot(spark, s"$outDir/predictor_params_rnn")
         val xgbP = Sinks.readSnapshot(spark, s"$outDir/predictor_params_xgb")
         applyRouted(routedFeatures(featured, w, modelTypes), rnnP, xgbP)
+      case "seq" =>
+        // the persisted multi-feature fit, with the same ill-conditioned
+        // → naive dispatch run() trained under
+        val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
+        applySeq(seqFeatures(featured, w), params).drop("x2", "x3", "x4")
       case _ => featured
     }
     Features.regressionMetrics(

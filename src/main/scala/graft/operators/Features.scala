@@ -397,6 +397,116 @@ object Features {
         col("n_fit")): _*)
   }
 
+  /** Fixed-order Leibniz determinant expansion over a p×p matrix of
+    * T-typed cells: permutations in lexicographic order, left-assoc
+    * products and sums, odd permutations negated. Generic so the SAME
+    * term order instantiates both the Column arithmetic of
+    * [[fitLinearPerGroup]] and the DuckDB oracle SQL
+    * (PipelineQueries.seq oracle) — the two engines' IEEE chains are
+    * generated from one expansion and cannot drift. p! terms: callers
+    * cap p at 4 (24 terms). */
+  private[graft] def leibnizDet[T](p: Int, cell: (Int, Int) => T,
+      mul: (T, T) => T, add: (T, T) => T, negate: T => T): T = {
+    val perms = (0 until p).toList.permutations.toList // lexicographic
+    def odd(perm: List[Int]): Boolean = {
+      var inv = 0
+      for (i <- perm.indices; j <- i + 1 until perm.length)
+        if (perm(i) > perm(j)) inv += 1
+      inv % 2 == 1
+    }
+    perms.map { perm =>
+      val prod = (0 until p).map(i => cell(i, perm(i))).reduceLeft(mul)
+      if (odd(perm)) negate(prod) else prod
+    }.reduceLeft(add)
+  }
+
+  /** A14d (round 10) — PER-GROUP p-feature closed-form OLS
+    * `y ~ Σ bᵢ·xᵢ + intercept`, the multi-feature step past [[fitAr2]]'s
+    * hand-written 2×2 Cramer: one p²-bounded moment aggregation per
+    * group, then Cramer's rule on the CENTERED normal equations with
+    * determinants expanded by the fixed-order [[leibnizDet]] (p ≤ 4 —
+    * 24-term expansion; beyond that use the driver-solved global
+    * [[linearFit]]). This is the relational analogue of the reference's
+    * per-(Currency,Event) multi-feature sequence models (train.py:
+    * 463-492 feeds SIX features per step into the LSTM): the per-key
+    * fit consumes the full feature row, not just the lags.
+    *
+    * Same single-pass shape and determinism contract as [[fitAr1]]/
+    * [[fitAr2]]: (p+1)(p+2)/2 decimal-exact sums per group
+    * (DECIMAL(17,6) inputs under the |·| < 1e11 guard — a row with ANY
+    * null/out-of-domain field leaves every sum), map-side combined so
+    * the shuffle is p²-bounded and corpus-size-independent, then
+    * fixed-shape double arithmetic only. Groups need n ≥ p+1.
+    *
+    * Conditioning: Cramer in doubles is fixed-shape but not error-free
+    * — on an (exactly or nearly) COLLINEAR group the true determinant
+    * is ~0 and the computed det is pure cancellation noise, so the
+    * solved coefficients can be arbitrarily wrong (measured: a
+    * truly-singular sf0.001 group solved at |det|/Πc_ii ≈ 1e-17 and
+    * DOUBLED its train SSE vs naive). Each group therefore carries
+    * `well_conditioned` = |det| > 1e-9·|Πᵢc_ii| (the Hadamard-bound
+    * ratio — for PSD C, |det| ≤ Πc_ii, so the ratio is a scale-free
+    * conditioning measure; legitimate sf0.001 groups all measure
+    * ≥ 5.9e-5, eight orders above the gate). Ill-conditioned groups —
+    * including exact singulars: a within-group CONSTANT feature zeroes
+    * its centered row/column exactly (det = 0, a zero-column Leibniz
+    * sum) — fit the mean model (slopes 0, intercept = ȳ) and flag
+    * false; callers wanting the naive-fallback contract filter on the
+    * flag (Pipeline's seq branch does). A deliberately STRICTER gate
+    * than [[fitAr2]]'s exact det = 0 test.
+    * Output: key…, b1..bp, intercept, n_fit, well_conditioned. */
+  def fitLinearPerGroup(df: DataFrame, key: Seq[String],
+                        xs: Seq[Column], y: Column): DataFrame = {
+    val p = xs.length
+    require(p >= 1 && p <= 4, s"fitLinearPerGroup supports 1..4 features, got $p")
+    val domain = lit(1e11)
+    val xd = xs.map(_.cast("decimal(17,6)"))
+    val yd = y.cast("decimal(17,6)")
+    val eligible = (xs :+ y)
+      .map(c => c.isNotNull && abs(c) < domain).reduce(_ && _)
+    val sumCols =
+      (0 until p).map(i => sum(xd(i)).cast("double").as(s"s$i")) ++
+      Seq(sum(yd).cast("double").as("sy")) ++
+      (for (i <- 0 until p; j <- i until p) yield
+        sum((xd(i) * xd(j)).cast("decimal(38,6)")).cast("double")
+          .as(s"s${i}_$j")) ++
+      (0 until p).map(i =>
+        sum((xd(i) * yd).cast("decimal(38,6)")).cast("double").as(s"s${i}y"))
+    val grouped = df.filter(eligible)
+      .groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n_fit"), sumCols: _*)
+      .filter(col("n_fit") >= p + 1)
+    // centered second moments: c_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (symmetric —
+    // stored upper-triangle), cy_i = n·Σxᵢy − Σxᵢ·Σy
+    val centered = (for (i <- 0 until p; j <- i until p) yield
+        (s"c${i}_$j",
+          col("n_fit") * col(s"s${i}_$j") - col(s"s$i") * col(s"s$j"))) ++
+      (0 until p).map(i =>
+        (s"cy$i", col("n_fit") * col(s"s${i}y") - col(s"s$i") * col("sy")))
+    val withC = centered.foldLeft(grouped) { case (d, (n, c)) => d.withColumn(n, c) }
+    def cCell(i: Int, j: Int): Column =
+      col(s"c${math.min(i, j)}_${math.max(i, j)}")
+    val det = leibnizDet[Column](p, cCell,
+      (a, b) => a * b, (a, b) => a + b, a => -a)
+    val diagProd = (0 until p).map(i => cCell(i, i)).reduceLeft(_ * _)
+    val withDet = withC.withColumn("det", det)
+      .withColumn("well_conditioned",
+        abs(col("det")) > lit(1e-9) * abs(diagProd))
+    val withB = (0 until p).foldLeft(withDet) { (d, bj) =>
+      val num = leibnizDet[Column](p,
+        (i, k) => if (k == bj) col(s"cy$i") else cCell(i, k),
+        (a, b) => a * b, (a, b) => a + b, a => -a)
+      d.withColumn(s"b${bj + 1}",
+        when(col("well_conditioned"), num / col("det")).otherwise(lit(0.0)))
+    }
+    val interceptNum = (0 until p).foldLeft(col("sy")) { (acc, i) =>
+      acc - col(s"b${i + 1}") * col(s"s$i")
+    }
+    withB.withColumn("intercept", interceptNum / col("n_fit"))
+      .select((key.map(col) ++ (1 to p).map(i => col(s"b$i")) :+
+        col("intercept") :+ col("n_fit") :+ col("well_conditioned")): _*)
+  }
+
   /** A trained general linear model: intercept-first coefficient vector
     * over p features, with the fit size for provenance. */
   final case class LinearModel(coef: Array[Double], nFit: Long)

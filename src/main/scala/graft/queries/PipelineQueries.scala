@@ -55,6 +55,70 @@ object PipelineQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred_f
       |  FROM f1)""".stripMargin
 
+  /** Generated fit CTEs for pipeline_e2e_seq: per-group moment sums →
+    * centered moments → 4×4 Cramer solve, with every determinant
+    * expanded by [[graft.operators.Features.leibnizDet]] — the SAME
+    * fixed term order the Spark fit uses, instantiated here for SQL
+    * strings (the pageRankOracle no-drift pattern, applied to the
+    * solve itself). */
+  private def seqFitCtes: String = {
+    val feats = Seq("pred_f", "x2", "x3", "x4")
+    val p = feats.length
+    def d17(c: String) = s"CAST($c AS DECIMAL(17,6))"
+    def prodSum(a: String, b: String) =
+      s"CAST(sum(CAST(CAST(${d17(a)} AS DECIMAL(19,6)) * " +
+        s"CAST(${d17(b)} AS DECIMAL(19,6)) AS DECIMAL(38,6))) AS DOUBLE)"
+    val singleSums = feats.zipWithIndex.map { case (f, i) =>
+      s"CAST(sum(${d17(f)}) AS DOUBLE) AS s$i" } :+
+      s"CAST(sum(${d17("actual")}) AS DOUBLE) AS sy"
+    val crossSums =
+      (for (i <- 0 until p; j <- i until p) yield
+        s"${prodSum(feats(i), feats(j))} AS s${i}_$j") ++
+      (0 until p).map(i => s"${prodSum(feats(i), "actual")} AS s${i}y")
+    val eligible = (feats :+ "actual")
+      .map(f => s"$f IS NOT NULL AND abs($f) < 1e11").mkString(" AND ")
+    val centered =
+      (for (i <- 0 until p; j <- i until p) yield
+        s"n_fit * s${i}_$j - s$i * s$j AS c${i}_$j") ++
+      (0 until p).map(i => s"n_fit * s${i}y - s$i * sy AS cy$i")
+    def cCell(i: Int, j: Int) = s"c${math.min(i, j)}_${math.max(i, j)}"
+    def detSql(cell: (Int, Int) => String): String =
+      graft.operators.Features.leibnizDet[String](p, cell,
+        (a, b) => s"($a * $b)", (a, b) => s"($a + $b)", x => s"(- $x)")
+    val det = detSql(cCell)
+    // the conditioning gate, SAME chain as fitLinearPerGroup:
+    // |det| > 1e-9 · |Π c_ii| (left-assoc diagonal product)
+    val diagProd = (0 until p).map(i => cCell(i, i))
+      .reduceLeft((a, b) => s"($a * $b)")
+    val bs = (0 until p).map { bj =>
+      val num = detSql((i, k) => if (k == bj) s"cy$i" else cCell(i, k))
+      s"CASE WHEN wc THEN $num / det ELSE 0.0 END AS b${bj + 1}"
+    }
+    val interceptNum = (0 until p).foldLeft("sy") { (acc, i) =>
+      s"$acc - b${i + 1} * s$i"
+    }
+    s"""sg AS (
+       |  SELECT user_id, event_type, count(*) AS n_fit,
+       |    ${(singleSums ++ crossSums).mkString(",\n    ")}
+       |  FROM fx
+       |  WHERE split = 'train' AND $eligible
+       |  GROUP BY user_id, event_type),
+       |sc AS (
+       |  SELECT user_id, event_type, n_fit, ${(0 until p).map(i => s"s$i").mkString(", ")}, sy,
+       |    ${centered.mkString(",\n    ")}
+       |  FROM sg WHERE n_fit >= ${p + 1}),
+       |sd AS (SELECT *, $det AS det FROM sc),
+       |sd2 AS (SELECT *, abs(det) > 1e-9 * abs($diagProd) AS wc FROM sd),
+       |sb AS (
+       |  SELECT user_id, event_type, n_fit, ${(0 until p).map(i => s"s$i").mkString(", ")}, sy, wc,
+       |    ${bs.mkString(",\n    ")}
+       |  FROM sd2),
+       |sp AS (
+       |  SELECT user_id, event_type, ${(1 to p).map(i => s"b$i").mkString(", ")},
+       |    ($interceptNum) / n_fit AS intercept
+       |  FROM sb WHERE wc)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "pipeline_e2e" -> QueryDef(
@@ -322,6 +386,80 @@ object PipelineQueries {
          |SELECT m.user_id, m.event_type, m.Samples, m.R2, m.MSE,
          |  coalesce(mtr.model_type, 'xgb') AS model_type
          |FROM m LEFT JOIN mtr USING (user_id, event_type)""".stripMargin),
+
+    // The MULTI-FEATURE sequence pipeline end-to-end (round 10): the
+    // reference's LSTM consumes a six-feature normalized row per step
+    // (train.py:463-492); predictor="seq" narrows that gap with a REAL
+    // per-group multi-feature fit — fitLinearPerGroup over the two
+    // filled lags plus two exogenous row features (x3 = the J1
+    // high-impact day count, x4 = ISO weekday). The F6 impact ordinal
+    // is excluded BY CONSTRUCTION: constant inside a (user_id,
+    // event_type) group, its centered moments are exactly zero and
+    // every normal system would be singular (the LSTM tolerates
+    // constant inputs; closed-form OLS cannot — Pipeline.run's seq
+    // branch documents the deviation). The oracle re-derives the WHOLE
+    // chain — hygiene → split → lag/ffill ×2 → exogenous features →
+    // the 4×4 Cramer fit with determinants generated from the SAME
+    // Leibniz term order as the Spark side (Features.leibnizDet
+    // instantiated once for Columns, once for this SQL — the two
+    // engines' IEEE chains cannot drift) → apply+fallback → decimal
+    // metrics → routing join.
+    "pipeline_e2e_seq" -> QueryDef(
+      (s, dir) => Pipeline.run(s, Tables.events(s, dir),
+        Pipeline.Config(predictor = "seq")).trainMetrics,
+      s"""WITH $duckF2Ctes,
+         |f3 AS (
+         |  SELECT *,
+         |    last_value(lag2 IGNORE NULLS) OVER (
+         |      PARTITION BY user_id, event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x2
+         |  FROM (SELECT *, lag(actual, 2) OVER (
+         |          PARTITION BY user_id, event_type
+         |          ORDER BY ts, event_id) AS lag2 FROM f2)),
+         |fx AS (
+         |  SELECT *,
+         |    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+         |      OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS DOUBLE)
+         |      AS x3,
+         |    CAST(isodow(ts) AS DOUBLE) AS x4
+         |  FROM f3),
+         |$seqFitCtes,
+         |pr AS (
+         |  SELECT f.user_id, f.event_type, f.actual, f.split,
+         |    CASE WHEN sp.b1 IS NOT NULL AND f.x2 IS NOT NULL
+         |         THEN round(sp.b1 * f.pred_f + sp.b2 * f.x2
+         |                    + sp.b3 * f.x3 + sp.b4 * f.x4
+         |                    + sp.intercept, 2)
+         |         ELSE f.pred_f END AS pred_f
+         |  FROM fx f LEFT JOIN sp USING (user_id, event_type)),
+         |p AS (
+         |  SELECT user_id, event_type, actual, pred_f,
+         |    CAST(actual AS DECIMAL(17,6)) AS a,
+         |    CAST(pred_f AS DECIMAL(17,6)) AS pf
+         |  FROM pr WHERE split = 'train'),
+         |g AS (
+         |  SELECT user_id, event_type, count(*) AS n,
+         |    CAST(sum(CAST(
+         |      CAST(a - pf AS DECIMAL(19,6)) * CAST(a - pf AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS ss_res,
+         |    CAST(sum(CAST(
+         |      CAST(a AS DECIMAL(19,6)) * CAST(a AS DECIMAL(19,6))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_a2,
+         |    CAST(sum(a) AS DOUBLE) AS sum_a
+         |  FROM p WHERE actual IS NOT NULL AND pred_f IS NOT NULL
+         |    AND abs(actual) < 1e11 AND abs(pred_f) < 1e11
+         |  GROUP BY user_id, event_type),
+         |m AS (
+         |  SELECT user_id, event_type,
+         |    CASE WHEN sum_a2 - n * (sum_a / n) * (sum_a / n) = 0 THEN -1.0
+         |         ELSE 1.0 - ss_res / (sum_a2 - n * (sum_a / n) * (sum_a / n))
+         |    END AS R2,
+         |    ss_res / n AS MSE,
+         |    n AS Samples
+         |  FROM g WHERE n >= 2)
+         |SELECT m.user_id, m.event_type, m.Samples, m.R2, m.MSE,
+         |  coalesce(mt.model_type, 'xgb') AS model_type
+         |FROM m LEFT JOIN mt USING (user_id, event_type)""".stripMargin),
 
     // The validate-stage normalized feature frame: per row, 'actual'
     // normalized with the REUSED train params (has_train branch; local

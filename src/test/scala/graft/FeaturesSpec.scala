@@ -174,6 +174,68 @@ class FeaturesSpec extends SparkSpecBase {
       tiny, Seq("k"), col("x1"), col("x2"), col("y")).count() === 0L)
   }
 
+  test("fitLinearPerGroup: p=2 is bit-identical to fitAr2; p=4 recovers exact coefficients; constant feature -> mean model; p>4 rejected") {
+    import spark.implicits._
+    // p=2 equivalence: same centered-Cramer chain, Leibniz-generated —
+    // every group's (b1, b2, intercept) must match fitAr2 EXACTLY
+    val two = Seq(
+      ("g", 1.0, 2.0), ("g", 2.0, 1.0), ("g", 4.0, 3.0),
+      ("g", 1.0, 5.0), ("g", 7.0, 2.0),
+      ("h", 1.0, 1.0), ("h", 2.0, 3.0), ("h", 3.0, 2.0), ("h", 5.0, 7.0))
+      .map { case (k, x1, x2) => (k, x1, x2, 2.0 * x1 - 0.5 * x2 + 3.0) }
+      .toDF("k", "x1", "x2", "y")
+    val viaAr2 = graft.operators.Features.fitAr2(
+      two, Seq("k"), col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Double]("b1"), r.getAs[Double]("b2"),
+          r.getAs[Double]("intercept")))).toMap
+    val viaGen = graft.operators.Features.fitLinearPerGroup(
+      two, Seq("k"), Seq(col("x1"), col("x2")), col("y"))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Double]("b1"), r.getAs[Double]("b2"),
+          r.getAs[Double]("intercept")))).toMap
+    assert(viaGen === viaAr2)
+    // p=4 exact recovery: y = 2x1 - x2 + 0.5x3 + 4x4 + 7 noiselessly
+    val rng = new scala.util.Random(7)
+    val four = (1 to 12).map { _ =>
+      val (a, b, c, d) = (rng.nextInt(9).toDouble, rng.nextInt(9).toDouble,
+        rng.nextInt(9).toDouble, rng.nextInt(9).toDouble)
+      ("g", a, b, c, d, 2.0 * a - b + 0.5 * c + 4.0 * d + 7.0)
+    }.toDF("k", "x1", "x2", "x3", "x4", "y")
+    val f4 = graft.operators.Features.fitLinearPerGroup(four, Seq("k"),
+      Seq(col("x1"), col("x2"), col("x3"), col("x4")), col("y"))
+      .collect().head
+    assert(math.abs(f4.getAs[Double]("b1") - 2.0) < 1e-6)
+    assert(math.abs(f4.getAs[Double]("b2") + 1.0) < 1e-6)
+    assert(math.abs(f4.getAs[Double]("b3") - 0.5) < 1e-6)
+    assert(math.abs(f4.getAs[Double]("b4") - 4.0) < 1e-6)
+    assert(math.abs(f4.getAs[Double]("intercept") - 7.0) < 1e-6)
+    // a CONSTANT feature zeroes its centered row/column exactly -> the
+    // det is exactly 0 -> mean model (the F6-in-pipeline singularity)
+    val const = (1 to 6).map(i =>
+      ("c", i.toDouble, 5.0, i.toDouble * 2, (i % 3).toDouble, i * 10.0))
+      .toDF("k", "x1", "x2", "x3", "x4", "y")
+    val fc = graft.operators.Features.fitLinearPerGroup(const, Seq("k"),
+      Seq(col("x1"), col("x2"), col("x3"), col("x4")), col("y"))
+      .collect().head
+    assert(!fc.getAs[Boolean]("well_conditioned"))
+    assert((1 to 4).forall(i => fc.getAs[Double](s"b$i") === 0.0))
+    assert(math.abs(fc.getAs[Double]("intercept") - 35.0) < 1e-9)
+    // the p=4 and p=2 fixtures above solved under an OPEN gate
+    assert(f4.getAs[Boolean]("well_conditioned"))
+    // n < p+1 dropped; p outside 1..4 rejected loud
+    val tiny = (1 to 4).map(i =>
+      ("t", i.toDouble, i * 2.0, i * 3.0, (i % 2).toDouble, i * 1.0))
+      .toDF("k", "x1", "x2", "x3", "x4", "y")
+    assert(graft.operators.Features.fitLinearPerGroup(tiny, Seq("k"),
+      Seq(col("x1"), col("x2"), col("x3"), col("x4")), col("y"))
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Features.fitLinearPerGroup(tiny, Seq("k"),
+        Seq.fill(5)(col("x1")), col("y"))
+    }
+  }
+
   test("pearson: exact +1/-1 on linear data, NULL on zero variance") {
     import spark.implicits._
     val df = Seq(

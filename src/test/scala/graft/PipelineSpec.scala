@@ -370,4 +370,91 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(a.exists { case (k, (sseA, _)) => sseA < n(k)._1 - 1e-6 })
   }
+
+  test("seq predictor: exogenous features demonstrably change the forecast — " +
+    "coefficients on high-impact count and weekday are recovered, lag-only ar2 cannot compete") {
+    // day i (2024-01-01 + i): (i % 3) + 1 purchase events by user 1,
+    // then one 'view' event whose value = 4·(that day's purchase count)
+    // + 0.1·isodow — a target that is a PURE function of the two
+    // exogenous features (x3 = J1 high-impact count, x4 = weekday),
+    // invisible to any lag-only model
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, String, Double)]()
+    var id = 0L
+    for (i <- 0 until 21) {
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val p = (i % 3) + 1
+      for (j <- 0 until p) {
+        rows += ((id, s"$day 08:0$j:00", 1L, "purchase", 1.0)); id += 1
+      }
+      val wd = day.getDayOfWeek.getValue // ISO 1..7, = weekday(ts)+1
+      rows += ((id, s"$day 12:00:00", 1L, "view", 4.0 * p + 0.1 * wd))
+      id += 1
+    }
+    val ev = rows.toSeq
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Files.createTempDirectory("graft_seq").toString
+    val seq = Pipeline.run(spark, ev,
+      Pipeline.Config(predictor = "seq"), Some(out))
+    val ar2 = Pipeline.run(spark, ev, Pipeline.Config(predictor = "ar2"))
+    def viewSse(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("event_type") === "view").collect()
+        .map(r => r.getAs[Double]("MSE") * r.getAs[Long]("Samples")).sum
+    // the fit recovers the generating coefficients from the artifact —
+    // the exogenous features ENGAGED (b3 -> 4.0 on the purchase count,
+    // b4 -> 0.1 on the weekday), not just perturbed a lag model
+    val fitted = spark.read.parquet(s"$out/predictor_params")
+      .filter(col("event_type") === "view").head
+    assert(math.abs(fitted.getAs[Double]("b3") - 4.0) < 0.01,
+      s"b3=${fitted.getAs[Double]("b3")} did not recover the high-impact coefficient")
+    assert(math.abs(fitted.getAs[Double]("b4") - 0.1) < 0.01,
+      s"b4=${fitted.getAs[Double]("b4")} did not recover the weekday coefficient")
+    // and the forecast changed where it matters: on every FITTED row the
+    // seq model is exact, so the group's whole train SSE collapses to
+    // the one early-row naive fallback residual both families share
+    // (view row 2 has no second lag: |y₂−y₁| = 8.2−4.1), while the
+    // lag-only family still carries real residuals on fitted rows
+    val fallbackSse = math.pow(8.2 - 4.1, 2)
+    val seqSse = viewSse(seq.trainMetrics)
+    val ar2Sse = viewSse(ar2.trainMetrics)
+    assert(seqSse <= fallbackSse + 1e-2,
+      s"seq SSE $seqSse above the fallback-only bound $fallbackSse")
+    assert(ar2Sse > seqSse + 1.0,
+      s"ar2 $ar2Sse not materially worse than seq $seqSse")
+    // grading from the persisted artifact reproduces the run (the routed
+    // serve/train-cannot-disagree contract, for the seq family)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => Seq(r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("R2"),
+        r.getAs[Double]("MSE"), r.getAs[Long]("Samples"))
+        .map(String.valueOf).mkString("|")).toSet
+    val fromArtifacts = Pipeline.stageMetrics(spark, ev, out, "val",
+      Pipeline.Config(predictor = "seq"))
+    assert(canon(fromArtifacts) === canon(seq.validateMetrics))
+
+    // the ar1/ar2 train guarantee carries over on the driver fixture:
+    // (1,0,0,0,0) reproduces naive on every fitted row, so per group the
+    // trained SSE can only match or beat naive up to the scale-2 snap
+    val evd = Tables.events(spark, sf0001)
+    val naive = Pipeline.run(spark, evd)
+    val seqd = Pipeline.run(spark, evd, Pipeline.Config(predictor = "seq"))
+    val ar2d = Pipeline.run(spark, evd, Pipeline.Config(predictor = "ar2"))
+    def sse(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("user_id").toString,
+        r.getAs[String]("event_type")) ->
+        ((r.getAs[Double]("MSE") * r.getAs[Long]("Samples"),
+          r.getAs[Long]("Samples")))).toMap
+    val n = sse(naive.trainMetrics)
+    val a = sse(seqd.trainMetrics)
+    assert(a.keySet === n.keySet)
+    for ((k, (sseA, cnt)) <- a) {
+      val (sseN, _) = n(k)
+      val slack = 0.011 * math.sqrt(sseN * cnt) + 2.5e-5 * cnt
+      assert(sseA <= sseN + slack, s"group $k: seq SSE $sseA > naive $sseN + $slack")
+    }
+    // the wider feature row genuinely moved forecasts off the two-lag
+    // family somewhere on real data too
+    val a2 = sse(ar2d.trainMetrics)
+    assert(a.exists { case (k, (s4, _)) => math.abs(s4 - a2(k)._1) > 1e-9 })
+  }
 }
