@@ -88,12 +88,11 @@ object Clustering {
       val sums = assigned.groupBy(col("cid"))
         .agg(sum(col("w")).as("n"),
           p.map(d => sum(col(s"m$d") * col("w")).as(s"s$d")): _*)
-      centroids = centroids
+      centroids = Checkpointing.cut(centroids
         .join(sums, Seq("cid"), "left")
         .select(col("cid") +: p.map(d =>
           coalesce(col(s"s$d").cast("double") / col("n").cast("double") /
-            lit(1e6), col(s"c$d")).as(s"c$d")): _*)
-        .localCheckpoint(eager = false)
+            lit(1e6), col(s"c$d")).as(s"c$d")): _*), eager = false)
     }
     // final assignment against the final model; quantized exact inertia
     val fin = assign(centroids)

@@ -443,7 +443,9 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+    // per-round lineage cut — reliable when a checkpoint dir is set
+    // (Checkpointing.cut), executor-local otherwise
+    e = Checkpointing.cut(e)
 
     // large-star: per node u over its FULL neighborhood Γ(u) (both edge
     // directions), m = min(Γ(u) ∪ {u}); link every strictly-larger
@@ -484,7 +486,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Checkpointing.cut(smallStar(largeStar(e)))
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next

@@ -60,7 +60,7 @@ object Graph {
     val edgesN = edges.join(outw, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(r0))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = edgesN.join(ranks, col("src") === col("id"))
         .select(col("dst"),
           round((col("rank") *
@@ -72,6 +72,11 @@ object Graph {
         .select(col("id"),
           (lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / lit(1e15)) +
             lit(1.0 - damping) * lit(r0)).as("rank"))
+      // bounded plan depth on long runs: cut the rank lineage every 5
+      // rounds (values unchanged — checkpointing never rewrites rows;
+      // reliable when a checkpoint dir is set, executor-local otherwise)
+      if (it % 5 == 0 && it < iters)
+        ranks = Checkpointing.cut(ranks, eager = false)
     }
     ranks
   }
@@ -109,7 +114,7 @@ object Graph {
     val edgesN = edges.join(outw, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodesE.select(col("id"), col("e").as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = edgesN.join(ranks, col("src") === col("id"))
         .select(col("dst"),
           round((col("rank") *
@@ -121,6 +126,8 @@ object Graph {
         .select(col("id"),
           (lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / lit(1e15)) +
             lit(1.0 - damping) * col("e")).as("rank"))
+      if (it % 5 == 0 && it < iters)
+        ranks = Checkpointing.cut(ranks, eager = false)
     }
     ranks
   }
@@ -210,16 +217,17 @@ object Graph {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var dist = sources.select(col("id")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(eager = false)
+    var dist = Checkpointing.cut(
+      sources.select(col("id")).distinct()
+        .withColumn("dist", lit(0L)), eager = false)
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("dist") === (h - 1))
       val next = frontier.join(sym, frontier("id") === sym("u"))
         .select(sym("v").as("id"), lit(h.toLong).as("dist"))
-      dist = dist.unionByName(next)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+      dist = Checkpointing.cut(
+        dist.unionByName(next)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")),
+        eager = false)
     }
     dist
   }

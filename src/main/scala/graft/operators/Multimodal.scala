@@ -134,14 +134,19 @@ object Multimodal {
   final case class ImageFeatures(
       doc_id: Long, width: Long, height: Long, sum_gray: Long, px00: Long)
 
-  /** Deterministic PNG fixture source: per document, a W×H grayscale
+  /** Deterministic image fixture source (PNG default; format="jpg" for
+    * the lossy-codec sibling — same formula, ImageIO's JPEG encoder, so
+    * decode checks pin TOLERANCE invariants instead of exact pixels):
+    * per document, a W×H grayscale
     * gradient PNG with gray(x, y) = (doc_id·31 + x + y) mod 256 and
     * W = 16 + hex₀(md5(text)), H = 16 + hex₁(md5(text)) — pure arithmetic
     * an external engine can re-derive, while the BYTES are a real PNG a
     * real decoder must actually parse. Encoded per-partition through the
     * same typed iterator a (path → bytes) object-store source would feed. */
-  def synthesizeImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def synthesizeImages(spark: SparkSession, docs: DataFrame,
+                       format: String = "png"): DataFrame = {
     import spark.implicits._
+    require(Set("png", "jpg")(format), s"format must be png or jpg: $format")
     docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
@@ -161,7 +166,7 @@ object Multimodal {
             x += 1
           }
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
+          javax.imageio.ImageIO.write(img, format, out)
           (id, out.toByteArray)
         }
       }.toDF("doc_id", "payload")

@@ -1968,6 +1968,41 @@ object ExtensionQueries {
         |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
         |FROM px GROUP BY doc_id, width, height""".stripMargin),
 
+    // REAL JPEG decode (round 10 — the one codec-breadth extension pure
+    // JDK still offers): the SAME gradient fixtures, written through
+    // ImageIO's lossy JPEG encoder and decoded back through the SAME
+    // decodeImages stage (the codec swaps, the plumbing doesn't). JPEG
+    // is lossy, so the contract changes shape (the logisticFit lesson:
+    // pin invariants, not exact values): DIMENSIONS survive exactly —
+    // the oracle re-derives them from md5(text) per row — while the
+    // raster only has to land within a mean-deviation budget vs the
+    // generation formula (|Σgray − Σexpected| / (w·h) ≤ 3 gray levels;
+    // measured at sf0.01: mean 0.08, max 0.68 — the 4× margin covers
+    // the DCT ringing at the mod-256 wrap edges). The expected sum is
+    // computed IN-PLAN from the closed form by a codegen'd HOF — no
+    // driver loop, no second decode.
+    "mm_image_decode_jpeg" -> QueryDef(
+      (s, dir) => {
+        val dec = Multimodal.decodeImages(s,
+          Multimodal.synthesizeImages(s, Tables.documents(s, dir),
+            format = "jpg")).toDF()
+        dec.withColumn("exp_sum", expr(
+          "aggregate(sequence(0, CAST(width AS INT) - 1), 0L, (acc, x) " +
+            "-> acc + aggregate(sequence(0, CAST(height AS INT) - 1), " +
+            "0L, (a2, y) -> a2 + (doc_id * 31 + x + y) % 256))"))
+          .select(col("doc_id"), col("width"), col("height"),
+            ((abs(col("sum_gray") - col("exp_sum")).cast("double") /
+              (col("width") * col("height")).cast("double")) <= lit(3.0))
+              .as("mean_dev_ok"))
+      },
+      """SELECT doc_id,
+        |  CAST(16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |       AS BIGINT) AS width,
+        |  CAST(16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |       AS BIGINT) AS height,
+        |  TRUE AS mean_dev_ok
+        |FROM documents""".stripMargin),
+
     // Image near-dup detection by perceptual dHash (round 9) — the
     // multimodal face of the dedup family: REAL PNG decodes hash to a
     // 63-bit neighbor-difference fingerprint (integer area-average 9×8

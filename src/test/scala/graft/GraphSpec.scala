@@ -144,4 +144,38 @@ class GraphSpec extends SparkSpecBase {
     assert(repart.toSeq ===
       m.toSeq.map { case (k, v) => (k, v._1, v._2) }.sortBy(_._1))
   }
+
+  test("reliable checkpointing: identical results with a checkpoint dir set, and checkpoint files actually written") {
+    import graft.operators.Dedup
+    val prEdges = (1 to 120).map(i =>
+      (s"n${(i * 7) % 17}", s"n${(i * 11) % 17}", (i % 3 + 1).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst", "w")
+    val ccEdges = (1 to 150).map(i => ((i * 13L) % 40L, (i * 29L) % 40L))
+      .filter(e => e._1 != e._2).toDF("doc_a", "doc_b")
+    val bfsEdges = prEdges.select(col("src"), col("dst"))
+    val srcs = Seq("n1").toDF("id")
+    def prOut() = Graph.pageRank(prEdges, 0.85, iters = 12)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    def ccOut() = Dedup.connectedComponents(ccEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def bfsOut() = Graph.bfsDistances(bfsEdges, srcs, maxHops = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val (prL, ccL, bfsL) = (prOut(), ccOut(), bfsOut())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      assert(prOut() === prL, "pageRank diverged under reliable checkpointing")
+      assert(ccOut() === ccL, "connectedComponents diverged under reliable checkpointing")
+      assert(bfsOut() === bfsL, "bfsDistances diverged under reliable checkpointing")
+      // the reliable path ENGAGED: checkpoint data landed in the dir
+      // (df.checkpoint writes rdd-<id> subdirs under a random subdir)
+      def countFiles(d: java.nio.file.Path): Long = {
+        val st = java.nio.file.Files.walk(d)
+        try st.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally st.close()
+      }
+      assert(countFiles(dir) > 0,
+        "checkpoint dir untouched - the reliable mode never engaged")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }

@@ -202,6 +202,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("real JPEG decode: dimensions exact, raster within the mean-deviation budget, codec genuinely lossy") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Multimodal.decodeImages(spark,
+      Multimodal.synthesizeImages(spark, docs, format = "jpg"))
+      .collect().map(f => f.doc_id -> f).toMap
+    val meta = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === meta.keySet)
+    var anyLossy = false
+    for ((id, hex) <- meta) {
+      val w = 16 + "0123456789abcdef".indexOf(hex.charAt(0))
+      val h = 16 + "0123456789abcdef".indexOf(hex.charAt(1))
+      val f = out(id)
+      // geometry is lossless through JPEG
+      assert(f.width === w.toLong && f.height === h.toLong)
+      // raster is NOT: budget = 3 gray levels mean deviation (measured
+      // mean 0.08 / max 0.68 at sf0.01 — the registered row's bound)
+      val expectedSum = (0 until w).flatMap(x =>
+        (0 until h).map(y => (id * 31 + x + y) % 256)).sum
+      val dev = math.abs(f.sum_gray - expectedSum).toDouble / (w * h)
+      assert(dev <= 3.0, s"doc $id mean gray deviation $dev over budget")
+      if (f.sum_gray != expectedSum) anyLossy = true
+    }
+    // if every sum were exact we'd be silently decoding PNGs again
+    assert(anyLossy, "no image deviated - lossy codec path not engaged")
+    // unsupported format fails loud at construction
+    intercept[IllegalArgumentException] {
+      Multimodal.synthesizeImages(spark, docs, format = "bmp")
+    }
+  }
+
   test("multimodal fake decode: md5/length-derived features, video frame rule") {
     val docs = Seq((0L, "alpha beta"), (2L, "gamma delta epsilon"))
       .toDF("doc_id", "text")
