@@ -136,10 +136,13 @@ object Bench {
     // inflated by machine load and the verdict chased phantom
     // regressions): BENCH_REF.json pins a known-uncontended per-query
     // reference (the judge's re-run; update it deliberately when plans
-    // change). Any row landing over 2× its reference gets ONE re-run at a
-    // different point in time and keeps the better median — transient
-    // load rarely hits the same row twice — and a second calibration
-    // after the loop bounds how the load changed across the run.
+    // change). Any row landing over 1.5× its reference gets ONE re-run
+    // at a different point in time and keeps the better median —
+    // transient load rarely hits the same row twice — and a second
+    // calibration after the loop bounds how the load changed across the
+    // run. (Round 10: trigger lowered 2.0→1.5 — four r9 rows sat at
+    // 1.5–1.9× their pins with unchanged plans and never got re-measured,
+    // leaving drift indistinguishable from regression.)
     val refPath = java.nio.file.Paths.get("BENCH_REF.json")
     val ref: Map[String, Double] =
       if (!java.nio.file.Files.exists(refPath)) Map.empty
@@ -154,7 +157,7 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
-    var rerunBudget = 20 // bound the hygiene pass, it must not double the run
+    var rerunBudget = 32 // bound the hygiene pass, it must not double the run
     // every re-measured row's FIRST-pass value is preserved and published
     // in BENCH_FULL.json: math.min() below is a one-sided load rescue, and
     // without the first pass on record a real regression could hide behind
@@ -162,7 +165,7 @@ object Bench {
     val rerunFirstPass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (name, v, ok) =>
       val suspect = ok && rerunBudget > 0 &&
-        ref.get(name).exists(rv => rv > 0 && v > 0.15 && v > 2.0 * rv)
+        ref.get(name).exists(rv => rv > 0 && v > 0.15 && v > 1.5 * rv)
       if (!suspect) (name, v, ok)
       else {
         rerunBudget -= 1
@@ -174,7 +177,7 @@ object Bench {
         (name, math.min(v, v2), ok)
       }
     }
-    val reran = 20 - rerunBudget
+    val reran = 32 - rerunBudget
     val calibEnd = calibrate()
     // contended when the better yardstick is off this box's unloaded band,
     // or one yardstick is off AND they drifted apart (load changed

@@ -413,9 +413,11 @@ object Similarity {
   }
 
   /** Nearest-`keep` centroid assignment: broadcast the (small) centroid
-    * set, rank by cosine (ties by centroid id). */
-  private def assign(cents: DataFrame, df: DataFrame, idName: String,
-                     keep: Int): DataFrame = {
+    * set, rank by cosine (ties by centroid id). `private[graft]` so the
+    * ScaleRecallCheck tool can measure probed-posting candidate volumes
+    * with the exact serve-path assignment. */
+  private[graft] def assign(cents: DataFrame, df: DataFrame, idName: String,
+                            keep: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idName))
       .orderBy(col("ccos").desc, col("centroid_id"))
@@ -1180,7 +1182,7 @@ object Similarity {
     * fitted basis, serve the k′-dim projection as the `embedding` column
     * in the float shape the IVF machinery expects. Map-only (the basis
     * rides as literals). */
-  private def pcaReduced(df: DataFrame, model: PcaModel): DataFrame =
+  private[graft] def pcaReduced(df: DataFrame, model: PcaModel): DataFrame =
     pcaProject(normalizedEmbeddings(df), model, outCol = "pca",
       center = false)
       .select(col("vec_id"),

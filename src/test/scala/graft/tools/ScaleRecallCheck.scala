@@ -57,8 +57,13 @@ object ScaleRecallCheck {
 
     for (n <- sizes) {
       val emb = corpus(spark, n).localCheckpoint(eager = true)
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      // adaptive gate: ~400 queries at any n (the sf0.1 convention is
+      // %50; past n=20000 the modulus grows so the brute-force baseline
+      // stays a bounded 400×n scan)
+      val qMod = math.max(50L, n / 400L)
+      val queries = emb.filter(col("vec_id") % qMod === 0)
         .localCheckpoint(eager = true)
+      val nQ = queries.count()
       def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
@@ -96,6 +101,33 @@ object ScaleRecallCheck {
         shortlist = shortlist))
       rec("pca_ivf", 0.6, Similarity.pcaIvfTopK(queries, emb, pcaModel,
         k = 5, nCentroids = 32, nProbe = 12, refineIters = 2))
+
+      // Serve-candidate volume per config (round-10 ask #4): the probed-
+      // posting count is what each query's exact scoring stage actually
+      // touches — SUBLINEAR serve means this stays a bounded corpus
+      // FRACTION (≈ nProbe/nCentroids for IVF compositions), while the
+      // flat/diagnostic variants are linear by construction.
+      def probedVolume(idx: Similarity.IvfIndex, qs: DataFrame): Double = {
+        val probes = Similarity.assign(idx.centroids, qs, "query_id", keep = 12)
+        probes.join(idx.postings, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id")).distinct()
+          .count().toDouble / nQ
+      }
+      val ivfIdx = Similarity.buildIvfIndex(emb, nCentroids = 32,
+        refineIters = 2).get
+      val pcaIdx = Similarity.buildIvfIndex(
+        Similarity.pcaReduced(emb, pcaModel), nCentroids = 32,
+        refineIters = 2).get
+      val vols = Seq(
+        "ivf/ivfpq probed" -> probedVolume(ivfIdx, queries),
+        "pca_ivf probed" -> probedVolume(pcaIdx,
+          Similarity.pcaReduced(queries, pcaModel)),
+        "pq rerank" -> rerank.toDouble,
+        "pca shortlist" -> shortlist.toDouble)
+      vols.foreach { case (name, v) =>
+        println(f"n=$n%6d  cand/$name%-18s ${v}%10.1f  (${v / n * 100}%5.2f%% of corpus)")
+      }
     }
     spark.stop()
   }
