@@ -248,9 +248,26 @@ object Dedup {
     * Signature → `numPerm/rowsPerBand` bands → explode → shuffle on the
     * (band_id, band_hash) key → in-bucket pair generation → distinct →
     * exact-Jaccard verify. Output = verified near-dup pairs (doc_a <
-    * doc_b); precision 1.0, recall 1−(1−j^r)^b per pair. */
+    * doc_b); precision 1.0, recall 1−(1−j^r)^b per pair.
+    *
+    * `maxBucket` (0 = off, the default — existing behavior and oracles
+    * unchanged): skip band buckets holding more than `maxBucket` docs
+    * before pair generation. The in-bucket self-join is quadratic PER
+    * BUCKET — AQE's skew splitting redistributes a hot bucket's work but
+    * cannot shrink it, and a degenerate text cohort (boilerplate,
+    * templates, near-constant fields) can put thousands of docs behind
+    * one band signature: the round-10 sf1 cost-curve measured a 5,277-doc
+    * bucket = 13.9M candidate pairs in ONE bucket from a canonicalized-
+    * word-order fixture. Real 100 TB crawls carry exactly such template
+    * cohorts, so production runs should set a cap (e.g. 10·expected
+    * cluster size). The trade is explicit and bounded: only pairs whose
+    * EVERY matching band is over the cap are lost — i.e. giant template
+    * cohorts, which an exact-dup pass or a dedicated template detector
+    * should own anyway — and the skip is per-band, so a pair sharing one
+    * normal bucket still surfaces. */
   def minhashLshPairs(docs: DataFrame, n: Int, numPerm: Int,
-                      rowsPerBand: Int, num: Int, den: Int): DataFrame = {
+                      rowsPerBand: Int, num: Int, den: Int,
+                      maxBucket: Int = 0): DataFrame = {
     val numBands = numPerm / rowsPerBand
     // localCheckpoint (LAZY): shingles + signatures feed four join
     // branches (two banded sides, two verification sides) — compute once,
@@ -261,7 +278,17 @@ object Dedup {
     // switch to DISK_ONLY persist / reliable checkpoint.
     val s = minhashIndex(docs, n, numPerm)
       .localCheckpoint(eager = false)
-    val banded = bandsOf(s, numBands, rowsPerBand)
+    val bandedAll = bandsOf(s, numBands, rowsPerBand)
+    // hot-bucket cap: one narrow count aggregate + an anti-join on the
+    // band key — both shuffle the (band_id, band_hash, doc_id) triple
+    // only, never shingles
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy(col("band_id"), col("band_hash"))
+          .agg(count(lit(1)).as("__bc")).filter(col("__bc") > maxBucket)
+          .select(col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"), "left_anti")
     // In-bucket pair generation as a SELF-JOIN on the band key (not a
     // collect_set + in-row pair expansion): a hot bucket — guaranteed at
     // scale, and common here because the tiny vocabulary makes popular

@@ -67,6 +67,29 @@ class DedupSpec extends SparkSpecBase {
     assert(p1 === run()) // fixed hash seeds: bit-stable across runs
   }
 
+  test("minhashLshPairs hot-bucket cap: template cohort skipped, normal pairs keep surfacing, default uncapped") {
+    // a TEMPLATE cohort — 40 docs sharing one boilerplate text (one band
+    // bucket of 40 = 780 candidate pairs) — alongside the normal fixture
+    val template = (100L until 140L).map(i =>
+      (i, "standard disclaimer boilerplate text repeated across every page of the archive"))
+    val corpus = (docs.as[(Long, String)].collect().toSeq ++ template)
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashLshPairs(corpus, n = 3, numPerm = 16,
+      rowsPerBand = 1, num = 1, den = 2, maxBucket = cap)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val normal = Set((1L, 2L), (1L, 5L), (2L, 5L))
+    val templatePairs = (for {
+      a <- 100L until 140L; b <- (a + 1) until 140L
+    } yield (a, b)).toSet
+    // uncapped (default): everything, template clique included
+    assert(run(0) === normal ++ templatePairs)
+    // capped below the cohort size: the 40-doc buckets are skipped —
+    // the clique vanishes, while pairs living in small buckets survive
+    assert(run(10) === normal)
+    // cap above every bucket: no-op
+    assert(run(1000) === normal ++ templatePairs)
+  }
+
   test("SimHash: identical texts collide, near-dups are close, unrelated texts are far") {
     val sk = Dedup.simhashSketch(docs, n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   *    same per-group depth, which is how a real corpus grows (more
   *    entities), and the shape under which a linear pipeline should
   *    measure ~10×;
-  *  - documents: doc_id offsets and per-copy deterministic WORD-ORDER
-  *    scrambles (sort words by xxhash64(word, copy)) — token/char/
-  *    quality statistics are preserved exactly (same multiset) while
-  *    shingle n-grams differ completely, so the dedup stages see a
-  *    realistic ~flat near-dup rate instead of 10-clique artifacts;
+  *  - documents: doc_id offsets and PER-DOC deterministic WORD-ORDER
+  *    scrambles (sort words by xxhash64(word, copy, doc_id)) — token/
+  *    char/quality statistics are preserved exactly (same multiset)
+  *    while shingle n-grams differ completely, so the dedup stages see
+  *    a realistic ~flat near-dup rate. The per-DOC salt is load-
+  *    bearing: a first cut salted by copy alone CANONICALIZED word
+  *    order within each copy, which inflated cross-doc shingle overlap
+  *    ~25,000× (one band bucket reached 5,277 docs / 13.9M candidate
+  *    pairs) and read as a phantom 126× super-linearity in the
+  *    curation DAG — a fixture artifact, not a plan defect
+  *    (BENCH_SF1.md records both runs);
   *  - embeddings: vec_id offsets and noise-dominated per-copy
   *    perturbations (±0.5·U[-1,1) per dim from xxhash64) — copies land
   *    ~uncorrelated (isotropy, the hard case — the ScaleRecallCheck
@@ -56,7 +62,7 @@ object ScaleBenchCheck {
         // destroying (array_sort on struct sorts by the hash field)
         expr("""array_join(transform(array_sort(transform(
                   split(text, ' '),
-                  w -> struct(xxhash64(w, c) AS h, w AS w))),
+                  w -> struct(xxhash64(w, c, doc_id) AS h, w AS w))),
                   s -> s.w), ' ')""").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
