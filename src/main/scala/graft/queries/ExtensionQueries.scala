@@ -1411,8 +1411,17 @@ object ExtensionQueries {
         // branch, roughly doubling the expensive text passes.
         val exactKept = filtered.join(canon, Seq("doc_id"), "left_semi")
           .localCheckpoint(eager = false)
+        // maxBucket=512 (round 10): the sf1 cost-curve measured band
+        // buckets growing LINEARLY with corpus size on this short-doc
+        // distribution (popular shingles win min-hashes; 18 docs/bucket
+        // at sf0.1 → 6,175 at 10× → 36.5M candidate pairs in the tail),
+        // which makes uncapped pair generation quadratic. The cap is a
+        // NO-OP at every driver SF (largest sf0.1 bucket: 18 — oracle
+        // unchanged) and at scale skips only template-cohort buckets, a
+        // bounded, documented recall trade (Dedup.minhashLshPairs
+        // scaladoc; BENCH_SF1.md shows it restoring ~linear cost).
         val nearDupLosers = Dedup.minhashLshPairs(exactKept, n = 3,
-          numPerm = 32, rowsPerBand = 2, num = 1, den = 2)
+          numPerm = 32, rowsPerBand = 2, num = 1, den = 2, maxBucket = 512)
           .select(col("doc_b").as("doc_id")).distinct()
         exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang_predicted"), col("n_tokens"),
