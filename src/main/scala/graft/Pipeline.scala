@@ -242,6 +242,19 @@ object Pipeline {
           .otherwise(col("pred_f")))
       .drop("b1", "b2", "b3", "b4", "intercept")
 
+  /** Public seq-serve entry (the multi-feature sibling of
+    * [[routedScore]]): score a feature frame carrying the four seq
+    * features — `pred_f` (filled lag-1), `x2` (filled lag-2), `x3`
+    * (high-impact day count), `x4` (ISO weekday) — against the
+    * persisted [[Features.fitLinearPerGroup]] artifact a
+    * `predictor = "seq"` [[run]] publishes. Unknown groups AND
+    * ill-conditioned fits keep the incoming naive `pred_f` — exactly
+    * run()'s train-time dispatch, so serve and train cannot disagree.
+    * The params join broadcasts (model-sized); the feature side streams
+    * at scan speed. */
+  def seqScore(feat: DataFrame, params: DataFrame): DataFrame =
+    applySeq(feat, params)
+
   /** Run E2+E3 over the canonical events frame (driver test schema:
     * event_id, ts, user_id, event_type, value). When `outDir` is set the
     * stage outputs are persisted through the reference's sink modes. */

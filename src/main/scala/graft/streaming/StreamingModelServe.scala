@@ -114,6 +114,27 @@ object StreamingModelServe {
       outDir, checkpointDir)
   }
 
+  /** Streaming sibling of the SEQ (multi-feature) pipeline serve
+    * (round 10): each micro-batch of feature rows — `(user_id,
+    * event_type, pred_f, x2, x3, x4)`, the caller supplies recent lags
+    * plus the exogenous day features exactly as a prediction endpoint
+    * is called — scores against the persisted fitLinearPerGroup
+    * artifact via [[graft.Pipeline.seqScore]]. The artifact loads once
+    * at stream start (model-sized, broadcast per batch); unknown and
+    * ill-conditioned groups keep their naive `pred_f`; the identical
+    * batch dispatch expression scores every row, so batch parity is
+    * structural. */
+  def runSeqServe(spark: SparkSession, featureStream: DataFrame,
+                  artifactsDir: String,
+                  outDir: String, checkpointDir: String): StreamingQuery = {
+    val params = graft.operators.Sinks
+      .readSnapshot(spark, s"$artifactsDir/predictor_params")
+      .localCheckpoint(eager = true)
+    runServe(featureStream,
+      b => graft.Pipeline.seqScore(b, params),
+      outDir, checkpointDir)
+  }
+
   /** Streaming anomaly detection against a persisted robust-statistics
     * artifact (round 9): [[Features.madStats]] is fitted in batch and
     * written to parquet (per-group med2/mad4 — the exact integer

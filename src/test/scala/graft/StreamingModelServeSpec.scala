@@ -185,6 +185,74 @@ class StreamingModelServeSpec extends SparkSpecBase {
       "no xgb-routed request was rescored")
   }
 
+  test("seq serve stream: multi-feature fit served from the persisted artifact, exogenous features move predictions, batch parity") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_seqserve").toString
+    // the PipelineSpec exogenous fixture: view values are a pure
+    // function of the day's purchase count (x3) and weekday (x4)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, String, Double)]()
+    var id = 0L
+    for (i <- 0 until 21) {
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val p = (i % 3) + 1
+      for (j <- 0 until p) {
+        rows += ((id, s"$day 08:0$j:00", 1L, "purchase", 1.0)); id += 1
+      }
+      val wd = day.getDayOfWeek.getValue
+      rows += ((id, s"$day 12:00:00", 1L, "view", 4.0 * p + 0.1 * wd))
+      id += 1
+    }
+    val ev = rows.toSeq
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    Pipeline.run(spark, ev, Pipeline.Config(predictor = "seq"),
+      Some(s"$base/artifacts"))
+
+    // requests: same group, same lags, DIFFERENT exogenous features —
+    // the served scores must differ by exactly b3·Δx3 + b4·Δx4 — plus
+    // an unknown group that must keep its naive pred_f
+    val requests = Seq(
+      (0L, 1L, "view", 8.0, 6.0, 1.0, 3.0),
+      (1L, 1L, "view", 8.0, 6.0, 3.0, 3.0), // +2 purchases that day
+      (2L, 1L, "view", 8.0, 6.0, 1.0, 6.0), // +3 weekdays
+      (99L, -5L, "nope", 7.5, 6.0, 1.0, 3.0))
+    val reqDf = requests.toDF("req_id", "user_id", "event_type",
+      "pred_f", "x2", "x3", "x4")
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    Files.writeString(java.nio.file.Path.of(landing, "b1.json"),
+      requests.map { r =>
+        s"""{"req_id":${r._1},"user_id":${r._2},"event_type":"${r._3}",""" +
+          s""""pred_f":${r._4},"x2":${r._5},"x3":${r._6},"x4":${r._7}}"""
+      }.mkString("\n"))
+    val stream = spark.readStream
+      .schema("req_id LONG, user_id LONG, event_type STRING, " +
+        "pred_f DOUBLE, x2 DOUBLE, x3 DOUBLE, x4 DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+    val q = graft.streaming.StreamingModelServe.runSeqServe(
+      spark, stream, s"$base/artifacts",
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    def preds(d: org.apache.spark.sql.DataFrame) =
+      d.select("req_id", "pred_f").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = preds(spark.read.parquet(s"$base/out"))
+    val batch = preds(Pipeline.seqScore(reqDf, operators.Sinks
+      .readSnapshot(spark, s"$base/artifacts/predictor_params")))
+    assert(streamed.size === requests.length)
+    assert(streamed === batch)
+    // unknown group: naive passthrough
+    assert(streamed(99L) === 7.5)
+    // exogenous engagement through the SERVED artifact: b3 ≈ 4.0 and
+    // b4 ≈ 0.1 recovered by the fit, so Δx3 = 2 moves the score ≈ 8 and
+    // Δx4 = 3 moves it ≈ 0.3 (scale-2 snap tolerance)
+    assert(math.abs((streamed(1L) - streamed(0L)) - 8.0) < 0.05,
+      s"high-impact count did not move the served score: ${streamed(1L)} vs ${streamed(0L)}")
+    assert(math.abs((streamed(2L) - streamed(0L)) - 0.3) < 0.05,
+      s"weekday did not move the served score: ${streamed(2L)} vs ${streamed(0L)}")
+  }
+
   test("logistic serve stream: served probabilities equal the batch sigmoid fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_logserve").toString
