@@ -1410,7 +1410,12 @@ object Features {
     * 1e-12 units (the pageRank recipe) so the frame reduction is an
     * exact integer fold, and the result is a ratio of two exact
     * integer sums. Nulls must be excluded upstream (a null inside the
-    * frame would silently misalign weights — collect_list drops it). */
+    * frame would silently misalign weights — collect_list drops it).
+    *
+    * Domain: |value| < 1e6 fails LOUD (raise_error) — past that, a
+    * term x·w·1e12 can exceed 2⁶³ and silently wrap (the cusum/
+    * chi-square overflow class, guarded here the theilSenSlope way);
+    * rescale the series upstream for larger magnitudes. */
   def ewma(df: DataFrame, group: Seq[String], order: Seq[Column],
            value: Column, alpha: Double, maxLag: Int): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
@@ -1419,8 +1424,14 @@ object Features {
     val warr = array(weights.map(lit): _*)
     val w = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
       .rowsBetween(-(maxLag - 1), 0)
+    // loud domain guard BEFORE the frame: a value past 1e6 would wrap
+    // the 1e-12-grain BIGINT terms silently (see scaladoc)
+    val guarded = when(abs(value) >= lit(1e6),
+      raise_error(lit("ewma: |value| >= 1e6 overflows the BIGINT 1e-12 " +
+        "quantization — rescale the series upstream")))
+      .otherwise(value)
     // frame newest-first so position i pairs with weight α(1−α)^i
-    val hist = reverse(collect_list(value).over(w))
+    val hist = reverse(collect_list(guarded).over(w))
     val used = slice(warr, lit(1), size(hist))
     val num = aggregate(
       zip_with(hist, used, (x, wt) =>

@@ -779,6 +779,14 @@ class FeaturesSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Features.ewma(df, Seq("k"), Seq(col("t")), col("v"), 0.5, 0)
     }
+    // |value| >= 1e6 wraps the 1e-12-grain BIGINT terms — fails LOUD,
+    // never a silently-wrong average (the cusum/chi-square hazard class)
+    val big = Seq(("k", 1L, 2e6)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Features.ewma(big, Seq("k"), Seq(col("t")), col("v"), 0.5, 4).collect()
+    }
+    assert(e.getMessage.contains("rescale") ||
+      e.getCause != null && e.getCause.getMessage.contains("rescale"))
   }
 
   test("FT4 rankNormalize: [0,1] endpoints, tiebreak determinism, singleton group = 0.5") {
