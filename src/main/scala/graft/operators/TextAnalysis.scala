@@ -919,4 +919,236 @@ object TextAnalysis {
           lit(thresholdMilli).cast(d38) * col("n_bigrams").cast(d38) *
             col("n_w1").cast(d38) * col("n_w2").cast(d38)).as("is_colloc"))
   }
+
+  // ------------------------------------------------------------------
+  // Reference-LM perplexity filter (CCNet: Wenzek et al. 2020 — score
+  // every document by a language model trained on a trusted reference
+  // split, then bucket the corpus into head/middle/tail by perplexity
+  // and curate on the bucket). The model here is an add-1-smoothed
+  // bigram LM over a closed top-K alphabet with <unk> mapping — the
+  // smallest model family with real context probabilities (the
+  // bigramCoverage row above is the count-only stand-in; this is the
+  // actual negative-log-likelihood score).
+  //
+  // No engine evaluates a transcendental at query time: per-instance
+  // surprisal ln((c1+V)/(c12+1)) is computed as a DEFINED quantized
+  // chain over exact integers —
+  //   r = least((c1+V)·1000 div (c12+1), 1000·2^13)   (milli-ratio)
+  //   e = floor(log2(r/1000))  via a 13-branch integer ladder
+  //   m = r >> e               (mantissa in [1000, 1999])
+  //   cost = e·round(1e6·ln 2) + round(1e6·ln(m/1000))  micro-nats
+  // where the 1000-row mantissa table is a data-INDEPENDENT math
+  // constant (the Sampling.PoissonCdfMicro convention) shared verbatim
+  // with the generated DuckDB oracle, so both engines compute the
+  // bit-identical cost. Total quantization error per instance is
+  // < 0.0022 nats (1e-3 ratio floor + 1e-3 mantissa floor + table and
+  // ln2 rounding) — two decimal digits tighter than any filtering
+  // decision, and exactly reproducible.
+
+  /** round(1e6 · ln 2) — the exponent step of the quantized log. */
+  val Ln2Micro: Long = 693147L
+
+  /** Saturation cap on the milli-ratio r = 1000·2^13: probabilities
+    * below ~1/8192 all score as the cap (≈ 9.01 nats) — a quality
+    * filter needs no resolution beyond "vanishingly unlikely", and the
+    * cap bounds the exponent ladder at 13 branches. */
+  val SurprisalCapMilli: Long = 8192000L
+
+  /** Fixed mantissa log table q(m) = round(1e6 · ln(m/1000)) for
+    * m ∈ [1000, 1999]: pure math constants, corpus-independent,
+    * embedded as VALUES in the oracle and broadcast as a 1000-row
+    * frame in the plan. */
+  val LnMantissaMicro: IndexedSeq[(Int, Long)] =
+    (1000 to 1999).map(m =>
+      (m, math.round(StrictMath.log(m / 1000.0) * 1e6)))
+
+  /** A trained bigram LM, collapsed to driver tables — bounded by the
+    * explicit caps (vocabK tokens, ≤ vocabK+1 contexts, lmK bigrams),
+    * corpus-size-independent: train on 100 TB, serve as a kilobyte
+    * table (the bigramVocab contract). `alphabetSize` = vocabK + 1
+    * (vocab ∪ <unk>) is the add-1 smoothing denominator V. */
+  final case class BigramLmModel(
+      alphabetSize: Int,
+      vocab: Seq[String],
+      contexts: Seq[(String, Long)],
+      bigrams: Seq[(String, String, Long)])
+
+  /** Raw adjacent-token pairs of each document as two columns —
+    * the two-column face of [[bigrams]] (which renders "w1 w2"
+    * strings); documents with < 2 tokens contribute nothing. */
+  private def rawBigramPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), 1, size(col("ws")) - 1),
+        slice(col("ws"), 2, size(col("ws")) - 1))).as("p"))
+      .select(col("doc_id"),
+        col("p").getField("0").as("w1raw"),
+        col("p").getField("1").as("w2raw"))
+
+  /** Close the alphabet: map both sides of every pair into
+    * vocab ∪ {<unk>} by two broadcast left joins (no driver literal in
+    * the hot path — the vocab frame stays a frame). */
+  private def mapToAlphabet(pairs: DataFrame, vocab: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(vocab.select(col("token").as("w1raw"),
+        lit(1).as("__v1"))), Seq("w1raw"), "left")
+      .join(broadcast(vocab.select(col("token").as("w2raw"),
+        lit(1).as("__v2"))), Seq("w2raw"), "left")
+      .select(col("doc_id"),
+        when(col("__v1").isNotNull, col("w1raw")).otherwise(lit("<unk>"))
+          .as("w1"),
+        when(col("__v2").isNotNull, col("w2raw")).otherwise(lit("<unk>"))
+          .as("w2"))
+
+  /** Top-`vocabK` reference unigrams under the total order
+    * (count DESC, token) — plans as TakeOrderedAndProject, the
+    * corpus-size-independent rank (the bigramVocab note). */
+  def lmVocab(reference: DataFrame, vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    reference.filter(col("text").isNotNull)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabK)
+      .select(col("token"))
+  }
+
+  /** Train the bigram LM on `reference`: alphabet-mapped bigram counts
+    * (top `lmK` by count DESC, w1, w2 — a total order) plus FULL
+    * per-context counts c1 (no cut: c1 is the smoothing denominator and
+    * must cover every context, ≤ vocabK+1 rows by construction). Three
+    * bounded collects (vocabK + vocabK+1 + lmK rows) — the accepted
+    * model-size driver pattern. */
+  def lmTrain(reference: DataFrame, vocabK: Int, lmK: Int): BigramLmModel = {
+    require(lmK >= 1, s"lmK must be >= 1, got $lmK")
+    val vocabDf = lmVocab(reference, vocabK)
+    val vocab = vocabDf.collect().map(_.getString(0)).toSeq
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val vocabLit = vocab.toDF("token")
+    val refBg = mapToAlphabet(rawBigramPairs(reference), vocabLit)
+    val contexts = refBg.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bigrams = refBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(lmK)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    BigramLmModel(vocabK + 1, vocab, contexts, bigrams)
+  }
+
+  /** Score every document under a trained LM: per-doc bigram count and
+    * exact BIGINT micro-nat surprisal sum, `avg_surprisal_micro` = one
+    * IEEE division (perplexity = exp(avg/1e6), monotone — never
+    * materialized). Documents with < 2 tokens (or NULL text) keep
+    * n_bigrams = 0 and NULL score.
+    *
+    * Scale shape: ONE corpus scan → explode to the bigram stream →
+    * three broadcast joins (lmK-row LM, ≤V-row contexts, 1000-row
+    * mantissa table) → one doc-keyed aggregate with map-side combine.
+    * Nothing wider than (doc_id, two longs) ever shuffles. */
+  def lmScore(docs: DataFrame, model: BigramLmModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabLit = model.vocab.toDF("token")
+    val lmLit = model.bigrams.toDF("w1", "w2", "c12")
+    val ctxLit = model.contexts.toDF("w1", "c1")
+    val lnq = LnMantissaMicro.toDF("m", "q")
+    val inst = mapToAlphabet(rawBigramPairs(docs), vocabLit)
+      .join(broadcast(lmLit), Seq("w1", "w2"), "left")
+      .join(broadcast(ctxLit), Seq("w1"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("c1"), lit(0L)) + lit(model.alphabetSize.toLong))
+          .as("num"),
+        (coalesce(col("c12"), lit(0L)) + lit(1L)).as("den"))
+      .select(col("doc_id"),
+        least(expr("num * 1000 div den"), lit(SurprisalCapMilli)).as("r"))
+    // e = floor(log2(r/1000)): ascending foldLeft nests so the LARGEST
+    // matching exponent is the outermost branch and wins
+    val e = (1 to 13).foldLeft(lit(0)) { (acc, k) =>
+      when(col("r") >= lit(1000L << k), lit(k)).otherwise(acc)
+    }
+    val perDoc = inst
+      .withColumn("e", e)
+      .withColumn("m", expr("cast(shiftright(r, e) as int)"))
+      .join(broadcast(lnq), Seq("m"))
+      .select(col("doc_id"),
+        (col("e").cast("long") * lit(Ln2Micro) + col("q")).as("cost"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("cost_sum"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cost_sum"),
+        (col("cost_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_surprisal_micro"))
+  }
+
+  /** CCNet head/middle/tail tertiles over the scored corpus, EXACT
+    * form: rank by (avg_surprisal_micro, doc_id) — a total order, the
+    * one double compared having come from identical integer chains in
+    * both engines — and bucket by exact integer rank arithmetic
+    * (3·rn ≤ n / 3·rn ≤ 2n). Unscored documents (no bigrams) label
+    * 'unscored'. The global row_number is the W5/diversityGateExact
+    * exactness price: at corpus scale, cut at thresholds from a
+    * quantile sketch instead ([[lmPerplexityThresholds]]) — same gate,
+    * one aggregate, no sort. */
+  def lmPerplexityBuckets(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("avg_surprisal_micro").asc, col("doc_id").asc)
+    val scoredOnly = scored.filter(col("cost_sum").isNotNull)
+    val n = scoredOnly.agg(count(lit(1)).as("__n"))
+    val bucketed = scoredOnly
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(col("rn") * 3 <= col("__n"), lit("head"))
+          .when(col("rn") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    scored.join(bucketed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("cost_sum"),
+        col("avg_surprisal_micro"),
+        coalesce(col("ppl_bucket"), lit("unscored")).as("ppl_bucket"))
+  }
+
+  /** The SCALE form of the tertile cut: two thresholds from a
+    * single-pass quantile sketch over the scores (map-side combinable,
+    * no global sort) — persist SNK6-style and gate any later frame,
+    * including a stream, with [[lmPerplexityGateWith]]. Agreement with
+    * the exact buckets is within the sketch's rank-error band
+    * (spec-pinned, the diversityGateApprox contract). */
+  def lmPerplexityThresholds(scored: DataFrame,
+                             accuracy: Int = 10000): DataFrame =
+    scored.filter(col("cost_sum").isNotNull)
+      .agg(
+        expr(s"approx_percentile(avg_surprisal_micro, 0.33333333, $accuracy)")
+          .as("head_max"),
+        expr(s"approx_percentile(avg_surprisal_micro, 0.66666667, $accuracy)")
+          .as("middle_max"))
+
+  /** Apply persisted thresholds to a scored frame: a broadcast one-row
+    * cross join + scan-speed CASE — the stream-static shape. */
+  def lmPerplexityGateWith(scored: DataFrame,
+                           thresholds: DataFrame): DataFrame =
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("n_bigrams"), col("cost_sum"),
+        col("avg_surprisal_micro"),
+        when(col("cost_sum").isNull, lit("unscored"))
+          .when(col("avg_surprisal_micro") <= col("head_max"), lit("head"))
+          .when(col("avg_surprisal_micro") <= col("middle_max"),
+            lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+
+  /** End-to-end CCNet filter: hash-gate a reference split (deterministic
+    * by doc_id — the ext_hash_sample convention), train the bigram LM on
+    * it, score the WHOLE corpus, bucket into exact tertiles. */
+  def lmPerplexity(docs: DataFrame, vocabK: Int, lmK: Int,
+                   refFraction: Double, seed: String,
+                   algo: String = "xxh64"): DataFrame = {
+    val reference = Sampling.sample(docs, col("doc_id"), refFraction,
+      seed, algo)
+    lmPerplexityBuckets(lmScore(docs, lmTrain(reference, vocabK, lmK)))
+  }
 }
