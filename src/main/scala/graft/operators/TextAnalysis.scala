@@ -981,8 +981,8 @@ object TextAnalysis {
       .select(col("doc_id"), toks(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
-        slice(col("ws"), 1, size(col("ws")) - 1),
-        slice(col("ws"), 2, size(col("ws")) - 1))).as("p"))
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
       .select(col("doc_id"),
         col("p").getField("0").as("w1raw"),
         col("p").getField("1").as("w2raw"))
