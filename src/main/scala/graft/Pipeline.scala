@@ -228,14 +228,20 @@ object Pipeline {
   /** Apply a [[Features.fitLinearPerGroup]] artifact to a seq feature
     * frame: ill-conditioned groups are dropped from the join (naive
     * fallback — an unreliable solve is an untrained group), fitted rows
-    * score round(Σbᵢxᵢ + intercept, 2). Keeps the x-feature columns for
-    * the caller to drop. */
+    * score round(Σbᵢxᵢ + intercept, 2). Rows missing ANY of the three
+    * extra features (x2/x3/x4 — possible on caller-supplied frames via
+    * [[seqScore]] / the streaming serve path; [[run]]'s own frames only
+    * realize null x2) also keep the naive `pred_f`: a null feature would
+    * otherwise null the whole Σbᵢxᵢ and silently REPLACE a valid
+    * fallback prediction. Keeps the x-feature columns for the caller to
+    * drop. */
   private def applySeq(feat2: DataFrame, params: DataFrame): DataFrame =
     feat2.join(broadcast(
       params.filter(col("well_conditioned"))
         .drop("n_fit", "well_conditioned")), key, "left")
       .withColumn("pred_f",
-        when(col("b1").isNotNull && col("x2").isNotNull,
+        when(col("b1").isNotNull && col("x2").isNotNull &&
+            col("x3").isNotNull && col("x4").isNotNull,
           round(col("b1") * col("pred_f") + col("b2") * col("x2") +
             col("b3") * col("x3") + col("b4") * col("x4") +
             col("intercept"), 2))

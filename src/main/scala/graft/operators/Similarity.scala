@@ -291,7 +291,13 @@ object Similarity {
     * than each query's full complement — for RANDOM (not hard) negatives
     * that is distribution-equivalent, and the exclusion anti-join still
     * personalizes the pool per query. Pool shortfall fails loud rather
-    * than silently under-delivering negatives. */
+    * than silently under-delivering negatives: a zero-row-unless-violated
+    * raise_error branch (the same lazy-plan guard shape as the domain
+    * guards in Features) joins every query against its realized negative
+    * count and aborts the action naming the starved query — a hash-gate
+    * fluctuation or an exclusion-heavy pool can otherwise silently
+    * deliver fewer than `numNeg` negatives in production, where no
+    * oracle shape check would catch it. */
   def trainingPairs(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
                     nProbe: Int, numNeg: Int, exclusionK: Int,
                     negPoolSize: Int, seed: String): DataFrame = {
@@ -330,7 +336,21 @@ object Similarity {
       .filter(col("rank") <= numNeg)
       .select(col("query_id"), lit("neg").as("role"), col("cand_id"),
         col("rank"))
-    pos.unionByName(neg)
+    // loud shortfall guard: zero rows when every query delivered numNeg
+    // negatives; otherwise the first starved query raises at action time.
+    // The left join (not neg alone) also catches queries with ZERO
+    // negatives, which have no neg row to carry an error.
+    val shortfall = queries.select(col("vec_id").as("query_id"))
+      .join(neg.groupBy(col("query_id")).agg(count(lit(1)).as("__negn")),
+        Seq("query_id"), "left")
+      .filter(coalesce(col("__negn"), lit(0L)) < numNeg)
+      .select(col("query_id"), lit("neg").as("role"),
+        raise_error(format_string(
+          "trainingPairs: negative pool shortfall for query_id=%s - got %s of " +
+            s"$numNeg; raise negPoolSize", col("query_id"),
+          coalesce(col("__negn"), lit(0L)))).cast("long").as("cand_id"),
+        lit(0L).as("rank"))
+    pos.unionByName(neg).unionByName(shortfall)
   }
 
   /** Ground-truth sibling of [[trainingPairs]]: positives are the EXACT

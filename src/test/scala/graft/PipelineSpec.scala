@@ -457,4 +457,25 @@ class PipelineSpec extends SparkSpecBase {
     val a2 = sse(ar2d.trainMetrics)
     assert(a.exists { case (k, (s4, _)) => math.abs(s4 - a2(k)._1) > 1e-9 })
   }
+
+  test("seqScore: a null exogenous feature keeps the naive pred_f instead " +
+      "of nulling the fitted score (r10 advice)") {
+    import spark.implicits._
+    val params = Seq((1L, "view", 0.5, 0.25, 2.0, 0.1, 1.0, 10L, true))
+      .toDF("user_id", "event_type", "b1", "b2", "b3", "b4", "intercept",
+        "n_fit", "well_conditioned")
+    val feat = Seq(
+      (0L, 1L, "view", Some(8.0), Some(6.0), Some(1.0), Some(3.0)),
+      (1L, 1L, "view", Some(8.0), Some(6.0), None, Some(3.0)),      // null x3
+      (2L, 1L, "view", Some(8.0), Some(6.0), Some(1.0), None),      // null x4
+      (3L, 1L, "view", Some(8.0), None, Some(1.0), Some(3.0)))      // null x2
+      .toDF("req_id", "user_id", "event_type", "pred_f", "x2", "x3", "x4")
+    val out = graft.Pipeline.seqScore(feat, params)
+      .select("req_id", "pred_f").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // fitted row: round(.5*8 + .25*6 + 2*1 + .1*3 + 1, 2) = 8.8
+    assert(out(0L) === 8.8)
+    // any missing feature -> naive passthrough, never NULL
+    assert(out(1L) === 8.0 && out(2L) === 8.0 && out(3L) === 8.0)
+  }
 }
