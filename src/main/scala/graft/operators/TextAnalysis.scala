@@ -1151,4 +1151,83 @@ object TextAnalysis {
       seed, algo)
     lmPerplexityBuckets(lmScore(docs, lmTrain(reference, vocabK, lmK)))
   }
+
+  /** Driver-side twin of [[lmScore]]'s quantized chain: the 13-branch
+    * exponent ladder collapses to floor(log2(r/1000)) via
+    * numberOfLeadingZeros (equivalent on r ∈ [1000, 2^13·1000] — for r
+    * in [1000·2^k, 1000·2^(k+1)), floor(r/1000) ∈ [2^k, 2^(k+1))), then
+    * the SAME [[Ln2Micro]]/[[LnMantissaMicro]] constants. Keeping one
+    * definition of the runtime chain and one of the driver chain, each
+    * spec-pinned against the other, is what lets [[lmCostTables]]
+    * pre-evaluate every reachable cost exactly. */
+  private def quantCost(r: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(r / 1000)
+    val m = (r >> e).toInt
+    e * Ln2Micro + LnMantissaMicro(m - 1000)._2
+  }
+
+  /** Collapse a trained LM to its three REACHABLE cost tables: a scored
+    * instance's cost is a pure function of (w1, w2) under the model —
+    * known bigram → cost from (c1, c12); known context w1, unknown
+    * bigram → den = 1; unknown context → num = V, den = 1. Evaluating
+    * the quantized chain driver-side over the ≤ lmK + V + 1 reachable
+    * inputs (exact Long arithmetic — `/` on positive Longs IS the
+    * oracle's `div`) turns query-time scoring into a pure lookup. */
+  private def lmCostTables(
+      model: BigramLmModel): (Map[String, Long], Map[String, Long], Long) = {
+    val v = model.alphabetSize.toLong
+    val ctx = model.contexts.toMap
+    def cost(num: Long, den: Long): Long =
+      quantCost(math.min(num * 1000L / den, SurprisalCapMilli))
+    val bgCost = model.bigrams.map { case (w1, w2, c12) =>
+      (w1 + " " + w2) -> cost(ctx(w1) + v, c12 + 1L)
+    }.toMap
+    val ctxCost = model.contexts.map { case (w1, c1) =>
+      w1 -> cost(c1 + v, 1L)
+    }.toMap
+    (bgCost, ctxCost, cost(v, 1L))
+  }
+
+  /** Row-wise sibling of [[lmScore]]: bit-identical output (spec-pinned)
+    * from a SINGLE stateless projection — no explode, no join, no
+    * doc-keyed aggregate. The model rides as two bounded map literals
+    * (≤ lmK bigram costs + ≤ V context costs, from [[lmCostTables]]);
+    * each document folds its adjacent-token pairs with a per-pair
+    * three-level lookup (bigram → context → unknown-context constant).
+    *
+    * This is the SERVE/STREAM shape: with zero wide dependencies it is
+    * legal in any Structured Streaming output mode with no watermark or
+    * state, and at batch scale it trades [[lmScore]]'s one (doc_id,
+    * long, long) shuffle for an O(lmK) in-row scan per pair — the right
+    * side of that trade everywhere except degenerate corpora of
+    * million-token documents. Tokens cannot contain the `' '` join
+    * character (they are produced by splitting on it), so the bigram
+    * map key is collision-free. */
+  def lmScoreRowwise(docs: DataFrame, model: BigramLmModel): DataFrame = {
+    val (bgCost, ctxCost, defaultCost) = lmCostTables(model)
+    val vocabM = typedLit(model.vocab.map(_ -> 1).toMap)
+    val bgM = typedLit(bgCost)
+    val ctxM = typedLit(ctxCost)
+    val wsMapped = transform(toks(col("text")), t =>
+      when(try_element_at(vocabM, t).isNotNull, t).otherwise(lit("<unk>")))
+    val pairCosts = zip_with(
+      slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+      slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+      (a, b) => coalesce(
+        try_element_at(bgM, concat(a, lit(" "), b)),
+        try_element_at(ctxM, a),
+        lit(defaultCost)))
+    docs
+      .withColumn("__ws", when(col("text").isNotNull, wsMapped))
+      .withColumn("n_bigrams",
+        when(col("__ws").isNotNull && size(col("__ws")) >= 2,
+          (size(col("__ws")) - 1).cast("long")).otherwise(lit(0L)))
+      .withColumn("cost_sum",
+        when(col("n_bigrams") > 0,
+          aggregate(pairCosts, lit(0L), (acc, c) => acc + c)))
+      .select(col("doc_id"), col("n_bigrams"), col("cost_sum"),
+        when(col("n_bigrams") > 0,
+          col("cost_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_surprisal_micro"))
+  }
 }

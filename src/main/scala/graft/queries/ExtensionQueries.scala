@@ -111,6 +111,113 @@ object ExtensionQueries {
       |    CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS marker_hits
       |  FROM lsc)""".stripMargin
 
+  /** Generated DuckDB oracle for ext_lm_perplexity — the full CCNet
+    * chain re-derived independently: md5 hash-gate the reference split
+    * (SamplingQueries.duckBucket convention), top-`vocabK` reference
+    * unigrams under (count DESC, token), alphabet-map both corpora into
+    * vocab ∪ '<unk>', full per-context counts + top-`lmK` bigram counts
+    * under (count DESC, w1, w2), then the exact quantized-surprisal
+    * integer chain of [[TextAnalysis.lmScore]]: r = least(num·1000 div
+    * den, cap), the 13-branch exponent ladder, m = r >> e, and cost =
+    * e·Ln2Micro + q(m). The 1000-row mantissa table q(m) is interpolated
+    * from [[TextAnalysis.LnMantissaMicro]] — a corpus-independent math
+    * constant shared verbatim (the PoissonCdfMicro convention), so both
+    * engines sum bit-identical BIGINT costs. */
+  private def lmPerplexityOracle(vocabK: Int, lmK: Int,
+                                 refFraction: Double, seed: String): String = {
+    val v = vocabK + 1
+    val qs = TextAnalysis.LnMantissaMicro.map(_._2).mkString(", ")
+    val cap = TextAnalysis.SurprisalCapMilli
+    val ln2 = TextAnalysis.Ln2Micro
+    val gate = math.round(refFraction * graft.operators.Sampling.Scale)
+    val ladder = (13 to 1 by -1)
+      .map(k => s"WHEN r >= ${1000L << k} THEN $k").mkString(" ")
+    s"""WITH lnq AS (
+       |  SELECT unnest(generate_series(1000, 1999)) AS m,
+       |         unnest([$qs]) AS q),
+       |rw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |      || ':$seed'), 1, 15)) AS BIGINT) % 1000000 < $gate),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS n
+       |    FROM (SELECT unnest(ws) AS token FROM rw) GROUP BY 1)
+       |  QUALIFY row_number() OVER (ORDER BY n DESC, token) <= $vocabK),
+       |rpair AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |           i -> ws[i])) AS w1raw,
+       |         unnest(list_transform(generate_series(1, len(ws) - 1),
+       |           i -> ws[i+1])) AS w2raw
+       |  FROM rw WHERE len(ws) >= 2),
+       |rmap AS (
+       |  SELECT CASE WHEN v1.token IS NOT NULL THEN w1raw
+       |              ELSE '<unk>' END AS w1,
+       |         CASE WHEN v2.token IS NOT NULL THEN w2raw
+       |              ELSE '<unk>' END AS w2
+       |  FROM rpair
+       |  LEFT JOIN vocab v1 ON v1.token = rpair.w1raw
+       |  LEFT JOIN vocab v2 ON v2.token = rpair.w2raw),
+       |ctx AS (SELECT w1, count(*) AS c1 FROM rmap GROUP BY w1),
+       |lm AS (
+       |  SELECT w1, w2, c12 FROM (
+       |    SELECT w1, w2, count(*) AS c12 FROM rmap GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (ORDER BY c12 DESC, w1, w2) <= $lmK),
+       |dw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE text IS NOT NULL),
+       |dpair AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(ws) - 1),
+       |      i -> ws[i])) AS w1raw,
+       |    unnest(list_transform(generate_series(1, len(ws) - 1),
+       |      i -> ws[i+1])) AS w2raw
+       |  FROM dw WHERE len(ws) >= 2),
+       |dmap AS (
+       |  SELECT doc_id,
+       |    CASE WHEN v1.token IS NOT NULL THEN w1raw
+       |         ELSE '<unk>' END AS w1,
+       |    CASE WHEN v2.token IS NOT NULL THEN w2raw
+       |         ELSE '<unk>' END AS w2
+       |  FROM dpair
+       |  LEFT JOIN vocab v1 ON v1.token = dpair.w1raw
+       |  LEFT JOIN vocab v2 ON v2.token = dpair.w2raw),
+       |inst AS (
+       |  SELECT doc_id,
+       |    least((coalesce(ctx.c1, 0) + $v) * 1000
+       |          // (coalesce(lm.c12, 0) + 1), $cap) AS r
+       |  FROM dmap
+       |  LEFT JOIN lm ON lm.w1 = dmap.w1 AND lm.w2 = dmap.w2
+       |  LEFT JOIN ctx ON ctx.w1 = dmap.w1),
+       |led AS (
+       |  SELECT doc_id, r, CASE $ladder ELSE 0 END AS e FROM inst),
+       |cost AS (
+       |  SELECT doc_id, CAST(e AS BIGINT) * $ln2 + lnq.q AS cost
+       |  FROM led JOIN lnq ON lnq.m = (led.r >> led.e)),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(cost) AS BIGINT) AS cost_sum
+       |  FROM cost GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.cost_sum,
+       |    CAST(p.cost_sum AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+       |      AS avg_surprisal_micro
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN perdoc p USING (doc_id)),
+       |so AS (SELECT * FROM scored WHERE cost_sum IS NOT NULL),
+       |bk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN 3 * row_number() OVER (ORDER BY avg_surprisal_micro, doc_id)
+       |           <= count(*) OVER () THEN 'head'
+       |         WHEN 3 * row_number() OVER (ORDER BY avg_surprisal_micro, doc_id)
+       |           <= 2 * count(*) OVER () THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM so)
+       |SELECT s.doc_id, s.n_bigrams, s.cost_sum, s.avg_surprisal_micro,
+       |  coalesce(bk.ppl_bucket, 'unscored') AS ppl_bucket
+       |FROM scored s LEFT JOIN bk USING (doc_id)""".stripMargin
+  }
+
   /** Ground-truth near-dup pairs: exact shingle Jaccard ≥ 1/2 as pure
     * integer comparison (no float boundary). */
   private val duckJaccardPairs =
@@ -1637,6 +1744,41 @@ object ExtensionQueries {
         |  END AS coverage
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN sc USING (doc_id)""".stripMargin),
+
+    // CCNet reference-LM perplexity filter (round 11) — train an add-1
+    // bigram LM on a hash-gated reference split (md5 differential path),
+    // score every document by exact BIGINT micro-nat surprisal (the
+    // quantized ln chain documented at TextAnalysis.lmScore — the
+    // mantissa log table is interpolated into this oracle from the SAME
+    // Scala constant, the PoissonCdfMicro convention), then cut exact
+    // head/middle/tail tertiles by (avg_surprisal, doc_id) rank. The one
+    // double compared (avg_surprisal_micro) is a single IEEE division of
+    // identical integers in both engines.
+    "ext_lm_perplexity" -> QueryDef(
+      (s, dir) => TextAnalysis.lmPerplexity(Tables.documents(s, dir),
+        vocabK = 150, lmK = 500, refFraction = 0.3, seed = "r11lm",
+        algo = "md5"),
+      lmPerplexityOracle(vocabK = 150, lmK = 500, refFraction = 0.3,
+        seed = "r11lm")),
+
+    // The SERVE/STREAM shape of the same filter, held to the SAME
+    // DuckDB oracle: lmScoreRowwise pre-evaluates every reachable
+    // quantized cost driver-side and scores each document in one
+    // stateless projection (no explode, no join, no shuffle) — so three
+    // independent computations (Spark explode+broadcast-join, Spark
+    // in-row fold over precomputed tables, DuckDB SQL) must land on
+    // bit-identical BIGINT sums. This row is what certifies the
+    // streaming perplexityGate's scoring path.
+    "ext_lm_perplexity_rowwise" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ref = graft.operators.Sampling.sample(docs, col("doc_id"),
+          0.3, "r11lm", "md5")
+        TextAnalysis.lmPerplexityBuckets(TextAnalysis.lmScoreRowwise(
+          docs, TextAnalysis.lmTrain(ref, vocabK = 150, lmK = 500)))
+      },
+      lmPerplexityOracle(vocabK = 150, lmK = 500, refFraction = 0.3,
+        seed = "r11lm")),
 
     // PMI collocations (round 9) — statistical phrase detection over
     // adjacent token pairs: the exported `score` is the ratio inside the

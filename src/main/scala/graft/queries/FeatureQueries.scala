@@ -1243,6 +1243,67 @@ object FeatureQueries {
            |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
       }),
 
+    // W13b (round 11) — the EWMA overflow-guard BOUNDARY as oracle
+    // data (the snk3 mode-as-data pattern): deterministically push every
+    // 17th event past the |v| < 1e6 domain (v = 1e6 + |value|, pure IEEE
+    // ops identical in both engines), carry the guard outcome as an
+    // `in_domain` column, run EWMA over ONLY the in-domain rows (the
+    // documented production pattern — exclude or rescale upstream), and
+    // left-join the smoothed values back so out-of-domain rows surface
+    // with in_domain=false and NULL ewma. Both engines re-derive the
+    // flag AND the exclusion's effect on frame composition — so a guard
+    // drift (boundary off by an ulp, or the filter not actually
+    // excluding) breaks the hash. The raise_error face of the same
+    // boundary is spec-pinned (FeaturesSpec).
+    "w13_ewma_guard" -> QueryDef(
+      (s, dir) => {
+        val flagged = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("v_scaled",
+            when(col("event_id") % 17 === 0, lit(1e6) + abs(col("value")))
+              .otherwise(col("value")))
+          .withColumn("in_domain", abs(col("v_scaled")) < lit(1e6))
+        val smoothed = Features.ewma(flagged.filter(col("in_domain")),
+          key, Seq(col("ts"), col("event_id")), col("v_scaled"),
+          alpha = 0.3, maxLag = 8)
+          .select(col("event_id"), col("ewma"))
+        flagged.join(smoothed, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("v_scaled"), col("in_domain"), col("ewma"))
+      }, {
+        val wvals = Features.ewmaWeights(0.3, 8).zipWithIndex
+          .map { case (wt, j) => s"($j, CAST(${"%.17g".format(wt)} AS DOUBLE))" }
+          .mkString(", ")
+        s"""WITH flagged AS (
+           |  SELECT event_id, user_id, event_type, ts,
+           |    CASE WHEN event_id % 17 = 0 THEN 1e6 + abs(value)
+           |         ELSE value END AS v_scaled
+           |  FROM events WHERE value IS NOT NULL),
+           |f2 AS (
+           |  SELECT *, abs(v_scaled) < 1e6 AS in_domain FROM flagged),
+           |r AS (
+           |  SELECT event_id, user_id, event_type, v_scaled,
+           |    row_number() OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM f2 WHERE in_domain),
+           |j AS (
+           |  SELECT cur.event_id,
+           |    CAST(round(hist.v_scaled * w.wt * 1e12) AS BIGINT) AS tq,
+           |    CAST(round(w.wt * 1e12) AS BIGINT) AS wq
+           |  FROM r cur
+           |  JOIN r hist ON cur.user_id = hist.user_id
+           |    AND cur.event_type = hist.event_type
+           |    AND hist.rn BETWEEN cur.rn - 7 AND cur.rn
+           |  JOIN (VALUES $wvals) AS w(j, wt) ON w.j = cur.rn - hist.rn),
+           |ew AS (
+           |  SELECT event_id,
+           |    CAST(sum(tq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS ewma
+           |  FROM j GROUP BY 1)
+           |SELECT f2.event_id, f2.user_id, f2.event_type, f2.v_scaled,
+           |  f2.in_domain, ew.ewma
+           |FROM f2 LEFT JOIN ew USING (event_id)""".stripMargin
+      }),
+
     // A32 (ext, round 9) — additive weekly decomposition per
     // event_type: value = group_mean + dow_effect + residual. The
     // first-order calendar structure of an economic-events series

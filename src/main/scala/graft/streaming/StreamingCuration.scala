@@ -85,6 +85,28 @@ object StreamingCuration {
                     by: String = "lang"): DataFrame =
     TextAnalysis.diversityGateWith(docs, thresholds, by)
 
+  /** CCNet perplexity gate on a stream, from TRAINED artifacts: `model`
+    * comes from [[TextAnalysis.lmTrain]] over a reference split (a batch
+    * job; bounded driver tables, the BigramLmModel contract) and
+    * `thresholds` from [[TextAnalysis.lmPerplexityThresholds]] over a
+    * scored reference corpus — both persistable SNK6-style. The
+    * unbounded side pays one stateless projection
+    * ([[TextAnalysis.lmScoreRowwise]] — the model rides as bounded map
+    * literals, no explode/join/aggregate, so ANY output mode works with
+    * no watermark) plus the broadcast one-row threshold join of
+    * [[TextAnalysis.lmPerplexityGateWith]]. Batch parity is bit-exact
+    * and spec-pinned: the rowwise scorer computes the identical
+    * quantized-surprisal integers as batch [[TextAnalysis.lmScore]],
+    * and the gate applies the identical persisted thresholds — same
+    * artifacts, zero drift. Emits the scored+bucketed frame
+    * (doc_id, n_bigrams, cost_sum, avg_surprisal_micro, ppl_bucket);
+    * filtering to head/middle is caller policy, like [[diversityGate]].
+    * The caller-owns-the-cache convention applies to `thresholds`. */
+  def perplexityGate(docs: DataFrame, model: TextAnalysis.BigramLmModel,
+                     thresholds: DataFrame): DataFrame =
+    TextAnalysis.lmPerplexityGateWith(
+      TextAnalysis.lmScoreRowwise(docs, model), thresholds)
+
   /** Back half: near-dup candidate pairs among the curated survivors
     * (SimHash sketch → band buckets). Chain this onto [[curatedStream]]'s
     * output for the full flow. `probeBits` per [[StreamingDedup.banded]]:

@@ -229,4 +229,51 @@ class StreamingDedupSpec extends SparkSpecBase {
       } finally q.stop()
     } finally idx.unpersist()
   }
+
+  test("streaming perplexity gate: batch-parity scores and buckets from " +
+      "persisted LM + threshold artifacts, across micro-batch boundaries") {
+    implicit val sq = spark.sqlContext
+    // reference corpus trains the LM and the tertile thresholds batch-side
+    val reference = Seq(
+      (101L, nearDupA), (102L, nearDupB), (103L, unrelated),
+      (104L, "the quick brown fox sleeps under the lazy dog by the bank"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.lmTrain(reference,
+      vocabK = 20, lmK = 50)
+    val thresholds = graft.operators.TextAnalysis.lmPerplexityThresholds(
+      graft.operators.TextAnalysis.lmScore(reference, model)).cache()
+    try {
+      val incoming = Seq(
+        (1L, nearDupA),                                   // in-domain: head-ish
+        (2L, "fox jumps dog river the the the quick"),    // shuffled: worse LM fit
+        (3L, "totally novel tokens outside any training vocabulary stream"),
+        (4L, "single"))                                   // unscored
+      val in = MemoryStream[(Long, String)]
+      val docs = in.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.StreamingCuration.perplexityGate(
+        docs, model, thresholds)
+        .writeStream.format("memory").queryName("sc_ppl")
+        .outputMode("append").start()
+      try {
+        in.addData(incoming.take(2): _*)
+        q.processAllAvailable()
+        in.addData(incoming.drop(2): _*)
+        q.processAllAvailable()
+        def snap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+          r.getLong(0) -> (r.getLong(1), Option(r.getAs[Any]("cost_sum")),
+            r.getString(4))).toMap
+        val streamed = snap(spark.table("sc_ppl").collect())
+        // batch twin: SAME artifacts through the batch gate over the
+        // batch scorer — bit-exact integers, identical buckets
+        val batch = snap(graft.operators.TextAnalysis.lmPerplexityGateWith(
+          graft.operators.TextAnalysis.lmScore(
+            incoming.toDF("doc_id", "text"), model), thresholds).collect())
+        assert(streamed === batch)
+        // the gate actually discriminates: doc 4 unscored, and the
+        // corpus spans more than one bucket
+        assert(streamed(4L)._3 === "unscored")
+        assert(streamed.values.map(_._3).toSet.size >= 2)
+      } finally q.stop()
+    } finally { thresholds.unpersist(); () }
+  }
 }

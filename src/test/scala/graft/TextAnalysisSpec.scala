@@ -139,4 +139,86 @@ class TextAnalysisSpec extends SparkSpecBase {
     // at sf0.001 OR the fused set is exactly the disjoint union
     assert(rows.exists(_._2.isDefined) && rows.exists(_._3.isDefined))
   }
+
+  test("bigram LM: hand-checked counts and exact quantized surprisal chain") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // pairs (a,b)(b,a)(a,b)(b,a)
+      (2L, "a a b"),      // pairs (a,a)(a,b)
+      (3L, "c"))          // single token -> unscored
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.lmTrain(docs, vocabK = 2, lmK = 10)
+    assert(model.alphabetSize === 3)
+    assert(model.vocab.toSet === Set("a", "b"))  // c falls to <unk>
+    assert(model.contexts.toMap === Map("a" -> 4L, "b" -> 2L))
+    assert(model.bigrams.map(t => ((t._1, t._2), t._3)).toMap ===
+      Map(("a", "b") -> 3L, ("b", "a") -> 2L, ("a", "a") -> 1L))
+    val scored = TextAnalysis.lmScore(docs, model).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[Any]("cost_sum")))).toMap
+    // hand-derived micro-nat costs (ladder + mantissa table):
+    //   (a,b): r=7000/4=1750, e=0 -> q(1750)=559616
+    //   (b,a): r=5000/3=1666, e=0 -> q(1666)=510426
+    //   (a,a): r=7000/2=3500, e=1, m=1750 -> 693147+559616=1252763
+    assert(scored(1L) === ((4L, Some(2L * 559616 + 2L * 510426))))
+    assert(scored(2L) === ((2L, Some(1252763L + 559616L))))
+    assert(scored(3L) === ((0L, None)))
+  }
+
+  test("bigram LM rowwise scorer: bit-identical to the explode+join " +
+      "scorer, including unscored and <unk>-heavy documents") {
+    import spark.implicits._
+    // hand frame exercises every lookup level: known bigram, known
+    // context + unknown bigram, unknown context, single-token (unscored),
+    // null text (unscored)
+    val hand = Seq((1L, "a b a b a"), (2L, "a a b"), (3L, "c"),
+      (4L, "z q z"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val handModel = TextAnalysis.lmTrain(hand.filter("doc_id <= 2"),
+      vocabK = 2, lmK = 2) // lmK cut forces the context-fallback path
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), Option(r.getAs[Any]("cost_sum")),
+        Option(r.getAs[Any]("avg_surprisal_micro")))).toMap
+    assert(snap(TextAnalysis.lmScoreRowwise(hand, handModel)) ===
+      snap(TextAnalysis.lmScore(hand, handModel)))
+
+    // corpus-scale agreement on real documents
+    val docs = graft.Tables.documents(spark, sf0001)
+    val model = TextAnalysis.lmTrain(
+      graft.operators.Sampling.sample(docs, col("doc_id"), 0.3, "r11rw"),
+      vocabK = 100, lmK = 300)
+    assert(snap(TextAnalysis.lmScoreRowwise(docs, model)) ===
+      snap(TextAnalysis.lmScore(docs, model)))
+  }
+
+  test("bigram LM: exact tertiles are balanced; threshold gate agrees " +
+      "within the sketch boundary") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val model = TextAnalysis.lmTrain(
+      graft.operators.Sampling.sample(docs, col("doc_id"), 0.3, "r11lm"),
+      vocabK = 100, lmK = 300)
+    val scored = TextAnalysis.lmScore(docs, model).cache()
+    val exact = TextAnalysis.lmPerplexityBuckets(scored)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // tertile balance over the scored docs: each bucket within 1 of n/3
+    val scoredBuckets = exact.values.filter(_ != "unscored").toSeq
+    val n = scoredBuckets.size
+    assert(n > 0)
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(scoredBuckets.count(_ == b) - n / 3.0) <= 1.0,
+        s"bucket $b unbalanced")
+    }
+    val gated = TextAnalysis.lmPerplexityGateWith(scored,
+        TextAnalysis.lmPerplexityThresholds(scored))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // unscored sets identical; bucket agreement within the sketch's
+    // rank-error band (boundary docs may swap adjacent buckets)
+    assert(exact.keySet === gated.keySet)
+    assert(exact.filter(_._2 == "unscored") ===
+      gated.filter(_._2 == "unscored"))
+    val agree = exact.count { case (id, b) => gated(id) == b }
+    assert(agree >= math.ceil(exact.size * 0.9),
+      s"agreement $agree/${exact.size} below 0.9")
+    scored.unpersist()
+    ()
+  }
 }
