@@ -618,6 +618,69 @@ object Dedup {
         count(when(col("dup").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Intra-document repeated-span scrub (the WITHIN-doc face of exact
+    * substring dedup — Lee et al. 2021 remove repeated training spans
+    * because models memorize them; [[graft.operators.TextAnalysis.repetition]]
+    * MEASURES a document's duplicate-n-gram fraction, this op REWRITES
+    * the document): drop every token whose EVERY covering n-gram is a
+    * repeat of an earlier n-gram in the same document.
+    *
+    * The coverage rule is position-algebraic, not sequential — token k
+    * is covered by gram starts i ∈ [k−n+1, k] ∩ [1, m−n+1]; a gram is a
+    * `dup` iff an equal gram starts earlier in the doc — so the whole
+    * policy is window algebra: the FIRST occurrence of any span always
+    * survives (its grams are their own first positions), an echoed span
+    * of length L loses its tail L−2(n−1) ≥ 1 tokens (junction tokens are
+    * covered by non-dup grams bridging fresh context and stay), and
+    * documents shorter than n tokens pass through untouched (no covering
+    * gram ⇒ kept).
+    *
+    * Scale shape: grams group by xxhash64 — 8-byte keys, never gram
+    * text, through the exchange (the passageDedup collision trade,
+    * ~2⁻⁶⁴ per pair within ONE document); three narrow per-doc-keyed
+    * shuffles ((doc, ghash) first-position window; (doc, pos) order for
+    * the lead/coverage windows; the rebuild groupBy) — all partition by
+    * doc_id first, so a 100 TB corpus spreads by document and no stage
+    * sees more than one document's tokens in a task group.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean), original token
+    * order preserved. */
+  def spanScrub(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"n must be in [2, 64], got $n")
+    import org.apache.spark.sql.expressions.Window
+    val tok = spread(docs)
+      .withColumn("ws", tokens(coalesce(col("text"), lit(""))))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("k0", "w")))
+      .select(col("doc_id"), (col("k0") + 1).as("k"), col("w"),
+        size(col("ws")).as("m"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("k"))
+    // gram starting at k (null when no full n-gram fits)
+    val gram = concat_ws(" ", col("w") +:
+      (1 until n).map(j => lead(col("w"), j).over(wOrd)): _*)
+    val withGram = tok.withColumn("ghash",
+      when(col("k") <= col("m") - (n - 1), xxhash64(gram)))
+    val wGram = Window.partitionBy(col("doc_id"), col("ghash"))
+    val withDup = withGram.withColumn("dup",
+      when(col("ghash").isNotNull,
+        (col("k") > min(col("k")).over(wGram)).cast("int")))
+    // token k's covering grams start in the n-row frame ending at k;
+    // min ignores the null dup of non-gram positions
+    val wCover = wOrd.rowsBetween(-(n - 1), 0)
+    val flagged = withDup.withColumn("removed",
+      count(col("dup")).over(wCover) > 0 &&
+        min(col("dup")).over(wCover) === 1)
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("removed"), 1)).as("n_removed"),
+        array_join(expr(
+          """transform(
+            |  array_sort(collect_list(CASE WHEN NOT removed
+            |    THEN struct(k, w) END)),
+            |  s -> s.w)""".stripMargin), " ").as("text_clean"))
+  }
+
   def simhashPairsFromSketch(sk: DataFrame, maxDist: Int,
                              probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 16,

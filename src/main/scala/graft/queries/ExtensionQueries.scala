@@ -812,6 +812,47 @@ object ExtensionQueries {
         |FROM ch c LEFT JOIN df d ON c.chunk = d.chunk
         |GROUP BY c.doc_id""".stripMargin),
 
+    // Intra-document repeated-span scrub (round 11) — the WITHIN-doc
+    // face of exact substring dedup (Lee et al. 2021): drop every token
+    // whose EVERY covering 3-gram repeats an earlier 3-gram of the same
+    // document. Pure window algebra (first occurrence always survives,
+    // echo tails go, sub-n docs pass through); Spark groups grams by
+    // xxhash64, the oracle by gram text — equivalent modulo the
+    // documented 2^-64 collision trade, so the hash must reproduce the
+    // text grouping exactly on real data.
+    "dedup_span_scrub" -> QueryDef(
+      (s, dir) => Dedup.spanScrub(Tables.documents(s, dir), n = 3),
+      """WITH t AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, ws, len(ws) AS m,
+        |    unnest(generate_series(1, len(ws))) AS k
+        |  FROM t),
+        |tk AS (
+        |  SELECT doc_id, m, k, ws[k] AS w,
+        |    CASE WHEN k <= m - 2
+        |      THEN array_to_string(ws[k:k+2], ' ') END AS gram
+        |  FROM tok),
+        |d AS (
+        |  SELECT doc_id, k, w,
+        |    CASE WHEN gram IS NOT NULL THEN
+        |      CAST(k > min(k) OVER (PARTITION BY doc_id, gram) AS INT)
+        |    END AS dup
+        |  FROM tk),
+        |cov AS (
+        |  SELECT t1.doc_id, t1.k, t1.w,
+        |    count(t2.dup) > 0 AND min(t2.dup) = 1 AS removed
+        |  FROM d t1
+        |  LEFT JOIN d t2 ON t2.doc_id = t1.doc_id
+        |    AND t2.k BETWEEN t1.k - 2 AND t1.k AND t2.dup IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(CASE WHEN removed THEN 1 END) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT removed THEN w END, ' '
+        |    ORDER BY k), '') AS text_clean
+        |FROM cov GROUP BY doc_id""".stripMargin),
+
     // INCREMENTAL dedup, the production ingest shape: the existing corpus
     // (doc_id % 5 != 0) is sketched ONCE into a parquet MinHash index
     // (sketch contract in column metadata), read back, and probed by the

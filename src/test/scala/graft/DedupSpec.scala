@@ -317,4 +317,36 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("ground-truth"))
   }
+
+  test("spanScrub: echo tails removed, first occurrence and junctions " +
+      "survive, sub-n docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c X a b c"),            // short echo: only its last token goes
+      (2L, "v w x y z v w x y z"),      // L=5 echo: tail L-2(n-1)=3 goes
+      (3L, "a b"),                      // shorter than n: untouched
+      (4L, "p q r s t u"),              // no repeats: untouched
+      (5L, null.asInstanceOf[String]))  // null text -> '' -> one empty token
+      .toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((7L, 1L, "a b c X a b")))
+    assert(out(2L) === ((10L, 3L, "v w x y z v w")))
+    assert(out(3L) === ((2L, 0L, "a b")))
+    assert(out(4L) === ((6L, 0L, "p q r s t u")))
+    assert(out(5L) === ((1L, 0L, "")))
+    // n=2: periodic stutter collapses to one period + the junction token
+    val stutter = Seq((9L, "a b a b a b")).toDF("doc_id", "text")
+    val s = Dedup.spanScrub(stutter, n = 2).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(s(9L) === ((6L, 3L, "a b a")))
+    // layout invariance: same answer from a different partitioning
+    val repart = Dedup.spanScrub(docs.repartition(7), n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(repart === out)
+    intercept[IllegalArgumentException] { Dedup.spanScrub(docs, n = 1) }
+    ()
+  }
 }
