@@ -1166,59 +1166,63 @@ object TextAnalysis {
     e * Ln2Micro + LnMantissaMicro(m - 1000)._2
   }
 
-  /** Collapse a trained LM to its three REACHABLE cost tables: a scored
-    * instance's cost is a pure function of (w1, w2) under the model —
-    * known bigram → cost from (c1, c12); known context w1, unknown
-    * bigram → den = 1; unknown context → num = V, den = 1. Evaluating
-    * the quantized chain driver-side over the ≤ lmK + V + 1 reachable
-    * inputs (exact Long arithmetic — `/` on positive Longs IS the
-    * oracle's `div`) turns query-time scoring into a pure lookup. */
-  private def lmCostTables(
-      model: BigramLmModel): (Map[String, Long], Map[String, Long], Long) = {
-    val v = model.alphabetSize.toLong
-    val ctx = model.contexts.toMap
-    def cost(num: Long, den: Long): Long =
-      quantCost(math.min(num * 1000L / den, SurprisalCapMilli))
-    val bgCost = model.bigrams.map { case (w1, w2, c12) =>
-      (w1 + " " + w2) -> cost(ctx(w1) + v, c12 + 1L)
-    }.toMap
-    val ctxCost = model.contexts.map { case (w1, c1) =>
-      w1 -> cost(c1 + v, 1L)
-    }.toMap
-    (bgCost, ctxCost, cost(v, 1L))
-  }
-
   /** Row-wise sibling of [[lmScore]]: bit-identical output (spec-pinned)
     * from a SINGLE stateless projection — no explode, no join, no
-    * doc-keyed aggregate. The model rides as two bounded map literals
-    * (≤ lmK bigram costs + ≤ V context costs, from [[lmCostTables]]);
-    * each document folds its adjacent-token pairs with a per-pair
-    * three-level lookup (bigram → context → unknown-context constant).
+    * doc-keyed aggregate. A scored instance's cost is a pure function of
+    * (w1, w2) under the model — known bigram → cost from (c1, c12);
+    * known context, unknown bigram → den = 1; unknown context →
+    * num = V, den = 1 — so every reachable cost is pre-evaluated
+    * driver-side over the ≤ lmK + V + 1 inputs (exact Long arithmetic:
+    * `/` on positive Longs IS the oracle's `div`) and query-time
+    * scoring is pure lookup.
+    *
+    * Lookup layout (the per-pair cost must not pay a linear string-map
+    * scan — measured 5.7× over [[lmScore]] at sf0.1 in the naive
+    * string-keyed form): tokens map to dense int ids through ONE
+    * ≤ vocabK string map probe per token, then each pair costs one
+    * long-keyed map probe (id1·V + id2 — collision-free by id range)
+    * with an O(1) context-cost ARRAY fallback indexed by id1. A corpus
+    * token literally spelled "<unk>" that wins a vocab slot collapses
+    * into the placeholder in every path (train, batch score, oracle) —
+    * the id mapping preserves that quirk by reusing its vocab id as the
+    * unknown id.
     *
     * This is the SERVE/STREAM shape: with zero wide dependencies it is
     * legal in any Structured Streaming output mode with no watermark or
     * state, and at batch scale it trades [[lmScore]]'s one (doc_id,
-    * long, long) shuffle for an O(lmK) in-row scan per pair — the right
-    * side of that trade everywhere except degenerate corpora of
-    * million-token documents. Tokens cannot contain the `' '` join
-    * character (they are produced by splitting on it), so the bigram
-    * map key is collision-free. */
+    * long, long) shuffle for bounded in-row probes. */
   def lmScoreRowwise(docs: DataFrame, model: BigramLmModel): DataFrame = {
-    val (bgCost, ctxCost, defaultCost) = lmCostTables(model)
-    val vocabM = typedLit(model.vocab.map(_ -> 1).toMap)
-    val bgM = typedLit(bgCost)
-    val ctxM = typedLit(ctxCost)
-    val wsMapped = transform(toks(col("text")), t =>
-      when(try_element_at(vocabM, t).isNotNull, t).otherwise(lit("<unk>")))
+    val v = model.alphabetSize
+    val ctx = model.contexts.toMap
+    def cost(num: Long, den: Long): Long =
+      quantCost(math.min(num * 1000L / den, SurprisalCapMilli))
+    val defaultCost = cost(v.toLong, 1L)
+    val idx: Map[String, Int] = model.vocab.zipWithIndex.toMap
+    val unkId = idx.getOrElse("<unk>", v - 1)
+    def tokenId(t: String): Int = idx.getOrElse(t, unkId)
+    // context costs as an id-indexed array: O(1) per pair
+    val ctxArr = Array.fill(v)(defaultCost)
+    model.contexts.foreach { case (w1, c1) =>
+      ctxArr(tokenId(w1)) = cost(c1 + v.toLong, 1L)
+    }
+    // bigram costs keyed id1·V + id2: long compares, no string concat
+    val bgCostL: Map[Long, Long] = model.bigrams.map { case (w1, w2, c12) =>
+      (tokenId(w1).toLong * v + tokenId(w2)) -> cost(ctx(w1) + v.toLong,
+        c12 + 1L)
+    }.toMap
+    val idxM = typedLit(idx)
+    val ctxArrLit = typedLit(ctxArr.toSeq)
+    val bgM = typedLit(bgCostL)
+    val wsIds = transform(toks(col("text")), t =>
+      coalesce(try_element_at(idxM, t), lit(unkId)))
     val pairCosts = zip_with(
       slice(col("__ws"), lit(1), size(col("__ws")) - 1),
       slice(col("__ws"), lit(2), size(col("__ws")) - 1),
       (a, b) => coalesce(
-        try_element_at(bgM, concat(a, lit(" "), b)),
-        try_element_at(ctxM, a),
-        lit(defaultCost)))
+        try_element_at(bgM, a.cast("long") * lit(v.toLong) + b.cast("long")),
+        element_at(ctxArrLit, a + lit(1))))
     docs
-      .withColumn("__ws", when(col("text").isNotNull, wsMapped))
+      .withColumn("__ws", when(col("text").isNotNull, wsIds))
       .withColumn("n_bigrams",
         when(col("__ws").isNotNull && size(col("__ws")) >= 2,
           (size(col("__ws")) - 1).cast("long")).otherwise(lit(0L)))
