@@ -520,7 +520,15 @@ object Similarity {
     * `bits`/many tables and the pruning factor is modest — the
     * dedup_embedding_cosine_lsh row pins the measured recall floor
     * against the brute-force ground truth rather than claiming exact
-    * parity there. */
+    * parity there.
+    *
+    * OCCUPANCY RULE (round-11 sf1 sweep, BENCH_SF1.md): `bits` must
+    * grow with the corpus — a fixed signature keeps 2^bits buckets per
+    * table, so occupancy rises linearly with n and the in-bucket
+    * self-join quadratically (measured 12.8× at 10× data with bits=2).
+    * Size bits ≈ log₂(n / 500) to hold per-bucket work constant
+    * (bits=5 at n=20k: 4.5× at 10× data, recall 0.917 vs the 0.8
+    * floor); buy back boundary recall with `tables`/`multiProbe`. */
   def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
                           bits: Int, tables: Int,
                           multiProbe: Int = 0): DataFrame = {

@@ -40,8 +40,8 @@ object ScaleBenchCheck {
 
   private val Copies = 10
 
-  private def buildSurrogate(spark: SparkSession, src: String,
-                             dst: String): Unit = {
+  private[tools] def buildSurrogate(spark: SparkSession, src: String,
+                                    dst: String): Unit = {
     val copies = spark.range(Copies).select(col("id").cast("int").as("c"))
 
     val ev = spark.read.parquet(s"$src/events.parquet")

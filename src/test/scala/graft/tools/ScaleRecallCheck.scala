@@ -37,17 +37,26 @@ object ScaleRecallCheck {
     v.map(x => (x / n).toFloat)
   }
 
+  /** Distributed generation — vectors are a pure function of vec_id, so
+    * content is identical to the original driver-side builder at any
+    * partitioning (n=2M would otherwise materialize ~2 GB of boxed
+    * floats on the driver). */
   private def corpus(spark: SparkSession, n: Int, d: Int = 64): DataFrame = {
     import spark.implicits._
-    (0 until n).map { i =>
-      (i.toLong, unitVec(i.toLong, d).toSeq, i % 10)
-    }.toDF("vec_id", "embedding", "label")
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(i => (i, unitVec(i, d).toSeq, (i % 10).toInt)))
+      .toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-      .repartition(8)
+      .repartition(if (n <= 100000) 8 else 32)
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2000, 20000)
+    // args: sizes (numeric) and an optional config filter (names) —
+    // `2000000 ivf ivfpq pca_ivf` runs only the IVF compositions at 2M
+    val (nums, names) = args.partition(_.forall(_.isDigit))
+    val sizes = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(2000, 20000)
+    val only = names.toSet
+    def want(c: String) = only.isEmpty || only(c)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -67,20 +76,34 @@ object ScaleRecallCheck {
       def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
-      def rec(name: String, floor: Double, df: => DataFrame): Unit = {
-        val t0 = System.nanoTime()
-        val r = (brute & pairs(df)).size.toDouble / brute.size
-        val sec = (System.nanoTime() - t0) / 1e9
-        val flag = if (r >= floor) "ok" else "BELOW FLOOR"
-        println(f"n=$n%6d  $name%-14s recall=$r%.3f floor=$floor%.1f " +
-          f"margin=${r - floor}%+.3f  $flag%s (${sec}%.1f s)")
-      }
+      def rec(name: String, floor: Double, df: => DataFrame): Unit =
+        if (want(name)) {
+          val t0 = System.nanoTime()
+          val r = (brute & pairs(df)).size.toDouble / brute.size
+          val sec = (System.nanoTime() - t0) / 1e9
+          val flag = if (r >= floor) "ok" else "BELOW FLOOR"
+          println(f"n=$n%6d  $name%-14s recall=$r%.3f floor=$floor%.1f " +
+            f"margin=${r - floor}%+.3f  $flag%s (${sec}%.1f s)")
+        }
+
+      // centroid count scales with √n past the registered 32 (the
+      // production rule: posting-list length and probe fraction both
+      // shrink as the corpus grows; the registered sf-scale config is
+      // unchanged at n ≤ 20000 where √n ≤ 141 buys nothing)
+      val nCent = math.max(32, math.ceil(math.sqrt(n.toDouble) / 2).toInt)
+      val nProbe = math.max(12, nCent * 3 / 8)
 
       // exactly the registered configurations (ExtensionQueries.scala)
       rec("lsh", 0.7, Similarity.lshTopK(queries, emb, k = 5, bits = 4,
         tables = 8, multiProbe = 2))
       rec("ivf", 0.6, Similarity.ivfTopK(queries, emb, k = 5,
         nCentroids = 32, nProbe = 12, refineIters = 2))
+      // the prod-scaled IVF row: √n/2 centroids, constant 37.5% probe
+      // RATIO — serve volume stays the bounded fraction while per-list
+      // length shrinks 1/√n
+      if (nCent > 32)
+        rec("ivf_scaled", 0.6, Similarity.ivfTopK(queries, emb, k = 5,
+          nCentroids = nCent, nProbe = nProbe, refineIters = 2))
       rec("sq8", 0.9, Similarity.sqTopK(queries, emb, k = 5, rerank = 20))
       // scale-aware candidate budgets — a FIXED shortlist/rerank covers
       // 10× less of a 10× corpus (the round-7 red-row class; this sweep
@@ -88,19 +111,28 @@ object ScaleRecallCheck {
       // registered queries use these same formulas.
       val rerank = math.max(100, math.ceil(0.05 * n).toInt)
       val shortlist = math.max(120, math.ceil(0.06 * n).toInt)
-      val pqIdx = Similarity.buildPqIndex(emb, m = 16, k = 16).get
+      lazy val pqIdx = Similarity.buildPqIndex(emb, m = 16, k = 16).get
       rec("pq", 0.7,
         Similarity.pqTopK(queries, emb, pqIdx, k = 5, rerank = rerank))
       rec("ivfpq", 0.6, Similarity.buildIvfIndex(emb, nCentroids = 32,
         refineIters = 2)
         .map(ivf => Similarity.ivfPqTopK(queries, emb, ivf, pqIdx, k = 5,
           nProbe = 12, rerank = rerank)).get)
-      val pcaModel = Similarity.pcaFit(
+      if (nCent > 32 && want("ivfpq_scaled"))
+        rec("ivfpq_scaled", 0.6, Similarity.buildIvfIndex(emb,
+          nCentroids = nCent, refineIters = 2)
+          .map(ivf => Similarity.ivfPqTopK(queries, emb, ivf, pqIdx, k = 5,
+            nProbe = nProbe, rerank = rerank)).get)
+      lazy val pcaModel = Similarity.pcaFit(
         Similarity.normalizedEmbeddings(emb), k = 32).get
       rec("pca", 0.7, Similarity.pcaTopK(queries, emb, pcaModel, k = 5,
         shortlist = shortlist))
       rec("pca_ivf", 0.6, Similarity.pcaIvfTopK(queries, emb, pcaModel,
         k = 5, nCentroids = 32, nProbe = 12, refineIters = 2))
+      if (nCent > 32 && want("pca_ivf_scaled"))
+        rec("pca_ivf_scaled", 0.6, Similarity.pcaIvfTopK(queries, emb,
+          pcaModel, k = 5, nCentroids = nCent, nProbe = nProbe,
+          refineIters = 2))
 
       // Serve-candidate volume per config (round-10 ask #4): the probed-
       // posting count is what each query's exact scoring stage actually
@@ -114,17 +146,30 @@ object ScaleRecallCheck {
           .select(col("query_id"), col("neighbor_id")).distinct()
           .count().toDouble / nQ
       }
-      val ivfIdx = Similarity.buildIvfIndex(emb, nCentroids = 32,
-        refineIters = 2).get
-      val pcaIdx = Similarity.buildIvfIndex(
-        Similarity.pcaReduced(emb, pcaModel), nCentroids = 32,
-        refineIters = 2).get
-      val vols = Seq(
-        "ivf/ivfpq probed" -> probedVolume(ivfIdx, queries),
-        "pca_ivf probed" -> probedVolume(pcaIdx,
-          Similarity.pcaReduced(queries, pcaModel)),
-        "pq rerank" -> rerank.toDouble,
-        "pca shortlist" -> shortlist.toDouble)
+      def probedVolumeAt(centroids: Int, probe: Int): Double = {
+        val idx = Similarity.buildIvfIndex(emb, nCentroids = centroids,
+          refineIters = 2).get
+        val probes = Similarity.assign(idx.centroids, queries, "query_id",
+          keep = probe)
+        probes.join(idx.postings, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id")).distinct()
+          .count().toDouble / nQ
+      }
+      val vols =
+        (if (want("ivf") || want("ivfpq"))
+          Seq("ivf/ivfpq probed" -> probedVolumeAt(32, 12)) else Nil) ++
+        (if (nCent > 32 && (want("ivf_scaled") || want("ivfpq_scaled")))
+          Seq(s"ivf_scaled probed" -> probedVolumeAt(nCent, nProbe)) else Nil) ++
+        (if (want("pca_ivf"))
+          Seq("pca_ivf probed" -> {
+            val pcaIdx = Similarity.buildIvfIndex(
+              Similarity.pcaReduced(emb, pcaModel), nCentroids = 32,
+              refineIters = 2).get
+            probedVolume(pcaIdx, Similarity.pcaReduced(queries, pcaModel))
+          }) else Nil) ++
+        (if (want("pq")) Seq("pq rerank" -> rerank.toDouble) else Nil) ++
+        (if (want("pca")) Seq("pca shortlist" -> shortlist.toDouble) else Nil)
       vols.foreach { case (name, v) =>
         println(f"n=$n%6d  cand/$name%-18s ${v}%10.1f  (${v / n * 100}%5.2f%% of corpus)")
       }
