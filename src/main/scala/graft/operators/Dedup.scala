@@ -681,6 +681,59 @@ object Dedup {
             |  s -> s.w)""".stripMargin), " ").as("text_clean"))
   }
 
+  /** Row-wise sibling of [[spanScrub]] — the SERVE/STREAM shape (the
+    * lmScoreRowwise pattern): identical policy evaluated entirely inside
+    * each document row with higher-order functions — no explode, no
+    * window, no shuffle — so it is legal in any Structured Streaming
+    * output mode with zero state, and composes into the curation chain
+    * ahead of the dedup stages (scrub first: an echo-padded doc should
+    * not dodge exact dedup on its noise).
+    *
+    * Two deliberate differences from the relational form, both
+    * spec-pinned equal on real data: gram identity is STRING equality
+    * (array_position), not the xxhash64 grouping — i.e. this path is
+    * collision-free and the relational one carries the documented 2⁻⁶⁴
+    * trade; and cost is O(grams²) string compares WITHIN a document
+    * (array_position scans per gram) instead of a hash shuffle — the
+    * right trade for serve-sized documents, the wrong one for
+    * million-token outliers, which belong on [[spanScrub]]. */
+  def spanScrubRowwise(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"n must be in [2, 64], got $n")
+    val g = n - 1
+    val grams = when(col("__m") >= n,
+      transform(sequence(lit(1), col("__m") - g),
+        i => array_join(slice(col("__ws"), i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // sequence(1, 0) DESCENDS for gram-less docs (the shingles guard) —
+    // gate before generating positions
+    val dups = when(size(col("__grams")) > 0,
+      transform(sequence(lit(1), size(col("__grams"))),
+        i => array_position(col("__grams"), element_at(col("__grams"), i)) < i))
+      .otherwise(array().cast("array<boolean>"))
+    val removed = transform(sequence(lit(1), col("__m")), k => {
+      val lo = greatest(lit(1), k - g)
+      val hi = least(k, col("__m") - g)
+      // sequence(lo, hi) DESCENDS when lo > hi (the shingles guard) —
+      // gate on coverage first
+      when(hi >= lo,
+        forall(sequence(lo, hi), i => element_at(col("__dups"), i)))
+        .otherwise(lit(false))
+    })
+    val keptPos = filter(sequence(lit(1), col("__m")),
+      k => !element_at(col("__removed"), k))
+    docs
+      .withColumn("__ws", tokens(coalesce(col("text"), lit(""))))
+      .withColumn("__m", size(col("__ws")))
+      .withColumn("__grams", grams)
+      .withColumn("__dups", dups)
+      .withColumn("__removed", removed)
+      .select(col("doc_id"),
+        col("__m").cast("long").as("n_tokens"),
+        size(filter(col("__removed"), x => x)).cast("long").as("n_removed"),
+        array_join(transform(keptPos, k => element_at(col("__ws"), k)), " ")
+          .as("text_clean"))
+  }
+
   def simhashPairsFromSketch(sk: DataFrame, maxDist: Int,
                              probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 16,

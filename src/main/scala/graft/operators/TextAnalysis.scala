@@ -1152,6 +1152,73 @@ object TextAnalysis {
     lmPerplexityBuckets(lmScore(docs, lmTrain(reference, vocabK, lmK)))
   }
 
+  /** BM25 ranked retrieval (Robertson/Okapi, k1 = 6/5, b = 3/4) over a
+    * fixed query-term set — the full-strength sibling of
+    * [[keywordSearch]]'s integer TF×rarity: real idf saturation and
+    * document-length normalization, still EXACT cross-engine.
+    *
+    * No transcendental at query time and none in the oracle:
+    * idf(t) = ln((N−df+½)/(df+½) + 1) evaluates through the SAME
+    * quantized-ln chain as [[lmScore]] (integer milli-ratio
+    * (num+den)·1000 div den with num = 2(N−df)+1, den = 2df+1, exponent
+    * ladder, [[LnMantissaMicro]]) — driver-side here from the collected
+    * per-term dfs (bounded: |terms| ≤ 16 rows), re-derived relationally
+    * in the DuckDB oracle from the same corpus counts. The tf side
+    * clears k1 = 6/5, b = 3/4 to the integer identity
+    *   tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+    *     = 44·tf·T / (20·tf·T + 6·T + 18·dl·N)        (avgdl = T/N)
+    * so each term's score is ONE IEEE division of two exactly-agreed
+    * DECIMAL(38,0) integers (× idf_micro folded into the numerator),
+    * and the doc score is the fixed left-assoc sum over the term list —
+    * deterministic in any engine.
+    *
+    * Scale shape: tf counting is per-row higher-order filters (map-only,
+    * |terms| bounded scans of each token array); ONE stats aggregate
+    * (N, T, per-term df — map-side combinable, |terms|+2 columns out);
+    * scoring is a scan-speed projection; top-k plans as
+    * TakeOrderedAndProject under the (score DESC, doc_id) total order.
+    * Nothing shuffles but the k winners. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"terms must be 1..16, got ${terms.size}")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks(col("text")).as("__ws"))
+      .withColumn("dl", size(col("__ws")).cast("long"))
+    val withTf = base.select(
+      col("doc_id") +: col("dl") +: terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("__ws"), w => w === lit(t))).cast("long").as(s"tf_$i")
+      }: _*)
+    val statCols = count(lit(1)).as("__n") +: sum(col("dl")).as("__t") +:
+      terms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).as(s"__df$i"))
+    val st = withTf.agg(statCols.head, statCols.tail: _*).head()
+    val nDocs = st.getAs[Long]("__n")
+    val totTok = st.getAs[Long]("__t")
+    val idfMicro = terms.indices.map { i =>
+      val df = st.getAs[Long](s"__df$i")
+      val num = 2L * (nDocs - df) + 1L
+      val den = 2L * df + 1L
+      quantCost(math.min((num + den) * 1000L / den, SurprisalCapMilli))
+    }
+    val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val tf = col(s"tf_$i")
+      val num = lit(idfMicro(i)).cast(d38) * lit(44L).cast(d38) *
+        tf.cast(d38) * lit(totTok).cast(d38)
+      val den = lit(20L).cast(d38) * tf.cast(d38) * lit(totTok).cast(d38) +
+        lit(6L * totTok).cast(d38) +
+        lit(18L * nDocs).cast(d38) * col("dl").cast(d38)
+      acc + when(tf > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    withTf.withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Driver-side twin of [[lmScore]]'s quantized chain: the 13-branch
     * exponent ladder collapses to floor(log2(r/1000)) via
     * numberOfLeadingZeros (equivalent on r ∈ [1000, 2^13·1000] — for r

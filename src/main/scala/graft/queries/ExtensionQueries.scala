@@ -218,6 +218,108 @@ object ExtensionQueries {
        |FROM scored s LEFT JOIN bk USING (doc_id)""".stripMargin
   }
 
+  /** Generated DuckDB oracle for ext_bm25_search: per-term df/N/T from
+    * the corpus, idf through the exact integer quantized-ln chain (the
+    * lmPerplexityOracle ladder + shared mantissa table), tf-side as the
+    * cleared integer identity, score as the fixed left-assoc sum of
+    * IEEE divisions — the Spark plan computes idf driver-side from a
+    * collected stats row; this derivation is fully relational, so the
+    * hash match certifies both the chain and the stats pass. */
+  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+    val qs = TextAnalysis.LnMantissaMicro.map(_._2).mkString(", ")
+    val cap = TextAnalysis.SurprisalCapMilli
+    val ln2 = TextAnalysis.Ln2Micro
+    def ladder(c: String) =
+      (13 to 1 by -1).map(kk => s"WHEN $c >= ${1000L << kk} THEN $kk")
+        .mkString("CASE ", " ", " ELSE 0 END")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, w -> w = '$t')) AS tf_$i" }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val rCols = terms.indices.map(i =>
+      s"CAST(least(((2*(n - df$i) + 1) + (2*df$i + 1)) * 1000 " +
+        s"// (2*df$i + 1), $cap) AS BIGINT) AS r$i")
+      .mkString(",\n    ")
+    val eCols = terms.indices.map(i => s"(${ladder(s"r$i")}) AS e$i")
+      .mkString(",\n    ")
+    val idfCols = terms.indices.map(i =>
+      s"e$i * $ln2 + (SELECT q FROM lnq WHERE m = (r$i >> e$i)) AS idf$i")
+      .mkString(",\n    ")
+    val scoreSum = terms.indices.map(i =>
+      s"""CASE WHEN f.tf_$i > 0 THEN
+         |      CAST(i.idf$i * 44 * f.tf_$i * i.t AS DOUBLE)
+         |      / CAST(20 * f.tf_$i * i.t + 6 * i.t + 18 * f.dl * i.n AS DOUBLE)
+         |    ELSE 0.0 END""".stripMargin)
+      .mkString("0.0\n    + ", "\n    + ", "")
+    val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
+    s"""WITH lnq AS (
+       |  SELECT unnest(generate_series(1000, 1999)) AS m,
+       |         unnest([$qs]) AS q),
+       |dw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, len(ws) AS dl,
+       |    $tfCols
+       |  FROM dw),
+       |st AS (
+       |  SELECT count(*) AS n, sum(dl) AS t, $dfCols FROM f),
+       |rs AS (
+       |  SELECT n, t,
+       |    $rCols
+       |  FROM st),
+       |es AS (
+       |  SELECT *,
+       |    $eCols
+       |  FROM rs),
+       |idf AS (
+       |  SELECT *,
+       |    $idfCols
+       |  FROM es),
+       |sc AS (
+       |  SELECT f.doc_id, f.dl, $tfOut,
+       |    $scoreSum AS score
+       |  FROM f, idf i)
+       |SELECT doc_id, dl, $tfOut, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Intra-doc repeated-span scrub re-derived relationally in DuckDB:
+    * gram first-position window + coverage join + ordered rebuild —
+    * shared by the relational and rowwise Spark forms (three
+    * independent algorithms, one hash). */
+  private val duckSpanScrub =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, ws, len(ws) AS m,
+      |    unnest(generate_series(1, len(ws))) AS k
+      |  FROM t),
+      |tk AS (
+      |  SELECT doc_id, m, k, ws[k] AS w,
+      |    CASE WHEN k <= m - 2
+      |      THEN array_to_string(ws[k:k+2], ' ') END AS gram
+      |  FROM tok),
+      |d AS (
+      |  SELECT doc_id, k, w,
+      |    CASE WHEN gram IS NOT NULL THEN
+      |      CAST(k > min(k) OVER (PARTITION BY doc_id, gram) AS INT)
+      |    END AS dup
+      |  FROM tk),
+      |cov AS (
+      |  SELECT t1.doc_id, t1.k, t1.w,
+      |    count(t2.dup) > 0 AND min(t2.dup) = 1 AS removed
+      |  FROM d t1
+      |  LEFT JOIN d t2 ON t2.doc_id = t1.doc_id
+      |    AND t2.k BETWEEN t1.k - 2 AND t1.k AND t2.dup IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  count(CASE WHEN removed THEN 1 END) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT removed THEN w END, ' '
+      |    ORDER BY k), '') AS text_clean
+      |FROM cov GROUP BY doc_id""".stripMargin
+
   /** Ground-truth near-dup pairs: exact shingle Jaccard ≥ 1/2 as pure
     * integer comparison (no float boundary). */
   private val duckJaccardPairs =
@@ -822,36 +924,17 @@ object ExtensionQueries {
     // text grouping exactly on real data.
     "dedup_span_scrub" -> QueryDef(
       (s, dir) => Dedup.spanScrub(Tables.documents(s, dir), n = 3),
-      """WITH t AS (
-        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, ws, len(ws) AS m,
-        |    unnest(generate_series(1, len(ws))) AS k
-        |  FROM t),
-        |tk AS (
-        |  SELECT doc_id, m, k, ws[k] AS w,
-        |    CASE WHEN k <= m - 2
-        |      THEN array_to_string(ws[k:k+2], ' ') END AS gram
-        |  FROM tok),
-        |d AS (
-        |  SELECT doc_id, k, w,
-        |    CASE WHEN gram IS NOT NULL THEN
-        |      CAST(k > min(k) OVER (PARTITION BY doc_id, gram) AS INT)
-        |    END AS dup
-        |  FROM tk),
-        |cov AS (
-        |  SELECT t1.doc_id, t1.k, t1.w,
-        |    count(t2.dup) > 0 AND min(t2.dup) = 1 AS removed
-        |  FROM d t1
-        |  LEFT JOIN d t2 ON t2.doc_id = t1.doc_id
-        |    AND t2.k BETWEEN t1.k - 2 AND t1.k AND t2.dup IS NOT NULL
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  count(CASE WHEN removed THEN 1 END) AS n_removed,
-        |  coalesce(string_agg(CASE WHEN NOT removed THEN w END, ' '
-        |    ORDER BY k), '') AS text_clean
-        |FROM cov GROUP BY doc_id""".stripMargin),
+      duckSpanScrub),
+
+    // The SERVE/STREAM shape of the same scrub, held to the SAME oracle
+    // (the lmScoreRowwise pattern): all higher-order functions inside
+    // the document row — no explode/window/shuffle, legal in any
+    // streaming output mode — and gram identity by string equality, so
+    // this row ALSO certifies that the relational form's xxhash64 gram
+    // grouping reproduces string grouping on real data.
+    "dedup_span_scrub_rowwise" -> QueryDef(
+      (s, dir) => Dedup.spanScrubRowwise(Tables.documents(s, dir), n = 3),
+      duckSpanScrub),
 
     // INCREMENTAL dedup, the production ingest shape: the existing corpus
     // (doc_id % 5 != 0) is sketched ONCE into a parquet MinHash index
@@ -936,6 +1019,22 @@ object ExtensionQueries {
         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |  FROM sc)
         |SELECT doc_id, score, rank FROM r WHERE rank <= 20""".stripMargin),
+
+    // BM25 ranked retrieval (round 11; Robertson/Okapi k1=6/5 b=3/4) —
+    // the full-strength ranking the TF×rarity row approximates: idf
+    // saturation + document-length normalization. idf evaluates through
+    // the SAME quantized-ln integer chain as ext_lm_perplexity (ladder +
+    // shared mantissa table — re-derived relationally here from the
+    // corpus df counts, never pasted as driver literals), the tf side
+    // clears to the 44·tf·T / (20·tf·T + 6·T + 18·dl·N) integer
+    // identity, and each doc's score is a fixed left-assoc sum of
+    // single IEEE divisions of exactly-agreed integers. "dup" (df 25)
+    // vs three common terms makes the idf contrast visible in the
+    // ranking.
+    "ext_bm25_search" -> QueryDef(
+      (s, dir) => TextAnalysis.bm25Search(Tables.documents(s, dir),
+        Seq("dup", "hash", "stream", "fast"), k = 20),
+      bm25Oracle(Seq("dup", "hash", "stream", "fast"), k = 20)),
 
     // Hybrid retrieval by reciprocal rank fusion (round 9; Cormack et
     // al. 2009) — the modern search-stack composition: the lexical

@@ -349,4 +349,23 @@ class DedupSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Dedup.spanScrub(docs, n = 1) }
     ()
   }
+
+  test("spanScrubRowwise: identical to the relational form on hand cases " +
+      "and real documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c X a b c"), (2L, "v w x y z v w x y z"), (3L, "a b"),
+      (4L, "p q r s t u"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(snap(Dedup.spanScrubRowwise(docs, n = 3)) ===
+      snap(Dedup.spanScrub(docs, n = 3)))
+    assert(snap(Dedup.spanScrubRowwise(docs, n = 2)) ===
+      snap(Dedup.spanScrub(docs, n = 2)))
+    val real = graft.Tables.documents(spark, sf0001)
+    assert(snap(Dedup.spanScrubRowwise(real, n = 3)) ===
+      snap(Dedup.spanScrub(real, n = 3)))
+  }
 }

@@ -230,6 +230,29 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally idx.unpersist()
   }
 
+  test("spanScrubRowwise on a stream: stateless scrub, bit-exact batch " +
+      "parity across micro-batch boundaries") {
+    implicit val sq = spark.sqlContext
+    val rows = Seq((1L, "a b c X a b c"), (2L, "v w x y z v w x y z"),
+      (3L, "clean text with no repeats at all"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.spanScrubRowwise(
+      in.toDF().toDF("doc_id", "text"), n = 3)
+      .writeStream.format("memory").queryName("sdd_scrub")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(1): _*); q.processAllAvailable()
+      in.addData(rows.drop(1): _*); q.processAllAvailable()
+      def snap(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val streamed = snap(spark.table("sdd_scrub").collect())
+      val batch = snap(graft.operators.Dedup.spanScrub(
+        rows.toDF("doc_id", "text"), n = 3).collect())
+      assert(streamed === batch)
+      assert(streamed(1L)._3 === "a b c X a b")
+    } finally q.stop()
+  }
+
   test("streaming perplexity gate: batch-parity scores and buckets from " +
       "persisted LM + threshold artifacts, across micro-batch boundaries") {
     implicit val sq = spark.sqlContext

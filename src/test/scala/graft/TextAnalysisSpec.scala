@@ -164,6 +164,54 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(scored(3L) === ((0L, None)))
   }
 
+  test("bm25Search: agrees with an independent float BM25 within the " +
+      "quantization band; idf and length normalization behave") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y"),                  // rare term x twice, short
+      (2L, "y z"),                    // common z once, shortest
+      (3L, "z z z z"),                // common z, high tf, longer
+      (4L, "x y y y y y y y y y y"),  // rare x once, LONG (dl penalty)
+      (5L, "y y y"),                  // no query terms -> filtered out
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val terms = Seq("x", "z")
+    val out = TextAnalysis.bm25Search(docs, terms, k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dl"), r.getAs[Long]("tf_0"), r.getAs[Long]("tf_1"),
+          r.getAs[Double]("score"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L)) // 5 has no terms, 6 null
+    assert(out(1L)._1 === 3L && out(1L)._2 === 2L && out(1L)._3 === 0L)
+    // independent float BM25 (k1=1.2, b=0.75, N=5 scored docs, T=23)
+    val n = 5.0; val t = 23.0; val avgdl = t / n
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def s(tf: Double, dl: Double, df: Double) =
+      if (tf == 0) 0.0
+      else idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def expected(tfx: Double, tfz: Double, dl: Double) =
+      s(tfx, dl, 2.0) + s(tfz, dl, 2.0)
+    for ((id, (dl, tfx, tfz, score)) <- out) {
+      val e = expected(tfx.toDouble, tfz.toDouble, dl.toDouble)
+      // idf quantization error < 0.0022 nats per term, scaled by the
+      // tf factor (< 2.2): band 0.005 absolute on micro-scaled scores
+      assert(math.abs(score / 1e6 - e) < 0.005,
+        s"doc $id: quantized ${score / 1e6} vs float $e")
+    }
+    // df_x = df_z = 2 here, so idf is equal and the ranking isolates
+    // the tf side: saturation (doc3 tf=4 > doc2 tf=1, same term) and
+    // length normalization (doc1 tf=2 dl=3 ≫ doc4 tf=1 dl=11). Full
+    // order: 3 > 1 > 2 > 4.
+    assert(out(3L)._4 > out(2L)._4 && out(1L)._4 > out(4L)._4)
+    assert(out.toSeq.sortBy(-_._2._4).map(_._1) === Seq(3L, 1L, 2L, 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Search(docs, Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Search(docs, Seq("x", "x"), 5)
+    }
+    ()
+  }
+
   test("bigram LM rowwise scorer: bit-identical to the explode+join " +
       "scorer, including unscored and <unk>-heavy documents") {
     import spark.implicits._
