@@ -389,4 +389,52 @@ object Sampling {
     full.join(ci, group)
       .select(gc :+ col("n") :+ col("mean") :+ col("ci_lo") :+ col("ci_hi"): _*)
   }
+
+  /** Deterministic training-epoch shuffle: a FULL-RANGE hash of
+    * (key, seed) as `shuffle_key` — reproducible global data order per
+    * epoch seed, independent across seeds, stable under repartitioning
+    * (everything [[bucket]] promises, at 60+-bit resolution instead of
+    * the 1e-6 gate grain, because a total ORDER needs far fewer
+    * collisions than a membership gate tolerates). Epoch materialization
+    * is `orderBy(shuffle_key, key)` — a range-partitioned distributed
+    * sort, NOT a single-partition window; an explicit epoch_rank column
+    * is the caller's optional extra and carries the W5 global-window
+    * price where exactness demands it. */
+  def epochShuffle(df: DataFrame, key: Column, seed: String,
+                   algo: String = "xxh64"): DataFrame = {
+    val h = algo match {
+      case "xxh64" => xxhash64(key.cast("string"), lit(seed))
+      case "md5" =>
+        conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 15),
+          16, 10).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"algo must be xxh64 or md5, got $other")
+    }
+    df.withColumn("shuffle_key", h).orderBy(col("shuffle_key"), key)
+  }
+
+  /** Greedy selection under a total weight budget (the token-budget
+    * corpus cut every mixture recipe ends with: "the best documents up
+    * to B training tokens"): rows are taken in (priority DESC, id)
+    * order — a caller-supplied TOTAL order, quality score or seeded
+    * lottery hash alike — until the running weight sum would pass
+    * `budget`. Exports the running sum and the verdict as DATA
+    * (`cum_weight`, `selected` — the snk3 mode-as-data pattern), so an
+    * oracle re-derives the exact boundary: the first row to CROSS the
+    * budget is excluded, rows after it too (no best-fit backfill —
+    * greedy prefix, the deterministic contract).
+    *
+    * Scale: the global ordered cumulative sum is the W5 exactness
+    * price. At corpus scale, partition by mixture source and budget
+    * each partition (the usual recipe), or cut at a priority THRESHOLD
+    * from a weighted quantile sketch (the lmPerplexityThresholds
+    * shape) and pay only one aggregate. */
+  def selectWithinBudget(df: DataFrame, priority: Column, weight: Column,
+                         id: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(priority.desc, id)
+    df.withColumn("cum_weight", sum(weight).over(w))
+      .withColumn("selected", col("cum_weight") <= budget)
+  }
 }

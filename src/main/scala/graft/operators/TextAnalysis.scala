@@ -1178,42 +1178,93 @@ object TextAnalysis {
     * scoring is a scan-speed projection; top-k plans as
     * TakeOrderedAndProject under the (score DESC, doc_id) total order.
     * Nothing shuffles but the k winners. */
-  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  /** Corpus statistics a BM25 ranking needs, collapsed to a bounded
+    * driver artifact (the BigramLmModel contract: fit on 100 TB, serve
+    * |terms|+2 numbers): doc count, token count, per-term document
+    * frequencies IN TERM ORDER (order defines the tf_i column naming). */
+  final case class Bm25Stats(nDocs: Long, totTok: Long,
+                             dfs: Seq[(String, Long)])
+
+  private def bm25Terms(st: Bm25Stats): Seq[String] = st.dfs.map(_._1)
+
+  /** Per-doc (doc_id, dl, tf_i...) under a fixed term list — one
+    * map-only projection, |terms| bounded higher-order filters per
+    * token array. */
+  private def bm25TfFrame(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks(col("text")).as("__ws"))
+      .withColumn("dl", size(col("__ws")).cast("long"))
+      .select(
+        col("doc_id") +: col("dl") +: terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__ws"), w => w === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+
+  /** Fit the stats artifact: ONE map-side-combinable aggregate over the
+    * corpus (N, T, per-term df). */
+  def bm25Fit(docs: DataFrame, terms: Seq[String]): Bm25Stats = {
     require(terms.nonEmpty && terms.size <= 16,
       s"terms must be 1..16, got ${terms.size}")
     require(terms.distinct.size == terms.size, "terms must be distinct")
-    require(k >= 1, s"k must be >= 1, got $k")
-    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val base = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), toks(col("text")).as("__ws"))
-      .withColumn("dl", size(col("__ws")).cast("long"))
-    val withTf = base.select(
-      col("doc_id") +: col("dl") +: terms.zipWithIndex.map { case (t, i) =>
-        size(filter(col("__ws"), w => w === lit(t))).cast("long").as(s"tf_$i")
-      }: _*)
+    val withTf = bm25TfFrame(docs, terms)
     val statCols = count(lit(1)).as("__n") +: sum(col("dl")).as("__t") +:
       terms.indices.map(i =>
         sum((col(s"tf_$i") > 0).cast("long")).as(s"__df$i"))
     val st = withTf.agg(statCols.head, statCols.tail: _*).head()
-    val nDocs = st.getAs[Long]("__n")
-    val totTok = st.getAs[Long]("__t")
-    val idfMicro = terms.indices.map { i =>
-      val df = st.getAs[Long](s"__df$i")
-      val num = 2L * (nDocs - df) + 1L
+    Bm25Stats(st.getAs[Long]("__n"), st.getAs[Long]("__t"),
+      terms.zipWithIndex.map { case (t, i) =>
+        t -> st.getAs[Long](s"__df$i") })
+  }
+
+  /** Persist/reload face of [[Bm25Stats]] — (term, term_idx, df, n_docs,
+    * tot_tok) rows, the SNK6 side-table shape. */
+  def bm25StatsToFrame(spark: org.apache.spark.sql.SparkSession,
+                       st: Bm25Stats): DataFrame = {
+    import spark.implicits._
+    st.dfs.zipWithIndex.map { case ((t, df), i) =>
+      (t, i, df, st.nDocs, st.totTok)
+    }.toDF("term", "term_idx", "df", "n_docs", "tot_tok")
+  }
+
+  def bm25StatsFromFrame(df: DataFrame): Bm25Stats = {
+    val rows = df.select("term", "term_idx", "df", "n_docs", "tot_tok")
+      .collect().sortBy(_.getInt(1))
+    require(rows.nonEmpty, "empty bm25 stats frame")
+    Bm25Stats(rows.head.getLong(3), rows.head.getLong(4),
+      rows.map(r => r.getString(0) -> r.getLong(2)).toSeq)
+  }
+
+  /** Score every document under a fitted/persisted stats artifact — a
+    * STATELESS projection (the serve/stream shape: no aggregate, no
+    * join; legal in any streaming output mode), emitting
+    * (doc_id, dl, tf_i..., score). idf evaluates driver-side through
+    * the [[lmScore]] quantized-ln chain; each term's contribution is
+    * one IEEE division of exactly-agreed DECIMAL(38,0) integers; the
+    * doc score is the fixed left-assoc term sum. Docs containing no
+    * query term score 0.0 (kept — gating is caller policy). */
+  def bm25ScoreWith(docs: DataFrame, st: Bm25Stats): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val terms = bm25Terms(st)
+    val idfMicro = st.dfs.map { case (_, df) =>
+      val num = 2L * (st.nDocs - df) + 1L
       val den = 2L * df + 1L
       quantCost(math.min((num + den) * 1000L / den, SurprisalCapMilli))
     }
     val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
       val tf = col(s"tf_$i")
       val num = lit(idfMicro(i)).cast(d38) * lit(44L).cast(d38) *
-        tf.cast(d38) * lit(totTok).cast(d38)
-      val den = lit(20L).cast(d38) * tf.cast(d38) * lit(totTok).cast(d38) +
-        lit(6L * totTok).cast(d38) +
-        lit(18L * nDocs).cast(d38) * col("dl").cast(d38)
+        tf.cast(d38) * lit(st.totTok).cast(d38)
+      val den = lit(20L).cast(d38) * tf.cast(d38) * lit(st.totTok).cast(d38) +
+        lit(6L * st.totTok).cast(d38) +
+        lit(18L * st.nDocs).cast(d38) * col("dl").cast(d38)
       acc + when(tf > 0, num.cast("double") / den.cast("double"))
         .otherwise(lit(0.0))
     }
-    withTf.withColumn("score", score)
+    bm25TfFrame(docs, terms).withColumn("score", score)
+  }
+
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bm25ScoreWith(docs, bm25Fit(docs, terms))
       .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

@@ -25,6 +25,66 @@ object SamplingQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Deterministic epoch shuffle (round 11) — reproducible global
+    // training order as a pure function of (doc_id, epoch seed). Two
+    // epochs ranked in ONE output so the oracle certifies both the
+    // order (explicit rank columns — the sorted row-compare would
+    // otherwise never see it) and cross-epoch independence as data.
+    "ext_epoch_shuffle" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e1 = Sampling.epochShuffle(
+          Tables.documents(s, dir).select(col("doc_id")),
+          col("doc_id"), "epoch1", algo = "md5")
+          .withColumnRenamed("shuffle_key", "key_e1")
+        val e2 = Sampling.epochShuffle(e1, col("doc_id"), "epoch2",
+          algo = "md5")
+          .withColumnRenamed("shuffle_key", "key_e2")
+        e2.withColumn("rank_e1", row_number().over(
+            Window.orderBy(col("key_e1"), col("doc_id"))).cast("long"))
+          .withColumn("rank_e2", row_number().over(
+            Window.orderBy(col("key_e2"), col("doc_id"))).cast("long"))
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'),
+         |      1, 15)) AS BIGINT) AS key_e1,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch2'),
+         |      1, 15)) AS BIGINT) AS key_e2
+         |  FROM documents)
+         |SELECT doc_id, key_e1, key_e2,
+         |  row_number() OVER (ORDER BY key_e1, doc_id) AS rank_e1,
+         |  row_number() OVER (ORDER BY key_e2, doc_id) AS rank_e2
+         |FROM h""".stripMargin),
+
+    // Token-budget corpus cut (round 11) — greedy prefix under a total
+    // weight budget in (priority DESC, doc_id) order; priority here is
+    // the seeded md5 lottery (caller-supplied in general — quality
+    // scores compose identically). cum_weight + selected are exported
+    // as data so the oracle re-derives the exact budget boundary: the
+    // crossing row and everything after it is out, no backfill.
+    "ext_budget_select" -> QueryDef(
+      (s, dir) => Sampling.selectWithinBudget(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(coalesce(col("text"), lit("")), " "))
+              .cast("long").as("n_tokens"))
+          .withColumn("lottery",
+            Sampling.bucket(col("doc_id"), "budget1", "md5")),
+        priority = col("lottery"), weight = col("n_tokens"),
+        id = col("doc_id"), budget = 15000L),
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
+         |    ${duckBucket("doc_id", "budget1")} AS lottery
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, lottery,
+         |  CAST(sum(n_tokens) OVER (ORDER BY lottery DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+         |  CAST(sum(n_tokens) OVER (ORDER BY lottery DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 15000 AS selected
+         |FROM base""".stripMargin),
+
     // Plain 30% corpus subsample, reproducible by doc_id.
     "ext_hash_sample" -> QueryDef(
       (s, dir) => Sampling.sample(

@@ -288,4 +288,53 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.poissonBootstrap(df, Seq("k"), col("id"), col("v"), 2, "bt")
     }
   }
+
+  test("epochShuffle: deterministic per seed, independent across seeds, " +
+      "layout-invariant, both algos") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    for (algo <- Seq("xxh64", "md5")) {
+      def order(d: DataFrame, seed: String) =
+        Sampling.epochShuffle(d, col("id"), seed, algo)
+          .select("id").collect().map(_.getLong(0)).toSeq
+      val e1 = order(df, "e1")
+      assert(e1 === order(df, "e1"))                    // reproducible
+      assert(e1 === order(df.repartition(7), "e1"))     // layout-invariant
+      assert(e1.sorted === (1L to 200L))                // a permutation
+      assert(e1 !== (1L to 200L).toSeq)                 // actually shuffled
+      val e2 = order(df, "e2")
+      assert(e1 !== e2)                                 // epochs differ
+      // independence beyond inequality: positions decorrelate (no long
+      // common prefix, most ids move)
+      assert(e1.zip(e2).count { case (a, b) => a == b } < 20)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(df, col("id"), "s", "crc32")
+    }
+    ()
+  }
+
+  test("selectWithinBudget: greedy prefix, exact crossing boundary, no " +
+      "backfill, zero budget") {
+    import spark.implicits._
+    // priority order (desc): d (40) > c (30) > b (20) > a (10)
+    val df = Seq(("a", 10L, 5L), ("b", 20L, 4L), ("c", 30L, 7L),
+      ("d", 40L, 6L)).toDF("id", "prio", "w")
+    def sel(budget: Long) = Sampling.selectWithinBudget(df, col("prio"),
+      col("w"), col("id"), budget)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // budget 13: d (cum 6) in, c (cum 13) in, b (17) out, a (22) out —
+    // and crucially b's exclusion does NOT backfill a (cum still 22)
+    assert(sel(13L) === Map("d" -> (6L, true), "c" -> (13L, true),
+      "b" -> (17L, false), "a" -> (22L, false)))
+    // exact boundary inclusive
+    assert(sel(17L)("b") === ((17L, true)))
+    // zero budget selects nothing but still exports the running sums
+    assert(sel(0L).values.forall(!_._2))
+    intercept[IllegalArgumentException] {
+      Sampling.selectWithinBudget(df, col("prio"), col("w"), col("id"), -1L)
+    }
+    ()
+  }
 }

@@ -253,6 +253,39 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bm25 serve on a stream: persisted stats artifact round-trips and " +
+      "scores micro-batches bit-identically to batch") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = Seq((101L, nearDupA), (102L, nearDupB), (103L, unrelated))
+      .toDF("doc_id", "text")
+    val terms = Seq("fox", "spark")
+    val fitted = TextAnalysis.bm25Fit(corpus, terms)
+    val statsPath = s"/tmp/graft_test_bm25_${System.nanoTime()}"
+    TextAnalysis.bm25StatsToFrame(spark, fitted).write.parquet(statsPath)
+    val reloaded = TextAnalysis.bm25StatsFromFrame(
+      spark.read.parquet(statsPath))
+    assert(reloaded === fitted) // artifact round-trip is lossless
+    val incoming = Seq((1L, nearDupA), (2L, unrelated),
+      (3L, "no match here at all"))
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.bm25ScoreWith(in.toDF().toDF("doc_id", "text"),
+        reloaded)
+      .writeStream.format("memory").queryName("sdd_bm25")
+      .outputMode("append").start()
+    try {
+      in.addData(incoming.take(1): _*); q.processAllAvailable()
+      in.addData(incoming.drop(1): _*); q.processAllAvailable()
+      def snap(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        r.getLong(0) -> r.getAs[Double]("score")).toMap
+      val streamed = snap(spark.table("sdd_bm25").collect())
+      val batch = snap(TextAnalysis.bm25ScoreWith(
+        incoming.toDF("doc_id", "text"), reloaded).collect())
+      assert(streamed === batch)
+      assert(streamed(1L) > 0.0 && streamed(3L) === 0.0)
+    } finally q.stop()
+  }
+
   test("streaming perplexity gate: batch-parity scores and buckets from " +
       "persisted LM + threshold artifacts, across micro-batch boundaries") {
     implicit val sq = spark.sqlContext
