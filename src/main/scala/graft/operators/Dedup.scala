@@ -681,6 +681,67 @@ object Dedup {
             |  s -> s.w)""".stripMargin), " ").as("text_clean"))
   }
 
+  /** CROSS-document repeated-span scrub — the corpus face of exact
+    * substring dedup (Lee et al. 2021's actual setting: a span repeated
+    * ACROSS training documents is the memorization hazard;
+    * [[spanScrub]] is the within-doc face). Same position-algebraic
+    * coverage rule; the only change is gram first-occurrence: a gram is
+    * a `dup` iff an equal gram occurs EARLIER under the corpus total
+    * order (doc_id, k) — so the first document (lowest doc_id) carrying
+    * a span keeps it, every later echo loses its tail, and within-doc
+    * echoes are subsumed (same-doc repeats are later under the same
+    * order). Deterministic under any layout: the order is data, not
+    * partitioning.
+    *
+    * Scale shape: the global first-occurrence is an ALGEBRAIC aggregate
+    * — groupBy(ghash).agg(min(struct(doc_id, k))) with map-side combine
+    * — joined back on ghash, NOT a window over a ghash partition: a
+    * viral span repeated a billion times partial-aggregates to one row
+    * per map task instead of collapsing a billion rows into one window
+    * task (AQE handles residual join skew). Grams travel as 8-byte
+    * xxhash64 keys (the [[spanScrub]] collision trade, now ~2⁻⁶⁴ per
+    * CORPUS pair — still negligible below ~2³² distinct grams). The
+    * coverage/rebuild windows stay per-doc-keyed, so only the
+    * (ghash-keyed aggregate + join) stages see cross-document traffic.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean), original token
+    * order preserved. */
+  def spanScrubGlobal(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"n must be in [2, 64], got $n")
+    import org.apache.spark.sql.expressions.Window
+    val tok = spread(docs)
+      .withColumn("ws", tokens(coalesce(col("text"), lit(""))))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("k0", "w")))
+      .select(col("doc_id"), (col("k0") + 1).as("k"), col("w"),
+        size(col("ws")).as("m"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("k"))
+    val gram = concat_ws(" ", col("w") +:
+      (1 until n).map(j => lead(col("w"), j).over(wOrd)): _*)
+    val withGram = tok.withColumn("ghash",
+      when(col("k") <= col("m") - (n - 1), xxhash64(gram)))
+    val firsts = withGram.filter(col("ghash").isNotNull)
+      .groupBy(col("ghash"))
+      .agg(min(struct(col("doc_id"), col("k"))).as("first_pos"))
+    val withDup = withGram.join(firsts, Seq("ghash"), "left")
+      .withColumn("dup",
+        when(col("ghash").isNotNull,
+          (struct(col("doc_id"), col("k")) > col("first_pos")).cast("int")))
+    val wCover = wOrd.rowsBetween(-(n - 1), 0)
+    val flagged = withDup.withColumn("removed",
+      count(col("dup")).over(wCover) > 0 &&
+        min(col("dup")).over(wCover) === 1)
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("removed"), 1)).as("n_removed"),
+        array_join(expr(
+          """transform(
+            |  array_sort(collect_list(CASE WHEN NOT removed
+            |    THEN struct(k, w) END)),
+            |  s -> s.w)""".stripMargin), " ").as("text_clean"))
+  }
+
   /** Row-wise sibling of [[spanScrub]] — the SERVE/STREAM shape (the
     * lmScoreRowwise pattern): identical policy evaluated entirely inside
     * each document row with higher-order functions — no explode, no

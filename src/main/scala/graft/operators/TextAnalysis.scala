@@ -1352,4 +1352,238 @@ object TextAnalysis {
           col("cost_sum").cast("double") / col("n_bigrams").cast("double"))
           .as("avg_surprisal_micro"))
   }
+
+  // ------------------------------------------------------------------
+  // Gopher rule filter (Rae et al. 2021 §A1.1 — the rule-based document
+  // gate every web-corpus pipeline runs before any model-based filter).
+  // Every rule is an INTEGER comparison (counts cross-multiplied against
+  // per-mille thresholds — never a float ratio), so verdicts are
+  // bit-identical in any engine and a threshold can never drift on
+  // rounding. Each rule ships as its own boolean column (the snk3
+  // mode-as-data pattern): curation debugging needs "why did this doc
+  // fail", not just the AND.
+
+  /** Thresholds for [[gopherRules]]. Defaults are the published Gopher
+    * values where the rule has a direct analog (word count 50–100k, mean
+    * word length 3–10, ≥ 80% alphabetic words, ≤ 10% symbol words, ≥ 2
+    * distinct stopwords); `maxTopTokenPerMille` is the single-token face
+    * of Gopher's top-2-gram-fraction rule. Ratio thresholds are
+    * per-mille integers; the stopword list is a parameter because a
+    * corpus-appropriate function-word set is what makes the rule
+    * discriminate (the paper's English list, on a non-English or
+    * synthetic corpus, fails everything). */
+  final case class GopherParams(
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanLenMilli: Long = 3000L,
+      maxMeanLenMilli: Long = 10000L,
+      minAlphaPerMille: Long = 800L,
+      maxSymbolPerMille: Long = 100L,
+      minStopwords: Long = 2L,
+      maxTopTokenPerMille: Long = 200L,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      symbols: Seq[String] = Seq("#", "...", "…"))
+
+  /** The six per-document counts every rule verdict derives from, as a
+    * single stateless projection (top-token count excluded — see the two
+    * siblings). NULL text → NULL counts, so unscoreable rows surface as
+    * NULL verdicts rather than fabricated passes. */
+  private def gopherBaseCounts(docs: DataFrame,
+                               p: GopherParams): DataFrame = {
+    val ws = col("__ws")
+    docs
+      .withColumn("__ws", when(col("text").isNotNull, toks(col("text"))))
+      .withColumn("n", size(ws).cast("long"))
+      .withColumn("sum_len",
+        aggregate(ws, lit(0L), (a, t) => a + length(t).cast("long")))
+      .withColumn("n_alpha",
+        size(filter(ws, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_sym",
+        size(filter(ws, t => t.isin(p.symbols: _*))).cast("long"))
+      // distinct stopwords PRESENT: iterate the fixed list, probe the
+      // doc — O(|stopwords|·n) with an 8-element outer loop, and
+      // duplicates in the doc can't double-count
+      .withColumn("n_stop",
+        when(ws.isNotNull,
+          size(filter(typedLit(p.stopwords), s => array_contains(ws, s)))
+            .cast("long")))
+  }
+
+  /** Rule verdicts from the count columns — ONE definition shared by
+    * both siblings, so the relational and row-wise faces cannot apply
+    * different formulas. All comparisons are exact integer
+    * cross-multiplications. `gopher_pass` is the strict AND with NULL
+    * collapsing to false (an unscoreable doc never passes a filter). */
+  private def gopherVerdicts(counts: DataFrame,
+                             p: GopherParams): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "r_word_count" ->
+        (col("n") >= p.minTokens && col("n") <= p.maxTokens),
+      "r_mean_word_len" ->
+        (col("sum_len") * lit(1000L) >= lit(p.minMeanLenMilli) * col("n") &&
+          col("sum_len") * lit(1000L) <= lit(p.maxMeanLenMilli) * col("n")),
+      "r_alpha" ->
+        (col("n_alpha") * lit(1000L) >= lit(p.minAlphaPerMille) * col("n")),
+      "r_symbol" ->
+        (col("n_sym") * lit(1000L) <= lit(p.maxSymbolPerMille) * col("n")),
+      "r_stopwords" -> (col("n_stop") >= p.minStopwords),
+      "r_top_token" ->
+        (col("top_cnt") * lit(1000L) <= lit(p.maxTopTokenPerMille) * col("n")))
+    counts.select(
+      (col("doc_id") +: col("n").as("n_tokens") +:
+        rules.map { case (name, c) => c.as(name) }) :+
+        coalesce(rules.map(_._2).reduce(_ && _), lit(false))
+          .as("gopher_pass"): _*)
+  }
+
+  /** Gopher rule gate, RELATIONAL form: the five in-row counts plus the
+    * top-token count via explode → (doc, token) count → per-doc max —
+    * two narrow doc-keyed shuffles carrying (doc_id, hashable token,
+    * long), linear in corpus size regardless of document length. The
+    * production shape for long-document corpora. */
+  def gopherRules(docs: DataFrame,
+                  p: GopherParams = GopherParams()): DataFrame = {
+    val top = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    gopherVerdicts(
+      gopherBaseCounts(docs, p).join(top, Seq("doc_id"), "left"), p)
+  }
+
+  /** Gopher rule gate, ROW-WISE form: bit-identical verdicts
+    * (spec-pinned) from ONE stateless projection — the top-token count
+    * computed in-row as max over distinct tokens of the token's
+    * occurrence count (O(u·n) per doc; bounded document length makes
+    * that a constant). No shuffle, no state: legal in any Structured
+    * Streaming output mode — the serve/stream shape of [[gopherRules]]. */
+  def gopherRulesRowwise(docs: DataFrame,
+                         p: GopherParams = GopherParams()): DataFrame = {
+    val ws = col("__ws")
+    gopherVerdicts(
+      gopherBaseCounts(docs, p)
+        .withColumn("top_cnt",
+          array_max(transform(array_distinct(ws),
+            t => size(filter(ws, x => x === t)).cast("long")))), p)
+  }
+
+  // ------------------------------------------------------------------
+  // DSIR data selection (Xie et al. 2023 — Data Selection for Language
+  // Models via Importance Resampling): score every raw document by the
+  // log importance weight log p_target(x) − log p_raw(x) under two
+  // hashed-unigram bag-of-words models, then keep the top-k. The feature
+  // hashing is [[hashedBagOfWords]]'s (vocabulary-free, B buckets sizes
+  // the collision rate); the log probabilities are the perplexity
+  // filter's EXACT quantized-ln integer chain, so weights are BIGINT
+  // micro-nats reproducible bit-for-bit in any engine.
+
+  /** A trained DSIR importance model: per-bucket cost difference
+    * cost_raw(b) − cost_target(b) in micro-nats, where cost_X(b) is the
+    * quantized −ln of the add-1-smoothed bucket probability
+    * (c_X(b)+1)/(T_X+B) under corpus X. `buckets` numbers — train on
+    * 100 TB, serve as a B-long array. */
+  final case class DsirModel(
+      buckets: Int,
+      seed: String,
+      algo: String,
+      diffMicro: IndexedSeq[Long])
+
+  /** Per-bucket token counts of a corpus as a dense driver array —
+    * bounded by `buckets`, corpus-size-independent (ONE explode + ONE
+    * B-group aggregate with map-side combine). */
+  private def bucketCounts(docs: DataFrame, buckets: Int, seed: String,
+                           algo: String): Array[Long] = {
+    val counts = Array.fill(buckets)(0L)
+    docs.filter(col("text").isNotNull)
+      .select(explode(toks(col("text"))).as("token"))
+      .withColumn("b", Sampling.bucket(col("token"), seed, algo) % buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    counts
+  }
+
+  /** Train the DSIR importance model: two bounded aggregates (raw and
+    * target bucket counts), cost chains evaluated exactly driver-side
+    * over the 2·B inputs. Empty buckets smooth to (T+B)/1, which the
+    * [[SurprisalCapMilli]] cap bounds — identical on both sides, so an
+    * all-empty bucket contributes a diff of 0. */
+  def dsirTrain(raw: DataFrame, target: DataFrame, buckets: Int,
+                seed: String, algo: String = "xxh64"): DsirModel = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val cRaw = bucketCounts(raw, buckets, seed, algo)
+    val cTar = bucketCounts(target, buckets, seed, algo)
+    val tRaw = cRaw.sum; val tTar = cTar.sum
+    def cost(total: Long, c: Long): Long =
+      quantCost(math.min((total + buckets) * 1000L / (c + 1L),
+        SurprisalCapMilli))
+    val diff = (0 until buckets).map(b =>
+      cost(tRaw, cRaw(b)) - cost(tTar, cTar(b)))
+    DsirModel(buckets, seed, algo, diff)
+  }
+
+  /** Score every document: logw_micro = Σ_tokens diff(bucket(token)) —
+    * ONE stateless projection (hash, array-index, sum; no explode, no
+    * join, no shuffle), the serve/stream shape. NULL text → NULL weight,
+    * n_feat_tokens 0. Positive weights read "more target-like than the
+    * raw corpus". */
+  def dsirLogWeights(docs: DataFrame, model: DsirModel): DataFrame = {
+    val diffLit = typedLit(model.diffMicro)
+    val perTok = transform(col("__ws"), t =>
+      element_at(diffLit,
+        (Sampling.bucket(t, model.seed, model.algo) % model.buckets)
+          .cast("int") + lit(1)))
+    docs
+      .withColumn("__ws", when(col("text").isNotNull, toks(col("text"))))
+      .withColumn("n_feat_tokens",
+        coalesce(size(col("__ws")).cast("long"), lit(0L)))
+      .withColumn("logw_micro",
+        when(col("__ws").isNotNull,
+          aggregate(perTok, lit(0L), (a, c) => a + c)))
+      .select(col("doc_id"), col("n_feat_tokens"), col("logw_micro"))
+  }
+
+  /** DSIR selection, EXACT form: keep the `k` documents with the
+    * largest importance weight under the total order (logw_micro DESC,
+    * doc_id). The verdict ships as a `selected` column (mode-as-data),
+    * never as a dropped row, so the gate composes with later stages and
+    * the boundary is oracle-visible. The global row_number is the
+    * W5/lmPerplexityBuckets exactness price — at corpus scale cut at a
+    * persisted [[dsirThreshold]] instead (same gate, one aggregate, no
+    * sort). */
+  def dsirSelect(docs: DataFrame, model: DsirModel, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("logw_micro").desc, col("doc_id").asc)
+    val scored = dsirLogWeights(docs, model)
+    val ranked = scored.filter(col("logw_micro").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), (col("__rn") <= k).as("selected"))
+    scored.join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feat_tokens"), col("logw_micro"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  /** The SCALE form of the selection cut: a weight threshold from a
+    * single-pass quantile sketch at the target keep fraction — persist
+    * SNK6-style, gate any later frame (including a stream) with
+    * [[dsirGateWith]]. Agreement with [[dsirSelect]] is within the
+    * sketch's rank-error band (the lmPerplexityThresholds contract). */
+  def dsirThreshold(scored: DataFrame, keepFraction: Double,
+                    accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0,1), got $keepFraction")
+    scored.filter(col("logw_micro").isNotNull)
+      .agg(expr(s"approx_percentile(logw_micro, ${1.0 - keepFraction}, " +
+        s"$accuracy)").as("min_logw"))
+  }
+
+  /** Apply a persisted threshold: one-row broadcast cross join +
+    * scan-speed CASE — the stream-static shape. */
+  def dsirGateWith(scored: DataFrame, threshold: DataFrame): DataFrame =
+    scored.crossJoin(broadcast(threshold))
+      .select(col("doc_id"), col("n_feat_tokens"), col("logw_micro"),
+        coalesce(col("logw_micro") >= col("min_logw"), lit(false))
+          .as("selected"))
 }

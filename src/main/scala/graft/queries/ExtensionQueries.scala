@@ -284,6 +284,118 @@ object ExtensionQueries {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Generated DuckDB oracle for the Gopher rule gate — every count and
+    * integer cross-multiplication re-derived relationally (list HOFs for
+    * the in-row counts, unnest → group → max for the top-token count);
+    * one derivation grades BOTH Spark siblings (relational and rowwise),
+    * so a hash match certifies three independent algorithms landed on
+    * identical verdicts. */
+  private def gopherOracle(p: TextAnalysis.GopherParams): String = {
+    val stop = p.stopwords.map("'" + _ + "'").mkString(", ")
+    val sym = p.symbols.map("'" + _ + "'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(ws, w -> CAST(len(w) AS BIGINT))),
+       |      (a, b) -> a + b) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(ws, w -> list_contains([$sym], w)))
+       |      AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter([$stop], s -> list_contains(ws, s)))
+       |      AS BIGINT) AS n_stop
+       |  FROM t),
+       |tc AS (
+       |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+       |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT doc_id, unnest(ws) AS tok FROM t) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT c.doc_id, c.n,
+       |    c.n >= ${p.minTokens} AND c.n <= ${p.maxTokens} AS r_word_count,
+       |    c.sum_len * 1000 >= ${p.minMeanLenMilli} * c.n AND
+       |      c.sum_len * 1000 <= ${p.maxMeanLenMilli} * c.n
+       |      AS r_mean_word_len,
+       |    c.n_alpha * 1000 >= ${p.minAlphaPerMille} * c.n AS r_alpha,
+       |    c.n_sym * 1000 <= ${p.maxSymbolPerMille} * c.n AS r_symbol,
+       |    c.n_stop >= ${p.minStopwords} AS r_stopwords,
+       |    tc.top_cnt * 1000 <= ${p.maxTopTokenPerMille} * c.n
+       |      AS r_top_token
+       |  FROM c JOIN tc USING (doc_id))
+       |SELECT d.doc_id, r.n AS n_tokens, r.r_word_count,
+       |  r.r_mean_word_len, r.r_alpha, r.r_symbol, r.r_stopwords,
+       |  r.r_top_token,
+       |  coalesce(r.r_word_count AND r.r_mean_word_len AND r.r_alpha AND
+       |    r.r_symbol AND r.r_stopwords AND r.r_top_token, false)
+       |    AS gopher_pass
+       |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for ext_dsir_select — the whole DSIR chain
+    * re-derived relationally: md5 bucket hashing, raw/target bucket
+    * counts, add-1-smoothed bucket costs through the exact quantized-ln
+    * integer chain (the lmPerplexityOracle ladder + shared mantissa
+    * table), per-doc BIGINT weight sums, and the exact (logw DESC,
+    * doc_id) top-k cut. The Spark side trains driver-side and scores
+    * row-wise with zero joins — two maximally different algorithms, one
+    * hash. */
+  private def dsirOracle(targetSources: Seq[String], buckets: Int,
+                         seed: String, k: Int): String = {
+    val qs = TextAnalysis.LnMantissaMicro.map(_._2).mkString(", ")
+    val cap = TextAnalysis.SurprisalCapMilli
+    val ln2 = TextAnalysis.Ln2Micro
+    val srcs = targetSources.map("'" + _ + "'").mkString(", ")
+    val ladder = (13 to 1 by -1)
+      .map(kk => s"WHEN r >= ${1000L << kk} THEN $kk").mkString(" ")
+    s"""WITH lnq AS (
+       |  SELECT unnest(generate_series(1000, 1999)) AS m,
+       |         unnest([$qs]) AS q),
+       |tok AS (
+       |  SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS token
+       |  FROM documents d WHERE d.text IS NOT NULL),
+       |tb AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(token || ':$seed'), 1, 15)) AS BIGINT)
+       |      % 1000000 % $buckets AS b
+       |  FROM tok),
+       |bs AS (SELECT unnest(generate_series(0, ${buckets - 1})) AS b),
+       |rawc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY 1),
+       |tarc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb
+       |         WHERE source IN ($srcs) GROUP BY 1),
+       |traw AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM rawc),
+       |ttar AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tarc),
+       |cr0 AS (SELECT bs.b,
+       |  least((traw.t + $buckets) * 1000 // (coalesce(rawc.c, 0) + 1),
+       |        $cap) AS r
+       |  FROM bs LEFT JOIN rawc USING (b), traw),
+       |cr1 AS (SELECT b, r, CASE $ladder ELSE 0 END AS e FROM cr0),
+       |cr AS (SELECT b, CAST(e AS BIGINT) * $ln2 + lnq.q AS cost
+       |  FROM cr1 JOIN lnq ON lnq.m = (cr1.r >> cr1.e)),
+       |ct0 AS (SELECT bs.b,
+       |  least((ttar.t + $buckets) * 1000 // (coalesce(tarc.c, 0) + 1),
+       |        $cap) AS r
+       |  FROM bs LEFT JOIN tarc USING (b), ttar),
+       |ct1 AS (SELECT b, r, CASE $ladder ELSE 0 END AS e FROM ct0),
+       |ct AS (SELECT b, CAST(e AS BIGINT) * $ln2 + lnq.q AS cost
+       |  FROM ct1 JOIN lnq ON lnq.m = (ct1.r >> ct1.e)),
+       |df AS (SELECT cr.b, cr.cost - ct.cost AS dd FROM cr JOIN ct USING (b)),
+       |perdoc AS (
+       |  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS nf,
+       |    CAST(sum(dd) AS BIGINT) AS logw
+       |  FROM tb JOIN df USING (b) GROUP BY 1),
+       |rk AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+       |  FROM perdoc)
+       |SELECT d.doc_id, coalesce(p.nf, 0) AS n_feat_tokens,
+       |  p.logw AS logw_micro,
+       |  coalesce(rk.rn <= $k, false) AS selected
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |LEFT JOIN rk USING (doc_id)""".stripMargin
+  }
+
   /** Intra-doc repeated-span scrub re-derived relationally in DuckDB:
     * gram first-position window + coverage join + ordered rebuild —
     * shared by the relational and rowwise Spark forms (three
@@ -305,6 +417,44 @@ object ExtensionQueries {
       |  SELECT doc_id, k, w,
       |    CASE WHEN gram IS NOT NULL THEN
       |      CAST(k > min(k) OVER (PARTITION BY doc_id, gram) AS INT)
+      |    END AS dup
+      |  FROM tk),
+      |cov AS (
+      |  SELECT t1.doc_id, t1.k, t1.w,
+      |    count(t2.dup) > 0 AND min(t2.dup) = 1 AS removed
+      |  FROM d t1
+      |  LEFT JOIN d t2 ON t2.doc_id = t1.doc_id
+      |    AND t2.k BETWEEN t1.k - 2 AND t1.k AND t2.dup IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  count(CASE WHEN removed THEN 1 END) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT removed THEN w END, ' '
+      |    ORDER BY k), '') AS text_clean
+      |FROM cov GROUP BY doc_id""".stripMargin
+
+  /** [[duckSpanScrub]] with GLOBAL gram first-occurrence: dup iff
+    * (doc_id, k) is strictly after the corpus-wide minimum (doc_id, k)
+    * of an equal gram — struct comparison IS the lexicographic total
+    * order in both engines. Everything else identical. */
+  private val duckSpanScrubGlobal =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, ws, len(ws) AS m,
+      |    unnest(generate_series(1, len(ws))) AS k
+      |  FROM t),
+      |tk AS (
+      |  SELECT doc_id, m, k, ws[k] AS w,
+      |    CASE WHEN k <= m - 2
+      |      THEN array_to_string(ws[k:k+2], ' ') END AS gram
+      |  FROM tok),
+      |d AS (
+      |  SELECT doc_id, k, w,
+      |    CASE WHEN gram IS NOT NULL THEN
+      |      CAST(struct_pack(d := doc_id, k := k) >
+      |        min(struct_pack(d := doc_id, k := k))
+      |          OVER (PARTITION BY gram) AS INT)
       |    END AS dup
       |  FROM tk),
       |cov AS (
@@ -935,6 +1085,20 @@ object ExtensionQueries {
     "dedup_span_scrub_rowwise" -> QueryDef(
       (s, dir) => Dedup.spanScrubRowwise(Tables.documents(s, dir), n = 3),
       duckSpanScrub),
+
+    // CROSS-document repeated-span scrub (round 11) — the corpus face
+    // of Lee et al. 2021: a gram is a dup iff an equal gram occurs
+    // earlier under the corpus total order (doc_id, k), so the lowest
+    // doc_id carrying a span keeps it and every later echo (in ANY doc)
+    // loses its tail. Spark computes global first occurrence as an
+    // algebraic min(struct) aggregate joined back on the 8-byte gram
+    // hash (map-side combinable — a viral span never collapses into one
+    // window task); the oracle re-derives it with a struct-min window
+    // over gram TEXT, so the hash-vs-text grouping equivalence is
+    // certified cross-corpus here.
+    "dedup_span_scrub_global" -> QueryDef(
+      (s, dir) => Dedup.spanScrubGlobal(Tables.documents(s, dir), n = 3),
+      duckSpanScrubGlobal),
 
     // INCREMENTAL dedup, the production ingest shape: the existing corpus
     // (doc_id % 5 != 0) is sketched ONCE into a parquet MinHash index
@@ -2551,6 +2715,61 @@ object ExtensionQueries {
         |SELECT 'min_count', '*',
         |  CAST(count(*) AS DOUBLE), 100.0,
         |  CAST(count(*) AS DOUBLE) >= 100.0
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin),
+
+    // Gopher rule gate (round 11, Rae et al. 2021 §A1.1) — the
+    // rule-based document filter, every rule an exact integer
+    // cross-multiplication exported as its own boolean column
+    // (mode-as-data). Thresholds are tuned so the corpus realizes BOTH
+    // verdicts on four of the six rules (word count 277/500 pass, mean
+    // word length 468, stopwords 446, top-token 427; alpha and symbol
+    // never fail on this all-alphabetic corpus — their branch coverage
+    // lives in GopherRulesSpec's hand frames). The stopword set is the
+    // corpus-appropriate function-word list (see GopherParams scaladoc).
+    "ext_gopher_rules" -> QueryDef(
+      (s, dir) => TextAnalysis.gopherRules(
+        Tables.documents(s, dir), gopherCorpusParams),
+      gopherOracle(gopherCorpusParams)),
+
+    // The SERVE/STREAM shape of the same gate, held to the SAME oracle:
+    // one stateless projection, top-token count computed in-row — three
+    // independent algorithms (Spark relational, Spark rowwise, DuckDB),
+    // one hash.
+    "ext_gopher_rules_rowwise" -> QueryDef(
+      (s, dir) => TextAnalysis.gopherRulesRowwise(
+        Tables.documents(s, dir), gopherCorpusParams),
+      gopherOracle(gopherCorpusParams)),
+
+    // DSIR data selection (round 11, Xie et al. 2023) — hashed-unigram
+    // importance resampling toward a target domain (sources src0-3):
+    // log importance weights as exact BIGINT micro-nats through the
+    // shared quantized-ln chain, exact top-k cut exported as a
+    // `selected` flag. Spark trains the 64-bucket model driver-side
+    // and scores row-wise (no explode, no join); the oracle re-derives
+    // everything relationally. Selection is verifiably target-enriched
+    // at sf0.01 (41% of target docs selected vs 27% of the rest).
+    "ext_dsir_select" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val target = docs.filter(col("source")
+          .isin(dsirTargetSources: _*))
+        val model = TextAnalysis.dsirTrain(docs, target, buckets = 64,
+          seed = "r11ds", algo = "md5")
+        TextAnalysis.dsirSelect(docs, model, k = 150)
+      },
+      dsirOracle(dsirTargetSources, buckets = 64, seed = "r11ds", k = 150))
   )
+
+  /** Shared by both ext_gopher_rules registrations — one parameter set,
+    * one oracle string, two Spark plans. */
+  private lazy val gopherCorpusParams = TextAnalysis.GopherParams(
+    minTokens = 50L, maxTokens = 100000L,
+    minMeanLenMilli = 4200L, maxMeanLenMilli = 10000L,
+    minAlphaPerMille = 800L, maxSymbolPerMille = 100L,
+    minStopwords = 2L, maxTopTokenPerMille = 125L,
+    stopwords = Seq("the", "a", "of", "fast", "slow", "be", "and", "with"))
+
+  // lazy: referenced from the eagerly-built `defs` map literal above —
+  // a strict val here would still be null at that point
+  private lazy val dsirTargetSources = Seq("src0", "src1", "src2", "src3")
 }

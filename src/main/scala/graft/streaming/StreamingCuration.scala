@@ -107,6 +107,30 @@ object StreamingCuration {
     TextAnalysis.lmPerplexityGateWith(
       TextAnalysis.lmScoreRowwise(docs, model), thresholds)
 
+  /** DSIR importance gate on a stream, from TRAINED artifacts: `model`
+    * from [[TextAnalysis.dsirTrain]] over raw+target corpora (a batch
+    * job; a B-long driver array) and `threshold` from
+    * [[TextAnalysis.dsirThreshold]] over a scored reference corpus —
+    * both persistable SNK6-style. The unbounded side pays one stateless
+    * projection ([[TextAnalysis.dsirLogWeights]] — hash, array-index,
+    * fold; no explode/join/state, any output mode) plus the broadcast
+    * one-row threshold join of [[TextAnalysis.dsirGateWith]]. Batch
+    * parity is bit-exact by construction (identical integer chain,
+    * identical persisted artifacts) and spec-pinned. */
+  def dsirGate(docs: DataFrame, model: TextAnalysis.DsirModel,
+               threshold: DataFrame): DataFrame =
+    TextAnalysis.dsirGateWith(
+      TextAnalysis.dsirLogWeights(docs, model), threshold)
+
+  /** Gopher rule gate on a stream: [[TextAnalysis.gopherRulesRowwise]]
+    * IS the stream shape (one stateless projection, the in-row
+    * top-token count) — exposed here so the curation chain names its
+    * full gate set in one place. Verdict columns ride along; filtering
+    * on `gopher_pass` is caller policy. */
+  def gopherGate(docs: DataFrame,
+                 p: TextAnalysis.GopherParams): DataFrame =
+    TextAnalysis.gopherRulesRowwise(docs, p)
+
   /** Back half: near-dup candidate pairs among the curated survivors
     * (SimHash sketch → band buckets). Chain this onto [[curatedStream]]'s
     * output for the full flow. `probeBits` per [[StreamingDedup.banded]]:

@@ -368,4 +368,45 @@ class DedupSpec extends SparkSpecBase {
     assert(snap(Dedup.spanScrubRowwise(real, n = 3)) ===
       snap(Dedup.spanScrub(real, n = 3)))
   }
+
+  test("spanScrubGlobal: cross-doc echoes lose their tail, lowest doc_id " +
+      "keeps the span, intra-doc scrub subsumed, layout-invariant") {
+    import spark.implicits._
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val docs = Seq(
+      (1L, "a b c d e"),                // first occurrence: untouched
+      (2L, "x a b c d e y"),            // echoes 5 tokens of doc 1: center goes
+      (3L, "a b c z"),                  // echo of length n at doc START: edge token goes
+      (4L, "p q r s t p q r s t"),      // intra-doc echo: still scrubbed
+      (5L, null.asInstanceOf[String]))  // null text -> one empty token
+      .toDF("doc_id", "text")
+    val out = snap(Dedup.spanScrubGlobal(docs, n = 3))
+    assert(out(1L) === ((5L, 0L, "a b c d e")))
+    // doc 2: grams "a b c","b c d","c d e" are global dups; only token
+    // "c" (k=4) has ALL covering grams dup — junctions bridge fresh
+    // context and stay
+    assert(out(2L) === ((7L, 1L, "x a b d e y")))
+    // doc 3: token 1 is covered ONLY by the dup gram "a b c" (no
+    // preceding gram at the doc edge) — same boundary behavior as the
+    // intra-doc "only its last token goes" case
+    assert(out(3L) === ((4L, 1L, "b c z")))
+    // intra-doc behavior identical to spanScrub (same-doc repeats are
+    // later under the total order)
+    assert(out(4L) === snap(Dedup.spanScrub(
+      Seq((4L, "p q r s t p q r s t")).toDF("doc_id", "text"), n = 3))(4L))
+    assert(out(5L) === ((1L, 0L, "")))
+    // layout invariance: the order is data, not partitioning
+    assert(snap(Dedup.spanScrubGlobal(docs.repartition(7), n = 3)) === out)
+    // on real corpus: global removals dominate intra-doc removals per doc
+    val real = graft.Tables.documents(spark, sf0001)
+    val g = snap(Dedup.spanScrubGlobal(real, n = 3))
+    val l = snap(Dedup.spanScrub(real, n = 3))
+    assert(g.keySet === l.keySet)
+    g.foreach { case (id, (nt, nr, _)) =>
+      assert(nt === l(id)._1); assert(nr >= l(id)._2, s"doc $id")
+    }
+    assert(g.values.map(_._2).sum > l.values.map(_._2).sum)
+  }
 }

@@ -332,4 +332,44 @@ class StreamingDedupSpec extends SparkSpecBase {
       } finally q.stop()
     } finally { thresholds.unpersist(); () }
   }
+
+  test("streaming DSIR gate: batch-parity weights and selection from " +
+      "persisted model + threshold artifacts") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // batch side trains the importance model and the keep threshold
+    val raw = Seq((101L, "aa bb cc dd"), (102L, "aa aa bb bb"),
+      (103L, "xx yy zz ww"), (104L, "aa xx cc yy")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 102L)
+    val model = TextAnalysis.dsirTrain(raw, target, buckets = 8,
+      seed = "sdsir", algo = "md5")
+    val thr = TextAnalysis.dsirThreshold(
+      TextAnalysis.dsirLogWeights(raw, model), keepFraction = 0.5).cache()
+    try {
+      val incoming = Seq((1L, "aa bb aa bb"), (2L, "xx yy zz ww"),
+        (3L, null.asInstanceOf[String]))
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingCuration.dsirGate(
+        in.toDF().toDF("doc_id", "text"), model, thr)
+        .writeStream.format("memory").queryName("sc_dsir")
+        .outputMode("append").start()
+      try {
+        in.addData(incoming.take(1): _*); q.processAllAvailable()
+        in.addData(incoming.drop(1): _*); q.processAllAvailable()
+        def snap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+          r.getLong(0) -> (r.getLong(1), Option(r.getAs[Any]("logw_micro")),
+            r.getBoolean(3))).toMap
+        val streamed = snap(spark.table("sc_dsir").collect())
+        val batch = snap(TextAnalysis.dsirGateWith(
+          TextAnalysis.dsirLogWeights(incoming.toDF("doc_id", "text"),
+            model), thr).collect())
+        assert(streamed === batch)
+        // gate discriminates: target-like doc kept, off-domain dropped,
+        // null text unscored and never selected
+        assert(streamed(1L)._3)
+        assert(!streamed(2L)._3)
+        assert(streamed(3L)._2.isEmpty && !streamed(3L)._3)
+      } finally q.stop()
+    } finally { thr.unpersist(); () }
+  }
 }
