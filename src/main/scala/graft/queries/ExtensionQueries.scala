@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, Features, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Features, Multimodal, Profiling, Sampling, Similarity, TextAnalysis, UrlCuration}
 
 /** LLM-data-pipeline extension operators (north star, BASELINE.json):
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -469,6 +469,74 @@ object ExtensionQueries {
       |  coalesce(string_agg(CASE WHEN NOT removed THEN w END, ' '
       |    ORDER BY k), '') AS text_clean
       |FROM cov GROUP BY doc_id""".stripMargin
+
+  /** Shared WITH-chain for the URL-curation oracles: re-derives the
+    * deterministic URL synthesis (md5 bit scatter over base = doc_id/2)
+    * AND the full normalization algebra (scheme/host case, www strip,
+    * default port, trailing slash, tracking-param drop + bytewise param
+    * sort, fragment drop) — every regex lookahead-free so Java ≡ RE2.
+    * Ends at relation `nn(doc_id, url, url_norm, domain)`. */
+  private def duckUrlChain(seed: String): String =
+    s"""WITH syn AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'),
+       |      1, 15)) AS BIGINT) % 1000000 AS h,
+       |    doc_id // 2 AS base
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN h % 2 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+       |    (CASE WHEN h // 2 % 2 = 1 THEN 'WWW.' ELSE '' END) ||
+       |    (CASE WHEN h // 4 % 2 = 1
+       |      THEN upper('d' || CAST(base % 40 AS VARCHAR) || '.example.com')
+       |      ELSE 'd' || CAST(base % 40 AS VARCHAR) || '.example.com' END) ||
+       |    (CASE WHEN h // 8 % 2 = 1 THEN ':443' ELSE '' END) ||
+       |    '/p/' || CAST(base AS VARCHAR) ||
+       |    (CASE WHEN h // 16 % 2 = 1 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN h // 32 % 2 = 1
+       |      THEN '?b=2&a=1&utm_source=feed&gclid=g1'
+       |      ELSE '?a=1&b=2' END) ||
+       |    (CASE WHEN (h % 2) <> (h // 2 % 2) THEN '#sec' ELSE '' END)
+       |      AS url
+       |  FROM syn),
+       |p1 AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM u),
+       |p2 AS (
+       |  SELECT doc_id, url, scheme,
+       |    regexp_extract(rest, '^([^/?#]*)', 1) AS auth,
+       |    regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+       |  FROM p1),
+       |p3 AS (
+       |  SELECT doc_id, url, scheme,
+       |    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+       |      '^www\\.', '') AS hostn,
+       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |    regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1),
+       |      '/+$$', '') AS path0,
+       |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS qraw
+       |  FROM p2),
+       |p4 AS (
+       |  SELECT *, array_to_string(list_sort(list_filter(
+       |    string_split(qraw, '&'),
+       |    p -> p <> '' AND NOT regexp_matches(p,
+       |      '^(utm_[^=]*|gclid|fbclid|msclkid)='))), '&') AS qs
+       |  FROM p3),
+       |nn AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN scheme <> '' AND hostn <> '' THEN
+       |      scheme || '://' || hostn ||
+       |      (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |         OR (scheme = 'https' AND port = '443')
+       |       THEN '' ELSE ':' || port END) ||
+       |      (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |      (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+       |    END AS url_norm,
+       |    CASE WHEN scheme <> '' AND hostn <> '' THEN hostn END AS domain
+       |  FROM p4)""".stripMargin
 
   /** Ground-truth near-dup pairs: exact shingle Jaccard ≥ 1/2 as pure
     * integer comparison (no float boundary). */
@@ -2757,8 +2825,94 @@ object ExtensionQueries {
           seed = "r11ds", algo = "md5")
         TextAnalysis.dsirSelect(docs, model, k = 150)
       },
-      dsirOracle(dsirTargetSources, buckets = 64, seed = "r11ds", k = 150))
+      dsirOracle(dsirTargetSources, buckets = 64, seed = "r11ds", k = 150)),
+
+    // URL curation (round 11, RefinedWeb §3.1 / C4 §2.1) — the
+    // acquisition-side gate: canonicalize messy URLs (ONE stateless
+    // projection — the serve/stream shape, StreamingCuration.urlGate)
+    // and verdict a domain blocklist. URLs are synthesized
+    // deterministically (the mm_* pattern: md5 bit scatter, consecutive
+    // doc pairs share one canonical resource), so the oracle re-derives
+    // the RAW url too — synthesis, normalization, and verdict all
+    // certified in one hash.
+    "ext_url_normalize" -> QueryDef(
+      (s, dir) => {
+        val normed = UrlCuration.normalizeUrls(
+          UrlCuration.synthesizeUrls(Tables.documents(s, dir), urlSeed))
+        normed.select(col("doc_id"), col("url"), col("url_norm"),
+          col("domain"),
+          UrlCuration.blocklistVerdict(col("domain"), urlBlocklist)
+            .as("blocked"))
+      },
+      duckUrlChain(urlSeed) +
+        """
+          |SELECT doc_id, url, url_norm, domain,
+          |  CASE WHEN domain IS NOT NULL THEN
+          |    domain = 'd7.example.com' OR
+          |    ends_with(domain, '.d7.example.com') OR
+          |    domain = 'd13.example.com' OR
+          |    ends_with(domain, '.d13.example.com') END AS blocked
+          |FROM nn""".stripMargin),
+
+    // Exact-URL dedup — the cheapest dedup in the stack (one string
+    // key, no content read; C4 keeps one page per canonical URL). First
+    // doc_id per canonical URL survives; the verdict is mode-as-data.
+    // Spark computes first-occurrence as an algebraic min aggregate
+    // joined back (map-side combinable — a billion-crawl URL never
+    // funnels into one window task); the oracle uses a struct-min
+    // window — two shapes, one hash.
+    "ext_url_dedup" -> QueryDef(
+      (s, dir) => UrlCuration.urlDedup(UrlCuration.normalizeUrls(
+          UrlCuration.synthesizeUrls(Tables.documents(s, dir), urlSeed)))
+        .select(col("doc_id"), col("url_norm"), col("kept")),
+      duckUrlChain(urlSeed) +
+        """
+          |SELECT doc_id, url_norm,
+          |  CASE WHEN url_norm IS NOT NULL THEN
+          |    doc_id = min(doc_id) OVER (PARTITION BY url_norm) END AS kept
+          |FROM nn""".stripMargin),
+
+    // Per-domain cap, both forms side by side: EXACT (hash-lottery
+    // row_number per domain — the window is the exactness price) and
+    // the SCALE threshold form (lottery·n < cap·1e6, one algebraic
+    // count aggregate, no window — binomial around cap). Both verdicts
+    // deterministic integer comparisons, both re-derived relationally.
+    "ext_domain_cap" -> QueryDef(
+      (s, dir) => {
+        val normed = UrlCuration.normalizeUrls(
+          UrlCuration.synthesizeUrls(Tables.documents(s, dir), urlSeed))
+        UrlCuration.domainCap(normed, urlCap, urlCapSeed)
+          .select(col("doc_id"), col("domain"), col("cap_kept"))
+          .join(UrlCuration.domainCapThreshold(normed, urlCap, urlCapSeed)
+            .select(col("doc_id"), col("cap_kept").as("thr_kept")),
+            Seq("doc_id"))
+      },
+      duckUrlChain(urlSeed) +
+        s""",
+          |lot AS (
+          |  SELECT doc_id, domain,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+          |      || ':$urlCapSeed'), 1, 15)) AS BIGINT) % 1000000 AS l
+          |  FROM nn),
+          |rk AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (PARTITION BY domain ORDER BY l, doc_id)
+          |      AS rn,
+          |    CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n
+          |  FROM lot WHERE domain IS NOT NULL)
+          |SELECT lot.doc_id, lot.domain,
+          |  CASE WHEN lot.domain IS NOT NULL THEN rk.rn <= $urlCap END
+          |    AS cap_kept,
+          |  CASE WHEN lot.domain IS NOT NULL
+          |    THEN lot.l * rk.n < $urlCap * 1000000 END AS thr_kept
+          |FROM lot LEFT JOIN rk ON lot.doc_id = rk.doc_id""".stripMargin)
   )
+
+  /** Shared by the three ext_url_* registrations. */
+  private lazy val urlSeed = "r11u"
+  private lazy val urlCapSeed = "r11cap"
+  private lazy val urlCap = 8
+  private lazy val urlBlocklist = Seq("d7.example.com", "d13.example.com")
 
   /** Shared by both ext_gopher_rules registrations — one parameter set,
     * one oracle string, two Spark plans. */

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontamination, TextAnalysis}
+import graft.operators.{Decontamination, TextAnalysis, UrlCuration}
 
 /** The north-star corpus-curation flow (quality gate → language gate →
   * exact dedup → near-dup candidates) on an UNBOUNDED document stream —
@@ -121,6 +121,18 @@ object StreamingCuration {
                threshold: DataFrame): DataFrame =
     TextAnalysis.dsirGateWith(
       TextAnalysis.dsirLogWeights(docs, model), threshold)
+
+  /** URL gate on a stream: [[UrlCuration.normalizeUrls]] +
+    * [[UrlCuration.blocklistVerdict]] are ONE stateless projection of
+    * built-in string functions — per-row in any output mode, zero
+    * state, batch parity by construction (same Column tree). Exact-URL
+    * dedup on a stream is [[StreamingDedup.exactDedupStream]] keyed on
+    * `url_norm` instead of text — same watermark-bounded state shape. */
+  def urlGate(docs: DataFrame, blocked: Seq[String]): DataFrame = {
+    val normed = UrlCuration.normalizeUrls(docs)
+    normed.withColumn("blocked",
+      UrlCuration.blocklistVerdict(col("domain"), blocked))
+  }
 
   /** Gopher rule gate on a stream: [[TextAnalysis.gopherRulesRowwise]]
     * IS the stream shape (one stateless projection, the in-row
