@@ -209,6 +209,13 @@ object GraftFunctions {
         MatProject(e.head, rows.flatten.toArray,
           litData("mu")(e(2)).toDoubleArray(),
           litData("scales")(e(3)).toDoubleArray(), rows.head.length)
+      }),
+    ("graft_span_scrub", classOf[SpanScrubRow],
+      "_FUNC_(ws, n) - row-wise repeated-span scrub of a token array: " +
+        "struct(n_tokens, n_removed, text_clean)",
+      es => {
+        val e = arity("graft_span_scrub", 2)(es)
+        SpanScrubRow(e.head, intLit("graft_span_scrub", "n")(e(1)))
       }))
 
   def register(spark: SparkSession): Unit = {

@@ -561,6 +561,40 @@ object Dedup {
     assigned.join(canon, Seq("cluster_id"))
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, weight every
+    * document by the inverse of its duplicate-cluster size so each
+    * semantic unit contributes one unit of training mass no matter how
+    * many copies the crawl carried (the reweight-don't-delete alternative
+    * the hard-removal rows implement; cf. the duplication-aware sampling
+    * discussion in Lee et al. 2021 §6 — removal and down-weighting bound
+    * the same memorization risk, but weighting preserves every copy's
+    * unique trailing content for a later span-level pass).
+    *
+    * Output: (id, cluster_id, cluster_n, weight) for EVERY input doc —
+    * docs in no pair form singleton clusters with weight 1.0. `weight` is
+    * exactly 1/cluster_n: the one IEEE division happens on an exact
+    * BIGINT count, so any engine reproduces it bit-for-bit.
+    *
+    * Scale: transitive closure via [[connectedComponents]] (narrow id
+    * pairs, star-contraction rounds); the size aggregate is cluster-keyed
+    * with map-side partial combine, and the join back moves only
+    * (id, cluster_id, cluster_n) — nothing text-sized shuffles. A
+    * million-copy boilerplate cluster costs one combined count row, not a
+    * hot task. */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       id: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val assigned = docs.select(col(id))
+      .join(comp.withColumnRenamed("node", id), Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(id)))
+      .drop("component")
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_n"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col(id), col("cluster_id"), col("cluster_n"),
+        (lit(1.0) / col("cluster_n").cast("double")).as("weight"))
+  }
+
   /** Frequent-passage removal (the C4 / CCNet sub-document dedup step —
     * near-dup PAIR removal drops whole documents, but boilerplate
     * passages shared by thousands of otherwise-distinct pages survive it;
@@ -759,6 +793,26 @@ object Dedup {
     * right trade for serve-sized documents, the wrong one for
     * million-token outliers, which belong on [[spanScrub]]. */
   def spanScrubRowwise(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"n must be in [2, 64], got $n")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // The whole per-row policy fused into ONE native pass
+    // (graft.functions.SpanScrubRow): the composable HOF form below
+    // ([[spanScrubRowwiseHof]], kept as the equivalence reference) paid an
+    // interpreted array_position scan per gram — O(G²) string compares —
+    // and was the suite's slowest row at sf0.1 (30.3 s → this form 1.2 s,
+    // same policy, spec- and oracle-pinned equal).
+    docs
+      .withColumn("__s", call_function("graft_span_scrub",
+        tokens(coalesce(col("text"), lit(""))), lit(n)))
+      .select(col("doc_id"),
+        col("__s").getField("n_tokens").as("n_tokens"),
+        col("__s").getField("n_removed").as("n_removed"),
+        col("__s").getField("text_clean").as("text_clean"))
+  }
+
+  /** The composable HOF form [[spanScrubRowwise]] claims policy equality
+    * with; test-only reference (the hyperplaneSignatureHof convention). */
+  private[graft] def spanScrubRowwiseHof(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2 && n <= 64, s"n must be in [2, 64], got $n")
     val g = n - 1
     val grams = when(col("__m") >= n,

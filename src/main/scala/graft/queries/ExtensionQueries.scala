@@ -124,7 +124,8 @@ object ExtensionQueries {
     * constant shared verbatim (the PoissonCdfMicro convention), so both
     * engines sum bit-identical BIGINT costs. */
   private def lmPerplexityOracle(vocabK: Int, lmK: Int,
-                                 refFraction: Double, seed: String): String = {
+                                 refFraction: Double, seed: String,
+                                 src: String = "documents"): String = {
     val v = vocabK + 1
     val qs = TextAnalysis.LnMantissaMicro.map(_._2).mkString(", ")
     val cap = TextAnalysis.SurprisalCapMilli
@@ -136,7 +137,7 @@ object ExtensionQueries {
        |  SELECT unnest(generate_series(1000, 1999)) AS m,
        |         unnest([$qs]) AS q),
        |rw AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $src
        |  WHERE text IS NOT NULL
        |    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
        |      || ':$seed'), 1, 15)) AS BIGINT) % 1000000 < $gate),
@@ -165,7 +166,7 @@ object ExtensionQueries {
        |    SELECT w1, w2, count(*) AS c12 FROM rmap GROUP BY 1, 2)
        |  QUALIFY row_number() OVER (ORDER BY c12 DESC, w1, w2) <= $lmK),
        |dw AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $src
        |  WHERE text IS NOT NULL),
        |dpair AS (
        |  SELECT doc_id,
@@ -203,7 +204,7 @@ object ExtensionQueries {
        |  SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.cost_sum,
        |    CAST(p.cost_sum AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
        |      AS avg_surprisal_micro
-       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN perdoc p USING (doc_id)),
+       |  FROM (SELECT doc_id FROM $src) d LEFT JOIN perdoc p USING (doc_id)),
        |so AS (SELECT * FROM scored WHERE cost_sum IS NOT NULL),
        |bk AS (
        |  SELECT doc_id,
@@ -290,11 +291,12 @@ object ExtensionQueries {
     * one derivation grades BOTH Spark siblings (relational and rowwise),
     * so a hash match certifies three independent algorithms landed on
     * identical verdicts. */
-  private def gopherOracle(p: TextAnalysis.GopherParams): String = {
+  private def gopherOracle(p: TextAnalysis.GopherParams,
+                           src: String = "documents"): String = {
     val stop = p.stopwords.map("'" + _ + "'").mkString(", ")
     val sym = p.symbols.map("'" + _ + "'").mkString(", ")
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $src
        |  WHERE text IS NOT NULL),
        |c AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
@@ -331,7 +333,7 @@ object ExtensionQueries {
        |  coalesce(r.r_word_count AND r.r_mean_word_len AND r.r_alpha AND
        |    r.r_symbol AND r.r_stopwords AND r.r_top_token, false)
        |    AS gopher_pass
-       |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
+       |FROM $src d LEFT JOIN r USING (doc_id)""".stripMargin
   }
 
   /** Generated DuckDB oracle for ext_dsir_select — the whole DSIR chain
@@ -1100,6 +1102,46 @@ object ExtensionQueries {
          |SELECT doc_id, cluster_id,
          |  first_value(doc_id) OVER (
          |    PARTITION BY cluster_id ORDER BY len(t) DESC, doc_id) AS canonical_id
+         |FROM assigned""".stripMargin),
+
+    // Soft dedup — reweight instead of remove: every doc keeps a training
+    // weight of exactly 1/cluster_n over the SAME production chain as
+    // dedup_clusters (banded LSH pairs → star-contraction closure), so a
+    // semantic unit contributes one unit of mass however many copies
+    // exist. The weight's single IEEE division of 1.0 by an exact BIGINT
+    // count is bit-reproducible cross-engine; the oracle re-derives the
+    // closure recursively and the sizes with a window count.
+    "dedup_soft_weights" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs,
+          n = 3, numPerm = 32, rowsPerBand = 2, num = 1, den = 2)
+        Dedup.softDedupWeights(docs, pairs)
+      },
+      s"""WITH RECURSIVE $duckShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND 2 * len(list_intersect(a.sh, b.sh)) >=
+         |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |sym AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+         |  CAST(1.0 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY cluster_id)
+         |    AS DOUBLE) AS weight
          |FROM assigned""".stripMargin),
 
     // Frequent-passage removal (C4/CCNet sub-document dedup): 5-word
@@ -2905,8 +2947,131 @@ object ExtensionQueries {
           |    AS cap_kept,
           |  CASE WHEN lot.domain IS NOT NULL
           |    THEN lot.l * rk.n < $urlCap * 1000000 END AS thr_kept
-          |FROM lot LEFT JOIN rk ON lot.doc_id = rk.doc_id""".stripMargin)
+          |FROM lot LEFT JOIN rk ON lot.doc_id = rk.doc_id""".stripMargin),
+
+    // The MODERN curation stack end-to-end (round 11) — acquisition →
+    // quality → perplexity → budget composed as ONE plan, each stage's
+    // verdict exported as DATA so the whole pipeline's provenance frame
+    // is hash-checked, not just each stage in isolation:
+    //   1. URL gate (RefinedWeb §3.1): normalize, drop blocklisted
+    //      domains, keep the first doc per canonical URL;
+    //   2. Gopher rule gate on the survivors;
+    //   3. CCNet perplexity filter TRAINED ON THE SURVIVORS (the
+    //      reference split is hash-gated within stage 2 — curation
+    //      order matters and the oracle re-derives it in the same
+    //      order), keeping head+middle tertiles;
+    //   4. token-budget cut (md5 lottery priority, greedy prefix).
+    // Docs eliminated at stage k carry NULL verdicts for stages > k —
+    // the provenance contract. All four stages' arithmetic is the
+    // already-certified integer/quantized machinery of the standalone
+    // rows; this row certifies their COMPOSITION (stage ordering,
+    // survivor-set training, verdict joins).
+    "ext_corpus_curation_v2" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val normed = UrlCuration.normalizeUrls(
+          UrlCuration.synthesizeUrls(docs, urlSeed))
+        val blk = normed.select(col("doc_id"), col("url_norm"), col("domain"))
+          .withColumn("blocked",
+            UrlCuration.blocklistVerdict(col("domain"), urlBlocklist))
+        val ucanon = blk.filter(col("domain").isNotNull && !col("blocked"))
+          .groupBy(col("url_norm")).agg(min(col("doc_id")).as("url_canon"))
+        // LAZY checkpoints (Dedup convention): every stage frame feeds
+        // both the next stage's filter and the final provenance join.
+        val s1v = blk.join(ucanon, Seq("url_norm"), "left")
+          .select(col("doc_id"),
+            (col("domain").isNotNull && !col("blocked") &&
+              col("doc_id") === col("url_canon")).as("url_kept"))
+          .localCheckpoint(eager = false)
+        val stage1 = docs
+          .join(s1v.filter(col("url_kept")).select("doc_id"), "doc_id")
+        val g = TextAnalysis.gopherRulesRowwise(stage1, gopherCorpusParams)
+          .select(col("doc_id"), col("n_tokens"), col("gopher_pass"))
+          .localCheckpoint(eager = false)
+        val stage2 = stage1
+          .join(g.filter(col("gopher_pass")).select("doc_id"), "doc_id")
+        val ppl = TextAnalysis.lmPerplexity(stage2, vocabK = 150, lmK = 500,
+          refFraction = 0.3, seed = "r11cv2", algo = "md5")
+          .select(col("doc_id"), col("ppl_bucket"))
+          .localCheckpoint(eager = false)
+        val pri = g.join(
+            ppl.filter(col("ppl_bucket").isin("head", "middle"))
+              .select("doc_id"), "doc_id")
+          .withColumn("lottery",
+            graft.operators.Sampling.bucket(col("doc_id"), "r11cv2b", "md5"))
+        val cut = graft.operators.Sampling.selectWithinBudget(pri,
+          priority = col("lottery"), weight = col("n_tokens"),
+          id = col("doc_id"), budget = cv2Budget)
+          .select(col("doc_id"), col("selected"))
+        docs.select("doc_id")
+          .join(s1v, Seq("doc_id"), "left")
+          .join(g.select("doc_id", "gopher_pass"), Seq("doc_id"), "left")
+          .join(ppl, Seq("doc_id"), "left")
+          .join(cut, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("url_kept"), col("gopher_pass"),
+            col("ppl_bucket"), coalesce(col("selected"), lit(false))
+              .as("selected"))
+      },
+      curationV2Oracle)
   )
+
+  /** The composed-stack oracle for ext_corpus_curation_v2: the URL chain,
+    * gopher rules, and the full perplexity chain are the SAME generators
+    * as the standalone rows, re-pointed at each stage's survivor relation
+    * (nested WITH subqueries — DuckDB scopes them correctly), plus the
+    * budget window. One hash certifies the composition. */
+  private lazy val cv2Budget = 4000L
+  private lazy val curationV2Oracle: String = {
+    val gp = gopherOracle(gopherCorpusParams, src = "stage1")
+    val lm = lmPerplexityOracle(vocabK = 150, lmK = 500, refFraction = 0.3,
+      seed = "r11cv2", src = "stage2")
+    // the sub-oracles are spliced AFTER stripMargin — a line of theirs
+    // beginning with '||' would otherwise lose a pipe to the margin strip
+    duckUrlChain(urlSeed) + s""",
+       |blk AS (
+       |  SELECT doc_id, url_norm, domain,
+       |    CASE WHEN domain IS NOT NULL THEN
+       |      domain = 'd7.example.com' OR
+       |      ends_with(domain, '.d7.example.com') OR
+       |      domain = 'd13.example.com' OR
+       |      ends_with(domain, '.d13.example.com') END AS blocked
+       |  FROM nn),
+       |ucanon AS (
+       |  SELECT url_norm, min(doc_id) AS url_canon FROM blk
+       |  WHERE domain IS NOT NULL AND NOT blocked GROUP BY 1),
+       |s1v AS (
+       |  SELECT b.doc_id,
+       |    b.domain IS NOT NULL AND NOT b.blocked
+       |      AND b.doc_id = u.url_canon AS url_kept
+       |  FROM blk b LEFT JOIN ucanon u USING (url_norm)),
+       |stage1 AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN s1v USING (doc_id) WHERE s1v.url_kept),
+       |g AS (SELECT doc_id, n_tokens, gopher_pass FROM (__GP__)),
+       |stage2 AS (
+       |  SELECT s.doc_id, s.text FROM stage1 s JOIN g USING (doc_id)
+       |  WHERE g.gopher_pass),
+       |ppl AS (SELECT doc_id, ppl_bucket FROM (__LM__)),
+       |pri AS (
+       |  SELECT g.doc_id, g.n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)
+       |      || ':r11cv2b'), 1, 15)) AS BIGINT) % 1000000 AS lottery
+       |  FROM g JOIN ppl USING (doc_id)
+       |  WHERE ppl.ppl_bucket IN ('head', 'middle')),
+       |bud AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n_tokens) OVER (ORDER BY lottery DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) <= $cv2Budget AS selected
+       |  FROM pri)
+       |SELECT d.doc_id, s1v.url_kept, g.gopher_pass, ppl.ppl_bucket,
+       |  coalesce(bud.selected, false) AS selected
+       |FROM documents d
+       |LEFT JOIN s1v USING (doc_id)
+       |LEFT JOIN g USING (doc_id)
+       |LEFT JOIN ppl USING (doc_id)
+       |LEFT JOIN bud USING (doc_id)""".stripMargin
+        .replace("__GP__", gp).replace("__LM__", lm)
+  }
 
   /** Shared by the three ext_url_* registrations. */
   private lazy val urlSeed = "r11u"

@@ -168,4 +168,53 @@ object StreamingCuration {
     curated.join(
       candidates.select(col("docB").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** One document offered to a per-source token budget (weight = its
+    * token cost); `doc_id` must be arrival-monotone per source — it IS
+    * the admission order. */
+  final case class BudgetDoc(source: String, doc_id: Long, weight: Long)
+
+  /** The gate's verdict row: the running weight sum INCLUDING this row
+    * and whether the row fit (`cum_weight <= budget`). */
+  final case class BudgetVerdict(source: String, doc_id: Long, weight: Long,
+                                 cum_weight: Long, selected: Boolean)
+
+  /** Streaming token-budget admission — the unbounded face of
+    * [[graft.operators.Sampling.selectWithinBudget]]: ingest documents
+    * per source until that source's token budget is exhausted, then
+    * reject (the "collect B tokens of X" recipe running live). Semantics
+    * are the batch operator's greedy PREFIX, not best-fit: the running
+    * sum grows by every row seen (selected or not), the first row to
+    * cross the budget is excluded, and so is everything after it — no
+    * backfill of a smaller later document, so streamed verdicts equal
+    * the batch operator run in arrival order (spec-pinned across
+    * micro-batch boundaries).
+    *
+    * State per source: ONE BIGINT (the weight consumed so far) — bounded
+    * by |sources| forever, the streamingCusum state shape. Rows within a
+    * micro-batch are processed in (doc_id) order so a batch boundary
+    * never reorders admission; arrival-monotone ids are the caller's
+    * contract (file-source offsets and event times both give it). */
+  def budgetGate(spark: SparkSession, in: Dataset[BudgetDoc],
+                 budget: Long): Dataset[BudgetVerdict] = {
+    import spark.implicits._
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[BudgetDoc],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            require(r.weight >= 0L,
+              s"negative weight ${r.weight} for doc ${r.doc_id} " +
+                "would un-spend the budget — admission is monotone")
+            cum += r.weight
+            BudgetVerdict(source, r.doc_id, r.weight, cum, cum <= budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 }

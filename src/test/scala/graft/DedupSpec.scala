@@ -245,6 +245,28 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors === Set(11L, 20L, 30L))
   }
 
+  test("softDedupWeights: 1/cluster_n mass, transitive clusters, singletons weight 1.0") {
+    val corpus = Seq(
+      (10L, "a"), (11L, "b"), (12L, "c"), // chained cluster of 3
+      (20L, "x"),                         // singleton
+      (30L, "p"), (31L, "q")              // pair
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val out = Dedup.softDedupWeights(corpus, pairs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      10L -> ((10L, 3L, 1.0 / 3.0)), 11L -> ((10L, 3L, 1.0 / 3.0)),
+      12L -> ((10L, 3L, 1.0 / 3.0)),
+      20L -> ((20L, 1L, 1.0)),
+      30L -> ((30L, 2L, 0.5)), 31L -> ((30L, 2L, 0.5))))
+    // conservation: total weight == number of semantic units (clusters)
+    val total = Dedup.softDedupWeights(corpus, pairs)
+      .agg(sum(col("weight"))).collect()(0).getDouble(0)
+    assert(math.abs(total - 3.0) < 1e-12)
+  }
+
   test("minhashPairsAgainst: cross pairs only, contract read from index metadata, frauds fail loud") {
     val corpus = docs.filter(col("doc_id") =!= 2L) // 1,3,4,5 indexed
     val batch = docs.filter(col("doc_id") === 2L)  // 2 arrives later
@@ -367,6 +389,11 @@ class DedupSpec extends SparkSpecBase {
     val real = graft.Tables.documents(spark, sf0001)
     assert(snap(Dedup.spanScrubRowwise(real, n = 3)) ===
       snap(Dedup.spanScrub(real, n = 3)))
+    // the fused native pass ≡ the composable HOF reference it replaced
+    assert(snap(Dedup.spanScrubRowwise(real, n = 3)) ===
+      snap(Dedup.spanScrubRowwiseHof(real, n = 3)))
+    assert(snap(Dedup.spanScrubRowwise(docs, n = 2)) ===
+      snap(Dedup.spanScrubRowwiseHof(docs, n = 2)))
   }
 
   test("spanScrubGlobal: cross-doc echoes lose their tail, lowest doc_id " +

@@ -372,4 +372,60 @@ class StreamingDedupSpec extends SparkSpecBase {
       } finally q.stop()
     } finally { thr.unpersist(); () }
   }
+
+  test("streaming budget gate: per-source greedy prefix matches batch " +
+    "selectWithinBudget across micro-batch boundaries, no backfill") {
+    import graft.streaming.StreamingCuration
+    import graft.streaming.StreamingCuration.{BudgetDoc, BudgetVerdict}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[BudgetDoc]
+    val q = StreamingCuration.budgetGate(spark, in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("budget_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: source a consumes 70 of 100; source b consumes 90
+      in.addData(
+        BudgetDoc("a", 1L, 40L), BudgetDoc("a", 2L, 30L),
+        BudgetDoc("b", 1L, 90L))
+      q.processAllAvailable()
+      // batch 2: a's third doc crosses (70+50=120 > 100) and is rejected;
+      // the SMALLER fourth doc (20 — would fit 70+20=90) is ALSO rejected:
+      // greedy prefix, no backfill. b's second doc fits exactly (90+10).
+      in.addData(
+        BudgetDoc("a", 3L, 50L), BudgetDoc("a", 4L, 20L),
+        BudgetDoc("b", 2L, 10L))
+      q.processAllAvailable()
+      val streamed = spark.table("budget_t").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+          ((r.getAs[Long]("cum_weight"), r.getAs[Boolean]("selected")))).toMap
+      assert(streamed(("a", 1L)) === ((40L, true)))
+      assert(streamed(("a", 2L)) === ((70L, true)))
+      assert(streamed(("a", 3L)) === ((120L, false))) // crossed mid-stream
+      assert(streamed(("a", 4L)) === ((140L, false))) // no backfill
+      assert(streamed(("b", 1L)) === ((90L, true)))
+      assert(streamed(("b", 2L)) === ((100L, true))) // exact fit admits
+
+      // batch parity: selectWithinBudget in arrival order per source
+      // (priority constant → order falls to id) yields the same verdicts
+      val all = Seq(("a", 1L, 40L), ("a", 2L, 30L), ("a", 3L, 50L),
+        ("a", 4L, 20L), ("b", 1L, 90L), ("b", 2L, 10L))
+      for (src <- Seq("a", "b")) {
+        val df = all.filter(_._1 == src).toDF("source", "doc_id", "weight")
+        val batch = graft.operators.Sampling
+          .selectWithinBudget(df, lit(0), col("weight"), col("doc_id"), 100L)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("cum_weight"), r.getAs[Boolean]("selected"))))
+          .toMap
+        for ((id, v) <- batch) assert(streamed((src, id)) === v)
+      }
+
+      // a third batch after exhaustion stays rejected (state persisted)
+      in.addData(BudgetDoc("a", 5L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("budget_t").collect()
+        .find(r => r.getAs[String]("source") == "a" && r.getAs[Long]("doc_id") == 5L)
+        .exists(!_.getAs[Boolean]("selected")))
+    } finally q.stop()
+  }
 }

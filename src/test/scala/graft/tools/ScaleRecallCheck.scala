@@ -66,10 +66,14 @@ object ScaleRecallCheck {
 
     for (n <- sizes) {
       val emb = corpus(spark, n).localCheckpoint(eager = true)
-      // adaptive gate: ~400 queries at any n (the sf0.1 convention is
-      // %50; past n=20000 the modulus grows so the brute-force baseline
-      // stays a bounded 400×n scan)
-      val qMod = math.max(50L, n / 400L)
+      // adaptive gate: ~400 queries through n=500k (the sf0.1 convention
+      // is %50; past n=20000 the modulus grows so the brute-force
+      // baseline stays a bounded 400×n scan). At n ≥ 1M the 400×n exact
+      // ground truth — not any serve path — is what blew the round-10
+      // wall budget, so the gate widens again: ~100 queries at 2M keeps
+      // the baseline cost at the 500k run's level (500 graded pairs,
+      // recall noise ±0.03 — well inside the pinned floor margins).
+      val qMod = if (n >= 1000000) n / 100L else math.max(50L, n / 400L)
       val queries = emb.filter(col("vec_id") % qMod === 0)
         .localCheckpoint(eager = true)
       val nQ = queries.count()
