@@ -259,6 +259,33 @@ object Similarity {
     topKAmong(cand, queries, corpus, k)
   }
 
+  /** Incremental index growth — the FAISS `add()` analog: assign a batch
+    * of NEW vectors to the index's EXISTING centroids and union the
+    * postings, without re-clustering anything. The build-once/add-many
+    * lifecycle a production corpus actually runs (re-training the coarse
+    * quantizer per ingest batch would re-shuffle every posting list);
+    * [[ivfTopKWithIndex]] serves the appended index unchanged.
+    *
+    * Semantics contract (spec-pinned): appending vectors B to an index
+    * built over A yields posting rows BIT-IDENTICAL to assigning A ∪ B
+    * against the same centroids — append is pure posting growth, the
+    * quantizer is immutable. Quantizer DRIFT is the caller's lifecycle
+    * decision: when the data distribution moves, rebuild with
+    * [[buildIvfIndex]] (the rebuild-vs-add trade every vector store
+    * documents); recall against a drifted corpus is still floor-checked
+    * by the serve-side oracle row, which probes brute force on the
+    * union.
+    *
+    * Scale: one broadcast-centroid argmin pass over the NEW batch only
+    * (|B| × nCentroids dots — the ingest batch, never the corpus) and a
+    * union of narrow (id, centroid_id) rows. */
+  def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+    graft.functions.GraftFunctions.register(newVectors.sparkSession)
+    IvfIndex(index.centroids,
+      index.postings.union(
+        assign(index.centroids, newVectors, "neighbor_id", keep = 1)))
+  }
+
   /** Deterministic per-(query, candidate) negative-sampling rank key: a
     * 60-bit md5 uniform — shared by [[trainingPairs]] and
     * [[trainingPairsExact]] so the prod and ground-truth miners draw

@@ -1837,6 +1837,35 @@ object ExtensionQueries {
       },
       annInvariantOracle),
 
+    // Incremental index growth (round 11) — the FAISS add() lifecycle as
+    // data-visible behavior: the coarse quantizer is trained on 80% of
+    // the corpus, the remaining 20% is APPENDED (assigned to the frozen
+    // centroids, postings unioned — no re-clustering), and queries are
+    // served against the full union. Recall is floor-checked against
+    // brute force on the union, so a broken append (dropped batch,
+    // re-keyed postings, drifted assignment) tanks below 0.6. The
+    // append ≡ assign-on-union posting identity is spec-pinned bit-exact
+    // (SimilaritySpec).
+    "ann_ivf_appended" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 5 =!= 0)
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val approx = Similarity.buildIvfIndex(base, nCentroids = 32,
+          refineIters = 2) match {
+          case None => s.range(0).select(col("id").as("query_id"),
+            col("id").as("rank"), col("id").as("neighbor_id"))
+          case Some(idx) =>
+            Similarity.ivfTopKWithIndex(queries, emb,
+              Similarity.ivfAppend(idx, batch), k = 5, nProbe = 12)
+        }
+        annInvariants(queries, approx,
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.6)
+      },
+      annInvariantOracle),
+
     // Text statistics: lengths, token counts, type/token ratio, stopword
     // ratio, subword estimate, punctuation ratio.
     "ext_text_stats" -> QueryDef(

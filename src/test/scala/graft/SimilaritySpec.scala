@@ -526,4 +526,39 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("trainingPairs"))
   }
+
+  test("ivfAppend: postings identical to assigning the union against the " +
+    "same frozen centroids; quantizer untouched; served recall holds") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.buildIvfIndex(base, nCentroids = 8,
+      refineIters = 2).get
+    val appended = Similarity.ivfAppend(idx, batch)
+    // the quantizer is immutable: same centroid frame, by reference
+    assert(appended.centroids eq idx.centroids)
+    // append ≡ assign-on-union: bit-identical posting rows
+    def rows(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("centroid_id")))
+      .toSet
+    val direct = Similarity.assign(idx.centroids, emb, "neighbor_id", keep = 1)
+    assert(rows(appended.postings) === rows(direct))
+    // every appended vector landed in exactly one posting list
+    assert(appended.postings.count() === emb.count())
+    // served top-k from the appended index reaches batch vectors too:
+    // queries ARE batch members (vec_id % 50 = 0 ⊂ % 5 = 0), and their
+    // exact top-1 must be recallable at full probe width
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val served = Similarity.ivfTopKWithIndex(queries, emb, appended,
+      k = 5, nProbe = 8)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val servedPairs = served.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // full probe width (nProbe = nCentroids) makes IVF exhaustive: the
+    // exact top-1 pair set must be a subset of the served top-5
+    assert(brute.subsetOf(servedPairs))
+  }
 }
