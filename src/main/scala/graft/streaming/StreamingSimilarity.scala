@@ -43,6 +43,41 @@ object StreamingSimilarity {
       }
       .start()
 
+  /** Grow a persisted IVF index from an unbounded INGEST stream of new
+    * vectors — the WRITE half of the build-once/add-many lifecycle and
+    * the streaming face of [[Similarity.ivfAppend]] (round 11;
+    * [[runIvfServe]] is the read half): each micro-batch is assigned
+    * against the FROZEN centroids (|batch| × K dots — the ingest batch,
+    * never the corpus) and its posting rows land in
+    * `postingsDir/batch=<id>` with overwrite — replay-idempotent, zero
+    * state. A serving job builds [[Similarity.IvfIndex]] from the
+    * centroids plus ONE read of the whole postings directory and sees
+    * every ingested vector; quantizer refresh stays a batch lifecycle
+    * decision (rebuild + swap — the documented ivfAppend trade).
+    * Spec-pinned: accumulated postings ≡ assign-on-union bit-exact,
+    * late batches servable, re-delivered batch a no-op. */
+  def runIndexGrow(vectorStream: DataFrame, centroids: DataFrame,
+                   postingsDir: String,
+                   checkpointDir: String): StreamingQuery =
+    vectorStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        growBatch(batch, id, centroids, postingsDir)
+      }
+      .start()
+
+  /** The per-batch step of [[runIndexGrow]], factored out so replay
+    * idempotence and assignment parity are directly testable. */
+  private[graft] def growBatch(batch: DataFrame, id: Long,
+                               centroids: DataFrame,
+                               postingsDir: String): Unit = {
+    if (batch.isEmpty) return
+    Similarity.assign(centroids, batch, "neighbor_id", keep = 1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$postingsDir/batch=$id")
+  }
+
   /** Streaming HYBRID search serve (round 9) — the full modern
     * retrieval stack on an unbounded query stream: each micro-batch of
     * queries `(query_id, embedding, terms)` is answered by BOTH rankers

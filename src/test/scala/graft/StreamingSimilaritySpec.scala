@@ -71,6 +71,71 @@ class StreamingSimilaritySpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/out").count() === before)
   }
 
+  test("index grow stream: accumulated postings equal assign-on-union " +
+    "against the frozen quantizer; late vectors servable; replayed batch no-op") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = Files.createTempDirectory("graft_anngrow").toString
+    // quantizer trained on 80%; the other 20% arrives later on the stream
+    val seed = emb.filter(col("vec_id") % 5 =!= 0)
+    val built = Similarity.buildIvfIndex(seed, nCentroids = 8,
+      refineIters = 2).get
+    built.centroids.write.parquet(s"$base/centroids")
+    val centroids = spark.read.parquet(s"$base/centroids")
+    built.postings.write.parquet(s"$base/postings/batch=seed")
+
+    val landing = s"$base/vecs"; new java.io.File(landing).mkdirs()
+    val newRows = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+    def jsonOf(rows: Seq[org.apache.spark.sql.Row]): String =
+      rows.map { r =>
+        s"""{"vec_id":${r.getLong(0)},"embedding":[${
+          r.getSeq[Float](1).mkString(",")}]}"""
+      }.mkString("\n")
+    val (b1, b2) = newRows.splitAt(newRows.length / 2)
+    Files.writeString(java.nio.file.Path.of(landing, "b1.json"), jsonOf(b1.toSeq))
+    Files.writeString(java.nio.file.Path.of(landing, "b2.json"), jsonOf(b2.toSeq))
+
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+    graft.streaming.StreamingSimilarity.runIndexGrow(
+      stream, centroids, s"$base/postings", s"$base/ckpt")
+      .awaitTermination(120000)
+
+    // accumulated postings (seed + 2 streamed batches) == one assignment
+    // of the full union against the same frozen centroids, bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "centroid_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grown = spark.read.parquet(s"$base/postings")
+    assert(rows(grown) === rows(
+      Similarity.assign(centroids, emb, "neighbor_id", keep = 1)))
+
+    // a late-arriving vector is servable: its own embedding finds itself
+    val idx = Similarity.IvfIndex(centroids,
+      grown.select("neighbor_id", "centroid_id"))
+    val lateQ = emb.filter(col("vec_id") % 50 === 0) // ⊂ streamed batch
+    val served = Similarity.ivfTopKWithIndex(lateQ, emb, idx,
+      k = 3, nProbe = 8)
+    val exactTop1 = Similarity.bruteForceTopK(lateQ, emb, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val servedPairs = served.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exactTop1.subsetOf(servedPairs))
+
+    // at-least-once replay: re-delivering batch 0 overwrites its own
+    // dir — accumulated row set unchanged
+    val before = rows(spark.read.parquet(s"$base/postings"))
+    val b1df = spark.read.json(s"$landing/b1.json")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    graft.streaming.StreamingSimilarity.growBatch(b1df, 0L, centroids,
+      s"$base/postings")
+    assert(rows(spark.read.parquet(s"$base/postings")) === before)
+  }
+
   test("hybrid serve stream: per-batch RRF fusion equals the batch fusion; both rankers engage") {
     import graft.operators.TextAnalysis
     val emb = Tables.embeddings(spark, sf0001)
