@@ -278,4 +278,26 @@ object PropertySpec extends Properties("graft") {
         }.toSet
       got == want
     }
+
+  // --- SpanScrubRow: the fused native pass vs BOTH references. A tiny
+  // alphabet forces dense gram repetition (echoes, stutters, junctions,
+  // sub-n docs), probing the policy far beyond the hand-picked spec
+  // cases: three algorithms (native one-pass, HOF row form, relational
+  // window form), one answer.
+  private val scrubDocGen: Gen[String] = for {
+    len <- Gen.choose(0, 25)
+    toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+  } yield toks.mkString(" ")
+
+  property("SpanScrubRow equals the HOF row form and the relational scrub on repeat-heavy docs") =
+    Prop.forAll(Gen.listOfN(30, scrubDocGen), Gen.choose(2, 4)) { (docs, n) =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val native = snap(Dedup.spanScrubRowwise(df, n))
+      native == snap(Dedup.spanScrubRowwiseHof(df, n)) &&
+        native == snap(Dedup.spanScrub(df, n))
+    }
 }
