@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for the LLM-data-pipeline extension surface:
@@ -692,5 +692,124 @@ object Multimodal {
         // model weights); the iterator keeps it amortized across the batch.
         batch.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
       }
+  }
+
+  // ------------------------------------------------------------------
+  // Cross-modal alignment gate (the LAION §3 filter shape: keep an
+  // (image, caption) pair only when the two modalities agree). The
+  // encoder here is the sanctioned deterministic stand-in — image
+  // features are EXACT quadrant gray sums of the REAL decoded raster
+  // (a broken decoder cannot produce them), caption features are the
+  // parsed integer profile the caption claims — while the Spark-side
+  // plumbing is the production shape end to end: binary decode stage →
+  // per-modality feature projection → doc-keyed equi-join → one
+  // integer-exact similarity gate.
+
+  /** Synthesize an (image, caption) pair per document — the mm_* md5
+    * fixture convention, so a DuckDB oracle re-derives BOTH modalities
+    * from `documents` alone. The image is the [[synthesizeImages]] PNG
+    * (g(x,y) = (id·31+x+y) mod 256, w/h from md5 chars 1-2). The caption
+    * textually claims a quadrant brightness profile: md5 char 3 even →
+    * the TRUE profile (an aligned pair); odd → a decoy drawn from md5
+    * chars 5-8 (a mismatched pair — the class the gate exists to drop).
+    * Quadrant id = (2x ≥ w) + 2·(2y ≥ h). */
+  def synthesizeCaptionedImages(spark: SparkSession,
+                                docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, hex) =>
+          val w = 16 + hexVal(hex.charAt(0))
+          val h = 16 + hexVal(hex.charAt(1))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val q = Array.ofDim[Long](4)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              val g = ((id * 31 + x + y) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              q((if (2 * x >= w) 1 else 0) + (if (2 * y >= h) 2 else 0)) += g
+              y += 1
+            }
+            x += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val caption =
+            if (hexVal(hex.charAt(2)) % 2 == 0) q.mkString(" ")
+            else (0 until 4).map(i => 1L + hexVal(hex.charAt(4 + i)))
+              .mkString(" ")
+          (id, out.toByteArray, caption)
+        }
+      }.toDF("doc_id", "payload", "caption")
+  }
+
+  /** The gate itself: REAL PNG decode → exact quadrant sums of the
+    * raster; caption → parsed integer profile; verdict = centered
+    * cosine ≥ 9/10, decided ENTIRELY in DECIMAL(38) integer
+    * cross-multiplication (dot > 0 ∧ 100·dot² ≥ 81·|a|²·|b|²; two flat
+    * profiles — both zero after centering — align by convention).
+    * Centering (aᵢ = 4qᵢ − Σq) is what makes cosine discriminative
+    * here: raw all-positive profiles concentrate near the diagonal and
+    * would wave almost any decoy through.
+    *
+    * Scale shape: decode is the embarrassingly-parallel typed stage
+    * (per-row codec cost, zero shuffle — the dhashImages contract); the
+    * caption projection is scan-speed; the join is doc-keyed; the gate
+    * is one stateless projection. Output carries both profiles and the
+    * verdict as data. */
+  def alignmentGate(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val feats = media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val q = Array.ofDim[Long](4)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              q((if (2 * x >= w) 1 else 0) + (if (2 * y >= h) 2 else 0)) +=
+                (img.getRGB(x, y) & 0xff).toLong
+              y += 1
+            }
+            x += 1
+          }
+          (id, q.toSeq)
+        }
+      }.toDF("doc_id", "img_q")
+    val cap = media.select(col("doc_id"),
+      expr("transform(split(caption, ' '), s -> CAST(s AS BIGINT))")
+        .as("cap_q"))
+    def centered(c: String, i: Int): Column =
+      expr(s"CAST(4 * element_at($c, ${i + 1}) - " +
+        s"(element_at($c, 1) + element_at($c, 2) + element_at($c, 3) + " +
+        s"element_at($c, 4)) AS DECIMAL(38, 0))")
+    val joined = feats.join(cap, Seq("doc_id"))
+    val withDot = joined
+      .withColumn("dot", (0 until 4).map(i =>
+        centered("img_q", i) * centered("cap_q", i)).reduce(_ + _))
+      .withColumn("na2", (0 until 4).map(i =>
+        centered("img_q", i) * centered("img_q", i)).reduce(_ + _))
+      .withColumn("nb2", (0 until 4).map(i =>
+        centered("cap_q", i) * centered("cap_q", i)).reduce(_ + _))
+    val flat = (0 until 4).map(i =>
+      expr(s"element_at(img_q, ${i + 1})").as(s"q$i")) ++
+      (0 until 4).map(i =>
+        expr(s"element_at(cap_q, ${i + 1})").as(s"c$i"))
+    withDot.select(col("doc_id") +: flat :+
+      col("dot").cast("long").as("dot") :+
+      ((col("na2") === 0 && col("nb2") === 0) ||
+        (col("dot") > 0 &&
+          lit(100) * col("dot") * col("dot") >=
+            lit(81) * col("na2") * col("nb2"))).as("aligned"): _*)
   }
 }

@@ -2575,6 +2575,86 @@ object ExtensionQueries {
     // the DCT ringing at the mod-256 wrap edges). The expected sum is
     // computed IN-PLAN from the closed form by a codegen'd HOF — no
     // driver loop, no second decode.
+    // Cross-modal alignment gate (round 11 — the LAION §3 filter shape):
+    // every document carries a synthesized (PNG, caption) pair; the
+    // image side is REALLY decoded (ImageIO raster → exact quadrant gray
+    // sums), the caption side parsed, and the pair kept only when the
+    // centered profiles agree (cosine ≥ 9/10 as DECIMAL/HUGEINT integer
+    // cross-multiplication — no float ever compared). Captions are
+    // md5-planted: even hex-3 → the TRUE profile (aligned by
+    // construction, cos = 1 exactly), odd → an md5 decoy (the class the
+    // gate drops; a decoy can land parallel by chance — the verdict is
+    // deterministic either way and the oracle re-derives it). The
+    // oracle rebuilds BOTH modalities from `documents` alone: pixel
+    // formula → quadrant sums, md5 chars → caption, same integer gate.
+    "mm_alignment_gate" -> QueryDef(
+      (s, dir) => Multimodal.alignmentGate(s,
+        Multimodal.synthesizeCaptionedImages(s, Tables.documents(s, dir))),
+      """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |dims AS (
+        |  SELECT doc_id, hx,
+        |    CAST(16 + strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+        |         AS BIGINT) AS w,
+        |    CAST(16 + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+        |         AS BIGINT) AS hh,
+        |    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) % 2 = 0
+        |      AS is_aligned
+        |  FROM m),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN 2 * x.x >= w THEN 1 ELSE 0 END
+        |      + CASE WHEN 2 * y.y >= hh THEN 2 ELSE 0 END AS qi,
+        |    (doc_id * 31 + x.x + y.y) % 256 AS g
+        |  FROM dims,
+        |    LATERAL unnest(generate_series(0, w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, hh - 1)) AS y(y)),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN qi = 0 THEN g ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN qi = 1 THEN g ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN qi = 2 THEN g ELSE 0 END) AS BIGINT) AS q2,
+        |    CAST(sum(CASE WHEN qi = 3 THEN g ELSE 0 END) AS BIGINT) AS q3
+        |  FROM px GROUP BY 1),
+        |cap AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.is_aligned THEN q.q0 ELSE
+        |      CAST(strpos('0123456789abcdef', substr(d.hx, 5, 1)) AS BIGINT)
+        |    END AS c0,
+        |    CASE WHEN d.is_aligned THEN q.q1 ELSE
+        |      CAST(strpos('0123456789abcdef', substr(d.hx, 6, 1)) AS BIGINT)
+        |    END AS c1,
+        |    CASE WHEN d.is_aligned THEN q.q2 ELSE
+        |      CAST(strpos('0123456789abcdef', substr(d.hx, 7, 1)) AS BIGINT)
+        |    END AS c2,
+        |    CASE WHEN d.is_aligned THEN q.q3 ELSE
+        |      CAST(strpos('0123456789abcdef', substr(d.hx, 8, 1)) AS BIGINT)
+        |    END AS c3
+        |  FROM dims d JOIN q USING (doc_id)),
+        |v AS (
+        |  SELECT q.doc_id, q.q0, q.q1, q.q2, q.q3,
+        |    cap.c0, cap.c1, cap.c2, cap.c3,
+        |    4 * q.q0 - (q.q0 + q.q1 + q.q2 + q.q3) AS a0,
+        |    4 * q.q1 - (q.q0 + q.q1 + q.q2 + q.q3) AS a1,
+        |    4 * q.q2 - (q.q0 + q.q1 + q.q2 + q.q3) AS a2,
+        |    4 * q.q3 - (q.q0 + q.q1 + q.q2 + q.q3) AS a3,
+        |    4 * cap.c0 - (cap.c0 + cap.c1 + cap.c2 + cap.c3) AS b0,
+        |    4 * cap.c1 - (cap.c0 + cap.c1 + cap.c2 + cap.c3) AS b1,
+        |    4 * cap.c2 - (cap.c0 + cap.c1 + cap.c2 + cap.c3) AS b2,
+        |    4 * cap.c3 - (cap.c0 + cap.c1 + cap.c2 + cap.c3) AS b3
+        |  FROM q JOIN cap USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id, q0, q1, q2, q3, c0, c1, c2, c3,
+        |    CAST(a0*b0 + a1*b1 + a2*b2 + a3*b3 AS BIGINT) AS dot,
+        |    CAST(a0*a0 + a1*a1 + a2*a2 + a3*a3 AS HUGEINT) AS na2,
+        |    CAST(b0*b0 + b1*b1 + b2*b2 + b3*b3 AS HUGEINT) AS nb2
+        |  FROM v)
+        |SELECT doc_id, q0, q1, q2, q3, c0, c1, c2, c3, dot,
+        |  (na2 = 0 AND nb2 = 0) OR
+        |  (dot > 0 AND
+        |   100 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) >= 81 * na2 * nb2)
+        |  AS aligned
+        |FROM s""".stripMargin),
+
     "mm_image_decode_jpeg" -> QueryDef(
       (s, dir) => {
         val dec = Multimodal.decodeImages(s,

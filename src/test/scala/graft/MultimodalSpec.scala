@@ -141,6 +141,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(banded === brute) // 2 < 3 bands — pigeonhole-exact pairing
   }
 
+  test("alignment gate: planted captions align at cosine exactly 1, " +
+    "anti-profiles are dropped, verdicts come from the DECODED raster") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val media = graft.operators.Multimodal
+      .synthesizeCaptionedImages(spark, docs)
+      .localCheckpoint(eager = false)
+    val out = graft.operators.Multimodal.alignmentGate(spark, media)
+      .localCheckpoint(eager = false)
+    // planted-aligned docs (md5 char 3 even) MUST pass: caption == true
+    // profile, centered cosine exactly 1 — zero misses allowed
+    val planted = docs.select(col("doc_id"),
+        (expr("instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1")
+          .cast("long") % 2 === 0).as("is_planted"))
+    val missed = out.join(planted, "doc_id")
+      .filter(col("is_planted") && !col("aligned")).count()
+    assert(missed === 0L)
+    // decode-not-trusted: the caption profile of an aligned doc equals
+    // the DECODED quadrant sums — the raster round-trip is exact
+    val mismatch = out.join(planted, "doc_id").filter(col("is_planted") &&
+      (col("q0") =!= col("c0") || col("q1") =!= col("c1") ||
+        col("q2") =!= col("c2") || col("q3") =!= col("c3"))).count()
+    assert(mismatch === 0L)
+    // a hand anti-profile is dropped: caption claiming the NEGATED
+    // centered direction has cosine -1
+    val one = media.limit(1).collect()(0)
+    val q = out.join(planted, "doc_id").filter(col("is_planted"))
+      .limit(1).collect()(0)
+    val (q0, q1, q2, q3) = (q.getAs[Long]("q0"), q.getAs[Long]("q1"),
+      q.getAs[Long]("q2"), q.getAs[Long]("q3"))
+    val s = q0 + q1 + q2 + q3
+    // anti: c_i = s - q_i  →  centered(c) = -centered(q)
+    val anti = Seq((q.getAs[Long]("doc_id"),
+      media.filter(col("doc_id") === q.getAs[Long]("doc_id"))
+        .collect()(0).getAs[Array[Byte]]("payload"),
+      Seq(s - q0, s - q1, s - q2, s - q3).mkString(" ")))
+      .toDF("doc_id", "payload", "caption")
+    val antiOut = graft.operators.Multimodal.alignmentGate(spark, anti)
+      .collect()(0)
+    assert(!antiOut.getAs[Boolean]("aligned"))
+    assert(antiOut.getAs[Long]("dot") < 0L)
+    assert(one != null) // media materialized
+  }
+
   test("dhash is exactly invariant to a wrap-free brightness shift") {
     import spark.implicits._
     // hand-built 18x16 image with values far from the mod boundary:
