@@ -763,10 +763,16 @@ object Multimodal {
     * verdict as data. */
   def alignmentGate(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val feats = media.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    // The caption RIDES THROUGH the typed decode stage, so the whole
+    // gate is ONE stateless pass — no self-join of the media frame
+    // (which would be a shuffle in batch and an illegal stream-stream
+    // join on an unbounded source): decode → projection, legal in any
+    // streaming output mode with zero state.
+    val feats = media.select(col("doc_id").cast("long"), col("payload"),
+        col("caption"))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
+        batch.map { case (id, bytes, caption) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"undecodable image payload for doc $id")
@@ -783,18 +789,16 @@ object Multimodal {
             }
             x += 1
           }
-          (id, q.toSeq)
+          (id, q.toSeq, caption)
         }
-      }.toDF("doc_id", "img_q")
-    val cap = media.select(col("doc_id"),
-      expr("transform(split(caption, ' '), s -> CAST(s AS BIGINT))")
-        .as("cap_q"))
+      }.toDF("doc_id", "img_q", "caption")
     def centered(c: String, i: Int): Column =
       expr(s"CAST(4 * element_at($c, ${i + 1}) - " +
         s"(element_at($c, 1) + element_at($c, 2) + element_at($c, 3) + " +
         s"element_at($c, 4)) AS DECIMAL(38, 0))")
-    val joined = feats.join(cap, Seq("doc_id"))
-    val withDot = joined
+    val withDot = feats
+      .withColumn("cap_q",
+        expr("transform(split(caption, ' '), s -> CAST(s AS BIGINT))"))
       .withColumn("dot", (0 until 4).map(i =>
         centered("img_q", i) * centered("cap_q", i)).reduce(_ + _))
       .withColumn("na2", (0 until 4).map(i =>
