@@ -169,6 +169,17 @@ object StreamingCuration {
       candidates.select(col("docB").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Cross-modal alignment gate on a stream:
+    * [[graft.operators.Multimodal.alignmentGate]] is ONE stateless pass
+    * (typed decode carrying the caption + an integer-exact projection —
+    * no join, no state), so the batch operator runs unchanged on an
+    * unbounded (doc_id, payload, caption) stream in any output mode;
+    * batch parity by construction (same stage tree), spec-pinned. The
+    * image-text agreement filter composes with the text gates above —
+    * the multimodal leg of the curation chain. */
+  def alignmentGate(spark: SparkSession, media: DataFrame): DataFrame =
+    graft.operators.Multimodal.alignmentGate(spark, media)
+
   /** One document offered to a per-source token budget (weight = its
     * token cost); `doc_id` must be arrival-monotone per source — it IS
     * the admission order. */

@@ -373,6 +373,38 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally { thr.unpersist(); () }
   }
 
+  test("streaming alignment gate: bit-exact batch parity for the decoded " +
+    "quadrant profiles and verdicts across micro-batch boundaries") {
+    import graft.operators.Multimodal
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001).limit(40)
+    val media = Multimodal.synthesizeCaptionedImages(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+        r.getString(2)))
+    val in = MemoryStream[(Long, Array[Byte], String)]
+    val stream = in.toDF().toDF("doc_id", "payload", "caption")
+    val q = graft.streaming.StreamingCuration
+      .alignmentGate(spark, stream)
+      .writeStream.format("memory").queryName("align_t")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = media.splitAt(media.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("q0"), r.getAs[Long]("c0"),
+            r.getAs[Long]("dot"), r.getAs[Boolean]("aligned")))).toMap
+      val streamed = snap(spark.table("align_t"))
+      val batch = snap(Multimodal.alignmentGate(spark,
+        Multimodal.synthesizeCaptionedImages(spark, docs)))
+      assert(streamed === batch)
+      assert(streamed.size === 40)
+    } finally q.stop()
+  }
+
   test("streaming budget gate: per-source greedy prefix matches batch " +
     "selectWithinBudget across micro-batch boundaries, no backfill") {
     import graft.streaming.StreamingCuration
