@@ -39,12 +39,25 @@ object Association {
     * n_baskets, confidence, lift)`, one row per direction of each
     * qualifying pair — support ≥ `minSupport` AND
     * confidence ≥ minConfMilli/1000 (the integer-milli encoding keeps
-    * the gate exact). */
+    * the gate exact).
+    *
+    * `maxPairBudget` is the LOUD scale guard (the jaccardPairs
+    * `maxRows` contract, Dedup.scala): before pairing, ONE cheap agg
+    * job computes Σ C(size, 2) over the POST-PRUNE baskets — the exact
+    * row count the self-join will emit — and the call fails with a
+    * diagnostic if it exceeds the budget. A silently-exploding pair
+    * join is the one failure mode of this operator at corpus scale;
+    * the guard turns it into an error naming the offending estimate
+    * and the knobs (raise minSupport, cap mega-baskets upstream, or
+    * pass a deliberate larger budget). */
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
-                minSupport: Long, minConfMilli: Long): DataFrame = {
+                minSupport: Long, minConfMilli: Long,
+                maxPairBudget: Long = 100000000L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(minConfMilli >= 0 && minConfMilli <= 1000,
       s"minConfMilli must be in [0,1000], got $minConfMilli")
+    require(maxPairBudget >= 1,
+      s"maxPairBudget must be >= 1, got $maxPairBudget")
     val b = baskets
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
@@ -57,6 +70,16 @@ object Association {
     val frequent = itemCounts.filter(col("ni") >= minSupport)
       .select(col("it"))
     val bf = b.join(frequent, "it").select(col("bk"), col("it"))
+    // exact pair-count pre-flight: Σ C(sz, 2) over post-prune baskets
+    val budget = bf.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
+      .agg(coalesce(sum(col("sz") * (col("sz") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+    require(budget <= maxPairBudget,
+      s"pairRules would emit $budget candidate pairs after the apriori " +
+        s"prune (minSupport=$minSupport) > maxPairBudget=$maxPairBudget. " +
+        "Raise minSupport, cap mega-baskets upstream (a 10^5-item basket " +
+        "alone contributes 5*10^9 pairs), or pass maxPairBudget " +
+        "explicitly for a deliberate large run.")
     val pairs = bf.select(col("bk"), col("it").as("i1"))
       .join(bf.select(col("bk"), col("it").as("i2")), "bk")
       .filter(col("i1") < col("i2"))
@@ -82,5 +105,69 @@ object Association {
           .as("confidence"),
         ((col("n_pair") * col("n_baskets")).cast("double") /
           (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+  }
+
+  /** [[pairRules]] with RELATIVE support — the classic apriori
+    * formulation (support as a fraction of baskets), and the only form
+    * whose prune behavior is SCALE-INVARIANT: an absolute threshold
+    * that prunes at sf0.01 is a no-op at sf1 (every item's count grew
+    * 100×), while `minSupportMilli`/1000 of n_baskets prunes the same
+    * relative tail at every scale. One cheap count-distinct pre-flight
+    * derives the absolute threshold ceil(milli·n_baskets/1000) — pure
+    * integer arithmetic, so the gate is exactly 1000·n ≥ milli·n_baskets
+    * — then delegates to [[pairRules]] (which recomputes the identical
+    * n_baskets for the lift column). */
+  def pairRulesRel(baskets: DataFrame, basketCol: String, itemCol: String,
+                   minSupportMilli: Long, minConfMilli: Long,
+                   maxPairBudget: Long = 100000000L): DataFrame = {
+    require(minSupportMilli >= 1 && minSupportMilli <= 1000,
+      s"minSupportMilli must be in [1,1000], got $minSupportMilli")
+    val nB = baskets.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .agg(count_distinct(col(basketCol))).head().getLong(0)
+    val threshold = math.max(1L, (minSupportMilli * nB + 999L) / 1000L)
+    pairRules(baskets, basketCol, itemCol, threshold, minConfMilli,
+      maxPairBudget)
+  }
+
+  /** The apriori prune's effect AS DATA — one row
+    * `(n_baskets, n_items, n_frequent, n_pruned, pairs_before,
+    * pairs_after)` where pairs_before/after are the exact Σ C(size, 2)
+    * pair-join cardinalities without/with the prune at the SAME
+    * relative threshold [[pairRulesRel]] applies. This is the
+    * registration-audit evidence that a production support setting
+    * actually defends the pair join (a threshold where
+    * n_pruned = 0 and pairs_after = pairs_before means the prune is
+    * decorative — the round-11 mb_assoc_rules lesson). */
+  def pruneStats(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minSupportMilli: Long): DataFrame = {
+    require(minSupportMilli >= 1 && minSupportMilli <= 1000,
+      s"minSupportMilli must be in [1,1000], got $minSupportMilli")
+    val b = baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = b.agg(count_distinct(col("bk")).as("n_baskets"))
+    val ic = b.groupBy(col("it")).agg(count(lit(1)).as("ni"))
+    val itemStats = ic.crossJoin(nb).agg(
+      first(col("n_baskets")).as("n_baskets"),
+      count(lit(1)).as("n_items"),
+      sum(when(col("ni") * 1000L >= col("n_baskets") * minSupportMilli, 1L)
+        .otherwise(0L)).as("n_frequent"))
+    def pairSum(src: DataFrame, alias: String) =
+      src.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
+        .agg((coalesce(sum(col("sz") * (col("sz") - 1)), lit(0L)) / lit(2L))
+          .cast("long").as(alias))
+    val bf = b.join(
+      ic.crossJoin(nb)
+        .filter(col("ni") * 1000L >= col("n_baskets") * minSupportMilli)
+        .select(col("it")), "it")
+      .select(col("bk"), col("it"))
+    itemStats
+      .withColumn("n_pruned", col("n_items") - col("n_frequent"))
+      .crossJoin(pairSum(b, "pairs_before"))
+      .crossJoin(pairSum(bf, "pairs_after"))
+      .select(col("n_baskets"), col("n_items"), col("n_frequent"),
+        col("n_pruned"), col("pairs_before"), col("pairs_after"))
   }
 }

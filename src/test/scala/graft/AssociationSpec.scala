@@ -66,4 +66,45 @@ class AssociationSpec extends SparkSpecBase {
       Association.pairRules(baskets, "bk", "it", 2L, 1001L)
     }
   }
+
+  test("pair-budget guard: a mega-basket fails loud BEFORE the self-join") {
+    // one basket of 200 items = C(200,2) = 19900 post-prune pairs at
+    // minSupport=1 (every item frequent)
+    val mega = (1 to 200).map(i => (1L, s"i$i")).toDF("bk", "it")
+    val e = intercept[IllegalArgumentException] {
+      Association.pairRules(mega, "bk", "it", 1L, 0L,
+        maxPairBudget = 10000L)
+    }
+    assert(e.getMessage.contains("19900") &&
+      e.getMessage.contains("maxPairBudget=10000"))
+    // the identical call with an adequate budget runs: 19900 pairs exist
+    // but only those with support >= 1 and conf gate 0 survive — all of
+    // them, 2 directions each
+    assert(Association.pairRules(mega, "bk", "it", 1L, 0L,
+      maxPairBudget = 20000L).count() === 39800L)
+  }
+
+  test("relative support: threshold = ceil(milli * n_baskets / 1000)") {
+    // 5 baskets, 400 milli -> ceil(2.0) = 2: identical to minSupport=2
+    val rel = Association.pairRulesRel(baskets, "bk", "it", 400L, 500L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rel === Set(("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")))
+    // 401 milli -> ceil(2.005) = 3: only A (n=4) and B (n=3) survive the
+    // item prune, and no pair reaches support 3 -> empty
+    assert(Association.pairRulesRel(baskets, "bk", "it", 401L, 0L)
+      .count() === 0L)
+  }
+
+  test("pruneStats reports the prune's exact effect as data") {
+    // 400 milli -> threshold 2: D (n=1) is pruned; pairs_before =
+    // C(3,2)+C(2,2 items... per-basket sizes 3,2,2,2,1 -> 3+1+1+1+0 = 6;
+    // after dropping D, basket 4 shrinks to {B}: 3+1+1+0+0 = 5
+    val r = Association.pruneStats(baskets, "bk", "it", 400L).head()
+    assert(r.getLong(0) === 5L) // n_baskets
+    assert(r.getLong(1) === 4L) // n_items
+    assert(r.getLong(2) === 3L) // n_frequent
+    assert(r.getLong(3) === 1L) // n_pruned
+    assert(r.getLong(4) === 6L) // pairs_before
+    assert(r.getLong(5) === 5L) // pairs_after
+  }
 }
