@@ -147,7 +147,7 @@ object Multimodal {
                        format: String = "png"): DataFrame = {
     import spark.implicits._
     require(Set("png", "jpg")(format), s"format must be png or jpg: $format")
-    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, hex) =>
@@ -223,7 +223,7 @@ object Multimodal {
     * twins are exactly what a perceptual near-dup detector must find. */
   def synthesizeImagesVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.flatMap { case (id, hex) =>
@@ -327,7 +327,7 @@ object Multimodal {
     * bytes are a genuine WAV a real decoder must parse. */
   def synthesizeAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, hex) =>
@@ -369,7 +369,7 @@ object Multimodal {
     * its shape, exactly what a level-robust fingerprint must match. */
   def synthesizeAudioVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.flatMap { case (id, hex) =>
@@ -507,7 +507,7 @@ object Multimodal {
     * container a real reader must walk. */
   def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         // 256-entry grayscale palette: index i ↦ (i, i, i) — shared per
@@ -716,7 +716,7 @@ object Multimodal {
   def synthesizeCaptionedImages(spark: SparkSession,
                                 docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, hex) =>
@@ -760,8 +760,24 @@ object Multimodal {
     * (per-row codec cost, zero shuffle — the dhashImages contract); the
     * caption projection is scan-speed; the join is doc-keyed; the gate
     * is one stateless projection. Output carries both profiles and the
-    * verdict as data. */
-  def alignmentGate(spark: SparkSession, media: DataFrame): DataFrame = {
+    * verdict as data.
+    *
+    * Integer-headroom contract (round 12 — the gate must ERROR, never
+    * silently NULL, past its arithmetic budget): with |centered
+    * profile| ≤ 255·w·h on both sides, the DECIMAL(38,0) gate needs
+    * 1600·(255·w·h)⁴ < 10³⁸ and the exported LONG dot needs
+    * 4·(255·w·h)² < 2⁶³ — the binding one is the DECIMAL gate, giving
+    * w·h ≤ 1.96e6. `maxPixels` (default 1,900,000 — just under that
+    * budget) is enforced LOUDLY at decode, and caption profiles are
+    * range-checked IN-PLAN (raise_error past 255·maxPixels): a caption
+    * claiming magnitudes no image under the pixel budget could produce
+    * is a contract breach, not a row to wave through with NULL
+    * arithmetic. */
+  def alignmentGate(spark: SparkSession, media: DataFrame,
+                    maxPixels: Long = 1900000L): DataFrame = {
+    require(maxPixels >= 1 && maxPixels <= 1900000L,
+      s"maxPixels must be in [1, 1900000] (the DECIMAL(38) gate budget: " +
+        s"1600*(255*px)^4 < 1e38), got $maxPixels")
     import spark.implicits._
     // The caption RIDES THROUGH the typed decode stage, so the whole
     // gate is ONE stateless pass — no self-join of the media frame
@@ -778,6 +794,11 @@ object Multimodal {
           require(img != null, s"undecodable image payload for doc $id")
           val w = img.getWidth
           val h = img.getHeight
+          require(w.toLong * h <= maxPixels,
+            s"doc $id: ${w}x$h = ${w.toLong * h} pixels exceeds " +
+              s"maxPixels=$maxPixels — past this budget the DECIMAL(38) " +
+              "alignment gate would overflow to NULL verdicts (ANSI " +
+              "off); downscale upstream or split the raster")
           val q = Array.ofDim[Long](4)
           var x = 0
           while (x < w) {
@@ -796,9 +817,20 @@ object Multimodal {
       expr(s"CAST(4 * element_at($c, ${i + 1}) - " +
         s"(element_at($c, 1) + element_at($c, 2) + element_at($c, 3) + " +
         s"element_at($c, 4)) AS DECIMAL(38, 0))")
+    val capBound = 255L * maxPixels
     val withDot = feats
       .withColumn("cap_q",
         expr("transform(split(caption, ' '), s -> CAST(s AS BIGINT))"))
+      // caption profiles past the pixel budget's brightness ceiling
+      // would overflow the same DECIMAL(38) gate from the OTHER side —
+      // fail loud in-plan, never NULL through
+      .withColumn("cap_q", when(
+        expr(s"exists(cap_q, v -> v IS NULL OR abs(v) > ${capBound}L)"),
+        expr(s"raise_error(concat('caption profile for doc ', doc_id, " +
+          s"' is unparseable or exceeds the 255*maxPixels=$capBound " +
+          "magnitude budget of the DECIMAL(38) alignment gate'))")
+          .cast("array<bigint>"))
+        .otherwise(col("cap_q")))
       .withColumn("dot", (0 until 4).map(i =>
         centered("img_q", i) * centered("cap_q", i)).reduce(_ + _))
       .withColumn("na2", (0 until 4).map(i =>

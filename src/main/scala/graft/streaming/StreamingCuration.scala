@@ -201,11 +201,17 @@ object StreamingCuration {
     * the batch operator run in arrival order (spec-pinned across
     * micro-batch boundaries).
     *
-    * State per source: ONE BIGINT (the weight consumed so far) — bounded
-    * by |sources| forever, the streamingCusum state shape. Rows within a
-    * micro-batch are processed in (doc_id) order so a batch boundary
-    * never reorders admission; arrival-monotone ids are the caller's
-    * contract (file-source offsets and event times both give it). */
+    * State per source: TWO BIGINTs (the weight consumed so far, and the
+    * highest doc_id admitted) — bounded by |sources| forever, the
+    * streamingCusum state shape. Rows within a micro-batch are
+    * processed in (doc_id) order so a batch boundary never reorders
+    * admission; arrival-monotone ids are the caller's contract
+    * (file-source offsets and event times both give it) — and since
+    * round 12 the contract is CHECKED: a later micro-batch delivering a
+    * doc_id at or below the source's high-water mark fails LOUDLY
+    * instead of silently charging the budget in a different order than
+    * the batch operator would (the one way streamed verdicts could
+    * diverge from batch parity). */
   def budgetGate(spark: SparkSession, in: Dataset[BudgetDoc],
                  budget: Long): Dataset[BudgetVerdict] = {
     import spark.implicits._
@@ -215,16 +221,23 @@ object StreamingCuration {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[BudgetDoc],
-         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          var cum = state.getOption.getOrElse(0L)
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          var (cum, maxSeen) = state.getOption.getOrElse((0L, Long.MinValue))
           val out = rows.toSeq.sortBy(_.doc_id).map { r =>
             require(r.weight >= 0L,
               s"negative weight ${r.weight} for doc ${r.doc_id} " +
                 "would un-spend the budget — admission is monotone")
+            require(r.doc_id > maxSeen,
+              s"source '$source': doc ${r.doc_id} arrived AFTER doc " +
+                s"$maxSeen was admitted — doc_id must be arrival-monotone " +
+                "per source (the budgetGate contract; see scaladoc). A " +
+                "replayed or out-of-order feed would charge the budget in " +
+                "a different order than the batch operator.")
+            maxSeen = r.doc_id
             cum += r.weight
             BudgetVerdict(source, r.doc_id, r.weight, cum, cum <= budget)
           }
-          state.update(cum)
+          state.update((cum, maxSeen))
           out.iterator
       }
   }

@@ -49,33 +49,49 @@ object StreamingSimilarity {
     * [[runIvfServe]] is the read half): each micro-batch is assigned
     * against the FROZEN centroids (|batch| × K dots — the ingest batch,
     * never the corpus) and its posting rows land in
-    * `postingsDir/batch=<id>` with overwrite — replay-idempotent, zero
-    * state. A serving job builds [[Similarity.IvfIndex]] from the
-    * centroids plus ONE read of the whole postings directory and sees
-    * every ingested vector; quantizer refresh stays a batch lifecycle
-    * decision (rebuild + swap — the documented ivfAppend trade).
+    * `postingsDir/batch=<runId>-<id>` with overwrite —
+    * replay-idempotent, zero state. A serving job builds
+    * [[Similarity.IvfIndex]] from the centroids plus ONE read of the
+    * whole postings directory and sees every ingested vector; quantizer
+    * refresh stays a batch lifecycle decision (rebuild + swap — the
+    * documented ivfAppend trade).
+    *
+    * `runId` (round 12) namespaces the batch directories: micro-batch
+    * ids are only unique WITHIN one checkpoint lineage, so a stream
+    * restarted against a lost or relocated checkpoint restarts ids at 0
+    * and — keyed by id alone — would silently clobber a prior run's
+    * `batch=0/1/...` dirs, dropping already-indexed vectors from the
+    * served index. With the run id in the directory key, overwrite
+    * stays idempotent for THIS run's replays (at-least-once delivery)
+    * and can never touch another run's postings. Callers pick any id
+    * stable for the checkpoint's lifetime (and never containing '-'
+    * ambiguity issues — the id is a plain string prefix).
     * Spec-pinned: accumulated postings ≡ assign-on-union bit-exact,
     * late batches servable, re-delivered batch a no-op. */
   def runIndexGrow(vectorStream: DataFrame, centroids: DataFrame,
-                   postingsDir: String,
-                   checkpointDir: String): StreamingQuery =
+                   postingsDir: String, checkpointDir: String,
+                   runId: String): StreamingQuery = {
+    require(runId.nonEmpty && !runId.contains("/"),
+      s"runId must be a nonempty path-safe token, got '$runId'")
     vectorStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        growBatch(batch, id, centroids, postingsDir)
+        growBatch(batch, id, centroids, postingsDir, runId)
       }
       .start()
+  }
 
   /** The per-batch step of [[runIndexGrow]], factored out so replay
     * idempotence and assignment parity are directly testable. */
   private[graft] def growBatch(batch: DataFrame, id: Long,
                                centroids: DataFrame,
-                               postingsDir: String): Unit = {
+                               postingsDir: String, runId: String): Unit = {
     if (batch.isEmpty) return
     Similarity.assign(centroids, batch, "neighbor_id", keep = 1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$postingsDir/batch=$id")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$postingsDir/batch=$runId-$id")
   }
 
   /** Streaming HYBRID search serve (round 9) — the full modern

@@ -185,6 +185,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(one != null) // media materialized
   }
 
+  test("alignment gate integer-headroom contract: oversized rasters and " +
+    "over-budget captions fail LOUD, never NULL through; null text is " +
+    "hashed as empty string") {
+    import spark.implicits._
+    def rootMsgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    // a 90x60 raster against maxPixels=5000 trips the decode-side guard
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val big = Seq((1L, png(90, 60), "0 0 0 0"))
+      .toDF("doc_id", "payload", "caption")
+    val e1 = intercept[Throwable] {
+      Multimodal.alignmentGate(spark, big, maxPixels = 5000L).collect()
+    }
+    assert(rootMsgs(e1).exists(m =>
+      m.contains("maxPixels=5000") && m.contains("5400")))
+    // a caption whose magnitude no under-budget image could produce
+    // trips the in-plan raise_error (255 * 5000 = 1,275,000 budget)
+    val loud = Seq((2L, png(10, 10), "9999999999 0 0 0"))
+      .toDF("doc_id", "payload", "caption")
+    val e2 = intercept[Throwable] {
+      Multimodal.alignmentGate(spark, loud, maxPixels = 5000L).collect()
+    }
+    assert(rootMsgs(e2).exists(_.contains("magnitude budget")))
+    // the default budget itself must stay inside DECIMAL(38):
+    // 1600*(255*1.9e6)^4 < 1e38
+    val worst = BigInt(1600) * BigInt(255L * 1900000L).pow(4)
+    assert(worst < BigInt(10).pow(38))
+    // null-text docs synthesize via md5('') instead of NPEing
+    val nullDocs = Seq((7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = Multimodal.synthesizeCaptionedImages(spark, nullDocs).collect()
+    assert(m.length === 1 && m(0).getAs[Array[Byte]]("payload").nonEmpty)
+    // and the synthesized pair flows through the gate without error
+    assert(Multimodal.alignmentGate(spark,
+      Multimodal.synthesizeCaptionedImages(spark, nullDocs)).count() === 1L)
+  }
+
   test("dhash is exactly invariant to a wrap-free brightness shift") {
     import spark.implicits._
     // hand-built 18x16 image with values far from the mod boundary:

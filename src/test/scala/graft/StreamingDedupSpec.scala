@@ -460,4 +460,29 @@ class StreamingDedupSpec extends SparkSpecBase {
         .exists(!_.getAs[Boolean]("selected")))
     } finally q.stop()
   }
+
+  test("budget gate: a later batch delivering a SMALLER doc_id fails " +
+    "loud — the arrival-monotone contract is checked, not assumed") {
+    import graft.streaming.StreamingCuration
+    import graft.streaming.StreamingCuration.BudgetDoc
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[BudgetDoc]
+    val q = StreamingCuration.budgetGate(spark, in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("budget_mono_t")
+      .outputMode("append").start()
+    try {
+      in.addData(BudgetDoc("a", 10L, 5L))
+      q.processAllAvailable()
+      // doc 7 < high-water mark 10: silently charging it AFTER doc 10
+      // would diverge from the batch operator's admission order
+      in.addData(BudgetDoc("a", 7L, 5L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("arrival-monotone")))
+    } finally q.stop()
+  }
 }

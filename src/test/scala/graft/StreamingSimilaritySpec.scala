@@ -100,7 +100,7 @@ class StreamingSimilaritySpec extends SparkSpecBase {
       .option("maxFilesPerTrigger", 1)
       .json(landing)
     graft.streaming.StreamingSimilarity.runIndexGrow(
-      stream, centroids, s"$base/postings", s"$base/ckpt")
+      stream, centroids, s"$base/postings", s"$base/ckpt", runId = "r1")
       .awaitTermination(120000)
 
     // accumulated postings (seed + 2 streamed batches) == one assignment
@@ -132,8 +132,17 @@ class StreamingSimilaritySpec extends SparkSpecBase {
     val b1df = spark.read.json(s"$landing/b1.json")
       .select(col("vec_id"), col("embedding").cast("array<float>"))
     graft.streaming.StreamingSimilarity.growBatch(b1df, 0L, centroids,
-      s"$base/postings")
+      s"$base/postings", runId = "r1")
     assert(rows(spark.read.parquet(s"$base/postings")) === before)
+
+    // a SECOND run whose micro-batch ids restart at 0 (lost/relocated
+    // checkpoint) lands in its own batch=r2-0 dir: nothing clobbered,
+    // the served set only grows
+    graft.streaming.StreamingSimilarity.growBatch(b1df, 0L, centroids,
+      s"$base/postings", runId = "r2")
+    assert(rows(spark.read.parquet(s"$base/postings")) === before)
+    assert(new java.io.File(s"$base/postings/batch=r1-0").exists() &&
+      new java.io.File(s"$base/postings/batch=r2-0").exists())
   }
 
   test("hybrid serve stream: per-batch RRF fusion equals the batch fusion; both rankers engage") {
