@@ -135,28 +135,40 @@ object Bench {
     // Contention hygiene (round 8 — the round-7 driver capture was 1.5×
     // inflated by machine load and the verdict chased phantom
     // regressions): BENCH_REF.json pins a known-uncontended per-query
-    // reference (the judge's re-run; update it deliberately when plans
-    // change). Any row landing over 1.5× its reference gets ONE re-run
-    // at a different point in time and keeps the better median —
-    // transient load rarely hits the same row twice — and a second
-    // calibration after the loop bounds how the load changed across the
-    // run. (Round 10: trigger lowered 2.0→1.5 — four r9 rows sat at
-    // 1.5–1.9× their pins with unchanged plans and never got re-measured,
-    // leaving drift indistinguishable from regression.)
+    // reference (update it deliberately when plans change; its history
+    // array keeps every prior pin so drift is auditable). Any row
+    // landing over 1.5× its reference AFTER CALIBRATION NORMALIZATION
+    // (round 12 — raw ratios conflate machine load with regression: the
+    // yardstick ratio refCalib/calibSec rescales this run's seconds to
+    // the pin run's machine speed, so "everything 2× slower including
+    // the constant-work yardstick" no longer triggers 200 useless
+    // reruns, and a real single-row regression on an IDLE box triggers
+    // at its true ratio) gets ONE re-run at a different point in time
+    // and keeps the better median — transient load rarely hits the same
+    // row twice — and a second calibration after the loop bounds how
+    // the load changed across the run. (Round 10: trigger lowered
+    // 2.0→1.5 — four r9 rows sat at 1.5–1.9× their pins with unchanged
+    // plans and never got re-measured.)
     val refPath = java.nio.file.Paths.get("BENCH_REF.json")
-    val ref: Map[String, Double] =
-      if (!java.nio.file.Files.exists(refPath)) Map.empty
+    val (ref: Map[String, Double], refCalib: Double) =
+      if (!java.nio.file.Files.exists(refPath)) (Map.empty[String, Double], -1.0)
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(refPath),
           java.nio.charset.StandardCharsets.UTF_8)
         // the reference is only comparable at its own scale factor
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty[String, Double], -1.0)
         else {
           val qblock = txt.substring(txt.indexOf("\"queries\":{") + 11)
-          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(qblock)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val rc = "\"calib_sec\":\\s*(-?[0-9][0-9.eE+-]*)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
+          ("\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(qblock)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap, rc)
         }
       }
+    // seconds × normFactor ≈ what this row would have cost on the pin
+    // run's machine; 1.0 when either calibration is unusable
+    val normFactor =
+      if (refCalib > 0 && calibSec > 0) refCalib / calibSec else 1.0
     var rerunBudget = 32 // bound the hygiene pass, it must not double the run
     // every re-measured row's FIRST-pass value is preserved and published
     // in BENCH_FULL.json: math.min() below is a one-sided load rescue, and
@@ -165,7 +177,8 @@ object Bench {
     val rerunFirstPass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (name, v, ok) =>
       val suspect = ok && rerunBudget > 0 &&
-        ref.get(name).exists(rv => rv > 0 && v > 0.15 && v > 1.5 * rv)
+        ref.get(name).exists(rv =>
+          rv > 0 && v > 0.15 && v * normFactor > 1.5 * rv)
       if (!suspect) (name, v, ok)
       else {
         rerunBudget -= 1
@@ -199,12 +212,26 @@ object Bench {
     // round through r6 the JSON line was cut mid-map and recorded as
     // `parsed: null`. The file (committed with the round snapshot) holds
     // everything; stdout carries a line guaranteed to fit the tail window.
+    // rows still over 1.5× their pin AFTER normalization AND the rerun
+    // rescue: the attributable-regression list a reader investigates —
+    // everything else in the delta vs BENCH_REF is measured machine load
+    val overPin = results.collect {
+      case (name, v, true) if ref.get(name)
+        .exists(rv => rv > 0 && v > 0.15 && v * normFactor > 1.5 * rv) =>
+        name
+    }
+    val overPinJson = overPin.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // the calibration-normalized map: seconds rescaled to the pin
+      // run's machine speed — the directly-comparable-to-BENCH_REF view
+      val qn = results.map { case (k, v, _) =>
+        "\"" + k + "\":" + (if (v < 0) v else v * normFactor) }
+        .mkString("{", ",", "}")
       val rr = rerunFirstPass.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"calib_sec_end":$calibEnd,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"calib_sec_end":$calibEnd,"calib_ref":$refCalib,"norm_factor":$normFactor,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"over_pin":$overPinJson,"n_queries":${results.size},"queries":$qs,"queries_norm":$qn,"failed":$failed,"sf":"$sfDir"}"""
     }
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     // a filtered dev run must not clobber the committed full-suite map
@@ -221,7 +248,7 @@ object Bench {
     val ok = results.collect { case (k, v, true) => (k, v) }
     val tpch = ok.filter(_._1.matches("q\\d+_.*")).sortBy(_._1)
     val rest = ok.filterNot(_._1.matches("q\\d+_.*")).sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib_sec":${r3(calibSec)},"calib_sec_end":${r3(calibEnd)},"contended":$contended,"reran":$reran,"n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","failed":$failed,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib_sec":${r3(calibSec)},"calib_sec_end":${r3(calibEnd)},"norm_factor":${r3(normFactor)},"contended":$contended,"reran":$reran,"over_pin":$overPinJson,"n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","failed":$failed,"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = 1700 - head.length - tail.length
     val entries = scala.collection.mutable.ListBuffer.empty[String]
