@@ -57,7 +57,14 @@ object Pipeline {
     * the exogenous row features, the relational narrowing of the
     * reference LSTM's per-step multi-feature window, train.py:463-492;
     * see [[run]]'s seq branch for the feature choice and the F6
-    * singularity note). */
+    * singularity note), or "sgd" (round 12 — the same four seq
+    * features, but trained by MINIBATCH GRADIENT DESCENT
+    * ([[Features.sgdLinearFit]]): one GLOBAL linear model fit in
+    * z-scored feature space by iterative distributed gradient
+    * aggregates — the reference's actual training LOOP
+    * (train.py:499-553 steps its LSTM by minibatch gradients), not
+    * just its model shape; the closed-form families above never
+    * exercised gradient descent itself). */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
@@ -65,8 +72,9 @@ object Pipeline {
       valRatio: Double = 0.15,
       approxSplit: Boolean = false,
       predictor: String = "naive") {
-    require(Set("naive", "ar1", "ar2", "routed", "seq")(predictor),
-      s"unknown predictor '$predictor' (naive | ar1 | ar2 | routed | seq)")
+    require(Set("naive", "ar1", "ar2", "routed", "seq", "sgd")(predictor),
+      s"unknown predictor '$predictor' " +
+        "(naive | ar1 | ar2 | routed | seq | sgd)")
   }
 
   object Config {
@@ -127,7 +135,8 @@ object Pipeline {
         valRatio = get("valRatio", _.toDouble, d.valRatio),
         approxSplit = get("approxSplit", _.toBoolean, d.approxSplit),
         predictor = get("predictor",
-          s => { require(Set("naive", "ar1", "ar2", "routed", "seq")(s)); s },
+          s => { require(
+            Set("naive", "ar1", "ar2", "routed", "seq", "sgd")(s)); s },
           d.predictor))
     }
   }
@@ -260,6 +269,89 @@ object Pipeline {
     * at scan speed. */
   def seqScore(feat: DataFrame, params: DataFrame): DataFrame =
     applySeq(feat, params)
+
+  /** The sgd predictor's artifact: the [[Features.sgdLinearFit]] model
+    * row EXTENDED with the train-split standardization moments (per-
+    * feature μ/σ and the target's) — one frame, so the serve side can
+    * never standardize with different statistics than the fit saw. An
+    * EMPTY frame when no guarded train rows exist (the untrained-run
+    * contract: [[applySgd]] then leaves every pred_f naive). σ floors
+    * at 1.0 for constant columns (the A5 zero-range guard). */
+  private def sgdArtifact(spark: SparkSession, train: DataFrame): DataFrame = {
+    val fs = Seq("pred_f", "x2", "x3", "x4")
+    val guard = (fs :+ "actual")
+      .map(c => col(c).isNotNull && abs(col(c)) < lit(1e11)).reduce(_ && _)
+    val g = train.filter(guard)
+    val aggs = fs.flatMap(c => Seq(avg(col(c)).as(s"mu_$c"),
+      stddev_pop(col(c)).as(s"sd_$c"))) ++
+      Seq(avg(col("actual")).as("mu_y"),
+        stddev_pop(col("actual")).as("sd_y"), count(lit(1)).as("n"))
+    val m = g.agg(aggs.head, aggs.tail: _*).head()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "coef ARRAY<DOUBLE>, n_fit BIGINT, loss_ledger ARRAY<DOUBLE>, " +
+          "epochs_run INT, accepted_steps INT, mus ARRAY<DOUBLE>, " +
+          "sigmas ARRAY<DOUBLE>, mu_y DOUBLE, sigma_y DOUBLE"))
+    if (m.getAs[Long]("n") == 0L) empty
+    else {
+      def sd(raw: Any): Double = raw match {
+        case d: Double if !d.isNaN && d > 0.0 => d
+        case _ => 1.0
+      }
+      val mus = fs.map(c => m.getAs[Double](s"mu_$c"))
+      val sigmas = fs.map(c => sd(m.getAs[Any](s"sd_$c")))
+      val muY = m.getAs[Double]("mu_y")
+      val sigmaY = sd(m.getAs[Any]("sd_y"))
+      val stdF = fs.zipWithIndex.map { case (c, i) =>
+        (col(c) - lit(mus(i))) / lit(sigmas(i)) }
+      val stdY = (col("actual") - lit(muY)) / lit(sigmaY)
+      Features.sgdLinearFit(g, stdF, stdY, epochs = 8, lr0 = 0.5,
+          batchMilli = 250) match {
+        case None => empty
+        case Some(model) =>
+          import spark.implicits._
+          Seq((model.coef.toSeq, model.nFit, model.lossLedger,
+            model.epochsRun, model.acceptedSteps, mus, sigmas, muY, sigmaY))
+            .toDF("coef", "n_fit", "loss_ledger", "epochs_run",
+              "accepted_steps", "mus", "sigmas", "mu_y", "sigma_y")
+      }
+    }
+  }
+
+  /** Apply an [[sgdArtifact]] to a seq feature frame: rows with all
+    * four features present score round(μ_y + σ_y·(β·z_std), 2) — the
+    * model predicts in standardized space, the pipeline speaks raw
+    * units — everything else (and every row of an untrained run) keeps
+    * the naive `pred_f`. The artifact is ONE row (collected — the
+    * linearModelFromFrame convention); coefficients and moments ride
+    * the plan as literals, map-only at any corpus size. */
+  private def applySgd(feat2: DataFrame, artifact: DataFrame): DataFrame = {
+    val rows = artifact.collect()
+    if (rows.isEmpty) feat2
+    else {
+      val r = rows.head
+      val coef = r.getSeq[Double](r.fieldIndex("coef"))
+      val mus = r.getSeq[Double](r.fieldIndex("mus"))
+      val sigmas = r.getSeq[Double](r.fieldIndex("sigmas"))
+      val muY = r.getDouble(r.fieldIndex("mu_y"))
+      val sigmaY = r.getDouble(r.fieldIndex("sigma_y"))
+      val fs = Seq("pred_f", "x2", "x3", "x4")
+      val eta = fs.zipWithIndex.map { case (c, i) =>
+        lit(coef(i + 1)) * ((col(c) - lit(mus(i))) / lit(sigmas(i)))
+      }.foldLeft(lit(coef(0)))(_ + _)
+      feat2.withColumn("pred_f",
+        when(fs.map(col(_).isNotNull).reduce(_ && _),
+          round(lit(muY) + lit(sigmaY) * eta, 2))
+          .otherwise(col("pred_f")))
+    }
+  }
+
+  /** Public sgd-serve entry: score a four-feature frame against the
+    * persisted [[sgdArtifact]] a `predictor = "sgd"` [[run]] publishes —
+    * same fallback dispatch as train time. */
+  def sgdScore(feat: DataFrame, params: DataFrame): DataFrame =
+    applySgd(feat, params)
 
   /** Run E2+E3 over the canonical events frame (driver test schema:
     * event_id, ts, user_id, event_type, value). When `outDir` is set the
@@ -409,6 +501,23 @@ object Pipeline {
         // every group WITH its flag so stageMetrics re-applies the
         // identical dispatch.
         (applySeq(feat2, params).drop("x2", "x3", "x4"),
+          Seq("predictor_params" -> params))
+      case "sgd" =>
+        // GRADIENT training (round 12): same four-feature frame as seq,
+        // but ONE GLOBAL linear model learned by minibatch gradient
+        // descent in z-scored space (Features.sgdLinearFit — the
+        // train.py:499-553 training loop itself, iterative distributed
+        // gradient aggregates with an Armijo backtracking line search).
+        // z-scoring is the reference's own preprocessing (train.py:430-
+        // 470 normalizes before every fit) and what makes a single
+        // learning rate serve features with scales 1..10³. The artifact
+        // carries the moments WITH the coefficients: serve must
+        // standardize with the TRAIN moments or the model is garbage
+        // (the J4 norm-param-reuse lesson applied to features).
+        val feat2 = seqFeatures(featured, w).localCheckpoint(eager = false)
+        val params = sgdArtifact(spark,
+          feat2.filter(col("split") === "train"))
+        (applySgd(feat2, params).drop("x2", "x3", "x4"),
           Seq("predictor_params" -> params))
       case _ => (featured, Nil)
     }
@@ -639,6 +748,11 @@ object Pipeline {
         // → naive dispatch run() trained under
         val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
         applySeq(seqFeatures(featured, w), params).drop("x2", "x3", "x4")
+      case "sgd" =>
+        // the persisted gradient-trained model + its train moments —
+        // the same standardize-serve-fallback dispatch run() trained
+        val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
+        applySgd(seqFeatures(featured, w), params).drop("x2", "x3", "x4")
       case _ => featured
     }
     Features.regressionMetrics(

@@ -942,6 +942,167 @@ object Features {
     df.withColumn(outCol, terms.foldLeft(lit(model.coef(0)))(_ + _))
   }
 
+  /** A trained minibatch-SGD linear model: intercept-first
+    * coefficients, fit size, the FULL-TRAIN MSE ledger (entry 0 = the
+    * mean model's MSE — the null baseline; one entry per epoch after
+    * it), epochs run, and how many epochs accepted a step. */
+  final case class SgdModel(coef: Array[Double], nFit: Long,
+                            lossLedger: Seq[Double], epochsRun: Int,
+                            acceptedSteps: Int)
+
+  /** The deterministic minibatch-membership predicate of
+    * [[sgdLinearFit]], exposed so differential tests re-derive the
+    * exact row sets: a row is in epoch `epoch`'s minibatch iff
+    * pmod(xxhash64(xxhash64(features…, target), seed + epoch), 1000)
+    * < batchMilli. Hash-gate membership (the Sampling convention) —
+    * no RNG state, identical under any partitioning, and a fresh
+    * pseudo-random subset per epoch. Rows identical in every feature
+    * AND the target share minibatch fate (documented; a caller who
+    * needs per-row identity hashes an id into a feature). */
+  def sgdGate(features: Seq[Column], target: Column, seed: Long,
+              epoch: Int, batchMilli: Int): Column =
+    pmod(xxhash64(
+      xxhash64((features :+ target).map(_.cast("double")): _*),
+      lit(seed + epoch)), lit(1000L)) < lit(batchMilli.toLong)
+
+  /** A14f (round 12) — LINEAR REGRESSION BY MINIBATCH STOCHASTIC
+    * GRADIENT DESCENT: the one reference training semantic the
+    * closed-form families (OLS/IRLS/GBM stumps) didn't exercise is
+    * gradient-descent itself (train.py:499-553 trains its torch LSTM by
+    * minibatch gradient steps). Each epoch is TWO corpus-bounded
+    * aggregation passes over a lazily-checkpointed design frame — the
+    * logisticFit shape:
+    *   1. the minibatch gradient: gᵢ = (2/|b|)·Σ_b (x·β − y)·zᵢ, summed
+    *      over the epoch's hash-gated minibatch ([[sgdGate]] — a
+    *      deterministic ~batchMilli/1000 subset, no RNG state), p+1
+    *      sums + a count, map-side combined;
+    *   2. ONE multi-candidate line-search pass: the FULL-train MSE of
+    *      every backtracking candidate β − (lr₀/2ᵏ)·g, k < nHalvings,
+    *      evaluated as nHalvings sums in a single aggregation (Armijo
+    *      backtracking priced at one scan, not one scan per halving).
+    * The largest step whose full-train loss does not exceed the ledger
+    * tail is accepted; if none qualifies the epoch is a documented
+    * no-op. The ledger is therefore MONOTONE NON-INCREASING BY
+    * CONSTRUCTION and starts at the mean model's MSE (β initialized to
+    * [ȳ, 0…] — SGD must EARN every improvement over the null model,
+    * the a24 beats_null contract).
+    *
+    * Scale shape: epochs × two map-side-combined scans is the
+    * irreducible distributed-SGD cost (parameter-server systems pay the
+    * same passes); driver state is p+1 doubles and the ≤(epochs+1)-entry
+    * ledger. Coefficients depend on float combine order (double sums) —
+    * consumers pin tolerance invariants, never hashes, the
+    * [[logisticFit]] contract. Returns None on an empty post-guard
+    * input. */
+  def sgdLinearFit(df: DataFrame, features: Seq[Column], target: Column,
+                   epochs: Int = 10, lr0: Double = 0.5,
+                   batchMilli: Int = 250, nHalvings: Int = 8,
+                   seed: Long = 42L): Option[SgdModel] = {
+    require(features.nonEmpty, "sgdLinearFit needs at least one feature")
+    require(epochs >= 1 && lr0 > 0.0 && nHalvings >= 1 &&
+      batchMilli >= 1 && batchMilli <= 1000,
+      s"bad hyperparameters: epochs=$epochs lr0=$lr0 " +
+        s"batchMilli=$batchMilli nHalvings=$nHalvings")
+    val p = features.length
+    val domain = lit(1e11)
+    val guard = features.map(c => c.isNotNull && abs(c) < domain)
+      .reduce(_ && _) && target.isNotNull && abs(target) < domain
+    val src = df.filter(guard)
+      .select((features.map(_.cast("double")) :+
+        target.cast("double").as("__y"))
+        .zipWithIndex.map { case (c, i) =>
+          if (i < p) c.as(s"__z$i") else c
+        }: _*)
+      .withColumn("__h",
+        xxhash64(((0 until p).map(i => col(s"__z$i")) :+ col("__y")): _*))
+      .localCheckpoint(eager = false) // one computed copy feeds every pass
+    val z: IndexedSeq[Column] = lit(1.0) +: (0 until p).map(i => col(s"__z$i"))
+    def lossOf(beta: Array[Double]): Column = {
+      val pred = z.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }
+        .reduce(_ + _)
+      sum((pred - col("__y")) * (pred - col("__y")))
+    }
+    // init: β = [ȳ, 0…]; ledger(0) = the mean model's MSE, computed by
+    // the SAME loss expression every later entry uses
+    val init = src.agg(count(lit(1)).as("n"), sum(col("__y")).as("sy")).head()
+    val n = init.getAs[Long]("n")
+    if (n == 0L) return None
+    var beta = new Array[Double](p + 1)
+    beta(0) = init.getAs[Double]("sy") / n
+    var lastLoss = src.agg(lossOf(beta).as("l")).head().getDouble(0) / n
+    val ledger = scala.collection.mutable.ArrayBuffer(lastLoss)
+    var accepted = 0
+    var epoch = 0
+    while (epoch < epochs) {
+      val gate = pmod(xxhash64(col("__h"), lit(seed + epoch)), lit(1000L)) <
+        lit(batchMilli.toLong)
+      val pred = z.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }
+        .reduce(_ + _)
+      val gAggs = (0 to p).map(i =>
+        sum((pred - col("__y")) * z(i)).as(s"g_$i")) :+
+        count(lit(1)).as("nb")
+      val gRow = src.filter(gate).agg(gAggs.head, gAggs.tail: _*).head()
+      val nb = gRow.getAs[Long]("nb")
+      if (nb > 0L) {
+        val grad = Array.tabulate(p + 1)(i =>
+          2.0 * gRow.getAs[Double](s"g_$i") / nb)
+        val candidates = Array.tabulate(nHalvings) { k =>
+          val lr = lr0 / (1L << k)
+          Array.tabulate(p + 1)(i => beta(i) - lr * grad(i))
+        }
+        val lAggs = candidates.zipWithIndex.map { case (b, k) =>
+          lossOf(b).as(s"l_$k")
+        }
+        val lRow = src.agg(lAggs.head, lAggs.tail.toIndexedSeq: _*).head()
+        val hit = (0 until nHalvings).find { k =>
+          val l = lRow.getAs[Double](s"l_$k") / n
+          !l.isNaN && l <= lastLoss
+        }
+        hit.foreach { k =>
+          beta = candidates(k)
+          lastLoss = lRow.getAs[Double](s"l_$k") / n
+          accepted += 1
+        }
+      }
+      ledger += lastLoss // a rejected/empty epoch repeats the tail
+      epoch += 1
+    }
+    Some(SgdModel(beta, n, ledger.toSeq, epochs, accepted))
+  }
+
+  /** Serve an [[SgdModel]]: prediction = β₀ + Σ βᵢ·xᵢ with the
+    * coefficients as plan literals — map-only, scan speed. Plain double
+    * casts (NOT the decimal snap of [[linearPredict]]): the fit's
+    * ledger is defined over raw doubles, and serve must reproduce the
+    * fit arithmetic for the serve-consistency invariant to hold. */
+  def sgdPredict(df: DataFrame, model: SgdModel, features: Seq[Column],
+                 outCol: String = "prediction"): DataFrame = {
+    require(features.length + 1 == model.coef.length,
+      s"model has ${model.coef.length - 1} features, got ${features.length}")
+    val terms = features.zipWithIndex.map { case (c, i) =>
+      lit(model.coef(i + 1)) * c.cast("double")
+    }
+    df.withColumn(outCol, terms.foldLeft(lit(model.coef(0)))(_ + _))
+  }
+
+  /** [[SgdModel]] → one-row frame for parquet persistence. */
+  def sgdModelToFrame(spark: org.apache.spark.sql.SparkSession,
+                      model: SgdModel): DataFrame = {
+    import spark.implicits._
+    Seq((model.coef.toSeq, model.nFit, model.lossLedger, model.epochsRun,
+      model.acceptedSteps))
+      .toDF("coef", "n_fit", "loss_ledger", "epochs_run", "accepted_steps")
+  }
+
+  /** Inverse of [[sgdModelToFrame]]. */
+  def sgdModelFromFrame(df: DataFrame): SgdModel = {
+    val r = df.select(col("coef"), col("n_fit"), col("loss_ledger"),
+      col("epochs_run"), col("accepted_steps")).collect()
+    require(r.length == 1, s"expected one model row, got ${r.length}")
+    SgdModel(r.head.getSeq[Double](0).toArray, r.head.getLong(1),
+      r.head.getSeq[Double](2).toSeq, r.head.getInt(3), r.head.getInt(4))
+  }
+
   /** Per-group Pearson correlation, deterministically: the built-in
     * `corr()` sums doubles in partition order (last-ulp nondeterminism
     * under any distributed plan — the round-1 hash-failure class), so

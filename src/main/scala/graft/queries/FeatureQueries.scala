@@ -1006,6 +1006,78 @@ object FeatureQueries {
         |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND value IS NOT NULL
         |  AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11""".stripMargin),
 
+    // A14f (round 12) — MINIBATCH STOCHASTIC GRADIENT DESCENT
+    // (Features.sgdLinearFit): the reference's actual training loop
+    // (train.py:499-553 steps its LSTM by minibatch gradients) as
+    // iterative distributed aggregates — each epoch one hash-gated
+    // minibatch gradient pass + ONE multi-candidate backtracking
+    // line-search pass, both map-side combined. Coefficients are
+    // float-combine-order dependent, so the row pins the GRADIENT-
+    // DESCENT-defining invariants: (a) the full-train loss ledger
+    // starts at the mean model's MSE and never rises (the line search
+    // accepts only non-worsening steps — SGD must EARN every
+    // improvement), (b) the final model strictly beats the mean model
+    // with at least one accepted step (the z-scored lag features carry
+    // real signal), (c) serving through the PERSISTED + reloaded model
+    // reproduces the ledger tail. n_fit re-derived by DuckDB.
+    "a40_sgd_model" -> QueryDef(
+      (s, dir) => {
+        val w = Features.keyWindow(key, Seq("ts", "event_id"))
+        val feat = Tables.events(s, dir)
+          .withColumn("x1", Features.lag1(col("value"), w))
+          .withColumn("x2", lag(col("value"), 2).over(w))
+        val raw = Seq(col("x1"), col("x2"))
+        val guard = (raw :+ col("value"))
+          .map(c => c.isNotNull && abs(c) < lit(1e11)).reduce(_ && _)
+        val g = feat.filter(guard).localCheckpoint(eager = false)
+        val st = g.agg(
+          avg(col("x1")).as("m1"), stddev_pop(col("x1")).as("s1"),
+          avg(col("x2")).as("m2"), stddev_pop(col("x2")).as("s2"),
+          avg(col("value")).as("my"),
+          stddev_pop(col("value")).as("sy")).head()
+        def sd(v: Double) = if (v.isNaN || v <= 0.0) 1.0 else v
+        val fs = Seq(
+          (col("x1") - lit(st.getDouble(0))) / lit(sd(st.getDouble(1))),
+          (col("x2") - lit(st.getDouble(2))) / lit(sd(st.getDouble(3))))
+        val y = (col("value") - lit(st.getDouble(4))) /
+          lit(sd(st.getDouble(5)))
+        val fit = Features.sgdLinearFit(g, fs, y, epochs = 8).get
+        val monotone = fit.lossLedger.sliding(2).forall(p =>
+          p.length < 2 || p(1) <= p(0) + 1e-12)
+        val rtDir = Scratch.dir("a40-model")
+        Features.sgdModelToFrame(s, fit).write.parquet(rtDir)
+        val rt = Features.sgdModelFromFrame(s.read.parquet(rtDir))
+        val rtOk = rt.coef.sameElements(fit.coef) && rt.nFit == fit.nFit &&
+          rt.lossLedger == fit.lossLedger &&
+          rt.acceptedSteps == fit.acceptedSteps
+        Features.sgdPredict(g, rt, fs)
+          .agg(
+            count(lit(1)).as("n_fit"),
+            sum(pow(col("prediction") - y, 2)).as("sse"))
+          .select(
+            col("n_fit"),
+            lit(monotone).as("ledger_monotone"),
+            lit(fit.acceptedSteps >= 1 &&
+              fit.lossLedger.last < fit.lossLedger.head).as("beats_mean"),
+            (abs(col("sse") / col("n_fit") - lit(fit.lossLedger.last)) <=
+              lit(1e-9) * (lit(fit.lossLedger.last) + lit(1.0)))
+              .as("serve_consistent"),
+            lit(rtOk).as("roundtrip_ok"))
+      },
+      """WITH feat AS (
+        |  SELECT value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x1,
+        |    lag(value, 2) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS x2
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fit,
+        |  TRUE AS ledger_monotone, TRUE AS beats_mean,
+        |  TRUE AS serve_consistent, TRUE AS roundtrip_ok
+        |FROM feat
+        |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND value IS NOT NULL
+        |  AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11""".stripMargin),
+
     // A25 (round 9) — rolling-origin backtest
     // (Features.rollingOriginBacktest): each group's history cut into 5
     // chronological folds (the W5 floor arithmetic), every fold f >= 1
