@@ -670,6 +670,166 @@ object Multimodal {
     }
   }
 
+  /** Parsed ISO-BMFF container header fields — everything a metadata
+    * pipeline extracts WITHOUT a codec. */
+  final case class Mp4Meta(doc_id: Long, major_brand: String,
+                           timescale: Long, duration: Long,
+                           duration_ms: Long, width: Long, height: Long,
+                           track_id: Long, n_top_boxes: Long)
+
+  /** Synthesize a REAL (minimal, spec-conformant) ISO-BMFF/MP4
+    * container per document — the mm_* md5 fixture convention, so a
+    * DuckDB oracle re-derives every parsed field from `documents`
+    * alone. Box layout: `ftyp` (major 'isom', compat isom/mp42) +
+    * optional `free` padding box (md5 char 6 even — exercises the
+    * probe's box WALK, not just fixed offsets) + `moov{mvhd, trak
+    * {tkhd}}`. Field formulas over md5(text) hex chars 1-5 (secs =
+    * 1+c1, timescale = 600·(1+c2), duration = secs·timescale, width =
+    * 16+c3, height = 16+c4, track_id = 1+(c5 mod 4)). No codec exists
+    * for the (empty) media data — exactly the point: header metadata
+    * extraction at corpus scale must not need one (the
+    * probeVideoFrames contract, for the container format production
+    * actually ships). */
+  def synthesizeMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, hex) =>
+          val secs = 1L + hexVal(hex.charAt(0))
+          val timescale = 600L * (1 + hexVal(hex.charAt(1)))
+          val duration = secs * timescale
+          val w = 16L + hexVal(hex.charAt(2))
+          val h = 16L + hexVal(hex.charAt(3))
+          val trackId = 1L + hexVal(hex.charAt(4)) % 4
+          val withFree = hexVal(hex.charAt(5)) % 2 == 0
+          def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+            val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+            b.putInt(8 + payload.length)
+            b.put(tpe.getBytes("US-ASCII")) // 4 ASCII chars by contract
+            b.put(payload)
+            b.array()
+          }
+          val ftyp = box("ftyp", {
+            val b = java.nio.ByteBuffer.allocate(16)
+            b.put("isom".getBytes("US-ASCII")).putInt(0)
+            b.put("isom".getBytes("US-ASCII"))
+            b.put("mp42".getBytes("US-ASCII"))
+            b.array()
+          })
+          val mvhd = box("mvhd", {
+            val b = java.nio.ByteBuffer.allocate(100)
+            b.putInt(0)                      // version 0 + flags
+            b.putInt(0).putInt(0)            // creation, modification
+            b.putInt(timescale.toInt)
+            b.putInt(duration.toInt)
+            b.putInt(0x00010000)             // rate 1.0
+            b.putShort(0x0100.toShort)       // volume 1.0
+            b.position(b.position() + 10)    // reserved
+            Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+              .foreach(b.putInt)             // unity matrix
+            b.position(b.position() + 24)    // pre_defined
+            b.putInt(trackId.toInt + 1)      // next_track_ID
+            b.array()
+          })
+          val tkhd = box("tkhd", {
+            val b = java.nio.ByteBuffer.allocate(84)
+            b.putInt(0x000007)               // v0 + enabled|in_movie|in_preview
+            b.putInt(0).putInt(0)            // creation, modification
+            b.putInt(trackId.toInt)
+            b.putInt(0)                      // reserved
+            b.putInt(duration.toInt)
+            b.position(b.position() + 8)     // reserved
+            b.putShort(0).putShort(0)        // layer, alternate_group
+            b.putShort(0).putShort(0)        // volume (video: 0), reserved
+            Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+              .foreach(b.putInt)
+            b.putInt((w << 16).toInt)        // width, 16.16 fixed
+            b.putInt((h << 16).toInt)        // height
+            b.array()
+          })
+          val moov = box("moov", mvhd ++ box("trak", tkhd))
+          val payload =
+            if (withFree) ftyp ++ box("free", new Array[Byte](12)) ++ moov
+            else ftyp ++ moov
+          (id, "video/mp4", payload)
+        }
+      }.toDF("doc_id", "media_type", "payload")
+  }
+
+  /** REAL ISO-BMFF header parse — pure JDK byte walking, zero codec:
+    * top-level boxes are walked by their (32-bit size, 4CC type)
+    * headers, `moov`/`trak` are descended as containers, and the
+    * version-0 `mvhd`/`tkhd` field layouts yield timescale, duration,
+    * track id and the 16.16 fixed-point track dimensions.
+    * `duration_ms` is the exact integer 1000·duration/timescale
+    * (floor — duration is a timescale multiple in the fixtures, so no
+    * rounding actually occurs). Corrupt containers (truncated box,
+    * missing ftyp/moov/mvhd/tkhd, 64-bit largesize) fail LOUD with the
+    * doc id — the probeVideoFrames contract.
+    *
+    * Scale shape: embarrassingly parallel map over payload bytes, no
+    * shuffle; a production variant reads ONLY the first bytes of each
+    * object via a ranged GET — the parse below never touches media
+    * data (the synthesized containers simply have none). */
+  def probeMp4(spark: SparkSession, media: DataFrame): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          def fourcc(): String = {
+            val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+          }
+          var majorBrand: String = null
+          var timescale = -1L; var duration = -1L
+          var width = -1L; var height = -1L; var trackId = -1L
+          var topBoxes = 0L
+          def walk(end: Int, depth: Int): Unit = {
+            while (bb.position() < end) {
+              require(end - bb.position() >= 8,
+                s"doc $id: truncated box header at ${bb.position()}")
+              val start = bb.position()
+              val size = bb.getInt()
+              val tpe = fourcc()
+              require(size >= 8 && start + size <= end,
+                s"doc $id: box '$tpe' size $size overruns container " +
+                  s"(${end - start} bytes left; 64-bit largesize " +
+                  "unsupported by this probe)")
+              if (depth == 0) topBoxes += 1
+              tpe match {
+                case "ftyp" => majorBrand = fourcc()
+                case "moov" | "trak" => walk(start + size, depth + 1)
+                case "mvhd" =>
+                  bb.getInt() // version+flags (v0 by fixture contract)
+                  bb.getInt(); bb.getInt() // creation, modification
+                  timescale = bb.getInt().toLong & 0xffffffffL
+                  duration = bb.getInt().toLong & 0xffffffffL
+                case "tkhd" =>
+                  bb.getInt(); bb.getInt(); bb.getInt()
+                  trackId = bb.getInt().toLong & 0xffffffffL
+                  // width/height sit at the tkhd tail: last 8 bytes
+                  bb.position(start + size - 8)
+                  width = (bb.getInt().toLong & 0xffffffffL) >> 16
+                  height = (bb.getInt().toLong & 0xffffffffL) >> 16
+                case _ => // free/mdat/...: skip
+              }
+              bb.position(start + size)
+            }
+          }
+          walk(bytes.length, 0)
+          require(majorBrand != null, s"doc $id: no ftyp box — not ISO-BMFF")
+          require(timescale > 0 && duration >= 0,
+            s"doc $id: no mvhd box in moov")
+          require(width >= 0 && trackId >= 0, s"doc $id: no tkhd box")
+          Mp4Meta(id, majorBrand, timescale, duration,
+            1000L * duration / timescale, width, height, trackId, topBoxes)
+        }
+      }
+  }
+
   /** The batch decode stage: co-locate each media_type, then decode
     * partition-by-partition through the typed iterator (mapInPandas
     * shape). Returns the typed feature Dataset — payload projected away.

@@ -2528,6 +2528,43 @@ object ExtensionQueries {
         |  n_frames
         |FROM d""".stripMargin),
 
+    // REAL ISO-BMFF/MP4 header parse (round 12): production video ships
+    // in MP4 containers, and its metadata path needs NO codec — the
+    // probe walks the (size, 4CC) box tree with pure JDK byte reads and
+    // parses the v0 mvhd/tkhd layouts (timescale, duration, track id,
+    // 16.16 fixed-point dimensions). Fixtures are REAL minimal
+    // conformant containers synthesized from the md5 formula (an
+    // optional 'free' box on md5 char 6 parity forces an actual box
+    // WALK, not fixed offsets); the oracle re-derives every parsed
+    // field from documents alone. duration_ms is exact: duration is a
+    // timescale multiple by construction.
+    "mm_video_probe_mp4" -> QueryDef(
+      (s, dir) => Multimodal.probeMp4(s,
+        Multimodal.synthesizeMp4(s, Tables.documents(s, dir))).toDF(),
+      """WITH c AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+        |         AS BIGINT) AS secs,
+        |    CAST(600 * (1 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |         AS BIGINT) AS timescale,
+        |    CAST(16 + strpos('0123456789abcdef', substr(h, 3, 1)) - 1
+        |         AS BIGINT) AS width,
+        |    CAST(16 + strpos('0123456789abcdef', substr(h, 4, 1)) - 1
+        |         AS BIGINT) AS height,
+        |    CAST(1 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) % 4
+        |         AS BIGINT) AS track_id,
+        |    (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) % 2 = 0
+        |      AS with_free
+        |  FROM c)
+        |SELECT doc_id, 'isom' AS major_brand, timescale,
+        |  secs * timescale AS duration, secs * 1000 AS duration_ms,
+        |  width, height, track_id,
+        |  CAST(CASE WHEN with_free THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_top_boxes
+        |FROM d""".stripMargin),
+
     // REAL image decode (javax.imageio over deterministic PNG fixtures —
     // Multimodal.synthesizeImages/decodeImages): the decoded RASTER
     // yields width/height, the full-pixel gray sum, and the top-left

@@ -229,6 +229,46 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.synthesizeCaptionedImages(spark, nullDocs)).count() === 1L)
   }
 
+  test("mp4 header probe: real box-tree walk recovers every synthesized " +
+    "field; corrupt containers fail loud") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val media = Multimodal.synthesizeMp4(spark, docs)
+    val probed = Multimodal.probeMp4(spark, media)
+    // re-derive the formula per doc and compare every field
+    val expect = docs.select(col("doc_id").cast("long"),
+        md5(col("text")).as("h")).collect().map { r =>
+      val hex = r.getString(1)
+      def v(i: Int) = "0123456789abcdef".indexOf(hex.charAt(i)).toLong
+      val secs = 1L + v(0); val ts = 600L * (1 + v(1))
+      r.getLong(0) -> ((ts, secs * ts, secs * 1000L, 16L + v(2),
+        16L + v(3), 1L + v(4) % 4, if (v(5) % 2 == 0) 3L else 2L))
+    }.toMap
+    val got = probed.collect()
+    assert(got.length === expect.size)
+    got.foreach { m =>
+      val e = expect(m.doc_id)
+      assert(m.major_brand === "isom")
+      assert((m.timescale, m.duration, m.duration_ms, m.width, m.height,
+        m.track_id, m.n_top_boxes) === e, s"doc ${m.doc_id}")
+    }
+    // corrupt: truncated mid-box and non-BMFF bytes both fail loud
+    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .toSeq
+    val onePayload = media.limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    val truncated = Seq((1L, onePayload.take(onePayload.length - 4)))
+      .toDF("doc_id", "payload")
+    val e1 = intercept[Throwable] {
+      Multimodal.probeMp4(spark, truncated).collect() }
+    assert(msgs(e1).exists(m => m.contains("overruns") ||
+      m.contains("truncated")))
+    val garbage = Seq((2L, "not an mp4 container at all".getBytes))
+      .toDF("doc_id", "payload")
+    assert(msgs(intercept[Throwable] {
+      Multimodal.probeMp4(spark, garbage).collect() }).nonEmpty)
+  }
+
   test("dhash is exactly invariant to a wrap-free brightness shift") {
     import spark.implicits._
     // hand-built 18x16 image with values far from the mod boundary:
