@@ -3112,6 +3112,63 @@ object ExtensionQueries {
     // already-certified integer/quantized machinery of the standalone
     // rows; this row certifies their COMPOSITION (stage ordering,
     // survivor-set training, verdict joins).
+    // STREAMING CERTIFIED IN THE ORACLE REGISTRY (round 12): every
+    // streaming twin so far was spec-graded by necessity (DuckDB cannot
+    // express micro-batch semantics) — this row closes that gap with
+    // the snk3 mode-as-data pattern: the query fn RUNS a real bounded
+    // 4-micro-batch stream (file source, maxFilesPerTrigger=1,
+    // AvailableNow) through the STATEFUL exact-dedup operator
+    // (dropDuplicatesWithinWatermark — state genuinely crosses batch
+    // boundaries: a text's re-arrival in a later chunk must hit state
+    // from an earlier one), then emits the stream-vs-batch comparison
+    // AS DATA: per distinct text, how many rows the stream emitted
+    // (exactly 1 = no duplicate emission AND no miss) and whether the
+    // batch twin agrees. The oracle re-derives the only correct
+    // answer — one emission per distinct text — from documents alone;
+    // ANY cross-batch state failure (dropped state → n_emitted 2+,
+    // over-dedup → a batch-only row with n_emitted 0) breaks the hash.
+    "stream_parity" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val base = Scratch.dir("stream-parity")
+        val landing = s"$base/in"
+        // four deterministic chunk files: doc_id mod 4, written in
+        // order so the file source replays them as four micro-batches
+        (0 until 4).foreach { i =>
+          docs.filter(pmod(col("doc_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val deduped = graft.streaming.StreamingDedup.exactDedupStream(
+          in.withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+          "ts", "1 hour")
+        val outDir = s"$base/out"
+        val q = deduped
+          .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        val emitted = s.read.parquet(outDir)
+          .groupBy(col("text_md5")).agg(count(lit(1)).as("n_emitted"))
+        val batch = docs
+          .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
+          .distinct().withColumn("in_batch", lit(true))
+        emitted.join(batch, Seq("text_md5"), "full_outer")
+          .select(col("text_md5"),
+            coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+            (coalesce(col("n_emitted"), lit(0L)) === 1L &&
+              coalesce(col("in_batch"), lit(false))).as("parity"))
+      },
+      """SELECT DISTINCT md5(coalesce(text, '')) AS text_md5,
+        |  CAST(1 AS BIGINT) AS n_emitted, TRUE AS parity
+        |FROM documents""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
