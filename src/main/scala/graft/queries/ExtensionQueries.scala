@@ -3169,6 +3169,65 @@ object ExtensionQueries {
         |  CAST(1 AS BIGINT) AS n_emitted, TRUE AS parity
         |FROM documents""".stripMargin),
 
+    // Second oracle-certified streaming path (round 12): where
+    // stream_parity grades dropDuplicatesWithinWatermark by a
+    // COMPARISON frame, this row goes further — the streamed output
+    // ITSELF is hash-checked. The fn runs a bounded 4-micro-batch
+    // stream (doc_id RANGE chunks, so ids stay arrival-monotone per
+    // source — the budgetGate contract) through the custom
+    // flatMapGroupsWithState operator (per-source token-budget
+    // admission), and the greedy-prefix verdicts it emits are EXACTLY
+    // one SQL window cumsum: DuckDB re-derives every (cum_weight,
+    // selected) pair from documents alone. Any cross-batch state loss
+    // (budget resets → later chunks re-admitted), double-charge on
+    // replay, or intra-batch ordering slip breaks the hash.
+    "stream_budget_gate" -> QueryDef(
+      (s, dir) => {
+        import graft.streaming.StreamingCuration
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull)
+          .select(col("source"), col("doc_id").cast("long"),
+            col("n_chars").cast("long").as("weight"))
+        val base = Scratch.dir("stream-budget")
+        val landing = s"$base/in"
+        // RANGE chunks (not mod): per-source doc_id must be monotone
+        // ACROSS micro-batches — the gate checks it loudly since r12
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          docs.filter(col("doc_id") >= i * cut &&
+              col("doc_id") < (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("source STRING, doc_id LONG, weight LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .as[StreamingCuration.BudgetDoc]
+        val outDir = s"$base/out"
+        val q = StreamingCuration.budgetGate(s, in, budget = 4000L)
+          .toDF()
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("source"), col("doc_id"), col("weight"),
+            col("cum_weight"), col("selected"))
+      },
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |  CAST(sum(n_chars) OVER w AS BIGINT) AS cum_weight,
+        |  CAST(sum(n_chars) OVER w AS BIGINT) <= 4000 AS selected
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
