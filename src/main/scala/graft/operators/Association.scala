@@ -154,19 +154,28 @@ object Association {
       count(lit(1)).as("n_items"),
       sum(when(col("ni") * 1000L >= col("n_baskets") * minSupportMilli, 1L)
         .otherwise(0L)).as("n_frequent"))
-    def pairSum(src: DataFrame, alias: String) =
-      src.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
-        .agg((coalesce(sum(col("sz") * (col("sz") - 1)), lit(0L)) / lit(2L))
-          .cast("long").as(alias))
-    val bf = b.join(
-      ic.crossJoin(nb)
-        .filter(col("ni") * 1000L >= col("n_baskets") * minSupportMilli)
-        .select(col("it")), "it")
-      .select(col("bk"), col("it"))
+    // both Σ C(sz,2) cardinalities in ONE basket-keyed pass: tag each
+    // (bk, it) row with its item's frequent flag (broadcast — |items|
+    // rows), count per basket with and without the prune, then one
+    // two-column aggregate — vs the naive two independent pair-sum
+    // scans (this row is a stats probe; it should not cost two extra
+    // passes over the basket relation)
+    val flagged = b.join(
+      broadcast(ic.crossJoin(nb)
+        .select(col("it"),
+          (col("ni") * 1000L >= col("n_baskets") * minSupportMilli)
+            .as("freq"))), "it")
+    val pairSums = flagged.groupBy(col("bk")).agg(
+        count(lit(1)).as("sz"),
+        sum(when(col("freq"), 1L).otherwise(0L)).as("szf"))
+      .agg(
+        (coalesce(sum(col("sz") * (col("sz") - 1)), lit(0L)) / lit(2L))
+          .cast("long").as("pairs_before"),
+        (coalesce(sum(col("szf") * (col("szf") - 1)), lit(0L)) / lit(2L))
+          .cast("long").as("pairs_after"))
     itemStats
       .withColumn("n_pruned", col("n_items") - col("n_frequent"))
-      .crossJoin(pairSum(b, "pairs_before"))
-      .crossJoin(pairSum(bf, "pairs_after"))
+      .crossJoin(pairSums)
       .select(col("n_baskets"), col("n_items"), col("n_frequent"),
         col("n_pruned"), col("pairs_before"), col("pairs_after"))
   }
