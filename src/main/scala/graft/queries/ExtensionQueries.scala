@@ -3228,6 +3228,81 @@ object ExtensionQueries {
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
 
+    // Third oracle-certified streaming path (round 12): WINDOWED
+    // AGGREGATION state — with stream_parity (built-in dedup state) and
+    // stream_budget_gate (custom keyed state) this completes registry
+    // certification of the three stateful-operator families the
+    // streaming layer uses. The fn streams the events table as 4
+    // event-time-ordered range chunks through the f15 tumbling-day
+    // aggregation under a watermark (append mode — a window row is
+    // emitted exactly once, when the watermark passes its end), then
+    // keeps the CLOSED days (window_start strictly before the max
+    // event's day — the final day's window never closes on a bounded
+    // stream and is excluded on BOTH sides). Day windows span chunk
+    // boundaries, so window state genuinely merges across micro-
+    // batches; the oracle is the same GROUP BY the batch f15 row pins.
+    "stream_windowed_agg" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          // events.ts is TIMESTAMP_NTZ; under the UTC session the cast
+          // to TIMESTAMP is wall-clock-identical, and micros transport
+          // through JSON exactly (no format/zone parsing on re-read)
+          .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("event_type"), col("value"))
+        val base = Scratch.dir("stream-window")
+        val landing = s"$base/in"
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ev.filter(col("ts_us") >= lo + i * cut &&
+              col("ts_us") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("ts_us LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "0 seconds")
+        val agg = in
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(expr("CAST(round(value * 1e6) AS BIGINT)")),
+              lit(0L)).as("value_micro"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n"), col("value_micro"))
+        val outDir = s"$base/out"
+        val q = agg.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .filter(col("window_start") <
+            to_timestamp(date_trunc("DAY", timestamp_micros(lit(hi)))))
+          // back to NTZ (wall-clock-identical under UTC): the batch f15
+          // twin and the DuckDB oracle both speak naive timestamps
+          .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+            col("window_end").cast("timestamp_ntz").as("window_end"),
+            col("event_type"), col("n"), col("value_micro"))
+      },
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+        |  event_type, count(*) AS n,
+        |  CAST(coalesce(sum(CAST(round(value * 1e6) AS BIGINT)), 0) AS BIGINT)
+        |    AS value_micro
+        |FROM events
+        |WHERE ts IS NOT NULL
+        |  AND time_bucket(INTERVAL '1 day', ts) <
+        |    (SELECT time_bucket(INTERVAL '1 day', max(ts)) FROM events)
+        |GROUP BY 1, 2, 3""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
