@@ -66,6 +66,30 @@ class TpchPlanSpec extends SparkSpecBase {
       s"mb_assoc_rules grew extra nested loops:\n$rules")
   }
 
+  test("mb_assoc_prune_stats: scalar cross-joins only — the frequent-item " +
+    "flag broadcasts, the basket relation is never nested-looped") {
+    val plan = executedPlan("mb_assoc_prune_stats")
+    assert(!plan.contains("CartesianProduct"),
+      s"prune stats planned a cartesian:\n$plan")
+    // expected nested loops: ONLY the 1-row-aggregate crosses (n_baskets
+    // onto items ×2, itemStats onto pairSums) — broadcasts of scalars.
+    // More of them would mean the (bk, it) relation itself entered a
+    // nested loop (the actual blow-up this pin guards).
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 3,
+      s"prune stats grew extra nested loops:\n$plan")
+  }
+
+  test("a40_sgd_model: the serve plan is one aggregate over a map-only " +
+    "projection — no join, no window, no sort") {
+    val plan = executedPlan("a40_sgd_model")
+    // the fit runs at construction (driver-collected moments + epochs of
+    // aggregates); the REGISTERED plan is sgdPredict + one invariant
+    // aggregate. Any join/sort appearing here means serving stopped
+    // being scan-speed.
+    assert(!plan.contains("Join"), s"sgd serve grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"sgd serve grew a window:\n$plan")
+  }
+
   test("keyword search ranks via TakeOrderedAndProject, never a global sort") {
     val plan = executedPlan("ext_keyword_search")
     assert(plan.contains("TakeOrderedAndProject"),
