@@ -1103,6 +1103,190 @@ object Features {
       r.head.getSeq[Double](2).toSeq, r.head.getInt(3), r.head.getInt(4))
   }
 
+  /** A trained softmax (multinomial logistic) SGD model: classes in
+    * lexicographic order, row-major K×(p+1) coefficients (class k's
+    * intercept-first row at k·(p+1)), fit size, the full-train mean
+    * cross-entropy ledger (entry 0 = the class-prior model — intercepts
+    * at ln π_k, slopes 0), epochs run, accepted steps. */
+  final case class SoftmaxModel(classes: Seq[String], coef: Array[Double],
+                                nFit: Long, lossLedger: Seq[Double],
+                                epochsRun: Int, acceptedSteps: Int)
+
+  /** A14g (round 12) — SOFTMAX CLASSIFICATION BY MINIBATCH SGD: the
+    * multi-output face of [[sgdLinearFit]] (train.py:499-553's gradient
+    * loop, now with the cross-entropy objective the reference's
+    * classifier heads train under). Same two-pass epoch shape, with
+    * every sum fanned out across K classes:
+    *   1. minibatch gradient: ∂L/∂β_kj = (1/|b|)·Σ_b (p_k − 1[y=k])·z_j
+    *      — K·(p+1) sums + a count in ONE hash-gated aggregation
+    *      (max-subtracted softmax, so exp never overflows);
+    *   2. ONE line-search pass pricing every backtracking candidate's
+    *      full-train mean cross-entropy (nHalvings × one log-sum-exp
+    *      expression per candidate, single scan).
+    * β starts at the CLASS-PRIOR model (intercepts ln π_k, slopes 0) —
+    * ledger entry 0 is the prior's cross-entropy and SGD must earn
+    * every improvement; the ledger is monotone non-increasing by
+    * construction (a worsening epoch is a documented no-op).
+    *
+    * Scale shape: epochs × two map-side-combined scans with
+    * K·(p+1)-bounded shuffle payloads; driver state is the coefficient
+    * matrix. Class domain is collected once and must be small
+    * (`maxClasses` guard — a label column with corpus-scale cardinality
+    * is a key, not a class). Coefficients are float-combine-order
+    * dependent — consumers pin tolerance invariants, never hashes. */
+  def sgdSoftmaxFit(df: DataFrame, features: Seq[Column], label: Column,
+                    epochs: Int = 10, lr0: Double = 0.5,
+                    batchMilli: Int = 250, nHalvings: Int = 8,
+                    seed: Long = 42L,
+                    maxClasses: Int = 100): Option[SoftmaxModel] = {
+    require(features.nonEmpty, "sgdSoftmaxFit needs at least one feature")
+    require(epochs >= 1 && lr0 > 0.0 && nHalvings >= 1 &&
+      batchMilli >= 1 && batchMilli <= 1000 && maxClasses >= 2,
+      s"bad hyperparameters: epochs=$epochs lr0=$lr0 " +
+        s"batchMilli=$batchMilli nHalvings=$nHalvings maxClasses=$maxClasses")
+    val p = features.length
+    val domain = lit(1e11)
+    val guard = features.map(c => c.isNotNull && abs(c) < domain)
+      .reduce(_ && _) && label.isNotNull
+    val src = df.filter(guard)
+      .select((features.map(_.cast("double")) :+
+        label.cast("string").as("__y"))
+        .zipWithIndex.map { case (c, i) =>
+          if (i < p) c.as(s"__z$i") else c
+        }: _*)
+      .withColumn("__h",
+        xxhash64(((0 until p).map(i => col(s"__z$i")) :+ col("__y")): _*))
+      .localCheckpoint(eager = false)
+    // bounded class domain + priors in one pass
+    val classRows = src.groupBy(col("__y")).agg(count(lit(1)).as("n"))
+      .orderBy(col("__y")).collect()
+    if (classRows.isEmpty) return None
+    require(classRows.length <= maxClasses,
+      s"label has ${classRows.length} distinct values > maxClasses=" +
+        s"$maxClasses — a corpus-cardinality label is a key, not a class")
+    val classes = classRows.map(_.getString(0)).toSeq
+    val counts = classRows.map(_.getLong(1))
+    val k = classes.length
+    val n = counts.sum
+    val z: IndexedSeq[Column] = lit(1.0) +: (0 until p).map(i => col(s"__z$i"))
+    def logits(beta: Array[Double]): IndexedSeq[Column] =
+      (0 until k).map { c =>
+        z.zipWithIndex.map { case (x, j) => x * lit(beta(c * (p + 1) + j)) }
+          .reduce(_ + _)
+      }
+    // numerically-stable mean cross-entropy: Σ_rows [m + ln Σ exp(z_c−m)
+    // − z_y] with m = max_c z_c
+    def lossOf(beta: Array[Double]): Column = {
+      val ls = logits(beta)
+      val m = greatest(ls: _*)
+      val lse = log(ls.map(c => exp(c - m)).reduce(_ + _)) + m
+      // exactly one class matches (__y drawn from the collected domain)
+      val zy = classes.zip(ls).foldRight(lit(0.0): Column) {
+        case ((cls, c), acc) => when(col("__y") === cls, c).otherwise(acc)
+      }
+      sum(lse - zy)
+    }
+    var beta = new Array[Double](k * (p + 1))
+    for (c <- 0 until k) beta(c * (p + 1)) = math.log(counts(c).toDouble / n)
+    var lastLoss = src.agg(lossOf(beta).as("l")).head().getDouble(0) / n
+    val ledger = scala.collection.mutable.ArrayBuffer(lastLoss)
+    var accepted = 0
+    var epoch = 0
+    while (epoch < epochs) {
+      val gate = pmod(xxhash64(col("__h"), lit(seed + epoch)), lit(1000L)) <
+        lit(batchMilli.toLong)
+      val ls = logits(beta)
+      val m = greatest(ls: _*)
+      val exps = ls.map(c => exp(c - m))
+      val denom = exps.reduce(_ + _)
+      val gAggs = (for (c <- 0 until k; j <- 0 to p) yield {
+        val resid = exps(c) / denom -
+          when(col("__y") === classes(c), lit(1.0)).otherwise(lit(0.0))
+        sum(resid * z(j)).as(s"g_${c}_$j")
+      }) :+ count(lit(1)).as("nb")
+      val gRow = src.filter(gate).agg(gAggs.head, gAggs.tail: _*).head()
+      val nb = gRow.getAs[Long]("nb")
+      if (nb > 0L) {
+        val grad = Array.tabulate(k * (p + 1)) { i =>
+          gRow.getAs[Double](s"g_${i / (p + 1)}_${i % (p + 1)}") / nb
+        }
+        val candidates = Array.tabulate(nHalvings) { h =>
+          val lr = lr0 / (1L << h)
+          Array.tabulate(k * (p + 1))(i => beta(i) - lr * grad(i))
+        }
+        val lAggs = candidates.zipWithIndex.map { case (b, h) =>
+          lossOf(b).as(s"l_$h")
+        }
+        val lRow = src.agg(lAggs.head, lAggs.tail.toIndexedSeq: _*).head()
+        val hit = (0 until nHalvings).find { h =>
+          val l = lRow.getAs[Double](s"l_$h") / n
+          !l.isNaN && l <= lastLoss
+        }
+        hit.foreach { h =>
+          beta = candidates(h)
+          lastLoss = lRow.getAs[Double](s"l_$h") / n
+          accepted += 1
+        }
+      }
+      ledger += lastLoss
+      epoch += 1
+    }
+    Some(SoftmaxModel(classes, beta, n, ledger.toSeq, epochs, accepted))
+  }
+
+  /** Serve a [[SoftmaxModel]]: per-class probability columns
+    * `p_<class>` (max-subtracted softmax — the fit's arithmetic) plus
+    * the argmax class (`predicted_class`, ties to the lexicographically
+    * first class — deterministic). Map-only, coefficients as plan
+    * literals. */
+  def sgdSoftmaxPredict(df: DataFrame, model: SoftmaxModel,
+                        features: Seq[Column]): DataFrame = {
+    val p = features.length
+    require((p + 1) * model.classes.length == model.coef.length,
+      s"model expects ${model.coef.length / model.classes.length - 1} " +
+        s"features, got $p")
+    val z: IndexedSeq[Column] =
+      lit(1.0) +: features.map(_.cast("double")).toIndexedSeq
+    val ls = model.classes.indices.map { c =>
+      z.zipWithIndex.map { case (x, j) =>
+        x * lit(model.coef(c * (p + 1) + j)) }.reduce(_ + _)
+    }
+    val m = greatest(ls: _*)
+    val exps = ls.map(c => exp(c - m))
+    val denom = exps.reduce(_ + _)
+    val withP = model.classes.zip(exps).foldLeft(df) {
+      case (acc, (cls, e)) => acc.withColumn(s"p_$cls", e / denom)
+    }
+    val best = model.classes.foldLeft(lit(null).cast("string")) {
+      (acc, cls) =>
+        when(acc.isNull &&
+          model.classes.map(o => col(s"p_$cls") >= col(s"p_$o"))
+            .reduce(_ && _), lit(cls)).otherwise(acc)
+    }
+    withP.withColumn("predicted_class", best)
+  }
+
+  /** [[SoftmaxModel]] → one-row frame for parquet persistence. */
+  def softmaxModelToFrame(spark: org.apache.spark.sql.SparkSession,
+                          model: SoftmaxModel): DataFrame = {
+    import spark.implicits._
+    Seq((model.classes, model.coef.toSeq, model.nFit, model.lossLedger,
+      model.epochsRun, model.acceptedSteps))
+      .toDF("classes", "coef", "n_fit", "loss_ledger", "epochs_run",
+        "accepted_steps")
+  }
+
+  /** Inverse of [[softmaxModelToFrame]]. */
+  def softmaxModelFromFrame(df: DataFrame): SoftmaxModel = {
+    val r = df.select(col("classes"), col("coef"), col("n_fit"),
+      col("loss_ledger"), col("epochs_run"), col("accepted_steps"))
+      .collect()
+    require(r.length == 1, s"expected one model row, got ${r.length}")
+    SoftmaxModel(r.head.getSeq[String](0).toSeq,
+      r.head.getSeq[Double](1).toArray, r.head.getLong(2),
+      r.head.getSeq[Double](3).toSeq, r.head.getInt(4), r.head.getInt(5))
+  }
+
   /** Per-group Pearson correlation, deterministically: the built-in
     * `corr()` sums doubles in partition order (last-ulp nondeterminism
     * under any distributed plan — the round-1 hash-failure class), so

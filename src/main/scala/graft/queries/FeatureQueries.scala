@@ -1078,6 +1078,71 @@ object FeatureQueries {
         |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND value IS NOT NULL
         |  AND abs(x1) < 1e11 AND abs(x2) < 1e11 AND abs(value) < 1e11""".stripMargin),
 
+    // A14g (round 12) — SOFTMAX CLASSIFICATION BY MINIBATCH SGD
+    // (Features.sgdSoftmaxFit): the multi-output face of a40 —
+    // cross-entropy objective, K·(p+1) gradient sums per epoch in one
+    // hash-gated pass, one multi-candidate log-sum-exp line-search
+    // pass. Predicts event_type (5 classes) from the a23 z-scored
+    // features. Invariants in-plan: ledger starts at the class-prior
+    // cross-entropy and never rises, the fit strictly beats the prior
+    // with ≥1 accepted step, every served probability row is a valid
+    // distribution, serving through the persisted + reloaded model
+    // reproduces the ledger tail. n_fit and n_classes by DuckDB.
+    "a41_softmax_model" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("event_type").isNotNull)
+        val st = e.agg(
+          avg(col("value")).as("mv"), stddev_pop(col("value")).as("sv"),
+          avg(hour(col("ts")).cast("double")).as("mh"),
+          stddev_pop(hour(col("ts")).cast("double")).as("sh")).head()
+        val f1 = (col("value") - lit(st.getDouble(0))) / lit(st.getDouble(1))
+        val f2 = (hour(col("ts")).cast("double") - lit(st.getDouble(2))) /
+          lit(st.getDouble(3))
+        val fit = Features.sgdSoftmaxFit(e, Seq(f1, f2), col("event_type"),
+          epochs = 8).get
+        val monotone = fit.lossLedger.sliding(2).forall(p =>
+          p.length < 2 || p(1) <= p(0) + 1e-12)
+        val rtDir = Scratch.dir("a41-model")
+        Features.softmaxModelToFrame(s, fit).write.parquet(rtDir)
+        val rt = Features.softmaxModelFromFrame(s.read.parquet(rtDir))
+        val rtOk = rt.classes == fit.classes &&
+          rt.coef.sameElements(fit.coef) &&
+          rt.lossLedger == fit.lossLedger
+        val guarded = e.filter(f1.isNotNull && abs(f1) < lit(1e11) &&
+          f2.isNotNull && abs(f2) < lit(1e11))
+        val served = Features.sgdSoftmaxPredict(guarded, rt, Seq(f1, f2))
+        val pCols = fit.classes.map(c => col(s"p_$c"))
+        // −ln p_y re-derived from the served probabilities
+        val lnPy = fit.classes.foldRight(lit(0.0)) { (c, acc) =>
+          when(col("event_type") === c, log(col(s"p_$c"))).otherwise(acc)
+        }
+        served.agg(
+            count(lit(1)).as("n_fit"),
+            sum(-lnPy).as("ce"),
+            every(pCols.map(c => c > 0.0 && c < 1.0).reduce(_ && _))
+              .as("probs_ok"),
+            max(abs(pCols.reduce(_ + _) - lit(1.0))).as("dev"))
+          .select(
+            col("n_fit"),
+            lit(fit.classes.length.toLong).as("n_classes"),
+            lit(monotone).as("ledger_monotone"),
+            lit(fit.acceptedSteps >= 1 &&
+              fit.lossLedger.last < fit.lossLedger.head).as("beats_prior"),
+            (col("probs_ok") && col("dev") < lit(1e-9)).as("probs_ok"),
+            (abs(col("ce") / col("n_fit") - lit(fit.lossLedger.last)) <=
+              lit(1e-6) * (lit(fit.lossLedger.last) + lit(1.0)))
+              .as("serve_consistent"),
+            lit(rtOk).as("roundtrip_ok"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_fit,
+        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        |   WHERE event_type IS NOT NULL) AS n_classes,
+        |  TRUE AS ledger_monotone, TRUE AS beats_prior,
+        |  TRUE AS probs_ok, TRUE AS serve_consistent, TRUE AS roundtrip_ok
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND ts IS NOT NULL""".stripMargin),
+
     // A25 (round 9) — rolling-origin backtest
     // (Features.rollingOriginBacktest): each group's history cut into 5
     // chronological folds (the W5 floor arithmetic), every fold f >= 1

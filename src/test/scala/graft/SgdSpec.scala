@@ -139,6 +139,54 @@ class SgdSpec extends SparkSpecBase {
     assert(m.lossLedger.last <= m.lossLedger.head + 1e-12)
   }
 
+  test("softmax SGD: ledger starts at the class-prior cross-entropy, " +
+    "monotone, learns an obvious 3-class signal; serve probabilities " +
+    "valid; roundtrip exact; class-cardinality guard loud") {
+    // class = band of feature a, cleanly separable up to small noise
+    val df = (0 until 300).map { i =>
+      val a = (i % 30) / 10.0 + ((i * 37) % 11 - 5) * 0.005
+      val cls = if (a < 1.0) "lo" else if (a < 2.0) "mid" else "hi"
+      (i.toLong, a, cls)
+    }.toDF("id", "a", "y")
+    val model = Features.sgdSoftmaxFit(df, Seq(col("a")), col("y"),
+      epochs = 12).get
+    assert(model.classes === Seq("hi", "lo", "mid")) // lexicographic
+    // ledger(0) = the prior model's cross-entropy = the exact class
+    // entropy −Σ π_c ln π_c (noise shifts band boundaries, so classes
+    // are only near-balanced — compute the entropy from the data)
+    val priors = df.groupBy("y").count().collect()
+      .map(_.getLong(1).toDouble / 300.0)
+    val entropy = -priors.map(p => p * math.log(p)).sum
+    assert(math.abs(model.lossLedger.head - entropy) < 1e-9)
+    model.lossLedger.sliding(2).foreach(p => assert(p(1) <= p(0) + 1e-12))
+    assert(model.acceptedSteps >= 1)
+    assert(model.lossLedger.last < 0.8 * model.lossLedger.head,
+      s"softmax failed to learn a separable signal: ${model.lossLedger}")
+    // serve: probs in (0,1), rows sum to 1, accuracy beats the prior
+    val served = Features.sgdSoftmaxPredict(df, model, Seq(col("a")))
+    val chk = served.agg(
+      min(least(col("p_lo"), col("p_mid"), col("p_hi"))).as("mn"),
+      max(greatest(col("p_lo"), col("p_mid"), col("p_hi"))).as("mx"),
+      max(abs(col("p_lo") + col("p_mid") + col("p_hi") - 1.0)).as("dev"),
+      avg(when(col("predicted_class") === col("y"), 1.0).otherwise(0.0))
+        .as("acc")).head()
+    assert(chk.getDouble(0) > 0.0 && chk.getDouble(1) < 1.0)
+    assert(chk.getDouble(2) < 1e-9)
+    assert(chk.getDouble(3) > 0.5, s"accuracy ${chk.getDouble(3)}")
+    // roundtrip
+    val rt = Features.softmaxModelFromFrame(
+      Features.softmaxModelToFrame(spark, model))
+    assert(rt.classes === model.classes &&
+      rt.coef.sameElements(model.coef) &&
+      rt.lossLedger === model.lossLedger)
+    // a corpus-cardinality label is a key, not a class
+    val e = intercept[IllegalArgumentException] {
+      Features.sgdSoftmaxFit(df, Seq(col("a")),
+        col("id").cast("string"), maxClasses = 10)
+    }
+    assert(e.getMessage.contains("maxClasses"))
+  }
+
   test("pipeline predictor=sgd: gradient model engages on the driver " +
     "fixture, artifact grading reproduces the run, missing features " +
     "fall back naive") {
