@@ -72,6 +72,31 @@ object StreamingModelServe {
       outDir, checkpointDir)
   }
 
+  /** Serve a parquet-persisted [[Features.SgdModel]] (the round-12
+    * gradient-trained linear family) over a feature stream via
+    * [[Features.sgdPredict]] — raw-double fold, the fit's arithmetic. */
+  def runSgdServe(spark: SparkSession, featureStream: DataFrame,
+                  modelDir: String, features: Seq[String],
+                  outDir: String, checkpointDir: String,
+                  outCol: String = "prediction"): StreamingQuery = {
+    val model = Features.sgdModelFromFrame(spark.read.parquet(modelDir))
+    runServe(featureStream,
+      b => Features.sgdPredict(b, model, features.map(col), outCol),
+      outDir, checkpointDir)
+  }
+
+  /** Serve a parquet-persisted [[Features.SoftmaxModel]] over a feature
+    * stream via [[Features.sgdSoftmaxPredict]] — per-class probability
+    * columns plus the deterministic argmax class per row. */
+  def runSoftmaxServe(spark: SparkSession, featureStream: DataFrame,
+                      modelDir: String, features: Seq[String],
+                      outDir: String, checkpointDir: String): StreamingQuery = {
+    val model = Features.softmaxModelFromFrame(spark.read.parquet(modelDir))
+    runServe(featureStream,
+      b => Features.sgdSoftmaxPredict(b, model, features.map(col)),
+      outDir, checkpointDir)
+  }
+
   /** Serve a parquet-persisted [[Features.GbmModel]] over a feature
     * stream via [[Features.gbmPredict]] — the boosted-stump fold as plan
     * literals, one `when` chain per round. */

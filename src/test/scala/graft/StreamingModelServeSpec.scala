@@ -84,6 +84,70 @@ class StreamingModelServeSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/out").count() === before)
   }
 
+  test("SGD + softmax serve streams: per-batch scores equal the batch " +
+    "predict through the persisted artifacts (the round-12 gradient " +
+    "family's serve face)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sgdserve").toString
+    val df = featureFrame
+    writeJsonBatches(df, s"$base/feed")
+
+    // linear SGD
+    val lin = Features.sgdLinearFit(df, Seq(col("x1"), col("x2")),
+      col("y")).get
+    Features.sgdModelToFrame(spark, lin).write.parquet(s"$base/lin")
+    val q1 = graft.streaming.StreamingModelServe.runSgdServe(
+      spark, stream(s"$base/feed"), s"$base/lin", Seq("x1", "x2"),
+      outDir = s"$base/linout", checkpointDir = s"$base/linckpt")
+    q1.awaitTermination(120000)
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      d.select("row_id", "prediction").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rtLin = Features.sgdModelFromFrame(spark.read.parquet(s"$base/lin"))
+    assert(scores(spark.read.parquet(s"$base/linout")) ===
+      scores(Features.sgdPredict(df, rtLin, Seq(col("x1"), col("x2")))))
+
+    // softmax: 3-class band label on x1
+    val cls = (0 until 120).map { i =>
+      val x1 = (i % 11).toDouble
+      (i.toLong, x1, ((i * 7) % 13).toDouble,
+        if (x1 < 4) "lo" else if (x1 < 8) "mid" else "hi")
+    }.toDF("row_id", "x1", "x2", "y")
+    new java.io.File(s"$base/cfeed").mkdirs()
+    val rows = cls.collect()
+    val (c1, c2) = rows.splitAt(rows.length / 2)
+    def jsonOf(rs: Seq[org.apache.spark.sql.Row]): String =
+      rs.map { r =>
+        s"""{"row_id":${r.getLong(0)},"x1":${r.getDouble(1)},"x2":${
+          r.getDouble(2)},"y":"${r.getString(3)}"}"""
+      }.mkString("\n")
+    Files.writeString(java.nio.file.Path.of(s"$base/cfeed", "b1.json"),
+      jsonOf(c1.toSeq))
+    Files.writeString(java.nio.file.Path.of(s"$base/cfeed", "b2.json"),
+      jsonOf(c2.toSeq))
+    val sm = Features.sgdSoftmaxFit(cls, Seq(col("x1"), col("x2")),
+      col("y"), epochs = 8).get
+    Features.softmaxModelToFrame(spark, sm).write.parquet(s"$base/sm")
+    val cstream = spark.readStream
+      .schema("row_id LONG, x1 DOUBLE, x2 DOUBLE, y STRING")
+      .option("maxFilesPerTrigger", 1).json(s"$base/cfeed")
+    val q2 = graft.streaming.StreamingModelServe.runSoftmaxServe(
+      spark, cstream, s"$base/sm", Seq("x1", "x2"),
+      outDir = s"$base/smout", checkpointDir = s"$base/smckpt")
+    q2.awaitTermination(120000)
+    def preds(d: org.apache.spark.sql.DataFrame) =
+      d.select("row_id", "predicted_class", "p_lo", "p_mid", "p_hi")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val rtSm = Features.softmaxModelFromFrame(spark.read.parquet(s"$base/sm"))
+    val batchPreds = preds(
+      Features.sgdSoftmaxPredict(cls, rtSm, Seq(col("x1"), col("x2"))))
+    val streamPreds = preds(spark.read.parquet(s"$base/smout"))
+    assert(streamPreds.size === 120)
+    assert(streamPreds === batchPreds) // bit-exact: same literals, same fold
+  }
+
   test("GBM serve stream: per-batch scores equal the batch predict through the persisted stump table") {
     val base = Files.createTempDirectory("graft_gbmserve").toString
     val df = featureFrame
