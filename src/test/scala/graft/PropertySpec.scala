@@ -300,4 +300,40 @@ object PropertySpec extends Properties("graft") {
       native == snap(Dedup.spanScrubRowwiseHof(df, n)) &&
         native == snap(Dedup.spanScrub(df, n))
     }
+
+  // --- Association.pairRules vs a naive in-memory miner (round 12): a
+  // tiny item alphabet forces dense co-occurrence; the differential
+  // covers counts, BOTH integer gates (support + cross-multiplied
+  // confidence), direction asymmetry, and the exactly-once-per-basket
+  // semantics under duplicate input rows.
+  private val basketGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.listOfN(n, for {
+      bk <- Gen.choose(1L, 8L)
+      it <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (bk, it))
+  } yield rows
+
+  property("pairRules equals the naive miner on dense random baskets") =
+    Prop.forAll(basketGen, Gen.choose(1L, 3L), Gen.choose(0L, 1000L)) {
+      (rows, minSup, confMilli) =>
+        val df = rows.toDF("bk", "it")
+        val got = graft.operators.Association
+          .pairRules(df, "bk", "it", minSup, confMilli)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .toMap
+        // naive reference: distinct sets in memory
+        val b = rows.distinct
+        val nB = b.map(_._1).distinct.size.toLong
+        val ni = b.groupBy(_._2).map { case (i, vs) => i -> vs.size.toLong }
+        val byBk = b.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = (for {
+          i1 <- ni.keys; i2 <- ni.keys if i1 != i2
+          np = byBk.values.count(s => s(i1) && s(i2)).toLong
+          if np >= minSup && ni(i1) >= minSup && ni(i2) >= minSup
+          if 1000L * np >= confMilli * ni(i1)
+        } yield (i1, i2) -> ((np, ni(i1), ni(i2), nB))).toMap
+        got == want
+    }
 }
