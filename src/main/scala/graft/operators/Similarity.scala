@@ -595,6 +595,42 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** The occupancy rule as a pure function: bits = round(log₂(n /
+    * occupancyTarget)) clamped to [minBits, maxBits] — 2^bits buckets
+    * per table hold per-bucket occupancy ≈ occupancyTarget, so the
+    * in-bucket self-join's per-bucket work stays CONSTANT as the
+    * corpus grows (the round-11 sf1 sweep's fix for the quadratic
+    * fixed-bits blow-up: 12.8× → 4.5× at 10× data). */
+  def occupancyBits(n: Long, occupancyTarget: Long = 500L,
+                    minBits: Int = 2, maxBits: Int = 24): Int = {
+    require(occupancyTarget >= 1 && minBits >= 1 && maxBits >= minBits,
+      s"bad occupancy params: target=$occupancyTarget " +
+        s"minBits=$minBits maxBits=$maxBits")
+    if (n <= occupancyTarget) minBits
+    else math.min(maxBits, math.max(minBits,
+      math.round(math.log(n.toDouble / occupancyTarget) / math.log(2.0))
+        .toInt))
+  }
+
+  /** [[cosinePairsBucketed]] with the OCCUPANCY RULE applied
+    * automatically: one cheap count job sizes `bits` via
+    * [[occupancyBits]], then the banding pipeline runs unchanged. This
+    * is the production entry point — the fixed-bits form exists for
+    * recall-pinned registrations and spec geometry; a caller who ships
+    * a fixed `bits` to a growing corpus re-creates the measured
+    * quadratic hazard (BENCH_SF1.md, round-11 sweep). Recall lost to
+    * narrower buckets at scale is bought back with `tables` /
+    * `multiProbe` — the documented trade, pinned by the _auto oracle
+    * row's recall floor at both driver SFs. */
+  def cosinePairsBucketedAuto(corpus: DataFrame, threshold: Double,
+                              tables: Int, multiProbe: Int = 0,
+                              occupancyTarget: Long = 500L): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    cosinePairsBucketed(corpus, threshold,
+      bits = occupancyBits(n, occupancyTarget), tables = tables,
+      multiProbe = multiProbe)
+  }
+
   /** Majority vote over a top-k neighbour frame (`query_id, rank,
     * neighbor_id` — any of the top-k producers above): join neighbour
     * labels, count votes per (query, label), predict the plurality with

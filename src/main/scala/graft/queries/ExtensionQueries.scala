@@ -833,6 +833,45 @@ object ExtensionQueries {
          |  TRUE AS recall_ok
          |FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin),
 
+    // The OCCUPANCY RULE made executable (round 12): the round-11 sf1
+    // sweep proved a fixed `bits` turns the in-bucket self-join
+    // quadratic at scale (12.8× at 10× data) and documented bits ≈
+    // log₂(n/500) as the fix — cosinePairsBucketedAuto now applies that
+    // rule from one count job (Similarity.occupancyBits), making the
+    // production entry point self-sizing instead of a prose
+    // recommendation. At the driver SFs the rule picks the registered
+    // fixed config (n = 500/2000 → bits 2), so this row pins BOTH that
+    // the auto path changes nothing where recall is oracle-certified
+    // AND the same subset/recall invariants as the fixed row; the
+    // surrogate-scale behavior (bits 5 at n = 20k, 4.5× vs 12.8×) is
+    // BENCH_SF1.md's measured table.
+    "dedup_embedding_cosine_lsh_auto" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.cosinePairs(emb, 0.45)
+          .localCheckpoint(eager = false)
+        val approx = Similarity.cosinePairsBucketedAuto(emb, 0.45,
+          tables = 12, multiProbe = 1)
+          .localCheckpoint(eager = false)
+        val nTrue = exact.agg(count(lit(1)).as("n_true"))
+        val nFound = approx.agg(count(lit(1)).as("n_found"))
+        val nHit = approx.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nTrue.crossJoin(nFound).crossJoin(nHit)
+          .select(col("n_true").cast("long"),
+            (col("n_found") === col("n_hit")).as("subset_ok"),
+            (col("n_hit") * 5 >= col("n_true") * 4).as("recall_ok"))
+      },
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckDot("a.embedding", "b.embedding")} AS dab,
+         |    ${duckDot("a.embedding", "a.embedding")} AS daa,
+         |    ${duckDot("b.embedding", "b.embedding")} AS dbb
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS subset_ok,
+         |  TRUE AS recall_ok
+         |FROM p WHERE dab / (sqrt(daa) * sqrt(dbb)) >= 0.45""".stripMargin),
+
     // Semantic dedup (SemDeDup): near-dup pairs bounded by k-means
     // clusters of the SAME IVF index the ANN rows build — assignment is
     // a broadcast-centroid map pass, candidates are same-cluster pairs,

@@ -517,6 +517,30 @@ class SimilaritySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("occupancy rule: bits sizes with the corpus; the auto pipeline " +
+    "equals the fixed config wherever the rule picks the same bits") {
+    import graft.operators.Similarity
+    // the pure function: target 500/bucket, clamped
+    assert(Similarity.occupancyBits(0L) === 2)
+    assert(Similarity.occupancyBits(500L) === 2)
+    assert(Similarity.occupancyBits(2000L) === 2)
+    assert(Similarity.occupancyBits(20000L) === 5)   // log2(40) = 5.32 -> 5
+    assert(Similarity.occupancyBits(2000000L) === 12)
+    assert(Similarity.occupancyBits(Long.MaxValue / 2) === 24) // clamp
+    intercept[IllegalArgumentException] {
+      Similarity.occupancyBits(100L, occupancyTarget = 0L)
+    }
+    // at the driver SF the rule picks the registered bits=2 - auto and
+    // fixed produce the IDENTICAL pair set
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Similarity.cosinePairsBucketedAuto(emb, 0.45,
+        tables = 12, multiProbe = 1)) ===
+      pairs(Similarity.cosinePairsBucketed(emb, 0.45,
+        bits = 2, tables = 12, multiProbe = 1)))
+  }
+
   test("trainingPairsExact fails loud past maxRows; points at the prod sibling") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") % 50 === 0)
