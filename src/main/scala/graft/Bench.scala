@@ -159,8 +159,16 @@ object Bench {
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty[String, Double], -1.0)
         else {
           val qblock = txt.substring(txt.indexOf("\"queries\":{") + 11)
+          // parse ONLY the prefix before the append-only "history" array:
+          // pin entries in history carry their own calib_sec keys, and a
+          // whole-file findFirst would silently normalize against a stale
+          // calibration if the file were ever reordered
+          val head = txt.indexOf("\"history\"") match {
+            case -1 => txt
+            case i => txt.substring(0, i)
+          }
           val rc = "\"calib_sec\":\\s*(-?[0-9][0-9.eE+-]*)".r
-            .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
+            .findFirstMatchIn(head).map(_.group(1).toDouble).getOrElse(-1.0)
           ("\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(qblock)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap, rc)
         }
@@ -231,7 +239,7 @@ object Bench {
         .mkString("{", ",", "}")
       val rr = rerunFirstPass.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"calib_sec_end":$calibEnd,"calib_ref":$refCalib,"norm_factor":$normFactor,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"over_pin":$overPinJson,"n_queries":${results.size},"queries":$qs,"queries_norm":$qn,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","units":{"queries":"raw_sec_this_machine","queries_norm":"sec_at_pin_calibration","over_pin":"judged_on_queries_norm"},"calib_sec":$calibSec,"calib_sec_end":$calibEnd,"calib_ref":$refCalib,"norm_factor":$normFactor,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"over_pin":$overPinJson,"n_queries":${results.size},"queries":$qs,"queries_norm":$qn,"failed":$failed,"sf":"$sfDir"}"""
     }
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     // a filtered dev run must not clobber the committed full-suite map
@@ -248,13 +256,18 @@ object Bench {
     val ok = results.collect { case (k, v, true) => (k, v) }
     val tpch = ok.filter(_._1.matches("q\\d+_.*")).sortBy(_._1)
     val rest = ok.filterNot(_._1.matches("q\\d+_.*")).sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib_sec":${r3(calibSec)},"calib_sec_end":${r3(calibEnd)},"norm_factor":${r3(normFactor)},"contended":$contended,"reran":$reran,"over_pin":$overPinJson,"n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","failed":$failed,"sf":"$sfDir","queries":{"""
+    // both series ride the tail, explicitly named (round 13 — the r12
+    // artifact carried only raw values while over_pin is judged on
+    // normalized ones, inviting a false regression reading): each entry
+    // is "name":[raw,norm] under a units key that names the two slots.
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","units":{"queries":"[raw_sec,sec_at_pin_calibration]","over_pin":"judged_on_normalized"},"calib_sec":${r3(calibSec)},"calib_sec_end":${r3(calibEnd)},"norm_factor":${r3(normFactor)},"contended":$contended,"reran":$reran,"over_pin":$overPinJson,"n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","failed":$failed,"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budget = 1700 - head.length - tail.length
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     (tpch ++ rest).foreach { case (k, v) =>
-      val e = "\"" + k + "\":" + r3(v)
+      val e = "\"" + k + "\":[" + r3(v) + "," +
+        r3(if (v < 0) v else v * normFactor) + "]"
       val sep = if (entries.isEmpty) 0 else 1
       if (used + sep + e.length <= budget) { entries += e; used += sep + e.length }
     }

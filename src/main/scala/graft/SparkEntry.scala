@@ -27,11 +27,13 @@ object SparkEntry {
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full E2 train pipeline: hygiene → group filter → chronological
-    * split → lag/fill features → decimal-exact A6 metrics → model-routing
-    * join (SURVEY.md §3 E2; graft.Pipeline). */
+    * The ROUTED E2E pipeline (round 13 — the richest end-to-end plan):
+    * hygiene → group filter → chronological split → lag/fill features →
+    * per-group model ROUTING (A2 count-threshold classify steering each
+    * group to its model family) → decimal-exact A6 metrics
+    * (SURVEY.md §3 E2; graft.Pipeline). */
   def entry(spark: SparkSession): DataFrame =
-    all("pipeline_e2e").fn(spark, "/root/testdata/sf0.001")
+    all("pipeline_e2e_routed").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -958,11 +958,19 @@ object Features {
     * no RNG state, identical under any partitioning, and a fresh
     * pseudo-random subset per epoch. Rows identical in every feature
     * AND the target share minibatch fate (documented; a caller who
-    * needs per-row identity hashes an id into a feature). */
+    * needs per-row identity hashes an id into a feature).
+    *
+    * `targetCast` picks which fit's membership this reproduces:
+    * "double" (default) matches [[sgdLinearFit]] (numeric target);
+    * "string" matches [[sgdSoftmaxFit]], which hashes the LABEL as a
+    * string — with the default cast a non-numeric label would cast to
+    * NULL and the predicate could not re-derive the softmax row sets. */
   def sgdGate(features: Seq[Column], target: Column, seed: Long,
-              epoch: Int, batchMilli: Int): Column =
+              epoch: Int, batchMilli: Int,
+              targetCast: String = "double"): Column =
     pmod(xxhash64(
-      xxhash64((features :+ target).map(_.cast("double")): _*),
+      xxhash64((features.map(_.cast("double")) :+
+        target.cast(targetCast)): _*),
       lit(seed + epoch)), lit(1000L)) < lit(batchMilli.toLong)
 
   /** A14f (round 12) — LINEAR REGRESSION BY MINIBATCH STOCHASTIC

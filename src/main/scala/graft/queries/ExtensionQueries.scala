@@ -2485,8 +2485,8 @@ object ExtensionQueries {
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS BIGINT) AS width,
-        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS height
+        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1) AS BIGINT) AS width,
+        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1) AS BIGINT) AS height
         |  FROM documents)
         |SELECT doc_id, media_type, width, height,
         |  CAST(width * 256 // greatest(width, height) AS BIGINT) AS out_w,
@@ -2525,11 +2525,11 @@ object ExtensionQueries {
         Multimodal.synthesizeVideos(s, Tables.documents(s, dir))).toDF(),
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(2 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |    CAST(2 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1
         |         AS BIGINT) AS n_frames,
-        |    CAST(8 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |    CAST(8 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1
         |         AS BIGINT) AS width,
-        |    CAST(8 + strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1
+        |    CAST(8 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 3, 1)) - 1
         |         AS BIGINT) AS height
         |  FROM documents),
         |px AS (
@@ -2558,7 +2558,7 @@ object ExtensionQueries {
         k = 4).toDF(),
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(2 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |    CAST(2 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1
         |         AS BIGINT) AS n_frames
         |  FROM documents)
         |SELECT doc_id,
@@ -2581,7 +2581,7 @@ object ExtensionQueries {
       (s, dir) => Multimodal.probeMp4(s,
         Multimodal.synthesizeMp4(s, Tables.documents(s, dir))).toDF(),
       """WITH c AS (
-        |  SELECT doc_id, md5(text) AS h FROM documents),
+        |  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
         |d AS (
         |  SELECT doc_id,
         |    CAST(1 + strpos('0123456789abcdef', substr(h, 1, 1)) - 1
@@ -2621,9 +2621,9 @@ object ExtensionQueries {
           expr("CAST(height * 256 DIV greatest(width, height) AS BIGINT)")),
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |    CAST(16 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1
         |         AS BIGINT) AS width,
-        |    CAST(16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |    CAST(16 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1
         |         AS BIGINT) AS height
         |  FROM documents),
         |px AS (
@@ -2644,7 +2644,7 @@ object ExtensionQueries {
     // decodeImages stage (the codec swaps, the plumbing doesn't). JPEG
     // is lossy, so the contract changes shape (the logisticFit lesson:
     // pin invariants, not exact values): DIMENSIONS survive exactly —
-    // the oracle re-derives them from md5(text) per row — while the
+    // the oracle re-derives them from md5(coalesce(text, '')) per row — while the
     // raster only has to land within a mean-deviation budget vs the
     // generation formula (|Σgray − Σexpected| / (w·h) ≤ 3 gray levels;
     // measured at sf0.01: mean 0.08, max 0.68 — the 4× margin covers
@@ -2666,7 +2666,7 @@ object ExtensionQueries {
     "mm_alignment_gate" -> QueryDef(
       (s, dir) => Multimodal.alignmentGate(s,
         Multimodal.synthesizeCaptionedImages(s, Tables.documents(s, dir))),
-      """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
         |dims AS (
         |  SELECT doc_id, hx,
         |    CAST(16 + strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
@@ -2746,9 +2746,9 @@ object ExtensionQueries {
               .as("mean_dev_ok"))
       },
       """SELECT doc_id,
-        |  CAST(16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |  CAST(16 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1
         |       AS BIGINT) AS width,
-        |  CAST(16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |  CAST(16 + strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1
         |       AS BIGINT) AS height,
         |  TRUE AS mean_dev_ok
         |FROM documents""".stripMargin),
@@ -2789,7 +2789,7 @@ object ExtensionQueries {
           .select(col("doc_a"), col("doc_b"), col("hamming"),
             (col("doc_b") === col("doc_a") + 1000000L).as("is_planted"))
       },
-      """WITH ids AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      """WITH ids AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
         |imgs AS (
         |  SELECT doc_id AS img_id, doc_id AS pid, 0 AS shift, hx FROM ids
         |  UNION ALL
@@ -2863,7 +2863,7 @@ object ExtensionQueries {
           .select(col("doc_a"), col("doc_b"), col("hamming"),
             (col("doc_b") === col("doc_a") + 1000000L).as("is_planted"))
       },
-      """WITH ids AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      """WITH ids AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
         |snd AS (
         |  SELECT doc_id AS snd_id, doc_id AS pid, FALSE AS scaled, hx
         |  FROM ids
@@ -2917,7 +2917,7 @@ object ExtensionQueries {
         Multimodal.synthesizeAudio(s, Tables.documents(s, dir))).toDF(),
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(64 + 4 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+        |    CAST(64 + 4 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1)
         |         AS BIGINT) AS n_samples
         |  FROM documents),
         |sm AS (
@@ -2936,9 +2936,9 @@ object ExtensionQueries {
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
-        |  md5(text) AS content_md5,
-        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS BIGINT) AS width,
-        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS BIGINT) AS height,
+        |  md5(coalesce(text, '')) AS content_md5,
+        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1) AS BIGINT) AS width,
+        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1) AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents""".stripMargin),
 
@@ -3171,18 +3171,36 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val base = Scratch.dir("stream-parity")
         val landing = s"$base/in"
+        // Watermark delay scaled to the id range (round 13 — the fixed
+        // '1 hour' delay silently dropped rows as late once max doc_id
+        // exceeded 3600 at sf0.1+: ts spread is maxId seconds and mod-4
+        // chunking puts the full range in EVERY micro-batch, so after
+        // batch 0 the watermark sat at max_ts − 3600 and later-batch
+        // rows below it were evicted — semantics broken exactly at the
+        // scales the bench times).
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val delay = s"${maxId + 3600} seconds"
         // four deterministic chunk files: doc_id mod 4, written in
-        // order so the file source replays them as four micro-batches
+        // order so the file source replays them as four micro-batches —
+        // PLUS a fifth RE-ARRIVAL chunk (every doc_id % 7 == 0 row
+        // again, verbatim): its texts already hit dedup state from an
+        // earlier chunk, so the stateful cross-batch suppression path
+        // is genuinely exercised (round 13 — the graded fixtures carry
+        // no duplicate texts, so without the re-arrival the cross-batch
+        // dedup claim was vacuous). Any state loss re-emits these and
+        // n_emitted lands at 2.
         (0 until 4).foreach { i =>
           docs.filter(pmod(col("doc_id"), lit(4)) === i)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .coalesce(1).write.mode("overwrite").json(s"$landing/c4_rearrival")
         val in = s.readStream.schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
         val deduped = graft.streaming.StreamingDedup.exactDedupStream(
           in.withColumn("ts",
             timestamp_seconds(lit(1700000000L) + col("doc_id"))),
-          "ts", "1 hour")
+          "ts", delay)
         val outDir = s"$base/out"
         val q = deduped
           .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
@@ -3198,11 +3216,21 @@ object ExtensionQueries {
         val batch = docs
           .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
           .distinct().withColumn("in_batch", lit(true))
-        emitted.join(batch, Seq("text_md5"), "full_outer")
+        val cmp = emitted.join(batch, Seq("text_md5"), "full_outer")
           .select(col("text_md5"),
             coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
             (coalesce(col("n_emitted"), lit(0L)) === 1L &&
               coalesce(col("in_batch"), lit(false))).as("parity"))
+          .localCheckpoint(eager = false)
+        // fail LOUD at any scale (round 13): an un-graded run (the
+        // bench times sf0.1/sf1 where no DuckDB compare happens) must
+        // not silently time broken semantics
+        val broken = cmp.filter(!col("parity")).count()
+        require(broken == 0L,
+          s"stream_parity: $broken texts broke stream/batch parity " +
+            "(state loss double-emitted a re-arrival, or a watermark " +
+            "dropped rows as late)")
+        cmp
       },
       """SELECT DISTINCT md5(coalesce(text, '')) AS text_md5,
         |  CAST(1 AS BIGINT) AS n_emitted, TRUE AS parity
@@ -3341,6 +3369,253 @@ object ExtensionQueries {
         |  AND time_bucket(INTERVAL '1 day', ts) <
         |    (SELECT time_bucket(INTERVAL '1 day', max(ts)) FROM events)
         |GROUP BY 1, 2, 3""".stripMargin),
+
+    // Fourth oracle-certified streaming path (round 13): SESSION-WINDOW
+    // state — the one stateful family stream_windowed_agg (fixed
+    // tumbling grid) does not cover, because session state MERGES:
+    // a session's extent is data-dependent, and an event arriving in a
+    // later micro-batch can extend (and re-key) a session opened two
+    // batches earlier. The fn streams events as 4 event-time range
+    // chunks through StreamingAnalytics.sessionCounts (the SAME
+    // session_window expression the batch w8 row pins) under a 0s
+    // watermark in append mode, then keeps — on BOTH sides — only
+    // sessions that end strictly before the final watermark (max event
+    // ts): the last open session per user never closes on a bounded
+    // stream. The oracle re-derives the identical sessions from first
+    // principles (lag → µs-exact gap threshold → cumsum session ids).
+    // A merge failure (a session split at a chunk boundary) changes
+    // n_events AND both endpoints — any such break is a hash mismatch.
+    "stream_session_window" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("user_id"))
+        val base = Scratch.dir("stream-session")
+        val landing = s"$base/in"
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ev.filter(col("ts_us") >= lo + i * cut &&
+              col("ts_us") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("ts_us LONG, user_id LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "0 seconds")
+        val sess = graft.streaming.StreamingAnalytics.sessionCounts(
+          in, "ts", "user_id", "30 minutes")
+        val outDir = s"$base/out"
+        val q = sess.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          // strictly-closed sessions only, SAME filter the oracle
+          // applies — robust to either strictness of the append-mode
+          // emission boundary (an end == hi session is dropped on both
+          // sides whether or not the engine emitted it)
+          .filter(col("session_end") < timestamp_micros(lit(hi)))
+          .select(col("user_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM e)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM agg
+        |WHERE session_end < (SELECT max(ts) FROM e)""".stripMargin),
+
+    // Fifth oracle-certified streaming path (round 13): STREAM-STREAM
+    // INTERVAL JOIN state — the last stateful-operator family
+    // (aggregation, dedup, flatMapGroupsWithState, session windows are
+    // covered above). Two independent file streams — clicks and
+    // purchases, each in 3 event-time range chunks — join on user_id
+    // with purchase_ts ∈ [click_ts − 1 day, click_ts] through
+    // StreamingAnalytics.intervalJoin. Watermark delay exceeds the full
+    // event-time span, so NO buffered row is evicted before its match
+    // can arrive: the streamed result must equal the batch interval
+    // join EXACTLY, which DuckDB re-derives as a plain self-join of
+    // events. Cross-batch buffering is genuinely exercised — a click in
+    // chunk 2 must find purchases buffered from chunks 0-1 (and vice
+    // versa: the sides' chunk clocks advance independently). Any state
+    // loss drops pairs; any double-emission on replay adds them.
+    "stream_interval_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("event_type"))
+        val base = Scratch.dir("stream-ijoin")
+        def chunks(side: DataFrame, name: String): String = {
+          val landing = s"$base/$name"
+          val b = side.agg(min(col("ts_us")), max(col("ts_us"))).head()
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val cut = (hi - lo) / 3 + 1
+          (0 until 3).foreach { i =>
+            side.filter(col("ts_us") >= lo + i * cut &&
+                col("ts_us") < lo + (i + 1) * cut)
+              .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+          }
+          landing
+        }
+        val clicksDir = chunks(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts_us")), "clicks")
+        val purchDir = chunks(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("user_id_r"),
+              col("event_id").as("purchase_id"), col("ts_us")), "purch")
+        val left = s.readStream
+          .schema("user_id LONG, click_id LONG, ts_us LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$clicksDir/*")
+          .withColumn("click_ts", timestamp_micros(col("ts_us")))
+          .withWatermark("click_ts", "40 days")
+        val right = s.readStream
+          .schema("user_id_r LONG, purchase_id LONG, ts_us LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$purchDir/*")
+          .withColumn("purchase_ts", timestamp_micros(col("ts_us")))
+          .withWatermark("purchase_ts", "40 days")
+        val joined = graft.streaming.StreamingAnalytics.intervalJoin(
+          left, right, key = "user_id",
+          leftTs = "click_ts", rightTs = "purchase_ts", within = "1 day")
+        val outDir = s"$base/out"
+        val q = joined
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts - INTERVAL 1 DAY AND c.ts
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.ts IS NOT NULL AND p.ts IS NOT NULL""".stripMargin),
+
+    // Sixth oracle-certified streaming path (round 13): the
+    // mapGroupsWithState LATEST-PER-GROUP operator (streaming W6 — the
+    // reference's live-forecast semantics, MySQL Data Push Scripts/
+    // main.py:161-166's ON DUPLICATE KEY UPDATE done as keyed state).
+    // Input is pre-deduplicated to one row per (user, event_type, ts)
+    // keeping the max event_id — the batch w6 tiebreak — so the fold's
+    // tie-overwrite branch can't make intra-batch arrival order
+    // observable; chunks are event-time RANGES, satisfying the
+    // operator's in-order-feed contract across batches. The final
+    // emission per group (row_number over batch id) must carry the
+    // group's true latest (ts, value) AND the full accumulated count n
+    // — a state loss resets n, a dropped batch loses groups, both break
+    // the hash. The oracle re-derives latest + count per group from
+    // events alone.
+    "stream_latest_per_group" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val ded = Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id").cast("string").as("currency"),
+            col("event_type").as("event"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("value"))
+        val base = Scratch.dir("stream-latest")
+        val landing = s"$base/in"
+        val bounds = ded.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ded.filter(col("ts_us") >= lo + i * cut &&
+              col("ts_us") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("currency STRING, event STRING, ts_us LONG, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .select(col("currency"), col("event"),
+            timestamp_micros(col("ts_us")).cast("timestamp")
+              .as("eventTime"),
+            col("value").as("actual"))
+          .as[graft.streaming.StreamingAnalytics.EventRow]
+        val outDir = s"$base/out"
+        val q = graft.streaming.StreamingAnalytics.runningLatest(s, in)
+          .toDF()
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        val lastW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("currency"), col("event"))
+          .orderBy(col("batch_id").desc)
+        s.read.parquet(outDir)
+          .withColumn("__rn", row_number().over(lastW))
+          .filter(col("__rn") === 1)
+          .select(col("currency").cast("long").as("user_id"),
+            col("event").as("event_type"),
+            col("latestTime").cast("timestamp_ntz").as("latest_ts"),
+            col("latestValue").as("latest_value"),
+            col("n"))
+      },
+      """WITH ded AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT user_id, event_type, ts, value FROM ded WHERE rn = 1),
+        |r AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC) AS rn2,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+        |  FROM d)
+        |SELECT user_id, event_type, ts AS latest_ts, value AS latest_value, n
+        |FROM r WHERE rn2 = 1""".stripMargin),
 
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {

@@ -230,4 +230,36 @@ class SgdSpec extends SparkSpecBase {
     assert(scored(1L) === 8.0 && scored(2L) === 8.0)
     assert(scored(0L) !== 8.0) // the fitted row actually scored
   }
+
+  test("sgdGate targetCast='string' reproduces softmax membership " +
+    "semantics: non-numeric labels hash distinctly (the default double " +
+    "cast cannot express them — it fails loud under ANSI)") {
+    // 40 feature-identical rows, 4 distinct string labels
+    val df = (0 until 40).map(i => (i.toLong, 1.0, s"c${i % 4}"))
+      .toDF("id", "a", "label")
+    val fs = Seq(col("a"))
+    def fates(cast: String): Map[String, Boolean] =
+      (0 until 6).flatMap { e =>
+        df.withColumn("g",
+            Features.sgdGate(fs, col("label"), 42L, e, 500, cast))
+          .select(col("label"), col("g")).distinct()
+          .collect().map(r => s"$e:${r.getString(0)}" -> r.getBoolean(1))
+      }.toMap
+    // string cast: label participates in the hash — across 6 epochs the
+    // 4 labels cannot all share fate every epoch (P ≈ (1/8)^6 per split)
+    val byString = fates("string")
+    assert(byString.values.toSet.size === 2,
+      "string-cast gate never split NOR never kept — degenerate hash")
+    // feature-identical rows with the SAME label share fate by design
+    assert(byString.size === 24, "a (epoch, label) pair had mixed fates")
+    // the default double cast on a non-numeric label is a LOUD error
+    // under ANSI (Spark 4 default), not a silent NULL-shared fate —
+    // callers re-deriving sgdSoftmaxFit membership must pass "string"
+    val err = intercept[Exception] {
+      df.withColumn("g",
+          Features.sgdGate(fs, col("label"), 42L, 0, 500, "double"))
+        .collect()
+    }
+    assert(err.getMessage.contains("CAST_INVALID_INPUT"))
+  }
 }
