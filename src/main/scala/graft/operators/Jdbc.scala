@@ -67,6 +67,87 @@ object Jdbc {
       .option("query", sql)
       .load()
 
+  /** EXACTLY-ONCE streaming JDBC publish (round 13 — closes the honest
+    * at-least-once caveat of [[graft.streaming.StreamingIngest.runToJdbc]]):
+    * the transactional batch-ledger recipe (the Delta-style txn pattern
+    * done in plain SQL).
+    *
+    *  1. fast path: `batchId` already in the ledger → no-op (a replay
+    *     after a post-commit crash);
+    *  2. stage the micro-batch into `<table>__STAGE` (Overwrite — a
+    *     replay after a mid-stage crash rewrites it cleanly); executors
+    *     write the stage in parallel, `batchsize` rows per round-trip;
+    *  3. ONE driver-side transaction: re-check the ledger (an interleaved
+    *     replay may have won), `INSERT INTO table SELECT * FROM stage`,
+    *     record `batchId` in the ledger, COMMIT.
+    *
+    * A crash anywhere before the commit leaves the target table and the
+    * ledger untouched (the stage is scratch); a crash after it makes the
+    * replay a provable no-op. That is exactly-once DELIVERY to the target
+    * table, not just at-least-once with dedup — the publish and the mark
+    * commit atomically. Spark's checkpointed batch ids are stable across
+    * recovery-driven retries, which is what the ledger keys on.
+    *
+    * The target/stage tables are both created by the same Spark JDBC
+    * writer schema, so the positional `INSERT … SELECT *` is sound; a
+    * pre-existing target with a different column ORDER is a caller
+    * contract breach. Returns true iff this call published the batch. */
+  def writeBatchExactlyOnce(batch: DataFrame, url: String, table: String,
+                            batchId: Long, batchSize: Int = 500,
+                            ledgerTable: String = ""): Boolean = {
+    val ledger = if (ledgerTable.nonEmpty) ledgerTable else s"${table}__LEDGER"
+    val stage = s"${table}__STAGE"
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      ensureLedger(conn0, ledger)
+      if (ledgerHas(conn0, ledger, batchId)) return false
+    } finally conn0.close()
+    writeTable(batch, url, stage, batchSize, SaveMode.Overwrite)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (ledgerHas(conn, ledger, batchId)) return false // raced replay
+        if (!tableExists(conn, table))
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+        st.executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)")
+        conn.commit()
+        true
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** CREATE the one-column ledger if absent (Derby has no IF NOT EXISTS;
+    * SQLState X0Y32 = already there, the expected steady state). */
+  private def ensureLedger(conn: java.sql.Connection, ledger: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(
+      s"CREATE TABLE $ledger (batch_id BIGINT NOT NULL PRIMARY KEY)")
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    } finally st.close()
+  }
+
+  private def ledgerHas(conn: java.sql.Connection, ledger: String,
+                        batchId: Long): Boolean = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
+      try rs.next() finally rs.close()
+    } finally st.close()
+  }
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+    try rs.next() finally rs.close()
+  }
+
   /** Parallel table read: `numPartitions` concurrent range queries over
     * `partitionCol` ∈ [lower, upper] (rows outside the bounds land in the
     * first/last stride — bounds split, never filter). The scan shape for

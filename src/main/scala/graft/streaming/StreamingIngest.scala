@@ -69,8 +69,10 @@ object StreamingIngest {
     * In-stream key dedup upstream provides the only-new-rows contract;
     * a server-side unique key (init.sql:20) would back it up in a real
     * deployment. Exactly-once caveat, stated honestly: foreachBatch is
-    * at-least-once on retry — production would stage each batch id
-    * transactionally (the standard idempotent-JDBC-sink recipe). */
+    * at-least-once on retry — a redelivered micro-batch appends twice.
+    * [[runToJdbcExactlyOnce]] closes that with the transactional
+    * batch-ledger publish; this plain form remains for targets where a
+    * server-side unique key already dedups. */
   def runToJdbc(spark: SparkSession, landingDir: String, url: String,
                 table: String, checkpointDir: String,
                 batchSize: Int = 500): StreamingQuery =
@@ -82,6 +84,29 @@ object StreamingIngest {
         if (!batch.isEmpty)
           graft.operators.Jdbc.writeTable(batch, url, table, batchSize,
             mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+
+  /** EXACTLY-ONCE stream → JDBC (round 13): each micro-batch publishes
+    * through [[graft.operators.Jdbc.writeBatchExactlyOnce]] — stage
+    * table + single transaction (INSERT…SELECT + batch-id ledger mark,
+    * committed together), so a checkpoint-recovery redelivery of any
+    * micro-batch is a provable no-op and the target table never holds a
+    * partial batch. Empty batches are skipped (no ledger row needed —
+    * replaying an empty batch appends nothing by construction). */
+  def runToJdbcExactlyOnce(spark: SparkSession, landingDir: String,
+                           url: String, table: String, checkpointDir: String,
+                           batchSize: Int = 500): StreamingQuery =
+    cleanedStream(spark, landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Jdbc.writeBatchExactlyOnce(batch, url, table,
+            batchId = id, batchSize = batchSize)
+          ()
+        }
       }
       .start()
 
