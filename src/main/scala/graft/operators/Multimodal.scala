@@ -36,12 +36,15 @@ import org.apache.spark.sql.functions._
   * GIF's indexed palette is lossless for the grayscale fixture so the
   * oracle re-derives everything from the generation formula.
   *
-  * STILL STUBBED (clearly + deterministically): generic any-codec byte
-  * decoding ([[fakeDecode]], exercised by [[decodeFeatures]]) — features
-  * are pure arithmetic over payload length + MD5. It remains the stage
-  * a production H.264/VP9 decoder would slot into (no such codec exists
-  * in this container); the three REAL decodes above prove the plumbing
-  * with genuine codecs end-to-end.
+  * REAL decode (video-in-MP4, round 13): [[decodeMjpegMp4]] walks a
+  * genuine ISO-BMFF sample table (stsz sample sizes + stco chunk
+  * offsets under moov/trak/mdia/minf/stbl) and runs a REAL JPEG decode
+  * on every sample it finds — the MJPEG-in-MP4 shape, the closest a
+  * bare JDK gets to production video (no H.264/VP9 codec ships in any
+  * JDK; swapping the per-sample ImageIO call for a hardware codec is
+  * the only change production needs). Since round 13 every registered
+  * multimodal path runs a REAL codec; the former deterministic
+  * fake-decode stands in test helpers only (graft.FakeMedia).
   *
   * Scale notes (100 TB): payload bytes dominate — keep them OUT of
   * shuffles (derive features first, project the binary away before any
@@ -50,83 +53,119 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** One decoded media row — the fake-decode output contract. */
-  final case class FakeDecoded(
-      doc_id: Long, media_type: String, byte_len: Long, content_md5: String,
-      width: Long, height: Long, n_frames: Long)
-
   private def hexVal(c: Char): Int = "0123456789abcdef".indexOf(c)
-
-  /** The deterministic FAKE decode: features derived only from payload
-    * length and MD5 so any engine can replicate them. A real decoder
-    * would replace the body of this function and nothing else. */
-  def fakeDecode(docId: Long, mediaType: String, payload: Array[Byte]): FakeDecoded = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val len = payload.length.toLong
-    FakeDecoded(
-      doc_id = docId,
-      media_type = mediaType,
-      byte_len = len,
-      content_md5 = hex,
-      width = 64L + 16L * hexVal(hex.charAt(0)),
-      height = 64L + 16L * hexVal(hex.charAt(1)),
-      n_frames = if (mediaType == "video") 1L + len % 240L else 1L)
-  }
-
-  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
-    * the text, media_type cycled by doc_id. Stands in for a real
-    * (path, bytes) source; schema is the real contract. */
-  def synthesizeMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
-        .as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  /** One resized media row: original + fitted dimensions. */
-  final case class ResizedMedia(
-      doc_id: Long, media_type: String, width: Long, height: Long,
-      out_w: Long, out_h: Long)
 
   /** One sampled frame reference. */
   final case class FrameRef(doc_id: Long, frame_idx: Long, n_frames: Long)
 
-  /** The batch RESIZE stage: fit each medium into a `target`×`target` box
-    * preserving aspect ratio, in pure integer arithmetic
-    * (dim·target / max(w,h) — exact, reproducible in any engine). Same
-    * mapPartitions shape as the decode: a real resizer would hold its
-    * codec/SIMD context per partition and transform the pixel buffer
-    * where this computes only the geometry. */
-  def resizeFeatures(spark: SparkSession, decoded: Dataset[FakeDecoded],
-                     target: Long): Dataset[ResizedMedia] = {
+  /** One decoded row of the MIXED-MODAL corpus — the unified feature
+    * contract of [[decodeMixed]]: images fill (width, height, 1 frame,
+    * Σgray); audio fills (n_samples, 1, 1, Σ|s|); video fills (width,
+    * height, n_frames, Σgray over every frame). */
+  final case class MixedFeatures(
+      doc_id: Long, media_type: String, width: Long, height: Long,
+      n_frames: Long, content_sum: Long)
+
+  /** Synthesize the MIXED-MODAL media table (round 13 — replaces the
+    * retired UTF-8-bytes fake): media_type cycles by doc_id mod 3 and
+    * every payload is REAL encoded media — PNG ([[synthesizeImages]]),
+    * RIFF/WAVE PCM ([[synthesizeAudio]]), animated GIF
+    * ([[synthesizeVideos]]) — under the one (doc_id, media_type,
+    * binary payload) schema a (path, bytes) object-store source feeds. */
+  def synthesizeMixedMedia(spark: SparkSession, docs: DataFrame): DataFrame =
+    synthesizeImages(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .withColumn("media_type", lit("image"))
+      .unionByName(
+        synthesizeAudio(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+          .withColumn("media_type", lit("audio")))
+      .unionByName(
+        synthesizeVideos(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+          .withColumn("media_type", lit("video")))
+
+  /** The mixed-modal DECODE ROUTER (round 13 — the production shape for
+    * a corpus whose binary column carries several codecs): route rows
+    * by media_type to the matching REAL decoder — ImageIO PNG,
+    * javax.sound WAV, multi-frame GIF — and unify the typed outputs.
+    * Each branch is the already-certified per-codec mapPartitions stage
+    * (codec context amortized per batch); routing is three scan-level
+    * filters + a union, zero shuffles, and the binary payload never
+    * outlives its decode stage. An unknown media_type fails LOUD — a
+    * silent drop would undercount the corpus. */
+  def decodeMixed(spark: SparkSession, media: DataFrame): Dataset[MixedFeatures] = {
     import spark.implicits._
-    decoded.mapPartitions { batch =>
-      batch.map { d =>
-        val m = math.max(d.width, d.height)
-        ResizedMedia(d.doc_id, d.media_type, d.width, d.height,
-          d.width * target / m, d.height * target / m)
-      }
-    }
+    val known = Seq("image", "audio", "video")
+    val img = decodeImages(spark, media.filter(col("media_type") === "image"))
+      .map(f => MixedFeatures(f.doc_id, "image", f.width, f.height, 1L,
+        f.sum_gray))
+    val aud = decodeAudio(spark, media.filter(col("media_type") === "audio"))
+      .map(f => MixedFeatures(f.doc_id, "audio", f.n_samples, 1L, 1L,
+        f.sum_abs))
+    val vid = decodeVideos(spark, media.filter(col("media_type") === "video"))
+      .map(f => MixedFeatures(f.doc_id, "video", f.width, f.height,
+        f.n_frames, f.sum_gray))
+    // the raise_error RIDES IN the doc_id column so column pruning can
+    // never elide it: any row reaching this branch detonates at eval
+    val unknown = media
+      .filter(col("media_type").isNull || !col("media_type").isin(known: _*))
+      .select(
+        expr("raise_error(concat('unroutable media_type ', " +
+          "coalesce(media_type, 'NULL'), ' for doc ', doc_id))")
+          .cast("long").as("doc_id"),
+        coalesce(col("media_type"), lit("?")).as("media_type"),
+        lit(0L).as("width"), lit(0L).as("height"), lit(0L).as("n_frames"),
+        lit(0L).as("content_sum"))
+      .as[MixedFeatures]
+    img.unionByName(aud).unionByName(vid).unionByName(unknown)
   }
 
-  /** The batch FRAME-SAMPLE stage: for video media, emit up to `k`
-    * evenly-spaced frame indices (i·n_frames / k, deduplicated when
-    * n_frames < k) — the row-multiplying stage of a video pipeline, so
-    * it runs AFTER payload projection: only (doc_id, frame_idx) rows
-    * fan out, never payload bytes. Non-video media emit nothing. */
-  def sampleFrames(spark: SparkSession, decoded: Dataset[FakeDecoded],
-                   k: Int): Dataset[FrameRef] = {
+  /** One REAL-resized image row: source dims, box-fitted output dims,
+    * and the checksum of the resampled raster. */
+  final case class ResizedImage(
+      doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long,
+      sum_resized: Long)
+
+  /** The REAL raster RESIZE stage (round 13 — replaces the retired
+    * geometry-only fake): decode the image, box-fit the dimensions into
+    * `target`×`target` preserving aspect (dim·target / max(w,h) — exact
+    * integers), then RESAMPLE the decoded raster by exact index mapping
+    * (out(cx, cy) = in(cx·w div out_w, cy·h div out_h) — the integer
+    * rule that stays cross-engine re-derivable where bilinear weights
+    * would not; the dHash grid convention). `sum_resized` checksums the
+    * output raster, so a resampler that read even one wrong source
+    * pixel breaks the oracle hash. Same per-partition batch shape as
+    * [[decodeImages]] — production swaps in SIMD resampling, not new
+    * plumbing. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   target: Long): Dataset[ResizedImage] = {
     import spark.implicits._
-    decoded.mapPartitions { batch =>
-      batch.flatMap { d =>
-        if (d.media_type != "video") Iterator.empty
-        else {
-          val idx = (0 until k).map(i => i.toLong * d.n_frames / k).distinct
-          idx.iterator.map(FrameRef(d.doc_id, _, d.n_frames))
+    require(target >= 1, s"target must be >= 1: $target")
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc $id")
+          val w = img.getWidth.toLong
+          val h = img.getHeight.toLong
+          val m = math.max(w, h)
+          val ow = (w * target / m).toInt.max(1)
+          val oh = (h * target / m).toInt.max(1)
+          var sum = 0L
+          var cx = 0
+          while (cx < ow) {
+            val sx = (cx * w / ow).toInt
+            var cy = 0
+            while (cy < oh) {
+              val sy = (cy * h / oh).toInt
+              sum += (img.getRGB(sx, sy) & 0xff).toLong
+              cy += 1
+            }
+            cx += 1
+          }
+          ResizedImage(id, w, h, ow.toLong, oh.toLong, sum)
         }
       }
-    }
   }
 
   /** One REAL-decoded image row: dimensions and pixel aggregates read
@@ -174,7 +213,7 @@ object Multimodal {
 
   /** The REAL image-decode stage: `javax.imageio.ImageIO` PNG decode,
     * partition-by-partition through the typed iterator (identical stage
-    * shape to [[decodeFeatures]] — a production build swaps the codec,
+    * shape to [[decodeMixed]] — a production build swaps the codec,
     * not the plumbing). Features come from the decoded RASTER: width and
     * height from the image header, `sum_gray` = Σ of the red channel over
     * every pixel (the fixture is gray, so red == gray — and a decoder
@@ -830,27 +869,226 @@ object Multimodal {
       }
   }
 
-  /** The batch decode stage: co-locate each media_type, then decode
-    * partition-by-partition through the typed iterator (mapInPandas
-    * shape). Returns the typed feature Dataset — payload projected away.
-    *
-    * Partitioning: repartition on media_type ALONE hash-buckets into at
-    * most #distinct-media-types non-empty partitions (3 here) — one task
-    * would decode ~1/3 of a 100 TB corpus. Salting with a 64-way hash of
-    * doc_id restores full parallelism while keeping each task's codec
-    * variety bounded (a task sees few (media_type, salt) buckets, and a
-    * real decoder holds ≤ #media-types codec handles anyway). */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[FakeDecoded] = {
+  /** Synthesize a REAL MJPEG-shaped MP4 per document (round 13 — the
+    * fixture that retires the last decode stub): JPEG frames inside a
+    * spec-conformant ISO-BMFF container with a genuine SAMPLE TABLE.
+    * Box layout: `ftyp` + `moov{mvhd, trak{tkhd, mdia{minf{stbl{stsz,
+    * stco}}}}}` + `mdat` holding F concatenated REAL ImageIO-encoded
+    * JPEG frames; `stsz` carries each frame's byte size, `stco` the
+    * absolute file offset of each sample (one sample per chunk). Frame
+    * content is the [[synthesizeVideos]] gradient at image-row dims —
+    * F = 2 + hex₀, W = 16 + hex₁, H = 16 + hex₂ over md5(text), gray
+    * (f, x, y) = (doc_id·31 + x + y + 7·f) mod 256 — so an external
+    * engine re-derives frame count, dimensions, and expected per-frame
+    * sums from `documents` alone, while the bytes demand a real
+    * container walk AND a real (lossy) codec per frame. */
+  def synthesizeMjpegMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    media
-      .repartition(spark.sparkContext.defaultParallelism,
-        col("media_type"), pmod(xxhash64(col("doc_id")), lit(64)))
-      .select(col("doc_id").cast("long"), col("media_type"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .as[(Long, String)]
       .mapPartitions { batch =>
-        // Per-partition init goes here in a real decoder (codec handles,
-        // model weights); the iterator keeps it amortized across the batch.
-        batch.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
+        batch.map { case (id, hex) =>
+          val f = 2 + hexVal(hex.charAt(0))
+          val w = 16 + hexVal(hex.charAt(1))
+          val h = 16 + hexVal(hex.charAt(2))
+          val frames: Array[Array[Byte]] = Array.tabulate(f) { fi =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                val g = ((id * 31 + x + y + 7L * fi) % 256).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                y += 1
+              }
+              x += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", out)
+            out.toByteArray
+          }
+          def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+            val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+            b.putInt(8 + payload.length)
+            b.put(tpe.getBytes("US-ASCII"))
+            b.put(payload)
+            b.array()
+          }
+          val ftyp = box("ftyp", {
+            val b = java.nio.ByteBuffer.allocate(16)
+            b.put("isom".getBytes("US-ASCII")).putInt(0)
+            b.put("isom".getBytes("US-ASCII"))
+            b.put("mp42".getBytes("US-ASCII"))
+            b.array()
+          })
+          val timescale = 600
+          val mvhd = box("mvhd", {
+            val b = java.nio.ByteBuffer.allocate(100)
+            b.putInt(0).putInt(0).putInt(0)
+            b.putInt(timescale)
+            b.putInt(f * timescale) // 1 fps
+            b.putInt(0x00010000).putShort(0x0100.toShort)
+            b.position(b.position() + 10)
+            Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+              .foreach(b.putInt)
+            b.position(b.position() + 24)
+            b.putInt(2)
+            b.array()
+          })
+          val tkhd = box("tkhd", {
+            val b = java.nio.ByteBuffer.allocate(84)
+            b.putInt(0x000007).putInt(0).putInt(0)
+            b.putInt(1).putInt(0)
+            b.putInt(f * timescale)
+            b.position(b.position() + 8)
+            b.putShort(0).putShort(0).putShort(0).putShort(0)
+            Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+              .foreach(b.putInt)
+            b.putInt(w << 16).putInt(h << 16)
+            b.array()
+          })
+          // sample-table sizes are arithmetic in F, so the absolute
+          // mdat offsets are computable before any box is materialized
+          val stszLen = 8 + 12 + 4 * f
+          val stcoLen = 8 + 8 + 4 * f
+          val stblLen = 8 + stszLen + stcoLen
+          val minfLen = 8 + stblLen
+          val mdiaLen = 8 + minfLen
+          val trakLen = 8 + (8 + 84) + mdiaLen
+          val moovLen = 8 + (8 + 100) + trakLen
+          val dataStart = ftyp.length + moovLen + 8 // + mdat header
+          val stsz = box("stsz", {
+            val b = java.nio.ByteBuffer.allocate(12 + 4 * f)
+            b.putInt(0)       // version + flags
+            b.putInt(0)       // sample_size 0 = per-sample table follows
+            b.putInt(f)
+            frames.foreach(fr => b.putInt(fr.length))
+            b.array()
+          })
+          val stco = box("stco", {
+            val b = java.nio.ByteBuffer.allocate(8 + 4 * f)
+            b.putInt(0)
+            b.putInt(f)
+            var off = dataStart
+            frames.foreach { fr => b.putInt(off); off += fr.length }
+            b.array()
+          })
+          val moov = box("moov", mvhd ++
+            box("trak", tkhd ++
+              box("mdia", box("minf", box("stbl", stsz ++ stco)))))
+          require(moov.length == moovLen,
+            s"doc $id: moov layout drifted (${moov.length} != $moovLen)")
+          val payload = ftyp ++ moov ++ box("mdat", frames.flatten)
+          (id, "video/mp4", payload)
+        }
+      }.toDF("doc_id", "media_type", "payload")
+  }
+
+  /** One REAL MJPEG-in-MP4 decode row: frame count and dimensions from
+    * the container (cross-checked against every decoded raster), plus
+    * the per-frame mean-deviation verdict vs the generation formula. */
+  final case class MjpegFeatures(
+      doc_id: Long, n_frames: Long, width: Long, height: Long,
+      mean_dev_ok: Boolean)
+
+  /** The REAL video decode, production container shape (round 13):
+    * walk the ISO-BMFF box tree to the sample table (stsz sizes + stco
+    * offsets under moov/trak/mdia/minf/stbl), slice every sample out of
+    * the payload, and run a REAL JPEG decode on each — genuine
+    * container-parse → per-frame codec decode, the MJPEG pipeline. The
+    * JPEG codec is lossy, so the contract pins invariants, not pixels
+    * (the mm_image_decode_jpeg lesson): frame count and dimensions are
+    * exact (container fields, required to match every decoded raster),
+    * while EVERY frame's raster must land within a 3-gray-level mean
+    * deviation of the generation formula — `mean_dev_ok` is the AND
+    * over frames, so one mangled frame flips the row. Corrupt
+    * containers (missing/truncated sample table, oversized sample,
+    * undecodable frame) fail LOUD with the doc id. Same
+    * embarrassingly-parallel mapPartitions shape as [[decodeImages]];
+    * production swaps ImageIO for a hardware codec, nothing else. */
+  def decodeMjpegMp4(spark: SparkSession, media: DataFrame): Dataset[MjpegFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          def fourcc(): String = {
+            val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+          }
+          var trackW = -1L; var trackH = -1L
+          var sizes: Array[Int] = null
+          var offsets: Array[Int] = null
+          def walk(end: Int): Unit = {
+            while (bb.position() < end) {
+              require(end - bb.position() >= 8,
+                s"doc $id: truncated box header at ${bb.position()}")
+              val start = bb.position()
+              val size = bb.getInt()
+              val tpe = fourcc()
+              require(size >= 8 && start + size <= end,
+                s"doc $id: box '$tpe' size $size overruns container")
+              tpe match {
+                case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                  walk(start + size)
+                case "tkhd" =>
+                  bb.position(start + size - 8)
+                  trackW = (bb.getInt().toLong & 0xffffffffL) >> 16
+                  trackH = (bb.getInt().toLong & 0xffffffffL) >> 16
+                case "stsz" =>
+                  bb.getInt() // version + flags
+                  require(bb.getInt() == 0,
+                    s"doc $id: fixed-sample-size stsz unsupported")
+                  val n = bb.getInt()
+                  sizes = Array.fill(n)(bb.getInt())
+                case "stco" =>
+                  bb.getInt()
+                  val n = bb.getInt()
+                  offsets = Array.fill(n)(bb.getInt())
+                case _ => // ftyp/mvhd/mdat/...: skip
+              }
+              bb.position(start + size)
+            }
+          }
+          walk(bytes.length)
+          require(sizes != null && offsets != null,
+            s"doc $id: no sample table (stsz/stco) in container")
+          require(sizes.length == offsets.length && sizes.nonEmpty,
+            s"doc $id: stsz/stco disagree " +
+              s"(${sizes.length} vs ${offsets.length})")
+          require(trackW > 0 && trackH > 0, s"doc $id: no tkhd box")
+          var allOk = true
+          var fi = 0
+          while (fi < sizes.length) {
+            val off = offsets(fi); val len = sizes(fi)
+            require(off >= 0 && len > 0 && off + len <= bytes.length,
+              s"doc $id: sample $fi [$off, ${off + len}) outside payload")
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off, len))
+            require(img != null, s"doc $id: undecodable JPEG sample $fi")
+            require(img.getWidth == trackW && img.getHeight == trackH,
+              s"doc $id: sample $fi is ${img.getWidth}x${img.getHeight}, " +
+                s"track says ${trackW}x$trackH")
+            var got = 0L
+            var exp = 0L
+            var x = 0
+            while (x < img.getWidth) {
+              var y = 0
+              while (y < img.getHeight) {
+                got += (img.getRGB(x, y) & 0xff).toLong
+                exp += (id * 31 + x + y + 7L * fi) % 256
+                y += 1
+              }
+              x += 1
+            }
+            if (math.abs(got - exp).toDouble / (trackW * trackH) > 3.0)
+              allOk = false
+            fi += 1
+          }
+          MjpegFeatures(id, sizes.length.toLong, trackW, trackH, allOk)
+        }
       }
   }
 

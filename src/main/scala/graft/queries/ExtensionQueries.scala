@@ -2470,46 +2470,65 @@ object ExtensionQueries {
          |    '${TextAnalysis.Pii.Ipv4}', '[IP]', 'g') AS redacted
          |FROM aug""".stripMargin),
 
-    // Multimodal plumbing: binary payload column + typed mapPartitions
-    // batch "decode" (deterministic fake features — see Multimodal scaladoc;
-    // the oracle replicates the arithmetic from md5/length of the text the
-    // payload was synthesized from).
-    // Resize stage over the decoded features: integer box-fit geometry
-    // (dim·256 / max(w,h)) the oracle replicates with integer division.
+    // REAL raster resize (round 13 — the fake geometry-only form is
+    // retired to test helpers): decode the PNG, box-fit the dims into a
+    // 32×32 target (exact integer geometry), then RESAMPLE the decoded
+    // raster by exact index mapping (out(cx,cy) = in(cx·w div out_w,
+    // cy·h div out_h) — the dHash grid convention, cross-engine
+    // re-derivable where bilinear weights are not). sum_resized
+    // checksums the output raster: a resampler reading even one wrong
+    // source pixel breaks the hash. The oracle re-derives geometry AND
+    // every resampled pixel from the generation formula.
     "mm_resize" -> QueryDef(
-      (s, dir) => Multimodal.resizeFeatures(s,
-        Multimodal.decodeFeatures(s,
-          Multimodal.synthesizeMedia(Tables.documents(s, dir))),
-        target = 256L).toDF(),
-      """WITH dec AS (
+      (s, dir) => Multimodal.resizeImages(s,
+        Multimodal.synthesizeImages(s, Tables.documents(s, dir)),
+        target = 32L).toDF(),
+      """WITH d AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1) AS BIGINT) AS width,
-        |    CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1) AS BIGINT) AS height
-        |  FROM documents)
-        |SELECT doc_id, media_type, width, height,
-        |  CAST(width * 256 // greatest(width, height) AS BIGINT) AS out_w,
-        |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
-        |FROM dec""".stripMargin),
+        |    CAST(16 + strpos('0123456789abcdef',
+        |      substr(md5(coalesce(text, '')), 1, 1)) - 1 AS BIGINT) AS width,
+        |    CAST(16 + strpos('0123456789abcdef',
+        |      substr(md5(coalesce(text, '')), 2, 1)) - 1 AS BIGINT) AS height
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, width, height,
+        |    width * 32 // greatest(width, height) AS out_w,
+        |    height * 32 // greatest(width, height) AS out_h
+        |  FROM d),
+        |px AS (
+        |  SELECT o.doc_id, o.width, o.height, o.out_w, o.out_h,
+        |    (o.doc_id * 31 + (cx.cx * o.width) // o.out_w
+        |      + (cy.cy * o.height) // o.out_h) % 256 AS g
+        |  FROM o,
+        |    LATERAL unnest(generate_series(0, o.out_w - 1)) AS cx(cx),
+        |    LATERAL unnest(generate_series(0, o.out_h - 1)) AS cy(cy))
+        |SELECT doc_id, width, height,
+        |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        |  CAST(sum(g) AS BIGINT) AS sum_resized
+        |FROM px GROUP BY doc_id, width, height, out_w, out_h""".stripMargin),
 
-    // Frame-sample stage: k=8 evenly-spaced indices per video, integer
-    // arithmetic, deduplicated when the clip is shorter than k — the
-    // row-multiplying stage, run after the payload is projected away.
+    // Frame-sample stage over REAL full-decode frame counts (round 13 —
+    // the fake strlen-derived count is retired): k=8 evenly-spaced
+    // indices per clip from decodeVideos' container-directory n_frames,
+    // deduplicated when the clip is shorter than k — the row-multiplying
+    // stage, run after the payload is projected away. (The k=4 sibling
+    // mm_video_frame_sample drives the same arithmetic from the HEADER
+    // probe — the two production shapes, both under oracle.)
     "mm_frame_sample" -> QueryDef(
-      (s, dir) => Multimodal.sampleFrames(s,
-        Multimodal.decodeFeatures(s,
-          Multimodal.synthesizeMedia(Tables.documents(s, dir))),
+      (s, dir) => Multimodal.sampleVideoFrames(s,
+        Multimodal.decodeVideos(s,
+          Multimodal.synthesizeVideos(s, Tables.documents(s, dir))),
         k = 8).toDF(),
-      """WITH vid AS (
+      """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(1 + strlen(text) % 240 AS BIGINT) AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 2)
+        |    CAST(2 + strpos('0123456789abcdef',
+        |      substr(md5(coalesce(text, '')), 1, 1)) - 1 AS BIGINT) AS n_frames
+        |  FROM documents)
         |SELECT doc_id,
         |  unnest(list_distinct(list_transform(generate_series(0, 7),
         |    i -> CAST(i * n_frames // 8 AS BIGINT)))) AS frame_idx,
         |  n_frames
-        |FROM vid""".stripMargin),
+        |FROM d""".stripMargin),
 
     // REAL video decode (multi-frame javax.imageio GIF over deterministic
     // animated-GIF fixtures — Multimodal.synthesizeVideos/decodeVideos):
@@ -2542,6 +2561,32 @@ object ExtensionQueries {
         |  CAST(sum((doc_id * 31 + x + y + 7 * f) % 256) AS BIGINT) AS sum_gray,
         |  CAST((doc_id * 31) % 256 AS BIGINT) AS px000
         |FROM px GROUP BY doc_id, n_frames, width, height""".stripMargin),
+
+    // REAL video decode, PRODUCTION CONTAINER shape (round 13): MJPEG-
+    // in-MP4 — real ImageIO JPEG frames inside a spec-conformant
+    // ISO-BMFF container with a genuine sample table
+    // (Multimodal.synthesizeMjpegMp4). The decode walks the box tree to
+    // stsz/stco under moov/trak/mdia/minf/stbl, slices every sample out
+    // of mdat by its table offset, and runs a REAL JPEG decode per
+    // frame (Multimodal.decodeMjpegMp4) — genuine container-parse →
+    // per-frame codec decode. JPEG is lossy, so the contract pins
+    // invariants (the mm_image_decode_jpeg lesson): n_frames and
+    // dimensions exact (container fields, required to match every
+    // decoded raster), and EVERY frame's raster within a 3-gray-level
+    // mean deviation of the generation formula — one mangled or skipped
+    // frame flips mean_dev_ok and breaks the hash.
+    "mm_video_decode_mjpeg" -> QueryDef(
+      (s, dir) => Multimodal.decodeMjpegMp4(s,
+        Multimodal.synthesizeMjpegMp4(s, Tables.documents(s, dir))).toDF(),
+      """SELECT doc_id,
+        |  CAST(2 + strpos('0123456789abcdef',
+        |    substr(md5(coalesce(text, '')), 1, 1)) - 1 AS BIGINT) AS n_frames,
+        |  CAST(16 + strpos('0123456789abcdef',
+        |    substr(md5(coalesce(text, '')), 2, 1)) - 1 AS BIGINT) AS width,
+        |  CAST(16 + strpos('0123456789abcdef',
+        |    substr(md5(coalesce(text, '')), 3, 1)) - 1 AS BIGINT) AS height,
+        |  TRUE AS mean_dev_ok
+        |FROM documents""".stripMargin),
 
     // Frame sampling driven by the REAL container-derived frame count:
     // k=4 evenly-spaced indices per clip, deduplicated when the clip is
@@ -2929,18 +2974,71 @@ object ExtensionQueries {
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
         |FROM sm GROUP BY doc_id, n_samples""".stripMargin),
 
+    // REAL mixed-modal decode routing (round 13 — the last fake-decode
+    // registration retired): one binary media column carrying three
+    // real codecs (PNG / RIFF-WAVE PCM / animated GIF by doc_id mod 3),
+    // routed by media_type to the matching REAL decoder and unified
+    // into one typed feature frame — the production shape for a
+    // heterogeneous 100 TB media corpus (scan-level routing filters,
+    // zero shuffles, payloads never outlive their decode stage). All
+    // three codecs are lossless over these fixtures, so the oracle
+    // re-derives every decoded value — pixel sums, |sample| sums, frame
+    // counts — from the generation formulas, hash-exact.
     "mm_decode_features" -> QueryDef(
-      (s, dir) => Multimodal.decodeFeatures(s,
-        Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF(),
-      """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-        |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS BIGINT) AS byte_len,
-        |  md5(coalesce(text, '')) AS content_md5,
-        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1) AS BIGINT) AS width,
-        |  CAST(64 + 16 * (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2, 1)) - 1) AS BIGINT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin),
+      (s, dir) => Multimodal.decodeMixed(s,
+        Multimodal.synthesizeMixedMedia(s, Tables.documents(s, dir))).toDF(),
+      """WITH hx AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+        |img AS (
+        |  SELECT doc_id,
+        |    CAST(16 + strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+        |         AS BIGINT) AS w,
+        |    CAST(16 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+        |         AS BIGINT) AS hh
+        |  FROM hx WHERE doc_id % 3 = 0),
+        |imgf AS (
+        |  SELECT i.doc_id, 'image' AS media_type, i.w AS width,
+        |    i.hh AS height, CAST(1 AS BIGINT) AS n_frames,
+        |    CAST(sum((i.doc_id * 31 + x.x + y.y) % 256) AS BIGINT)
+        |      AS content_sum
+        |  FROM img i,
+        |    LATERAL unnest(generate_series(0, i.w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, i.hh - 1)) AS y(y)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |aud AS (
+        |  SELECT doc_id,
+        |    CAST(64 + 4 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+        |         AS BIGINT) AS n
+        |  FROM hx WHERE doc_id % 3 = 1),
+        |audf AS (
+        |  SELECT a.doc_id, 'audio' AS media_type, a.n AS width,
+        |    CAST(1 AS BIGINT) AS height, CAST(1 AS BIGINT) AS n_frames,
+        |    CAST(sum(abs((a.doc_id * 31 + i.i * 7) % 65536 - 32768))
+        |      AS BIGINT) AS content_sum
+        |  FROM aud a, LATERAL unnest(generate_series(0, a.n - 1)) AS i(i)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |vid AS (
+        |  SELECT doc_id,
+        |    CAST(2 + strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+        |         AS BIGINT) AS f,
+        |    CAST(8 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+        |         AS BIGINT) AS w,
+        |    CAST(8 + strpos('0123456789abcdef', substr(h, 3, 1)) - 1
+        |         AS BIGINT) AS hh
+        |  FROM hx WHERE doc_id % 3 = 2),
+        |vidf AS (
+        |  SELECT v.doc_id, 'video' AS media_type, v.w AS width,
+        |    v.hh AS height, v.f AS n_frames,
+        |    CAST(sum((v.doc_id * 31 + x.x + y.y + 7 * ff.f) % 256)
+        |      AS BIGINT) AS content_sum
+        |  FROM vid v,
+        |    LATERAL unnest(generate_series(0, v.f - 1)) AS ff(f),
+        |    LATERAL unnest(generate_series(0, v.w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, v.hh - 1)) AS y(y)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT * FROM imgf
+        |UNION ALL SELECT * FROM audf
+        |UNION ALL SELECT * FROM vidf""".stripMargin),
 
     // DQ (ext, round 9) — declarative data-quality gate
     // (Deequ/Great-Expectations shape): a six-check suite over events

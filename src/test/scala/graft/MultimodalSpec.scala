@@ -289,4 +289,62 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(h => h.doc_id -> h.dhash).toMap
     assert(hs(1L) === hs(2L))
   }
+
+  test("mjpeg-in-mp4: sample-table walk finds every frame, per-frame JPEG " +
+    "decode lands in budget, codec genuinely lossy, corrupt containers loud") {
+    import spark.implicits._
+    val many = Tables.documents(spark, sf0001).limit(60)
+    val media = Multimodal.synthesizeMjpegMp4(spark, many)
+      .localCheckpoint(eager = true)
+    val out = Multimodal.decodeMjpegMp4(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val meta = many.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === meta.keySet)
+    for ((id, hex) <- meta) {
+      def hv(i: Int) = "0123456789abcdef".indexOf(hex.charAt(i))
+      val f = out(id)
+      assert(f.n_frames === (2 + hv(0)).toLong)  // stsz count
+      assert(f.width === (16 + hv(1)).toLong)    // tkhd == every raster
+      assert(f.height === (16 + hv(2)).toLong)
+      assert(f.mean_dev_ok, s"doc $id: a frame broke the 3-gray budget")
+    }
+    val one = media.filter(col("doc_id") === meta.keys.head)
+      .select("payload").head().getAs[Array[Byte]](0)
+    // probeMp4's walker must also accept the container (ftyp + moov)
+    val probed = Multimodal.probeMp4(spark,
+      Seq((meta.keys.head, one)).toDF("doc_id", "payload")).collect()
+    assert(probed.head.major_brand === "isom")
+    // corrupt sample table: truncate the payload into the mdat — the
+    // out-of-range sample must fail loud, not decode garbage
+    val cut = one.take(one.length - 4)
+    val err = intercept[Exception] {
+      Multimodal.decodeMjpegMp4(spark,
+        Seq((99L, cut)).toDF("doc_id", "payload")).collect()
+    }
+    assert(err.getMessage.contains("99") ||
+      err.getCause != null && err.getCause.getMessage.contains("99"))
+  }
+
+  test("decodeMixed routes every media_type to its real codec and fails " +
+    "loud on an unroutable type") {
+    import spark.implicits._
+    val many = Tables.documents(spark, sf0001).limit(30)
+    val media = Multimodal.synthesizeMixedMedia(spark, many)
+    val out = Multimodal.decodeMixed(spark, media).collect()
+    assert(out.length === 30)
+    val byType = out.groupBy(_.media_type)
+    assert(byType.keySet === Set("image", "audio", "video"))
+    assert(byType("audio").forall(f => f.height == 1L && f.n_frames == 1L))
+    assert(byType("video").forall(_.n_frames >= 2L))
+    // unknown media_type detonates instead of silently dropping
+    val bad = media.limit(1)
+      .withColumn("media_type", lit("hologram"))
+    val err = intercept[Exception] {
+      Multimodal.decodeMixed(spark, bad).collect()
+    }
+    assert(err.getMessage.contains("hologram") ||
+      err.getCause != null && err.getCause.getMessage.contains("hologram"))
+  }
 }

@@ -153,8 +153,8 @@ class SimilaritySpec extends SparkSpecBase {
   test("multimodal resize: box-fit geometry preserves aspect order, max dim hits the target") {
     val docs = Seq((0L, "alpha beta gamma"), (2L, "some video words here"))
       .toDF("doc_id", "text")
-    val out = Multimodal.resizeFeatures(spark,
-      Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(docs)), 256L)
+    val out = FakeMedia.resizeFeatures(spark,
+      FakeMedia.decodeFeatures(spark, FakeMedia.synthesizeMedia(docs)), 256L)
       .collect().map(r => r.doc_id -> r).toMap
     out.values.foreach { r =>
       assert(math.max(r.out_w, r.out_h) === 256L) // fitted to the box
@@ -167,8 +167,8 @@ class SimilaritySpec extends SparkSpecBase {
   test("multimodal frame sampling: videos only, distinct in-range indices, short clips dedupe") {
     val docs = Seq((0L, "image doc"), (2L, "x " * 3), (5L, "y " * 200))
       .toDF("doc_id", "text")
-    val decoded = Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(docs))
-    val frames = Multimodal.sampleFrames(spark, decoded, k = 8).collect()
+    val decoded = FakeMedia.decodeFeatures(spark, FakeMedia.synthesizeMedia(docs))
+    val frames = FakeMedia.sampleFrames(spark, decoded, k = 8).collect()
     assert(!frames.exists(_.doc_id === 0L)) // non-video emits nothing
     frames.groupBy(_.doc_id).foreach { case (_, fs) =>
       val idx = fs.map(_.frame_idx)
@@ -236,7 +236,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("multimodal fake decode: md5/length-derived features, video frame rule") {
     val docs = Seq((0L, "alpha beta"), (2L, "gamma delta epsilon"))
       .toDF("doc_id", "text")
-    val out = Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(docs))
+    val out = FakeMedia.decodeFeatures(spark, FakeMedia.synthesizeMedia(docs))
       .collect().map(d => d.doc_id -> d).toMap
     assert(out(0L).media_type === "image")
     assert(out(2L).media_type === "video")

@@ -24,10 +24,10 @@ object PlanCheck {
       .filter(l => l.contains("Window") || l.contains("Exchange") || l.contains("Sort"))
       .mkString("\n"))
 
-    val media = graft.operators.Multimodal.synthesizeMedia(
+    val media = graft.operators.Multimodal.synthesizeMixedMedia(spark,
       graft.Tables.documents(spark, dir))
-    println("=== decodeFeatures partitions: " +
-      graft.operators.Multimodal.decodeFeatures(spark, media).rdd.getNumPartitions)
+    println("=== decodeMixed partitions: " +
+      graft.operators.Multimodal.decodeMixed(spark, media).rdd.getNumPartitions)
 
     val j = graft.queries.CoreQueries.defs("json_props_extract").fn(spark, dir)
     j.show(5, false)
