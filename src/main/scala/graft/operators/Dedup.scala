@@ -313,6 +313,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash band sizing as a pure function of corpus count (round 13 —
+    * the occupancyBits discipline applied to the last caller-tuned
+    * pairing knob). Two failure modes bound the (rowsPerBand, numBands)
+    * choice as n grows, and the rule prices both:
+    *
+    *  1. BACKGROUND CANDIDATES: unrelated pairs (Jaccard ≈ j₀) collide
+    *     in some band with probability ≈ b·j₀^r, so expected false
+    *     candidates are ~n²·b·j₀^r — QUADRATIC in n for fixed r. Holding
+    *     expected false candidates PER DOCUMENT at `falseCandPerDoc`
+    *     needs r ≥ ln(n·b / falseCandPerDoc) / ln(1/j₀): r grows with
+    *     log n (fixed r = the measured sf1 blow-up hazard, same
+    *     pathology as fixed hyperplane bits).
+    *  2. RECALL at the detection threshold t = num/den: a true pair at
+    *     exactly t survives with 1−(1−t^r)^b ≥ recallMilli/1000 needs
+    *     b ≥ ln(1 − recall) / ln(1 − t^r) — the price of a sharper r is
+    *     more bands.
+    *
+    * The fixed point is solved by the tiny integer iteration below
+    * (r ≤ 12 always terminates); numPerm = b·r is clamped to `maxPerm`
+    * (sketch cost per doc is linear in numPerm — the explicit trade:
+    * past the clamp, recall at threshold degrades instead of cost
+    * exploding). j₀ rides as `j0Milli` (default 50 — a 5% background
+    * resemblance, conservative for natural-text shingles; measure and
+    * pin per corpus family). Returns (numPerm, rowsPerBand). */
+  def minhashParamsAuto(n: Long, num: Int, den: Int,
+                        recallMilli: Int = 990, j0Milli: Int = 50,
+                        falseCandPerDoc: Int = 1,
+                        maxPerm: Int = 512): (Int, Int) = {
+    require(num >= 1 && den > num, s"bad threshold $num/$den")
+    require(recallMilli >= 500 && recallMilli <= 999,
+      s"recallMilli must be in [500, 999]: $recallMilli")
+    require(j0Milli >= 1 && j0Milli <= 500,
+      s"j0Milli must be in [1, 500]: $j0Milli")
+    require(falseCandPerDoc >= 1 && maxPerm >= 8, "bad budget params")
+    val t = num.toDouble / den
+    val j0 = j0Milli / 1000.0
+    def bandsFor(r: Int): Int = math.max(1, math.ceil(
+      math.log(1.0 - recallMilli / 1000.0) /
+        math.log(1.0 - math.pow(t, r))).toInt)
+    // smallest r in [2, 12] whose background-candidate budget holds with
+    // ITS OWN recall-driven band count (b appears on both sides — the
+    // iteration converges because bandsFor(r) is finite and the lhs is
+    // monotone in r)
+    var r = 2
+    while (r < 12 &&
+      math.max(n, 1L) * bandsFor(r) * math.pow(j0, r) > falseCandPerDoc)
+      r += 1
+    val b = math.max(1, math.min(bandsFor(r), maxPerm / r))
+    (b * r, r)
+  }
+
+  /** [[minhashLshPairs]] with the sizing rule applied automatically: one
+    * cheap count job derives (numPerm, rowsPerBand) via
+    * [[minhashParamsAuto]], then the fixed-knob pipeline runs unchanged
+    * — the production entry point for a corpus whose size the caller
+    * does not know ahead of time; the fixed form remains for
+    * recall-pinned registrations and spec geometry. */
+  def minhashLshPairsAuto(docs: DataFrame, n: Int, num: Int, den: Int,
+                          recallMilli: Int = 990, j0Milli: Int = 50,
+                          maxBucket: Int = 0): DataFrame = {
+    val count = docs.select(col("doc_id")).count()
+    val (numPerm, rowsPerBand) =
+      minhashParamsAuto(count, num, den, recallMilli, j0Milli)
+    minhashLshPairs(docs, n, numPerm, rowsPerBand, num, den, maxBucket)
+  }
+
   /** INCREMENTAL near-dup detection: probe an ingest `batch` against a
     * pre-built corpus [[minhashIndex]] (typically read back from parquet)
     * and return the verified cross pairs `(doc_new, doc_old)` with

@@ -631,6 +631,47 @@ object Similarity {
       multiProbe = multiProbe)
   }
 
+  /** IVF sizing as a pure function of corpus count (round 13 — the
+    * occupancyBits discipline applied to the second caller-tuned knob):
+    * nCentroids = round(√n) clamped to [4, maxCentroids] — the classic
+    * inverted-file rule, balancing coarse-quantizer cost (O(n·C) assign)
+    * against posting-list length (n/C ≈ √n each) — and nProbe =
+    * ceil(C·probeMilli/1000) clamped to [1, C], holding the CANDIDATE
+    * VOLUME FRACTION (≈ nProbe/nCentroids) constant as the corpus
+    * grows. probeMilli defaults to 375 — the registered ann_ivf_topk
+    * volume (12/32), whose recall this corpus family measures at
+    * 0.76–0.83 across three decades of n (RECALL_SCALE.md); production
+    * high-cosine corpora run far lower fractions, the documented
+    * regime note. A fixed (C, P) shipped to a 100× corpus either
+    * degrades recall (C too small → posting lists too long to rank
+    * well) or cost (P too large) — the rule retunes both from ONE
+    * count. */
+  def ivfParamsAuto(n: Long, probeMilli: Int = 375,
+                    maxCentroids: Int = 4096): (Int, Int) = {
+    require(probeMilli >= 1 && probeMilli <= 1000,
+      s"probeMilli must be in [1, 1000]: $probeMilli")
+    require(maxCentroids >= 4, s"maxCentroids must be >= 4: $maxCentroids")
+    val c = math.min(maxCentroids.toLong,
+      math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
+    val p = math.min(c.toLong,
+      math.max(1L, math.ceil(c * probeMilli / 1000.0).toLong)).toInt
+    (c, p)
+  }
+
+  /** [[ivfTopK]] with the sizing rule applied automatically: one cheap
+    * count job derives (nCentroids, nProbe) via [[ivfParamsAuto]], then
+    * the fixed-knob pipeline runs unchanged — the production entry
+    * point; the fixed form remains for recall-pinned registrations and
+    * spec geometry. */
+  def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                  refineIters: Int = 1, probeMilli: Int = 375,
+                  maxCentroids: Int = 4096): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    val (c, p) = ivfParamsAuto(n, probeMilli, maxCentroids)
+    ivfTopK(queries, corpus, k, nCentroids = c, nProbe = p,
+      refineIters = refineIters)
+  }
+
   /** Majority vote over a top-k neighbour frame (`query_id, rank,
     * neighbor_id` — any of the top-k producers above): join neighbour
     * labels, count votes per (query, label), predict the plurality with

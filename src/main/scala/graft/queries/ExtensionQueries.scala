@@ -654,6 +654,20 @@ object ExtensionQueries {
         n = 3, numPerm = 32, rowsPerBand = 2, num = 1, den = 2),
       duckJaccardPairs),
 
+    // MinHash LSH with AUTO-SIZED bands (round 13 — the occupancyBits
+    // discipline on the last caller-tuned pairing knob): ONE count job
+    // derives (numPerm, rowsPerBand) from the corpus size — rowsPerBand
+    // grows with log n so expected BACKGROUND candidates per document
+    // stay constant (fixed r is quadratic in n — the measured sf1
+    // hazard), and the band count re-prices the S-curve to hold ≥99%
+    // recall at the j ≥ 1/2 threshold (Dedup.minhashParamsAuto). The
+    // oracle is the SAME exact-Jaccard ground truth as the fixed row:
+    // auto-sizing must not lose a single true pair at either driver SF.
+    "dedup_minhash_lsh_auto" -> QueryDef(
+      (s, dir) => Dedup.minhashLshPairsAuto(Tables.documents(s, dir),
+        n = 3, num = 1, den = 2),
+      duckJaccardPairs),
+
     // CONTAINMENT near-dup (round 9): |A∩B|/|A| ≥ 0.7 — the DIRECTED
     // subset/quote relation symmetric Jaccard misses (a doc embedded
     // inside a longer one has tiny Jaccard, containment ≈ 1). Ground-
@@ -1565,6 +1579,25 @@ object ExtensionQueries {
         annInvariants(queries,
           Similarity.ivfTopK(queries, emb, k = 5, nCentroids = 32, nProbe = 12,
             refineIters = 2),
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.6)
+      },
+      annInvariantOracle),
+
+    // IVF top-k with AUTO-SIZED quantizer (round 13): ONE count job
+    // derives nCentroids = √n (the classic inverted-file rule) and
+    // nProbe from a constant candidate-volume fraction (375‰ — the
+    // fixed row's 12/32 volume, this corpus family's measured-recall
+    // operating point; see Similarity.ivfParamsAuto). A fixed (C, P)
+    // shipped to a 100× corpus silently degrades recall or cost; the
+    // rule retunes both. Same invariant aggregate + 0.6 recall floor
+    // as the fixed row.
+    "ann_ivf_topk_auto" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        annInvariants(queries,
+          Similarity.ivfTopKAuto(queries, emb, k = 5, refineIters = 2),
           Similarity.bruteForceTopK(queries, emb, k = 5),
           k = 5, recallFloor = 0.6)
       },

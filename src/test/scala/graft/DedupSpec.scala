@@ -436,4 +436,37 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(g.values.map(_._2).sum > l.values.map(_._2).sum)
   }
+
+  test("minhashParamsAuto: rows-per-band grows with log n (background " +
+    "budget), band count re-prices the recall S-curve, clamps hold, and " +
+    "the auto pipeline is IDENTICAL to the fixed form at derived params") {
+    import graft.operators.Dedup
+    // background-candidate budget: n·b·j0^r <= 1 at the returned r
+    // (unless r hit its 12 cap), and r is monotone non-decreasing in n
+    val ns = Seq(100L, 1000L, 10000L, 1000000L, 100000000L)
+    val params = ns.map(n => n -> Dedup.minhashParamsAuto(n, 1, 2))
+    params.sliding(2).foreach { case Seq((_, (_, r1)), (_, (_, r2))) =>
+      assert(r2 >= r1, s"rowsPerBand not monotone: $params")
+    }
+    params.foreach { case (n, (perm, r)) =>
+      val b = perm / r
+      assert(perm % r === 0 && perm <= 512 && r >= 2 && r <= 12)
+      if (r < 12)
+        assert(n * b * math.pow(0.05, r) <= 1.0 + 1e-9,
+          s"budget broken at n=$n: r=$r b=$b")
+      // recall at the j=1/2 threshold >= 99% unless maxPerm clamped b
+      val recall = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+      if (b < 512 / r) assert(recall >= 0.99 - 1e-9,
+        s"recall $recall under target at n=$n (r=$r, b=$b)")
+    }
+    // pipeline identity: auto == fixed at the derived params, pair-set
+    // for pair-set (determinism is per-params, so this must be exact)
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val (perm, r) = Dedup.minhashParamsAuto(n, 1, 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs(Dedup.minhashLshPairsAuto(docs, 3, 1, 2)) ===
+      pairs(Dedup.minhashLshPairs(docs, 3, perm, r, 1, 2)))
+  }
 }

@@ -585,4 +585,33 @@ class SimilaritySpec extends SparkSpecBase {
     // exact top-1 pair set must be a subset of the served top-5
     assert(brute.subsetOf(servedPairs))
   }
+
+  test("ivfParamsAuto: sqrt-n centroids with clamps, constant candidate-" +
+    "volume fraction, and the auto pipeline identical to the fixed form") {
+    import graft.operators.Similarity
+    // sqrt rule + clamps
+    assert(Similarity.ivfParamsAuto(1L) === ((4, 2)))          // floor
+    assert(Similarity.ivfParamsAuto(10000L)._1 === 100)
+    assert(Similarity.ivfParamsAuto(100000000L)._1 === 4096)   // cap
+    // candidate-volume fraction nProbe/nCentroids stays ~constant
+    Seq(1000L, 100000L, 10000000L).foreach { n =>
+      val (c, p) = Similarity.ivfParamsAuto(n)
+      val frac = p.toDouble / c
+      assert(frac >= 0.375 - 1e-9 && frac <= 0.375 + 1.0 / c + 1e-9,
+        s"volume fraction drifted at n=$n: $p/$c")
+    }
+    // identity: auto == fixed at the derived params (same seeding, same
+    // refinement — the result frames must match row for row)
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val n = emb.count()
+    val (c, p) = Similarity.ivfParamsAuto(n)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Similarity.ivfTopKAuto(queries, emb, k = 5,
+        refineIters = 2)) ===
+      rows(Similarity.ivfTopK(queries, emb, k = 5, nCentroids = c,
+        nProbe = p, refineIters = 2)))
+  }
 }
