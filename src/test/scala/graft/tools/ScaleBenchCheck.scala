@@ -68,6 +68,19 @@ object ScaleBenchCheck {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    // lineitem (round 13 — graph rows build co-purchase edges from it):
+    // per-copy offsets on the graph keys (orderkey, partkey, suppkey) →
+    // 10 DISJOINT graph copies, the linear-expectation growth shape
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(broadcast(copies))
+      .select(li.columns.map {
+        case k @ ("l_orderkey" | "l_partkey" | "l_suppkey") =>
+          (col(k) + col("c").cast("long") * 1000000000L).as(k)
+        case other => col(other)
+      }: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(broadcast(copies))
       .select(
@@ -107,11 +120,19 @@ object ScaleBenchCheck {
     // warmup
     materialize(graft.Tables.events(spark, sf01).groupBy(lower(col("event_type"))).count())
 
+    // SPARK_GRAFT_TIME_CONSTRUCTION=1 times fn() + materialize TOGETHER —
+    // the honest mode for stream_* rows, whose micro-batch stream RUNS
+    // during construction (the Bench methodology deliberately leaves
+    // construction untimed, which for those rows times only the final
+    // comparison frame)
+    val timeConstruction =
+      sys.env.get("SPARK_GRAFT_TIME_CONSTRUCTION").contains("1")
     def timed(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       Array.fill(3) {
+        val t0c = System.nanoTime()
         val df = fn(spark, dir)
-        val t0 = System.nanoTime()
+        val t0 = if (timeConstruction) t0c else System.nanoTime()
         materialize(df)
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values
