@@ -3748,6 +3748,179 @@ object ExtensionQueries {
         |SELECT user_id, event_type, ts AS latest_ts, value AS latest_value, n
         |FROM r WHERE rn2 = 1""".stripMargin),
 
+    // Seventh oracle-certified streaming path (round 13): the
+    // flatMapGroupsWithState TRUNCATED-EWMA operator — per-key RING
+    // state (last maxLag−1 values), the family where state is a
+    // fixed-size value buffer rather than a single record
+    // (stream_latest_per_group) or a running counter
+    // (stream_budget_gate). The fn streams events as 4 event-time range
+    // chunks (the operator's in-order-feed contract) through
+    // StreamingAnalytics.streamingEwma, whose quantized BIGINT
+    // arithmetic is the batch W13 chain VERBATIM — so the streamed EWMA
+    // of every row must equal the batch operator's bit for bit, and the
+    // oracle is the SAME quantized-weights SQL the batch w13_ewma row
+    // pins. Ring-state corruption at any chunk boundary (lost tail,
+    // wrong order) shifts a smoothed value and breaks the hash.
+    "stream_ewma" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+          .select(
+            concat_ws("|", col("user_id"), col("event_type")).as("key"),
+            unix_micros(col("ts").cast("timestamp")).as("ts"),
+            col("event_id").as("id"), col("value").as("v"))
+        val base = Scratch.dir("stream-ewma")
+        val landing = s"$base/in"
+        val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ev.filter(col("ts") >= lo + i * cut &&
+              col("ts") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("key STRING, ts LONG, id LONG, v DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .as[graft.streaming.StreamingAnalytics.EwmaEvent]
+        val outDir = s"$base/out"
+        val q = graft.streaming.StreamingAnalytics
+          .streamingEwma(s, in, alpha = 0.3, maxLag = 8)
+          .toDF()
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("id").as("event_id"),
+            split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
+            split(col("key"), "\\|").getItem(1).as("event_type"),
+            col("v").as("value"), col("ewma"))
+      }, {
+        val wvals = graft.operators.Features.ewmaWeights(0.3, 8).zipWithIndex
+          .map { case (wt, j) => s"($j, CAST(${"%.17g".format(wt)} AS DOUBLE))" }
+          .mkString(", ")
+        s"""WITH r AS (
+           |  SELECT event_id, user_id, event_type, value,
+           |    row_number() OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+           |j AS (
+           |  SELECT cur.event_id, cur.user_id, cur.event_type, cur.value,
+           |    CAST(round(hist.value * w.wt * 1e12) AS BIGINT) AS tq,
+           |    CAST(round(w.wt * 1e12) AS BIGINT) AS wq
+           |  FROM r cur
+           |  JOIN r hist ON cur.user_id = hist.user_id
+           |    AND cur.event_type = hist.event_type
+           |    AND hist.rn BETWEEN cur.rn - 7 AND cur.rn
+           |  JOIN (VALUES $wvals) AS w(j, wt) ON w.j = cur.rn - hist.rn)
+           |SELECT event_id, user_id, event_type, value,
+           |  CAST(sum(tq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS ewma
+           |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
+      }),
+
+    // Eighth oracle-certified streaming path (round 13): the per-user
+    // FUNNEL-PROGRESS operator (EV1 streaming) — mapGroupsWithState
+    // whose state is a (stage, position) cursor advanced by the strict
+    // (ts, event_id) order the batch funnel uses. Events stream as 4
+    // event-time range chunks (in-order feed), so the greedy
+    // first-completion semantics match the batch operator exactly; the
+    // final per-user stage (emissions are monotone — max over batches)
+    // must equal the batch funnel's reach, which the oracle re-derives
+    // user by user with the ev1 stage chain. A cursor lost at a chunk
+    // boundary repeats or skips a stage and breaks the hash.
+    "stream_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val stages = Seq("signup", "view", "click", "purchase")
+        val ev = Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isin(stages: _*))
+          .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("event_id").as("eventId"))
+        val base = Scratch.dir("stream-funnel")
+        val landing = s"$base/in"
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ev.filter(col("ts_us") >= lo + i * cut &&
+              col("ts_us") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("userId LONG, eventType STRING, ts_us LONG, eventId LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .select(col("userId"), col("eventType"),
+            timestamp_micros(col("ts_us")).cast("timestamp").as("eventTime"),
+            col("eventId"))
+          .as[graft.streaming.StreamingAnalytics.FunnelEvent]
+        val outDir = s"$base/out"
+        val q = graft.streaming.StreamingAnalytics
+          .funnelProgress(s, in, stages)
+          .toDF()
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        // reach is monotone per user — the final stage is the max emission
+        s.read.parquet(outDir)
+          .groupBy(col("userId").as("user_id"))
+          .agg(max(col("stage")).cast("int").as("stage"))
+          .select(col("user_id"), col("stage"))
+      },
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IN ('signup', 'view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM base WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'view'
+        |      AND (e.ts, e.event_id) > (s1.ts, s1.event_id)) WHERE rn = 1),
+        |s3 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts, e.event_id) > (s2.ts, s2.event_id)) WHERE rn = 1),
+        |s4 AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM base e JOIN s3 ON e.user_id = s3.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts, e.event_id) > (s3.ts, s3.event_id)) WHERE rn = 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s4.user_id IS NOT NULL THEN 4
+        |            WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM base) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |LEFT JOIN s4 ON u.user_id = s4.user_id""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
