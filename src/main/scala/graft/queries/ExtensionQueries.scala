@@ -3921,6 +3921,141 @@ object ExtensionQueries {
         |LEFT JOIN s3 ON u.user_id = s3.user_id
         |LEFT JOIN s4 ON u.user_id = s4.user_id""".stripMargin),
 
+    // Ninth oracle-certified streaming path (round 13): the LEDGERED
+    // ADDITIVE sketch merge — counter addition is NOT idempotent, so
+    // runCountMin's exactly-once recipe (cell-wise add under a one-row
+    // batch-id high-water ledger, published via versioned snapshot) is
+    // precisely the machinery a replay would corrupt. The fn streams
+    // events as 4 chunks through runCountMin, then REDELIVERS two
+    // already-applied batches straight into the merge step (the
+    // checkpoint-recovery shape) — both must be provable no-ops — and
+    // emits the artifact's cells. The oracle re-derives the EXACT
+    // count-min cells from events alone (the batch sketch_count_min md5
+    // chain): one double-counted cell from a replay, one lost cell from
+    // a dropped batch, or a wrong high-water mark breaks the hash.
+    "stream_count_min" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"))
+        val base = Scratch.dir("stream-cms")
+        val landing = s"$base/in"
+        // additive counters are order-insensitive — mod chunks suffice
+        (0 until 4).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("event_id LONG, user_id LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val artifact = s"$base/artifact"
+        val q = graft.streaming.StreamingAnalytics.runCountMin(
+          s, in, keyCol = "user_id", width = 64, depth = 4, seed = "cms8",
+          artifactDir = artifact, checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        // REDELIVERY of already-applied batches (first and latest) — the
+        // ledger must make both exact no-ops
+        val replay = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        graft.streaming.StreamingAnalytics.applyCountMinBatch(
+          s, replay, batchId = 0L, keyCol = "user_id", width = 64,
+          depth = 4, seed = "cms8", artifactDir = artifact)
+        graft.streaming.StreamingAnalytics.applyCountMinBatch(
+          s, replay, batchId = 3L, keyCol = "user_id", width = 64,
+          depth = 4, seed = "cms8", artifactDir = artifact)
+        val snap = graft.operators.Sinks.readSnapshot(s, artifact)
+        val maxApplied = snap.filter(col("batch_id") >= 0)
+          .agg(max(col("batch_id"))).head().getLong(0)
+        require(maxApplied == 3L,
+          s"stream_count_min: ledger high-water $maxApplied != 3 — a " +
+            "redelivered batch advanced (or a live batch missed) the ledger")
+        snap.filter(col("batch_id") < 0)
+          .select(col("sk_row"), col("sk_col"), col("c"),
+            lit(maxApplied).as("max_applied"))
+      },
+      """WITH cells AS (
+        |  SELECT user_id, i.i AS sk_row,
+        |    CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR) || ':cms8'), 1, 15)) AS BIGINT) % 64
+        |      AS sk_col
+        |  FROM events, LATERAL unnest(generate_series(0, 3)) AS i(i)
+        |  WHERE user_id IS NOT NULL)
+        |SELECT CAST(sk_row AS INT) AS sk_row, sk_col,
+        |  count(*) AS c, CAST(3 AS BIGINT) AS max_applied
+        |FROM cells GROUP BY 1, 2""".stripMargin),
+
+    // Tenth oracle-certified streaming path (round 13): the IDEMPOTENT-
+    // BY-ALGEBRA sketch merge — bloom bit-set union, the contrast case
+    // to stream_count_min's ledger (OR-ing bits already present is a
+    // no-op, so replay safety needs NO bookkeeping). The fn streams the
+    // member keys as 4 chunks through runBloomMembership, REDELIVERS a
+    // chunk's bloom into the published artifact (must not change one
+    // bit), then serves the full membership probe frame off the
+    // artifact — hash-compared against the batch sketch_bloom md5
+    // chain. A lost chunk flips might_contain rows (no false negatives
+    // ever — one_sided_ok is the one-sided contract as data).
+    "stream_bloom_membership" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{Sinks, Sketches}
+        val ev = Tables.events(s, dir)
+        val members = ev.filter(pmod(col("user_id"), lit(7)) === 0)
+          .select(col("event_id"), col("user_id"))
+        val base = Scratch.dir("stream-bloom")
+        val landing = s"$base/in"
+        (0 until 4).foreach { i =>
+          members.filter(pmod(col("event_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("event_id LONG, user_id LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val artifact = s"$base/artifact"
+        val q = graft.streaming.StreamingAnalytics.runBloomMembership(
+          s, in, keyCol = "user_id", bits = 128, hashes = 3, seed = "bl9",
+          artifactDir = artifact, checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        val snap = Sinks.readSnapshot(s, artifact).select(col("bit"))
+          .localCheckpoint(eager = false)
+        // algebraic replay: re-unioning chunk 0's bloom must be a no-op
+        val replayBits = Sketches.bloom(
+          members.filter(pmod(col("event_id"), lit(4)) === 0),
+          col("user_id"), bits = 128, hashes = 3, seed = "bl9")
+        val replayed = Sketches.mergeBlooms(Seq(snap, replayBits))
+        val drift = snap.withColumn("__a", lit(1))
+          .join(replayed.withColumn("__b", lit(1)), Seq("bit"), "full_outer")
+          .filter(col("__a").isNull || col("__b").isNull).count()
+        require(drift == 0L,
+          s"stream_bloom_membership: replaying a chunk changed $drift " +
+            "bits — the union stopped being idempotent")
+        Sketches.bloomMightContain(snap, ev, col("user_id"),
+          bits = 128, hashes = 3, seed = "bl9")
+          .withColumnRenamed("key", "user_id")
+          .withColumn("truly_in", pmod(col("user_id"), lit(7)) === 0)
+          .select(col("user_id"), col("might_contain"), col("truly_in"),
+            (!col("truly_in") || col("might_contain")).as("one_sided_ok"),
+            lit(true).as("replay_noop_ok"))
+      },
+      """WITH members AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 7 = 0),
+        |bits AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |    || ':' || CAST(user_id AS VARCHAR) || ':bl9'), 1, 15))
+        |    AS BIGINT) % 128 AS bit
+        |  FROM members, LATERAL unnest(generate_series(0, 2)) AS i(i)),
+        |probes AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |pb AS (
+        |  SELECT user_id, CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |    || ':' || CAST(user_id AS VARCHAR) || ':bl9'), 1, 15))
+        |    AS BIGINT) % 128 AS bit
+        |  FROM probes, LATERAL unnest(generate_series(0, 2)) AS i(i)),
+        |mc AS (
+        |  SELECT p.user_id, count(b.bit) = 3 AS might_contain
+        |  FROM pb p LEFT JOIN bits b USING (bit) GROUP BY p.user_id)
+        |SELECT user_id, might_contain, user_id % 7 = 0 AS truly_in,
+        |  (NOT user_id % 7 = 0) OR might_contain AS one_sided_ok,
+        |  TRUE AS replay_noop_ok
+        |FROM mc""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
