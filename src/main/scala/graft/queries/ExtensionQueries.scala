@@ -4056,6 +4056,176 @@ object ExtensionQueries {
         |  TRUE AS replay_noop_ok
         |FROM mc""".stripMargin),
 
+    // Eleventh oracle-certified streaming path (round 13): the
+    // PER-BATCH DISTRIBUTION MONITOR — runDriftMonitor grades every
+    // micro-batch's value distribution against a FIXED reference
+    // histogram by exact integer cross-multiplied TVD (the batch a36
+    // arithmetic), writing one verdict frame per batch. The fn fits the
+    // reference grid over ALL events (Sketches.binHistogram — the
+    // shared-grid mergeability contract), streams events as 4
+    // event_id-mod-4 chunks, and emits every batch's verdicts. The
+    // oracle re-derives the ENTIRE per-batch grading from events alone
+    // (batch composition IS event_id % 4): grid, bins, per-batch
+    // counts, integer TVD, threshold verdict — a monitor that binned
+    // one value off-grid or graded against a drifted reference breaks
+    // the hash.
+    "stream_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sketches
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val base = Scratch.dir("stream-drift")
+        val refDir = s"$base/ref"
+        Sketches.binHistogram(ev, Seq("event_type"), col("value"),
+          nBins = 10)
+          .write.mode("overwrite").parquet(refDir)
+        val landing = s"$base/in"
+        (0 until 4).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("event_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val outDir = s"$base/out"
+        val q = graft.streaming.StreamingAnalytics.runDriftMonitor(
+          s, in, group = Seq("event_type"), valueCol = "value", nBins = 10,
+          refDir = refDir, outDir = outDir, checkpointDir = s"$base/ckpt",
+          thresholdMilli = 100L)
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("event_type"), col("batch_id"), col("n_ref"),
+            col("n_batch"), col("tvd"), col("drifted"))
+      },
+      """WITH b AS (
+        |  SELECT event_type, value, event_id % 4 AS batch_id
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT b.event_type, b.batch_id,
+        |    least(greatest(CAST(floor((b.value - g.lo) /
+        |      (CASE WHEN g.hi = g.lo THEN 1.0
+        |            ELSE (g.hi - g.lo) / 10.0 END)) AS BIGINT), 0), 9)
+        |      AS bin
+        |  FROM b JOIN g USING (event_type)),
+        |ref AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n1
+        |  FROM c GROUP BY 1, 2),
+        |bat AS (
+        |  SELECT event_type, batch_id, bin, CAST(count(*) AS BIGINT) AS n2
+        |  FROM c GROUP BY 1, 2, 3),
+        |pairs AS (SELECT DISTINCT event_type, batch_id FROM b),
+        |j AS (
+        |  SELECT p.event_type, p.batch_id, r.bin, r.n1,
+        |    coalesce(bt.n2, 0) AS n2
+        |  FROM pairs p JOIN ref r USING (event_type)
+        |  LEFT JOIN bat bt ON bt.event_type = p.event_type
+        |    AND bt.batch_id = p.batch_id AND bt.bin = r.bin),
+        |tt AS (
+        |  SELECT event_type, batch_id,
+        |    CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+        |  FROM j GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT j.event_type, j.batch_id,
+        |    CAST(sum(abs(j.n1 * tt.t2 - j.n2 * tt.t1)) AS BIGINT) AS s,
+        |    max(tt.t1) AS n_ref, max(tt.t2) AS n_batch
+        |  FROM j JOIN tt USING (event_type, batch_id)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, batch_id, n_ref, n_batch,
+        |  CAST(s AS DOUBLE) / (2.0 * CAST(n_ref AS DOUBLE)
+        |    * CAST(n_batch AS DOUBLE)) AS tvd,
+        |  s * 1000 >= 200 * n_ref * n_batch AS drifted
+        |FROM sg WHERE n_batch > 0""".stripMargin),
+
+    // Twelfth oracle-certified streaming path (round 13): ONLINE CUSUM
+    // change detection (Page 1954's sequential form) — per-key state is
+    // TWO exact BIGINT micro-unit counters with an alarm-reset
+    // recursion, the one state shape no window rewrite can express; the
+    // oracle re-derives EVERY per-event statistic with a DuckDB
+    // RECURSIVE CTE running the identical integer recursion (values
+    // quantized by the same round-half-away-from-zero rule on both
+    // engines, so each comparison is exact integers and the recursion
+    // is bit-deterministic). Events stream as 4 event-time range chunks
+    // (the in-order-feed contract); a counter lost or double-stepped at
+    // any chunk boundary shifts every downstream statistic of that key
+    // and breaks the hash. Constants: target 50, slack 5, threshold 80
+    // (events.value spans ~0–490, so both sides fire real alarms and
+    // the post-alarm reset path is genuinely exercised).
+    "stream_cusum" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(
+            concat_ws("|", col("user_id"), col("event_type")).as("key"),
+            unix_micros(col("ts").cast("timestamp")).as("ts"),
+            col("event_id").as("id"), col("value").as("v"))
+        val base = Scratch.dir("stream-cusum")
+        val landing = s"$base/in"
+        val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ev.filter(col("ts") >= lo + i * cut &&
+              col("ts") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("key STRING, ts LONG, id LONG, v DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+          .as[graft.streaming.StreamingAnalytics.CusumEvent]
+        val outDir = s"$base/out"
+        val q = graft.streaming.StreamingAnalytics
+          .streamingCusum(s, in, target = 50.0, slack = 5.0,
+            threshold = 80.0)
+          .toDF()
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("id").as("event_id"),
+            split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
+            split(col("key"), "\\|").getItem(1).as("event_type"),
+            col("v").as("value"), col("sPlus").as("s_plus"),
+            col("sMinus").as("s_minus"), col("alarm"))
+      },
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, event_type, event_id, value, rn,
+        |    greatest(CAST(0 AS BIGINT), vm - 55000000) AS sp,
+        |    greatest(CAST(0 AS BIGINT), 45000000 - vm) AS sm
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_type, r.event_id, r.value, r.rn,
+        |    greatest(CAST(0 AS BIGINT),
+        |      (CASE WHEN c.sp > 80000000 OR c.sm > 80000000
+        |            THEN 0 ELSE c.sp END) + (r.vm - 55000000)),
+        |    greatest(CAST(0 AS BIGINT),
+        |      (CASE WHEN c.sp > 80000000 OR c.sm > 80000000
+        |            THEN 0 ELSE c.sm END) + (45000000 - r.vm))
+        |  FROM c JOIN r ON r.user_id = c.user_id
+        |    AND r.event_type = c.event_type AND r.rn = c.rn + 1)
+        |SELECT event_id, user_id, event_type, value,
+        |  CAST(sp AS DOUBLE) / 1e6 AS s_plus,
+        |  CAST(sm AS DOUBLE) / 1e6 AS s_minus,
+        |  sp > 80000000 OR sm > 80000000 AS alarm
+        |FROM c""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
