@@ -4226,6 +4226,126 @@ object ExtensionQueries {
         |  sp > 80000000 OR sm > 80000000 AS alarm
         |FROM c""".stripMargin),
 
+    // Thirteenth oracle-certified streaming path (round 13): the
+    // LEDGERED FIXED-GRID HISTOGRAM — with stream_count_min (additive +
+    // ledger) and stream_bloom_membership (idempotent union) this puts
+    // the whole mergeable-sketch maintenance discipline under the gate.
+    // The grid ((lo, width) per group) is fitted ONCE in batch and
+    // NEVER moves while the stream runs (the shared-grid mergeability
+    // contract); each micro-batch bins against it and adds cell-wise
+    // under the one-row high-water ledger. The fn streams events as 4
+    // chunks, REDELIVERS two already-applied batches into the merge
+    // step (both must be exact no-ops), and emits the artifact's cells
+    // — grid doubles included, which are IEEE-identical cross-engine
+    // (min, and (hi−lo)/32 — one subtraction, one division).
+    "stream_hist" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{Sinks, Sketches}
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val base = Scratch.dir("stream-hist")
+        val gridDir = s"$base/grid"
+        Sketches.histBounds(ev, Seq("event_type"), col("value"), nBins = 32)
+          .write.mode("overwrite").parquet(gridDir)
+        val landing = s"$base/in"
+        (0 until 4).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("event_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val artifact = s"$base/artifact"
+        val q = graft.streaming.StreamingAnalytics.runBinHistogram(
+          s, in, group = Seq("event_type"), valueCol = "value", nBins = 32,
+          gridDir = gridDir, artifactDir = artifact,
+          checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        // redeliver two already-applied batches — exact no-ops or bust
+        val replay = ev.filter(pmod(col("event_id"), lit(4)) === 1)
+        graft.streaming.StreamingAnalytics.applyHistBatch(
+          s, replay, batchId = 1L, group = Seq("event_type"),
+          valueCol = "value", nBins = 32, gridDir = gridDir,
+          artifactDir = artifact)
+        graft.streaming.StreamingAnalytics.applyHistBatch(
+          s, replay, batchId = 3L, group = Seq("event_type"),
+          valueCol = "value", nBins = 32, gridDir = gridDir,
+          artifactDir = artifact)
+        val snap = Sinks.readSnapshot(s, artifact)
+        val maxApplied = snap.filter(col("batch_id") >= 0)
+          .agg(max(col("batch_id"))).head().getLong(0)
+        require(maxApplied == 3L,
+          s"stream_hist: ledger high-water $maxApplied != 3 — a " +
+            "redelivered batch advanced (or a live batch missed) the ledger")
+        snap.filter(col("batch_id") < 0)
+          .select(col("event_type"), col("bin"), col("lo"), col("width"),
+            col("cnt"), lit(maxApplied).as("max_applied"))
+      },
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |bw AS (
+        |  SELECT event_type, lo,
+        |    CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 32.0 END AS width
+        |  FROM b)
+        |SELECT e.event_type,
+        |  least(greatest(CAST(floor((e.value - bw.lo) / bw.width)
+        |    AS BIGINT), 0), 31) AS bin,
+        |  bw.lo AS lo, bw.width AS width, count(*) AS cnt,
+        |  CAST(3 AS BIGINT) AS max_applied
+        |FROM events e JOIN bw USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    // Fourteenth oracle-certified streaming path (round 13): the
+    // streaming HLL distinct counter — the one sketch whose VALUE a
+    // foreign engine cannot re-derive (Apache DataSketches registers),
+    // so the row pins the logisticFit-style invariants as data instead:
+    // the running estimate lands within ±5% of the exact distinct count
+    // (DuckDB recomputes the truth), and re-unioning an already-
+    // absorbed chunk leaves the estimate EXACTLY unchanged (HLL union
+    // is idempotent by algebra — per-register max — which is why this
+    // sink needs no ledger). State is one ~2.5 KB sketch row forever.
+    "stream_hll_distinct" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Sinks
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"))
+        val base = Scratch.dir("stream-hll")
+        val landing = s"$base/in"
+        (0 until 4).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("event_id LONG, user_id LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val artifact = s"$base/artifact"
+        val q = graft.streaming.StreamingAnalytics.runHllDistinct(
+          s, in, keyCol = "user_id", artifactDir = artifact,
+          checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        val snap = Sinks.readSnapshot(s, artifact)
+          .select(col("sk"), col("estimate"))
+          .localCheckpoint(eager = false)
+        // algebraic replay: re-union chunk 0 — the estimate must not
+        // move by one ulp (identical registers → identical estimate)
+        val chunk0 = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val replayed = snap.select(col("sk")).unionByName(chunk0)
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est2"))
+        snap.crossJoin(replayed)
+          .crossJoin(ev.agg(
+            count_distinct(col("user_id")).as("n_exact")))
+          .select(col("n_exact"),
+            (abs(col("estimate") - col("n_exact")) <=
+              lit(0.05) * col("n_exact")).as("est_ok"),
+            (col("estimate") === col("est2")).as("replay_noop_ok"))
+      },
+      """SELECT count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS est_ok, TRUE AS replay_noop_ok
+        |FROM events""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
