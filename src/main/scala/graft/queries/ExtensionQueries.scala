@@ -4346,6 +4346,138 @@ object ExtensionQueries {
         |  TRUE AS est_ok, TRUE AS replay_noop_ok
         |FROM events""".stripMargin),
 
+    // Fifteenth oracle-certified streaming path (round 13): the
+    // streaming CDC SINK — an I/U/D changelog stream maintaining a
+    // bucketed keyed snapshot (runChangesToBucketedSnapshot, the
+    // Debezium-consumer shape). Four micro-batches: the initial INSERT
+    // image, an UPDATE/DELETE wave, a re-INSERT wave for the deleted
+    // keys, then a VERBATIM REPLAY of the re-insert wave (the
+    // at-least-once delivery shape — the per-key latest-op collapse
+    // must absorb it without drift). The final snapshot is hash-
+    // compared against the batch snk10 oracle's relational collapse —
+    // a lost delete, a stale update, or a replay-induced duplicate all
+    // break the hash.
+    "stream_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val base = Scratch.dir("stream-cdc")
+        val landing = s"$base/in"
+        val existing = e.filter(col("event_id") % 3 === 0)
+          .withColumn("op", lit("I")).withColumn("ord", lit(0L))
+        val upsDels = e.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") + 1)
+          .withColumn("op",
+            when(col("event_id") % 10 === 0, "D").otherwise("U"))
+          .withColumn("ord", lit(1L))
+        val reins = e.filter(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+          .withColumn("op", lit("I"))
+          .withColumn("ord", lit(2L))
+        Seq(existing, upsDels, reins, reins).zipWithIndex.foreach {
+          case (chunk, i) => chunk.coalesce(1).write.mode("overwrite")
+            .json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("event_id LONG, user_id LONG, event_type STRING, " +
+            "value DOUBLE, op STRING, ord LONG")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val tableDir = s"$base/table"
+        val q = graft.streaming.StreamingIngest
+          .runChangesToBucketedSnapshot(in, tableDir, s"$base/ckpt",
+            key = Seq("event_id"), orderCol = "ord", nBuckets = 16)
+        q.awaitTermination()
+        graft.operators.Sinks.readBucketedSnapshot(s, tableDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+      },
+      """WITH existing AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 3 = 0),
+        |changes AS (
+        |  SELECT event_id, user_id, event_type, value + 1 AS value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(1 AS BIGINT) AS ord
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value * 2, 'I',
+        |    CAST(2 AS BIGINT)
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT * FROM changes
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY event_id ORDER BY ord DESC, op DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value FROM existing e
+        |WHERE e.event_id NOT IN (SELECT event_id FROM latest)
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value
+        |FROM latest WHERE op <> 'D'""".stripMargin),
+
+    // Sixteenth oracle-certified streaming path (round 13): the
+    // streaming KEYED-UPSERT SINK (SNK1's scale face on an unbounded
+    // stream) — runToBucketedSnapshot maintains the queryable latest-
+    // per-key snapshot at O(touched buckets) per trigger. Events stream
+    // as 4 event-time range chunks (pre-deduplicated to one row per
+    // (key, ts) keeping max event_id — the w6 tiebreak, so last-write-
+    // wins is deterministic), and the FINAL snapshot must be the true
+    // latest row per (user, event_type) — which the oracle re-derives
+    // directly. A bucket that lost an upsert, applied one out of order,
+    // or duplicated a key breaks the hash.
+    "stream_upsert_snapshot" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val ded = Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("value"))
+        val base = Scratch.dir("stream-upsert")
+        val landing = s"$base/in"
+        val bounds = ded.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          ded.filter(col("ts_us") >= lo + i * cut &&
+              col("ts_us") < lo + (i + 1) * cut)
+            .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
+        }
+        val in = s.readStream
+          .schema("user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(s"$landing/*")
+        val tableDir = s"$base/table"
+        val q = graft.streaming.StreamingIngest.runToBucketedSnapshot(
+          in, tableDir, s"$base/ckpt",
+          key = Seq("user_id", "event_type"), orderCol = "ts_us",
+          nBuckets = 16)
+        q.awaitTermination()
+        graft.operators.Sinks.readBucketedSnapshot(s, tableDir)
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(col("ts_us")).cast("timestamp_ntz")
+              .as("latest_ts"),
+            col("value").as("latest_value"))
+      },
+      """WITH ded AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT user_id, event_type, ts, value FROM ded WHERE rn = 1),
+        |r AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC) AS rn2
+        |  FROM d)
+        |SELECT user_id, event_type, ts AS latest_ts, value AS latest_value
+        |FROM r WHERE rn2 = 1""".stripMargin),
+
     "ext_corpus_curation_v2" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
