@@ -108,6 +108,12 @@ object ScaleRecallCheck {
       if (nCent > 32)
         rec("ivf_scaled", 0.6, Similarity.ivfTopK(queries, emb, k = 5,
           nCentroids = nCent, nProbe = nProbe, refineIters = 2))
+      // the registered AUTO-SIZED row (round 13): √n centroids + the
+      // constant 375‰ probe fraction, both derived by ivfParamsAuto
+      // from one count — the rule the ann_ivf_topk_auto oracle pins at
+      // driver SFs, validated here at surrogate scale
+      rec("ivf_auto", 0.6,
+        Similarity.ivfTopKAuto(queries, emb, k = 5, refineIters = 2))
       rec("sq8", 0.9, Similarity.sqTopK(queries, emb, k = 5, rerank = 20))
       // scale-aware candidate budgets — a FIXED shortlist/rerank covers
       // 10× less of a 10× corpus (the round-7 red-row class; this sweep
