@@ -336,10 +336,17 @@ object Dedup {
     * past the clamp, recall at threshold degrades instead of cost
     * exploding). j₀ rides as `j0Milli` (default 50 — a 5% background
     * resemblance, conservative for natural-text shingles; measure and
-    * pin per corpus family). Returns (numPerm, rowsPerBand). */
+    * pin per corpus family). `falseCandPerDoc` defaults to 4, not 1:
+    * a verify candidate costs one prefiltered shingle intersect —
+    * pennies — while each unit of budget buys a LOWER r, and a lower r
+    * needs exponentially fewer bands for the same threshold recall, so
+    * under the maxPerm clamp the looser budget yields STRICTLY better
+    * recall at identical sketch cost (measured at the 50k surrogate:
+    * r=6/b=85 recall@t ≈ 0.74 under budget 1 vs r=5/b=102 ≈ 0.96 under
+    * budget 4, both 510 perms). Returns (numPerm, rowsPerBand). */
   def minhashParamsAuto(n: Long, num: Int, den: Int,
                         recallMilli: Int = 990, j0Milli: Int = 50,
-                        falseCandPerDoc: Int = 1,
+                        falseCandPerDoc: Int = 4,
                         maxPerm: Int = 512): (Int, Int) = {
     require(num >= 1 && den > num, s"bad threshold $num/$den")
     require(recallMilli >= 500 && recallMilli <= 999,

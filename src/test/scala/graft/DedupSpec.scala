@@ -452,7 +452,7 @@ class DedupSpec extends SparkSpecBase {
       val b = perm / r
       assert(perm % r === 0 && perm <= 512 && r >= 2 && r <= 12)
       if (r < 12)
-        assert(n * b * math.pow(0.05, r) <= 1.0 + 1e-9,
+        assert(n * b * math.pow(0.05, r) <= 4.0 + 1e-9,
           s"budget broken at n=$n: r=$r b=$b")
       // recall at the j=1/2 threshold >= 99% unless maxPerm clamped b
       val recall = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)

@@ -71,6 +71,26 @@ object PairGenScaleCheck {
     println(f"  uncapped ratio ${tMm1 / tMm01}%5.2f  capped ratio ${tMc1 / tMc01}%5.2f" +
       f"  pairs lost to cap: sf0.1 ${nMm01 - nMc01}%d / sf1 ${nMm1 - nMc1}%d")
 
+    // round 13 — the AUTO-SIZED registration (minhashParamsAuto: r grows
+    // with log n, bands re-price the S-curve): time it at both scales
+    // and diff its VERIFIED pair set against the fixed config's (both
+    // have precision 1.0 by exact verify, so an asymmetric loss is a
+    // recall gap of exactly that side)
+    val (tMa01, _) = timed("minhash sf0.1 AUTO")(
+      Dedup.minhashLshPairsAuto(docs(sf01), n = 3, num = 1, den = 2))
+    val (tMa1, _) = timed("minhash sf1   AUTO")(
+      Dedup.minhashLshPairsAuto(docs(sf1), n = 3, num = 1, den = 2))
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixedPairs = pairSet(Dedup.minhashLshPairs(docs(sf1), n = 3,
+      numPerm = 32, rowsPerBand = 2, num = 1, den = 2))
+    val autoPairs = pairSet(
+      Dedup.minhashLshPairsAuto(docs(sf1), n = 3, num = 1, den = 2))
+    println(f"  auto ratio ${tMa1 / tMa01}%5.2f  sf1 pair-set diff: " +
+      f"fixed-only ${(fixedPairs -- autoPairs).size}%d, " +
+      f"auto-only ${(autoPairs -- fixedPairs).size}%d " +
+      f"(of ${fixedPairs.size}%d fixed / ${autoPairs.size}%d auto)")
+
     println("== Hyperplane-LSH cosine pairs (threshold 0.45) ==")
     val (tC01, _) = timed("cosine sf0.1 bits=2 t=12 mp=1 (registered)")(
       Similarity.cosinePairsBucketed(emb(sf01), 0.45, bits = 2,
