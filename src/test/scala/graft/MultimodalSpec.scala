@@ -346,5 +346,15 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("hologram") ||
       err.getCause != null && err.getCause.getMessage.contains("hologram"))
+    // the routing claim as a PLAN pin: scan-level filters + union,
+    // ZERO shuffles — payload bytes never cross an exchange. Pinned on
+    // the UN-limited table (the limit(30) fixture above adds its own
+    // GlobalLimit exchange, which is the test's, not the router's).
+    val plan = Multimodal.decodeMixed(spark,
+        Multimodal.synthesizeMixedMedia(spark,
+          Tables.documents(spark, sf0001)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decodeMixed routing must stay shuffle-free:\n$plan")
   }
 }
