@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    round-trip). Round 3 timed construction + materialization together
   *    and 12 unrelated queries regressed from the I/O + GC interference.
   *    Now `fn(spark, sfDir)` runs untimed; only the materialization of
-  *    the returned plan is measured.
+  *    the returned plan is measured. EXCEPTION (round 14): `stream_*`
+  *    rows are timed END-TO-END (construction + materialization),
+  *    because their micro-batch stream executes inside fn() and the
+  *    returned frame is just the comparison read-back — see timedMedian.
   *  - median of 3 timed passes per query (round 4): a single pass is
   *    noise-dominated at sub-second scale; the median discards both the
   *    cold first pass and any GC/compaction outlier.
@@ -104,10 +107,21 @@ object Bench {
       }
     val calibSec = calibrate()
 
-    def timedMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+    // stream_* rows time construction + materialization TOGETHER (round
+    // 14): their micro-batch stream executes inside fn() — watermarks,
+    // state stores, AvailableNow drain — and the returned frame is only
+    // the final comparison read-back. Construction-untimed methodology
+    // (right for every batch row, where construction is plan assembly +
+    // scratch fixture writes) would time 0.03–0.18 s for a row whose real
+    // cost is 6–20 s at sf1, making state-store regressions invisible to
+    // the pin gate. Batch rows keep the untimed-construction contract.
+    def timedMedian(name: String,
+                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val endToEnd = name.startsWith("stream_")
       Array.fill(passes) {
-        val df = fn(spark, sfDir) // untimed: construction + fixture writes
-        val t0 = System.nanoTime()
+        val t0c = System.nanoTime()
+        val df = fn(spark, sfDir) // batch rows: construction stays untimed
+        val t0 = if (endToEnd) t0c else System.nanoTime()
         materialize(df)
         val sec = (System.nanoTime() - t0) / 1e9
         // Drop this pass's lazily-persisted checkpoint blocks NOW:
@@ -119,13 +133,14 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         sec
       }.sorted.apply(passes / 2)
+    }
 
     // optional trailing names: dev-loop filter (the driver passes none)
     val only = args.toSet
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      try (name, timedMedian(fn), true)
+      try (name, timedMedian(name, fn), true)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         (name, -1.0, false)
@@ -158,15 +173,16 @@ object Bench {
         // the reference is only comparable at its own scale factor
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty[String, Double], -1.0)
         else {
-          val qblock = txt.substring(txt.indexOf("\"queries\":{") + 11)
           // parse ONLY the prefix before the append-only "history" array:
-          // pin entries in history carry their own calib_sec keys, and a
-          // whole-file findFirst would silently normalize against a stale
-          // calibration if the file were ever reordered
+          // pin entries in history carry their own calib_sec keys AND full
+          // queries maps, and a whole-file scan would silently normalize
+          // against a stale calibration — or let a history pin's queries
+          // override current values via toMap last-wins
           val head = txt.indexOf("\"history\"") match {
             case -1 => txt
             case i => txt.substring(0, i)
           }
+          val qblock = head.substring(head.indexOf("\"queries\":{") + 11)
           val rc = "\"calib_sec\":\\s*(-?[0-9][0-9.eE+-]*)".r
             .findFirstMatchIn(head).map(_.group(1).toDouble).getOrElse(-1.0)
           ("\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(qblock)
@@ -190,7 +206,7 @@ object Bench {
       if (!suspect) (name, v, ok)
       else {
         rerunBudget -= 1
-        val v2 = try timedMedian(SparkEntry.queries(name))
+        val v2 = try timedMedian(name, SparkEntry.queries(name))
         catch { case _: Throwable => v }
         rerunFirstPass(name) = v
         if (v2 < v) System.err.println(

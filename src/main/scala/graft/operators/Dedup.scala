@@ -363,9 +363,14 @@ object Dedup {
     // ITS OWN recall-driven band count (b appears on both sides — the
     // iteration converges because bandsFor(r) is finite and the lhs is
     // monotone in r)
+    // budget evaluated in Double: bandsFor saturates at Int.MaxValue for
+    // low thresholds, and a Long product n * bandsFor(r) overflows
+    // negative at multi-billion-doc counts — which would terminate the
+    // loop at a too-small r and re-enter the quadratic false-candidate
+    // regime this rule exists to prevent
     var r = 2
     while (r < 12 &&
-      math.max(n, 1L) * bandsFor(r) * math.pow(j0, r) > falseCandPerDoc)
+      math.max(n, 1L).toDouble * bandsFor(r) * math.pow(j0, r) > falseCandPerDoc)
       r += 1
     val b = math.max(1, math.min(bandsFor(r), maxPerm / r))
     (b * r, r)
@@ -943,5 +948,110 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(expr(s"bit_count(sim_a ^ sim_b) <= $maxDist"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // AUTO-SIZED SimHash banding (round 14) — the Manku/Jain/Sarma
+  // WWW'07 §3 table scheme, sized from the corpus count the way
+  // [[minhashParamsAuto]] sizes MinHash bands. The fixed 4×16-bit
+  // layout holds its false-candidate budget only to n ≈ 2^16·b docs;
+  // past that the 16-bit keys flood the band join with background
+  // collisions. The fix is NOT more bands of the same width but the
+  // block-combination generalization: split the 63 sketch bits into m
+  // contiguous blocks; a pair at Hamming ≤ d differs in at most d
+  // blocks, so it agrees ENTIRELY on some (m−d)-subset of blocks —
+  // key one table per (m−d)-combination (C(m,d) tables) and candidate
+  // generation is GUARANTEED complete for Hamming ≤ d, with key width
+  // ≈ 63·(m−d)/m bits. Growing m widens the keys toward 63 bits while
+  // the table count grows only combinatorially slowly: for d = 3,
+  // m = 4 → 4 tables/16-bit keys (the classic layout), m = 6 → 20
+  // tables/31-bit keys (n ~ 4·10^8 in budget), m = 8 → 56 tables/39-bit
+  // keys (n ~ 4·10^10). A table key is just `simhash & mask` — block
+  // agreement is mask equality, no bit repacking.
+
+  /** Bit masks for the C(m, maxDist) block-combination tables over the
+    * 63-bit sketch: m contiguous blocks (low blocks get the remainder
+    * bit), one mask per (m−maxDist)-subset. Deterministic in (m, d) —
+    * the streaming/incremental twin of a batch index re-derives the
+    * identical layout from the two ints. */
+  def simhashTableMasks(m: Int, maxDist: Int): Array[Long] = {
+    // m <= 24 keeps the Int subset enumeration sound and the per-doc
+    // fan-out sane (C(24,3) = 2024 rows/doc is already far past useful)
+    require(maxDist >= 1 && m > maxDist && m <= 24,
+      s"need maxDist >= 1 < m <= 24, got m=$m maxDist=$maxDist")
+    val base = 63 / m
+    val rem = 63 % m
+    val blockMasks = Array.tabulate(m) { i =>
+      val width = base + (if (i < rem) 1 else 0)
+      val lo = i * base + math.min(i, rem)
+      ((1L << width) - 1) << lo
+    }
+    val keep = m - maxDist
+    // enumerate (m−d)-subsets as m-bit integers with popcount m−d
+    (1 until (1 << m)).iterator
+      .filter(java.lang.Integer.bitCount(_) == keep)
+      .map { sel =>
+        (0 until m).foldLeft(0L) { (acc, i) =>
+          if ((sel & (1 << i)) != 0) acc | blockMasks(i) else acc
+        }
+      }.toArray
+  }
+
+  /** Smallest block count m whose expected background-candidate volume
+    * holds the per-doc budget: Σ_tables n·2^(−key_width) ≤
+    * falseCandPerDoc, evaluated in Double (the [[minhashParamsAuto]]
+    * overflow lesson). Monotone: m↑ widens every key faster than it
+    * adds tables. `maxM` caps per-doc fan-out at C(maxM, d) rows — at
+    * the cap, budget overrun degrades to extra verify work, never to
+    * lost recall (the guarantee is structural, not probabilistic). */
+  def simhashBlocksAuto(n: Long, maxDist: Int, falseCandPerDoc: Int = 4,
+                        maxM: Int = 12): Int = {
+    require(maxDist >= 1 && maxM > maxDist, s"bad ($maxDist, $maxM)")
+    def cost(m: Int): Double =
+      simhashTableMasks(m, maxDist)
+        .map(mk => math.pow(0.5, java.lang.Long.bitCount(mk))).sum *
+        math.max(n, 1L).toDouble
+    var m = maxDist + 1
+    while (m < maxM && cost(m) > falseCandPerDoc) m += 1
+    m
+  }
+
+  /** Pair generation from a prebuilt [[simhashSketch]] under an explicit
+    * table-mask layout (from [[simhashTableMasks]]): per doc, one row
+    * per table keyed on `simhash & mask`; equi-join on (table, key);
+    * verify `bit_count(xor) ≤ maxDist`. With masks built for d ≥
+    * maxDist the candidate stage is COMPLETE for the verify predicate,
+    * so the result is exactly the Hamming-≤-maxDist pair set — same
+    * shuffle shape as [[simhashPairsFromSketch]] (band equi-join, never
+    * all-pairs), fan-out C(m,d) rows per doc per side. */
+  def simhashPairsFromSketchMasked(sk: DataFrame, maxDist: Int,
+                                   masks: Array[Long]): DataFrame = {
+    require(masks.nonEmpty, "empty table-mask layout")
+    val banded = sk.select(col("doc_id"), col("simhash"), posexplode(
+      array(masks.map(mk => col("simhash").bitwiseAND(lit(mk))): _*))
+      .as(Seq("band_id", "band_val")))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(s"bit_count(sim_a ^ sim_b) <= $maxDist"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** [[simhashPairsFromSketchMasked]] with the sizing rule applied
+    * automatically: one cheap count job derives m via
+    * [[simhashBlocksAuto]], the masks follow deterministically, and the
+    * result is the EXACT Hamming-≤-maxDist pair set at any corpus size
+    * — the production entry point; the fixed 4×16 form remains for
+    * recall-pinned registrations and the probed variant. */
+  def simhashPairsAuto(docs: DataFrame, n: Int, maxDist: Int,
+                       algo: String = "xxh64",
+                       falseCandPerDoc: Int = 4): DataFrame = {
+    val sk = simhashSketch(docs, n, algo).localCheckpoint(eager = false)
+    val m = simhashBlocksAuto(docs.select(col("doc_id")).count(), maxDist,
+      falseCandPerDoc)
+    simhashPairsFromSketchMasked(sk, maxDist, simhashTableMasks(m, maxDist))
   }
 }

@@ -74,9 +74,14 @@ object Jdbc {
     *
     *  1. fast path: `batchId` already in the ledger → no-op (a replay
     *     after a post-commit crash);
-    *  2. stage the micro-batch into `<table>__STAGE` (Overwrite — a
-    *     replay after a mid-stage crash rewrites it cleanly); executors
-    *     write the stage in parallel, `batchsize` rows per round-trip;
+    *  2. stage the micro-batch into `<table>__STAGE_<batchId>` (Overwrite —
+    *     a replay after a mid-stage crash rewrites it cleanly); executors
+    *     write the stage in parallel, `batchsize` rows per round-trip. The
+    *     stage name carries the batch id so two concurrent publishers of
+    *     DIFFERENT batches to the same target can never interleave on a
+    *     shared scratch table (each batch owns its stage for its lifetime);
+    *     the stage is dropped once the batch is committed (or proven a
+    *     raced replay), so steady state leaves no scratch behind;
     *  3. ONE driver-side transaction: re-check the ledger (an interleaved
     *     replay may have won), `INSERT INTO table SELECT * FROM stage`,
     *     record `batchId` in the ledger, COMMIT.
@@ -96,7 +101,7 @@ object Jdbc {
                             batchId: Long, batchSize: Int = 500,
                             ledgerTable: String = ""): Boolean = {
     val ledger = if (ledgerTable.nonEmpty) ledgerTable else s"${table}__LEDGER"
-    val stage = s"${table}__STAGE"
+    val stage = s"${table}__STAGE_$batchId"
     val conn0 = java.sql.DriverManager.getConnection(url)
     try {
       ensureLedger(conn0, ledger)
@@ -108,19 +113,33 @@ object Jdbc {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        if (ledgerHas(conn, ledger, batchId)) return false // raced replay
+        if (ledgerHas(conn, ledger, batchId)) { // raced replay: another
+          conn.rollback()                       // publisher already won —
+          conn.setAutoCommit(true)              // close the txn cleanly and
+          dropIfExists(st, stage)               // discard our scratch stage
+          return false
+        }
         if (!tableExists(conn, table))
           st.executeUpdate(
             s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
         st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
         st.executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)")
         conn.commit()
+        conn.setAutoCommit(true)
+        dropIfExists(st, stage) // scratch cleanup — best-effort post-commit
         true
       } catch {
         case e: Throwable => conn.rollback(); throw e
       } finally st.close()
     } finally conn.close()
   }
+
+  /** DROP a scratch table; absent (42Y55) is fine — e.g. a raced replay
+    * whose rival already dropped it. Other failures are also swallowed:
+    * an orphaned stage is scratch debris, never a correctness issue. */
+  private def dropIfExists(st: java.sql.Statement, table: String): Unit =
+    try st.executeUpdate(s"DROP TABLE $table")
+    catch { case _: java.sql.SQLException => () }
 
   /** CREATE the one-column ledger if absent (Derby has no IF NOT EXISTS;
     * SQLState X0Y32 = already there, the expected steady state). */

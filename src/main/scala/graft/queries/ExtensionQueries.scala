@@ -789,6 +789,24 @@ object ExtensionQueries {
          |    OR bit_count((xor(a.simhash, b.simhash) >> 48) & 65535) <= 1)
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin),
 
+    // AUTO-SIZED SimHash pairs (round 14): block count m derived from
+    // the corpus count under the false-candidate budget
+    // (Dedup.simhashBlocksAuto — the Manku WWW'07 block-combination
+    // scheme; m widens the C(m,d) table keys toward 63 bits as n
+    // grows). Because the table layout is COMPLETE for Hamming ≤ d at
+    // EVERY m, the result is the exact Hamming-≤-3 pair set and the
+    // oracle is pure distance SQL with no band precondition — a
+    // value-exact oracle that holds no matter what m the count picks,
+    // which is precisely the auto rule's contract.
+    "dedup_simhash_pairs_auto" -> QueryDef(
+      (s, dir) => Dedup.simhashPairsAuto(Tables.documents(s, dir), n = 3,
+        maxDist = 3, algo = "md5"),
+      s"""WITH $duckSimhashSketch
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sk a, sk b
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
     // Embedding near-dup pairs: cosine ≥ 0.45, pair ids only (the float
     // similarity itself is engine-noise; the SET is stable because no pair
     // sits near the threshold in this corpus).
@@ -943,6 +961,31 @@ object ExtensionQueries {
         val queries = emb.filter(col("vec_id") % 50 === 0)
         val rerank = scaledBudget(emb.count(), base = 100, frac = 0.05)
         val approx = Similarity.buildPqIndex(emb, m = 16, k = 16) match {
+          case None => s.range(0).select(col("id").as("query_id"),
+            col("id").as("rank"), col("id").as("neighbor_id"))
+          case Some(idx) =>
+            Similarity.pqTopK(queries, emb, idx, k = 5, rerank = rerank)
+        }
+        annInvariants(queries, approx,
+          Similarity.bruteForceTopK(queries, emb, k = 5),
+          k = 5, recallFloor = 0.7)
+      },
+      annInvariantOracle),
+
+    // AUTO-SIZED PQ (round 14, closing the last fixed pairing knobs):
+    // (m, k) derived from ONE (count, dim) aggregate via
+    // Similarity.pqParamsAuto — k = 256 halved while the corpus can't
+    // train it (n ≥ 8k), m = smallest dim divisor whose code bits reach
+    // 2·log2(n) (birthday bound: k^m ≈ n² keeps full-code collisions
+    // O(1)). Same invariant oracle + recall floor as the fixed row; the
+    // identity-at-derived-params and parameter-scaling laws are pinned
+    // by SimilaritySpec and RECALL_SCALE.md.
+    "ann_pq_topk_auto" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val rerank = scaledBudget(emb.count(), base = 100, frac = 0.05)
+        val approx = Similarity.buildPqIndexAuto(emb) match {
           case None => s.range(0).select(col("id").as("query_id"),
             col("id").as("rank"), col("id").as("neighbor_id"))
           case Some(idx) =>
@@ -3764,8 +3807,15 @@ object ExtensionQueries {
     "stream_ewma" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // user_id/event_type null filters (matching stream_cusum): the
+        // concat_ws key codec SKIPS a NULL component, which would merge a
+        // null-keyed partition into its neighbor and diverge from the
+        // oracle's NULL-respecting grouping. The fixture's event_type
+        // vocabulary is '|'-free (enumerated types), so the delimited key
+        // round-trips exactly for every surviving row.
         val ev = Tables.events(s, dir)
-          .filter(col("value").isNotNull && col("ts").isNotNull)
+          .filter(col("value").isNotNull && col("ts").isNotNull &&
+            col("user_id").isNotNull && col("event_type").isNotNull)
           .select(
             concat_ws("|", col("user_id"), col("event_type")).as("key"),
             unix_micros(col("ts").cast("timestamp")).as("ts"),
@@ -3809,7 +3859,8 @@ object ExtensionQueries {
            |  SELECT event_id, user_id, event_type, value,
            |    row_number() OVER (PARTITION BY user_id, event_type
            |      ORDER BY ts, event_id) AS rn
-           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           |    AND user_id IS NOT NULL AND event_type IS NOT NULL),
            |j AS (
            |  SELECT cur.event_id, cur.user_id, cur.event_type, cur.value,
            |    CAST(round(hist.value * w.wt * 1e12) AS BIGINT) AS tq,

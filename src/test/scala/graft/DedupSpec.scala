@@ -459,6 +459,16 @@ class DedupSpec extends SparkSpecBase {
       if (b < 512 / r) assert(recall >= 0.99 - 1e-9,
         s"recall $recall under target at n=$n (r=$r, b=$b)")
     }
+    // overflow guard (round 14): at multi-billion-doc counts with a low
+    // threshold, bandsFor saturates near Int.MaxValue and a Long-domain
+    // budget product would wrap negative, ending the loop at r=2. The
+    // Double-domain budget must keep pushing r up to its cap instead.
+    val (permHuge, rHuge) = Dedup.minhashParamsAuto(5_000_000_000L, 1, 10)
+    assert(rHuge === 12, s"huge-n low-threshold r collapsed: $rHuge")
+    assert(permHuge % rHuge === 0 && permHuge <= 512)
+    // and r stays monotone from a mid-size corpus into the billions
+    assert(Dedup.minhashParamsAuto(5_000_000_000L, 1, 2)._2 >=
+      Dedup.minhashParamsAuto(100000000L, 1, 2)._2)
     // pipeline identity: auto == fixed at the derived params, pair-set
     // for pair-set (determinism is per-params, so this must be exact)
     val docs = Tables.documents(spark, sf0001)
@@ -468,5 +478,60 @@ class DedupSpec extends SparkSpecBase {
       df.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
     assert(pairs(Dedup.minhashLshPairsAuto(docs, 3, 1, 2)) ===
       pairs(Dedup.minhashLshPairs(docs, 3, perm, r, 1, 2)))
+  }
+
+  test("simhashBlocksAuto/simhashTableMasks: block-combination layout " +
+    "is COMPLETE for Hamming <= d at every m, m grows with n under the " +
+    "budget, and the masked pair generator returns the exact " +
+    "Hamming-<=-d pair set") {
+    import graft.operators.Dedup
+    // mask geometry: C(m, d) tables, each mask the union of m-d disjoint
+    // blocks covering all 63 bits exactly once per block
+    for (m <- Seq(4, 5, 6, 8); d <- Seq(1, 3)) {
+      val masks = Dedup.simhashTableMasks(m, d)
+      def binom(a: Int, b: Int): Long =
+        (1 to b).foldLeft(1L)((acc, i) => acc * (a - i + 1) / i)
+      assert(masks.length === binom(m, d),
+        s"m=$m d=$d: ${masks.length} tables")
+      assert(masks.toSet.size === masks.length, "duplicate masks")
+      masks.foreach(mk => assert((mk & (1L << 63)) === 0L, "bit 63 used"))
+      // union of all masks is the full 63-bit space (every block keyed
+      // somewhere, so no sketch bit is dead)
+      assert(masks.reduce(_ | _) === (1L << 63) - 1)
+    }
+    // completeness, brute-forced: any pair differing in <= d bits agrees
+    // fully on at least one mask (the pigeonhole guarantee the oracle's
+    // pure-distance SQL relies on)
+    val rnd = new scala.util.Random(7)
+    for (m <- Seq(4, 6); d <- Seq(3)) {
+      val masks = Dedup.simhashTableMasks(m, d)
+      (1 to 200).foreach { _ =>
+        val x = rnd.nextLong() & ((1L << 63) - 1)
+        var y = x
+        (1 to d).foreach(_ => y ^= 1L << rnd.nextInt(63)) // <= d flips
+        assert(masks.exists(mk => (x & mk) === (y & mk)),
+          f"uncovered pair at m=$m d=$d: x=$x%x y=$y%x")
+      }
+    }
+    // sizing: m monotone in n, budget held at the returned m, classic
+    // 4x16 layout at small n, wider-key layouts in the billions
+    val ms = Seq(1000L, 100000L, 10000000L, 1000000000L, 100000000000L)
+      .map(Dedup.simhashBlocksAuto(_, 3))
+    ms.sliding(2).foreach { case Seq(a, b) => assert(b >= a, s"$ms") }
+    assert(Dedup.simhashBlocksAuto(1000L, 3) === 4)
+    assert(Dedup.simhashBlocksAuto(100000000000L, 3) > 6)
+    // exactness on real docs: the auto pair set IS the Hamming-<=-3 set
+    val docs = Tables.documents(spark, sf0001)
+    val sk = Dedup.simhashSketch(docs, n = 3)
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ida, sa) <- sk; (idb, sb) <- sk
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairsAuto(docs, n = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "fixture has no Hamming<=3 pairs — test is vacuous")
   }
 }

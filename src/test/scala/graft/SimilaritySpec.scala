@@ -614,4 +614,49 @@ class SimilaritySpec extends SparkSpecBase {
       rows(Similarity.ivfTopK(queries, emb, k = 5, nCentroids = c,
         nProbe = p, refineIters = 2)))
   }
+
+  test("pqParamsAuto: byte codes once trainable, code bits track " +
+    "2·log2(n), m divides dim, and the auto builder is identical to " +
+    "the fixed form at derived params") {
+    import graft.operators.Similarity
+    // k halves below trainability (n >= 8k), saturates at 256 above
+    assert(Similarity.pqParamsAuto(100L, 64)._2 < 256)
+    assert(Similarity.pqParamsAuto(10000L, 64)._2 === 256)
+    assert(Similarity.pqParamsAuto(1000000000L, 64)._2 === 256)
+    // m: smallest dim divisor reaching the 2·log2(n) bit target, so
+    // code bits are monotone in n and m always divides dim
+    val dims = Seq(16, 64, 96)
+    val ns = Seq(100L, 100000L, 1000000000L, 1000000000000L)
+    dims.foreach { d =>
+      var prevBits = 0.0
+      ns.foreach { n =>
+        val (m, k) = Similarity.pqParamsAuto(n, d)
+        assert(d % m === 0, s"m=$m !| dim=$d")
+        val bits = m * math.log(k.toDouble) / math.log(2.0)
+        assert(bits >= prevBits - 1e-9, s"code bits shrank at n=$n d=$d")
+        prevBits = bits
+        // the birthday target holds unless m already saturated at dim
+        if (m < d) assert(bits >= 2.0 * math.log(n.toDouble) / math.log(2.0) - 1e-9)
+      }
+    }
+    // n=10^6 and 10^9 both land at one byte per dim-eighth for dim 64
+    assert(Similarity.pqParamsAuto(1000000L, 64) === ((8, 256)))
+    assert(Similarity.pqParamsAuto(1000000000L, 64) === ((8, 256)))
+    // identity: auto == fixed at the derived params (same sample, same
+    // seeding, same Lloyd passes → identical codebooks and codes)
+    val emb = Tables.embeddings(spark, sf0001)
+    val stats = emb.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.first(
+        org.apache.spark.sql.functions.size(col("embedding")))).head()
+    val (m, k) = Similarity.pqParamsAuto(stats.getLong(0), stats.getInt(1))
+    val auto = Similarity.buildPqIndexAuto(emb).get
+    val fixed = Similarity.buildPqIndex(emb, m, k).get
+    assert(auto.m === fixed.m && auto.k === fixed.k &&
+      auto.subDim === fixed.subDim)
+    def codes(idx: Similarity.PqIndex) =
+      idx.encoded.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    assert(codes(auto) === codes(fixed))
+  }
 }

@@ -114,6 +114,113 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(n2 === 2L)
   }
 
+  test("crash-injection, exactly-once publish: a crash AFTER staging " +
+    "and a crash DURING staging both leave the target untouched, the " +
+    "retry converges with zero duplicates, and no staging rows are " +
+    "orphaned") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_eo_crash_db").toString + "/db"
+    val url = graft.operators.Jdbc.derbyUrl(db)
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    def count(t: String): Long = graft.operators.Jdbc.readQuery(spark, url,
+      s"SELECT CAST(count(*) AS BIGINT) AS n FROM $t").head().getLong(0)
+
+    // (1) crash BETWEEN staging-table load and the ledger transaction:
+    // simulate the dead attempt by staging STALE content under batch 7's
+    // per-batch stage name and never running the txn. The retry must
+    // overwrite the stale stage, publish the true rows exactly once,
+    // and drop the stage (scratch cleanup).
+    graft.operators.Jdbc.writeTable(
+      Seq((99L, "stale")).toDF("k", "v"), url,
+      "eo_crash__STAGE_7", batchSize = 500)
+    assert(count("eo_crash__STAGE_7") === 1L) // the orphan exists
+    assert(graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
+      "eo_crash", batchId = 7L))
+    assert(count("eo_crash") === 2L)
+    assert(graft.operators.Jdbc.readQuery(spark, url,
+      """SELECT "k" FROM eo_crash""").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L)) // the stale row never leaked into the target
+    intercept[Exception] { count("eo_crash__STAGE_7") } // stage dropped
+    // replay of the recovered batch is still a no-op
+    assert(!graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
+      "eo_crash", batchId = 7L))
+    assert(count("eo_crash") === 2L)
+
+    // (2) crash DURING the staging write: a poisoned batch whose
+    // evaluation throws mid-write. The publish must throw, the target
+    // and ledger must be untouched, and the healthy retry must publish
+    // exactly once.
+    val boom = org.apache.spark.sql.functions.udf { (k: Long) =>
+      if (k == 4L) throw new IllegalStateException("injected task failure")
+      k
+    }
+    val poisoned = Seq((3L, "c"), (4L, "d")).toDF("k", "v")
+      .withColumn("k", boom(org.apache.spark.sql.functions.col("k")))
+    intercept[Exception] {
+      graft.operators.Jdbc.writeBatchExactlyOnce(poisoned, url,
+        "eo_crash", batchId = 8L)
+    }
+    assert(count("eo_crash") === 2L) // target untouched by the failure
+    val idsMid = graft.operators.Jdbc.readQuery(spark, url,
+      "SELECT batch_id FROM eo_crash__LEDGER")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsMid === Set(7L)) // no ledger mark for the failed publish
+    assert(graft.operators.Jdbc.writeBatchExactlyOnce(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v"), url,
+      "eo_crash", batchId = 8L))
+    assert(count("eo_crash") === 4L)
+    intercept[Exception] { count("eo_crash__STAGE_8") } // scratch cleaned
+    val ids = graft.operators.Jdbc.readQuery(spark, url,
+      "SELECT batch_id FROM eo_crash__LEDGER")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(7L, 8L))
+  }
+
+  test("crash-injection, bucketed upsert: a batch merged into only SOME " +
+    "of its buckets (mid-batch crash shape) converges to the clean " +
+    "result when the full batch replays") {
+    import spark.implicits._
+    val base = s"/tmp/graft_test_crash_upsert_${System.nanoTime()}"
+    val nBuckets = 8
+    def bucketOf(k: Long): Int = {
+      import org.apache.spark.sql.functions._
+      Seq(k).toDF("k").select(
+        pmod(xxhash64(col("k")), lit(nBuckets.toLong)).cast("int"))
+        .head().getInt(0)
+    }
+    // base state: keys 1..6 at ord 1
+    val seed = (1L to 6L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ord")
+    graft.operators.Sinks.upsertSnapshotBucketed(spark, s"$base/t", seed,
+      Seq("k"), "ord", nBuckets)
+    // the batch: update every key to ord 2 — then "crash" after only the
+    // buckets of keys 1..3 committed (merge a bucket-complete SUBSET:
+    // per-bucket atomicity means a crash can strand any bucket subset,
+    // but never a fraction of one bucket)
+    val batch = (1L to 6L).map(k => (k, s"w$k", 2L))
+    val partialBuckets = batch.filter(r => r._1 <= 3L).map(r => bucketOf(r._1)).toSet
+    val partial = batch.filter(r => partialBuckets.contains(bucketOf(r._1)))
+    graft.operators.Sinks.upsertSnapshotBucketed(spark, s"$base/t",
+      partial.toDF("k", "v", "ord"), Seq("k"), "ord", nBuckets)
+    // observable mid-crash state: some keys updated, others not
+    val mid = graft.operators.Sinks.readBucketedSnapshot(spark, s"$base/t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    assert(partial.forall(r => mid(r._1) === r._2))
+    // REPLAY the full batch (the checkpoint redelivery): converges
+    graft.operators.Sinks.upsertSnapshotBucketed(spark, s"$base/t",
+      batch.toDF("k", "v", "ord"), Seq("k"), "ord", nBuckets)
+    val got = graft.operators.Sinks.readBucketedSnapshot(spark, s"$base/t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    // clean-path reference: the same seed + batch on a fresh table
+    graft.operators.Sinks.upsertSnapshotBucketed(spark, s"$base/ref", seed,
+      Seq("k"), "ord", nBuckets)
+    graft.operators.Sinks.upsertSnapshotBucketed(spark, s"$base/ref",
+      batch.toDF("k", "v", "ord"), Seq("k"), "ord", nBuckets)
+    val ref = graft.operators.Sinks.readBucketedSnapshot(spark, s"$base/ref")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got === ref)
+    assert(got === (1L to 6L).map(k => (k, s"w$k")).toSet)
+  }
+
   test("SRC1 pick-first: only the lexicographically first csv is ingested (main.py:116-124)") {
     val dir = Files.createTempDirectory("graft_src1").toFile
     writeCsv(dir, "2025-02.csv", "2025-02-01,10:00,USD,A,low,1,2,3,0,w\n")

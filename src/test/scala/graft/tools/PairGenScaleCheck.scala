@@ -91,6 +91,34 @@ object PairGenScaleCheck {
       f"auto-only ${(autoPairs -- fixedPairs).size}%d " +
       f"(of ${fixedPairs.size}%d fixed / ${autoPairs.size}%d auto)")
 
+    // round 14 — the AUTO-SIZED SimHash registration (simhashBlocksAuto:
+    // the Manku block-combination layout, m grows with n): time it at
+    // both scales and prove EXACTNESS by cross-layout agreement — every
+    // m > d yields a COMPLETE candidate stage for Hamming <= d, so the
+    // classic 4-block layout, the auto-chosen one, and a wider one must
+    // return the IDENTICAL pair set; any diff is a layout bug.
+    println("== SimHash pairs (auto block layout, maxDist=3) ==")
+    for (dir <- Seq(sf01, sf1)) {
+      val d = docs(dir)
+      val nDocs = d.count()
+      val mAuto = Dedup.simhashBlocksAuto(nDocs, maxDist = 3)
+      val sk = Dedup.simhashSketch(d, n = 3).localCheckpoint(eager = true)
+      def run(m: Int) = {
+        val t0 = System.nanoTime()
+        val p = pairSet(Dedup.simhashPairsFromSketchMasked(sk, 3,
+          Dedup.simhashTableMasks(m, 3)))
+        ((System.nanoTime() - t0) / 1e9, p)
+      }
+      val (t4, p4) = run(4)
+      val (ta, pa) = run(mAuto)
+      val (tw, pw) = run(math.min(mAuto + 2, 12))
+      println(f"  n=$nDocs%6d auto m=$mAuto: m=4 $t4%6.2f s, " +
+        f"m=$mAuto $ta%6.2f s, m=${math.min(mAuto + 2, 12)} $tw%6.2f s; " +
+        f"pairs ${pa.size}%d; layouts agree: ${p4 == pa && pa == pw}%s")
+      require(p4 == pa && pa == pw,
+        s"block layouts DISAGREE at $dir — completeness broken")
+    }
+
     println("== Hyperplane-LSH cosine pairs (threshold 0.45) ==")
     val (tC01, _) = timed("cosine sf0.1 bits=2 t=12 mp=1 (registered)")(
       Similarity.cosinePairsBucketed(emb(sf01), 0.45, bits = 2,

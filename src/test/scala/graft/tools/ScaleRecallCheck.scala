@@ -124,6 +124,17 @@ object ScaleRecallCheck {
       lazy val pqIdx = Similarity.buildPqIndex(emb, m = 16, k = 16).get
       rec("pq", 0.7,
         Similarity.pqTopK(queries, emb, pqIdx, k = 5, rerank = rerank))
+      // the registered AUTO-SIZED PQ row (round 14): (m, k) derived
+      // from one (count, dim) aggregate by pqParamsAuto — k byte-codes
+      // once trainable, code bits tracking 2·log2(n); the rule the
+      // ann_pq_topk_auto oracle pins at driver SFs, validated here at
+      // surrogate scale
+      if (want("pq_auto")) {
+        val pqAutoIdx = Similarity.buildPqIndexAuto(emb).get
+        println(f"n=$n%6d  pq_auto params: m=${pqAutoIdx.m} k=${pqAutoIdx.k}")
+        rec("pq_auto", 0.7,
+          Similarity.pqTopK(queries, emb, pqAutoIdx, k = 5, rerank = rerank))
+      }
       rec("ivfpq", 0.6, Similarity.buildIvfIndex(emb, nCentroids = 32,
         refineIters = 2)
         .map(ivf => Similarity.ivfPqTopK(queries, emb, ivf, pqIdx, k = 5,
