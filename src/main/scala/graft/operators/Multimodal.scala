@@ -1026,16 +1026,6 @@ object Multimodal {
         // measured hot spot at ~10 frames/doc
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("jpeg").next()
-        // destination-raster reuse (round 14): one BufferedImage per
-        // (imageType, w, h) per PARTITION, handed to every read via
-        // ImageReadParam.setDestination — the per-frame raster allocation
-        // was this row's GC tail (the suite's heaviest row, sf1 ratio
-        // 11.6x). Dims span only 16..31 per axis here, so the cache is
-        // tiny; TYPE_CUSTOM (0) specs skip the cache rather than risk
-        // keying two different custom layouts together.
-        val destCache = scala.collection.mutable.HashMap
-          .empty[(Int, Int, Int), java.awt.image.BufferedImage]
-        val sampleBuf = new Array[Int](64 * 64) // >= max dims, reused
         batch.map { case (id, bytes) =>
           val bb = java.nio.ByteBuffer.wrap(bytes)
           def fourcc(): String = {
@@ -1092,53 +1082,57 @@ object Multimodal {
               new java.io.ByteArrayInputStream(bytes, off, len))
             reader.setInput(iis, true, true)
             val img =
-              try {
-                // header-only dims first: the loud mismatch check must
-                // fire BEFORE a destination of the wrong size is offered
-                val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
-                require(dw == trackW && dh == trackH,
-                  s"doc $id: sample $fi is ${dw}x$dh, " +
-                    s"track says ${trackW}x$trackH")
-                val spec = reader.getImageTypes(0).next()
-                val param = reader.getDefaultReadParam
-                if (spec.getBufferedImageType !=
-                    java.awt.image.BufferedImage.TYPE_CUSTOM &&
-                    dw * dh <= sampleBuf.length)
-                  param.setDestination(destCache.getOrElseUpdate(
-                    (spec.getBufferedImageType, dw, dh),
-                    spec.createBufferedImage(dw, dh)))
-                try reader.read(0, param)
-                catch {
-                  case e: Exception => throw new IllegalArgumentException(
-                    s"doc $id: undecodable JPEG sample $fi", e)
-                }
+              try reader.read(0)
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"doc $id: undecodable JPEG sample $fi", e)
               } finally iis.close()
             require(img != null, s"doc $id: undecodable JPEG sample $fi")
             val w = img.getWidth; val h = img.getHeight
             require(w == trackW && h == trackH,
               s"doc $id: sample $fi is ${w}x$h, track says ${trackW}x$trackH")
-            // observed sum: band-2 (blue) samples straight off the raster
-            // — for the sRGB 8-bit component layouts the JPEG reader
-            // produces this is bit-identical to (getRGB & 0xff), without
-            // the per-pixel pack/convert; anything exotic falls back
+            // observed sum: the blue band read straight off the backing
+            // byte buffer when the raster is the JPEG reader's standard
+            // interleaved-byte sRGB layout — bit-identical to
+            // (getRGB & 0xff) (sRGB ColorModel packs samples verbatim)
+            // without getRGB's per-pixel getDataElements allocation +
+            // pack/convert, the measured hot spot of this row. Anything
+            // exotic falls back to the exact per-pixel form.
+            // (Round 14 note: destination-raster reuse via
+            // ImageReadParam.setDestination was tried first and measured
+            // 60% SLOWER — getImageTypes(0) per frame costs more than
+            // the raster allocation it avoids.)
+            val raster = img.getRaster
             val cm = img.getColorModel
             var got = 0L
-            if (cm.getNumComponents == 3 && !cm.hasAlpha &&
-                cm.getColorSpace.isCS_sRGB && cm.getComponentSize(2) == 8 &&
-                w * h <= sampleBuf.length) {
-              img.getRaster.getSamples(0, 0, w, h, 2, sampleBuf)
-              var i = 0
-              val np = w * h
-              while (i < np) { got += sampleBuf(i); i += 1 }
-            } else {
-              var x = 0
-              while (x < w) {
+            (raster.getSampleModel, raster.getDataBuffer) match {
+              case (p: java.awt.image.PixelInterleavedSampleModel,
+                    db: java.awt.image.DataBufferByte)
+                if cm.getNumComponents == 3 && !cm.hasAlpha &&
+                   cm.getColorSpace.isCS_sRGB &&
+                   raster.getNumBands == 3 && db.getOffset == 0 &&
+                   raster.getSampleModelTranslateX == 0 &&
+                   raster.getSampleModelTranslateY == 0 =>
+                val data = db.getData
+                val scan = p.getScanlineStride
+                val ps = p.getPixelStride
+                val blueOff = p.getBandOffsets()(2) // band 2 = blue
                 var y = 0
                 while (y < h) {
-                  got += (img.getRGB(x, y) & 0xff).toLong; y += 1
+                  var idx = y * scan + blueOff
+                  var x = 0
+                  while (x < w) { got += data(idx) & 0xff; idx += ps; x += 1 }
+                  y += 1
                 }
-                x += 1
-              }
+              case _ =>
+                var x = 0
+                while (x < w) {
+                  var y = 0
+                  while (y < h) {
+                    got += (img.getRGB(x, y) & 0xff).toLong; y += 1
+                  }
+                  x += 1
+                }
             }
             // expected sum in O(w+h): gray(f,x,y) depends on (x,y) only
             // through s = x+y, and #{(x,y): x+y=s} is the triangular
