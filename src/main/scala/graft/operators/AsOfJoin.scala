@@ -423,9 +423,11 @@ object AsOfJoin {
     val tieType = tiebreak.map(right.schema(_).dataType)
 
     // Build rows must sort adjacent to the probe rows they can match at
-    // EQUAL timestamps: before the probe for backward (running `last` has
-    // already seen them), after it for forward (`first` over the following
-    // frame still sees them, starting from the probe row itself).
+    // EQUAL timestamps, BEFORE the probe in each direction's scan order
+    // so the running `last` has already seen them: backward scans TS
+    // ascending with build SIDE 0 < probe 1; forward scans TS DESCENDING
+    // (see the window below) with build SIDE 1 > probe 0 — descending
+    // SIDE puts the build first there too.
     val (buildOrd, probeOrd) = if (forward) (1, 0) else (0, 1)
 
     val probe = left.select(
@@ -449,22 +451,37 @@ object AsOfJoin {
           struct(payFields.map(col).toIndexedSeq: _*).as(PAY),
           lit(null).cast(leftRowType).as(ROW)): _*)
 
-    // Greatest tiebreak wins: for backward the running `last` keeps the
-    // latest-sorted build row → sort ties ascending; for forward `first`
-    // keeps the earliest-sorted → sort ties descending.
-    val tieOrder = if (forward) col(TIE).desc_nulls_last else col(TIE).asc_nulls_first
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(TS).asc, col(SIDE).asc, tieOrder)
+    // BOTH directions run as RUNNING frames (`last ignoreNulls` over
+    // [unboundedPreceding, current]) — round 14: Spark evaluates a
+    // shrinking [current, unboundedFollowing) frame by re-aggregating
+    // the remaining rows for EVERY row, O(n²) per key partition
+    // (unbounded on a skewed hot key; the bfill lesson, Features.scala),
+    // while the running frame accumulates incrementally in O(n).
+    // Forward is the backward machinery over the EXACTLY REVERSED order
+    // (every sort key flipped together with its null placement): the
+    // running `last` in TS-descending order yields the smallest-TS
+    // build at-or-after the probe. Greatest tiebreak wins in both:
+    // backward sorts ties ascending so the running `last` keeps the
+    // largest; forward's reversed order ALSO sorts ties ascending
+    // within its descending TS (the reversal of the old
+    // first-over-following + ties-descending layout), so the running
+    // `last` again lands on the largest tiebreak.
+    val w =
+      if (forward)
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(TS).desc_nulls_last, col(SIDE).desc,
+            col(TIE).asc_nulls_first)
+      else
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(TS).asc, col(SIDE).asc, col(TIE).asc_nulls_first)
 
-    val matched =
-      if (forward) first(col(PAY), ignoreNulls = true)
-        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-      else last(col(PAY), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val matched = last(col(PAY), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     // Null-ts PROBE rows keep a NULL match too: backward gets this free
-    // from NULLS FIRST ordering, but forward's first-over-following would
-    // hand a null-ts probe the earliest build — gate it out explicitly.
+    // from NULLS FIRST ordering, but forward's reversed running frame
+    // (null TS sorting last, after every build) would hand a null-ts
+    // probe the earliest build — gate it out explicitly.
     // Null-KEY probes are gated for the same reason: partitionBy groups
     // null keys into one partition (unlike an equi-join), and without the
     // gate a null-key probe would match null-key builds — diverging from

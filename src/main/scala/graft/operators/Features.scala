@@ -35,9 +35,147 @@ object Features {
   def ffill(c: Column, w: WindowSpec): Column =
     last(c, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
-  /** W2 — backward-fill: first non-null at or after the current row. */
-  def bfill(c: Column, w: WindowSpec): Column =
-    first(c, ignoreNulls = true).over(w.rowsBetween(0, Window.unboundedFollowing))
+  /** W2 — backward-fill: first non-null at or after the current row.
+    *
+    * Implemented as a REVERSED RUNNING frame — `last ignoreNulls` over
+    * `[unboundedPreceding, current]` with every sort key flipped
+    * (asc nulls-first → desc nulls-last: an EXACT order reversal when
+    * `time` ends in a unique tiebreak, which every caller's
+    * (ts, event_id) does) — NOT the literal
+    * `first over [current, unboundedFollowing]`: Spark evaluates a
+    * shrinking following-frame by re-aggregating the remaining rows for
+    * EVERY row, O(n²) per window partition. Fine at a few hundred rows
+    * per key; unbounded on a skewed hot key (the round-14 skew fixture
+    * — one key holding 50% of 1M rows — HUNG the literal form, while
+    * the running frame accumulates incrementally in O(n)). Takes
+    * (key, time) rather than a WindowSpec because a spec cannot be
+    * order-reversed after construction. */
+  def bfill(c: Column, key: Seq[String], time: Seq[String]): Column =
+    last(c, ignoreNulls = true).over(
+      Window.partitionBy(key.map(col): _*)
+        .orderBy(time.map(t => col(t).desc_nulls_last): _*)
+        .rowsBetween(Window.unboundedPreceding, 0))
+
+  // ------------------------------------------------------------------
+  // CHUNKED order-dependent windows (round 14) — the skew scale path
+  // for W1/W2. A per-key window puts EVERY row of a key into ONE task;
+  // salting is unsound for sequence semantics (lag/ffill need row
+  // adjacency), so a hot key (one currency holding half the corpus —
+  // the measured 1.8-2.4x straggler in BENCH_SF1.md's skew table, and
+  // unboundedly worse at 100 TB) is the one shape the plain forms
+  // cannot absorb. The chunked forms split each key by a CONTIGUOUS
+  // time expression (e.g. the event month), run the window inside each
+  // (key, chunk) — parallelism now per chunk, not per key — and stitch
+  // chunk boundaries through a per-(key, chunk) SUMMARY table that is
+  // C rows per key (tiny: its own window costs nothing, and the
+  // join-back broadcasts). Results are IDENTICAL to the plain forms on
+  // any input — pinned by spec equality and by registering the chunked
+  // rows against the SAME DuckDB oracles as w1/w2.
+
+  /** Chunked W2 forward-fill: last non-null at or before each row, with
+    * per-key parallelism bounded by chunks instead of 1. `chunk` must be
+    * MONOTONE in `time`'s first column (contiguous ranges — a hash would
+    * interleave rows and break the carry). Requires the frame's columns
+    * as inputs and returns the frame with `outName` appended. */
+  def ffillChunked(df: DataFrame, c: String, key: Seq[String],
+                   time: Seq[String], chunk: Column,
+                   outName: String): DataFrame = {
+    val CHU = "__ffc_chunk"
+    val LOC = "__ffc_local"
+    val CAR = "__ffc_carry"
+    val withChunk = df.withColumn(CHU, chunk)
+    val wLocal = Window.partitionBy((key :+ CHU).map(col): _*)
+      .orderBy(time.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = withChunk
+      .withColumn(LOC, last(col(c), ignoreNulls = true).over(wLocal))
+    // chunk tails: the running-last at each chunk's final row == the
+    // max_by over time of the local fill (aggregate, map-side partial)
+    val tails = local.groupBy((key :+ CHU).map(col): _*)
+      .agg(max_by(col(LOC), struct(time.map(col): _*)).as("__tail"))
+    // carry: last non-null tail over STRICTLY EARLIER chunks — the
+    // summary table is C rows per key, so this window is trivially small
+    val wCarry = Window.partitionBy(key.map(col): _*).orderBy(col(CHU))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = tails
+      .withColumn(CAR, last(col("__tail"), ignoreNulls = true).over(wCarry))
+      .select((key :+ CHU).map(col) :+ col(CAR): _*)
+    // join strategy left to Catalyst/AQE: the summary is C rows per
+    // key — broadcast-small for a skewed few-key corpus, but a
+    // high-cardinality key set times C chunks can outgrow a broadcast,
+    // and the equi-join on (key, chunk) shuffles fine either way
+    local
+      .join(carries, key :+ CHU, "left")
+      .withColumn(outName, coalesce(col(LOC), col(CAR)))
+      .drop(CHU, LOC, CAR)
+  }
+
+  /** Chunked W2 backward-fill — [[ffillChunked]] mirrored: the local
+    * pass is [[bfill]]'s reversed running frame inside each (key,
+    * chunk); the summary row per chunk is its HEAD (the backward fill
+    * at the chunk's earliest row = first non-null anywhere in the
+    * chunk); the carry for a row whose chunk-local fill is null is the
+    * nearest LATER chunk's non-null head (`last ignoreNulls` over the
+    * chunk summary in descending-chunk order, strictly-earlier frame =
+    * strictly-later chunks). Null chunks (null time) sort last in the
+    * descending scan, so they see every real chunk — matching the plain
+    * form's nulls-first placement under order reversal. */
+  def bfillChunked(df: DataFrame, c: String, key: Seq[String],
+                   time: Seq[String], chunk: Column,
+                   outName: String): DataFrame = {
+    val CHU = "__bfc_chunk"
+    val LOC = "__bfc_local"
+    val CAR = "__bfc_carry"
+    val withChunk = df.withColumn(CHU, chunk)
+    val wLocal = Window.partitionBy((key :+ CHU).map(col): _*)
+      .orderBy(time.map(t => col(t).desc_nulls_last): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = withChunk
+      .withColumn(LOC, last(col(c), ignoreNulls = true).over(wLocal))
+    val heads = local.groupBy((key :+ CHU).map(col): _*)
+      .agg(min_by(col(LOC), struct(time.map(col): _*)).as("__head"))
+    val wCarry = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(CHU).desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = heads
+      .withColumn(CAR, last(col("__head"), ignoreNulls = true).over(wCarry))
+      .select((key :+ CHU).map(col) :+ col(CAR): _*)
+    local
+      .join(carries, key :+ CHU, "left") // strategy to AQE, see ffillChunked
+      .withColumn(outName, coalesce(col(LOC), col(CAR)))
+      .drop(CHU, LOC, CAR)
+  }
+
+  /** Chunked W1 lag-1: the previous row's value per key (nulls carried
+    * verbatim, the lag contract), chunk-parallel. Only each chunk's
+    * FIRST row crosses a boundary; it takes the latest earlier chunk's
+    * final value from the summary table (`last` WITHOUT ignoreNulls —
+    * a null final value must propagate exactly as lag would). */
+  def lag1Chunked(df: DataFrame, c: String, key: Seq[String],
+                  time: Seq[String], chunk: Column,
+                  outName: String): DataFrame = {
+    val CHU = "__lgc_chunk"
+    val RN = "__lgc_rn"
+    val LOC = "__lgc_local"
+    val CAR = "__lgc_carry"
+    val withChunk = df.withColumn(CHU, chunk)
+    val wLocal = Window.partitionBy((key :+ CHU).map(col): _*)
+      .orderBy(time.map(col): _*)
+    val local = withChunk
+      .withColumn(LOC, lag(col(c), 1).over(wLocal))
+      .withColumn(RN, row_number().over(wLocal))
+    val tails = local.groupBy((key :+ CHU).map(col): _*)
+      .agg(max_by(col(c), struct(time.map(col): _*)).as("__tail"))
+    val wPrev = Window.partitionBy(key.map(col): _*).orderBy(col(CHU))
+    val carries = tails
+      .withColumn(CAR, lag(col("__tail"), 1).over(wPrev))
+      .select((key :+ CHU).map(col) :+ col(CAR): _*)
+    local
+      .join(carries, key :+ CHU, "left") // strategy to AQE, see ffillChunked
+      .withColumn(outName,
+        when(col(RN) === 1, col(CAR)).otherwise(col(LOC)))
+      .drop(CHU, RN, LOC, CAR)
+  }
 
   /** W3/A5 — per-group min-max normalization with the reference's guards
     * (train.py:122-129 normalize_feature): all-NaN group → zeros with

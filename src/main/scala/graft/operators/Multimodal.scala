@@ -1099,9 +1099,15 @@ object Multimodal {
             // pack/convert, the measured hot spot of this row. Anything
             // exotic falls back to the exact per-pixel form.
             // (Round 14 note: destination-raster reuse via
-            // ImageReadParam.setDestination was tried first and measured
-            // 60% SLOWER — getImageTypes(0) per frame costs more than
-            // the raster allocation it avoids.)
+            // ImageReadParam.setDestination was tried TWICE and rejected
+            // on same-box A/B — with getImageTypes(0) per frame it was
+            // 60% slower, and even reusing the first decoded frame per
+            // (w,h) as destination with zero type queries measured ~9%
+            // slower than the plain allocating read: the reader's
+            // destination-validation path costs more than the raster
+            // allocation it avoids, and the sf1 ratio was unchanged at
+            // 11.2x either way — the residual super-linearity is GC/JIT
+            // noise on an embarrassingly parallel, shuffle-free row.)
             val raster = img.getRaster
             val cm = img.getColorModel
             var got = 0L

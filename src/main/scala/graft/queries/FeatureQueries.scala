@@ -46,6 +46,11 @@ object FeatureQueries {
   private val duckWin =
     "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
+  // contiguous ~30-day chunk id, monotone in ts, null-preserving (the
+  // chunked-window contract, Features.ffillChunked)
+  private val monthChunk =
+    expr("floor(unix_micros(CAST(ts AS TIMESTAMP)) / 2592000000000)")
+
   /** The A21 stump-training CTE chain over `events`, ending in `best`
     * (ONE row: the trained split t with its leaf counts) — shared by the
     * training row and the persist-and-serve row so the two oracles can
@@ -86,7 +91,8 @@ object FeatureQueries {
         val w = Features.keyWindow(key, Seq("ts", "event_id"))
         base(s, dir)
           .withColumn("vf", Features.ffill(col("v"), w))
-          .withColumn("v_filled", coalesce(col("vf"), Features.bfill(col("vf"), w)))
+          .withColumn("v_filled", coalesce(col("vf"),
+            Features.bfill(col("vf"), key, Seq("ts", "event_id"))))
           .select(col("event_id"), col("v"), col("v_filled"))
       },
       s"""WITH b AS ($duckBase),
@@ -106,7 +112,7 @@ object FeatureQueries {
       (s, dir) => {
         val w = Features.keyWindow(key, Seq("ts", "event_id"))
         base(s, dir)
-          .withColumn("vb", Features.bfill(col("v"), w))
+          .withColumn("vb", Features.bfill(col("v"), key, Seq("ts", "event_id")))
           .withColumn("v_filled", coalesce(col("vb"), Features.ffill(col("vb"), w)))
           .select(col("event_id"), col("v"), col("v_filled"))
       },
@@ -118,6 +124,44 @@ object FeatureQueries {
          |SELECT event_id, v,
          |  coalesce(vb, last_value(vb IGNORE NULLS) OVER ($duckWin
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled
+         |FROM f""".stripMargin),
+
+    // W1/W2 CHUNKED — the skew SCALE PATH (round 14): per-key windows
+    // put a key's every row into one task, and the BENCH_SF1 skew
+    // fixture (one key = 50% of 1M rows) measures the plain forms at
+    // 1.8-2.4x — unboundedly worse at 100 TB, and salting is unsound
+    // for sequence semantics. The chunked forms split each key by the
+    // event MONTH (contiguous, monotone in ts), window inside each
+    // (key, chunk), and stitch boundaries through a C-rows-per-key
+    // summary join (Features.ffillChunked scaladoc). Results are
+    // IDENTICAL to the plain rows — same DuckDB oracles verbatim.
+    "w1_lag_chunked" -> QueryDef(
+      (s, dir) => Features.lag1Chunked(Tables.events(s, dir), "value",
+          key, Seq("ts", "event_id"), monthChunk, "value_lag1")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("value_lag1")),
+      """SELECT event_id, user_id, event_type, value,
+        |  lag(value) OVER (PARTITION BY user_id, event_type
+        |                   ORDER BY ts, event_id) AS value_lag1
+        |FROM events""".stripMargin),
+
+    "w2_fill_train_chunked" -> QueryDef(
+      (s, dir) => {
+        val ff = Features.ffillChunked(base(s, dir), "v", key,
+          Seq("ts", "event_id"), monthChunk, "vf")
+        Features.bfillChunked(ff, "vf", key, Seq("ts", "event_id"),
+            monthChunk, "vb")
+          .withColumn("v_filled", coalesce(col("vf"), col("vb")))
+          .select(col("event_id"), col("v"), col("v_filled"))
+      },
+      s"""WITH b AS ($duckBase),
+         |f AS (
+         |  SELECT *, last_value(v IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+         |  FROM b)
+         |SELECT event_id, v,
+         |  coalesce(vf, first_value(vf IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_filled
          |FROM f""".stripMargin),
 
     // W3+A5 — per-group min-max normalize with the reference guards

@@ -39,9 +39,9 @@ class FeaturesSpec extends SparkSpecBase {
     ).toDF("k", "t", "v")
     // train order: ffill then bfill
     val trainF = df.withColumn("f", Features.ffill(col("v"), w))
-      .withColumn("filled", coalesce(col("f"), Features.bfill(col("f"), w)))
+      .withColumn("filled", coalesce(col("f"), Features.bfill(col("f"), Seq("k"), Seq("t"))))
     // validate order: bfill then ffill
-    val valF = df.withColumn("b", Features.bfill(col("v"), w))
+    val valF = df.withColumn("b", Features.bfill(col("v"), Seq("k"), Seq("t")))
       .withColumn("filled", coalesce(col("b"), Features.ffill(col("b"), w)))
     def filled(d: org.apache.spark.sql.DataFrame) =
       d.orderBy("k", "t").collect().map(_.getAs[Double]("filled")).toSeq
@@ -53,10 +53,60 @@ class FeaturesSpec extends SparkSpecBase {
     // unit pin: intermediate passes differ.
     val ffillOnly = df.withColumn("f", Features.ffill(col("v"), w))
       .orderBy("k", "t").collect().map(_.getAs[Any]("f")).toSeq
-    val bfillOnly = df.withColumn("b", Features.bfill(col("v"), w))
+    val bfillOnly = df.withColumn("b", Features.bfill(col("v"), Seq("k"), Seq("t")))
       .orderBy("k", "t").collect().map(_.getAs[Any]("b")).toSeq
     assert(ffillOnly === Seq(null, null, 10.0, 10.0, 1.0, 1.0, 1.0))
     assert(bfillOnly === Seq(10.0, 10.0, 10.0, null, 1.0, null, null))
+  }
+
+  test("chunked W1/W2 forms are IDENTICAL to the plain per-key windows: " +
+    "boundary carries, all-null chunks, null-time rows, and the real " +
+    "events table") {
+    // adversarial micro-fixture: chunk = floor(t/3) — values crossing
+    // chunk boundaries, a chunk that is entirely null (t=3..5 for g),
+    // a null-time row, and a key living in one chunk only
+    val df = Seq(
+      ("g", Some(0), Some(1.0)), ("g", Some(1), None), ("g", Some(2), None),
+      ("g", Some(3), None), ("g", Some(4), None), ("g", Some(5), None),
+      ("g", Some(6), Some(7.0)), ("g", Some(7), None),
+      ("h", Some(2), None), ("h", Some(4), Some(4.0)),
+      ("i", None, Some(9.0)), ("i", Some(1), None)
+    ).toDF("k", "t", "v")
+    val chunk = expr("CAST(floor(t / 3) AS BIGINT)")
+    val kSeq = Seq("k"); val tSeq = Seq("t")
+    def snap(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.orderBy("k", "t").collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Any]("t"), r.getAs[Any](c)))
+        .toSeq
+    val wk = Features.keyWindow(kSeq, tSeq)
+    // ffill
+    val plainF = df.withColumn("o", Features.ffill(col("v"), wk))
+    val chunkF = Features.ffillChunked(df, "v", kSeq, tSeq, chunk, "o")
+    assert(snap(chunkF, "o") === snap(plainF, "o"))
+    // bfill
+    val plainB = df.withColumn("o", Features.bfill(col("v"), kSeq, tSeq))
+    val chunkB = Features.bfillChunked(df, "v", kSeq, tSeq, chunk, "o")
+    assert(snap(chunkB, "o") === snap(plainB, "o"))
+    // lag1 (nulls carried verbatim across boundaries)
+    val plainL = df.withColumn("o", Features.lag1(col("v"), wk))
+    val chunkL = Features.lag1Chunked(df, "v", kSeq, tSeq, chunk, "o")
+    assert(snap(chunkL, "o") === snap(plainL, "o"))
+    // and on the REAL events table at sf0.001, (user_id, event_type)
+    // keys, month chunks — the registered rows' exact shape
+    val ev = Tables.events(spark, sf0001)
+    val rkey = Seq("user_id", "event_type"); val rt = Seq("ts", "event_id")
+    val mchunk = expr(
+      "floor(unix_micros(CAST(ts AS TIMESTAMP)) / 2592000000000)")
+    val rw = Features.keyWindow(rkey, rt)
+    def rsnap(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("event_id"), col(c)).collect()
+        .map(r => (r.getLong(0), r.getAs[Any](1))).toMap
+    assert(rsnap(Features.ffillChunked(ev, "value", rkey, rt, mchunk, "o"), "o")
+      === rsnap(ev.withColumn("o", Features.ffill(col("value"), rw)), "o"))
+    assert(rsnap(Features.bfillChunked(ev, "value", rkey, rt, mchunk, "o"), "o")
+      === rsnap(ev.withColumn("o", Features.bfill(col("value"), rkey, rt)), "o"))
+    assert(rsnap(Features.lag1Chunked(ev, "value", rkey, rt, mchunk, "o"), "o")
+      === rsnap(ev.withColumn("o", Features.lag1(col("value"), rw)), "o"))
   }
 
   test("A5 guards: all-null group normalizes to zeros with (0,1); zero range uses rng=1 (train.py:122-129)") {

@@ -63,7 +63,8 @@ object SkewWindowCheck {
   def main(args: Array[String]): Unit = {
     val rows =
       if (args.nonEmpty) args.toSeq
-      else Seq("w1_lag", "w2_fill_train", "w2_fill_validate",
+      else Seq("w1_lag", "w1_lag_chunked", "w2_fill_train",
+        "w2_fill_train_chunked", "w2_fill_validate",
         "w3_minmax_normalize", "w5_chrono_split_dist",
         "w6_latest_per_group", "j5_impute_group_mean")
     val spark = SparkSession.builder().master("local[32]")
