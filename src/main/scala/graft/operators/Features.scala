@@ -146,6 +146,120 @@ object Features {
       .drop(CHU, LOC, CAR)
   }
 
+  /** W10 at scale — EXACT trailing time-RANGE rolling (count, sum) with
+    * skew bounded by rows-per-(key, bucket) instead of rows-per-key.
+    *
+    * The naive form (`sum/count over rangeBetween(−W, current)`) is the
+    * one frame shape Spark evaluates by RE-AGGREGATING the rows in
+    * range for every row — O(n·w) inside a single task per key, which
+    * the round-14 skew fixture measured as an outright hang on a
+    * 500k-row hot key (BENCH_SF1.md). This form decomposes the closed
+    * frame [ts−W, ts] exactly:
+    *
+    *   C(t) = count{ts' ≤ t}  per key (and S(t) likewise for sums)
+    *   out(e) = C(ts_e) − C(ts_e − W − 1µs)
+    *
+    * with C(t) = P(bucket(t) − 1) + rcWithin(t), where
+    *  - rcWithin: a GROWING range frame inside each (key, bucket)
+    *    partition (incremental in Spark, peers-by-value like the plain
+    *    RANGE frame — equal timestamps share the value);
+    *  - P: per-key prefix sums over a DENSIFIED bucket-partial table
+    *    (≤ span/bucket rows per key — window cost is trivial and gap
+    *    buckets contribute their zeros);
+    *  - the lower boundary C(q), q = ts−W−1, resolves through ONE
+    *    backward as-of join keyed (key, bucket(q)) that fetches the
+    *    running pair at the latest event ≤ q in q's bucket — the as-of
+    *    union-window partitions by (key, bucket) too.
+    *
+    * Null-timestamp rows reproduce the plain frame's null-peer-group
+    * semantics for free: their bucket is null, the in-bucket range
+    * frame makes all null-ts rows peers (out = the peer-group totals),
+    * and every cross-bucket lookup misses to 0.
+    *
+    * Cost: ~4 shuffles and three small joins vs the naive form's one
+    * shuffle — the price of turning an unbounded per-key straggler into
+    * max-rows-per-(key, bucket) parallelism. Exactness vs the plain
+    * form is pinned by spec and by registering the daily row against
+    * the SAME DuckDB oracle. `tsMicros` must be epoch micros ≥ −2⁶²
+    * (floor-division guarded for negatives); `valueMicros` non-null. */
+  def rangeMovingAggBucketed(df: DataFrame, key: Seq[String],
+                             tsMicros: String, valueMicros: String,
+                             windowMicros: Long,
+                             bucketMicros: Long = 86400000000L,
+                             outCnt: String = "n_w",
+                             outSum: String = "sum_w"): DataFrame = {
+    require(windowMicros >= 0 && bucketMicros > 0,
+      s"bad window/bucket: $windowMicros/$bucketMicros")
+    val B = bucketMicros
+    val DAY = "__rma_day"; val RC = "__rma_rc"; val RS = "__rma_rs"
+    def fdiv(e: String): String =
+      s"IF(($e) >= 0, ($e) DIV $B, -(((-($e)) + $B - 1) DIV $B))"
+    val ev = df.withColumn(DAY, expr(fdiv(tsMicros)))
+    val wIn = Window.partitionBy((key :+ DAY).map(col): _*)
+      .orderBy(col(tsMicros))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRc = ev
+      .withColumn(RC, count(lit(1)).over(wIn))
+      .withColumn(RS, sum(col(valueMicros)).over(wIn))
+      .localCheckpoint(eager = false) // feeds the agg, the as-of build,
+                                      // and the output frame
+    val dayAgg = withRc.groupBy((key :+ DAY).map(col): _*)
+      .agg(count(lit(1)).as("__rma_cnt"), sum(col(valueMicros)).as("__rma_sum"))
+    val bounds = dayAgg.filter(col(DAY).isNotNull)
+      .groupBy(key.map(col): _*)
+      .agg(min(col(DAY)).as("__rma_d0"), max(col(DAY)).as("__rma_d1"))
+    val prefix = bounds
+      .select(key.map(col) :+
+        explode(sequence(col("__rma_d0"), col("__rma_d1"))).as(DAY): _*)
+      .join(dayAgg, key :+ DAY, "left")
+      .na.fill(0L, Seq("__rma_cnt", "__rma_sum"))
+      .withColumn("__rma_pc", sum(col("__rma_cnt")).over(
+        Window.partitionBy(key.map(col): _*).orderBy(col(DAY))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__rma_ps", sum(col("__rma_sum")).over(
+        Window.partitionBy(key.map(col): _*).orderBy(col(DAY))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(key.map(col) :+ col(DAY) :+ col("__rma_pc") :+ col("__rma_ps"): _*)
+
+    // upper anchor: P(bucket(ts) − 1) — a left equi-join against the
+    // dense prefix (miss = before the key's first bucket = 0)
+    val upper = withRc
+      .withColumn("__rma_pd", col(DAY) - 1)
+      .join(prefix.select(key.map(col) :+ col(DAY).as("__rma_pd") :+
+          col("__rma_pc").as("__rma_pcU") :+ col("__rma_ps").as("__rma_psU"): _*),
+        key :+ "__rma_pd", "left")
+      .drop("__rma_pd")
+
+    // lower anchor at q = ts − W − 1: P(bucket(q) − 1) equi-join + the
+    // within-bucket as-of for the running pair at the latest event ≤ q
+    val q = s"($tsMicros - ${windowMicros}L - 1L)"
+    val lowered = upper
+      .withColumn("__rma_q", expr(q))
+      .withColumn("__rma_dq", expr(fdiv(q)))
+      .withColumn("__rma_pdq", col("__rma_dq") - 1)
+      .join(prefix.select(key.map(col) :+ col(DAY).as("__rma_pdq") :+
+          col("__rma_pc").as("__rma_pcL") :+ col("__rma_ps").as("__rma_psL"): _*),
+        key :+ "__rma_pdq", "left")
+      .drop("__rma_pdq")
+    val build = withRc.select(
+      key.map(col) :+ col(DAY).as("__rma_dq") :+
+        col(tsMicros).as("__rma_bts") :+ col(RC).as("__rma_rcq") :+
+        col(RS).as("__rma_rsq"): _*)
+    val probed = AsOfJoin.backward(lowered, build, key :+ "__rma_dq",
+      tsColLeft = "__rma_q", tsColRight = "__rma_bts",
+      rightPayload = Seq("__rma_rcq", "__rma_rsq"))
+
+    probed
+      .withColumn(outCnt,
+        coalesce(col("__rma_pcU"), lit(0L)) + col(RC) -
+          coalesce(col("__rma_pcL"), lit(0L)) - coalesce(col("__rma_rcq"), lit(0L)))
+      .withColumn(outSum,
+        coalesce(col("__rma_psU"), lit(0L)) + col(RS) -
+          coalesce(col("__rma_psL"), lit(0L)) - coalesce(col("__rma_rsq"), lit(0L)))
+      .drop(DAY, RC, RS, "__rma_pcU", "__rma_psU", "__rma_q", "__rma_dq",
+        "__rma_pcL", "__rma_psL", "__rma_bts", "__rma_rcq", "__rma_rsq")
+  }
+
   /** Chunked W1 lag-1: the previous row's value per key (nulls carried
     * verbatim, the lag contract), chunk-parallel. Only each chunk's
     * FIRST row crosses a boundary; it takes the latest earlier chunk's
@@ -1938,6 +2052,79 @@ object Features {
     * IDENTICAL constants. */
   def ewmaWeights(alpha: Double, maxLag: Int): Seq[Double] =
     (0 until maxLag).map(j => alpha * math.pow(1 - alpha, j))
+
+  /** [[ewma]] at scale — the skew-bounded form (round 14). The plain
+    * form's per-key sort window puts a hot key's every row into ONE
+    * task (measured 4.3× on the 50%-hot-key fixture, BENCH_SF1.md, and
+    * unbounded at 100 TB). This form has NO per-key window at all:
+    *
+    *  1. a GLOBAL sequence number over (group ++ order) via
+    *     [[indexedByRange]] (range shuffle — the hot key spreads across
+    *     partitions because the ordering includes time), re-based per
+    *     key with one tiny min-rank aggregate;
+    *  2. the L-tap frame becomes an rn-BUCKET BAND JOIN: bucket =
+    *     rn div L, each row probes its own and the previous bucket
+    *     (≤ 2L candidates, filtered to the exact rn range), weight
+    *     index j = rn_cur − rn_hist — literally the shape the w13
+    *     DuckDB oracle computes;
+    *  3. the same BIGINT 1e-12 quantized fold, so results are
+    *     bit-identical to [[ewma]] (spec-pinned; the registered
+    *     `w13_ewma_bucketed` row runs against the SAME oracle SQL).
+    *
+    * Per-(key, bucket) work is O(L²) regardless of key skew. Cost: the
+    * range shuffle + size job + one equi-join vs the plain form's one
+    * sort shuffle — the documented trade, same as every *_chunked /
+    * *_bucketed scale path this round. */
+  def ewmaBucketed(df: DataFrame, group: Seq[String], order: Seq[String],
+                   valueCol: String, alpha: Double, maxLag: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64]: $maxLag")
+    val weights = ewmaWeights(alpha, maxLag)
+    val warr = array(weights.map(lit): _*)
+    val RN = "__ewb_rn"; val RN0 = "__ewb_rn0"; val BK = "__ewb_bk"
+    val guarded = when(abs(col(valueCol)) >= lit(1e6),
+      raise_error(lit("ewma: |value| >= 1e6 overflows the BIGINT 1e-12 " +
+        "quantization — rescale the series upstream")))
+      .otherwise(col(valueCol))
+    val (indexed0, _) = indexedByRange(df, group ++ order, RN, 0)
+    val indexed = indexed0.localCheckpoint(eager = false) // feeds 3 consumers
+    // null-safe group equality throughout: the plain form's partitionBy
+    // treats a null key value as a real group, while a plain equi-join
+    // would silently drop its history
+    val rebase = indexed.groupBy(group.map(col): _*)
+      .agg(min(col(RN)).as(RN0))
+    val seqd = {
+      val i = indexed.alias("i"); val rb = rebase.alias("rb")
+      i.join(rb, group.map(k => col(s"i.$k") <=> col(s"rb.$k")).reduce(_ && _))
+        .select(indexed.columns.filter(_ != RN).map(c => col(s"i.$c")) :+
+          (col(s"i.$RN") - col(s"rb.$RN0")).as(RN): _*)
+        .localCheckpoint(eager = false)
+    }
+    val bkOf = expr(s"$RN DIV $maxLag")
+    val hist = seqd.select(group.map(col) ++ Seq(bkOf.as(BK),
+      col(RN).as("__ewb_hrn"), guarded.as("__ewb_hv")): _*)
+    val cur = seqd.select(group.map(col) ++ Seq(col(RN),
+      explode(array(bkOf, bkOf - 1)).as(BK)): _*)
+    val terms = {
+      val c = cur.alias("c"); val h = hist.alias("h")
+      c.join(h, group.map(k => col(s"c.$k") <=> col(s"h.$k"))
+          .reduce(_ && _) && col(s"c.$BK") === col(s"h.$BK"))
+        .filter(col("__ewb_hrn").between(col(RN) - (maxLag - 1), col(RN)))
+        .withColumn("__ewb_j", (col(RN) - col("__ewb_hrn")).cast("int"))
+        .withColumn("__ewb_wt", element_at(warr, col("__ewb_j") + 1))
+        .groupBy(group.map(k => col(s"c.$k").as(k)) :+ col(RN): _*)
+        .agg(
+          sum(round(col("__ewb_hv") * col("__ewb_wt") * lit(1e12)).cast("long"))
+            .as("__ewb_num"),
+          sum(round(col("__ewb_wt") * lit(1e12)).cast("long")).as("__ewb_den"))
+    }
+    val s = seqd.alias("s"); val t = terms.alias("t")
+    s.join(t, group.map(k => col(s"s.$k") <=> col(s"t.$k"))
+        .reduce(_ && _) && col(s"s.$RN") === col(s"t.$RN"))
+      .select(seqd.columns.filter(_ != RN).map(c => col(s"s.$c")) :+
+        (col("t.__ewb_num").cast("double") /
+          col("t.__ewb_den").cast("double")).as("ewma"): _*)
+  }
 
   /** Quantile (rank) transform (round 9): map each row to its group
     * rank scaled to [0, 1] — `(rn−1)/(n−1)` under a caller-supplied

@@ -149,6 +149,36 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin),
 
+    // W10 SCALE PATH (round 14) — the same 7-day trailing aggregate via
+    // Features.rangeMovingAggBucketed: Spark re-aggregates a sliding
+    // RANGE frame for every row (O(n·w) in one task per key — the skew
+    // fixture's 500k-row hot key HUNG the plain form outright,
+    // BENCH_SF1.md), while the bucketed decomposition (day-partial
+    // prefix sums + in-bucket growing frames + one as-of boundary
+    // lookup) bounds every task by rows-per-(user, day). Identical
+    // results — the SAME oracle SQL as w10, verbatim.
+    "w10_range_moving_avg_daily" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_us", expr("unix_micros(cast(ts AS timestamp))"))
+          .withColumn("v_micro",
+            expr("CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)"))
+        Features.rangeMovingAggBucketed(ev, Seq("user_id"), "ts_us",
+            "v_micro", windowMicros = 7L * 86400L * 1000000L,
+            outCnt = "n_7d", outSum = "__s7")
+          .withColumn("avg_7d",
+            col("__s7").cast("double") / lit(1e6) / col("n_7d"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("n_7d"), col("avg_7d"))
+      },
+      """SELECT event_id, ts, user_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)) OVER w
+        |       AS DOUBLE) / 1e6 / count(*) OVER w AS avg_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+
     // W11 (engine extension) — the ranking-function family on one
     // window: rank / dense_rank (gap vs no-gap tie semantics),
     // percent_rank ((rank−1)/(n−1)) and cume_dist (peers/n) — the two

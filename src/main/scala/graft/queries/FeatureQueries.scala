@@ -1424,6 +1424,43 @@ object FeatureQueries {
            |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
       }),
 
+    // W13 SCALE PATH (round 14) — Features.ewmaBucketed: no per-key
+    // window at all (global range-shuffle sequence numbers + an
+    // rn-bucket band join, O(L²) per bucket regardless of key skew —
+    // the plain form measured 4.3x on the 50%-hot-key fixture,
+    // BENCH_SF1.md). Identical quantized arithmetic — the SAME oracle
+    // SQL as w13_ewma, verbatim; bit-equality also pinned in
+    // FeaturesSpec.
+    "w13_ewma_bucketed" -> QueryDef(
+      (s, dir) => {
+        Features.ewmaBucketed(
+            Tables.events(s, dir).filter(col("value").isNotNull),
+            key, Seq("ts", "event_id"), "value", alpha = 0.3, maxLag = 8)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ewma"))
+      }, {
+        val wvals = Features.ewmaWeights(0.3, 8).zipWithIndex
+          .map { case (wt, j) => s"($j, CAST(${"%.17g".format(wt)} AS DOUBLE))" }
+          .mkString(", ")
+        s"""WITH r AS (
+           |  SELECT event_id, user_id, event_type, value,
+           |    row_number() OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE value IS NOT NULL),
+           |j AS (
+           |  SELECT cur.event_id, cur.user_id, cur.event_type, cur.value,
+           |    CAST(round(hist.value * w.wt * 1e12) AS BIGINT) AS tq,
+           |    CAST(round(w.wt * 1e12) AS BIGINT) AS wq
+           |  FROM r cur
+           |  JOIN r hist ON cur.user_id = hist.user_id
+           |    AND cur.event_type = hist.event_type
+           |    AND hist.rn BETWEEN cur.rn - 7 AND cur.rn
+           |  JOIN (VALUES $wvals) AS w(j, wt) ON w.j = cur.rn - hist.rn)
+           |SELECT event_id, user_id, event_type, value,
+           |  CAST(sum(tq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS ewma
+           |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
+      }),
+
     // W13b (round 11) — the EWMA overflow-guard BOUNDARY as oracle
     // data (the snk3 mode-as-data pattern): deterministically push every
     // 17th event past the |v| < 1e6 domain (v = 1e6 + |value|, pure IEEE

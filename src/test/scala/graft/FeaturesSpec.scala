@@ -109,6 +109,96 @@ class FeaturesSpec extends SparkSpecBase {
       === rsnap(ev.withColumn("o", Features.lag1(col("value"), rw)), "o"))
   }
 
+  test("rangeMovingAggBucketed is IDENTICAL to the plain sliding RANGE " +
+    "frame: bucket boundaries, exact window edges, timestamp peers, " +
+    "null timestamps, and the real events table") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // micro-fixture, bucket = 10 µs, window = 25 µs (2.5 buckets):
+    // rows straddling bucket edges, a window edge EXACTLY on an event
+    // (closed frame must include it), duplicate timestamps (peers share
+    // the frame by value), an empty bucket gap, and null-ts rows
+    val rows = Seq(
+      ("a", Some(3L), 1L), ("a", Some(9L), 2L), ("a", Some(10L), 4L),
+      ("a", Some(12L), 8L), ("a", Some(12L), 16L), // peers at 12
+      ("a", Some(28L), 32L), // = 3 + 25: edge exactly on the first event
+      ("a", Some(55L), 64L), // after a whole-bucket gap
+      ("b", Some(100L), 1L), ("b", None, 7L), ("b", None, 9L)
+    ).toDF("k", "ts_us", "v")
+    val plainW = W.partitionBy(col("k")).orderBy(col("ts_us"))
+      .rangeBetween(-25L, W.currentRow)
+    val plain = rows
+      .withColumn("n", count(lit(1)).over(plainW))
+      .withColumn("s", sum(col("v")).over(plainW))
+    val fast = Features.rangeMovingAggBucketed(rows, Seq("k"), "ts_us", "v",
+      windowMicros = 25L, bucketMicros = 10L, outCnt = "n", outSum = "s")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "ts_us", "v", "n", "s").collect()
+        .map(r => (r.getString(0), r.getAs[Any](1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(snap(fast) === snap(plain))
+    // window edge: the row at ts=28 spans [3, 28] CLOSED — it must
+    // include the ts=3 row (and everything between): {3,9,10,12,12,28}
+    val edge = fast.filter(col("ts_us") === 28).head()
+    assert(edge.getAs[Long]("n") === 6L)
+    assert(edge.getAs[Long]("s") === (1L + 2 + 4 + 8 + 16 + 32))
+    // null-ts rows are their own peer group: both b-nulls see n=2, s=16
+    val nulls = fast.filter(col("k") === "b" && col("ts_us").isNull)
+      .select("n", "s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nulls.toSeq === Seq((2L, 16L), (2L, 16L)))
+    // and on real events at sf0.001 (null timestamps included), the
+    // registered w10 shape: 7-day window, day buckets
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("ts_us", expr("unix_micros(cast(ts AS timestamp))"))
+      .withColumn("vm", expr("CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)"))
+    val w7 = 7L * 86400L * 1000000L
+    val pW = W.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-w7, W.currentRow)
+    val pRef = ev.withColumn("n", count(lit(1)).over(pW))
+      .withColumn("s", sum(col("vm")).over(pW))
+      .select("event_id", "n", "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pFast = Features.rangeMovingAggBucketed(ev, Seq("user_id"), "ts_us",
+        "vm", windowMicros = w7, outCnt = "n", outSum = "s")
+      .select("event_id", "n", "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pFast === pRef)
+  }
+
+  test("ewmaBucketed is bit-identical to the windowed ewma: bucket " +
+    "boundaries, short histories, null group keys, and the real events " +
+    "table") {
+    // micro-fixture: 19 rows per key (crosses two bucket boundaries at
+    // L=8), a short key (3 rows < L), and a NULL group key (a real
+    // group under partitionBy — a plain equi-join would drop it)
+    val rows = (
+      (1 to 19).map(i => (Option("g"), i.toLong, i * 1.5 - 7)) ++
+      (1 to 3).map(i => (Option("h"), i.toLong, i * 2.0)) ++
+      (1 to 9).map(i => (Option.empty[String], i.toLong, i * 0.5))
+    ).toDF("k", "t", "v")
+    val plain = Features.ewma(rows, Seq("k"), Seq(col("t")), col("v"),
+      alpha = 0.3, maxLag = 8)
+    val fast = Features.ewmaBucketed(rows, Seq("k"), Seq("t"), "v",
+      alpha = 0.3, maxLag = 8)
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "t", "ewma").collect()
+        .map(r => ((r.getAs[String](0), r.getLong(1)), r.getDouble(2))).toMap
+    val (p, f) = (snap(plain), snap(fast))
+    assert(f.keySet === p.keySet)
+    f.foreach { case (k, v) => assert(v === p(k), s"row $k") } // bit-equal
+    // real events, the registered w13 shape
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+    val rp = Features.ewma(ev, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")), col("value"), 0.3, 8)
+      .select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rf = Features.ewmaBucketed(ev, Seq("user_id", "event_type"),
+        Seq("ts", "event_id"), "value", 0.3, 8)
+      .select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rf.keySet === rp.keySet)
+    rf.foreach { case (k, v) => assert(v === rp(k), s"event $k") }
+  }
+
   test("A5 guards: all-null group normalizes to zeros with (0,1); zero range uses rng=1 (train.py:122-129)") {
     val df = Seq(
       ("n", 1, None), ("n", 2, None), // all-null group
