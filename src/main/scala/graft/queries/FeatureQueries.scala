@@ -164,6 +164,25 @@ object FeatureQueries {
          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_filled
          |FROM f""".stripMargin),
 
+    "w2_fill_validate_chunked" -> QueryDef(
+      (s, dir) => {
+        val bf = Features.bfillChunked(base(s, dir), "v", key,
+          Seq("ts", "event_id"), monthChunk, "vb")
+        Features.ffillChunked(bf, "vb", key, Seq("ts", "event_id"),
+            monthChunk, "vf")
+          .withColumn("v_filled", coalesce(col("vb"), col("vf")))
+          .select(col("event_id"), col("v"), col("v_filled"))
+      },
+      s"""WITH b AS ($duckBase),
+         |f AS (
+         |  SELECT *, first_value(v IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb
+         |  FROM b)
+         |SELECT event_id, v,
+         |  coalesce(vb, last_value(vb IGNORE NULLS) OVER ($duckWin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled
+         |FROM f""".stripMargin),
+
     // W3+A5 — per-group min-max normalize with the reference guards
     // (train.py:122-129): all-NaN group → zeros with (mn,rng)=(0,1);
     // zero-range group → rng=1. Min/max are selections (not sums) so plain
