@@ -72,11 +72,56 @@ object Features {
   // any input — pinned by spec equality and by registering the chunked
   // rows against the SAME DuckDB oracles as w1/w2.
 
+  /** The chunk-monotonicity contract, ENFORCED (round 15): inside the
+    * per-(key, chunk) summary table (C rows per key — the check is
+    * free), the cumulative max of earlier chunks' `time.head` must not
+    * exceed the current chunk's min. A non-monotone `chunk` (e.g. a
+    * hash) interleaves rows across chunks and silently corrupts the
+    * boundary carries; this turns that into a loud runtime failure,
+    * the `jaccardPairs.maxRows` posture. Null-interval chunks (all
+    * null time) never fire — they carry no ordering claim. Returns the
+    * guarded carry expression: `carry` unless an overlap is seen. */
+  private[operators] def chunkGuard(op: String, timeHead: String,
+                                    carry: Column, wOrd: WindowSpec): Column = {
+    val prevMax = max(col("__tmax"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    when(prevMax > col("__tmin"),
+      raise_error(concat(
+        lit(s"$op: chunk is not monotone in `$timeHead` — chunk "),
+        col("__gchu").cast("string"),
+        lit(s"'s $timeHead range overlaps an earlier chunk's; a " +
+          "non-monotone chunk expression (e.g. a hash) would silently " +
+          "corrupt the boundary carries"))))
+      .otherwise(carry)
+  }
+
+  /** Null-safe stitch of the per-(key, chunk) carry table back onto the
+    * local frame. The plain window forms treat a NULL key/chunk value
+    * as a real partition (partitionBy semantics); a using-columns
+    * equi-join would silently drop those rows' carries (EqualTo never
+    * matches null = null) — so every join key is `<=>`, the
+    * [[ewmaBucketed]] posture. Join strategy stays with Catalyst/AQE:
+    * the summary is C rows per key — broadcast-small for a skewed
+    * few-key corpus, but a high-cardinality key set times C chunks can
+    * outgrow a broadcast, and the shuffled equi-join is fine either
+    * way (`<=>` is still an equi-join key for hashing). */
+  private[operators] def joinCarry(local: DataFrame, carries: DataFrame,
+                                   key: Seq[String], CHU: String,
+                                   CAR: String): DataFrame = {
+    val l = local.alias("__cl"); val r = carries.alias("__cr")
+    val cond = (key :+ CHU)
+      .map(k => col(s"__cl.$k") <=> col(s"__cr.$k")).reduce(_ && _)
+    l.join(r, cond, "left")
+      .select(local.columns.map(c => col(s"__cl.$c")) :+
+        col(s"__cr.$CAR").as(CAR): _*)
+  }
+
   /** Chunked W2 forward-fill: last non-null at or before each row, with
     * per-key parallelism bounded by chunks instead of 1. `chunk` must be
     * MONOTONE in `time`'s first column (contiguous ranges — a hash would
-    * interleave rows and break the carry). Requires the frame's columns
-    * as inputs and returns the frame with `outName` appended. */
+    * interleave rows and break the carry; violations fail LOUD via
+    * [[chunkGuard]]). Requires the frame's columns as inputs and
+    * returns the frame with `outName` appended. */
   def ffillChunked(df: DataFrame, c: String, key: Seq[String],
                    time: Seq[String], chunk: Column,
                    outName: String): DataFrame = {
@@ -90,22 +135,21 @@ object Features {
     val local = withChunk
       .withColumn(LOC, last(col(c), ignoreNulls = true).over(wLocal))
     // chunk tails: the running-last at each chunk's final row == the
-    // max_by over time of the local fill (aggregate, map-side partial)
+    // max_by over time of the local fill (aggregate, map-side partial);
+    // the chunk's time.head interval rides along for the guard
     val tails = local.groupBy((key :+ CHU).map(col): _*)
-      .agg(max_by(col(LOC), struct(time.map(col): _*)).as("__tail"))
+      .agg(max_by(col(LOC), struct(time.map(col): _*)).as("__tail"),
+        min(col(time.head)).as("__tmin"), max(col(time.head)).as("__tmax"))
     // carry: last non-null tail over STRICTLY EARLIER chunks — the
     // summary table is C rows per key, so this window is trivially small
-    val wCarry = Window.partitionBy(key.map(col): _*).orderBy(col(CHU))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOrd = Window.partitionBy(key.map(col): _*).orderBy(col(CHU))
     val carries = tails
-      .withColumn(CAR, last(col("__tail"), ignoreNulls = true).over(wCarry))
+      .withColumn("__gchu", col(CHU))
+      .withColumn(CAR, chunkGuard("ffillChunked", time.head,
+        last(col("__tail"), ignoreNulls = true)
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), wOrd))
       .select((key :+ CHU).map(col) :+ col(CAR): _*)
-    // join strategy left to Catalyst/AQE: the summary is C rows per
-    // key — broadcast-small for a skewed few-key corpus, but a
-    // high-cardinality key set times C chunks can outgrow a broadcast,
-    // and the equi-join on (key, chunk) shuffles fine either way
-    local
-      .join(carries, key :+ CHU, "left")
+    joinCarry(local, carries, key, CHU, CAR)
       .withColumn(outName, coalesce(col(LOC), col(CAR)))
       .drop(CHU, LOC, CAR)
   }
@@ -133,15 +177,20 @@ object Features {
     val local = withChunk
       .withColumn(LOC, last(col(c), ignoreNulls = true).over(wLocal))
     val heads = local.groupBy((key :+ CHU).map(col): _*)
-      .agg(min_by(col(LOC), struct(time.map(col): _*)).as("__head"))
+      .agg(min_by(col(LOC), struct(time.map(col): _*)).as("__head"),
+        min(col(time.head)).as("__tmin"), max(col(time.head)).as("__tmax"))
     val wCarry = Window.partitionBy(key.map(col): _*)
       .orderBy(col(CHU).desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // guard runs in ASCENDING chunk order (interval overlap is a
+    // symmetric property; one orientation suffices)
+    val wOrd = Window.partitionBy(key.map(col): _*).orderBy(col(CHU))
     val carries = heads
-      .withColumn(CAR, last(col("__head"), ignoreNulls = true).over(wCarry))
+      .withColumn("__gchu", col(CHU))
+      .withColumn(CAR, chunkGuard("bfillChunked", time.head,
+        last(col("__head"), ignoreNulls = true).over(wCarry), wOrd))
       .select((key :+ CHU).map(col) :+ col(CAR): _*)
-    local
-      .join(carries, key :+ CHU, "left") // strategy to AQE, see ffillChunked
+    joinCarry(local, carries, key, CHU, CAR) // null-safe, see joinCarry
       .withColumn(outName, coalesce(col(LOC), col(CAR)))
       .drop(CHU, LOC, CAR)
   }
@@ -181,15 +230,25 @@ object Features {
     * max-rows-per-(key, bucket) parallelism. Exactness vs the plain
     * form is pinned by spec and by registering the daily row against
     * the SAME DuckDB oracle. `tsMicros` must be epoch micros ≥ −2⁶²
-    * (floor-division guarded for negatives); `valueMicros` non-null. */
+    * (floor-division guarded for negatives); `valueMicros` non-null.
+    *
+    * Span guard (round 15): the dense prefix EXPLODES one row per
+    * bucket in each key's [min, max] bucket range — a single corrupt
+    * timestamp (year 9999 at day buckets) would inflate a key to
+    * millions of prefix rows or trip Spark's sequence length limit.
+    * Any key whose span exceeds `maxSpanBuckets` (default 200k ≈ 550
+    * years of day buckets) fails LOUD; widen deliberately or repair
+    * the timestamps upstream. */
   def rangeMovingAggBucketed(df: DataFrame, key: Seq[String],
                              tsMicros: String, valueMicros: String,
                              windowMicros: Long,
                              bucketMicros: Long = 86400000000L,
                              outCnt: String = "n_w",
-                             outSum: String = "sum_w"): DataFrame = {
+                             outSum: String = "sum_w",
+                             maxSpanBuckets: Long = 200000L): DataFrame = {
     require(windowMicros >= 0 && bucketMicros > 0,
       s"bad window/bucket: $windowMicros/$bucketMicros")
+    require(maxSpanBuckets > 0, s"bad maxSpanBuckets: $maxSpanBuckets")
     val B = bucketMicros
     val DAY = "__rma_day"; val RC = "__rma_rc"; val RS = "__rma_rs"
     def fdiv(e: String): String =
@@ -208,6 +267,17 @@ object Features {
     val bounds = dayAgg.filter(col(DAY).isNotNull)
       .groupBy(key.map(col): _*)
       .agg(min(col(DAY)).as("__rma_d0"), max(col(DAY)).as("__rma_d1"))
+      // loud span guard BEFORE the explode (see scaladoc): |keys| rows,
+      // evaluated per key, zero cost
+      .withColumn("__rma_d1",
+        when(col("__rma_d1") - col("__rma_d0") > lit(maxSpanBuckets),
+          raise_error(concat(
+            lit("rangeMovingAggBucketed: a key's bucket span "),
+            (col("__rma_d1") - col("__rma_d0")).cast("string"),
+            lit(s" exceeds maxSpanBuckets=$maxSpanBuckets — a corrupt/" +
+              "outlier timestamp would explode the dense prefix; repair " +
+              "upstream or widen maxSpanBuckets deliberately"))))
+          .otherwise(col("__rma_d1")))
     val prefix = bounds
       .select(key.map(col) :+
         explode(sequence(col("__rma_d0"), col("__rma_d1"))).as(DAY): _*)
@@ -279,13 +349,15 @@ object Features {
       .withColumn(LOC, lag(col(c), 1).over(wLocal))
       .withColumn(RN, row_number().over(wLocal))
     val tails = local.groupBy((key :+ CHU).map(col): _*)
-      .agg(max_by(col(c), struct(time.map(col): _*)).as("__tail"))
+      .agg(max_by(col(c), struct(time.map(col): _*)).as("__tail"),
+        min(col(time.head)).as("__tmin"), max(col(time.head)).as("__tmax"))
     val wPrev = Window.partitionBy(key.map(col): _*).orderBy(col(CHU))
     val carries = tails
-      .withColumn(CAR, lag(col("__tail"), 1).over(wPrev))
+      .withColumn("__gchu", col(CHU))
+      .withColumn(CAR, chunkGuard("lag1Chunked", time.head,
+        lag(col("__tail"), 1).over(wPrev), wPrev))
       .select((key :+ CHU).map(col) :+ col(CAR): _*)
-    local
-      .join(carries, key :+ CHU, "left") // strategy to AQE, see ffillChunked
+    joinCarry(local, carries, key, CHU, CAR) // null-safe, see joinCarry
       .withColumn(outName,
         when(col(RN) === 1, col(CAR)).otherwise(col(LOC)))
       .drop(CHU, RN, LOC, CAR)
@@ -2074,7 +2146,15 @@ object Features {
     * Per-(key, bucket) work is O(L²) regardless of key skew. Cost: the
     * range shuffle + size job + one equi-join vs the plain form's one
     * sort shuffle — the documented trade, same as every *_chunked /
-    * *_bucketed scale path this round. */
+    * *_bucketed scale path this round.
+    *
+    * PRECONDITION (same as [[ewma]], scoped honestly): nulls must be
+    * excluded upstream. The two forms degrade DIFFERENTLY on a
+    * contract-violating null value — plain `ewma`'s collect_list drops
+    * it (misaligning weights), while this form's join keeps the null
+    * row's weight in the denominator (its numerator term null-skips) —
+    * so the bit-identity claim holds only on null-free inputs, which
+    * is the only input either form is defined on. */
   def ewmaBucketed(df: DataFrame, group: Seq[String], order: Seq[String],
                    valueCol: String, alpha: Double, maxLag: Int): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")

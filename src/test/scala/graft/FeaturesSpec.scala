@@ -65,12 +65,18 @@ class FeaturesSpec extends SparkSpecBase {
     // adversarial micro-fixture: chunk = floor(t/3) — values crossing
     // chunk boundaries, a chunk that is entirely null (t=3..5 for g),
     // a null-time row, and a key living in one chunk only
+    // … plus (round 15, the null-safety advisory): a NULL key group
+    // spanning chunks — partitionBy treats null as a real group, so its
+    // cross-chunk carries must survive the stitch join — and a
+    // (null t, null v) row whose carry must come from the summary
     val df = Seq(
       ("g", Some(0), Some(1.0)), ("g", Some(1), None), ("g", Some(2), None),
       ("g", Some(3), None), ("g", Some(4), None), ("g", Some(5), None),
       ("g", Some(6), Some(7.0)), ("g", Some(7), None),
       ("h", Some(2), None), ("h", Some(4), Some(4.0)),
-      ("i", None, Some(9.0)), ("i", Some(1), None)
+      ("i", None, Some(9.0)), ("i", Some(1), None),
+      (null, Some(0), Some(2.0)), (null, Some(3), None),
+      (null, Some(6), None), (null, None, None)
     ).toDF("k", "t", "v")
     val chunk = expr("CAST(floor(t / 3) AS BIGINT)")
     val kSeq = Seq("k"); val tSeq = Seq("t")
@@ -107,6 +113,33 @@ class FeaturesSpec extends SparkSpecBase {
       === rsnap(ev.withColumn("o", Features.bfill(col("value"), rkey, rt)), "o"))
     assert(rsnap(Features.lag1Chunked(ev, "value", rkey, rt, mchunk, "o"), "o")
       === rsnap(ev.withColumn("o", Features.lag1(col("value"), rw)), "o"))
+  }
+
+  test("chunked W1/W2 forms FAIL LOUD on a non-monotone chunk expression " +
+    "(a hash would silently corrupt the boundary carries)") {
+    // 8 rows, chunk = t % 3: chunk 0 holds t=0,3,6 while chunk 1 holds
+    // t=1,4,7 — intervals overlap, the monotonicity contract is violated
+    val df = (0 to 7).map(t => ("g", t, Option(t.toDouble)))
+      .toDF("k", "t", "v")
+    val badChunk = expr("CAST(t % 3 AS BIGINT)")
+    val kSeq = Seq("k"); val tSeq = Seq("t")
+    def mustThrow(d: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] { d.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("not monotone")), s"got: $e")
+    }
+    mustThrow(Features.ffillChunked(df, "v", kSeq, tSeq, badChunk, "o"))
+    mustThrow(Features.bfillChunked(df, "v", kSeq, tSeq, badChunk, "o"))
+    mustThrow(Features.lag1Chunked(df, "v", kSeq, tSeq, badChunk, "o"))
+    // a monotone-but-gappy chunk (missing chunk ids) remains legal
+    val gappy = expr("CAST(CASE WHEN t < 3 THEN 10 ELSE 40 END AS BIGINT)")
+    val plain = df.withColumn("o",
+      Features.ffill(col("v"), Features.keyWindow(kSeq, tSeq)))
+    val out = Features.ffillChunked(df, "v", kSeq, tSeq, gappy, "o")
+    assert(out.orderBy("t").collect().map(_.getAs[Any]("o")).toSeq ===
+      plain.orderBy("t").collect().map(_.getAs[Any]("o")).toSeq)
   }
 
   test("rangeMovingAggBucketed is IDENTICAL to the plain sliding RANGE " +
@@ -162,6 +195,27 @@ class FeaturesSpec extends SparkSpecBase {
       .select("event_id", "n", "s").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(pFast === pRef)
+  }
+
+  test("rangeMovingAggBucketed FAILS LOUD when a key's bucket span exceeds " +
+    "maxSpanBuckets (a corrupt timestamp would explode the dense prefix)") {
+    // one sane row + one year-9999-style outlier: span in day buckets
+    // is ~2.9M >> the 200k default cap
+    val rows = Seq(
+      ("a", Some(1700000000000000L), 1L),
+      ("a", Some(253370764800000000L), 2L)
+    ).toDF("k", "ts_us", "v")
+    val e = intercept[Exception] {
+      Features.rangeMovingAggBucketed(rows, Seq("k"), "ts_us", "v",
+        windowMicros = 25L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxSpanBuckets")), s"got: $e")
+    // a deliberately-widened cap runs clean on the same input
+    val ok = Features.rangeMovingAggBucketed(rows, Seq("k"), "ts_us", "v",
+      windowMicros = 25L, maxSpanBuckets = 4000000L)
+    assert(ok.count() === 2L)
   }
 
   test("ewmaBucketed is bit-identical to the windowed ewma: bucket " +
