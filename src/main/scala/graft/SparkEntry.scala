@@ -43,4 +43,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
+
+  /** Two-phase bench registrations (stream rows): untimed fixture build
+    * returning the timed run thunk — see QueryDef.phased. */
+  def benchPhased: Map[String, (SparkSession, String) => () => DataFrame] =
+    all.collect { case (name, q) if q.phased.isDefined => name -> q.phased.get }
 }
