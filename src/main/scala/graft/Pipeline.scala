@@ -65,16 +65,31 @@ object Pipeline {
     * (train.py:499-553 steps its LSTM by minibatch gradients), not
     * just its model shape; the closed-form families above never
     * exercised gradient descent itself). */
+  /** `windowRowsPerTask` (round 15, VERDICT r14 item 3): the auto-dispatch
+    * bound between the plain per-key sort windows (lag/ffill — one task
+    * per key) and the chunked skew scale paths
+    * ([[Features.lag1Chunked]]/[[Features.ffillChunked]], parallelism per
+    * (key, month)). One cheap per-key row-count probe (folded into the A4
+    * aggregate the pipeline already runs) compares the HOTTEST key
+    * against this bound; only when it exceeds the bound do the chunked
+    * forms engage — results are oracle-identical either way, so the
+    * switch trades plan shape, never semantics. Default 4M rows ≈ what a
+    * single window task absorbs comfortably; the sf fixtures never reach
+    * it, so the plain plans (and their pins) are unchanged unless a hot
+    * key genuinely appears. */
   final case class Config(
       seqLength: Int = 5,
       modelThreshold: Int = 50,
       trainRatio: Double = 0.7,
       valRatio: Double = 0.15,
       approxSplit: Boolean = false,
-      predictor: String = "naive") {
+      predictor: String = "naive",
+      windowRowsPerTask: Long = 4000000L) {
     require(Set("naive", "ar1", "ar2", "routed", "seq", "sgd")(predictor),
       s"unknown predictor '$predictor' " +
         "(naive | ar1 | ar2 | routed | seq | sgd)")
+    require(windowRowsPerTask > 0,
+      s"windowRowsPerTask must be positive: $windowRowsPerTask")
   }
 
   object Config {
@@ -153,6 +168,48 @@ object Pipeline {
 
   private val key = Seq("user_id", "event_type")
   private val keyCols = key.map(col)
+  private val timeOrder = Seq("ts", "event_id")
+
+  /** Plain-vs-chunked window dispatch (round 15, VERDICT r14 item 3).
+    * The pipeline's order-dependent windows — lag-1, lag-2, forward-fill
+    * — put EVERY row of a key into one task in their plain form; under a
+    * hot key (one currency holding half the corpus) that task is the
+    * whole pipeline's straggler, unboundedly at 100 TB. The chunked
+    * forms bound it to rows-per-(key, month) and are oracle-identical
+    * (Features.scala round-14/15 contract), so the dispatch is purely a
+    * plan choice made from a measured statistic, never a semantics
+    * choice. Chunk = calendar month of `ts` (epoch-micros / 30 days) —
+    * monotone in the first time column, the [[Features.ffillChunked]]
+    * guard contract; lag-2 composes as lag∘lag (exact, nulls verbatim,
+    * each application carrying its own chunk boundary). */
+  private final case class WinOps(useChunked: Boolean) {
+    private val w = Features.keyWindow(key, timeOrder)
+    private def chunk = expr(
+      "floor(unix_micros(CAST(ts AS TIMESTAMP)) / 2592000000000)")
+    def lag1(df: DataFrame, c: String, out: String): DataFrame =
+      if (useChunked) Features.lag1Chunked(df, c, key, timeOrder, chunk, out)
+      else df.withColumn(out, Features.lag1(col(c), w))
+    def lag2(df: DataFrame, c: String, out: String): DataFrame =
+      if (useChunked) {
+        val t = "__wo_lag1"
+        Features.lag1Chunked(
+          Features.lag1Chunked(df, c, key, timeOrder, chunk, t),
+          t, key, timeOrder, chunk, out).drop(t)
+      } else df.withColumn(out, lag(col(c), 2).over(w))
+    def ffill(df: DataFrame, c: String, out: String): DataFrame =
+      if (useChunked) Features.ffillChunked(df, c, key, timeOrder, chunk, out)
+      else df.withColumn(out, Features.ffill(col(c), w))
+  }
+
+  /** The skew probe behind [[WinOps]]: max per-key row count from a
+    * per-key stats frame carrying `n_rows`. One tiny driver-side action
+    * over a |groups|-row aggregate — the statistics-build class
+    * (untimed-construction contract, like the approx split's boundary
+    * scan). Empty input → 0 (plain path). */
+  private def hotKeyMax(keyStats: DataFrame): Long = {
+    val r = keyStats.agg(max(col("n_rows"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** F6 stand-in ordinal on the driver schema (CoreQueries convention):
     * 'purchase' is the high-impact class. */
@@ -164,11 +221,9 @@ object Pipeline {
     * table (keys missing from it default "xgb", the [[run]] metrics
     * convention). */
   private def routedFeatures(featured: DataFrame,
-                             w: org.apache.spark.sql.expressions.WindowSpec,
+                             ops: WinOps,
                              modelTypes: DataFrame): DataFrame =
-    featured
-      .withColumn("lag2", lag(col("actual"), 2).over(w))
-      .withColumn("x2", Features.ffill(col("lag2"), w))
+    ops.ffill(ops.lag2(featured, "actual", "lag2"), "lag2", "x2")
       .drop("lag2")
       .join(broadcast(modelTypes.select(
         (keyCols :+ col("model_type").as("__route")): _*)), key, "left")
@@ -223,10 +278,8 @@ object Pipeline {
     * the J1 high-impact day count (purchases per (user, day) — varies
     * inside a group), x4 = ISO weekday. */
   private def seqFeatures(featured: DataFrame,
-                          w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
-    featured
-      .withColumn("lag2", lag(col("actual"), 2).over(w))
-      .withColumn("x2", Features.ffill(col("lag2"), w))
+                          ops: WinOps): DataFrame =
+    ops.ffill(ops.lag2(featured, "actual", "lag2"), "lag2", "x2")
       .drop("lag2")
       .withColumn("x3", Features.highImpactCount(
         graft.functions.cleaning.ordinalEncode(
@@ -358,18 +411,21 @@ object Pipeline {
     * stage outputs are persisted through the reference's sink modes. */
   def run(spark: SparkSession, events: DataFrame, cfg: Config = Config(),
           outDir: Option[String] = None): Result = {
-    val w = Features.keyWindow(key, Seq("ts", "event_id"))
-
     // --- E2 prep: entity hygiene (F6-F8 analogues on the stand-in schema)
     val base = events
       .filter(col("ts").isNotNull) // F8
       .withColumn("actual", col("value"))
 
-    // A4+J2: drop groups whose measure is entirely null
-    val validKeys = base.groupBy(keyCols: _*)
-      .agg(count(col("actual")).as("nn")).filter(col("nn") > 0)
-      .select(keyCols: _*)
+    // A4+J2: drop groups whose measure is entirely null. The same
+    // aggregate doubles as the WINDOW SKEW PROBE (n_rows — round 15):
+    // one |groups|-row frame feeds the semi-join and the hottest-key
+    // statistic, so the probe costs nothing beyond what A4 already paid.
+    val keyStats = base.groupBy(keyCols: _*)
+      .agg(count(col("actual")).as("nn"), count(lit(1)).as("n_rows"))
+      .localCheckpoint(eager = false)
+    val validKeys = keyStats.filter(col("nn") > 0).select(keyCols: _*)
     val kept = base.join(validKeys, key, "left_semi")
+    val ops = WinOps(hotKeyMax(keyStats) > cfg.windowRowsPerTask)
 
     // A2+J3: model routing side table
     val modelTypes = Features.modelRouting(kept, key, cfg.modelThreshold)
@@ -400,10 +456,10 @@ object Pipeline {
     // consumer to touch a partition fills the cache, the rest reuse it.
     // The reference runs this as one in-memory pass too (train.py:415-433
     // feeds every downstream stage from the same frame).
-    val featured = withSplit
-      .withColumn("event_date", to_date(col("ts")))
-      .withColumn("pred", Features.lag1(col("actual"), w))
-      .withColumn("pred_f", Features.ffill(col("pred"), w))
+    val featured = ops.ffill(
+        ops.lag1(withSplit.withColumn("event_date", to_date(col("ts"))),
+          "actual", "pred"),
+        "pred", "pred_f")
       .localCheckpoint(eager = false)
 
     // Predictor selection (cfg.predictor): "ar1" fits the per-group OLS
@@ -436,9 +492,8 @@ object Pipeline {
         // second filled lag built the way pred_f is (lag → ffill); its
         // OWN lazy checkpoint — feat2 feeds both the fit aggregate and
         // the apply join, and without it the added window pass runs twice
-        val feat2 = featured
-          .withColumn("lag2", lag(col("actual"), 2).over(w))
-          .withColumn("x2", Features.ffill(col("lag2"), w))
+        val feat2 = ops.ffill(ops.lag2(featured, "actual", "lag2"),
+            "lag2", "x2")
           .drop("lag2")
           .localCheckpoint(eager = false)
         val params = Features.fitAr2(
@@ -462,7 +517,7 @@ object Pipeline {
         // their own routed train rows; each family persists its own
         // artifact; untrained groups keep the naive pred_f. Same lazy
         // checkpoint as ar2: feat2 feeds two fit aggregates + the apply.
-        val feat2 = routedFeatures(featured, w, modelTypes)
+        val feat2 = routedFeatures(featured, ops, modelTypes)
           .localCheckpoint(eager = false)
         val rnnParams = Features.fitAr2(
           feat2.filter(col("split") === "train" && col("__route") === "rnn"),
@@ -489,7 +544,7 @@ object Pipeline {
         // within this key its information content IS the key. The
         // reference can feed it anyway because an LSTM ignores constant
         // inputs gracefully; closed-form OLS cannot.
-        val feat2 = seqFeatures(featured, w).localCheckpoint(eager = false)
+        val feat2 = seqFeatures(featured, ops).localCheckpoint(eager = false)
         val params = Features.fitLinearPerGroup(
           feat2.filter(col("split") === "train"), key,
           Seq(col("pred_f"), col("x2"), col("x3"), col("x4")),
@@ -514,7 +569,7 @@ object Pipeline {
         // carries the moments WITH the coefficients: serve must
         // standardize with the TRAIN moments or the model is garbage
         // (the J4 norm-param-reuse lesson applied to features).
-        val feat2 = seqFeatures(featured, w).localCheckpoint(eager = false)
+        val feat2 = seqFeatures(featured, ops).localCheckpoint(eager = false)
         val params = sgdArtifact(spark,
           feat2.filter(col("split") === "train"))
         (applySgd(feat2, params).drop("x2", "x3", "x4"),
@@ -701,15 +756,20 @@ object Pipeline {
     * history), and model routing comes from the persisted side table. */
   def stageMetrics(spark: SparkSession, events: DataFrame, outDir: String,
                    split: String, cfg: Config = Config()): DataFrame = {
-    val w = Features.keyWindow(key, Seq("ts", "event_id"))
     val splits = Sinks.readSnapshot(spark, s"$outDir/splits")
     val modelTypes = Sinks.readSnapshot(spark, s"$outDir/model_types")
-    val featured = events
+    val base = events
       .filter(col("ts").isNotNull)
       .withColumn("actual", col("value"))
-      .join(splits, Seq("event_id"))
-      .withColumn("pred", Features.lag1(col("actual"), w))
-      .withColumn("pred_f", Features.ffill(col("pred"), w))
+    // same skew probe as run() (its own cheap aggregate here — validate/
+    // test have no A4 frame to fold into), so a hot key at serve time
+    // routes to the same chunked plans training used
+    val ops = WinOps(hotKeyMax(
+      base.groupBy(keyCols: _*).agg(count(lit(1)).as("n_rows")))
+      > cfg.windowRowsPerTask)
+    val featured = ops.ffill(
+      ops.lag1(base.join(splits, Seq("event_id")), "actual", "pred"),
+      "pred", "pred_f")
     // cfg.predictor != naive → apply the PERSISTED fit (the artifact
     // [[run]] published), never a re-fit: these stages grade the model
     // that was trained, exactly as the reference's validate/test load the
@@ -726,9 +786,7 @@ object Pipeline {
           .drop("slope", "intercept", "n_fit")
       case "ar2" =>
         val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
-        featured
-          .withColumn("lag2", lag(col("actual"), 2).over(w))
-          .withColumn("x2", Features.ffill(col("lag2"), w))
+        ops.ffill(ops.lag2(featured, "actual", "lag2"), "lag2", "x2")
           .drop("lag2")
           .join(broadcast(params), key, "left")
           .withColumn("pred_f",
@@ -742,17 +800,17 @@ object Pipeline {
         // the same dispatch run() trained, never a re-fit
         val rnnP = Sinks.readSnapshot(spark, s"$outDir/predictor_params_rnn")
         val xgbP = Sinks.readSnapshot(spark, s"$outDir/predictor_params_xgb")
-        applyRouted(routedFeatures(featured, w, modelTypes), rnnP, xgbP)
+        applyRouted(routedFeatures(featured, ops, modelTypes), rnnP, xgbP)
       case "seq" =>
         // the persisted multi-feature fit, with the same ill-conditioned
         // → naive dispatch run() trained under
         val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
-        applySeq(seqFeatures(featured, w), params).drop("x2", "x3", "x4")
+        applySeq(seqFeatures(featured, ops), params).drop("x2", "x3", "x4")
       case "sgd" =>
         // the persisted gradient-trained model + its train moments —
         // the same standardize-serve-fallback dispatch run() trained
         val params = Sinks.readSnapshot(spark, s"$outDir/predictor_params")
-        applySgd(seqFeatures(featured, w), params).drop("x2", "x3", "x4")
+        applySgd(seqFeatures(featured, ops), params).drop("x2", "x3", "x4")
       case _ => featured
     }
     Features.regressionMetrics(

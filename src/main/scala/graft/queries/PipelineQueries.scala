@@ -119,7 +119,23 @@ object PipelineQueries {
        |  FROM sb WHERE wc)""".stripMargin
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = {
+    val base = baseDefs
+    // pipeline_e2e_routed_auto (round 15, VERDICT r14 item 3): the SAME
+    // routed pipeline with the window auto-dispatch FORCED to the
+    // chunked scale paths (windowRowsPerTask = 1 makes every key "hot"),
+    // registered against the IDENTICAL DuckDB oracle — the dispatch
+    // changes plan shape only, never results, and this row is the
+    // standing proof. On real skew the probe flips the same switch
+    // automatically (tools/SkewWindowCheck exercises that end).
+    base + ("pipeline_e2e_routed_auto" -> QueryDef(
+      (s, dir) => Pipeline.run(s, Tables.events(s, dir),
+        Pipeline.Config(predictor = "routed", modelThreshold = 14,
+          windowRowsPerTask = 1L)).trainMetrics,
+      base("pipeline_e2e_routed").oracle.get))
+  }
+
+  private def baseDefs: Map[String, QueryDef] = Map(
 
     "pipeline_e2e" -> QueryDef(
       (s, dir) => Pipeline.run(s, Tables.events(s, dir)).trainMetrics,
