@@ -933,6 +933,15 @@ object Similarity {
     *    n=10¹² → m=16. Memory per vector is m bytes — the knob a 100 TB
     *    corpus actually feels.
     *
+    * Small-corpus clause (round 15, VERDICT r14 item 6): below n ≈ 10k
+    * the birthday-bound minimum m measurably underfits (0.725 recall at
+    * n = 2k vs the fixed frontier's 0.910, RECALL_SCALE.md) while the
+    * memory it saves is irrelevant — a 10k-vector corpus fits anywhere.
+    * So m additionally floors at the fixed registration's frontier
+    * (the smallest dim divisor ≥ 16): recall at tiny n rides the
+    * recall-pinned fixed point, and the asymptotic rule — unchanged —
+    * takes over exactly where memory starts to matter.
+    *
     * Returns (m, k); `dim` must be known (any corpus row). */
   def pqParamsAuto(n: Long, dim: Int, maxK: Int = 256): (Int, Int) = {
     require(dim >= 1, s"bad dim $dim")
@@ -943,8 +952,10 @@ object Similarity {
     while (k > 2 && nn < 8L * k) k /= 2
     val targetBits = 2.0 * (math.log(nn.toDouble) / math.log(2.0))
     val bitsPerSub = math.log(k.toDouble) / math.log(2.0)
+    val mFloor = if (nn < 10000L) math.min(16, dim) else 1
     val m = (1 to dim).find(m0 =>
-      dim % m0 == 0 && m0 * bitsPerSub >= targetBits).getOrElse(dim)
+      dim % m0 == 0 && m0 >= mFloor && m0 * bitsPerSub >= targetBits)
+      .getOrElse(dim)
     (m, k)
   }
 

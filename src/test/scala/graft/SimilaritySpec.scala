@@ -642,6 +642,15 @@ class SimilaritySpec extends SparkSpecBase {
     // n=10^6 and 10^9 both land at one byte per dim-eighth for dim 64
     assert(Similarity.pqParamsAuto(1000000L, 64) === ((8, 256)))
     assert(Similarity.pqParamsAuto(1000000000L, 64) === ((8, 256)))
+    // small-corpus clause (round 15): below n ~ 10k, m floors at the
+    // fixed frontier (smallest dim divisor >= 16) — memory is
+    // irrelevant there and the birthday-bound minimum underfit (0.725
+    // recall at n=2k, RECALL_SCALE.md); at the boundary and above the
+    // asymptotic rule is unchanged
+    assert(Similarity.pqParamsAuto(2000L, 64)._1 === 16)
+    assert(Similarity.pqParamsAuto(9999L, 64)._1 === 16)
+    assert(Similarity.pqParamsAuto(10000L, 64) === ((4, 256)))
+    assert(Similarity.pqParamsAuto(2000L, 8)._1 === 8) // dim-capped floor
     // identity: auto == fixed at the derived params (same sample, same
     // seeding, same Lloyd passes → identical codebooks and codes)
     val emb = Tables.embeddings(spark, sf0001)
