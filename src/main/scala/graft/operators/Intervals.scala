@@ -78,4 +78,64 @@ object Intervals {
       .agg(count(lit(1)).as("n_events"),
         min(col("__ord")).as("first_ord"), max(col("__ord")).as("last_ord"))
   }
+
+  /** [[stateEpisodes]] at scale (round 15, VERDICT r14 item 7) — the
+    * chunked skew path, the Features.ffillChunked discipline applied to
+    * run-length encoding. The plain form's per-group sort window puts a
+    * hot key's every row into ONE task (measured 2.02× at 50% skew,
+    * BENCH_SF1.md; unbounded at 100 TB). Here the lag-change chain runs
+    * inside each (group, chunk) — parallelism per chunk — and episode
+    * ids stitch through a per-(group, chunk) SUMMARY (C rows per key):
+    *
+    *   adj(c)    = local episodes in c − continues(c), where
+    *   continues = chunk c's FIRST state equals chunk c−1's LAST state
+    *               (that run merges across the boundary);
+    *   offset(c) = Σ_{c'<c} adj(c') − continues(c)
+    *   global_id = local_id + offset(c)
+    *
+    * A run spanning chunks lands the SAME (group, global_id, state) on
+    * both sides, so the final aggregate merges it exactly — results are
+    * IDENTICAL to the plain form (registered against the SAME oracle).
+    * `chunk` must be monotone in `order.head` (contiguous time ranges);
+    * violations fail LOUD, the [[Features.chunkGuard]] contract. */
+  def stateEpisodesChunked(df: DataFrame, group: Seq[String],
+                           order: Seq[Column], state: Column,
+                           chunk: Column): DataFrame = {
+    val gc = group.map(col)
+    val CHU = "__sec_chunk"
+    val withChunk = df.filter(state.isNotNull)
+      .withColumn("__st", state)
+      .withColumn("__ord", struct(order: _*))
+      .withColumn(CHU, chunk)
+    val wLoc = Window.partitionBy((gc :+ col(CHU)): _*).orderBy(col("__ord"))
+    val local = withChunk
+      .withColumn("__chg",
+        when(lag(col("__st"), 1).over(wLoc).isNull ||
+          lag(col("__st"), 1).over(wLoc) =!= col("__st"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__eid_loc",
+        sum(col("__chg")).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val summ = local.groupBy((gc :+ col(CHU)): _*)
+      .agg(min_by(col("__st"), col("__ord")).as("__first_st"),
+        max_by(col("__st"), col("__ord")).as("__last_st"),
+        max(col("__eid_loc")).as("__n_loc"),
+        min(col("__ord")).as("__tmin"), max(col("__ord")).as("__tmax"))
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col(CHU))
+    val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summ
+      .withColumn("__gchu", col(CHU))
+      .withColumn("__cont",
+        when(lag(col("__last_st"), 1).over(wOrd) <=> col("__first_st"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("__off",
+        Features.chunkGuard("stateEpisodesChunked", "order.head",
+          coalesce(sum(col("__n_loc") - col("__cont")).over(pre), lit(0L)) -
+            col("__cont"), wOrd))
+      .select((gc :+ col(CHU) :+ col("__off")): _*)
+    Features.joinCarry(local, carries, group, CHU, "__off")
+      .withColumn("episode_id", col("__eid_loc") + col("__off"))
+      .groupBy((gc :+ col("episode_id") :+ col("__st").as("state")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ord")).as("first_ord"), max(col("__ord")).as("last_ord"))
+  }
 }

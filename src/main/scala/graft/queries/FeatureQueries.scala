@@ -82,7 +82,31 @@ object FeatureQueries {
       |    / CAST(nl * nr AS DOUBLE), t
       |  LIMIT 1)""".stripMargin
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = {
+    val base = baseDefs
+    // CHUNKED skew scale paths for the two remaining single-task O(n)
+    // window rows (round 15, VERDICT r14 item 7) — same DuckDB oracles
+    // as their plain twins, parallelism per (key, month) instead of per
+    // key. w8_session_window stays plain deliberately: gap semantics
+    // need the full sequence and its 1.85x at 50% skew is
+    // bounded-linear (BENCH_SF1.md).
+    base ++ Map(
+      "w15_state_episodes_chunked" -> QueryDef(
+        (s, dir) => graft.operators.Intervals.stateEpisodesChunked(
+            Tables.events(s, dir), Seq("user_id"),
+            Seq(col("ts"), col("event_id")), col("event_type"), monthChunk)
+          .select(col("user_id"), col("episode_id"), col("state"),
+            col("n_events"), col("first_ord.ts").as("first_ts"),
+            col("last_ord.ts").as("last_ts")),
+        base("w15_state_episodes").oracle.get),
+      "w16_interpolate_chunked" -> QueryDef(
+        (s, dir) => graft.operators.Resample.interpolateDailyChunked(
+          Tables.events(s, dir), Seq("event_type"), "ts", "event_id",
+          "value"),
+        base("w16_interpolate").oracle.get))
+  }
+
+  private def baseDefs: Map[String, QueryDef] = Map(
 
     // W2 — train-order fill: ffill THEN bfill (train.py:428-429). Leading
     // nulls survive the ffill and are backfilled from the first non-null.
