@@ -516,4 +516,120 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
       100L)
     assert(verdict(1) === Seq(("g", 10L, 5L, 0.9, true)))
   }
+
+  test("crash-injection, drift monitor: a batch that fails MID-WRITE " +
+    "leaves a state the replay fully repairs — verdict frames are never " +
+    "duplicated or half-written after recovery") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_drift_crash").toString
+    val ref = Sketches.binHistogram(
+      (0 to 9).map(v => ("g", v.toDouble)).toDF("k", "v"),
+      Seq("k"), col("v"), nBins = 10)
+    ref.write.mode("overwrite").parquet(s"$base/ref")
+    val clean = (0 to 9).map(v => ("g", v.toDouble)).toDF("k", "v")
+    // healthy first delivery of batch 3
+    StreamingAnalytics.applyDriftBatch(spark, clean, 3L, Seq("k"), "v",
+      10, s"$base/ref", s"$base/out", 100L)
+    def verdict() = spark.read.parquet(s"$base/out/batch=3")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_batch"), r.getAs[Double]("tvd"),
+        r.getAs[Boolean]("drifted"))).toSeq
+    val healthy = verdict()
+    assert(healthy === Seq(("g", 10L, 10L, 0.0, false)))
+    // CRASH DURING the redelivered batch's grading write: a poisoned
+    // row makes a task throw while the overwrite job is in flight (the
+    // StreamingIngestSpec eo_crash pattern) — the foreachBatch attempt
+    // dies exactly as a killed executor/driver would mid-batch
+    val poisoned = clean.map { r =>
+      val v = r.getDouble(1)
+      if (v == 7.0) throw new IllegalStateException("injected task failure")
+      (r.getString(0), v)
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaDouble)).toDF("k", "v")
+    intercept[Exception] {
+      StreamingAnalytics.applyDriftBatch(spark, poisoned, 3L, Seq("k"),
+        "v", 10, s"$base/ref", s"$base/out", 100L)
+    }
+    // recovery: the checkpoint redelivers batch 3; the replay must
+    // converge to EXACTLY the healthy verdicts — the overwrite sink
+    // repairs whatever the crashed attempt left (partial files, a
+    // cleared dir), never unions with it
+    StreamingAnalytics.applyDriftBatch(spark, clean, 3L, Seq("k"), "v",
+      10, s"$base/ref", s"$base/out", 100L)
+    assert(verdict() === healthy)
+    // and exactly ONE verdict frame per batch dir — no duplicates
+    assert(spark.read.parquet(s"$base/out/batch=3").count() === 1L)
+  }
+
+  test("crash-injection, streaming CUSUM: a sink crash mid-run + restart " +
+    "from the checkpoint resumes per-key counters and lands every " +
+    "verdict frame exactly once (no duplicated emissions)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cusum_crash").toString
+    val landing = s"$base/in"; new java.io.File(landing).mkdirs()
+    // two chunks; the detector's running state (S+, S-) spans them, so
+    // a restart that lost state would shift every chunk-1 statistic
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "c0.json"),
+      (1 to 4).map(i => s"""{"key":"g","ts":$i,"id":$i,"v":13.0}""")
+        .mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "c1.json"),
+      (5 to 8).map(i => s"""{"key":"g","ts":$i,"id":$i,"v":13.0}""")
+        .mkString("\n"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Path.of(landing, "c0.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    def in = spark.readStream
+      .schema("key STRING, ts LONG, id LONG, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(landing)
+      .as[StreamingAnalytics.CusumEvent]
+    def sink(out: String, poison: Boolean) = {
+      StreamingAnalytics
+        .streamingCusum(spark, in, target = 10.0, slack = 1.0,
+          threshold = 5.0)
+        .toDF()
+        .writeStream.option("checkpointLocation", s"$base/ckpt_$out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (poison && id == 1L && !new java.io.File(s"$base/boom").exists()) {
+            new java.io.File(s"$base/boom").createNewFile()
+            throw new IllegalStateException("injected sink crash")
+          }
+          b.write.mode("overwrite").parquet(s"$base/$out/batch=$id")
+        }
+        .start()
+    }
+    // clean reference run
+    sink("out_clean", poison = false).awaitTermination(120000)
+    // crashing run: batch 1's first attempt dies in the sink, then the
+    // query restarts from its checkpoint and redelivers it
+    intercept[Exception] {
+      sink("out_crash", poison = true).awaitTermination(120000)
+    }
+    sink("out_crash", poison = true).awaitTermination(120000)
+    def snap(out: String) = spark.read
+      .parquet(s"$base/$out/batch=0", s"$base/$out/batch=1")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("sPlus"), r.getAs[Double]("sMinus"),
+          r.getAs[Boolean]("alarm")))).toSeq.sortBy(_._1)
+    val clean = snap("out_clean"); val crashed = snap("out_crash")
+    // exactly once: same frames, same count, same per-id statistics —
+    // a lost counter would shift ids 5..8, a duplicated emission would
+    // double a row
+    assert(crashed === clean)
+    assert(crashed.map(_._1) === (1L to 8L))
+    // cross-batch carry really happened (id 5 continues, not restarts):
+    // v=13, target=10, slack=1 → S+ += 2 per row, alarm at S+ > 5 on
+    // id 3 (S+ = 6), reset, then id 6 alarms again (4 rows later... id
+    // 3 alarms, ids 4-6 rebuild 2,4,6 → alarm at id 6)
+    val alarms = clean.filter(_._2._3).map(_._1)
+    assert(alarms === Seq(3L, 6L))
+  }
 }
