@@ -66,7 +66,12 @@ object SkewWindowCheck {
       else Seq("w1_lag", "w1_lag_chunked", "w2_fill_train",
         "w2_fill_train_chunked", "w2_fill_validate",
         "w3_minmax_normalize", "w5_chrono_split_dist",
-        "w6_latest_per_group", "j5_impute_group_mean")
+        "w6_latest_per_group", "j5_impute_group_mean",
+        // round 15: the remaining chunked pairs + the routed pipeline
+        // with the window dispatch forced chunked (the registered twin)
+        "w15_state_episodes", "w15_state_episodes_chunked",
+        "w16_interpolate", "w16_interpolate_chunked",
+        "pipeline_e2e_routed", "pipeline_e2e_routed_auto")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -113,6 +118,30 @@ object SkewWindowCheck {
       val s = timed(name, skew)
       println(f"$name%-24s $u%10.2f $s%10.2f ${s / u}%7.2f")
     }
+
+    // the AUTO DISPATCH itself (round 15): at a realistic 100k
+    // rows-per-task bound, the probe must route the uniform surrogate
+    // (hottest key << 100k) to the PLAIN plans and the skew twin
+    // (hot key ~500k) to the CHUNKED plans — time both so the switch's
+    // realized cost is on record, not just the forced-chunked row's
+    def timedPipe(dir: String): Double = {
+      Array.fill(3) {
+        val df = graft.Pipeline.run(spark,
+          graft.Tables.events(spark, dir),
+          graft.Pipeline.Config(predictor = "routed", modelThreshold = 14,
+            windowRowsPerTask = 100000L)).trainMetrics
+        val t0 = System.nanoTime()
+        materialize(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        sec
+      }.sorted.apply(1)
+    }
+    val pu = timedPipe(sf1)
+    val ps = timedPipe(skew)
+    println(f"${"routed@100k (probe)"}%-24s $pu%10.2f $ps%10.2f ${ps / pu}%7.2f" +
+      "   (uniform=plain path, skewed=chunked path by probe)")
     spark.stop()
   }
 }
