@@ -31,7 +31,7 @@ def main() -> None:
     # (full maps never land in history — Bench parses only the pre-history
     # prefix, and a stale full map there would invite last-wins shadowing)
     prior = {
-        "round": 14,
+        "round": 15,
         "kind": "pin",
         "total_sec": ref.get("value"),
         "n_queries": ref.get("n_queries"),
