@@ -336,4 +336,61 @@ object PropertySpec extends Properties("graft") {
         } yield (i1, i2) -> ((np, ni(i1), ni(i2), nB))).toMap
         got == want
     }
+
+  // --- chunked window forms (round 15): for RANDOM data (nulls in value,
+  // key and time included) and a RANDOM monotone chunk width, the chunked
+  // scale paths are bit-identical to the plain per-key windows. The fixed
+  // FeaturesSpec fixtures pin the known edge shapes; this sweeps the
+  // space between them.
+  private val seqGen: Gen[List[(Option[String], Option[Int], Option[Double])]] =
+    for {
+      n <- Gen.choose(0, 50)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.option(Gen.oneOf("g", "h", "i"))
+        t <- Gen.option(Gen.choose(0, 60))
+        v <- Gen.option(Gen.chooseNum(-100.0, 100.0))
+      } yield (k, t, v))
+    } yield rows
+
+  property("chunked lag/ffill/bfill equal the plain windows on random " +
+    "data for any monotone chunk width") =
+    Prop.forAll(seqGen, Gen.choose(1, 9)) { (rows, width) =>
+      // (k, t) must be a total order per key for the identity to be well
+      // defined (plain window vs chunked tiebreak) — dedup on (k, t)
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = uniq.toDF("k", "t", "v")
+      val kSeq = Seq("k"); val tSeq = Seq("t")
+      val chunk = expr(s"CAST(floor(t / $width) AS BIGINT)")
+      val w = Features.keyWindow(kSeq, tSeq)
+      def snap(d: org.apache.spark.sql.DataFrame, c: String) =
+        d.collect().map(r =>
+          (r.getAs[Any]("k"), r.getAs[Any]("t")) -> r.getAs[Any](c)).toMap
+      val okF = snap(Features.ffillChunked(df, "v", kSeq, tSeq, chunk, "o"), "o") ==
+        snap(df.withColumn("o", Features.ffill(col("v"), w)), "o")
+      val okB = snap(Features.bfillChunked(df, "v", kSeq, tSeq, chunk, "o"), "o") ==
+        snap(df.withColumn("o", Features.bfill(col("v"), kSeq, tSeq)), "o")
+      val okL = snap(Features.lag1Chunked(df, "v", kSeq, tSeq, chunk, "o"), "o") ==
+        snap(df.withColumn("o", Features.lag1(col("v"), w)), "o")
+      okF && okB && okL
+    }
+
+  property("chunked state episodes equal the plain form on random state " +
+    "sequences for any monotone chunk width") =
+    Prop.forAll(seqGen, Gen.choose(1, 9)) { (rows, width) =>
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      // states from a tiny alphabet so runs actually form and span chunks
+      val df = uniq.map { case (k, t, v) =>
+        (k, t, v.map(d => if (d < 0) "A" else "B"))
+      }.toDF("k", "t", "st")
+      val chunk = expr(s"CAST(floor(t / $width) AS BIGINT)")
+      def snap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getAs[Any]("k"), r.getAs[Long]("episode_id"),
+          r.getAs[String]("state")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Any]("first_ord"),
+            r.getAs[Any]("last_ord")))).toMap
+      snap(graft.operators.Intervals.stateEpisodesChunked(
+        df, Seq("k"), Seq(col("t")), col("st"), chunk)) ==
+        snap(graft.operators.Intervals.stateEpisodes(
+          df, Seq("k"), Seq(col("t")), col("st")))
+    }
 }
