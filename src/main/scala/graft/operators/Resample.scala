@@ -188,27 +188,27 @@ object Resample {
     val chunk = expr(
       s"floor(unix_micros(CAST(__ts AS TIMESTAMP)) DIV ${bucketMicros}L)")
     val time = Seq("__ts", "__kind", "__id")
+    // (t, v) travel as ONE nullable struct (null exactly on spine rows —
+    // pts filters null values, so obs rows are never partially null):
+    // one ffill + one bfill pass instead of four, each carrying both
+    // fields — `last ignoreNulls` skips null structs whole
     val u = pts.unionByName(spine)
-      .withColumn("__obs_t", when(col("__kind") === 0, col("__ts")))
-      .withColumn("__obs_v", when(col("__kind") === 0, col("__v")))
+      .withColumn("__obs", when(col("__kind") === 0,
+        struct(col("__ts").as("t"), col("__v").as("v"))))
     val filled =
       Features.bfillChunked(
-        Features.bfillChunked(
-          Features.ffillChunked(
-            Features.ffillChunked(u, "__obs_t", keys, time, chunk, "__t0"),
-            "__obs_v", keys, time, chunk, "__y0"),
-          "__obs_t", keys, time, chunk, "__t1"),
-        "__obs_v", keys, time, chunk, "__y1")
+        Features.ffillChunked(u, "__obs", keys, time, chunk, "__p"),
+        "__obs", keys, time, chunk, "__n")
     filled
       .filter(col("__kind") === 1 &&
-        col("__t0").isNotNull && col("__t1").isNotNull)
+        col("__p").isNotNull && col("__n").isNotNull)
       .select(kc ++ Seq(
         col("__ts").as("day"),
-        (col("__y0") + (col("__y1") - col("__y0")) *
+        (col("__p.v") + (col("__n.v") - col("__p.v")) *
           ((unix_micros(col("__ts").cast("timestamp")) -
-            unix_micros(col("__t0").cast("timestamp"))).cast("double") /
-            (unix_micros(col("__t1").cast("timestamp")) -
-              unix_micros(col("__t0").cast("timestamp"))).cast("double")))
+            unix_micros(col("__p.t").cast("timestamp"))).cast("double") /
+            (unix_micros(col("__n.t").cast("timestamp")) -
+              unix_micros(col("__p.t").cast("timestamp"))).cast("double")))
           .as("y_interp")): _*)
   }
 }
