@@ -764,9 +764,8 @@ object Pipeline {
     // same skew probe as run() (its own cheap aggregate here — validate/
     // test have no A4 frame to fold into), so a hot key at serve time
     // routes to the same chunked plans training used
-    val ops = WinOps(hotKeyMax(
-      base.groupBy(keyCols: _*).agg(count(lit(1)).as("n_rows")))
-      > cfg.windowRowsPerTask)
+    val ops = WinOps(
+      Features.maxKeyRows(base, key) > cfg.windowRowsPerTask)
     val featured = ops.ffill(
       ops.lag1(base.join(splits, Seq("event_id")), "actual", "pred"),
       "pred", "pred_f")

@@ -115,6 +115,71 @@ class FeaturesSpec extends SparkSpecBase {
       === rsnap(ev.withColumn("o", Features.lag1(col("value"), rw)), "o"))
   }
 
+  test("auto-dispatch entries route on the hottest-key probe and are " +
+    "identical through BOTH routes (lag/ffill/bfill, range agg, ewma)") {
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+    val rkey = Seq("user_id", "event_type"); val rt = Seq("ts", "event_id")
+    val mchunk = expr(
+      "floor(unix_micros(CAST(ts AS TIMESTAMP)) / 2592000000000)")
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.toString
+    // a huge bound routes plain (no chunk machinery in the plan); a
+    // bound of 0 forces the scale path — and both snapshots are equal
+    val plainF = Features.ffillAuto(ev, "value", rkey, rt, mchunk, "o",
+      rowsPerTask = Long.MaxValue)
+    val fastF = Features.ffillAuto(ev, "value", rkey, rt, mchunk, "o",
+      rowsPerTask = 0L)
+    assert(!planOf(plainF).contains("__ffc_chunk"))
+    assert(planOf(fastF).contains("__ffc_chunk"))
+    def snap(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("event_id"), col(c)).collect()
+        .map(r => (r.getLong(0), r.getAs[Any](1))).toMap
+    assert(snap(fastF, "o") === snap(plainF, "o"))
+    val plainL = Features.lag1Auto(ev, "value", rkey, rt, mchunk, "o",
+      rowsPerTask = Long.MaxValue)
+    val fastL = Features.lag1Auto(ev, "value", rkey, rt, mchunk, "o",
+      rowsPerTask = 0L)
+    assert(planOf(fastL).contains("__lgc_chunk") &&
+      !planOf(plainL).contains("__lgc_chunk"))
+    assert(snap(fastL, "o") === snap(plainL, "o"))
+    val plainB = Features.bfillAuto(ev, "value", rkey, rt, mchunk, "o",
+      rowsPerTask = Long.MaxValue)
+    val fastB = Features.bfillAuto(ev, "value", rkey, rt, mchunk, "o",
+      rowsPerTask = 0L)
+    assert(planOf(fastB).contains("__bfc_chunk") &&
+      !planOf(plainB).contains("__bfc_chunk"))
+    assert(snap(fastB, "o") === snap(plainB, "o"))
+    // range agg: plain frame vs bucketed decomposition
+    val evm = ev
+      .withColumn("ts_us", expr("unix_micros(cast(ts AS timestamp))"))
+      .withColumn("vm", expr("CAST(round(value * 1e6) AS BIGINT)"))
+    val w7 = 7L * 86400L * 1000000L
+    val plainR = Features.rangeMovingAggAuto(evm, Seq("user_id"), "ts_us",
+      "vm", w7, rowsPerTask = Long.MaxValue)
+    val fastR = Features.rangeMovingAggAuto(evm, Seq("user_id"), "ts_us",
+      "vm", w7, rowsPerTask = 0L)
+    assert(planOf(fastR).contains("__rma_day") &&
+      !planOf(plainR).contains("__rma_day"))
+    def rsnap(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "n_w", "sum_w").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rsnap(fastR) === rsnap(plainR))
+    // ewma: windowed fold vs bucketed band join — bit-identical
+    val plainE = Features.ewmaAuto(ev, rkey, rt, "value", 0.3, 8,
+      rowsPerTask = Long.MaxValue)
+    val fastE = Features.ewmaAuto(ev, rkey, rt, "value", 0.3, 8,
+      rowsPerTask = 0L)
+    assert(planOf(fastE).contains("__ewb_rn") &&
+      !planOf(plainE).contains("__ewb_rn"))
+    def esnap(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "ewma").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(esnap(fastE) === esnap(plainE))
+    // the probe itself: hottest key on the real table, empty-input zero
+    assert(Features.maxKeyRows(ev, rkey) > 0L)
+    assert(Features.maxKeyRows(ev.filter(lit(false)), rkey) === 0L)
+  }
+
   test("chunked W1/W2 forms FAIL LOUD on a non-monotone chunk expression " +
     "(a hash would silently corrupt the boundary carries)") {
     // 8 rows, chunk = t % 3: chunk 0 holds t=0,3,6 while chunk 1 holds
