@@ -110,21 +110,31 @@ object Pipeline {
       * failing; scalar values are stringified for the merge; nested
       * values (none exist in the reference shape) are skipped. */
     def fromJsonFile(path: String): Map[String, String] =
-      try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(path))
-        if (root == null || !root.isObject) Map.empty
-        else {
-          val b = Map.newBuilder[String, String]
-          root.fields().forEachRemaining { e =>
-            // JSON null means "absent", not the string "null" — skipping
-            // it keeps the layer from shadowing the default with junk
-            if (e.getValue.isValueNode && !e.getValue.isNull)
-              b += (refAliases.getOrElse(e.getKey, e.getKey) -> e.getValue.asText)
-          }
-          b.result()
+      try fromJsonNode(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path)))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+    /** Same layer from an in-memory JSON object string — the /train
+      * endpoint's manual-override body ([[graft.Serve]]); same
+      * error-tolerance contract as the file form (junk → empty layer). */
+    def fromJsonString(json: String): Map[String, String] =
+      try fromJsonNode(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+    private def fromJsonNode(
+        root: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      if (root == null || !root.isObject) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        root.fields().forEachRemaining { e =>
+          // JSON null means "absent", not the string "null" — skipping
+          // it keeps the layer from shadowing the default with junk
+          if (e.getValue.isValueNode && !e.getValue.isNull)
+            b += (refAliases.getOrElse(e.getKey, e.getKey) -> e.getValue.asText)
         }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+        b.result()
+      }
 
     /** Three-layer merge, lowest to highest precedence: hard defaults <
       * config-file overrides < manual (CLI) overrides — main.py:241-264,
@@ -152,7 +162,10 @@ object Pipeline {
         predictor = get("predictor",
           s => { require(
             Set("naive", "ar1", "ar2", "routed", "seq", "sgd")(s)); s },
-          d.predictor))
+          d.predictor),
+        windowRowsPerTask = get("windowRowsPerTask",
+          s => { val v = s.toLong; require(v > 0); v },
+          d.windowRowsPerTask))
     }
   }
 
