@@ -55,6 +55,63 @@ object Multimodal {
 
   private def hexVal(c: Char): Int = "0123456789abcdef".indexOf(c)
 
+  /** Per-partition AMORTIZED image decode (round 15): `ImageIO.read`
+    * performs a synchronized IIORegistry plugin scan per call — with 32
+    * tasks decoding concurrently that shared lock is measurable
+    * cross-thread contention (the round-14 mm_resize /
+    * mm_image_decode_jpeg over-pin signature; the MJPEG path already
+    * amortized its reader for the same reason, decodeMjpegMp4). One
+    * cached reader per format per partition, fed through a direct
+    * `MemoryCacheImageInputStream` (no registry lookup at all); payloads
+    * that are neither JPEG nor PNG fall back to `ImageIO.read`. Call
+    * once per partition; the returned function is NOT thread-safe
+    * (one task = one partition = one instance, the mapPartitions
+    * contract). */
+  private def partitionImageDecoder()
+      : Array[Byte] => java.awt.image.BufferedImage = {
+    lazy val jpeg = javax.imageio.ImageIO
+      .getImageReadersByFormatName("jpeg").next()
+    lazy val png = javax.imageio.ImageIO
+      .getImageReadersByFormatName("png").next()
+    bytes => {
+      val rdr =
+        if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+            (bytes(1) & 0xFF) == 0xD8) jpeg
+        else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+            bytes(1) == 'P'.toByte) png
+        else null
+      if (rdr == null)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      else {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try { rdr.setInput(iis); rdr.read(0) }
+        finally iis.close()
+      }
+    }
+  }
+
+  /** The encode-side twin of [[partitionImageDecoder]]:
+    * `ImageIO.write`'s per-call writer lookup hits the same registry
+    * lock. One cached writer for `format` per partition, direct
+    * `MemoryCacheImageOutputStream`. Same one-task-one-instance
+    * contract. */
+  private def partitionImageEncoder(format: String)
+      : java.awt.image.BufferedImage => Array[Byte] = {
+    lazy val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName(format).next()
+    img => {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+      } finally ios.close()
+      out.toByteArray
+    }
+  }
+
   /** One sampled frame reference. */
   final case class FrameRef(doc_id: Long, frame_idx: Long, n_frames: Long)
 
@@ -142,9 +199,9 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        val decode = partitionImageDecoder() // one reader set per task
         batch.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = decode(bytes)
           require(img != null, s"undecodable image payload for doc $id")
           val w = img.getWidth.toLong
           val h = img.getHeight.toLong
@@ -189,6 +246,7 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
+        val encode = partitionImageEncoder(format) // one writer per task
         batch.map { case (id, hex) =>
           val w = 16 + hexVal(hex.charAt(0))
           val h = 16 + hexVal(hex.charAt(1))
@@ -204,9 +262,7 @@ object Multimodal {
             }
             x += 1
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, format, out)
-          (id, out.toByteArray)
+          (id, encode(img))
         }
       }.toDF("doc_id", "payload")
   }
@@ -226,9 +282,9 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        val decode = partitionImageDecoder() // one reader set per task
         batch.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = decode(bytes)
           require(img != null, s"undecodable image payload for doc $id")
           val w = img.getWidth
           val h = img.getHeight
@@ -265,6 +321,7 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
+        val encode = partitionImageEncoder("png") // one writer per task
         batch.flatMap { case (id, hex) =>
           val w = 16 + hexVal(hex.charAt(0))
           val h = 16 + hexVal(hex.charAt(1))
@@ -282,9 +339,7 @@ object Multimodal {
               }
               x += 1
             }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            out.toByteArray
+            encode(img)
           }
           val base = Seq((id, png(0)))
           if (id % 10 == 0) base :+ ((id + 1000000L, png(5))) else base
@@ -311,9 +366,9 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        val decode = partitionImageDecoder() // one reader set per task
         batch.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = decode(bytes)
           require(img != null, s"undecodable image payload for doc $id")
           val w = img.getWidth
           val h = img.getHeight
@@ -1188,6 +1243,7 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
+        val encode = partitionImageEncoder("png") // one writer per task
         batch.map { case (id, hex) =>
           val w = 16 + hexVal(hex.charAt(0))
           val h = 16 + hexVal(hex.charAt(1))
@@ -1205,13 +1261,12 @@ object Multimodal {
             }
             x += 1
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
+          val payload = encode(img)
           val caption =
             if (hexVal(hex.charAt(2)) % 2 == 0) q.mkString(" ")
             else (0 until 4).map(i => 1L + hexVal(hex.charAt(4 + i)))
               .mkString(" ")
-          (id, out.toByteArray, caption)
+          (id, payload, caption)
         }
       }.toDF("doc_id", "payload", "caption")
   }
@@ -1257,9 +1312,9 @@ object Multimodal {
         col("caption"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
+        val decode = partitionImageDecoder() // one reader set per task
         batch.map { case (id, bytes, caption) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = decode(bytes)
           require(img != null, s"undecodable image payload for doc $id")
           val w = img.getWidth
           val h = img.getHeight
