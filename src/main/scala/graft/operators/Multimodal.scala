@@ -609,14 +609,18 @@ object Multimodal {
         val grays = Array.tabulate(256)(_.toByte)
         val icm = new java.awt.image.IndexColorModel(
           8, 256, grays, grays, grays)
+        // ONE GIF writer per partition + direct memory-cache streams
+        // (round 15): the per-row writer lookup is a synchronized
+        // registry scan, and createImageOutputStream may add a
+        // temp-FILE cache per call
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
         batch.map { case (id, hex) =>
           val f = 2 + hexVal(hex.charAt(0))
           val w = 8 + hexVal(hex.charAt(1))
           val h = 8 + hexVal(hex.charAt(2))
           val out = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var fi = 0
@@ -659,10 +663,12 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        // ONE GIF reader per partition + direct memory-cache input
+        // (round 15; see decodeMjpegMp4's amortization note)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
         batch.map { case (id, bytes) =>
-          val reader = javax.imageio.ImageIO
-            .getImageReadersByFormatName("gif").next()
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis, false)
           val n = reader.getNumImages(true)
@@ -735,15 +741,16 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        // ONE GIF reader per partition (round 15) — dispose would kill
+        // the shared instance; closing the per-row stream suffices
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
         batch.map { case (id, bytes) =>
-          val reader = javax.imageio.ImageIO
-            .getImageReadersByFormatName("gif").next()
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis, false)
           val n = reader.getNumImages(true)
           require(n >= 1, s"no frames in container for doc $id")
-          reader.dispose()
           iis.close()
           VideoMeta(id, n.toLong)
         }
@@ -966,7 +973,11 @@ object Multimodal {
               x += 1
             }
             val out = new java.io.ByteArrayOutputStream()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+            // direct memory-cache stream (round 15):
+            // createImageOutputStream may add a temp-FILE cache PER
+            // FRAME — real disk I/O in the hot loop
+            val ios =
+              new javax.imageio.stream.MemoryCacheImageOutputStream(out)
             writer.setOutput(ios)
             writer.write(img)
             ios.close()
@@ -1133,7 +1144,9 @@ object Multimodal {
             val off = offsets(fi); val len = sizes(fi)
             require(off >= 0 && len > 0 && off + len <= bytes.length,
               s"doc $id: sample $fi [$off, ${off + len}) outside payload")
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            // direct memory-cache stream (round 15): the registry
+            // form may spin a temp-FILE cache PER FRAME
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(bytes, off, len))
             reader.setInput(iis, true, true)
             val img =
