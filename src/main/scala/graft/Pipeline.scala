@@ -438,7 +438,8 @@ object Pipeline {
       .localCheckpoint(eager = false)
     val validKeys = keyStats.filter(col("nn") > 0).select(keyCols: _*)
     val kept = base.join(validKeys, key, "left_semi")
-    val ops = WinOps(hotKeyMax(keyStats) > cfg.windowRowsPerTask)
+    val hotMax = hotKeyMax(keyStats)
+    val ops = WinOps(hotMax > cfg.windowRowsPerTask)
 
     // A2+J3: model routing side table
     val modelTypes = Features.modelRouting(kept, key, cfg.modelThreshold)
@@ -686,6 +687,20 @@ object Pipeline {
       // family's params would silently score the wrong model
       predictorParams.foreach { case (name, p) =>
         Sinks.replaceSnapshot(spark, s"$dir/$name", p) }
+      // the window-skew probe statistic, persisted so validate/test can
+      // route plain-vs-chunked WITHOUT re-scanning the fact table per
+      // request (round 15) — routing is a performance choice with
+      // oracle-identical results either way, so a stat that goes stale
+      // between train and serve costs at most a suboptimal plan, never
+      // a wrong answer. Replace-wholesale like the predictor params.
+      Sinks.replaceSnapshot(spark,
+        s"$dir/probe_stats",
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(hotMax)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "max_key_rows", org.apache.spark.sql.types.LongType,
+              nullable = false)))))
       Sinks.truncateAndLoad(trainMetrics, s"$dir/train_metrics")
       Sinks.truncateAndLoad(validateMetrics, s"$dir/validate_metrics")
       Sinks.truncateAndLoad(validateFeatures, s"$dir/validate_features")
@@ -705,6 +720,19 @@ object Pipeline {
   /** The artifact side tables a train run publishes — the existence gate
     * for every downstream stage. */
   private val artifactTables = Seq("splits", "model_types", "norm_params")
+
+  /** The FULL existence gate for a config's validate/test stages: the
+    * base artifacts plus the trained predictor's params table(s). ONE
+    * definition shared by [[automate]] and [[Serve]]'s /automate skip
+    * check (round 15: Serve had re-derived a diverging copy that omitted
+    * the base artifacts for non-naive predictors, so skip_training could
+    * skip into stages that then failed the gate). */
+  private[graft] def requiredArtifacts(cfg: Config): Seq[String] =
+    artifactTables ++ (cfg.predictor match {
+      case "naive" => Nil
+      case "routed" => Seq("predictor_params_rnn", "predictor_params_xgb")
+      case _ => Seq("predictor_params")
+    })
 
   /** E3 orchestration with the reference's gate semantics
     * (automate_pipeline.py:77-173, main.py:177-391):
@@ -739,11 +767,7 @@ object Pipeline {
         // A trained (non-naive) predictor adds its params artifact to the
         // existence gate: grading ar1/ar2 stages without the fit would
         // silently score a different model than run() published.
-        val required = artifactTables ++ (cfg.predictor match {
-          case "naive" => Nil
-          case "routed" => Seq("predictor_params_rnn", "predictor_params_xgb")
-          case _ => Seq("predictor_params")
-        })
+        val required = requiredArtifacts(cfg)
         val missing = required.filterNot(a =>
           Sinks.tableExists(spark, s"$outDir/$a"))
         if (missing.nonEmpty)
@@ -774,11 +798,20 @@ object Pipeline {
     val base = events
       .filter(col("ts").isNotNull)
       .withColumn("actual", col("value"))
-    // same skew probe as run() (its own cheap aggregate here — validate/
-    // test have no A4 frame to fold into), so a hot key at serve time
-    // routes to the same chunked plans training used
-    val ops = WinOps(
-      Features.maxKeyRows(base, key) > cfg.windowRowsPerTask)
+    // same skew statistic as run()'s probe, read from the PERSISTED
+    // probe_stats artifact (round 15: an eager per-request full-scan
+    // aggregate here roughly doubled each serving stage's I/O — run()
+    // already paid for the statistic inside A4 and now publishes it).
+    // Pre-probe_stats artifact dirs fall back to the live aggregate;
+    // either way routing is performance-only, results are
+    // oracle-identical on both paths.
+    val probeDir = s"$outDir/probe_stats"
+    val hotMax =
+      if (Sinks.tableExists(spark, probeDir))
+        Sinks.readSnapshot(spark, probeDir)
+          .head().getAs[Long]("max_key_rows")
+      else Features.maxKeyRows(base, key)
+    val ops = WinOps(hotMax > cfg.windowRowsPerTask)
     val featured = ops.ffill(
       ops.lag1(base.join(splits, Seq("event_id")), "actual", "pred"),
       "pred", "pred_f")

@@ -59,7 +59,11 @@ object Serve {
             port: Int = 0,
             paramsFile: Option[String] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // DAEMON worker threads: HttpServer.stop() does not shut down a
+    // user-supplied executor, so non-daemon workers would pin the JVM
+    // alive after the documented `server.stop(0)` path (round 15)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "graft-serve"); t.setDaemon(true); t }))
 
     def fileLayer(): Map[String, String] =
       paramsFile.map(Pipeline.Config.fromJsonFile).getOrElse(Map.empty)
@@ -141,15 +145,9 @@ object Serve {
     }
 
     handle("/train", "POST") { ex =>
-      val ps = query(ex)
-      val useFile = flag(ps, "use_file_params", dflt = false)
-      val merge = flag(ps, "merge_params", dflt = true)
-      val manual = Pipeline.Config.fromJsonString(readBody(ex))
       // the reference's hybrid layering (main.py:239-264): file layer
       // when requested; manual body merged over it (or replacing it)
-      val params =
-        if (manual.nonEmpty && !merge) manual
-        else (if (useFile) fileLayer() else Map.empty[String, String]) ++ manual
+      val params = layeredParams(ex, fileDflt = false)
       try {
         val cfg = Pipeline.Config.merged(params)
         Pipeline.run(spark, events(), cfg, Some(outDir))
@@ -160,9 +158,23 @@ object Serve {
       }
     }
 
+    // the SAME hybrid parameter layering as /train (round 15): a caller
+    // who trained with manual body params must be able to grade that
+    // predictor — rebuilding cfg from the file alone would silently
+    // score the file's (or default naive) model instead, the exact
+    // hazard Pipeline.automate's scaladoc names
+    def layeredParams(ex: HttpExchange, fileDflt: Boolean): Map[String, String] = {
+      val ps = query(ex)
+      val useFile = flag(ps, "use_file_params", dflt = fileDflt)
+      val merge = flag(ps, "merge_params", dflt = true)
+      val manual = Pipeline.Config.fromJsonString(readBody(ex))
+      if (manual.nonEmpty && !merge) manual
+      else (if (useFile) fileLayer() else Map.empty[String, String]) ++ manual
+    }
+
     def stageEndpoint(path: String, stage: String, done: String): Unit =
-      handle(path, "POST") { _ =>
-        val cfg = Pipeline.Config.merged(fileLayer())
+      handle(path, "POST") { ex =>
+        val cfg = Pipeline.Config.merged(layeredParams(ex, fileDflt = true))
         val st = Pipeline.automate(spark, events(), outDir, cfg,
           stages = Seq(stage)).head
         if (st.ok) (200, obj("message" -> q(done)))
@@ -175,17 +187,13 @@ object Serve {
     handle("/automate", "POST") { ex =>
       val ps = query(ex)
       val skipTraining = flag(ps, "skip_training", dflt = false)
-      val useFile = flag(ps, "use_file_params", dflt = true)
-      val cfg = Pipeline.Config.merged(
-        if (useFile) fileLayer() else Map.empty)
+      val cfg = Pipeline.Config.merged(layeredParams(ex, fileDflt = true))
       // the reference skips training only when asked AND the model
-      // artifacts already exist (main.py:316-325)
-      val artifacts = cfg.predictor match {
-        case "naive" => Seq("splits", "model_types", "norm_params")
-        case "routed" => Seq("predictor_params_rnn", "predictor_params_xgb")
-        case _ => Seq("predictor_params")
-      }
-      val modelsExist = artifacts.forall(a =>
+      // artifacts already exist (main.py:316-325); the gate is
+      // Pipeline.requiredArtifacts — the ONE definition automate's own
+      // validate/test gate checks, so skip-into-stage can never pass
+      // here and then fail there (round 15)
+      val modelsExist = Pipeline.requiredArtifacts(cfg).forall(a =>
         Sinks.tableExists(spark, s"$outDir/$a"))
       val stages =
         if (skipTraining && modelsExist) Seq("validate", "test")

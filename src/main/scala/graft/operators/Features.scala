@@ -79,13 +79,21 @@ object Features {
     * hash) interleaves rows across chunks and silently corrupts the
     * boundary carries; this turns that into a loud runtime failure,
     * the `jaccardPairs.maxRows` posture. Null-interval chunks (all
-    * null time) never fire — they carry no ordering claim. Returns the
-    * guarded carry expression: `carry` unless an overlap is seen. */
+    * null time) never fire — they carry no ordering claim. The check
+    * is `>=`, not `>` (round 15): a shared boundary instant means the
+    * SAME `timeHead` value sits in two chunks, which only a chunk that
+    * is not a function of `timeHead` can produce — and then the plain
+    * order's tiebreak columns may interleave the tied rows across the
+    * chunks, the exact unorderable shape the guard exists to catch. A
+    * chunk computed from `timeHead` (every registered caller: month,
+    * day, floor(t/w)) can never trip it — equal times land in one
+    * chunk, so consecutive intervals are strictly separated. Returns
+    * the guarded carry expression: `carry` unless an overlap is seen. */
   private[operators] def chunkGuard(op: String, timeHead: String,
                                     carry: Column, wOrd: WindowSpec): Column = {
     val prevMax = max(col("__tmax"))
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    when(prevMax > col("__tmin"),
+    when(prevMax >= col("__tmin"),
       raise_error(concat(
         lit(s"$op: chunk is not monotone in `$timeHead` — chunk "),
         col("__gchu").cast("string"),
@@ -417,6 +425,9 @@ object Features {
                      valueMicros: String, windowMicros: Long,
                      outCnt: String = "n_w",
                      outSum: String = "sum_w"): DataFrame = {
+    // same validation as the bucketed twin, so rangeMovingAggAuto fails
+    // the SAME way on a bad window whichever route the skew probe picks
+    require(windowMicros >= 0, s"bad window: $windowMicros")
     val w = Window.partitionBy(key.map(col): _*).orderBy(col(tsMicros))
       .rangeBetween(-windowMicros, Window.currentRow)
     df.withColumn(outCnt, count(lit(1)).over(w))

@@ -642,7 +642,8 @@ object Multimodal {
             fi += 1
           }
           writer.endWriteSequence()
-          writer.dispose()
+          // no dispose: the writer is shared across the partition's rows
+          // (dispose leaves 'any other method' undefined per ImageWriter)
           ios.close()
           (id, out.toByteArray)
         }
@@ -696,7 +697,7 @@ object Multimodal {
             }
             fi += 1
           }
-          reader.dispose()
+          // no dispose: the reader is shared across the partition's rows
           iis.close()
           VideoFeatures(id, n.toLong, w, h, sum, px000)
         }

@@ -198,6 +198,16 @@ class FeaturesSpec extends SparkSpecBase {
     mustThrow(Features.ffillChunked(df, "v", kSeq, tSeq, badChunk, "o"))
     mustThrow(Features.bfillChunked(df, "v", kSeq, tSeq, badChunk, "o"))
     mustThrow(Features.lag1Chunked(df, "v", kSeq, tSeq, badChunk, "o"))
+    // a chunk that splits EQUAL-timestamp rows across chunks shares a
+    // boundary instant (prev tmax == next tmin) — unorderable against
+    // the plain form's tiebreak, so the >= guard must fire, not let the
+    // carry silently disagree with the plain window (round 15)
+    val tied = Seq(("g", 5, Option(1.0)), ("g", 5, None))
+      .toDF("k", "t", "v")
+    val splitTie = expr("CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)")
+    mustThrow(Features.ffillChunked(tied, "v", kSeq, tSeq, splitTie, "o"))
+    mustThrow(Features.bfillChunked(tied, "v", kSeq, tSeq, splitTie, "o"))
+    mustThrow(Features.lag1Chunked(tied, "v", kSeq, tSeq, splitTie, "o"))
     // a monotone-but-gappy chunk (missing chunk ids) remains legal
     val gappy = expr("CAST(CASE WHEN t < 3 THEN 10 ELSE 40 END AS BIGINT)")
     val plain = df.withColumn("o",

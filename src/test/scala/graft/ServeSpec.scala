@@ -91,6 +91,68 @@ class ServeSpec extends SparkSpecBase {
       val degraded = post(base, "/train?use_file_params=true",
         """{"seqLength": "banana"}""")
       assert(degraded.contains("Training is complete"), degraded)
+
+      // worker threads are daemons: HttpServer.stop() never shuts down a
+      // user-supplied executor, so non-daemon workers would pin the JVM
+      // after the documented stop(0) path (round 15)
+      val workers = Thread.getAllStackTraces.keySet.toArray(Array.empty[Thread])
+        .filter(_.getName == "graft-serve")
+      assert(workers.nonEmpty)
+      assert(workers.forall(_.isDaemon))
+    } finally server.stop(0)
+  }
+
+  test("stage endpoints grade the predictor the caller trained (hybrid " +
+    "params on /validate and /test), and /automate's skip gate is " +
+    "Pipeline.requiredArtifacts — base artifacts included") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_serve2").toString + "/artifacts"
+    val paramsFile = java.nio.file.Files
+      .createTempDirectory("graft_serve2_cfg").toString + "/params.json"
+    // the FILE says routed; the caller trains ar2 manually — the round-15
+    // hazard was /validate rebuilding cfg from the file alone and grading
+    // (or gating) a different predictor than the one just trained
+    java.nio.file.Files.writeString(java.nio.file.Path.of(paramsFile),
+      """{"predictor": "routed"}""")
+    val server = Serve.start(spark,
+      () => Tables.events(spark, sf0001), outDir, port = 0,
+      paramsFile = Some(paramsFile))
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val trained = post(base, "/train?use_file_params=false",
+        """{"predictor": "ar2"}""")
+      assert(trained.contains("Training is complete"), trained)
+
+      // same body on /validate → the ar2 gate (predictor_params) passes;
+      // the pre-fix code used the file layer (routed) and answered
+      // "missing artifacts predictor_params_rnn ... run train first"
+      val v = post(base, "/validate?use_file_params=false",
+        """{"predictor": "ar2"}""")
+      assert(v.contains("Validation is complete"), v)
+      val t = post(base, "/test?use_file_params=false",
+        """{"predictor": "ar2"}""")
+      assert(t.contains("Testing is complete"), t)
+      // and the file layer still governs when the caller sends no body:
+      // routed's family artifacts were never trained here, so the gate
+      // answers soft with the remedy
+      val fileV = post(base, "/validate")
+      assert(fileV.contains("predictor_params_rnn"), fileV)
+      assert(fileV.contains("run train first"), fileV)
+
+      // /automate skip gate: delete a BASE artifact (splits) — predictor
+      // params still exist, so the pre-fix Serve gate (which omitted the
+      // base artifacts for non-naive predictors) would skip training and
+      // then fail validate; the unified gate retrains instead
+      def rmrf(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+      }
+      rmrf(new java.io.File(s"$outDir/splits"))
+      val auto = post(base,
+        "/automate?skip_training=true&use_file_params=false",
+        """{"predictor": "ar2"}""")
+      assert(auto.contains("\"train\":{\"status\":\"success\""), auto)
+      assert(auto.contains("\"validate\":{\"status\":\"success\""), auto)
+      assert(auto.contains("\"test\":{\"status\":\"success\""), auto)
     } finally server.stop(0)
   }
 }
