@@ -39,7 +39,7 @@ object Dedup {
     * At scale the scan already has thousands of splits and this is a
     * no-op passthrough; the shuffle only happens in the
     * few-splits-many-cores regime where it is worth it. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
@@ -94,7 +94,7 @@ object Dedup {
   /** Size-ratio prefilter: j = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
     * so j ≥ num/den requires den·|A| ≥ num·|B| and vice versa. Checked
     * BEFORE the per-pair intersect — prunes on two cached ints. */
-  private def sizeRatioCanReach(sa: Column, sb: Column, num: Int, den: Int): Column =
+  private[graft] def sizeRatioCanReach(sa: Column, sb: Column, num: Int, den: Int): Column =
     (sa * den >= sb * num) && (sb * den >= sa * num)
 
   /** Ground-truth near-dup pairs by exact shingle Jaccard ≥ num/den.
@@ -268,6 +268,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, numPerm: Int,
                       rowsPerBand: Int, num: Int, den: Int,
                       maxBucket: Int = 0): DataFrame = {
+    // the minhashPairsAgainst guard, mirrored (round 15): a silent
+    // truncation here banded only (numPerm/r)*r of the signature — perms
+    // sketched and paid for but never used, and a realized recall curve
+    // quietly different from the b = numPerm/r the caller computed
+    require(numPerm % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numPerm=$numPerm")
     val numBands = numPerm / rowsPerBand
     // localCheckpoint (LAZY): shingles + signatures feed four join
     // branches (two banded sides, two verification sides) — compute once,
@@ -307,8 +313,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("sz").as("sz_b")), "doc_b")
       // cheap integer prefilter before the per-pair intersect
-      .filter((col("sz_a") * den >= col("sz_b") * num) &&
-        (col("sz_b") * den >= col("sz_a") * num))
+      .filter(sizeRatioCanReach(col("sz_a"), col("sz_b"), num, den))
       .filter(jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
       .select(col("doc_a"), col("doc_b"))
   }
@@ -356,9 +361,17 @@ object Dedup {
     require(falseCandPerDoc >= 1 && maxPerm >= 8, "bad budget params")
     val t = num.toDouble / den
     val j0 = j0Milli / 1000.0
-    def bandsFor(r: Int): Int = math.max(1, math.ceil(
-      math.log(1.0 - recallMilli / 1000.0) /
-        math.log(1.0 - math.pow(t, r))).toInt)
+    def bandsFor(r: Int): Int = {
+      // t^r below half an ulp makes 1 - t^r round to EXACTLY 1.0, whose
+      // log is 0 — the ratio becomes -Infinity and ceil(...).toInt is
+      // Int.MinValue, which max(1, .) turns into b = 1: a silent recall
+      // collapse at very low thresholds. That regime needs more bands
+      // than any budget allows, so saturate explicitly (round 15).
+      val denom = math.log(1.0 - math.pow(t, r))
+      if (denom == 0.0) Int.MaxValue
+      else math.max(1, math.ceil(
+        math.log(1.0 - recallMilli / 1000.0) / denom).toInt)
+    }
     // smallest r in [2, 12] whose background-candidate budget holds with
     // ITS OWN recall-driven band count (b appears on both sides — the
     // iteration converges because bandsFor(r) is finite and the lhs is
@@ -488,23 +501,6 @@ object Dedup {
     simhashPairsFromSketch(
       simhashSketch(docs, n, algo).localCheckpoint(eager = false), maxDist)
 
-  /** Pair generation from a PREBUILT [[simhashSketch]] frame — callers
-    * that already hold (and persist) the sketch for other checks must not
-    * pay the tokenize→shingle→SimHash chain a second time.
-    *
-    * `probeBits` (0..16) is the SimHash analogue of the LSH multi-probe:
-    * besides its exact band value, the PROBE side also joins on the values
-    * at Hamming distance 1 within the first `probeBits` bit positions of
-    * each band. The index side stays one row per (doc, band) — no second
-    * index, no extra index rows in the shuffle; the fan-out is probe-side
-    * only (×(1+probeBits) rows). Coverage guarantee (pigeonhole over the
-    * 4×16 layout): exact bands guarantee candidates for Hamming ≤ 3; with
-    * probeBits=16, any pair at Hamming ≤ 7 must have some band differing
-    * in ≤ 1 bit, so candidate generation is GUARANTEED for d ≤ 7 — the
-    * right knob when maxDist is pushed past the exact-band guarantee,
-    * where distance-4..8 pairs were previously found only if they happened
-    * to collide on a band. In the self-join both docs take the probe role,
-    * so a 1-bit band difference is found from either end. */
   /** Connected components over an undirected edge list — the pair→cluster
     * resolution step every near-dup pipeline needs after pair generation
     * ([[jaccardPairs]] / [[minhashLshPairs]] / [[simhashPairs]] /
@@ -579,10 +575,15 @@ object Dedup {
     }
 
     // DECIMAL sum: a long sum of 64-bit hashes overflows (ANSI mode
-    // throws); decimal(38,0) gives overflow-free headroom to ~10^18 edges.
+    // throws). Cast each term at decimal(28,0) so Spark's sum widening
+    // (p+10) lands the accumulator at decimal(38,0) — overflow-free to
+    // ~10^18 edges as documented. (The round-14 cast at (20,0) widened
+    // only to (30,0) ≈ 10^11-edge guaranteed headroom, and a non-ANSI
+    // overflow NULLs the sum, silently degrading convergence detection
+    // to count-equality — round 15.)
     def signature(e: DataFrame): (Long, BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(20,0)"))).head()
+        sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)"))).head()
       (r.getLong(0),
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
@@ -927,6 +928,23 @@ object Dedup {
           .as("text_clean"))
   }
 
+  /** Pair generation from a PREBUILT [[simhashSketch]] frame — callers
+    * that already hold (and persist) the sketch for other checks must not
+    * pay the tokenize→shingle→SimHash chain a second time.
+    *
+    * `probeBits` (0..16) is the SimHash analogue of the LSH multi-probe:
+    * besides its exact band value, the PROBE side also joins on the values
+    * at Hamming distance 1 within the first `probeBits` bit positions of
+    * each band. The index side stays one row per (doc, band) — no second
+    * index, no extra index rows in the shuffle; the fan-out is probe-side
+    * only (×(1+probeBits) rows). Coverage guarantee (pigeonhole over the
+    * 4×16 layout): exact bands guarantee candidates for Hamming ≤ 3; with
+    * probeBits=16, any pair at Hamming ≤ 7 must have some band differing
+    * in ≤ 1 bit, so candidate generation is GUARANTEED for d ≤ 7 — the
+    * right knob when maxDist is pushed past the exact-band guarantee,
+    * where distance-4..8 pairs were previously found only if they happened
+    * to collide on a band. In the self-join both docs take the probe role,
+    * so a 1-bit band difference is found from either end. */
   def simhashPairsFromSketch(sk: DataFrame, maxDist: Int,
                              probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 16,

@@ -72,40 +72,54 @@ object Jdbc {
     * the transactional batch-ledger recipe (the Delta-style txn pattern
     * done in plain SQL).
     *
-    *  1. fast path: `batchId` already in the ledger → no-op (a replay
-    *     after a post-commit crash);
-    *  2. stage the micro-batch into `<table>__STAGE_<batchId>` (Overwrite —
-    *     a replay after a mid-stage crash rewrites it cleanly); executors
-    *     write the stage in parallel, `batchsize` rows per round-trip. The
-    *     stage name carries the batch id so two concurrent publishers of
-    *     DIFFERENT batches to the same target can never interleave on a
-    *     shared scratch table (each batch owns its stage for its lifetime);
-    *     the stage is dropped once the batch is committed (or proven a
-    *     raced replay), so steady state leaves no scratch behind;
+    *  1. fast path: `(runId, batchId)` already in the ledger → no-op (a
+    *     replay after a post-commit crash);
+    *  2. stage the micro-batch into `<table>__STAGE_<batchId>_<attempt>`
+    *     (Overwrite); executors write the stage in parallel, `batchsize`
+    *     rows per round-trip. The stage name carries the batch id AND a
+    *     per-attempt token (round 15): two concurrent publishers of the
+    *     SAME batch (a zombie driver racing its replacement) previously
+    *     shared one stage name, so the replay's per-partition Overwrite
+    *     could truncate the zombie's fully-staged rows mid-publish and a
+    *     PARTIAL batch got committed and ledger-marked — with unique
+    *     stages each attempt owns its scratch end to end. A committed (or
+    *     raced-out) attempt drops its own stage; a crashed attempt's
+    *     orphan is scratch debris, never a correctness issue;
     *  3. ONE driver-side transaction: re-check the ledger (an interleaved
     *     replay may have won), `INSERT INTO table SELECT * FROM stage`,
-    *     record `batchId` in the ledger, COMMIT.
+    *     record `(runId, batchId)` in the ledger, COMMIT.
     *
     * A crash anywhere before the commit leaves the target table and the
     * ledger untouched (the stage is scratch); a crash after it makes the
     * replay a provable no-op. That is exactly-once DELIVERY to the target
     * table, not just at-least-once with dedup — the publish and the mark
     * commit atomically. Spark's checkpointed batch ids are stable across
-    * recovery-driven retries, which is what the ledger keys on.
+    * recovery-driven retries, which is what the ledger keys on — BUT only
+    * within one query lineage, so the ledger also carries `runId` (round
+    * 15, the Delta txn (appId, version) shape): a stream restarted
+    * against a deleted checkpoint restarts ids at 0, and a batch_id-only
+    * ledger would silently discard every new micro-batch as a "replay";
+    * distinct runIds never collide. Two publishers sharing a runId must
+    * BE replays of one checkpointed query — that is the caller contract.
     *
     * The target/stage tables are both created by the same Spark JDBC
     * writer schema, so the positional `INSERT … SELECT *` is sound; a
     * pre-existing target with a different column ORDER is a caller
     * contract breach. Returns true iff this call published the batch. */
   def writeBatchExactlyOnce(batch: DataFrame, url: String, table: String,
-                            batchId: Long, batchSize: Int = 500,
+                            batchId: Long, runId: String,
+                            batchSize: Int = 500,
                             ledgerTable: String = ""): Boolean = {
+    require(runId.nonEmpty && runId.length <= 64 &&
+      runId.matches("[A-Za-z0-9_.-]+"),
+      s"runId must be a nonempty [A-Za-z0-9_.-]{1,64} token, got '$runId'")
     val ledger = if (ledgerTable.nonEmpty) ledgerTable else s"${table}__LEDGER"
-    val stage = s"${table}__STAGE_$batchId"
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val stage = s"${table}__STAGE_${batchId}_$attempt"
     val conn0 = java.sql.DriverManager.getConnection(url)
     try {
       ensureLedger(conn0, ledger)
-      if (ledgerHas(conn0, ledger, batchId)) return false
+      if (ledgerHas(conn0, ledger, runId, batchId)) return false
     } finally conn0.close()
     writeTable(batch, url, stage, batchSize, SaveMode.Overwrite)
     val conn = java.sql.DriverManager.getConnection(url)
@@ -113,17 +127,17 @@ object Jdbc {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        if (ledgerHas(conn, ledger, batchId)) { // raced replay: another
-          conn.rollback()                       // publisher already won —
-          conn.setAutoCommit(true)              // close the txn cleanly and
-          dropIfExists(st, stage)               // discard our scratch stage
+        if (ledgerHas(conn, ledger, runId, batchId)) { // raced replay:
+          conn.rollback()                  // another publisher already won —
+          conn.setAutoCommit(true)         // close the txn cleanly and
+          dropIfExists(st, stage)          // discard our scratch stage
           return false
         }
         if (!tableExists(conn, table))
           st.executeUpdate(
             s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
         st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
-        st.executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)")
+        st.executeUpdate(s"INSERT INTO $ledger VALUES ('$runId', $batchId)")
         conn.commit()
         conn.setAutoCommit(true)
         dropIfExists(st, stage) // scratch cleanup — best-effort post-commit
@@ -141,29 +155,40 @@ object Jdbc {
     try st.executeUpdate(s"DROP TABLE $table")
     catch { case _: java.sql.SQLException => () }
 
-  /** CREATE the one-column ledger if absent (Derby has no IF NOT EXISTS;
-    * SQLState X0Y32 = already there, the expected steady state). */
+  /** CREATE the (run_id, batch_id) ledger if absent (Derby has no IF NOT
+    * EXISTS; SQLState X0Y32 = already there, the expected steady state). */
   private def ensureLedger(conn: java.sql.Connection, ledger: String): Unit = {
     val st = conn.createStatement()
     try st.executeUpdate(
-      s"CREATE TABLE $ledger (batch_id BIGINT NOT NULL PRIMARY KEY)")
+      s"CREATE TABLE $ledger (run_id VARCHAR(64) NOT NULL, " +
+        "batch_id BIGINT NOT NULL, PRIMARY KEY (run_id, batch_id))")
     catch {
       case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
     } finally st.close()
   }
 
   private def ledgerHas(conn: java.sql.Connection, ledger: String,
-                        batchId: Long): Boolean = {
+                        runId: String, batchId: Long): Boolean = {
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(
-        s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
+        s"SELECT 1 FROM $ledger WHERE run_id = '$runId' " +
+          s"AND batch_id = $batchId")
       try rs.next() finally rs.close()
     } finally st.close()
   }
 
+  /** Existence probe honoring schema qualification: `APP2.EVENTS` splits
+    * into (schemaPattern, tablePattern) — getTables' third argument is a
+    * TABLE pattern, so passing the dotted name whole matches nothing and
+    * a pre-existing qualified target would trigger CREATE TABLE → X0Y32
+    * → a poison-batch retry loop (round 15). */
   private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+    val (schemaPat, tablePat) = table.split("\\.", 2) match {
+      case Array(sch, tab) => (sch.toUpperCase, tab.toUpperCase)
+      case _ => (null, table.toUpperCase)
+    }
+    val rs = conn.getMetaData.getTables(null, schemaPat, tablePat, null)
     try rs.next() finally rs.close()
   }
 

@@ -35,7 +35,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** TOTAL cosine: -2 (below every real cosine) on a zero-norm input
+    * instead of 0/0 — which under ANSI mode (the Spark 4 default) is a
+    * job-killing DIVIDE_BY_ZERO, and under non-ANSI is NaN, which
+    * Spark's nan-safe ordering puts ABOVE every real number, letting
+    * one failed-embedding row pass every `>= t` filter and top every
+    * `desc` ranking (round 15). Pair/top-k entry points additionally
+    * exclude zero-norm vectors outright via [[withNorm]]/`nrm > 0`. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den > 0, dot(a, b) / den).otherwise(lit(-2.0))
+  }
 
   /** Per-pair cosine work drops 3× when each side's norm is computed ONCE
     * per vector and carried through the join (the expression shape
@@ -45,6 +55,12 @@ object Similarity {
                        normName: String): DataFrame =
     df.select(col("vec_id").as(idName), col("embedding").as(vecName))
       .withColumn(normName, sqrt(dot(col(vecName), col(vecName))))
+      // zero-norm vectors are OUT of the cosine domain (0/0 = NaN, which
+      // Spark orders above every real number): one failed-embedding row
+      // would otherwise pass every >= threshold filter and top every
+      // ranking (round 15). Excluding it here makes every pair set and
+      // final ranking NaN-free by construction.
+      .filter(col(normName) > 0)
 
   /** Keep top-k (cos desc, id asc) per query from a scored frame via the
     * typed [[graft.functions.TopKAggregator]]: partial top-k map-side, so
@@ -228,13 +244,21 @@ object Similarity {
       val members = assign(cents, corpus, "member_id", keep = 1)
         .join(corpus.select(col("vec_id").as("member_id"), col("embedding")),
           "member_id")
-      members
+      val refreshed = members
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
           .as("centv"))
+      refreshed
+        // a centroid that lost every member keeps its PREVIOUS vector —
+        // the groupBy emits no row for it, and dropping it would shrink
+        // nCentroids silently (the buildPqIndex empty-code rule, applied
+        // here in round 15: duplicate sample points seed identical
+        // centroids whose members all tie to the smaller id)
+        .unionByName(cents.join(refreshed.select(col("centroid_id")),
+          Seq("centroid_id"), "left_anti"))
         // LAZY: feeds the two assign() branches below — compute once at
         // first action, reuse from cache; eager would run the whole
         // k-means pass as a construction-time job, which both hides the
@@ -377,7 +401,21 @@ object Similarity {
             s"$numNeg; raise negPoolSize", col("query_id"),
           coalesce(col("__negn"), lit(0L)))).cast("long").as("cand_id"),
         lit(0L).as("rank"))
-    pos.unionByName(neg).unionByName(shortfall)
+    // the SAME loudness for positives (round 15): a query whose probed
+    // posting lists hold only itself gets zero topK rows, so the
+    // rank===1 filter silently emits no 'pos' — a contrastive consumer
+    // would see negatives with no anchor. Starved queries raise.
+    val posShortfall = queries.select(col("vec_id").as("query_id"))
+      .join(pos.select(col("query_id"), lit(1).as("__haspos")),
+        Seq("query_id"), "left")
+      .filter(col("__haspos").isNull)
+      .select(col("query_id"), lit("pos").as("role"),
+        raise_error(format_string(
+          "trainingPairs: no positive for query_id=%s - its probed " +
+            "posting lists hold no other vector; raise nProbe or " +
+            "nCentroids", col("query_id"))).cast("long").as("cand_id"),
+        lit(0L).as("rank"))
+    pos.unionByName(neg).unionByName(shortfall).unionByName(posShortfall)
   }
 
   /** Ground-truth sibling of [[trainingPairs]]: positives are the EXACT
@@ -471,6 +509,9 @@ object Similarity {
     df.select(col("vec_id").as(idName), col("embedding"))
       .join(broadcast(cents),
         col(idName).isNotNull) // cross vs small centroid set
+      // cosine is TOTAL (round 15): a zero query vector or degenerate
+      // zero centroid scores -2 — below every real cosine — instead of
+      // crashing (ANSI) or NaN-ranking first (non-ANSI)
       .withColumn("ccos", cosine(col("embedding"), col("centv")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= keep)
@@ -502,17 +543,11 @@ object Similarity {
       s"cosinePairs is an O(n²) ground-truth reference: input has $rows rows > maxRows=$maxRows. " +
         "Use cosinePairsBucketed for production corpora, or pass maxRows explicitly for a deliberate large run.")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // Spread the streamed side: a small parquet is one input split, and a
-    // single-partition nested-loop join would run the O(n²) pair scoring
-    // on one thread. Gated on the actual partition count — an explicit
-    // repartition is always a real shuffle (Catalyst never elides it), so
-    // at scale, where the scan already has more splits than cores, this
-    // is a passthrough instead of a pointless full-corpus shuffle.
-    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    val spreadCorpus =
-      if (corpus.rdd.getNumPartitions >= parallelism) corpus
-      else corpus.repartition(parallelism)
-    val a = withNorm(spreadCorpus, "vec_a", "va", "na")
+    // Spread the streamed side (Dedup.spread — the one gated-repartition
+    // heuristic, shared since round 15): a small parquet is one input
+    // split and a single-partition nested-loop join would run the O(n²)
+    // pair scoring on one thread; at scale the gate is a passthrough.
+    val a = withNorm(Dedup.spread(corpus), "vec_a", "va", "na")
     val b = withNorm(corpus, "vec_b", "vb", "nb")
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
@@ -567,6 +602,7 @@ object Similarity {
     // the scan+norm runs once instead of three times.
     val base = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0) // zero vectors: NaN cos passes >= (round 15)
       .localCheckpoint(eager = false)
     val banded = base.select(col("vec_id"), posexplode(array(
       (0 until tables).map(t => hyperplaneSignature("embedding", bits, t)): _*))
@@ -703,14 +739,6 @@ object Similarity {
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     knnVote(bruteForceTopK(queries, corpus, k), corpus, queries)
 
-  /** k-NN classification, scale form: neighbours from a prebuilt
-    * [[IvfIndex]] (nProbe posting lists per query — the corpus is never
-    * re-scanned per query batch), then the same [[knnVote]]. Agreement
-    * with the exact form is pinned by the knn_classify_ivf invariant
-    * row; how closely agreement tracks neighbour recall depends on vote
-    * margins — wide margins (few labels, clustered classes) absorb
-    * recall loss, while this corpus's 10-way mid-cosine votes track it
-    * nearly 1:1 (see the row's regime note). */
   // ---- int8 scalar quantization (SQ8) ----
 
   /** Trained per-dimension int8 quantizer + the quantized corpus.
@@ -780,6 +808,10 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"),
         dequantize(index, col("qvec")).as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      // a zero vector can dequantize to a zero reconstruction — same
+      // out-of-domain rule as withNorm (round 15; ANSI would throw on
+      // the 0-denominator division below)
+      .filter(col("cn") > 0)
     val q = withNorm(queries, "query_id", "qv", "qn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -788,6 +820,14 @@ object Similarity {
     topKAmong(cand, queries, corpus, k)
   }
 
+  /** k-NN classification, scale form: neighbours from a prebuilt
+    * [[IvfIndex]] (nProbe posting lists per query — the corpus is never
+    * re-scanned per query batch), then the same [[knnVote]]. Agreement
+    * with the exact form is pinned by the knn_classify_ivf invariant
+    * row; how closely agreement tracks neighbour recall depends on vote
+    * margins — wide margins (few labels, clustered classes) absorb
+    * recall loss, while this corpus's 10-way mid-cosine votes track it
+    * nearly 1:1 (see the row's regime note). */
   def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
                      k: Int, nProbe: Int): DataFrame =
     knnVote(ivfTopKWithIndex(queries, corpus, index, k, nProbe),
@@ -1003,6 +1043,8 @@ object Similarity {
         dotHof("centv", "centv").as("cn2"))), Seq("sub_id", "code"))
       .groupBy(col("neighbor_id"))
       .agg(sqrt(sum(col("cn2"))).as("an"))
+      // zero reconstructed norm = out of the cosine domain (round 15)
+      .filter(col("an") > 0)
     val qTable = subvectors(queries, "query_id", index.m, index.subDim)
       .join(broadcast(cb), "sub_id")
       .select(col("query_id"), col("sub_id"), col("code"),

@@ -61,8 +61,24 @@ object Sinks {
   /** SNK1 — keyed upsert over a versioned snapshot directory: read the
     * current version (empty frame if none), merge via [[Ingest.upsert]],
     * write `v=N+1`, return the new version. Readers always see a complete
-    * version; the directory listing stands in for a transaction log. */
-  private def listVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    * version; the directory listing stands in for a transaction log.
+    *
+    * A version is COMMITTED only once its `_SUCCESS` marker lands (the
+    * Hadoop committer writes it after the last task commit — round 15):
+    * a crash mid-write leaves a `v=N` holding `_temporary` or a partial
+    * file set, and counting it as real would either wedge every later
+    * read ("unable to infer schema" on an empty dir) or silently merge
+    * from a snapshot missing rows. Readers and merge bases use committed
+    * versions only; the NEXT version number advances past every
+    * directory, committed or not, so a retry never collides with a
+    * crashed attempt's debris (ErrorIfExists would wedge otherwise). */
+  private def listVersions(spark: SparkSession, tableDir: String): Seq[Int] =
+    rawVersions(spark, tableDir).filter(v =>
+      fs(spark).exists(new Path(s"$tableDir/v=$v/_SUCCESS")))
+
+  /** Every v=N directory, committed or not — next-version computation
+    * and vacuum need the full set. */
+  private def rawVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
     val f = fs(spark)
     val dir = new Path(tableDir)
     if (!f.exists(dir)) Seq.empty
@@ -73,16 +89,31 @@ object Sinks {
       .sorted
   }
 
+  /** The one versioned-write choreography (round 15 — was triplicated
+    * across upsertSnapshot/upsertSnapshotEvolving/applyChangesSnapshot):
+    * write `df` as the next version past ANY existing directory and
+    * return it. */
+  private def writeNextVersion(spark: SparkSession, tableDir: String,
+                               df: DataFrame): Int = {
+    val next = rawVersions(spark, tableDir).lastOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    next
+  }
+
+  /** Latest COMMITTED version read, or an empty frame with `schema`'s
+    * shape when the table has none. */
+  private def readLatestOr(spark: SparkSession, tableDir: String,
+                           empty: => DataFrame): DataFrame =
+    listVersions(spark, tableDir).lastOption
+      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
+      .getOrElse(empty)
+
   def upsertSnapshot(spark: SparkSession, tableDir: String, incoming: DataFrame,
                      key: Seq[String], orderCol: String): Int = {
-    val versions = listVersions(spark, tableDir)
-    val current = versions.lastOption
-      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
-      .getOrElse(incoming.filter(org.apache.spark.sql.functions.lit(false)))
-    val next = versions.lastOption.getOrElse(0) + 1
-    Ingest.upsert(current, incoming, key, orderCol)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
-    next
+    val current = readLatestOr(spark, tableDir,
+      incoming.filter(org.apache.spark.sql.functions.lit(false)))
+    writeNextVersion(spark, tableDir,
+      Ingest.upsert(current, incoming, key, orderCol))
   }
 
   /** [[upsertSnapshot]] with ADDITIVE schema evolution (round 9) — the
@@ -98,12 +129,17 @@ object Sinks {
   def upsertSnapshotEvolving(spark: SparkSession, tableDir: String,
                              incoming: DataFrame, key: Seq[String],
                              orderCol: String): Int = {
-    val versions = listVersions(spark, tableDir)
-    val current = versions.lastOption
-      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
-      .getOrElse(incoming.filter(org.apache.spark.sql.functions.lit(false)))
+    val current = readLatestOr(spark, tableDir,
+      incoming.filter(org.apache.spark.sql.functions.lit(false)))
+    // name matching follows the session's resolver (round 15): Spark
+    // resolves case-INSENSITIVELY by default, so a batch column 'ID'
+    // against a snapshot 'id' is the SAME logical column — treating it
+    // as additive would write v=N+1 carrying both casings, which every
+    // later col("id") reference resolves ambiguously. Matched names are
+    // normalized to the snapshot's casing in the aligned output.
+    val resolver = spark.sessionState.analyzer.resolver
     val conflicts = current.schema.flatMap { cf =>
-      incoming.schema.find(_.name == cf.name)
+      incoming.schema.find(inf => resolver(inf.name, cf.name))
         .filter(_.dataType != cf.dataType)
         .map(inf => s"${cf.name}: snapshot ${cf.dataType.simpleString} " +
           s"vs batch ${inf.dataType.simpleString}")
@@ -113,15 +149,16 @@ object Sinks {
         conflicts.mkString("; "))
     val union = current.schema.fields ++
       incoming.schema.fields.filterNot(f =>
-        current.schema.fieldNames.contains(f.name))
+        current.schema.fields.exists(cf => resolver(cf.name, f.name)))
     def align(df: DataFrame) = df.select(union.map { f =>
-      if (df.columns.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      df.columns.find(c => resolver(c, f.name)) match {
+        case Some(c) => org.apache.spark.sql.functions.col(c).as(f.name)
+        case None =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
     }.toSeq: _*)
-    val next = versions.lastOption.getOrElse(0) + 1
-    Ingest.upsert(align(current), align(incoming), key, orderCol)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
-    next
+    writeNextVersion(spark, tableDir,
+      Ingest.upsert(align(current), align(incoming), key, orderCol))
   }
 
   /** Versioned REPLACE: `v=N+1` is exactly `df` — no merge with prior
@@ -133,11 +170,8 @@ object Sinks {
     * retained so a concurrent reader of `v=N` is never disturbed (unlike
     * [[truncateAndLoad]]'s in-place overwrite). */
   def replaceSnapshot(spark: SparkSession, tableDir: String,
-                      df: DataFrame): Int = {
-    val next = listVersions(spark, tableDir).lastOption.getOrElse(0) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
-    next
-  }
+                      df: DataFrame): Int =
+    writeNextVersion(spark, tableDir, df)
 
   /** SNK1 at scale — PARTITION-SCOPED keyed upsert: the snapshot lives
     * hash-bucketed on the upsert key (`__bucket=N/` partition
@@ -178,20 +212,23 @@ object Sinks {
       .withColumn("__bucket",
         pmod(xxhash64(key.map(col): _*), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(eager = false)
-    if (!f.exists(new Path(tableDir))) {
-      // First batch goes through the SAME last-write-wins resolution as
-      // every later one (merge against an empty snapshot): a create batch
+    if (!f.exists(marker)) {
+      // marker-dispatched create (round 15): a crash between the data
+      // write and the marker create leaves data-without-marker, and the
+      // old dir-dispatched branches threw on every replay; re-creating
+      // with Overwrite repairs that partial state and converges. First
+      // batch goes through the SAME last-write-wins resolution as every
+      // later one (merge against an empty snapshot): a create batch
       // carrying duplicate keys must not persist duplicate rows, or the
       // contract below ("in-batch duplicates resolve last-write-wins")
       // would hold for every batch except the first.
+      requireCreatableBucketDir(f, tableDir)
       Ingest.upsert(inc.limit(0), inc, key, orderCol)
-        .write.partitionBy("__bucket").parquet(tableDir)
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(tableDir)
       val out = f.create(marker, true)
       out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
     } else {
-      require(f.exists(marker),
-        s"$tableDir exists but carries no _graft_nbuckets marker — not an " +
-          "upsertSnapshotBucketed table")
       val declared = readNBucketsMarker(spark, marker)
       require(declared == nBuckets,
         s"bucket-count mismatch: table $tableDir was created with " +
@@ -231,6 +268,28 @@ object Sinks {
   def readBucketedSnapshot(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir).drop("__bucket")
 
+
+  /** Create-branch safety for the bucketed tables (round 15): dispatch
+    * is on the MARKER, not the directory — a crash between the data
+    * write and the marker create used to wedge the table forever (dir
+    * exists, marker missing, every replay throws). A marker-less dir is
+    * re-creatable ONLY if it looks like our own partial create (nothing
+    * but __bucket= partitions and _-prefixed job metadata); anything
+    * else is a foreign directory and fails loud as before. */
+  private def requireCreatableBucketDir(f: org.apache.hadoop.fs.FileSystem,
+                                        tableDir: String): Unit = {
+    val dir = new Path(tableDir)
+    if (f.exists(dir)) {
+      val foreign = f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filterNot(n => n.startsWith("__bucket=") || n.startsWith("_") ||
+          n.startsWith("."))
+      require(foreign.isEmpty,
+        s"$tableDir exists, carries no _graft_nbuckets marker, and holds " +
+          s"non-bucket entries ${foreign.take(3).mkString(", ")} — not a " +
+          "bucketed snapshot table (and not a crashed partial create)")
+    }
+  }
+
   private def readNBucketsMarker(spark: SparkSession, marker: Path): Int = {
     val in = fs(spark).open(marker)
     val buf = new java.io.ByteArrayOutputStream()
@@ -264,22 +323,22 @@ object Sinks {
       .withColumn("__bucket",
         pmod(xxhash64(key.map(col): _*), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(eager = false)
-    if (!f.exists(new Path(tableDir))) {
-      // create branch: the SAME collapse as every later batch, against an
-      // empty snapshot — net-deletes drop, I-after-D nets to the insert.
-      // BOTH feed bookkeeping columns (op AND order) are dropped from the
+    if (!f.exists(marker)) {
+      // marker-dispatched create (round 15, see upsertSnapshotBucketed):
+      // the SAME collapse as every later batch, against an empty
+      // snapshot — net-deletes drop, I-after-D nets to the insert. BOTH
+      // feed bookkeeping columns (op AND order) are dropped from the
       // empty existing frame so the snapshot schema carries only data
       // columns + __bucket, same as the frame-level applyChanges whose
       // existing side never has feed columns — the bucketed layout stays
       // relation-invisible for readBucketedSnapshot
+      requireCreatableBucketDir(f, tableDir)
       applyChanges(inc.drop(opCol, orderCol).limit(0), inc, key, orderCol,
-        opCol).write.partitionBy("__bucket").parquet(tableDir)
+        opCol).write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(tableDir)
       val out = f.create(marker, true)
       out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
     } else {
-      require(f.exists(marker),
-        s"$tableDir exists but carries no _graft_nbuckets marker — not a " +
-          "bucketed snapshot table")
       val declared = readNBucketsMarker(spark, marker)
       require(declared == nBuckets,
         s"bucket-count mismatch: table $tableDir was created with " +
@@ -303,6 +362,18 @@ object Sinks {
           .parquet(tableDir)
         touched.filterNot(remaining).foreach(b =>
           f.delete(new Path(s"$tableDir/__bucket=$b"), true))
+        // a batch netting EVERY remaining row to D would leave zero
+        // parquet files — the next read of the table (or batch) would
+        // throw "unable to infer schema" forever (round 15). Keep one
+        // empty, schema-carrying file in bucket 0 so an emptied table
+        // stays a readable empty table.
+        val anyBucketLeft = f.exists(new Path(tableDir)) &&
+          f.listStatus(new Path(tableDir)).exists(
+            _.getPath.getName.startsWith("__bucket="))
+        if (!anyBucketLeft)
+          merged.drop("__bucket").limit(0).coalesce(1)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$tableDir/__bucket=0")
       }
     }
   }
@@ -424,15 +495,11 @@ object Sinks {
   def applyChangesSnapshot(spark: SparkSession, tableDir: String,
                            changes: DataFrame, key: Seq[String],
                            orderCol: String, opCol: String = "op"): Int = {
-    val versions = listVersions(spark, tableDir)
-    val current = versions.lastOption
-      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
-      .getOrElse(changes.drop(opCol, orderCol)
+    val current = readLatestOr(spark, tableDir,
+      changes.drop(opCol, orderCol)
         .filter(org.apache.spark.sql.functions.lit(false)))
-    val next = versions.lastOption.getOrElse(0) + 1
-    applyChanges(current, changes, key, orderCol, opCol)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
-    next
+    writeNextVersion(spark, tableDir,
+      applyChanges(current, changes, key, orderCol, opCol))
   }
 
   /** SNK11 — retention vacuum over an [[upsertSnapshot]] versioned table:
@@ -452,8 +519,15 @@ object Sinks {
     val versions = listVersions(spark, tableDir)
     require(versions.nonEmpty, s"$tableDir has no v=N snapshot versions")
     val (drop, keep) = versions.splitAt((versions.size - keepLast).max(0))
-    drop.foreach(v => f.delete(new Path(s"$tableDir/v=$v"), true))
-    (drop, keep)
+    // crashed-attempt debris (v=N without _SUCCESS) below the newest
+    // kept committed version is also reaped — STRICTLY below, so a
+    // concurrent writer's in-flight v=N+1 (always above the latest
+    // committed) is never swept mid-write (round 15)
+    val orphans = rawVersions(spark, tableDir)
+      .filterNot(versions.contains).filter(_ < keep.head)
+    (drop ++ orphans).foreach(v =>
+      f.delete(new Path(s"$tableDir/v=$v"), true))
+    (drop ++ orphans, keep)
   }
 
   /** Latest snapshot version of an [[upsertSnapshot]] table. */

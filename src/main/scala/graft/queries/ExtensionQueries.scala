@@ -4168,7 +4168,7 @@ object ExtensionQueries {
         val q = graft.streaming.StreamingAnalytics.runDriftMonitor(
           s, in, group = Seq("event_type"), valueCol = "value", nBins = 10,
           refDir = refDir, outDir = outDir, checkpointDir = s"$base/ckpt",
-          thresholdMilli = 100L)
+          thresholdMilli = 100L, runId = "r0")
         q.awaitTermination()
         s.read.parquet(outDir)
           .select(col("event_type"), col("batch_id"), col("n_ref"),

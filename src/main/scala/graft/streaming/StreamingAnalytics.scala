@@ -184,7 +184,8 @@ object StreamingAnalytics {
     * count-distinct, whose state grows with cardinality. */
   def runHllDistinct(spark: SparkSession, stream: DataFrame, keyCol: String,
                      artifactDir: String, checkpointDir: String,
-                     lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+                     lgK: Int = 12, keepVersions: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -203,6 +204,13 @@ object StreamingAnalytics {
           graft.operators.Sinks.replaceSnapshot(spark, artifactDir,
             merged.select(col("sk"),
               hll_sketch_estimate(col("sk")).as("estimate")))
+          // bound the version trail (round 15): one v=N per micro-batch
+          // over an unbounded stream is unbounded small-dir growth AND
+          // an O(versions) directory listing on every publish/read;
+          // keepVersions leaves concurrent readers of recent versions
+          // safe while capping both
+          graft.operators.Sinks.vacuumSnapshot(spark, artifactDir,
+            keepLast = keepVersions)
           ()
         }
       }
@@ -223,7 +231,8 @@ object StreamingAnalytics {
     * kilobytes of state regardless of stream length. */
   def runBloomMembership(spark: SparkSession, stream: DataFrame,
                          keyCol: String, bits: Int, hashes: Int, seed: String,
-                         artifactDir: String, checkpointDir: String)
+                         artifactDir: String, checkpointDir: String,
+                         keepVersions: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream
       .writeStream
@@ -240,6 +249,7 @@ object StreamingAnalytics {
                 batchBits))
             else batchBits
           Sinks.replaceSnapshot(spark, artifactDir, merged)
+          Sinks.vacuumSnapshot(spark, artifactDir, keepLast = keepVersions)
           ()
         }
       }
@@ -263,14 +273,15 @@ object StreamingAnalytics {
     * forever, never keyed by stream cardinality OR stream length. */
   def runCountMin(spark: SparkSession, stream: DataFrame, keyCol: String,
                   width: Int, depth: Int, seed: String, artifactDir: String,
-                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                  checkpointDir: String, keepVersions: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyCountMinBatch(spark, batch, id, keyCol, width, depth, seed,
-          artifactDir)
+          artifactDir, keepVersions)
       }
       .start()
 
@@ -284,7 +295,8 @@ object StreamingAnalytics {
   private[graft] def applyCountMinBatch(spark: SparkSession, batch: DataFrame,
                                         batchId: Long, keyCol: String,
                                         width: Int, depth: Int, seed: String,
-                                        artifactDir: String): Unit = {
+                                        artifactDir: String,
+                                        keepVersions: Int = 8): Unit = {
     import graft.operators.{Sinks, Sketches}
     if (batch.isEmpty) return
     val cells = Sketches.countMin(batch, col(keyCol), width, depth, seed)
@@ -304,6 +316,7 @@ object StreamingAnalytics {
         .withColumn("batch_id", lit(-1L))
         .unionByName(ledgerRow(spark, batchId))
       Sinks.replaceSnapshot(spark, artifactDir, merged)
+      Sinks.vacuumSnapshot(spark, artifactDir, keepLast = keepVersions)
     }
     ()
   }
@@ -334,14 +347,15 @@ object StreamingAnalytics {
   def runBinHistogram(spark: SparkSession, stream: DataFrame,
                       group: Seq[String], valueCol: String, nBins: Int,
                       gridDir: String, artifactDir: String,
-                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                      checkpointDir: String, keepVersions: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyHistBatch(spark, batch, id, group, valueCol, nBins, gridDir,
-          artifactDir)
+          artifactDir, keepVersions)
       }
       .start()
 
@@ -352,7 +366,8 @@ object StreamingAnalytics {
                                     batchId: Long, group: Seq[String],
                                     valueCol: String, nBins: Int,
                                     gridDir: String,
-                                    artifactDir: String): Unit = {
+                                    artifactDir: String,
+                                    keepVersions: Int = 8): Unit = {
     import graft.operators.{Sinks, Sketches}
     if (batch.isEmpty) return
     val bounds = spark.read.parquet(gridDir)
@@ -386,6 +401,7 @@ object StreamingAnalytics {
         .select(cells.columns.map(col): _*)
         .unionByName(ledger(batchId))
       Sinks.replaceSnapshot(spark, artifactDir, merged)
+      Sinks.vacuumSnapshot(spark, artifactDir, keepLast = keepVersions)
       ()
     }
   }
@@ -431,6 +447,15 @@ object StreamingAnalytics {
           def q(d: Double): Long =
             BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
           val out = rows.toSeq.sortBy(r => (r.ts, r.id)).map { r =>
+            // the SAME |value| domain guard both batch EWMA forms raise
+            // loudly on (Features.ewma/ewmaBucketed): past 1e6 the
+            // 1e-12-quantized product overflows the BIGINT and the
+            // stream would emit silently wrong numbers for exactly the
+            // inputs batch rejects (round 15)
+            if (math.abs(r.v) >= 1e6)
+              throw new IllegalArgumentException(
+                "ewma: |value| >= 1e6 overflows the BIGINT 1e-12 " +
+                  s"quantization (key=$key, id=${r.id})")
             val window = (r.v :: hist).take(maxLag)
             val num = window.zip(weights)
               .map { case (x, wt) => q(x * wt * 1e12) }.sum
@@ -508,8 +533,10 @@ object StreamingAnalytics {
     *   TVD = Σ|n_ref,i·N_batch − n_batch,i·N_ref| / (2·N_ref·N_batch),
     * in the same exact integer cross-multiplied arithmetic as the batch
     * operator — the `drifted` verdict never touches a double. Verdict
-    * rows land in `outDir/batch=<id>` (overwrite ⇒ at-least-once
-    * replays are idempotent). Only groups PRESENT in the batch are
+    * rows land in `outDir/batch=<runId>-<id>` (overwrite ⇒
+    * at-least-once replays are idempotent; the caller-owned runId
+    * namespaces lineages so a checkpoint-reset restart cannot clobber
+    * a prior run's verdict trail — round 15). Only groups PRESENT in the batch are
     * graded; a group the reference never saw cannot be graded and is
     * dropped by the grid join (callers alert on absence separately).
     * State: none (the reference is read-only) — the monitor scales with
@@ -517,17 +544,21 @@ object StreamingAnalytics {
   def runDriftMonitor(spark: SparkSession, stream: DataFrame,
                       group: Seq[String], valueCol: String, nBins: Int,
                       refDir: String, outDir: String, checkpointDir: String,
-                      thresholdMilli: Long)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                      thresholdMilli: Long, runId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [0,1000]: $thresholdMilli")
+    StreamingSimilarity.requireRunId(runId)
     stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyDriftBatch(spark, batch, id, group, valueCol, nBins, refDir,
-          outDir, thresholdMilli)
+          outDir, thresholdMilli, runId)
       }
       .start()
+  }
 
   /** The grading step of [[runDriftMonitor]], factored out so a batch
     * is directly testable against the batch-side arithmetic. */
@@ -535,8 +566,14 @@ object StreamingAnalytics {
                                      batchId: Long, group: Seq[String],
                                      valueCol: String, nBins: Int,
                                      refDir: String, outDir: String,
-                                     thresholdMilli: Long): Unit = {
+                                     thresholdMilli: Long,
+                                     runId: String): Unit = {
     import graft.operators.Sketches
+    // the batch twin's domain check (Profiling.driftTvd): out-of-range
+    // thresholds must fail loudly here too, not produce a monitor that
+    // silently never (or always) fires (round 15)
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [0,1000]: $thresholdMilli")
     if (batch.isEmpty) return
     val gc = group.map(col)
     val ref = spark.read.parquet(refDir)
@@ -565,7 +602,8 @@ object StreamingAnalytics {
         (col("__s") * lit(1000L) >=
           lit(2L * thresholdMilli) * col("n_ref") * col("n_batch"))
           .as("drifted") :+ lit(batchId).as("batch_id")): _*)
-    verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    verdicts.write.mode("overwrite")
+      .parquet(s"$outDir/batch=$runId-$batchId")
     ()
   }
 }

@@ -191,8 +191,19 @@ object StreamingDedup {
               }
             }
           }
-          state.update(BucketState(ids, sks))
-          state.setTimeoutDuration(stateIdleTimeout)
+          // update ONLY when this batch inserted an exact row or prior
+          // state exists (round 15): a probe-only batch against an empty
+          // bucket must not materialize a state entry — with probeBits
+          // fan-out each doc emits tens of lookup-only rows into buckets
+          // that hold nothing, and unconditionally updating would inflate
+          // the state store (entries + timers + checkpoint bytes) by the
+          // probe multiplicity, violating the documented "probe rows
+          // never enter state" invariant. An existing bucket's timeout
+          // IS re-armed by a probe — it is demonstrably still hot.
+          if (ids.nonEmpty || state.exists) {
+            state.update(BucketState(ids, sks))
+            state.setTimeoutDuration(stateIdleTimeout)
+          }
           out.result().iterator
           }
       }
@@ -248,8 +259,7 @@ object StreamingDedup {
       .join(index.select(col("doc_id").as("doc_old"),
         array_compact(col("sh")).as("sh_b"), size(col("sh")).as("sz_b")),
         "doc_old")
-      .filter((col("sz_a") * den >= col("sz_b") * num) &&
-        (col("sz_b") * den >= col("sz_a") * num))
+      .filter(Dedup.sizeRatioCanReach(col("sz_a"), col("sz_b"), num, den))
       .filter(Dedup.jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
       .select(col("doc_id").as("doc_new"), col("doc_old"))
   }

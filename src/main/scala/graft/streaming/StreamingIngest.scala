@@ -53,12 +53,19 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Sinks.upsertSnapshot(spark, tableDir, batch,
-            key = Seq("Date", "Time", "Currency", "Event"),
-            orderCol = "EventTime")
-          ()
-        }
+        // persist once (round 15): the isEmpty probe is one job over the
+        // source scan, and upsertSnapshot references the batch on BOTH
+        // sides of its merge — uncached, a micro-batch's files were read
+        // up to three times per trigger
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            Sinks.upsertSnapshot(spark, tableDir, b,
+              key = Seq("Date", "Time", "Currency", "Event"),
+              orderCol = "EventTime")
+            ()
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 
@@ -81,9 +88,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Jdbc.writeTable(batch, url, table, batchSize,
-            mode = org.apache.spark.sql.SaveMode.Append)
+        val b = batch.persist() // one scan feeds probe + sink (round 15)
+        try {
+          if (!b.isEmpty)
+            graft.operators.Jdbc.writeTable(b, url, table, batchSize,
+              mode = org.apache.spark.sql.SaveMode.Append)
+        } finally { b.unpersist(); () }
       }
       .start()
 
@@ -93,20 +103,30 @@ object StreamingIngest {
     * committed together), so a checkpoint-recovery redelivery of any
     * micro-batch is a provable no-op and the target table never holds a
     * partial batch. Empty batches are skipped (no ledger row needed —
-    * replaying an empty batch appends nothing by construction). */
+    * replaying an empty batch appends nothing by construction).
+    *
+    * `runId` names this QUERY LINEAGE in the ledger (round 15): batch
+    * ids are only stable within one checkpoint's lifetime, so keep the
+    * runId stable across restarts from the same checkpoint and change
+    * it when the checkpoint is reset — a fresh lineage's ids restart at
+    * 0 and must not collide with the old lineage's ledger rows. */
   def runToJdbcExactlyOnce(spark: SparkSession, landingDir: String,
                            url: String, table: String, checkpointDir: String,
+                           runId: String,
                            batchSize: Int = 500): StreamingQuery =
     cleanedStream(spark, landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.Jdbc.writeBatchExactlyOnce(batch, url, table,
-            batchId = id, batchSize = batchSize)
-          ()
-        }
+        val b = batch.persist() // one scan feeds probe + stage (round 15)
+        try {
+          if (!b.isEmpty) {
+            graft.operators.Jdbc.writeBatchExactlyOnce(b, url, table,
+              batchId = id, runId = runId, batchSize = batchSize)
+            ()
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 
@@ -139,9 +159,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sinks.upsertSnapshotBucketed(
-            batch.sparkSession, tableDir, batch, key, orderCol, nBuckets)
+        val b = batch.persist() // one scan feeds probe + merge (round 15)
+        try {
+          if (!b.isEmpty)
+            graft.operators.Sinks.upsertSnapshotBucketed(
+              b.sparkSession, tableDir, b, key, orderCol, nBuckets)
+        } finally { b.unpersist(); () }
       }
       .start()
 
@@ -162,10 +185,13 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sinks.applyChangesBucketed(
-            batch.sparkSession, tableDir, batch, key, orderCol, opCol,
-            nBuckets)
+        val b = batch.persist() // one scan feeds probe + merge (round 15)
+        try {
+          if (!b.isEmpty)
+            graft.operators.Sinks.applyChangesBucketed(
+              b.sparkSession, tableDir, b, key, orderCol, opCol,
+              nBuckets)
+        } finally { b.unpersist(); () }
       }
       .start()
 }

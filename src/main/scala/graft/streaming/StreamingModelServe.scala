@@ -26,50 +26,57 @@ import graft.operators.Features
   * rows, bit for bit — scoring is per-row, so batch boundaries cannot
   * change any prediction.
   *
-  * Delivery: each micro-batch overwrites its own `batch=<id>` directory
-  * — the idempotent-foreachBatch-sink recipe shared with the ANN serve,
-  * so an at-least-once replay replaces its own output instead of
-  * appending duplicates. */
+  * Delivery: each micro-batch overwrites its own `batch=<runId>-<id>`
+  * directory — the idempotent-foreachBatch-sink recipe shared with the
+  * ANN serve, so an at-least-once replay replaces its own output instead
+  * of appending duplicates, and the caller-owned `runId` namespaces
+  * lineages (round 15): a stream restarted against a lost/relocated
+  * checkpoint restarts ids at 0 and would otherwise silently overwrite
+  * the prior run's accumulated outputs. */
 object StreamingModelServe {
 
   /** Shared runner: score each micro-batch with a batch-identical
-    * `score` function into `outDir/batch=<id>/`. */
+    * `score` function into `outDir/batch=<runId>-<id>/`. */
   private def runServe(featureStream: DataFrame,
                        score: DataFrame => DataFrame,
-                       outDir: String, checkpointDir: String): StreamingQuery =
+                       outDir: String, checkpointDir: String,
+                       runId: String): StreamingQuery = {
+    StreamingSimilarity.requireRunId(runId)
     featureStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
-          score(batch).write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+          score(batch).write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$runId-$id")
       }
       .start()
+  }
 
   /** Serve a parquet-persisted [[Features.LinearModel]]
     * ([[Features.linearModelToFrame]] layout at `modelDir`) over a
     * feature stream via [[Features.linearPredict]]. */
   def runLinearServe(spark: SparkSession, featureStream: DataFrame,
                      modelDir: String, features: Seq[String],
-                     outDir: String, checkpointDir: String,
+                     outDir: String, checkpointDir: String, runId: String,
                      outCol: String = "prediction"): StreamingQuery = {
     val model = Features.linearModelFromFrame(spark.read.parquet(modelDir))
     runServe(featureStream,
       b => Features.linearPredict(b, model, features.map(col), outCol),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Serve a parquet-persisted [[Features.LogisticModel]] over a feature
     * stream via [[Features.logisticPredict]] — P(y=1|x) per row. */
   def runLogisticServe(spark: SparkSession, featureStream: DataFrame,
                        modelDir: String, features: Seq[String],
-                       outDir: String, checkpointDir: String,
+                       outDir: String, checkpointDir: String, runId: String,
                        outCol: String = "probability"): StreamingQuery = {
     val model = Features.logisticModelFromFrame(spark.read.parquet(modelDir))
     runServe(featureStream,
       b => Features.logisticPredict(b, model, features.map(col), outCol),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Serve a parquet-persisted [[Features.SgdModel]] (the round-12
@@ -77,12 +84,12 @@ object StreamingModelServe {
     * [[Features.sgdPredict]] — raw-double fold, the fit's arithmetic. */
   def runSgdServe(spark: SparkSession, featureStream: DataFrame,
                   modelDir: String, features: Seq[String],
-                  outDir: String, checkpointDir: String,
+                  outDir: String, checkpointDir: String, runId: String,
                   outCol: String = "prediction"): StreamingQuery = {
     val model = Features.sgdModelFromFrame(spark.read.parquet(modelDir))
     runServe(featureStream,
       b => Features.sgdPredict(b, model, features.map(col), outCol),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Serve a parquet-persisted [[Features.SoftmaxModel]] over a feature
@@ -90,11 +97,12 @@ object StreamingModelServe {
     * columns plus the deterministic argmax class per row. */
   def runSoftmaxServe(spark: SparkSession, featureStream: DataFrame,
                       modelDir: String, features: Seq[String],
-                      outDir: String, checkpointDir: String): StreamingQuery = {
+                      outDir: String, checkpointDir: String,
+                      runId: String): StreamingQuery = {
     val model = Features.softmaxModelFromFrame(spark.read.parquet(modelDir))
     runServe(featureStream,
       b => Features.sgdSoftmaxPredict(b, model, features.map(col)),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Serve a parquet-persisted [[Features.GbmModel]] over a feature
@@ -102,12 +110,12 @@ object StreamingModelServe {
     * literals, one `when` chain per round. */
   def runGbmServe(spark: SparkSession, featureStream: DataFrame,
                   modelDir: String, features: Seq[String],
-                  outDir: String, checkpointDir: String,
+                  outDir: String, checkpointDir: String, runId: String,
                   outCol: String = "prediction"): StreamingQuery = {
     val model = Features.gbmModelFromFrame(spark.read.parquet(modelDir))
     runServe(featureStream,
       b => Features.gbmPredict(b, model, features.map(col), outCol),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Streaming sibling of the ROUTED pipeline serve (the reference's
@@ -124,19 +132,22 @@ object StreamingModelServe {
     * scores every row, so batch parity is structural. */
   def runRoutedServe(spark: SparkSession, featureStream: DataFrame,
                      artifactsDir: String,
-                     outDir: String, checkpointDir: String): StreamingQuery = {
+                     outDir: String, checkpointDir: String,
+                     runId: String): StreamingQuery = {
+    // cache(), NOT localCheckpoint (round 15): localCheckpoint blocks
+    // live only in executor storage and are non-recomputable — one
+    // executor loss mid-stream kills every later micro-batch with a
+    // missing-block error. cache keeps the (tiny, model-sized) lineage
+    // recomputable; the snapshot read re-runs at worst.
     val modelTypes = graft.operators.Sinks
-      .readSnapshot(spark, s"$artifactsDir/model_types")
-      .localCheckpoint(eager = true)
+      .readSnapshot(spark, s"$artifactsDir/model_types").cache()
     val rnnParams = graft.operators.Sinks
-      .readSnapshot(spark, s"$artifactsDir/predictor_params_rnn")
-      .localCheckpoint(eager = true)
+      .readSnapshot(spark, s"$artifactsDir/predictor_params_rnn").cache()
     val xgbParams = graft.operators.Sinks
-      .readSnapshot(spark, s"$artifactsDir/predictor_params_xgb")
-      .localCheckpoint(eager = true)
+      .readSnapshot(spark, s"$artifactsDir/predictor_params_xgb").cache()
     runServe(featureStream,
       b => graft.Pipeline.routedScore(b, modelTypes, rnnParams, xgbParams),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Streaming sibling of the SEQ (multi-feature) pipeline serve
@@ -151,13 +162,14 @@ object StreamingModelServe {
     * structural. */
   def runSeqServe(spark: SparkSession, featureStream: DataFrame,
                   artifactsDir: String,
-                  outDir: String, checkpointDir: String): StreamingQuery = {
+                  outDir: String, checkpointDir: String,
+                  runId: String): StreamingQuery = {
     val params = graft.operators.Sinks
       .readSnapshot(spark, s"$artifactsDir/predictor_params")
-      .localCheckpoint(eager = true)
+      .cache() // recomputable on executor loss, see runRoutedServe
     runServe(featureStream,
       b => graft.Pipeline.seqScore(b, params),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 
   /** Streaming anomaly detection against a persisted robust-statistics
@@ -172,10 +184,12 @@ object StreamingModelServe {
   def runMadAnomalyServe(spark: SparkSession, eventStream: DataFrame,
                          statsDir: String, group: Seq[String],
                          valueCol: String, k: Double,
-                         outDir: String, checkpointDir: String): StreamingQuery = {
-    val stats = spark.read.parquet(statsDir).localCheckpoint(eager = true)
+                         outDir: String, checkpointDir: String,
+                         runId: String): StreamingQuery = {
+    val stats = spark.read.parquet(statsDir)
+      .cache() // recomputable on executor loss, see runRoutedServe
     runServe(eventStream,
       b => Features.madFlag(b, stats, group, col(valueCol), k),
-      outDir, checkpointDir)
+      outDir, checkpointDir, runId)
   }
 }

@@ -20,18 +20,32 @@ import graft.operators.Similarity
   * the same query set, row for row — ANN serve is per-query, so batch
   * boundaries cannot change any answer.
   *
-  * Delivery: each micro-batch writes to its own `batch=<id>` directory
-  * with overwrite — the standard idempotent-foreachBatch-sink recipe, so
-  * an at-least-once replay of a batch overwrites its own output instead
-  * of appending duplicates. */
+  * Delivery: each micro-batch writes to its own `batch=<runId>-<id>`
+  * directory with overwrite — the standard idempotent-foreachBatch-sink
+  * recipe, so an at-least-once replay of a batch overwrites its own
+  * output instead of appending duplicates, and the caller-owned `runId`
+  * namespaces LINEAGES: a stream restarted against a lost or relocated
+  * checkpoint restarts micro-batch ids at 0, and without the namespace
+  * it would silently overwrite the prior run's accumulated outputs
+  * (round 15 — the [[runIndexGrow]] round-12 fix, applied to every
+  * serve sink). */
 object StreamingSimilarity {
 
+  /** The runId contract shared by every batch-directory sink here and
+    * in [[StreamingModelServe]]/[[StreamingAnalytics]]. */
+  private[streaming] def requireRunId(runId: String): Unit =
+    require(runId.nonEmpty && !runId.contains("/"),
+      s"runId must be a nonempty path-safe token, got '$runId'")
+
   /** Serve top-k from a prebuilt [[Similarity.IvfIndex]] for every query
-    * micro-batch; results land in `outDir/batch=<id>/`. The stream needs
-    * (vec_id, embedding) rows — the corpus frame's own shape. */
+    * micro-batch; results land in `outDir/batch=<runId>-<id>/`. The
+    * stream needs (vec_id, embedding) rows — the corpus frame's own
+    * shape. */
   def runIvfServe(queryStream: DataFrame, index: Similarity.IvfIndex,
                   corpus: DataFrame, k: Int, nProbe: Int,
-                  outDir: String, checkpointDir: String): StreamingQuery =
+                  outDir: String, checkpointDir: String,
+                  runId: String): StreamingQuery = {
+    requireRunId(runId)
     queryStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -39,9 +53,11 @@ object StreamingSimilarity {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
           Similarity.ivfTopKWithIndex(batch, corpus, index, k, nProbe)
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$runId-$id")
       }
       .start()
+  }
 
   /** Grow a persisted IVF index from an unbounded INGEST stream of new
     * vectors — the WRITE half of the build-once/add-many lifecycle and
@@ -71,8 +87,7 @@ object StreamingSimilarity {
   def runIndexGrow(vectorStream: DataFrame, centroids: DataFrame,
                    postingsDir: String, checkpointDir: String,
                    runId: String): StreamingQuery = {
-    require(runId.nonEmpty && !runId.contains("/"),
-      s"runId must be a nonempty path-safe token, got '$runId'")
+    requireRunId(runId)
     vectorStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -106,11 +121,13 @@ object StreamingSimilarity {
     * ranker contributes 0), final rank per query under
     * (rrf_q DESC, doc_id). Per-batch cost scales with the batch's
     * candidate lists; the corpus and both indexes never move. Results
-    * land in `outDir/batch=<id>` with overwrite — replay-idempotent. */
+    * land in `outDir/batch=<runId>-<id>` with overwrite —
+    * replay-idempotent, lineage-namespaced. */
   def runHybridServe(queryStream: DataFrame, index: Similarity.IvfIndex,
                      corpus: DataFrame, postings: DataFrame, nDocs: Long,
                      k: Int, nProbe: Int, outDir: String,
-                     checkpointDir: String): StreamingQuery =
+                     checkpointDir: String, runId: String): StreamingQuery = {
+    requireRunId(runId)
     queryStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -118,9 +135,11 @@ object StreamingSimilarity {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
           hybridBatch(batch, index, corpus, postings, nDocs, k, nProbe)
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$runId-$id")
       }
       .start()
+  }
 
   /** The per-batch fusion of [[runHybridServe]], factored out so batch
     * parity is directly testable. */

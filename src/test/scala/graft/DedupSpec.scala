@@ -534,4 +534,30 @@ class DedupSpec extends SparkSpecBase {
     assert(got === truth)
     assert(truth.nonEmpty, "fixture has no Hamming<=3 pairs — test is vacuous")
   }
+
+  test("minhashParamsAuto saturates (never collapses to 1 band) when " +
+    "1 - t^r rounds to exactly 1.0 at very low thresholds") {
+    // t = 0.04: at r = 12, t^12 < ulp/2 so 1 - t^12 == 1.0 and the
+    // pre-fix band formula returned -Infinity -> Int.MinValue -> 1 band
+    // (recall ~4e-17 where the caller asked 0.99). The budget loop runs
+    // to r = 12 at a large corpus count, so the bug was reachable.
+    val (numPerm, rowsPerBand) =
+      graft.operators.Dedup.minhashParamsAuto(1000000000L, 1, 25)
+    val bands = numPerm / rowsPerBand
+    assert(bands > 1, s"band collapse: b = $bands at numPerm=$numPerm r=$rowsPerBand")
+    assert(numPerm % rowsPerBand === 0)
+    // the budget cap (maxPerm / r) is what should bind, not the collapse
+    assert(bands === 512 / rowsPerBand)
+  }
+
+  test("minhashLshPairs rejects a rowsPerBand that does not divide " +
+    "numPerm (silent signature truncation), like minhashPairsAgainst") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashLshPairs(docs, n = 3, numPerm = 512,
+        rowsPerBand = 5, num = 1, den = 2)
+    }
+    assert(e.getMessage.contains("must divide"))
+  }
 }

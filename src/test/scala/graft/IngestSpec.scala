@@ -438,4 +438,115 @@ class IngestSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("type conflicts"))
   }
+
+  test("versioned snapshot crash recovery: an uncommitted v=N (no " +
+    "_SUCCESS) is invisible to readers and merges, and the retry writes " +
+    "PAST the debris instead of colliding with it") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_vcrash").toString + "/t"
+    Sinks.upsertSnapshot(spark,
+      tableDir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), "v")
+    // simulate a writer that died mid-write: v=2 exists but never
+    // committed (empty dir, no _SUCCESS) — previously this wedged every
+    // later read with "unable to infer schema" and every later write
+    // with an ErrorIfExists collision
+    assert(new java.io.File(s"$tableDir/v=2").mkdirs())
+    assert(Sinks.readSnapshot(spark, tableDir)
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // the replayed batch lands as v=3 (past the debris), merged from v=1
+    val v = Sinks.upsertSnapshot(spark,
+      tableDir, Seq((2L, "b")).toDF("k", "v"), Seq("k"), "v")
+    assert(v === 3)
+    assert(Sinks.readSnapshot(spark, tableDir)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // vacuum reaps committed-below-horizon AND the uncommitted debris,
+    // but never the kept versions
+    val (dropped, kept) = Sinks.vacuumSnapshot(spark, tableDir, keepLast = 1)
+    assert(kept === Seq(3) && dropped.toSet === Set(1, 2))
+    assert(!new java.io.File(s"$tableDir/v=2").exists)
+  }
+
+  test("bucketed create crash recovery: data-without-marker (a crash " +
+    "between the data write and the marker create) replays to a clean " +
+    "table; a marker-less dir holding FOREIGN files still fails loud") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bcrash").toString
+    val tableDir = s"$base/t"
+    val batch = Seq(("u1", 1L), ("u2", 2L)).toDF("user_id", "event_id")
+    Sinks.upsertSnapshotBucketed(spark, tableDir, batch, Seq("user_id"),
+      "event_id", nBuckets = 4)
+    // crash shape: the marker never landed
+    assert(new java.io.File(tableDir, "_graft_nbuckets").delete())
+    // the checkpoint replays the same batch — previously an unconditional
+    // "exists but carries no marker" throw, forever; now it re-creates
+    Sinks.upsertSnapshotBucketed(spark, tableDir, batch, Seq("user_id"),
+      "event_id", nBuckets = 4)
+    assert(Sinks.readBucketedSnapshot(spark, tableDir)
+      .select("user_id").as[String].collect().toSet === Set("u1", "u2"))
+    assert(new java.io.File(tableDir, "_graft_nbuckets").exists)
+    // but a marker-less dir with non-bucket content is NOT ours to clobber
+    val foreign = s"$base/f"
+    new java.io.File(foreign).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(foreign, "data.csv"), "x")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertSnapshotBucketed(spark, foreign, batch, Seq("user_id"),
+        "event_id", nBuckets = 4)
+    }
+    assert(e.getMessage.contains("non-bucket entries"))
+  }
+
+  test("SNK10 bucketed CDC: a batch deleting EVERY remaining row leaves " +
+    "a readable EMPTY table (schema kept), and the table accepts later " +
+    "batches") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_bwipe").toString + "/t"
+    val key = Seq("user_id")
+    val seed = Seq(("u1", 1.0, "I", 1L), ("u2", 2.0, "I", 1L))
+      .toDF("user_id", "value", "op", "ord")
+    Sinks.applyChangesBucketed(spark, tableDir, seed, key, "ord", "op",
+      nBuckets = 4)
+    val wipe = Seq(("u1", 0.0, "D", 2L), ("u2", 0.0, "D", 2L))
+      .toDF("user_id", "value", "op", "ord")
+    Sinks.applyChangesBucketed(spark, tableDir, wipe, key, "ord", "op",
+      nBuckets = 4)
+    // previously: zero parquet files -> "unable to infer schema" forever
+    val empty = Sinks.readBucketedSnapshot(spark, tableDir)
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("user_id"))
+    // and the emptied table keeps working
+    val again = Seq(("u3", 3.0, "I", 3L))
+      .toDF("user_id", "value", "op", "ord")
+    Sinks.applyChangesBucketed(spark, tableDir, again, key, "ord", "op",
+      nBuckets = 4)
+    assert(Sinks.readBucketedSnapshot(spark, tableDir)
+      .select("user_id").as[String].collect().toSet === Set("u3"))
+  }
+
+  test("SNK14 evolving upsert resolves column names like Spark does " +
+    "(case-insensitive by default): a re-cased batch column is the SAME " +
+    "column, not a duplicate") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_case").toString + "/t"
+    Sinks.upsertSnapshotEvolving(spark, tableDir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), "v")
+    // upstream re-cased 'v' to 'V': same logical column under Spark's
+    // default case-insensitive resolution — previously appended as a NEW
+    // field, poisoning every later col("v") with AMBIGUOUS_REFERENCE
+    val v = Sinks.upsertSnapshotEvolving(spark, tableDir,
+      Seq((2L, "b")).toDF("k", "V"), Seq("k"), "v")
+    assert(v === 2)
+    val out = Sinks.readSnapshot(spark, tableDir)
+    assert(out.columns.toSeq === Seq("k", "v")) // snapshot casing kept
+    assert(out.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
 }

@@ -668,4 +668,73 @@ class SimilaritySpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
     assert(codes(auto) === codes(fixed))
   }
+
+  test("zero-norm embeddings are OUT of the cosine domain: they never " +
+    "pair, never rank, and never capture a centroid (NaN ordering " +
+    "hazard, round 15)") {
+    import spark.implicits._
+    // vec 99 is all-zero — cosine against anything is 0/0 = NaN, which
+    // Spark's nan-safe ordering puts ABOVE every real number
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(-1.0f, 0.0f)), (99L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // pairs: 1-2 are the only pair at cos >= 0.9; 99 pairs with NOTHING
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Similarity.cosinePairs(emb, 0.9)) === Set((1L, 2L)))
+    assert(pairSet(Similarity.cosinePairsBucketed(emb, 0.9,
+      bits = 2, tables = 8, multiProbe = 2)) === Set((1L, 2L)))
+    // ranking: 99 never appears as a neighbor, and as a query it emits
+    // no rows (its similarity is undefined) — pre-fix it topped EVERY
+    // ranking and paired with everything
+    val topk = Similarity.bruteForceTopK(emb, emb, k = 3)
+    assert(!topk.select("neighbor_id").as[Long].collect().contains(99L))
+    assert(topk.filter(col("query_id") === 99L).count() === 0L)
+    // IVF build + serve still function with the zero vector present
+    val idx = Similarity.buildIvfIndex(emb, nCentroids = 2).get
+    val served = Similarity.ivfTopKWithIndex(emb, emb, idx, k = 2, nProbe = 2)
+    assert(!served.select("neighbor_id").as[Long].collect().contains(99L))
+  }
+
+  test("buildIvfIndex never silently shrinks nCentroids: a centroid " +
+    "whose members all tie away keeps its previous vector (the " +
+    "buildPqIndex empty-code rule)") {
+    import spark.implicits._
+    // 8 IDENTICAL vectors: farthest-point seeds 4 duplicate centroids,
+    // every member ties to the smallest centroid_id in Lloyd, and the
+    // groupBy emits rows for ONE centroid — pre-fix the index came back
+    // with 1 centroid where 4 were requested
+    val emb = (1L to 8L).map(i => (i, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb, nCentroids = 4,
+      refineIters = 2).get
+    assert(idx.centroids.count() === 4L)
+    // and every corpus vector is still posted exactly once
+    assert(idx.postings.count() === 8L)
+  }
+
+  test("trainingPairs raises LOUD for a query with no positive (probed " +
+    "posting lists hold only itself), mirroring the negative-shortfall " +
+    "guard") {
+    import spark.implicits._
+    // two orthogonal clusters; with nProbe=1 each query probes only its
+    // own centroid's posting list. q=1's list holds only itself -> no
+    // rank-1 neighbor -> the pre-fix silently emitted negs with no pos.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.9f, 0.1f, 0.0f)),
+      (4L, Seq(0.0f, 0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(corpus, nCentroids = 2).get
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val e = intercept[Exception] {
+      Similarity.trainingPairs(queries, corpus, idx, nProbe = 1,
+        numNeg = 1, exclusionK = 1, negPoolSize = 8, seed = "s").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no positive")), s"got: $e")
+  }
 }

@@ -499,10 +499,10 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
       .option("maxFilesPerTrigger", 1).json(landing)
     val q = StreamingAnalytics.runDriftMonitor(spark, stream, Seq("k"), "v",
       nBins = 10, refDir = s"$base/ref", outDir = s"$base/out",
-      checkpointDir = s"$base/ckpt", thresholdMilli = 100L)
+      checkpointDir = s"$base/ckpt", thresholdMilli = 100L, runId = "r1")
     q.awaitTermination(120000)
 
-    def verdict(id: Int) = spark.read.parquet(s"$base/out/batch=$id")
+    def verdict(id: Int) = spark.read.parquet(s"$base/out/batch=r1-$id")
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_ref"),
         r.getAs[Long]("n_batch"), r.getAs[Double]("tvd"),
         r.getAs[Boolean]("drifted"))).toSeq
@@ -513,7 +513,7 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     StreamingAnalytics.applyDriftBatch(spark,
       Seq(("g", 9.0), ("g", 9.0), ("g", 9.0), ("g", 9.0), ("g", 9.0))
         .toDF("k", "v"), 1L, Seq("k"), "v", 10, s"$base/ref", s"$base/out",
-      100L)
+      100L, "r1")
     assert(verdict(1) === Seq(("g", 10L, 5L, 0.9, true)))
   }
 
@@ -531,8 +531,8 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     val clean = (0 to 9).map(v => ("g", v.toDouble)).toDF("k", "v")
     // healthy first delivery of batch 3
     StreamingAnalytics.applyDriftBatch(spark, clean, 3L, Seq("k"), "v",
-      10, s"$base/ref", s"$base/out", 100L)
-    def verdict() = spark.read.parquet(s"$base/out/batch=3")
+      10, s"$base/ref", s"$base/out", 100L, "r1")
+    def verdict() = spark.read.parquet(s"$base/out/batch=r1-3")
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_ref"),
         r.getAs[Long]("n_batch"), r.getAs[Double]("tvd"),
         r.getAs[Boolean]("drifted"))).toSeq
@@ -551,17 +551,17 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
       org.apache.spark.sql.Encoders.scalaDouble)).toDF("k", "v")
     intercept[Exception] {
       StreamingAnalytics.applyDriftBatch(spark, poisoned, 3L, Seq("k"),
-        "v", 10, s"$base/ref", s"$base/out", 100L)
+        "v", 10, s"$base/ref", s"$base/out", 100L, "r1")
     }
     // recovery: the checkpoint redelivers batch 3; the replay must
     // converge to EXACTLY the healthy verdicts — the overwrite sink
     // repairs whatever the crashed attempt left (partial files, a
     // cleared dir), never unions with it
     StreamingAnalytics.applyDriftBatch(spark, clean, 3L, Seq("k"), "v",
-      10, s"$base/ref", s"$base/out", 100L)
+      10, s"$base/ref", s"$base/out", 100L, "r1")
     assert(verdict() === healthy)
     // and exactly ONE verdict frame per batch dir — no duplicates
-    assert(spark.read.parquet(s"$base/out/batch=3").count() === 1L)
+    assert(spark.read.parquet(s"$base/out/batch=r1-3").count() === 1L)
   }
 
   test("crash-injection, streaming CUSUM: a sink crash mid-run + restart " +

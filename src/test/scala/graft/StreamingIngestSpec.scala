@@ -66,30 +66,40 @@ class StreamingIngestSpec extends SparkSpecBase {
     val rows = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     // batch 0 publishes
     assert(graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
-      "eo_target", batchId = 0L))
+      "eo_target", batchId = 0L, runId = "s1"))
     def count(): Long = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT CAST(count(*) AS BIGINT) AS n FROM eo_target").head().getLong(0)
     assert(count() === 2L)
     // REDELIVERY of batch 0 (the foreachBatch retry shape — same id,
     // same rows): provable no-op, zero duplicates read back
     assert(!graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
-      "eo_target", batchId = 0L))
+      "eo_target", batchId = 0L, runId = "s1"))
     assert(count() === 2L)
     // redelivery where the stage was already rewritten (mid-stage crash
     // replay): still a no-op
     assert(!graft.operators.Jdbc.writeBatchExactlyOnce(
-      Seq((9L, "z")).toDF("k", "v"), url, "eo_target", batchId = 0L))
+      Seq((9L, "z")).toDF("k", "v"), url, "eo_target", batchId = 0L,
+      runId = "s1"))
     assert(count() === 2L)
     // a NEW batch id with content identical to batch 0 must publish —
     // exactly-once is per delivered batch, not a content dedup
     assert(graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
-      "eo_target", batchId = 1L))
+      "eo_target", batchId = 1L, runId = "s1"))
     assert(count() === 4L)
-    // ledger carries exactly the two applied ids
+    // a DIFFERENT lineage reusing batch id 0 (checkpoint reset — the
+    // round-15 ledger hazard) is NOT a replay: it must publish
+    assert(graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
+      "eo_target", batchId = 0L, runId = "s2"))
+    assert(count() === 6L)
+    // and the same lineage's id 0 is still a no-op after all of that
+    assert(!graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
+      "eo_target", batchId = 0L, runId = "s2"))
+    assert(count() === 6L)
+    // ledger carries exactly the applied (run, id) pairs
     val ids = graft.operators.Jdbc.readQuery(spark, url,
-      "SELECT batch_id FROM eo_target__LEDGER")
-      .collect().map(_.getLong(0)).toSet
-    assert(ids === Set(0L, 1L))
+      "SELECT run_id, batch_id FROM eo_target__LEDGER")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids === Set(("s1", 0L), ("s1", 1L), ("s2", 0L)))
     // end-to-end through the streaming entry point: the checkpointed
     // stream drains into a fresh table exactly once per micro-batch
     val landing = Files.createTempDirectory("graft_eo_stream_in").toFile
@@ -99,7 +109,7 @@ class StreamingIngestSpec extends SparkSpecBase {
     writeCsv(landing, "b2.csv",
       "2025-01-06,09:00,EUR,CPI,low,1,2,3,0,w\n")
     val q = StreamingIngest.runToJdbcExactlyOnce(spark,
-      landing.getAbsolutePath, url, "eo_stream", ckpt)
+      landing.getAbsolutePath, url, "eo_stream", ckpt, runId = "st1")
     q.awaitTermination(120000)
     val n1 = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT CAST(count(*) AS BIGINT) AS n FROM eo_stream").head().getLong(0)
@@ -107,7 +117,7 @@ class StreamingIngestSpec extends SparkSpecBase {
     // restarting the drained stream from the same checkpoint (the
     // recovery path) re-publishes nothing
     val q2 = StreamingIngest.runToJdbcExactlyOnce(spark,
-      landing.getAbsolutePath, url, "eo_stream", ckpt)
+      landing.getAbsolutePath, url, "eo_stream", ckpt, runId = "st1")
     q2.awaitTermination(120000)
     val n2 = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT CAST(count(*) AS BIGINT) AS n FROM eo_stream").head().getLong(0)
@@ -126,24 +136,26 @@ class StreamingIngestSpec extends SparkSpecBase {
       s"SELECT CAST(count(*) AS BIGINT) AS n FROM $t").head().getLong(0)
 
     // (1) crash BETWEEN staging-table load and the ledger transaction:
-    // simulate the dead attempt by staging STALE content under batch 7's
-    // per-batch stage name and never running the txn. The retry must
-    // overwrite the stale stage, publish the true rows exactly once,
-    // and drop the stage (scratch cleanup).
+    // simulate the dead attempt by staging STALE content under a batch-7
+    // stage name (the shape a crashed attempt leaves). The retry owns
+    // its OWN per-attempt stage (round 15 — a shared name let a zombie
+    // attempt's truncate race a replay into committing a partial batch),
+    // so it must publish the true rows exactly once while the orphan
+    // stays inert scratch debris that never leaks into the target.
     graft.operators.Jdbc.writeTable(
       Seq((99L, "stale")).toDF("k", "v"), url,
-      "eo_crash__STAGE_7", batchSize = 500)
-    assert(count("eo_crash__STAGE_7") === 1L) // the orphan exists
+      "eo_crash__STAGE_7_dead0000", batchSize = 500)
+    assert(count("eo_crash__STAGE_7_dead0000") === 1L) // the orphan exists
     assert(graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
-      "eo_crash", batchId = 7L))
+      "eo_crash", batchId = 7L, runId = "c1"))
     assert(count("eo_crash") === 2L)
     assert(graft.operators.Jdbc.readQuery(spark, url,
       """SELECT "k" FROM eo_crash""").collect().map(_.getLong(0)).toSet
       === Set(1L, 2L)) // the stale row never leaked into the target
-    intercept[Exception] { count("eo_crash__STAGE_7") } // stage dropped
+    assert(count("eo_crash__STAGE_7_dead0000") === 1L) // debris, inert
     // replay of the recovered batch is still a no-op
     assert(!graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
-      "eo_crash", batchId = 7L))
+      "eo_crash", batchId = 7L, runId = "c1"))
     assert(count("eo_crash") === 2L)
 
     // (2) crash DURING the staging write: a poisoned batch whose
@@ -158,18 +170,27 @@ class StreamingIngestSpec extends SparkSpecBase {
       .withColumn("k", boom(org.apache.spark.sql.functions.col("k")))
     intercept[Exception] {
       graft.operators.Jdbc.writeBatchExactlyOnce(poisoned, url,
-        "eo_crash", batchId = 8L)
+        "eo_crash", batchId = 8L, runId = "c1")
     }
     assert(count("eo_crash") === 2L) // target untouched by the failure
     val idsMid = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT batch_id FROM eo_crash__LEDGER")
       .collect().map(_.getLong(0)).toSet
     assert(idsMid === Set(7L)) // no ledger mark for the failed publish
+    // the poisoned attempt's partially-staged table is expected debris;
+    // the healthy retry owns its own stage and must drop it post-commit
+    // — i.e. a successful publish adds NO stage table to the debris set
+    def stage8Tables() = graft.operators.Jdbc.readQuery(spark, url,
+      "SELECT tablename FROM SYS.SYSTABLES WHERE tabletype = 'T'")
+      .collect().map(_.getString(0))
+      .filter(_.startsWith("EO_CRASH__STAGE_8")).toSet
+    val debris = stage8Tables()
     assert(graft.operators.Jdbc.writeBatchExactlyOnce(
       Seq((3L, "c"), (4L, "d")).toDF("k", "v"), url,
-      "eo_crash", batchId = 8L))
+      "eo_crash", batchId = 8L, runId = "c1"))
     assert(count("eo_crash") === 4L)
-    intercept[Exception] { count("eo_crash__STAGE_8") } // scratch cleaned
+    assert(stage8Tables() === debris,
+      "a successful publish left its own stage undropped")
     val ids = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT batch_id FROM eo_crash__LEDGER")
       .collect().map(_.getLong(0)).toSet

@@ -56,7 +56,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
 
     val q = graft.streaming.StreamingModelServe.runLinearServe(
       spark, stream(s"$base/feed"), s"$base/model", Seq("x1", "x2"),
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def scores(d: org.apache.spark.sql.DataFrame) =
@@ -98,7 +98,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
     Features.sgdModelToFrame(spark, lin).write.parquet(s"$base/lin")
     val q1 = graft.streaming.StreamingModelServe.runSgdServe(
       spark, stream(s"$base/feed"), s"$base/lin", Seq("x1", "x2"),
-      outDir = s"$base/linout", checkpointDir = s"$base/linckpt")
+      outDir = s"$base/linout", checkpointDir = s"$base/linckpt", runId = "r1")
     q1.awaitTermination(120000)
     def scores(d: org.apache.spark.sql.DataFrame) =
       d.select("row_id", "prediction").collect()
@@ -133,7 +133,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
       .option("maxFilesPerTrigger", 1).json(s"$base/cfeed")
     val q2 = graft.streaming.StreamingModelServe.runSoftmaxServe(
       spark, cstream, s"$base/sm", Seq("x1", "x2"),
-      outDir = s"$base/smout", checkpointDir = s"$base/smckpt")
+      outDir = s"$base/smout", checkpointDir = s"$base/smckpt", runId = "r1")
     q2.awaitTermination(120000)
     def preds(d: org.apache.spark.sql.DataFrame) =
       d.select("row_id", "predicted_class", "p_lo", "p_mid", "p_hi")
@@ -159,7 +159,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
 
     val q = graft.streaming.StreamingModelServe.runGbmServe(
       spark, stream(s"$base/feed"), s"$base/model", Seq("x1", "x2"),
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def scores(d: org.apache.spark.sql.DataFrame) =
@@ -222,7 +222,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
       .json(landing)
     val q = graft.streaming.StreamingModelServe.runRoutedServe(
       spark, stream, s"$base/artifacts",
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def preds(d: org.apache.spark.sql.DataFrame) =
@@ -295,7 +295,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
       .json(landing)
     val q = graft.streaming.StreamingModelServe.runSeqServe(
       spark, stream, s"$base/artifacts",
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def preds(d: org.apache.spark.sql.DataFrame) =
@@ -332,7 +332,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
 
     val q = graft.streaming.StreamingModelServe.runLogisticServe(
       spark, stream(s"$base/feed"), s"$base/model", Seq("x1", "x2"),
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def probs(d: org.apache.spark.sql.DataFrame) =
@@ -378,7 +378,7 @@ class StreamingModelServeSpec extends SparkSpecBase {
 
     val q = graft.streaming.StreamingModelServe.runMadAnomalyServe(
       spark, feedStream, s"$base/stats", Seq("k"), "v", k = 3.0,
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def flags(d: org.apache.spark.sql.DataFrame) =

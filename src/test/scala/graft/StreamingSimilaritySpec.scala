@@ -45,7 +45,7 @@ class StreamingSimilaritySpec extends SparkSpecBase {
       .json(landing)
     val q = graft.streaming.StreamingSimilarity.runIvfServe(
       stream, index, emb, k = 3, nProbe = 4,
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def resultSet(df: org.apache.spark.sql.DataFrame) =
@@ -185,7 +185,7 @@ class StreamingSimilaritySpec extends SparkSpecBase {
       .json(landing)
     val q = graft.streaming.StreamingSimilarity.runHybridServe(
       stream, index, emb, postings, nDocs, k = 5, nProbe = 4,
-      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt", runId = "r1")
     q.awaitTermination(120000)
 
     def resultSet(df: org.apache.spark.sql.DataFrame) =
