@@ -194,6 +194,7 @@ object GraftFunctions {
         "literal basis: out[c] = (v . comps[c] - mu[c]) * scales[c]",
       es => {
         val e = arity("graft_mat_project", 4)(es)
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
         def litData(what: String)(x: Expression): org.apache.spark.sql.catalyst.util.ArrayData =
           x match {
             case l if l.foldable && l.eval() != null =>
@@ -201,14 +202,46 @@ object GraftFunctions {
             case other => throw new IllegalArgumentException(
               s"graft_mat_project: $what must be a non-null array literal, got $other")
           }
+        // element-type and null-slot guards (round 15): the raw
+        // toDoubleArray on an int-typed literal died with a bare
+        // ClassCastException (and a null slot with an NPE) naming
+        // neither the function nor the argument — the intLit/strLit
+        // discipline, applied to the array extractors
+        def litDoubles(what: String)(x: Expression): Array[Double] = {
+          x.dataType match {
+            case ArrayType(DoubleType, _) => ()
+            case dt => throw new IllegalArgumentException(
+              s"graft_mat_project: $what must be array<double>, got ${dt.simpleString}")
+          }
+          val ad = litData(what)(x)
+          Array.tabulate(ad.numElements()) { i =>
+            if (ad.isNullAt(i)) throw new IllegalArgumentException(
+              s"graft_mat_project: $what must not contain nulls (slot $i)")
+            ad.getDouble(i)
+          }
+        }
+        e(1).dataType match {
+          case ArrayType(ArrayType(DoubleType, _), _) => ()
+          case dt => throw new IllegalArgumentException(
+            "graft_mat_project: comps must be array<array<double>>, got " +
+              dt.simpleString)
+        }
         val cr = litData("comps")(e(1))
-        val rows = (0 until cr.numElements())
-          .map(i => cr.getArray(i).toDoubleArray())
+        val rows = (0 until cr.numElements()).map { i =>
+          if (cr.isNullAt(i)) throw new IllegalArgumentException(
+            s"graft_mat_project: comps must not contain null rows (row $i)")
+          val row = cr.getArray(i)
+          Array.tabulate(row.numElements()) { j =>
+            if (row.isNullAt(j)) throw new IllegalArgumentException(
+              s"graft_mat_project: comps must not contain nulls (row $i, col $j)")
+            row.getDouble(j)
+          }
+        }
         require(rows.nonEmpty && rows.forall(_.length == rows.head.length),
           "graft_mat_project: comps must be a non-empty rectangular matrix")
         MatProject(e.head, rows.flatten.toArray,
-          litData("mu")(e(2)).toDoubleArray(),
-          litData("scales")(e(3)).toDoubleArray(), rows.head.length)
+          litDoubles("mu")(e(2)),
+          litDoubles("scales")(e(3)), rows.head.length)
       }),
     ("graft_span_scrub", classOf[SpanScrubRow],
       "_FUNC_(ws, n) - row-wise repeated-span scrub of a token array: " +

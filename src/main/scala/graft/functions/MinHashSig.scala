@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Value-identical to the composable form
   * `transform(sequence(0, numPerm-1), p -> array_min(transform(sh, h ->
   * xxhash64(h, p))))` — Spark's multi-arg xxhash64 chains seeds as
-  * `hashLong(p, hashLong(h, 42))`, which this loop reproduces via the
-  * same XXH64 primitive — but with numPerm× fewer array traversals and no
+  * `hashInt(p, hashLong(h, 42))` (p comes from sequence() as an INT, and
+  * hashInt/hashLong DIVERGE — see HyperplaneSig's note), which this loop
+  * reproduces via the same XXH64 primitives — but with numPerm× fewer
+  * array traversals and no
   * interpreted lambdas (the signature stage dominated the LSH pipeline at
   * ~7.5 s for 5k docs × 32 perms).
   *

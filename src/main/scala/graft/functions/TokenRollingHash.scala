@@ -52,9 +52,17 @@ case class TokenRollingHash(child: Expression)
     while (i <= nBytes) {
       if (i == nBytes || bytes(i) == ' ') {
         val tok = UTF8String.fromBytes(bytes, start, i - start)
+        // first code point without the substring+String round-trip
+        // (round 15): an ASCII first byte IS the code point — the
+        // overwhelmingly common case on this hot scan-speed loop; only
+        // a multi-byte lead falls back to the allocating decode
         val first =
-          if (tok.numBytes() == 0) 0
-          else tok.substring(0, 1).toString.codePointAt(0)
+          if (i - start == 0) 0
+          else {
+            val b0 = bytes(start) & 0xff
+            if (b0 < 0x80) b0
+            else tok.substring(0, 1).toString.codePointAt(0)
+          }
         acc = (acc * 31 + tok.numChars().toLong * 131 + first) % Mod
         start = i + 1
       }

@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** One scored candidate. Total order: higher score first, then smaller id
   * — the same deterministic order the window form (`ORDER BY cos DESC,
-  * neighbor_id`) uses, so both forms emit identical rankings. */
+  * neighbor_id`) uses, so both forms emit identical rankings. The score
+  * is non-nullable by encoder (a NULL score row would crash the udaf
+  * deserializer with no hint of the cause) — callers drop NULL scores
+  * first; see [[graft.operators.Similarity]]'s scoredTopK. */
 final case class ScoredId(score: Double, id: Long)
 
 /** Bounded top-k buffer. */
@@ -27,8 +30,20 @@ final case class TopKBuf(items: Seq[ScoredId])
   * plain product). */
 class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuf, Seq[ScoredId]] {
 
-  private val ord: Ordering[ScoredId] =
-    Ordering.by((s: ScoredId) => (-s.score, s.id))
+  // Spark's double ordering, descending (round 15): Ordering.by(-score)
+  // broke the "identical to ORDER BY score DESC" claim on the edges —
+  // -NaN is NaN, which a tuple key sorts LAST where Spark ranks NaN
+  // FIRST (greater than every double), and -0.0 vs 0.0 tie-broke by
+  // sign instead of by id. java.lang.Double.compare matches Spark's
+  // nan-safe semantics once zeros are normalized (Spark treats
+  // -0.0 == 0.0).
+  private val ord: Ordering[ScoredId] = new Ordering[ScoredId] {
+    private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+    override def compare(a: ScoredId, b: ScoredId): Int = {
+      val c = java.lang.Double.compare(norm(b.score), norm(a.score))
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
 
   private def prune(items: Seq[ScoredId]): Seq[ScoredId] =
     if (items.length <= k) items else items.sorted(ord).take(k)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
 /** Scalar cleaning layer reproducing the reference's row-wise Python helpers
   * as pure, codegen-friendly `Column` expressions (no UDFs).
   *
-  * Reference semantics (cited file:line are relative to /root/reference):
+  * Reference semantics (cited file:line are relative to
+  * `/root/reference/GCP Pipeline 2025/`):
   *  - parse_numeric_val: `fastapi model/ML Pipeline/train.py:37-59`
   *  - parse_date (9 formats): `MySQL Data Push Scripts/main.py:126-135`
   *  - parse_time (2 formats): `MySQL Data Push Scripts/main.py:137-146`
@@ -31,6 +32,13 @@ object cleaning {
   private val suffixMult: Column =
     typedLit(Map("K" -> 1e3, "M" -> 1e6, "B" -> 1e9, "T" -> 1e12))
 
+  /** Python str.strip(): removes ALL leading/trailing whitespace, not
+    * just 0x20 spaces — Spark's trim() strips spaces only, so a
+    * tab/newline/CR-padded value parsed in the reference but NULLed
+    * here (round 15). Every helper below strips through this. */
+  private def strip(c: Column): Column =
+    regexp_replace(c.cast(StringType), "^\\s+|\\s+$", "")
+
   /** Cast to double, NULL (not error) on malformed input. */
   def tryDouble(c: Column): Column =
     when(c.rlike(FloatRe), c.cast(DoubleType))
@@ -40,9 +48,13 @@ object cleaning {
     * percent-strip (all trailing '%'), K/M/B/T suffix multiply, plain float,
     * else None. */
   def parseNumeric(c: Column): Column = {
-    val s = trim(c.cast(StringType))
+    val s = strip(c)
     when(c.isNull || s === "", lit(null).cast(DoubleType))
-      .when(s.endsWith("%"), tryDouble(regexp_replace(s, "%+$", "")))
+      // float(val.rstrip("%")) tolerates whitespace between the number
+      // and the '%' (Python float strips it) — strip again after
+      // removing the trailing %'s (round 15: "5.2 %" parsed to 5.2 in
+      // the reference, NULL here)
+      .when(s.endsWith("%"), tryDouble(strip(regexp_replace(s, "%+$", ""))))
       .when(s.rlike(NumSuffixRe),
         regexp_extract(s, NumSuffixRe, 1).cast(DoubleType) *
           try_element_at(suffixMult, upper(regexp_extract(s, NumSuffixRe, 2))))
@@ -68,7 +80,7 @@ object cleaning {
     * (M/d before d/M, M-d before d-M), preserving first-match-wins
     * semantics exactly. */
   def parseDate(c: Column): Column = {
-    val s = trim(c.cast(StringType))
+    val s = strip(c)
     def t(f: String) = try_to_timestamp(s, lit(f))
     to_date(
       when(s.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}$"), t("yyyy-M-d"))
@@ -83,8 +95,13 @@ object cleaning {
   }
 
   /** Time formats "%H:%M" then "%I:%M %p" (main.py:141). Returns the time
-    * as a canonical "HH:mm:ss" string (Spark has no TIME type). */
-  val TimeFormats: Seq[String] = Seq("H:mm", "h:mm a")
+    * as a canonical "HH:mm:ss" string (Spark has no TIME type). CPython's
+    * %M/%S accept ONE OR TWO digits ([0-5]\d|\d) and %p matches case-
+    * insensitively, so the patterns use single letters (m/s = 1-2
+    * digits) and the am/pm branch parses the uppercased string —
+    * round 15: "7:5" and "7:30 pm" parsed in the reference, NULLed
+    * here. */
+  val TimeFormats: Seq[String] = Seq("H:m", "h:m a")
 
   /** Shape-gated like [[parseDate]]: the 24h, am/pm, and timedelta forms
     * are syntactically disjoint, so each row attempts ~one format.
@@ -95,16 +112,19 @@ object cleaning {
     * token as the clock time and falls back to MIDNIGHT (never null) when
     * that token doesn't parse — both behaviors reproduced here. */
   def parseTime(c: Column): Column = {
-    val s = trim(c.cast(StringType))
+    val s = strip(c)
     val lastTok = element_at(split(s, " "), -1)
     date_format(
+      // the timedelta branch int()-parses each colon part, so single-
+      // digit minutes/seconds are valid ("0 days 17:0:5" → 17:00:05) —
+      // single-letter patterns match that (round 15)
       when(s.contains("days"), coalesce(
-        try_to_timestamp(lastTok, lit("H:mm:ss")),
-        try_to_timestamp(lastTok, lit("H:mm")),
+        try_to_timestamp(lastTok, lit("H:m:s")),
+        try_to_timestamp(lastTok, lit("H:m")),
         try_to_timestamp(lit("00:00:00"), lit("HH:mm:ss"))))
-        .when(s.rlike("^\\d{1,2}:\\d{2}$"), try_to_timestamp(s, lit("H:mm")))
-        .when(s.rlike("^\\d{1,2}:\\d{2} [AaPp][Mm]$"),
-          try_to_timestamp(s, lit("h:mm a"))),
+        .when(s.rlike("^\\d{1,2}:\\d{1,2}$"), try_to_timestamp(s, lit("H:m")))
+        .when(s.rlike("^\\d{1,2}:\\d{1,2} [AaPp][Mm]$"),
+          try_to_timestamp(upper(s), lit("h:m a"))),
       "HH:mm:ss")
   }
 
@@ -115,7 +135,7 @@ object cleaning {
 
   /** trim; ""/nan/none/null (case-insensitive) or NULL → "N/A" (main.py:148-151). */
   def cleanText(c: Column): Column = {
-    val t = trim(c.cast(StringType))
+    val t = strip(c)
     when(c.isNull || lower(t).isin("", "nan", "none", "null"), lit("N/A"))
       .otherwise(t)
   }
@@ -125,7 +145,7 @@ object cleaning {
   def ordinalEncode(c: Column, mapping: Map[String, Int]): Column =
     coalesce(try_element_at(typedLit(mapping), c), lit(0))
 
-  /** NULL → "Unknown", else trim (train.py:335-336). */
+  /** NULL → "Unknown", else strip (train.py:335-336). */
   def fillDim(c: Column): Column =
-    coalesce(trim(c.cast(StringType)), lit("Unknown"))
+    coalesce(strip(c), lit("Unknown"))
 }

@@ -71,6 +71,12 @@ object Similarity {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
     scored
+      // a NULL score (graft_dot surfaces a corrupt mixed-dimension or
+      // null-element vector as NULL by design) must not reach the typed
+      // aggregator — its non-nullable input encoder would fail the whole
+      // job; dropping it matches the window form's DESC NULLS LAST
+      // never-in-top-k outcome for any k ≤ the non-null count (round 15)
+      .filter(col("cos").isNotNull)
       .groupBy(col("query_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))

@@ -132,6 +132,18 @@ object Sketches {
     * per (group, bin) — exact, order-free, associative; the property
     * that lets 1000 executors sketch independently and daily sketches
     * roll up to monthly. */
+  /** Merge count-min shards built with the SAME (width, depth, seed):
+    * cell-wise addition — the mergeability the sketch is documented
+    * with, as an API instead of a hand-written union+groupBy a caller
+    * can get subtly wrong (round 15; the histogram and bloom families
+    * already had their merge helpers). */
+  def mergeCountMin(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "no count-min shards to merge")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("sk_row"), col("sk_col"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   def mergeHistograms(shards: Seq[DataFrame], group: Seq[String]): DataFrame = {
     require(shards.nonEmpty, "no histogram shards to merge")
     val gc = group.map(col)

@@ -41,12 +41,17 @@ object TextAnalysis {
         col("m.n_tokens").as("n_tokens"),
         col("m.n_uniq_tokens").as("n_uniq_tokens"),
         col("m.n_subword_tokens").as("n_subword_tokens"),
-        (col("m.n_uniq_tokens").cast("double") / col("m.n_tokens"))
-          .as("type_token_ratio"),
-        (col("m.n_stopwords").cast("double") / col("m.n_tokens"))
-          .as("stopword_ratio"),
-        (col("m.n_punct").cast("double") / col("m.n_chars"))
-          .as("punct_ratio"))
+        // nullif denominators (round 15): an empty document has
+        // n_chars = 0, and under ANSI (the Spark 4 default) a 0/0
+        // double division THROWS — one empty doc aborted the whole
+        // stats job. A degenerate doc's ratios are NULL (undefined),
+        // never a crash.
+        (col("m.n_uniq_tokens").cast("double") /
+          nullif(col("m.n_tokens"), lit(0))).as("type_token_ratio"),
+        (col("m.n_stopwords").cast("double") /
+          nullif(col("m.n_tokens"), lit(0))).as("stopword_ratio"),
+        (col("m.n_punct").cast("double") /
+          nullif(col("m.n_chars"), lit(0))).as("punct_ratio"))
   }
 
   // Single source of truth for the quality formula — shared by the batch
@@ -390,19 +395,11 @@ object TextAnalysis {
     * raw adjacency. */
   def bpePairCounts(docs: DataFrame, topK: Int): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val vocab = docs
-      .select(explode(toks(coalesce(col("text"), lit("")))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    vocab
-      .filter(length(col("w")) >= 2)
-      .select(col("n"), explode(expr(
-        """transform(sequence(1, length(w) - 1),
-          |  i -> struct(substr(w, CAST(i AS INT), 1) AS a,
-          |              substr(w, CAST(i + 1 AS INT), 1) AS b))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("n")).as("cnt"))
+    // one definition of "first-round pair counts" (round 15): this is
+    // exactly bpeInitialVocab -> bpePairCountsOf — the trainers' own
+    // pipeline — plus the rank/topK projection; a second substr-based
+    // copy here could silently drift from what training counts
+    bpePairCountsOf(bpeInitialVocab(docs))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("a"), col("b"))).cast("long"))
@@ -705,7 +702,10 @@ object TextAnalysis {
       s"overlap must be in [0, chunkSize), got $overlap (chunkSize $chunkSize)")
     val stride = chunkSize - overlap
     docs
-      .select(col("doc_id"), col("text"))
+      // NULL text reads as the empty document (the file-wide convention
+      // — round 15: least() SKIPS nulls, so a null doc previously got a
+      // fabricated [1, chunkSize] span with a NULL chunk string)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .select(col("doc_id"), col("text"),
         // ceil((len - chunkSize) / stride) extra chunks past the first;
         // `div` (never `/`, which is double division) keeps it integer-exact
@@ -895,12 +895,14 @@ object TextAnalysis {
       .select(explode(toks(col("text"))).as("t"))
     val uniCounts = toksOf.groupBy(col("t")).agg(count(lit(1)).as("n_w"))
     val nTok = toksOf.agg(count(lit(1)).as("n_tokens"))
-    val pairsOf = docs.filter(col("text").isNotNull)
-      .select(explode(bigrams(col("text"))).as("bg"))
+    // two-column pairs straight from rawBigramPairs (round 15): the
+    // previous 'w1 w2' string render + regex split per occurrence was
+    // wasted work on the token stream, and a second pair representation
+    // to keep consistent by hand
+    val pairsOf = rawBigramPairs(docs)
+      .select(col("w1raw").as("w1"), col("w2raw").as("w2"))
     val nBi = pairsOf.agg(count(lit(1)).as("n_bigrams"))
     val pairCounts = pairsOf
-      .select(split(col("bg"), " ", 2).as("p"))
-      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -1259,7 +1261,13 @@ object TextAnalysis {
       acc + when(tf > 0, num.cast("double") / den.cast("double"))
         .otherwise(lit(0.0))
     }
-    bm25TfFrame(docs, terms).withColumn("score", score)
+    // serve keeps EVERY document (gating is caller policy — round 15:
+    // the tf frame's isNotNull filter silently dropped null-text rows
+    // from the output): a null text reads as the empty document, whose
+    // tfs are all zero and whose score is exactly 0.0. Fit semantics
+    // are untouched — stats still come from non-null docs only.
+    bm25TfFrame(docs.withColumn("text", coalesce(col("text"), lit(""))),
+      terms).withColumn("score", score)
   }
 
   def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {

@@ -1997,12 +1997,12 @@ object ExtensionQueries {
         |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
         |    (a, b) -> a + b) AS n_subword_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |    / len(string_split(text, ' ')) AS type_token_ratio,
+        |    / nullif(len(string_split(text, ' ')), 0) AS type_token_ratio,
         |  CAST(len(list_filter(string_split(text, ' '),
         |         t -> list_contains(['the','a','of','in','to','and','is'], t)))
-        |       AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+        |       AS DOUBLE) / nullif(len(string_split(text, ' ')), 0) AS stopword_ratio,
         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-        |    / length(text) AS punct_ratio
+        |    / nullif(length(text), 0) AS punct_ratio
         |FROM documents""".stripMargin),
 
     // Quality scoring over the stats (reference-free corpus filter shape).

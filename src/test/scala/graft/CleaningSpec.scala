@@ -31,6 +31,11 @@ class CleaningSpec extends SparkSpecBase {
     assert(parseNum("-0.3") === Some(-0.3))
     assert(parseNum("+4") === Some(4.0))
     assert(parseNum("  7.5  ") === Some(7.5)) // stripped first
+    // str.strip() removes ALL whitespace, not just spaces (round 15)
+    assert(parseNum("\t5.2\n") === Some(5.2))
+    // float(val.rstrip('%')) tolerates whitespace before the '%'
+    assert(parseNum("5.2 %") === Some(5.2))
+    assert(parseNum("\t5.2 %\r") === Some(5.2))
     assert(parseNum("1e3") === Some(1000.0)) // Python float() accepts exponents
     assert(parseNum("") === None)
     assert(parseNum("   ") === None)
@@ -52,11 +57,13 @@ class CleaningSpec extends SparkSpecBase {
   }
 
   test("F5 clean_text maps ''/nan/none/null (any case) and NULL to N/A (main.py:148-151)") {
-    val out = Seq("", "nan", "NaN", "None", "NULL", "  x  ", null)
+    val out = Seq("", "nan", "NaN", "None", "NULL", "  x  ", null,
+      "\tnan\n", "\u000bx\r")
       .toDF("v")
       .select(cleaning.cleanText(col("v")).as("c"))
       .collect().map(_.getAs[String]("c")).toSeq
-    assert(out === Seq("N/A", "N/A", "N/A", "N/A", "N/A", "x", "N/A"))
+    assert(out === Seq("N/A", "N/A", "N/A", "N/A", "N/A", "x", "N/A",
+      "N/A", "x"))
   }
 
   test("F2 all 9 date formats parse; garbage yields null (main.py:126-135)") {
@@ -87,21 +94,28 @@ class CleaningSpec extends SparkSpecBase {
   }
 
   test("F3 time formats 24h and 12h parse; junk yields null (main.py:137-146)") {
-    val out = Seq("17:03", "5:03 PM", "5:03 AM", "xx")
+    val out = Seq("17:03", "5:03 PM", "5:03 AM", "xx",
+      // CPython %M accepts one digit and %p matches case-insensitively
+      // (round 15): the reference parses all of these
+      "7:5", "7:30 pm", "\t17:03\n")
       .toDF("v")
       .select(cleaning.parseTime(col("v")).as("t"))
       .collect().map(_.getAs[String]("t")).toSeq
-    assert(out === Seq("17:03:00", "17:03:00", "05:03:00", null))
+    assert(out === Seq("17:03:00", "17:03:00", "05:03:00", null,
+      "07:05:00", "19:30:00", "17:03:00"))
   }
 
   test("F3 timedelta TIME artifact: last token parses, malformed 'days' falls back to midnight (train.py:88-101)") {
     val out = Seq("0 days 17:00:00", "1 days 03:05:00", "0 days 9:30",
-      "2 days ago", "0 days xx:yy")
+      "2 days ago", "0 days xx:yy",
+      // the reference int()-parses each colon part: single-digit
+      // minutes/seconds are valid (round 15)
+      "0 days 17:0:5")
       .toDF("v")
       .select(cleaning.parseTime(col("v")).as("t"))
       .collect().map(_.getAs[String]("t")).toSeq
     assert(out === Seq("17:00:00", "03:05:00", "09:30:00",
-      "00:00:00", "00:00:00"))
+      "00:00:00", "00:00:00", "17:00:05"))
   }
 
   test("F7 fill dim: null to Unknown, else trimmed (train.py:335-336)") {

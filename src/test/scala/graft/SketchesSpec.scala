@@ -40,6 +40,12 @@ class SketchesSpec extends SparkSpecBase {
     val merged = (cellsOf(a).toSeq ++ cellsOf(b).toSeq)
       .groupMapReduce(_._1)(_._2)(_ + _)
     assert(merged === cellsOf(a.unionByName(b)))
+    // and the API form (round 15) equals the hand-written merge
+    val apiMerged = Sketches.mergeCountMin(Seq(
+        Sketches.countMin(a, col("k"), w, d, "m1"),
+        Sketches.countMin(b, col("k"), w, d, "m1")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(apiMerged === merged)
   }
 
   test("count-min: null keys excluded, estimate of an unseen key stays an overestimate of 0") {

@@ -269,4 +269,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     scored.unpersist()
     ()
   }
+
+  test("round-15 degenerate-input hardening: empty/null docs never crash " +
+    "or vanish — textStats NULL ratios, chunkWithOverlap empty-doc " +
+    "convention for null text, bm25 serve keeps null-text rows at 0") {
+    import spark.implicits._
+    // textStats: an empty doc previously threw DIVIDE_BY_ZERO under ANSI
+    val stats = TextAnalysis.textStats(
+      Seq((1L, "a b a."), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(stats.length === 3)
+    assert(stats(1).getAs[Any]("punct_ratio") == null)
+    assert(stats(0).getAs[Double]("punct_ratio") > 0.0)
+    // chunkWithOverlap: null text = empty document, no fabricated span
+    val chunks = TextAnalysis.chunkWithOverlap(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      chunkSize = 10, overlap = 4).collect()
+    assert(chunks.length === 1)
+    assert(chunks.head.getAs[Long]("end") === 0L) // empty span, not [1,10]
+    assert(chunks.head.getAs[String]("chunk") === "")
+    // bm25 serve: the null-text doc is KEPT with score exactly 0
+    val docs = Seq((1L, "the market fell"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = TextAnalysis.bm25Fit(docs, Seq("market"))
+    val scored = TextAnalysis.bm25ScoreWith(docs, st)
+      .orderBy("doc_id").collect()
+    assert(scored.length === 2, "null-text doc must not vanish from serve")
+    assert(scored(1).getAs[Double]("score") === 0.0)
+    assert(scored(0).getAs[Double]("score") > 0.0)
+  }
 }
