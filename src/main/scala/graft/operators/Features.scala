@@ -259,9 +259,20 @@ object Features {
     require(maxSpanBuckets > 0, s"bad maxSpanBuckets: $maxSpanBuckets")
     val B = bucketMicros
     val DAY = "__rma_day"; val RC = "__rma_rc"; val RS = "__rma_rs"
+    // NULL-key rows take the PLAIN frame and union back (round 15): the
+    // decomposition's prefix/anchor equi-joins (and the as-of boundary
+    // lookup) never match null keys, so a null-key partition silently
+    // lost all cross-bucket history — diverging from the plain window,
+    // whose partitionBy treats null as a real group, and breaking the
+    // 'oracle-identical either way' contract rangeMovingAggAuto rests
+    // on. Null keys form at most one partition per null pattern, which
+    // is exactly what the plain form computes for them anyway.
+    val nullKey = key.map(col(_).isNull).reduce(_ || _)
+    val nullKeyOut = rangeMovingAgg(df.filter(nullKey), key, tsMicros,
+      valueMicros, windowMicros, outCnt, outSum)
     def fdiv(e: String): String =
       s"IF(($e) >= 0, ($e) DIV $B, -(((-($e)) + $B - 1) DIV $B))"
-    val ev = df.withColumn(DAY, expr(fdiv(tsMicros)))
+    val ev = df.filter(!nullKey).withColumn(DAY, expr(fdiv(tsMicros)))
     val wIn = Window.partitionBy((key :+ DAY).map(col): _*)
       .orderBy(col(tsMicros))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -336,6 +347,7 @@ object Features {
           coalesce(col("__rma_psL"), lit(0L)) - coalesce(col("__rma_rsq"), lit(0L)))
       .drop(DAY, RC, RS, "__rma_pcU", "__rma_psU", "__rma_q", "__rma_dq",
         "__rma_pcL", "__rma_psL", "__rma_bts", "__rma_rcq", "__rma_rsq")
+      .unionByName(nullKeyOut)
   }
 
   /** Chunked W1 lag-1: the previous row's value per key (nulls carried
@@ -730,6 +742,17 @@ object Features {
     * expression shape — bit-equal in any engine evaluating the same IEEE
     * ops. Degenerate groups (zero x-variance, e.g. n=1 or constant
     * history) fit slope 0 with intercept = ȳ — the mean model. */
+  /** Degeneracy caveat (round 15, stated honestly): the mean-model
+    * fallback fires on EXACT det == 0.0 — the same double expression the
+    * DuckDB oracle evaluates, so the two engines always agree — but a
+    * constant-x group whose det is pure cancellation noise (|det| ~
+    * 1e-18, n=1 or all-equal x) passes the gate and fits a noise slope
+    * in BOTH engines identically. fitLinearPerGroup gates this class
+    * with the Hadamard-relative test (|det| > 1e-9·|Π c_ii|); unifying
+    * fitAr1/fitAr2/pearson on that gate requires changing the oracle SQL
+    * in lockstep (Registry/Pipeline/Feature rows) and is the recorded
+    * round-16 item. Callers with near-constant regressors should prefer
+    * fitLinearPerGroup. */
   def fitAr1(df: DataFrame, key: Seq[String],
              x: Column, y: Column): DataFrame = {
     val domain = lit(1e11)
@@ -1261,34 +1284,55 @@ object Features {
         binOf(st.featureIdx) <= st.bin,
         lit(st.leftValue)).otherwise(lit(st.rightValue))
     }
-    df.withColumn(outCol, pred)
+    // a NULL feature propagates to a NULL prediction (round 15): greatest()
+    // SKIPS nulls, so a missing feature silently binned to 0 and the row
+    // got a confidently wrong ŷ — the other model serves
+    // (linear/logistic/sgd) all propagate null honestly for this input
+    val anyNull = features.map(_.isNull).reduce(_ || _)
+    df.withColumn(outCol,
+      when(anyNull, lit(null).cast("double")).otherwise(pred))
   }
 
   /** [[GbmModel]] → frame for parquet persistence: one row per stump
-    * (param columns repeated — one relation, no side files). */
+    * (param columns repeated — one relation, no side files). A model
+    * with ZERO stumps (constant target / nothing splittable in round 1)
+    * persists as one `round = -1` sentinel row carrying the model-level
+    * fields — per-stump rows previously meant an empty-stumps model
+    * wrote an EMPTY frame that lost f0/lr/bins/nFit entirely and could
+    * never be served again (round 15). */
   def gbmModelToFrame(spark: org.apache.spark.sql.SparkSession,
                       model: GbmModel): DataFrame = {
     import spark.implicits._
-    model.stumps.zipWithIndex.map { case (st, i) =>
-      (i, st.featureIdx, st.bin, st.leftValue, st.rightValue, model.f0,
-        model.learningRate, model.nBins, model.mins.toSeq,
-        model.spans.toSeq, model.nFit, model.sses.toSeq)
-    }.toDF("round", "feature_idx", "bin", "left_val", "right_val", "f0",
+    val rows =
+      if (model.stumps.isEmpty)
+        Seq((-1, -1, -1, 0.0, 0.0, model.f0, model.learningRate,
+          model.nBins, model.mins.toSeq, model.spans.toSeq, model.nFit,
+          model.sses.toSeq))
+      else model.stumps.zipWithIndex.map { case (st, i) =>
+        (i, st.featureIdx, st.bin, st.leftValue, st.rightValue, model.f0,
+          model.learningRate, model.nBins, model.mins.toSeq,
+          model.spans.toSeq, model.nFit, model.sses.toSeq)
+      }
+    rows.toDF("round", "feature_idx", "bin", "left_val", "right_val", "f0",
       "lr", "n_bins", "mins", "spans", "n_fit", "sses")
   }
 
-  /** Inverse of [[gbmModelToFrame]] — stumps re-ordered by round. */
+  /** Inverse of [[gbmModelToFrame]] — stumps re-ordered by round; the
+    * round = -1 sentinel rebuilds a zero-stump model. */
   def gbmModelFromFrame(df: DataFrame): GbmModel = {
     val rows = df.collect().sortBy(_.getAs[Int]("round"))
     require(rows.nonEmpty, "empty GBM model frame")
     val h = rows.head
+    val stumps =
+      if (rows.length == 1 && h.getAs[Int]("round") == -1) Nil
+      else rows.toSeq.map(r => GbmStump(r.getAs[Int]("feature_idx"),
+        r.getAs[Int]("bin"), r.getAs[Double]("left_val"),
+        r.getAs[Double]("right_val")))
     GbmModel(h.getAs[Double]("f0"), h.getAs[Double]("lr"),
       h.getAs[Int]("n_bins"),
       h.getAs[scala.collection.Seq[Double]]("mins").toArray,
       h.getAs[scala.collection.Seq[Double]]("spans").toArray,
-      rows.toSeq.map(r => GbmStump(r.getAs[Int]("feature_idx"),
-        r.getAs[Int]("bin"), r.getAs[Double]("left_val"),
-        r.getAs[Double]("right_val"))),
+      stumps,
       h.getAs[Long]("n_fit"),
       h.getAs[scala.collection.Seq[Double]]("sses").toSeq)
   }
@@ -1588,6 +1632,12 @@ object Features {
     val classes = classRows.map(_.getString(0)).toSeq
     val counts = classRows.map(_.getLong(1))
     val k = classes.length
+    // a 1-class label has nothing to discriminate — and greatest(ls: _*)
+    // with one logit would die deep in analysis with 'GREATEST requires
+    // at least two arguments' instead of saying why (round 15)
+    require(k >= 2,
+      s"softmax needs at least 2 distinct label classes, got $k " +
+        s"('${classes.headOption.getOrElse("")}')")
     val n = counts.sum
     val z: IndexedSeq[Column] = lit(1.0) +: (0 until p).map(i => col(s"__z$i"))
     def logits(beta: Array[Double]): IndexedSeq[Column] =
@@ -1675,14 +1725,19 @@ object Features {
     val m = greatest(ls: _*)
     val exps = ls.map(c => exp(c - m))
     val denom = exps.reduce(_ + _)
-    val withP = model.classes.zip(exps).foldLeft(df) {
-      case (acc, (cls, e)) => acc.withColumn(s"p_$cls", e / denom)
+    // probabilities referenced as EXPRESSIONS, never re-resolved through
+    // col(s"p_$cls") (round 15): class labels are data — one label with
+    // a dot or backtick parsed as a struct access and broke the argmax
+    // at analysis time
+    val probs = model.classes.zip(exps.map(_ / denom))
+    val withP = probs.foldLeft(df) {
+      case (acc, (cls, e)) => acc.withColumn(s"p_$cls", e)
     }
-    val best = model.classes.foldLeft(lit(null).cast("string")) {
-      (acc, cls) =>
+    val best = probs.foldLeft(lit(null).cast("string")) {
+      case (acc, (cls, pc)) =>
         when(acc.isNull &&
-          model.classes.map(o => col(s"p_$cls") >= col(s"p_$o"))
-            .reduce(_ && _), lit(cls)).otherwise(acc)
+          probs.map { case (_, po) => pc >= po }.reduce(_ && _),
+          lit(cls)).otherwise(acc)
     }
     withP.withColumn("predicted_class", best)
   }
@@ -1871,10 +1926,14 @@ object Features {
   def decisionStumpPerGroup(df: DataFrame, groups: Seq[String],
                             feature: Column, label: Column): DataFrame = {
     require(groups.nonEmpty, "groups required (use decisionStump for global)")
-    // Internal projection names — a group column spelled "t" or "y" would
-    // produce a duplicate-column frame and a deep resolution failure
-    // instead of this loud guard (the FuzzyJoin/curriculumOrder convention).
-    val reserved = groups.intersect(Seq("t", "y"))
+    // Internal projection names — a group column spelled like ANY of the
+    // intermediates below would be silently withColumn-overwritten (the
+    // closing groupBy would then group on the corrupted column) or die
+    // in a deep ambiguous-reference failure instead of this loud guard
+    // (the FuzzyJoin/curriculumOrder convention). Round 15: the list
+    // covers every name this pipeline materializes, not just t/y.
+    val reserved = groups.intersect(Seq("t", "y", "cnt", "pos", "nl", "l1",
+      "l0", "n", "p", "nr", "r1", "r0", "cost"))
     require(reserved.isEmpty, s"reserved column names $reserved in groups")
     val gc = groups.map(col)
     val per = df.select((feature.as("t") +: when(label, 1L).otherwise(0L).as("y") +: gc): _*)
@@ -1939,7 +1998,10 @@ object Features {
   def regressionStumpPerGroup(df: DataFrame, groups: Seq[String],
                               feature: Column, target: Column): DataFrame = {
     require(groups.nonEmpty, "groups required")
-    val reserved = groups.intersect(Seq("t", "y"))
+    // every materialized intermediate below (round 15, see
+    // decisionStumpPerGroup)
+    val reserved = groups.intersect(Seq("t", "y", "cnt", "sy", "nl", "sl",
+      "n", "s", "nr", "sld", "srd", "cost"))
     require(reserved.isEmpty, s"reserved column names $reserved in groups")
     val domain = lit(1e11)
     val gc = groups.map(col)
@@ -2132,7 +2194,21 @@ object Features {
     val bin = probs.indices
       .map(i => when(value > col(s"cut_$i"), 1).otherwise(0))
       .reduce(_ + _)
-    df.join(broadcast(cuts), group).withColumn("bin", bin)
+    // null-safe LEFT join (round 15): the inner using-join dropped every
+    // row of a null-group-key partition (equi-join never matches null
+    // keys) and every row of an all-null-value group (no cuts row) —
+    // silent data loss in a transform documented to preserve rows. An
+    // unmatched row's cuts are NULL, so its bin is 0 — the same 'nulls
+    // bin to 0' rule null values already follow.
+    val l = df.alias("__qb_l"); val r = broadcast(cuts).alias("__qb_r")
+    val cond =
+      if (group.isEmpty) lit(true)
+      else group.map(k => col(s"__qb_l.$k") <=> col(s"__qb_r.$k"))
+        .reduce(_ && _)
+    l.join(r, cond, "left")
+      .select(df.columns.map(c => col(s"__qb_l.$c")) ++
+        probs.indices.map(i => col(s"__qb_r.cut_$i")): _*)
+      .withColumn("bin", bin)
   }
 
   /** Additive weekly seasonal decomposition (round 9):
@@ -2445,8 +2521,17 @@ object Features {
   def calibrate(df: DataFrame, mapping: DataFrame, score: Column,
                 nBins: Int, outCol: String = "calibrated_p"): DataFrame = {
     require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,1e4]: $nBins")
-    val bin = least(floor(score * lit(nBins.toDouble)).cast("long"),
-      lit(nBins.toLong - 1))
+    require(!df.columns.contains("__cal_bin"),
+      "reserved column name __cal_bin in input")
+    // clamp BOTH ends (round 15): least() skips nulls, so a NULL score
+    // previously binned to the TOP bin and served the maximum
+    // probability; a negative score produced a negative bin the inner
+    // join silently dropped. Now: null score → null output row value,
+    // out-of-range scores clamp to the boundary bins, and no input row
+    // ever vanishes.
+    val bin = when(score.isNotNull,
+      greatest(lit(0L), least(floor(score * lit(nBins.toDouble))
+        .cast("long"), lit(nBins.toLong - 1))))
     // dense serve table: every bin 0..nBins-1 resolved to its step value
     val m = mapping.select(col("bin"), col("calibrated"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
@@ -2456,9 +2541,10 @@ object Features {
       b -> (if (atOrBelow.nonEmpty) atOrBelow.last._2 else m.head._2)
     }
     import df.sparkSession.implicits._
-    val serveFrame = dense.toDF("bin", outCol)
-    df.withColumn("bin", bin)
-      .join(broadcast(serveFrame), "bin")
+    val serveFrame = dense.toDF("__cal_bin", outCol)
+    df.withColumn("__cal_bin", bin)
+      .join(broadcast(serveFrame), Seq("__cal_bin"), "left")
+      .drop("__cal_bin")
   }
 
   /** The APPLY half of [[madOutliers]]: flag `df`'s rows against

@@ -1379,7 +1379,8 @@ object FeatureQueries {
         |  CAST(CASE WHEN e.value > c.q1 THEN 1 ELSE 0 END
         |     + CASE WHEN e.value > c.q2 THEN 1 ELSE 0 END
         |     + CASE WHEN e.value > c.q3 THEN 1 ELSE 0 END AS BIGINT) AS bin
-        |FROM events e JOIN cuts c USING (event_type)""".stripMargin),
+        |FROM events e LEFT JOIN cuts c
+        |  ON e.event_type IS NOT DISTINCT FROM c.event_type""".stripMargin),
 
     // FT3 (ext, round 9) — winsorization: clip to the per-group
     // [p05, p95] type-1 quantile band before moment-based modeling.
@@ -1407,7 +1408,8 @@ object FeatureQueries {
         |  FROM v GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, c.p05, c.p95,
         |  least(greatest(e.value, c.p05), c.p95) AS v_winsor
-        |FROM events e JOIN cuts c USING (event_type)""".stripMargin),
+        |FROM events e LEFT JOIN cuts c
+        |  ON e.event_type IS NOT DISTINCT FROM c.event_type""".stripMargin),
 
     // FT4 (ext, round 9) — quantile (rank) transform: per-group rank
     // scaled to [0,1] under the total order (value, event_id) — the

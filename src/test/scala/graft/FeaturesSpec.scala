@@ -1206,4 +1206,100 @@ class FeaturesSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(repart.toSeq === out.toSeq) // bitwise: exact integers + one division
   }
+
+  test("round-15 model-surface hardening: zero-stump GBM round-trips, " +
+    "GBM serve propagates null features, softmax rejects 1-class labels " +
+    "loudly and serves dotted labels, calibrate clamps/keeps every row, " +
+    "quantileBins preserves null-key and all-null groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // zero-stump GBM: persist + reload + serve (previously: empty frame,
+    // model unrecoverable)
+    val const = (1 to 30).map(i => (i.toDouble, 7.5)).toDF("x1", "y")
+    val cm = Features.gbmFit(const, Seq(col("x1")), col("y"),
+      rounds = 3, nBins = 8).get
+    assert(cm.stumps.isEmpty)
+    val rtDir = java.nio.file.Files
+      .createTempDirectory("graft_gbm0").toString + "/m"
+    Features.gbmModelToFrame(spark, cm).write.parquet(rtDir)
+    val back = Features.gbmModelFromFrame(spark.read.parquet(rtDir))
+    assert(back.stumps.isEmpty && back.f0 === cm.f0 &&
+      back.nFit === cm.nFit && back.sses === cm.sses)
+    // null feature -> null prediction (not silently binned to 0)
+    val fm = Features.gbmFit(
+      (1 to 60).map(i => (i.toDouble, if (i > 30) 4.0 else 0.0))
+        .toDF("x1", "y"), Seq(col("x1")), col("y"), rounds = 2).get
+    val served = Features.gbmPredict(
+      Seq(Some(40.0), None).toDF("x1"), fm, Seq(col("x1")))
+      .select("prediction").collect()
+    assert(served(0).getAs[Any](0) != null)
+    assert(served(1).isNullAt(0), "null feature must serve null")
+
+    // softmax: 1-class label is a loud argument error, not a GREATEST
+    // analysis crash
+    val oneClass = (1 to 40).map(i => (i.toDouble, "only"))
+      .toDF("x1", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      Features.sgdSoftmaxFit(oneClass, Seq(col("x1")), col("lbl"))
+    }
+    assert(e.getMessage.contains("at least 2 distinct label classes"))
+    // dotted labels serve (previously: col("p_US.CPI") parsed as a
+    // struct access and broke the argmax)
+    val dotted = (1 to 60).map(i =>
+      (i.toDouble, if (i % 2 == 0) "US.CPI" else "EU`GDP"))
+      .toDF("x1", "lbl")
+    val sm = Features.sgdSoftmaxFit(dotted, Seq(col("x1")), col("lbl"),
+      epochs = 2).get
+    val out = Features.sgdSoftmaxPredict(
+      Seq(2.0).toDF("x1"), sm, Seq(col("x1"))).collect().head
+    assert(Set("US.CPI", "EU`GDP").contains(
+      out.getAs[String]("predicted_class")))
+
+    // calibrate: null score -> null output, out-of-range clamps, and no
+    // row ever vanishes
+    val fitDf = Seq((0.05, 0.0), (0.95, 1.0)).toDF("score", "label")
+    val mapping = Features.isotonicBins(fitDf, col("score"), col("label"), 10)
+    val calOut = Features.calibrate(
+      Seq((1L, Some(0.5)), (2L, None), (3L, Some(-0.3)), (4L, Some(7.0)))
+        .toDF("id", "score"), mapping, col("score"), 10)
+      .orderBy("id").collect()
+    assert(calOut.length === 4, "calibrate must keep every input row")
+    assert(calOut(1).isNullAt(calOut(1).fieldIndex("calibrated_p")))
+    assert(calOut(2).getAs[Double]("calibrated_p") === 0.0) // clamped low
+    assert(calOut(3).getAs[Double]("calibrated_p") === 1.0) // clamped high
+
+    // quantileBins: null-group-key rows and all-null-value groups are
+    // KEPT (bin 0), never dropped
+    val qdf = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      (null, Some(5.0)), ("h", None)).toDF("k", "v")
+    val q = Features.quantileBins(qdf, Seq("k"), col("v"), Seq(0.5))
+    assert(q.count() === 5L, "quantileBins must preserve rows")
+    val nullKeyRow = q.filter(col("k").isNull).collect()
+    assert(nullKeyRow.length === 1)
+    assert(nullKeyRow.head.getAs[Int]("bin") >= 0) // binned, not dropped
+    assert(q.filter(col("k") === "h").count() === 1L)
+  }
+
+  test("round-15: rangeMovingAggBucketed keeps null-key rows identical " +
+    "to the plain frame (they route through it)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (Some("g"), 0L, 1L), (Some("g"), 500L, 2L), (Some("g"), 1500L, 3L),
+      (None, 0L, 10L), (None, 500L, 20L), (None, 1500L, 30L),
+      (None, 2600L, 40L))
+      .toDF("k", "ts", "v")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "ts", "n_w", "sum_w").collect()
+        .map(r => (r.getAs[String]("k"), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val plain = Features.rangeMovingAgg(rows, Seq("k"), "ts", "v",
+      windowMicros = 1000L)
+    val bucketed = Features.rangeMovingAggBucketed(rows, Seq("k"), "ts",
+      "v", windowMicros = 1000L, bucketMicros = 700L)
+    assert(snap(bucketed) === snap(plain))
+    // and the null group actually exercises a cross-bucket carry
+    assert(snap(plain).exists { case (k, ts, n, _) =>
+      k == null && ts == 1500L && n > 1 })
+  }
 }
