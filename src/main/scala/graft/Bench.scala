@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line for the driver (BENCH_r{N}.json).
   *
-  * Methodology (round-1 + round-4 fixes):
+  * Methodology (round-1 + round-4 fixes; round-16 wall-clock hardening):
   *  - full materialization via the `noop` sink — every column is computed
   *    and every operator (sorts, projections) actually executes; a bare
   *    .count() lets Catalyst prune columns and elide work.
@@ -21,9 +21,15 @@ import org.apache.spark.sql.SparkSession
   *    rows are timed END-TO-END (construction + materialization),
   *    because their micro-batch stream executes inside fn() and the
   *    returned frame is just the comparison read-back — see timedMedian.
-  *  - median of 3 timed passes per query (round 4): a single pass is
-  *    noise-dominated at sub-second scale; the median discards both the
-  *    cold first pass and any GC/compaction outlier.
+  *  - ADAPTIVE pass counts (round 16 — the round-15 driver run hit its
+  *    wall-clock limit and emitted nothing): stream_* rows run ONE timed
+  *    pass (they drain deterministic AvailableNow micro-batches whose
+  *    cost is seconds-scale state machinery, not sub-second noise — and
+  *    they carried 99 of the 222 pin-seconds at 3 passes each); rows
+  *    pinned over 1 s run TWO passes and keep the MIN (a one-sided load
+  *    rescue; proportional noise on a >1 s row is small); everything
+  *    else keeps median-of-3. A mis-measured row is still caught by the
+  *    over-pin rerun pass below.
   *  - each pass constructs its OWN DataFrame (fresh `fn` call, untimed):
   *    re-materializing one shared frame would let the dedup queries'
   *    lazily-persisted checkpoints serve passes 2-3 from cache and the
@@ -44,18 +50,120 @@ import org.apache.spark.sql.SparkSession
   *    recorded as a fast timing.
   *  - `calib_sec` (round 5): the median timing of a FIXED CPU-bound job
   *    (hash-sum over a constant-size range, no I/O, no data dependence) is
-  *    emitted alongside the query timings. The round-4 driver artifact was
-  *    3–30× inflated by machine contention and only an out-of-band re-run
-  *    could prove it; with a constant-work yardstick in the same JSON any
-  *    reader can normalize: query_sec × (expected_calib / calib_sec)
-  *    estimates the uncontended timing. Expected range on this box:
-  *    ~0.2–0.5 s (see README; tools/bench_compare.py automates the check).
+  *    emitted alongside the query timings, so any reader can normalize:
+  *    query_sec × (expected_calib / calib_sec) estimates the uncontended
+  *    timing. Expected range on this box: ~0.2–0.5 s (see README;
+  *    tools/bench_compare.py automates the check).
+  *  - CRASH-SAFE EMIT (round 16): the round-15 driver bench was killed by
+  *    its wall-clock limit *after* measuring all 290 rows but *before*
+  *    the single end-of-run println — the whole round lost its graded
+  *    number to a formality. Now the summary JSON (stdout line + the
+  *    BENCH_FULL.json file) is emitted IMMEDIATELY after the first
+  *    measurement pass with `"complete":false`, re-emitted after every
+  *    over-pin rerun (so the stdout tail the driver keeps always ends
+  *    with a fresh parseable line even if logs interleave), and emitted
+  *    one final time with `"complete":true` after the end calibration.
+  *    A timeout can now only lose rerun refinement, never the number.
+  *  - TIME-BOXED RERUNS (round 16): the over-pin hygiene pass is bounded
+  *    both by count (32 rows) and by a wall deadline
+  *    (SPARK_GRAFT_BENCH_DEADLINE seconds from process start, default
+  *    1500); each rerun is ONE pass, not three — the rescue only needs
+  *    min(v, v2). When the deadline cuts the pass short the JSON says so
+  *    (`"deadline_hit":true`) instead of silently publishing unrescued
+  *    rows as regressions.
+  *  - `contended` honesty (round 16): a missing end calibration
+  *    (calib_sec_end = −1, i.e. the run was cut short) reports
+  *    `"contended":"unknown"` — a killed run must not masquerade as a
+  *    clean uncontended one.
   */
 object Bench {
+
+  /** Render the full per-query JSON document (BENCH_FULL.json).
+    * Pure — extracted so the emit contract is spec-testable. */
+  def renderFull(results: Seq[(String, Double, Boolean)],
+                 calibSec: Double, calibEnd: Double, refCalib: Double,
+                 normFactor: Double, contended: String, reran: Int,
+                 rerunFirstPass: collection.Map[String, Double],
+                 overPin: Seq[String], sfDir: String,
+                 complete: Boolean, deadlineHit: Boolean): String = {
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val overPinJson = overPin.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // the calibration-normalized map: seconds rescaled to the pin
+    // run's machine speed — the directly-comparable-to-BENCH_REF view
+    val qn = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + (if (v < 0) v else v * normFactor) }
+      .mkString("{", ",", "}")
+    val rr = rerunFirstPass.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"deadline_hit":$deadlineHit,"units":{"queries":"raw_sec_this_machine","queries_norm":"sec_at_pin_calibration","over_pin":"judged_on_queries_norm"},"calib_sec":$calibSec,"calib_sec_end":$calibEnd,"calib_ref":$refCalib,"norm_factor":$normFactor,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"over_pin":$overPinJson,"n_queries":${results.size},"queries":$qs,"queries_norm":$qn,"failed":$failed,"sf":"$sfDir"}"""
+  }
+
+  /** Render the size-bounded stdout summary line (the driver keeps only
+    * the last ~2000 characters of output, so this line must fit).
+    * Pure — extracted so the emit contract is spec-testable. */
+  def renderLine(results: Seq[(String, Double, Boolean)],
+                 calibSec: Double, calibEnd: Double, normFactor: Double,
+                 contended: String, reran: Int, overPin: Seq[String],
+                 fullPath: String, sfDir: String,
+                 complete: Boolean, deadlineHit: Boolean): String = {
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val overPinJson = overPin.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ok = results.collect { case (k, v, true) => (k, v) }
+    val tpch = ok.filter(_._1.matches("q\\d+_.*")).sortBy(_._1)
+    val rest = ok.filterNot(_._1.matches("q\\d+_.*")).sortBy(-_._2)
+    // both series ride the tail, explicitly named (round 13): each entry
+    // is "name":[raw,norm] under a units key that names the two slots.
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","complete":$complete,"deadline_hit":$deadlineHit,"units":{"queries":"[raw_sec,sec_at_pin_calibration]","over_pin":"judged_on_normalized"},"calib_sec":${r3(calibSec)},"calib_sec_end":${r3(calibEnd)},"norm_factor":${r3(normFactor)},"contended":$contended,"reran":$reran,"over_pin":$overPinJson,"n_queries":${results.size},"queries_full":"$fullPath","failed":$failed,"sf":"$sfDir","queries":{"""
+    val tail = "}}"
+    val budget = 1700 - head.length - tail.length
+    val entries = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    (tpch ++ rest).foreach { case (k, v) =>
+      val e = "\"" + k + "\":[" + r3(v) + "," +
+        r3(if (v < 0) v else v * normFactor) + "]"
+      val sep = if (entries.isEmpty) 0 else 1
+      if (used + sep + e.length <= budget) { entries += e; used += sep + e.length }
+    }
+    head + entries.mkString(",") + tail
+  }
+
+  /** JSON value for the contention verdict. `"unknown"` (quoted) when the
+    * end calibration is missing — a cut-short run must not read as clean.
+    * Otherwise: contended when the better yardstick is off this box's
+    * unloaded band, or one yardstick is off AND they drifted apart (load
+    * changed mid-run). Drift ALONE is not a signal: the start calibration
+    * runs ~2× the end one even on an idle box (JVM warm-up residue —
+    * measured 0.30/0.15 idle vs 0.49/0.15 loaded). */
+  def contendedVerdict(calibSec: Double, calibEnd: Double): String =
+    if (calibEnd <= 0)
+      if (calibSec > 0.45) "true" else "\"unknown\""
+    else {
+      val worst = math.max(calibSec, calibEnd)
+      val best = math.min(calibSec, calibEnd)
+      val c = (best > 0 && best > 0.45) ||
+        (best > 0 && worst > 0.45 && worst > 1.5 * best)
+      c.toString
+    }
+
   def main(args: Array[String]): Unit = {
+    val t0Main = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val basePasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // wall budget for the WHOLE run; only the rerun-hygiene pass yields to
+    // it (the first pass always completes — without it there is no number)
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toDouble
+    def elapsedSec: Double = (System.nanoTime() - t0Main) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -107,78 +215,16 @@ object Bench {
       }
     val calibSec = calibrate()
 
-    // stream_* rows time their STREAM end-to-end (round 14), but NOT
-    // their scratch fixtures (round 15): the micro-batch stream executes
-    // inside the registration — watermarks, state stores, AvailableNow
-    // drain — and the returned frame is only the final comparison
-    // read-back, so construction-untimed methodology (right for every
-    // batch row) would time 0.03–0.18 s for a row whose real cost is
-    // 6–20 s at sf1. Round 14 timed the whole fn() and swept the rows'
-    // scratch-fixture generation (reference tables, coalesce(1) landing
-    // chunks) into the window — pin noise that produced a fresh over-pin
-    // batch. Round 15: every stream row registers QueryDef.phased — the
-    // fixture build runs UNTIMED, the returned thunk (stream start →
-    // drain → read-back) is what's timed. Batch rows keep the
-    // untimed-construction contract; a stream row WITHOUT a phased
-    // registration falls back to end-to-end (never silently under-timed).
-    val phased = SparkEntry.benchPhased
-    def timedMedian(name: String,
-                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      Array.fill(passes) {
-        val sec = phased.get(name) match {
-          case Some(build) if name.startsWith("stream_") =>
-            val run = build(spark, sfDir) // fixture phase: untimed
-            val t0 = System.nanoTime()
-            materialize(run()) // stream start -> drain -> read-back: timed
-            (System.nanoTime() - t0) / 1e9
-          case _ =>
-            val t0c = System.nanoTime()
-            val df = fn(spark, sfDir) // batch rows: construction untimed
-            val t0 =
-              if (name.startsWith("stream_")) t0c else System.nanoTime()
-            materialize(df)
-            (System.nanoTime() - t0) / 1e9
-        }
-        // Drop this pass's lazily-persisted checkpoint blocks NOW:
-        // per-pass fresh construction otherwise stacks 3 copies per
-        // checkpointed query until the driver GCs the old plans, and
-        // the resulting storage eviction / disk spill would land inside
-        // LATER queries' timed windows.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        sec
-      }.sorted.apply(passes / 2)
-    }
-
-    // optional trailing names: dev-loop filter (the driver passes none)
-    val only = args.toSet
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      try (name, timedMedian(name, fn), true)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (name, -1.0, false)
-      }
-    }
-
-    // Contention hygiene (round 8 — the round-7 driver capture was 1.5×
-    // inflated by machine load and the verdict chased phantom
-    // regressions): BENCH_REF.json pins a known-uncontended per-query
-    // reference (update it deliberately when plans change; its history
-    // array keeps every prior pin so drift is auditable). Any row
-    // landing over 1.5× its reference AFTER CALIBRATION NORMALIZATION
-    // (round 12 — raw ratios conflate machine load with regression: the
-    // yardstick ratio refCalib/calibSec rescales this run's seconds to
-    // the pin run's machine speed, so "everything 2× slower including
-    // the constant-work yardstick" no longer triggers 200 useless
-    // reruns, and a real single-row regression on an IDLE box triggers
-    // at its true ratio) gets ONE re-run at a different point in time
-    // and keeps the better median — transient load rarely hits the same
-    // row twice — and a second calibration after the loop bounds how
-    // the load changed across the run. (Round 10: trigger lowered
-    // 2.0→1.5 — four r9 rows sat at 1.5–1.9× their pins with unchanged
-    // plans and never got re-measured.)
+    // Contention hygiene (round 8): BENCH_REF.json pins a known-
+    // uncontended per-query reference (update it deliberately when plans
+    // change; its history array keeps every prior pin so drift is
+    // auditable). Any row landing over 1.5× its reference AFTER
+    // CALIBRATION NORMALIZATION (round 12 — the yardstick ratio
+    // refCalib/calibSec rescales this run's seconds to the pin run's
+    // machine speed, so uniform machine load no longer triggers useless
+    // reruns) gets ONE re-run at a different point in time and keeps the
+    // better value. Parsed BEFORE the first pass (round 16) so the pins
+    // also drive adaptive pass counts.
     val refPath = java.nio.file.Paths.get("BENCH_REF.json")
     val (ref: Map[String, Double], refCalib: Double) =
       if (!java.nio.file.Files.exists(refPath)) (Map.empty[String, Double], -1.0)
@@ -208,101 +254,136 @@ object Bench {
     // run's machine; 1.0 when either calibration is unusable
     val normFactor =
       if (refCalib > 0 && calibSec > 0) refCalib / calibSec else 1.0
+
+    // Adaptive pass count (round 16 — see methodology above). Pins are
+    // this run's best cost estimate; with no pin (new row / no REF) the
+    // conservative 3-pass default applies.
+    def passesFor(name: String): Int =
+      if (name.startsWith("stream_")) 1
+      else if (ref.get(name).exists(_ > 1.0)) math.min(basePasses, 2)
+      else basePasses
+
+    // stream_* rows time their STREAM end-to-end (round 14), but NOT
+    // their scratch fixtures (round 15): the micro-batch stream executes
+    // inside the registration — watermarks, state stores, AvailableNow
+    // drain — and the returned frame is only the final comparison
+    // read-back. Every stream row registers QueryDef.phased — the fixture
+    // build runs UNTIMED, the returned thunk (stream start → drain →
+    // read-back) is what's timed. Batch rows keep the untimed-
+    // construction contract; a stream row WITHOUT a phased registration
+    // falls back to end-to-end (never silently under-timed).
+    val phased = SparkEntry.benchPhased
+    def timedBest(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  passes: Int): Double = {
+      val vals = Array.fill(passes) {
+        val sec = phased.get(name) match {
+          case Some(build) if name.startsWith("stream_") =>
+            val run = build(spark, sfDir) // fixture phase: untimed
+            val t0 = System.nanoTime()
+            materialize(run()) // stream start -> drain -> read-back: timed
+            (System.nanoTime() - t0) / 1e9
+          case _ =>
+            val t0c = System.nanoTime()
+            val df = fn(spark, sfDir) // batch rows: construction untimed
+            val t0 =
+              if (name.startsWith("stream_")) t0c else System.nanoTime()
+            materialize(df)
+            (System.nanoTime() - t0) / 1e9
+        }
+        // Drop this pass's lazily-persisted checkpoint blocks NOW:
+        // per-pass fresh construction otherwise stacks copies per
+        // checkpointed query until the driver GCs the old plans, and
+        // the resulting storage eviction / disk spill would land inside
+        // LATER queries' timed windows.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        sec
+      }.sorted
+      // 1 pass: the value; 2 passes: MIN (one-sided load rescue);
+      // 3+: median (discards the cold pass and any GC outlier)
+      if (vals.length == 2) vals.head else vals(vals.length / 2)
+    }
+
+    // optional trailing names: dev-loop filter (the driver passes none)
+    val only = args.toSet
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    def emit(results: Seq[(String, Double, Boolean)], reran: Int,
+             rerunFirstPass: collection.Map[String, Double],
+             calibEnd: Double, complete: Boolean,
+             deadlineHit: Boolean): Unit = {
+      val overPin = results.collect {
+        case (name, v, true) if ref.get(name)
+          .exists(rv => rv > 0 && v > 0.15 && v * normFactor > 1.5 * rv) =>
+          name
+      }
+      val contended = contendedVerdict(calibSec, calibEnd)
+      // FULL per-query timings go to a file: the driver that turns stdout
+      // into BENCH_r{N}.json keeps only the LAST ~2000 characters of
+      // output — the file (committed with the round snapshot) holds
+      // everything; stdout carries a line guaranteed to fit the tail
+      // window. A filtered dev run must not clobber the committed map.
+      if (only.isEmpty) {
+        java.nio.file.Files.write(fullPath,
+          renderFull(results, calibSec, calibEnd, refCalib, normFactor,
+            contended, reran, rerunFirstPass, overPin, sfDir,
+            complete, deadlineHit)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      println(renderLine(results, calibSec, calibEnd, normFactor,
+        contended, reran, overPin, fullPath.toAbsolutePath.toString, sfDir,
+        complete, deadlineHit))
+    }
+
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        try (name, timedBest(name, fn, passesFor(name)), true)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (name, -1.0, false)
+        }
+      }
+    // RESCUE EMIT: the round's number exists from this point on, whatever
+    // the driver's timeout does to the remainder of the run.
+    emit(firstPass, reran = 0, Map.empty[String, Double],
+      calibEnd = -1.0, complete = false, deadlineHit = false)
+
     var rerunBudget = 32 // bound the hygiene pass, it must not double the run
+    var deadlineHit = false
     // every re-measured row's FIRST-pass value is preserved and published
     // in BENCH_FULL.json: math.min() below is a one-sided load rescue, and
     // without the first pass on record a real regression could hide behind
     // a stale BENCH_REF entry
     val rerunFirstPass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = firstPass.map { case (name, v, ok) =>
+    val results = scala.collection.mutable.ArrayBuffer(firstPass: _*)
+    firstPass.zipWithIndex.foreach { case ((name, v, ok), i) =>
       val suspect = ok && rerunBudget > 0 &&
         ref.get(name).exists(rv =>
           rv > 0 && v > 0.15 && v * normFactor > 1.5 * rv)
-      if (!suspect) (name, v, ok)
-      else {
-        rerunBudget -= 1
-        val v2 = try timedMedian(name, SparkEntry.queries(name))
-        catch { case _: Throwable => v }
-        rerunFirstPass(name) = v
-        if (v2 < v) System.err.println(
-          f"[bench] $name re-measured $v%.3f -> $v2%.3f (ref ${ref(name)}%.3f)")
-        (name, math.min(v, v2), ok)
+      if (suspect) {
+        if (elapsedSec > deadlineSec) deadlineHit = true
+        else {
+          rerunBudget -= 1
+          // ONE pass: the rescue only needs min(v, v2), and a 3-pass
+          // rerun on an inflated row burned 5+ minutes in round 15
+          val v2 = try timedBest(name, SparkEntry.queries(name), passes = 1)
+          catch { case _: Throwable => v }
+          rerunFirstPass(name) = v
+          if (v2 < v) System.err.println(
+            f"[bench] $name re-measured $v%.3f -> $v2%.3f (ref ${ref(name)}%.3f)")
+          results(i) = (name, math.min(v, v2), ok)
+          // keep the stdout tail ending in a fresh parseable line even
+          // if WARN logs interleave before a timeout kill
+          emit(results.toSeq, 32 - rerunBudget, rerunFirstPass,
+            calibEnd = -1.0, complete = false, deadlineHit = false)
+        }
       }
     }
     val reran = 32 - rerunBudget
     val calibEnd = calibrate()
-    // contended when the better yardstick is off this box's unloaded band,
-    // or one yardstick is off AND they drifted apart (load changed
-    // mid-run). Drift ALONE is not a signal: the start calibration runs
-    // ~2× the end one even on an idle box (JVM warm-up residue — measured
-    // 0.30/0.15 idle vs 0.49/0.15 loaded), so an unconditional drift flag
-    // would cry wolf every run.
-    val worst = math.max(calibSec, calibEnd)
-    val best = math.min(calibSec, calibEnd)
-    val contended = (best > 0 && best > 0.45) ||
-      (best > 0 && worst > 0.45 && worst > 1.5 * best)
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-
-    // FULL per-query timings go to a file: the driver that turns stdout
-    // into BENCH_r{N}.json keeps only the LAST ~2000 characters of output,
-    // and with 160+ registered queries the full map is ~5 KB — every
-    // round through r6 the JSON line was cut mid-map and recorded as
-    // `parsed: null`. The file (committed with the round snapshot) holds
-    // everything; stdout carries a line guaranteed to fit the tail window.
-    // rows still over 1.5× their pin AFTER normalization AND the rerun
-    // rescue: the attributable-regression list a reader investigates —
-    // everything else in the delta vs BENCH_REF is measured machine load
-    val overPin = results.collect {
-      case (name, v, true) if ref.get(name)
-        .exists(rv => rv > 0 && v > 0.15 && v * normFactor > 1.5 * rv) =>
-        name
-    }
-    val overPinJson = overPin.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      // the calibration-normalized map: seconds rescaled to the pin
-      // run's machine speed — the directly-comparable-to-BENCH_REF view
-      val qn = results.map { case (k, v, _) =>
-        "\"" + k + "\":" + (if (v < 0) v else v * normFactor) }
-        .mkString("{", ",", "}")
-      val rr = rerunFirstPass.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","units":{"queries":"raw_sec_this_machine","queries_norm":"sec_at_pin_calibration","over_pin":"judged_on_queries_norm"},"calib_sec":$calibSec,"calib_sec_end":$calibEnd,"calib_ref":$refCalib,"norm_factor":$normFactor,"contended":$contended,"reran":$reran,"rerun_first_pass":$rr,"over_pin":$overPinJson,"n_queries":${results.size},"queries":$qs,"queries_norm":$qn,"failed":$failed,"sf":"$sfDir"}"""
-    }
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-    // a filtered dev run must not clobber the committed full-suite map
-    if (only.isEmpty) {
-      java.nio.file.Files.write(fullPath,
-        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-
-    // stdout line: 3-decimal values, and the per-query map filled to a
-    // byte budget — TPC-H rows first (the headline suite), then the
-    // slowest of the rest (the rows a reader checks for regressions).
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val ok = results.collect { case (k, v, true) => (k, v) }
-    val tpch = ok.filter(_._1.matches("q\\d+_.*")).sortBy(_._1)
-    val rest = ok.filterNot(_._1.matches("q\\d+_.*")).sortBy(-_._2)
-    // both series ride the tail, explicitly named (round 13 — the r12
-    // artifact carried only raw values while over_pin is judged on
-    // normalized ones, inviting a false regression reading): each entry
-    // is "name":[raw,norm] under a units key that names the two slots.
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","units":{"queries":"[raw_sec,sec_at_pin_calibration]","over_pin":"judged_on_normalized"},"calib_sec":${r3(calibSec)},"calib_sec_end":${r3(calibEnd)},"norm_factor":${r3(normFactor)},"contended":$contended,"reran":$reran,"over_pin":$overPinJson,"n_queries":${results.size},"queries_full":"${fullPath.toAbsolutePath}","failed":$failed,"sf":"$sfDir","queries":{"""
-    val tail = "}}"
-    val budget = 1700 - head.length - tail.length
-    val entries = scala.collection.mutable.ListBuffer.empty[String]
-    var used = 0
-    (tpch ++ rest).foreach { case (k, v) =>
-      val e = "\"" + k + "\":[" + r3(v) + "," +
-        r3(if (v < 0) v else v * normFactor) + "]"
-      val sep = if (entries.isEmpty) 0 else 1
-      if (used + sep + e.length <= budget) { entries += e; used += sep + e.length }
-    }
-    println(head + entries.mkString(",") + tail)
+    emit(results.toSeq, reran, rerunFirstPass, calibEnd,
+      complete = true, deadlineHit = deadlineHit)
     spark.stop()
   }
 }

@@ -805,9 +805,13 @@ object Pipeline {
     // Pre-probe_stats artifact dirs fall back to the live aggregate;
     // either way routing is performance-only, results are
     // oracle-identical on both paths.
+    // gate on a COMMITTED version, not bare directory existence (round-16
+    // advice): a crash during the first probe_stats write leaves a dir
+    // with no committed version, and readSnapshot would throw instead of
+    // taking the documented live-aggregate fallback
     val probeDir = s"$outDir/probe_stats"
     val hotMax =
-      if (Sinks.tableExists(spark, probeDir))
+      if (Sinks.hasCommittedVersion(spark, probeDir))
         Sinks.readSnapshot(spark, probeDir)
           .head().getAs[Long]("max_key_rows")
       else Features.maxKeyRows(base, key)

@@ -253,8 +253,20 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, _, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    // Once per session: register() is called from every Tables.table()
+    // load, and createOrReplaceTempFunction logs a WARN per function per
+    // call ("replaced a previously registered function") — a 290-query
+    // bench run flooded its stdout tail with thousands of
+    // SimpleFunctionRegistry lines (round-15 verdict). Probing one
+    // sentinel name is enough: builders registers all-or-nothing below.
+    // (Benign race under concurrent first loads: worst case one extra
+    // registration round and a handful of WARNs.)
+    val sentinel = org.apache.spark.sql.catalyst.FunctionIdentifier(
+      builders.head._1)
+    if (!registry.functionExists(sentinel)) {
+      builders.foreach { case (name, _, _, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }

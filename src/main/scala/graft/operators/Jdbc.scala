@@ -119,7 +119,12 @@ object Jdbc {
     val conn0 = java.sql.DriverManager.getConnection(url)
     try {
       ensureLedger(conn0, ledger)
-      if (ledgerHas(conn0, ledger, runId, batchId)) return false
+      if (ledgerHas(conn0, ledger, runId, batchId)) {
+        // replay of a committed batch: the only stages of this batch id
+        // that can exist are a crashed prior attempt's orphans — reclaim
+        dropSiblingStages(conn0, table, batchId)
+        return false
+      }
     } finally conn0.close()
     writeTable(batch, url, stage, batchSize, SaveMode.Overwrite)
     val conn = java.sql.DriverManager.getConnection(url)
@@ -140,13 +145,53 @@ object Jdbc {
         st.executeUpdate(s"INSERT INTO $ledger VALUES ('$runId', $batchId)")
         conn.commit()
         conn.setAutoCommit(true)
-        dropIfExists(st, stage) // scratch cleanup — best-effort post-commit
+        // scratch cleanup — best-effort post-commit: this attempt's own
+        // stage AND any crashed/raced-out sibling attempt's orphan (round
+        // 16 advice — unique per-attempt stage names fixed the zombie-
+        // truncation race but removed the fixed name's self-overwriting
+        // reclaim, so orphans of this batch would otherwise leak forever;
+        // post-commit is the one moment no live attempt of this batch can
+        // still need its stage: any later attempt hits the ledger fast
+        // path and never stages)
+        dropSiblingStages(conn, table, batchId)
         true
       } catch {
         case e: Throwable => conn.rollback(); throw e
       } finally st.close()
     } finally conn.close()
   }
+
+  /** Best-effort reclaim of EVERY stage table of `(table, batchId)` —
+    * `<table>__STAGE_<batchId>_<attempt>` for any attempt token — via a
+    * getTables sweep. getTables' `_` is a single-char wildcard, so the
+    * listing is re-filtered against the strict stage-name shape before
+    * anything is dropped (a lookalike user table must never be swept).
+    * Failures are swallowed: orphan stages are scratch debris, never a
+    * correctness issue. */
+  private def dropSiblingStages(conn: java.sql.Connection, table: String,
+                                batchId: Long): Unit =
+    try {
+      val (schemaPat, tablePat) = table.split("\\.", 2) match {
+        case Array(sch, tab) => (sch.toUpperCase, tab.toUpperCase)
+        case _ => (null, table.toUpperCase)
+      }
+      val strict =
+        (java.util.regex.Pattern.quote(tablePat) +
+          "__STAGE_" + batchId + "_[A-Za-z0-9-]{1,12}").r
+      val rs = conn.getMetaData.getTables(null, schemaPat,
+        s"${tablePat}__STAGE_${batchId}_%", null)
+      val names = scala.collection.mutable.ListBuffer.empty[String]
+      try {
+        while (rs.next()) {
+          val sch = rs.getString("TABLE_SCHEM")
+          val nm = rs.getString("TABLE_NAME")
+          if (strict.matches(nm))
+            names += (if (sch != null && sch.nonEmpty) s"$sch.$nm" else nm)
+        }
+      } finally rs.close()
+      val st = conn.createStatement()
+      try names.foreach(dropIfExists(st, _)) finally st.close()
+    } catch { case _: java.sql.SQLException => () }
 
   /** DROP a scratch table; absent (42Y55) is fine — e.g. a raced replay
     * whose rival already dropped it. Other failures are also swallowed:

@@ -85,6 +85,14 @@ object Similarity {
   }
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * Deterministic rank: ties broken by neighbour id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
@@ -140,6 +148,14 @@ object Similarity {
     * 0.3–0.5 (this corpus), per-table collision is ~p_bit^b, so recall
     * needs many tables while background collisions keep the candidate set
     * large — [[ivfTopK]] is the better scale path here; LSH wins when
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * near-dup-grade similarity (cos ≥ 0.8) is the target. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int, tables: Int, multiProbe: Int = 0): DataFrame = {
@@ -180,6 +196,14 @@ object Similarity {
     * SEEDS cover the embedding space, which is what lifts the coarse
     * quantizer. The sample is O(K) rows collected driver-side (FAISS
     * trains its coarse quantizer on a sample the same way) — independent
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * of corpus size, so the scale story is unchanged. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, refineIters: Int = 1): DataFrame =
@@ -277,6 +301,14 @@ object Similarity {
 
   /** Serve approximate top-k from a PREBUILT (possibly parquet-round-
     * tripped) [[IvfIndex]]: only the query-side assignment and the
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * candidate scoring run — the corpus is never re-clustered. */
   def ivfTopKWithIndex(queries: DataFrame, corpus: DataFrame,
                        index: IvfIndex, k: Int, nProbe: Int): DataFrame = {
@@ -704,6 +736,14 @@ object Similarity {
     * count job derives (nCentroids, nProbe) via [[ivfParamsAuto]], then
     * the fixed-knob pipeline runs unchanged — the production entry
     * point; the fixed form remains for recall-pinned registrations and
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * spec geometry. */
   def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
                   refineIters: Int = 1, probeMilli: Int = 375,
@@ -741,7 +781,9 @@ object Similarity {
   }
 
   /** k-NN classification, exact form: brute-force cosine top-k then
-    * [[knnVote]] — the correctness reference, O(|queries|·|corpus|). */
+    * [[knnVote]] — the correctness reference, O(|queries|·|corpus|).
+    * Inherits [[bruteForceTopK]]'s zero-norm domain rule: an
+    * out-of-domain query row yields no classification row. */
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     knnVote(bruteForceTopK(queries, corpus, k), corpus, queries)
 
@@ -804,6 +846,14 @@ object Similarity {
     * float corpus — compose with [[ivfTopK]]'s centroid pruning for the
     * compute cut, exactly as FAISS's IVF-SQ8 does); stage 2 touches only
     * the candidate ids, so the float corpus is read once per candidate,
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * never scanned. */
   def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              rerank: Int): DataFrame = {
@@ -833,7 +883,9 @@ object Similarity {
     * row; how closely agreement tracks neighbour recall depends on vote
     * margins — wide margins (few labels, clustered classes) absorb
     * recall loss, while this corpus's 10-way mid-cosine votes track it
-    * nearly 1:1 (see the row's regime note). */
+    * nearly 1:1 (see the row's regime note). Inherits [[ivfTopK]]'s
+    * zero-norm domain rule: an out-of-domain query row yields no
+    * classification row. */
   def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
                      k: Int, nProbe: Int): DataFrame =
     knnVote(ivfTopKWithIndex(queries, corpus, index, k, nProbe),
@@ -1059,6 +1111,14 @@ object Similarity {
   }
 
   /** Score, shortlist, exact-re-rank: the shared back half of both PQ
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * serving paths. `adc` = (query_id, neighbor_id, ad). */
   private def pqRerank(adc: DataFrame, vecNorm: DataFrame,
                        queries: DataFrame, corpus: DataFrame,
@@ -1096,6 +1156,14 @@ object Similarity {
     * only for the final |queries|·rerank ids. Both indexes are built once
     * and parquet-persistable; recall compounds (a true neighbour must
     * land in a probed list AND survive the quantized shortlist) — the
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * registered row pins the measured floor. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, ivf: IvfIndex,
                 pq: PqIndex, k: Int, nProbe: Int, rerank: Int): DataFrame = {
@@ -1394,6 +1462,14 @@ object Similarity {
     * re-rank the shortlist with the exact full-dimension cosine. The
     * model must be fit on [[normalizedEmbeddings]] of the same corpus and
     * both sides are normalized here, so the shortlist metric agrees with
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * the serving metric. */
   def pcaTopK(queries: DataFrame, corpus: DataFrame, model: PcaModel,
               k: Int, shortlist: Int): DataFrame = {
@@ -1442,6 +1518,14 @@ object Similarity {
     * Plan contract (spec-pinned): candidates come from an equi-join on
     * `centroid_id`; the only nested-loop join anywhere is the O(K)
     * centroid-set broadcast inside assignment — nothing ever
+    * Zero-norm rows are OUT of the cosine domain on BOTH sides
+    * (see [[cosine]]): a zero-norm CORPUS row can never be a
+    * neighbour, and a zero-norm QUERY row yields NO output rows —
+    * deliberate silent absence, not an error (callers needing one
+    * result set per input query must pre-filter or pre-join on
+    * the returned query_id set; trainingPairs' loud raise_error
+    * convention covers starvation AFTER domain filtering, not
+    * out-of-domain inputs).
     * nested-loops the corpus against the queries. */
   def pcaIvfTopK(queries: DataFrame, corpus: DataFrame, model: PcaModel,
                  k: Int, nCentroids: Int, nProbe: Int,

@@ -72,9 +72,40 @@ object Sinks {
     * versions only; the NEXT version number advances past every
     * directory, committed or not, so a retry never collides with a
     * crashed attempt's debris (ErrorIfExists would wedge otherwise). */
-  private def listVersions(spark: SparkSession, tableDir: String): Seq[Int] =
-    rawVersions(spark, tableDir).filter(v =>
-      fs(spark).exists(new Path(s"$tableDir/v=$v/_SUCCESS")))
+  private def listVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val f = fs(spark)
+    val raw = rawVersions(spark, tableDir)
+    val marked = raw.filter(v =>
+      f.exists(new Path(s"$tableDir/v=$v/_SUCCESS")))
+    if (marked.nonEmpty || raw.isEmpty) marked
+    else
+      // LEGACY FALLBACK (round 16 advice): on a cluster whose committer
+      // does not write markers (marksuccessfuljobs=false, some
+      // object-store committers), a table written BEFORE the round-15
+      // marker requirement would otherwise become wholly unreadable.
+      // When NO version carries a marker, treat version dirs that hold
+      // real data files and no in-flight _temporary debris as committed.
+      // New writes on such a cluster fail loud in [[writeNextVersion]]
+      // instead of reaching this path, so the fallback can only see
+      // pre-marker tables — where "non-empty and not mid-write" was the
+      // original commit signal.
+      raw.filter { v =>
+        val entries = f.listStatus(new Path(s"$tableDir/v=$v")).toSeq
+          .map(_.getPath.getName)
+        entries.exists(n => !n.startsWith("_") && !n.startsWith(".")) &&
+          !entries.contains("_temporary")
+      }
+  }
+
+  /** True when the versioned table has at least one COMMITTED version —
+    * the existence gate serving paths must use before [[readSnapshot]].
+    * [[tableExists]] (bare directory probe) is the WRONG gate for
+    * versioned tables: a crash during the very first write leaves a dir
+    * with no committed version, and a reader gated on the dir would then
+    * throw instead of taking its documented fallback (round-16 advice on
+    * Pipeline.stageMetrics' probe_stats gate). */
+  def hasCommittedVersion(spark: SparkSession, tableDir: String): Boolean =
+    listVersions(spark, tableDir).nonEmpty
 
   /** Every v=N directory, committed or not — next-version computation
     * and vacuum need the full set. */
@@ -97,6 +128,18 @@ object Sinks {
                                df: DataFrame): Int = {
     val next = rawVersions(spark, tableDir).lastOption.getOrElse(0) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    // Commit-marker config check (round 16 advice): the versioned layout
+    // treats `_SUCCESS` as the commit record, so a committer configured
+    // not to write it (marksuccessfuljobs=false, some object-store
+    // committers) would make every snapshot just written invisible to
+    // readers. Fail LOUD at write time — the one moment the mismatch is
+    // diagnosable — instead of letting reads quietly see a stale version.
+    if (!fs(spark).exists(new Path(s"$tableDir/v=$next/_SUCCESS")))
+      throw new IllegalStateException(
+        s"$tableDir/v=$next was written but carries no _SUCCESS marker — " +
+          "the configured output committer does not write success markers " +
+          "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false?); the " +
+          "versioned snapshot layout requires them as its commit record")
     next
   }
 
@@ -529,6 +572,20 @@ object Sinks {
       f.delete(new Path(s"$tableDir/v=$v"), true))
     (drop ++ orphans, keep)
   }
+
+  /** [[vacuumSnapshot]] gated on actual growth — the streaming hot-path
+    * form (round-16 advice): an unconditional vacuum on every micro-batch
+    * pays an O(retained versions) marker-probe listing per publish, for a
+    * reclaim that can remove at most one version per batch. This probe is
+    * ONE directory listing (no per-version marker checks); the full
+    * vacuum runs only once the raw trail exceeds `2 * keepLast` dirs —
+    * amortized O(1) listings per batch, trail bounded at ≤ 2·keepLast. */
+  def vacuumSnapshotIfGrown(spark: SparkSession, tableDir: String,
+                            keepLast: Int): Unit =
+    if (rawVersions(spark, tableDir).size > 2 * keepLast) {
+      vacuumSnapshot(spark, tableDir, keepLast)
+      ()
+    }
 
   /** Latest snapshot version of an [[upsertSnapshot]] table. */
   def readSnapshot(spark: SparkSession, tableDir: String): DataFrame = {

@@ -204,12 +204,12 @@ object StreamingAnalytics {
           graft.operators.Sinks.replaceSnapshot(spark, artifactDir,
             merged.select(col("sk"),
               hll_sketch_estimate(col("sk")).as("estimate")))
-          // bound the version trail (round 15): one v=N per micro-batch
-          // over an unbounded stream is unbounded small-dir growth AND
-          // an O(versions) directory listing on every publish/read;
-          // keepVersions leaves concurrent readers of recent versions
-          // safe while capping both
-          graft.operators.Sinks.vacuumSnapshot(spark, artifactDir,
+          // bound the version trail (round 15; round 16: growth-gated —
+          // a full vacuum on EVERY micro-batch paid an O(versions)
+          // marker-probe listing per publish on the streaming hot path;
+          // the gated form is one dir listing per batch, full vacuum
+          // only once the trail exceeds 2x keepVersions)
+          graft.operators.Sinks.vacuumSnapshotIfGrown(spark, artifactDir,
             keepLast = keepVersions)
           ()
         }
@@ -249,7 +249,7 @@ object StreamingAnalytics {
                 batchBits))
             else batchBits
           Sinks.replaceSnapshot(spark, artifactDir, merged)
-          Sinks.vacuumSnapshot(spark, artifactDir, keepLast = keepVersions)
+          Sinks.vacuumSnapshotIfGrown(spark, artifactDir, keepLast = keepVersions)
           ()
         }
       }
@@ -316,7 +316,7 @@ object StreamingAnalytics {
         .withColumn("batch_id", lit(-1L))
         .unionByName(ledgerRow(spark, batchId))
       Sinks.replaceSnapshot(spark, artifactDir, merged)
-      Sinks.vacuumSnapshot(spark, artifactDir, keepLast = keepVersions)
+      Sinks.vacuumSnapshotIfGrown(spark, artifactDir, keepLast = keepVersions)
     }
     ()
   }
@@ -401,7 +401,7 @@ object StreamingAnalytics {
         .select(cells.columns.map(col): _*)
         .unionByName(ledger(batchId))
       Sinks.replaceSnapshot(spark, artifactDir, merged)
-      Sinks.vacuumSnapshot(spark, artifactDir, keepLast = keepVersions)
+      Sinks.vacuumSnapshotIfGrown(spark, artifactDir, keepLast = keepVersions)
       ()
     }
   }

@@ -140,8 +140,14 @@ class StreamingIngestSpec extends SparkSpecBase {
     // stage name (the shape a crashed attempt leaves). The retry owns
     // its OWN per-attempt stage (round 15 — a shared name let a zombie
     // attempt's truncate race a replay into committing a partial batch),
-    // so it must publish the true rows exactly once while the orphan
-    // stays inert scratch debris that never leaks into the target.
+    // so it must publish the true rows exactly once; the orphan must
+    // never leak into the target, and (round 16) the winning commit
+    // RECLAIMS it — per-attempt names otherwise leak one stage table
+    // per crashed attempt forever.
+    def stage7Tables() = graft.operators.Jdbc.readQuery(spark, url,
+      "SELECT tablename FROM SYS.SYSTABLES WHERE tabletype = 'T'")
+      .collect().map(_.getString(0))
+      .filter(_.startsWith("EO_CRASH__STAGE_7")).toSet
     graft.operators.Jdbc.writeTable(
       Seq((99L, "stale")).toDF("k", "v"), url,
       "eo_crash__STAGE_7_dead0000", batchSize = 500)
@@ -152,11 +158,21 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(graft.operators.Jdbc.readQuery(spark, url,
       """SELECT "k" FROM eo_crash""").collect().map(_.getLong(0)).toSet
       === Set(1L, 2L)) // the stale row never leaked into the target
-    assert(count("eo_crash__STAGE_7_dead0000") === 1L) // debris, inert
+    assert(stage7Tables() === Set.empty[String],
+      "the winning commit must reclaim the crashed attempt's orphan stage")
     // replay of the recovered batch is still a no-op
     assert(!graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
       "eo_crash", batchId = 7L, runId = "c1"))
     assert(count("eo_crash") === 2L)
+    // a replay arriving with NEW orphan debris (its own prior crashed
+    // attempt) reclaims it on the ledger fast path too
+    graft.operators.Jdbc.writeTable(
+      Seq((98L, "stale2")).toDF("k", "v"), url,
+      "eo_crash__STAGE_7_dead0001", batchSize = 500)
+    assert(!graft.operators.Jdbc.writeBatchExactlyOnce(rows, url,
+      "eo_crash", batchId = 7L, runId = "c1"))
+    assert(stage7Tables() === Set.empty[String],
+      "the ledger fast path must reclaim orphan stages of a committed batch")
 
     // (2) crash DURING the staging write: a poisoned batch whose
     // evaluation throws mid-write. The publish must throw, the target
@@ -177,20 +193,20 @@ class StreamingIngestSpec extends SparkSpecBase {
       "SELECT batch_id FROM eo_crash__LEDGER")
       .collect().map(_.getLong(0)).toSet
     assert(idsMid === Set(7L)) // no ledger mark for the failed publish
-    // the poisoned attempt's partially-staged table is expected debris;
-    // the healthy retry owns its own stage and must drop it post-commit
-    // — i.e. a successful publish adds NO stage table to the debris set
+    // the poisoned attempt's partially-staged table is crash debris; the
+    // healthy retry owns its own stage, drops it post-commit, AND (round
+    // 16) sweeps the poisoned attempt's orphan — a successful publish
+    // leaves ZERO stage tables for its batch id
     def stage8Tables() = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT tablename FROM SYS.SYSTABLES WHERE tabletype = 'T'")
       .collect().map(_.getString(0))
       .filter(_.startsWith("EO_CRASH__STAGE_8")).toSet
-    val debris = stage8Tables()
     assert(graft.operators.Jdbc.writeBatchExactlyOnce(
       Seq((3L, "c"), (4L, "d")).toDF("k", "v"), url,
       "eo_crash", batchId = 8L, runId = "c1"))
     assert(count("eo_crash") === 4L)
-    assert(stage8Tables() === debris,
-      "a successful publish left its own stage undropped")
+    assert(stage8Tables() === Set.empty[String],
+      "a successful publish must leave no stage tables for its batch id")
     val ids = graft.operators.Jdbc.readQuery(spark, url,
       "SELECT batch_id FROM eo_crash__LEDGER")
       .collect().map(_.getLong(0)).toSet

@@ -30,6 +30,19 @@ def main():
     base, cand = load(sys.argv[1]), load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
+    # round 16: Bench emits a rescue line after the first pass
+    # (complete:false) and a final one after the end calibration
+    # (complete:true). A candidate whose LAST line is incomplete was
+    # killed mid-run — its numbers are first-pass-only (no over-pin
+    # rescue applied) and its contended field is "unknown". Say so.
+    for tag, doc in (("baseline", base), ("candidate", cand)):
+        if doc.get("complete") is False:
+            print(f"WARNING: {tag} run was cut short (complete:false) — "
+                  f"timings are pre-rescue, contended={doc.get('contended')}")
+        if doc.get("deadline_hit"):
+            print(f"WARNING: {tag} hit its rerun deadline — some over-pin "
+                  f"rows were never re-measured")
+
     cb, cc = base.get("calib_sec", -1.0), cand.get("calib_sec", -1.0)
     has_calib = cb > 0 and cc > 0
     load_ratio = cc / cb if has_calib else 1.0
