@@ -1057,6 +1057,30 @@ object Similarity {
     (m, k)
   }
 
+  /** Auto rerank budget for serving an AUTO-sized PQ index (round 16,
+    * VERDICT r15 item 7): the shortlist the exact re-rank stage rescores.
+    *
+    * Base rule (shared with the fixed registrations): 5% of the corpus,
+    * floor 100 — the fraction that held recall flat from sf0.01 through
+    * the 20k surrogate for 16-byte codes (RECALL_SCALE.md round 9).
+    *
+    * Mid-n clause: in 10k ≤ n < 50k the auto (m, k) has just dropped to
+    * the birthday-bound minimum (4-byte codes at n = 20k vs the fixed
+    * frontier's 16), so the ADC ranking is at its noisiest relative to
+    * corpus size and the 5% shortlist measurably starves the re-rank
+    * (recall 0.841 at n = 20k vs 0.988 fixed, RECALL_SCALE.md round 15).
+    * The budget triples to 15% there — bounded absolute cost (≤ 7.5k
+    * exact rescores per query, and only the float rows of shortlisted
+    * ids are read) — and returns to 5% at n ≥ 50k where code bits have
+    * grown back into the corpus (2·log₂(n) keeps rising while the
+    * fraction's absolute size grows linearly). Below 10k the m-floor
+    * clause of [[pqParamsAuto]] already serves fixed-frontier codes
+    * (measured recall 1.000 at n = 2k with the plain 5%), so no bump. */
+  def pqRerankAuto(n: Long): Int = {
+    val frac = if (n >= 10000L && n < 50000L) 0.15 else 0.05
+    math.max(100, math.ceil(frac * n).toInt)
+  }
+
   /** [[buildPqIndex]] with the sizing rule applied automatically: ONE
     * aggregate job reads (count, dim), [[pqParamsAuto]] derives (m, k),
     * and the fixed-knob builder runs unchanged — the production entry

@@ -984,7 +984,13 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") % 50 === 0)
-        val rerank = scaledBudget(emb.count(), base = 100, frac = 0.05)
+        // the auto row's rerank rides Similarity.pqRerankAuto (round 16):
+        // same 5%/min-100 as the fixed row at the driver SFs, but with
+        // the mid-n (10k-50k) bump to 15% where the auto codes are
+        // coarsest relative to corpus size — recall 0.841 -> measured
+        // >= 0.9 at n=20k (RECALL_SCALE.md round 16), asymptotics
+        // unchanged
+        val rerank = Similarity.pqRerankAuto(emb.count())
         val approx = Similarity.buildPqIndexAuto(emb) match {
           case None => s.range(0).select(col("id").as("query_id"),
             col("id").as("rank"), col("id").as("neighbor_id"))

@@ -651,6 +651,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.pqParamsAuto(9999L, 64)._1 === 16)
     assert(Similarity.pqParamsAuto(10000L, 64) === ((4, 256)))
     assert(Similarity.pqParamsAuto(2000L, 8)._1 === 8) // dim-capped floor
+    // rerank budget (round 16): 5%/min-100 everywhere EXCEPT the mid-n
+    // band 10k <= n < 50k, where the auto codes have just dropped to the
+    // birthday-bound minimum and the budget triples to 15% (recall
+    // 0.841 -> 0.974 at n=20k, RECALL_SCALE.md round 16)
+    assert(Similarity.pqRerankAuto(500L) === 100)   // floor
+    assert(Similarity.pqRerankAuto(2000L) === 100)  // 5%, floored at 100
+    assert(Similarity.pqRerankAuto(9999L) === 500)  // 5% below the band
+    assert(Similarity.pqRerankAuto(20000L) === 3000) // 15% inside it
+    assert(Similarity.pqRerankAuto(49999L) === 7500) // bounded at <= 7.5k
+    assert(Similarity.pqRerankAuto(50000L) === 2500) // 5% resumes
+    assert(Similarity.pqRerankAuto(1000000L) === 50000)
     // identity: auto == fixed at the derived params (same sample, same
     // seeding, same Lloyd passes → identical codebooks and codes)
     val emb = Tables.embeddings(spark, sf0001)

@@ -131,9 +131,13 @@ object ScaleRecallCheck {
       // surrogate scale
       if (want("pq_auto")) {
         val pqAutoIdx = Similarity.buildPqIndexAuto(emb).get
-        println(f"n=$n%6d  pq_auto params: m=${pqAutoIdx.m} k=${pqAutoIdx.k}")
+        // the auto row serves with pqRerankAuto (round 16): the mid-n
+        // (10k-50k) 15% bump where auto codes are coarsest vs corpus size
+        val rerankAuto = Similarity.pqRerankAuto(n)
+        println(f"n=$n%6d  pq_auto params: m=${pqAutoIdx.m} k=${pqAutoIdx.k} rerank=$rerankAuto")
         rec("pq_auto", 0.7,
-          Similarity.pqTopK(queries, emb, pqAutoIdx, k = 5, rerank = rerank))
+          Similarity.pqTopK(queries, emb, pqAutoIdx, k = 5,
+            rerank = rerankAuto))
       }
       rec("ivfpq", 0.6, Similarity.buildIvfIndex(emb, nCentroids = 32,
         refineIters = 2)
