@@ -987,8 +987,8 @@ object ExtensionQueries {
         // the auto row's rerank rides Similarity.pqRerankAuto (round 16):
         // same 5%/min-100 as the fixed row at the driver SFs, but with
         // the mid-n (10k-50k) bump to 15% where the auto codes are
-        // coarsest relative to corpus size — recall 0.841 -> measured
-        // >= 0.9 at n=20k (RECALL_SCALE.md round 16), asymptotics
+        // coarsest relative to corpus size — recall 0.841 -> 0.969
+        // measured at n=20k (RECALL_SCALE.md round 16), asymptotics
         // unchanged
         val rerank = Similarity.pqRerankAuto(emb.count())
         val approx = Similarity.buildPqIndexAuto(emb) match {

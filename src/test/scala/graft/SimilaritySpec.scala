@@ -654,7 +654,7 @@ class SimilaritySpec extends SparkSpecBase {
     // rerank budget (round 16): 5%/min-100 everywhere EXCEPT the mid-n
     // band 10k <= n < 50k, where the auto codes have just dropped to the
     // birthday-bound minimum and the budget triples to 15% (recall
-    // 0.841 -> 0.974 at n=20k, RECALL_SCALE.md round 16)
+    // 0.841 -> 0.969 at n=20k, RECALL_SCALE.md round 16)
     assert(Similarity.pqRerankAuto(500L) === 100)   // floor
     assert(Similarity.pqRerankAuto(2000L) === 100)  // 5%, floored at 100
     assert(Similarity.pqRerankAuto(9999L) === 500)  // 5% below the band
