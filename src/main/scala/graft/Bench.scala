@@ -362,17 +362,30 @@ object Bench {
         complete, deadlineHit))
     }
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+    // First measurement pass, with a PARTIAL emit every 25 rows: the
+    // post-pass rescue emit (below) covers the round-15 failure mode —
+    // killed after measuring everything — but a slower box or a bigger
+    // SF could blow the window MID-pass, and a partial artifact
+    // (complete:false, n_queries < registered) still beats `parsed:
+    // null`. Cost: ~12 extra 1.7 KB stdout lines + BENCH_FULL rewrites
+    // per full run.
+    val firstPassBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        try (name, timedBest(name, fn, passesFor(name)), true)
+      .foreach { case (name, fn) =>
+        firstPassBuf += (try (name, timedBest(name, fn, passesFor(name)), true)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (name, -1.0, false)
-        }
+        })
+        if (firstPassBuf.length % 25 == 0)
+          emit(firstPassBuf.toSeq, reran = 0, Map.empty[String, Double],
+            calibEnd = -1.0, complete = false, deadlineHit = false)
       }
-    // RESCUE EMIT: the round's number exists from this point on, whatever
-    // the driver's timeout does to the remainder of the run.
+    val firstPass = firstPassBuf.toSeq
+    // RESCUE EMIT: the round's FULL number exists from this point on,
+    // whatever the driver's timeout does to the remainder of the run.
     emit(firstPass, reran = 0, Map.empty[String, Double],
       calibEnd = -1.0, complete = false, deadlineHit = false)
 

@@ -88,7 +88,11 @@ object Sinks {
       // New writes on such a cluster fail loud in [[writeNextVersion]]
       // instead of reaching this path, so the fallback can only see
       // pre-marker tables — where "non-empty and not mid-write" was the
-      // original commit signal.
+      // original commit signal. Once a marker-bearing version lands on a
+      // legacy table (e.g. an upsert under a marker-writing committer),
+      // strict mode resumes and the marker-less vintages stop being
+      // listed: time travel to them is lost, but data is not — the
+      // upsert's merge base was read through this fallback.
       raw.filter { v =>
         val entries = f.listStatus(new Path(s"$tableDir/v=$v")).toSeq
           .map(_.getPath.getName)
