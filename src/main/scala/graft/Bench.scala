@@ -433,5 +433,12 @@ object Bench {
     emit(results.toSeq, reran, rerunFirstPass, calibEnd,
       complete = true, deadlineHit = deadlineHit)
     spark.stop()
+    // The driver keeps only the tail of COMBINED output (sbt echoes
+    // Spark's stderr into it — the r15 artifact's tail was all WARN
+    // lines), and spark.stop() can log after the final emit. Print the
+    // final line once more on a fully-stopped session so the tail always
+    // ends in the parseable artifact.
+    emit(results.toSeq, reran, rerunFirstPass, calibEnd,
+      complete = true, deadlineHit = deadlineHit)
   }
 }
