@@ -740,8 +740,11 @@ object Pipeline {
     *  - validate/test REQUIRE the train artifacts: the reference's
     *    endpoints probe the stored model/params and answer "model not
     *    found — run /train first" instead of crashing (main.py:320-323);
-    *    here the SRC5 existence probe ([[Sinks.tableExists]]) gates the
-    *    stage the same way.
+    *    here a committed-version probe ([[Sinks.hasCommittedVersion]])
+    *    gates the stage the same way — committed, not bare-directory
+    *    (round 16): a crash during the first artifact write leaves a dir
+    *    whose readSnapshot would throw, and that must read as "model not
+    *    found", not as present-then-crash.
     *  - stage failures are SOFT: the client logs each stage's outcome
     *    and proceeds to the next (automate_pipeline.py:97-108 — a failed
     *    validate does not abort test), so one bad stage never takes down
@@ -769,7 +772,7 @@ object Pipeline {
         // silently score a different model than run() published.
         val required = requiredArtifacts(cfg)
         val missing = required.filterNot(a =>
-          Sinks.tableExists(spark, s"$outDir/$a"))
+          Sinks.hasCommittedVersion(spark, s"$outDir/$a"))
         if (missing.nonEmpty)
           StageStatus(st, ok = false,
             s"missing artifacts ${missing.mkString(", ")} — run train first")

@@ -193,8 +193,11 @@ object Serve {
       // Pipeline.requiredArtifacts — the ONE definition automate's own
       // validate/test gate checks, so skip-into-stage can never pass
       // here and then fail there (round 15)
+      // committed versions, not bare dirs (round 16) — same gate class
+      // as Pipeline.automate's: a crashed first artifact write must not
+      // count as "models already exist" for skip_training
       val modelsExist = Pipeline.requiredArtifacts(cfg).forall(a =>
-        Sinks.tableExists(spark, s"$outDir/$a"))
+        Sinks.hasCommittedVersion(spark, s"$outDir/$a"))
       val stages =
         if (skipTraining && modelsExist) Seq("validate", "test")
         else Seq("train", "validate", "test")

@@ -195,7 +195,12 @@ object StreamingAnalytics {
           val batchSk = batch.agg(
             hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
           val merged =
-            if (graft.operators.Sinks.tableExists(spark, artifactDir))
+            // committed-version gate (round 16): a crashed FIRST publish
+            // leaves artifactDir with no committed v=N; a bare-dir gate
+            // would route every restart into readSnapshot -> throw ->
+            // failed batch -> wedged stream. hasCommittedVersion treats
+            // that state as "fresh" and the create path converges.
+            if (graft.operators.Sinks.hasCommittedVersion(spark, artifactDir))
               graft.operators.Sinks.readSnapshot(spark, artifactDir)
                 .select(col("sk"))
                 .unionByName(batchSk)
@@ -243,7 +248,8 @@ object StreamingAnalytics {
           import graft.operators.{Sinks, Sketches}
           val batchBits = Sketches.bloom(batch, col(keyCol), bits, hashes, seed)
           val merged =
-            if (Sinks.tableExists(spark, artifactDir))
+            // committed-version gate (round 16, see runHllDistinct)
+            if (Sinks.hasCommittedVersion(spark, artifactDir))
               Sketches.mergeBlooms(Seq(
                 Sinks.readSnapshot(spark, artifactDir).select(col("bit")),
                 batchBits))
@@ -301,7 +307,8 @@ object StreamingAnalytics {
     if (batch.isEmpty) return
     val cells = Sketches.countMin(batch, col(keyCol), width, depth, seed)
       .withColumn("batch_id", lit(-1L)) // sketch rows carry no ledger id
-    if (!Sinks.tableExists(spark, artifactDir)) {
+    // committed-version gate (round 16, see runHllDistinct)
+    if (!Sinks.hasCommittedVersion(spark, artifactDir)) {
       Sinks.replaceSnapshot(spark, artifactDir,
         cells.unionByName(ledgerRow(spark, batchId)))
     } else {
@@ -384,7 +391,8 @@ object StreamingAnalytics {
             case _ => lit(null)
           }).cast(f.dataType).as(f.name)
         }: _*))
-    if (!Sinks.tableExists(spark, artifactDir)) {
+    // committed-version gate (round 16, see runHllDistinct)
+    if (!Sinks.hasCommittedVersion(spark, artifactDir)) {
       Sinks.replaceSnapshot(spark, artifactDir,
         cells.unionByName(ledger(batchId)))
       ()

@@ -233,6 +233,30 @@ class StreamingAnalyticsSpec extends SparkSpecBase {
     assert(replayed.head.getLong(0) === 60L)
   }
 
+  test("runHllDistinct converges over a crashed first publish: uncommitted v=N debris reads as fresh, never a wedged stream") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_hllcr").toString
+    val landing = s"$base/feed"; new java.io.File(landing).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "b1.json"),
+      (1 to 30).map(u => s"""{"user_id":$u}""").mkString("\n"))
+    // the crash shape a killed first publish leaves: the artifact dir
+    // exists, v=1 holds only in-flight _temporary debris, NO _SUCCESS.
+    // The old bare-directory gate routed this into readSnapshot ("no
+    // v=N snapshot versions") on EVERY restart — a permanently wedged
+    // stream; the committed-version gate takes the create path instead.
+    new java.io.File(s"$base/artifact/v=1/_temporary").mkdirs()
+    val stream = spark.readStream.schema("user_id LONG").json(landing)
+    val q = StreamingAnalytics.runHllDistinct(spark, stream, "user_id",
+      artifactDir = s"$base/artifact", checkpointDir = s"$base/ckpt")
+    q.awaitTermination(120000)
+    val art = graft.operators.Sinks.readSnapshot(spark, s"$base/artifact")
+    assert(art.select("estimate").head.getLong(0) === 30L)
+    // the recovery version advanced PAST the debris, never into it
+    assert(!new java.io.File(s"$base/artifact/v=1/_SUCCESS").exists())
+    assert(new java.io.File(s"$base/artifact/v=2/_SUCCESS").exists())
+  }
+
   test("runCountMin: cell-wise sketch accretion across batches; redelivered batch id is an exact no-op (ledger)") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Sinks, Sketches}
