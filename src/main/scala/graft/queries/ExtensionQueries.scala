@@ -3363,7 +3363,9 @@ object ExtensionQueries {
         // batch 0 the watermark sat at max_ts − 3600 and later-batch
         // rows below it were evicted — semantics broken exactly at the
         // scales the bench times).
-        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val stats = docs.agg(max(col("doc_id")), count(lit(1))).head()
+        val maxId = stats.getLong(0)
+        val nRows = stats.getLong(1)
         val delay = s"${maxId + 3600} seconds"
         // four deterministic chunk files: doc_id mod 4, written in
         // order so the file source replays them as four micro-batches —
@@ -3380,7 +3382,7 @@ object ExtensionQueries {
         }
         docs.filter(pmod(col("doc_id"), lit(7)) === 0)
           .coalesce(1).write.mode("overwrite").json(s"$landing/c4_rearrival")
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream.schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
         val deduped = graft.streaming.StreamingDedup.exactDedupStream(
@@ -3448,14 +3450,16 @@ object ExtensionQueries {
         val landing = s"$base/in"
         // RANGE chunks (not mod): per-source doc_id must be monotone
         // ACROSS micro-batches — the gate checks it loudly since r12
-        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val stats = docs.agg(max(col("doc_id")), count(lit(1))).head()
+        val maxId = stats.getLong(0)
+        val nRows = stats.getLong(1)
         val cut = maxId / 4 + 1
         (0 until 4).foreach { i =>
           docs.filter(col("doc_id") >= i * cut &&
               col("doc_id") < (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("source STRING, doc_id LONG, weight LONG")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -3508,15 +3512,17 @@ object ExtensionQueries {
             col("event_type"), col("value"))
         val base = Scratch.dir("stream-window")
         val landing = s"$base/in"
-        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ev.filter(col("ts_us") >= lo + i * cut &&
               col("ts_us") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("ts_us LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -3584,15 +3590,17 @@ object ExtensionQueries {
             col("user_id"))
         val base = Scratch.dir("stream-session")
         val landing = s"$base/in"
-        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ev.filter(col("ts_us") >= lo + i * cut &&
               col("ts_us") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("ts_us LONG, user_id LONG")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -3669,10 +3677,13 @@ object ExtensionQueries {
             unix_micros(col("ts").cast("timestamp")).as("ts_us"),
             col("event_type"))
         val base = Scratch.dir("stream-ijoin")
+        var nRows = 0L
         def chunks(side: DataFrame, name: String): String = {
           val landing = s"$base/$name"
-          val b = side.agg(min(col("ts_us")), max(col("ts_us"))).head()
+          val b = side.agg(min(col("ts_us")), max(col("ts_us")),
+            count(lit(1))).head()
           val (lo, hi) = (b.getLong(0), b.getLong(1))
+          nRows += b.getLong(2)
           val cut = (hi - lo) / 3 + 1
           (0 until 3).foreach { i =>
             side.filter(col("ts_us") >= lo + i * cut &&
@@ -3689,7 +3700,7 @@ object ExtensionQueries {
           ev.filter(col("event_type") === "purchase")
             .select(col("user_id").as("user_id_r"),
               col("event_id").as("purchase_id"), col("ts_us")), "purch")
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val left = s.readStream
           .schema("user_id LONG, click_id LONG, ts_us LONG")
           .option("maxFilesPerTrigger", "1").json(s"$clicksDir/*")
@@ -3755,15 +3766,17 @@ object ExtensionQueries {
             col("value"))
         val base = Scratch.dir("stream-latest")
         val landing = s"$base/in"
-        val bounds = ded.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val bounds = ded.agg(min(col("ts_us")), max(col("ts_us")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ded.filter(col("ts_us") >= lo + i * cut &&
               col("ts_us") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("currency STRING, event STRING, ts_us LONG, value DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -3845,15 +3858,17 @@ object ExtensionQueries {
             col("event_id").as("id"), col("value").as("v"))
         val base = Scratch.dir("stream-ewma")
         val landing = s"$base/in"
-        val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val bounds = ev.agg(min(col("ts")), max(col("ts")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ev.filter(col("ts") >= lo + i * cut &&
               col("ts") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("key STRING, ts LONG, id LONG, v DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -3922,15 +3937,17 @@ object ExtensionQueries {
             col("event_id").as("eventId"))
         val base = Scratch.dir("stream-funnel")
         val landing = s"$base/in"
-        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val bounds = ev.agg(min(col("ts_us")), max(col("ts_us")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ev.filter(col("ts_us") >= lo + i * cut &&
               col("ts_us") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("userId LONG, eventType STRING, ts_us LONG, eventId LONG")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -4249,15 +4266,17 @@ object ExtensionQueries {
             col("event_id").as("id"), col("value").as("v"))
         val base = Scratch.dir("stream-cusum")
         val landing = s"$base/in"
-        val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val bounds = ev.agg(min(col("ts")), max(col("ts")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ev.filter(col("ts") >= lo + i * cut &&
               col("ts") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("key STRING, ts LONG, id LONG, v DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
