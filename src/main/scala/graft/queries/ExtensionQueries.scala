@@ -4034,12 +4034,13 @@ object ExtensionQueries {
           .select(col("event_id"), col("user_id"))
         val base = Scratch.dir("stream-cms")
         val landing = s"$base/in"
+        val nRows = ev.count()
         // additive counters are order-insensitive — mod chunks suffice
         (0 until 4).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(4)) === i)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("event_id LONG, user_id LONG")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -4097,11 +4098,12 @@ object ExtensionQueries {
           .select(col("event_id"), col("user_id"))
         val base = Scratch.dir("stream-bloom")
         val landing = s"$base/in"
+        val nRows = members.count()
         (0 until 4).foreach { i =>
           members.filter(pmod(col("event_id"), lit(4)) === i)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("event_id LONG, user_id LONG")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -4179,11 +4181,12 @@ object ExtensionQueries {
           nBins = 10)
           .write.mode("overwrite").parquet(refDir)
         val landing = s"$base/in"
+        val nRows = ev.count()
         (0 until 4).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(4)) === i)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -4353,11 +4356,12 @@ object ExtensionQueries {
         Sketches.histBounds(ev, Seq("event_type"), col("value"), nBins = 32)
           .write.mode("overwrite").parquet(gridDir)
         val landing = s"$base/in"
+        val nRows = ev.count()
         (0 until 4).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(4)) === i)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -4420,11 +4424,12 @@ object ExtensionQueries {
           .select(col("event_id"), col("user_id"))
         val base = Scratch.dir("stream-hll")
         val landing = s"$base/in"
+        val nRows = ev.count()
         (0 until 4).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(4)) === i)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("event_id LONG, user_id LONG")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
@@ -4484,11 +4489,12 @@ object ExtensionQueries {
           .withColumn("value", col("value") * 2)
           .withColumn("op", lit("I"))
           .withColumn("ord", lit(2L))
+        val nRows = e.count()
         Seq(existing, upsDels, reins, reins).zipWithIndex.foreach {
           case (chunk, i) => chunk.coalesce(1).write.mode("overwrite")
             .json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("event_id LONG, user_id LONG, event_type STRING, " +
             "value DOUBLE, op STRING, ord LONG")
@@ -4550,15 +4556,17 @@ object ExtensionQueries {
             col("value"))
         val base = Scratch.dir("stream-upsert")
         val landing = s"$base/in"
-        val bounds = ded.agg(min(col("ts_us")), max(col("ts_us"))).head()
+        val bounds = ded.agg(min(col("ts_us")), max(col("ts_us")),
+          count(lit(1))).head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val nRows = bounds.getLong(2)
         val cut = (hi - lo) / 4 + 1
         (0 until 4).foreach { i =>
           ded.filter(col("ts_us") >= lo + i * cut &&
               col("ts_us") < lo + (i + 1) * cut)
             .coalesce(1).write.mode("overwrite").json(s"$landing/c$i")
         }
-        () => {
+        () => graft.streaming.StreamTuning.withStatePartitions(s, nRows) {
         val in = s.readStream
           .schema("user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
           .option("maxFilesPerTrigger", "1").json(s"$landing/*")
