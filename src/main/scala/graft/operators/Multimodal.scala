@@ -243,7 +243,18 @@ object Multimodal {
                        format: String = "png"): DataFrame = {
     import spark.implicits._
     require(Set("png", "jpg")(format), s"format must be png or jpg: $format")
-    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
+    // Dedup.spread on the image/video synthesize* inputs (round 16): a
+    // small docs parquet arrives as ONE split, and the whole
+    // encode→decode codec chain then runs single-threaded (the decode
+    // stages inherit this stage's partitioning). The spread shuffles
+    // only (doc_id, md5) — never payload bytes — and is a no-op once
+    // the scan is at least cluster-wide. The AUDIO synthesize entries
+    // deliberately stay unspread: their PCM codec work is trivial, and
+    // decodeAudio's per-row AudioSystem.getAudioInputStream walks a
+    // synchronized provider registry — 32 concurrent tasks contend on
+    // that lock and run SLOWER than one (measured 0.4 → 1.7 s).
+    Dedup.spread(docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
       .as[(Long, String)]
       .mapPartitions { batch =>
         val encode = partitionImageEncoder(format) // one writer per task
@@ -318,7 +329,8 @@ object Multimodal {
     * twins are exactly what a perceptual near-dup detector must find. */
   def synthesizeImagesVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
+    Dedup.spread(docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
       .as[(Long, String)]
       .mapPartitions { batch =>
         val encode = partitionImageEncoder("png") // one writer per task
@@ -421,7 +433,8 @@ object Multimodal {
     * bytes are a genuine WAV a real decoder must parse. */
   def synthesizeAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
+    docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, hex) =>
@@ -463,7 +476,8 @@ object Multimodal {
     * its shape, exactly what a level-robust fingerprint must match. */
   def synthesizeAudioVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
+    docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.flatMap { case (id, hex) =>
@@ -601,7 +615,8 @@ object Multimodal {
     * container a real reader must walk. */
   def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
+    Dedup.spread(docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
       .as[(Long, String)]
       .mapPartitions { batch =>
         // 256-entry grayscale palette: index i ↦ (i, i, i) — shared per
@@ -794,8 +809,8 @@ object Multimodal {
     * actually ships). */
   def synthesizeMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"),
-        md5(coalesce(col("text"), lit(""))).as("h"))
+    Dedup.spread(docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, hex) =>
@@ -947,8 +962,8 @@ object Multimodal {
     * container walk AND a real (lossy) codec per frame. */
   def synthesizeMjpegMp4(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"),
-        md5(coalesce(col("text"), lit(""))).as("h"))
+    Dedup.spread(docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
       .as[(Long, String)]
       .mapPartitions { batch =>
         // ONE JPEG encoder per partition (the codec-context amortization
@@ -1254,7 +1269,8 @@ object Multimodal {
   def synthesizeCaptionedImages(spark: SparkSession,
                                 docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), md5(coalesce(col("text"), lit(""))).as("h"))
+    Dedup.spread(docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
       .as[(Long, String)]
       .mapPartitions { batch =>
         val encode = partitionImageEncoder("png") // one writer per task

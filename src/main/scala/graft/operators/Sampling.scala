@@ -362,7 +362,21 @@ object Sampling {
     val gFrame = df.sparkSession.range(nGroups)
       .select(col("id").cast("int").as("__g"))
     val baseCols = base.columns.map(col).toSeq
-    val reps = base
+    // Fan-out parallelism floor (round 16, guide §2.5 input skew): a
+    // small single-row-group parquet input scans as ONE split, and the
+    // whole md5 fan-out (rows × ⌈B/3⌉ hashes, × B weight rows) then runs
+    // on one core before the first exchange — measured as the row's
+    // entire cost at bench scale. Hash-repartition the narrow base by
+    // `key` up to cluster width BEFORE attaching replicate groups (the
+    // §8 rule: shuffle the light rows, explode after). When the scan is
+    // already at least cluster-wide — any real at-scale input — this is
+    // a no-op, so no extra exchange exists at 100 TB.
+    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < defaultPar)
+        base.repartition(defaultPar, key)
+      else base
+    val reps = spread
       .crossJoin(broadcast(gFrame))
       .withColumn("__h", md5(concat_ws(":", key.cast("string"),
         col("__g"), lit(seed))))
