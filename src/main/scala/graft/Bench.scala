@@ -178,6 +178,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // CPU-dense-per-byte stages (hash fan-outs, codec chains, vector
+      // math) shuffle few bytes; AQE's byte-proxy coalescing at the 1 MB
+      // default floor collapses them to one partition and serializes the
+      // compute. A lower floor lets parallelismFirst actually deliver
+      // cluster-width at small byte sizes; stages shuffling real volume
+      // are unaffected (round 16, guide §2.2 — env-parameterised, same
+      // knob on any cluster).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")

@@ -1317,7 +1317,11 @@ object TextAnalysis {
     * legal in any Structured Streaming output mode with no watermark or
     * state, and at batch scale it trades [[lmScore]]'s one (doc_id,
     * long, long) shuffle for bounded in-row probes. */
-  def lmScoreRowwise(docs: DataFrame, model: BigramLmModel): DataFrame = {
+  def lmScoreRowwise(docs0: DataFrame, model: BigramLmModel): DataFrame = {
+    // CPU-dense per row (map-literal lookups per token) over what is a
+    // single scan split at small corpus sizes — spread first (round 16,
+    // guide §2.5; no-op when the scan is already cluster-wide)
+    val docs = Dedup.spread(docs0)
     val v = model.alphabetSize
     val ctx = model.contexts.toMap
     def cost(num: Long, den: Long): Long =
