@@ -67,8 +67,12 @@ object Profiling {
     // precomputed columns — repeating the decimal ladder inside every
     // conditional aggregate re-evaluated it 18 times per row (measured
     // 5x the steady-state cost at sf0.1); the aggregated VALUES are
-    // identical, so the cross-engine contract is unchanged
-    val proj = df.select(
+    // identical, so the cross-engine contract is unchanged.
+    // Dedup.spread first (round 16, guide §2.5): the 18 decimal-ladder
+    // partial aggregates are CPU-dense per row, and a small input scans
+    // as one split — the exact sums are partition-order-independent, so
+    // the spread only parallelizes, never changes a value.
+    val proj = Dedup.spread(df.select(columns.map(col): _*)).select(
       columns.flatMap { c => Seq(
         d17(c).as(s"__d_$c"), ok(c).as(s"__ok_$c"),
         (d19(c) * d19(c)).cast("decimal(38,6)").as(s"__q_$c")) } ++

@@ -1466,8 +1466,11 @@ object AnalyticsQueries {
   private def assocBaskets(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val e = Tables.events(s, dir)
-      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    // spread before the per-row JSON parse + date-cast basket keying —
+    // CPU-dense work that otherwise runs on the single scan split
+    // (round 16, guide §2.5; no-op when the scan is cluster-wide)
+    val e = graft.operators.Dedup.spread(Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull))
     val bk = concat(col("user_id").cast("string"), lit("_"),
       col("ts").cast("date").cast("string"))
     e.filter(col("event_type").isNotNull)

@@ -346,15 +346,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("hologram") ||
       err.getCause != null && err.getCause.getMessage.contains("hologram"))
-    // the routing claim as a PLAN pin: scan-level filters + union,
-    // ZERO shuffles — payload bytes never cross an exchange. Pinned on
-    // the UN-limited table (the limit(30) fixture above adds its own
-    // GlobalLimit exchange, which is the test's, not the router's).
+    // the routing claim as a PLAN pin: PAYLOAD BYTES never cross an
+    // exchange. Pinned on the UN-limited table (the limit(30) fixture
+    // above adds its own GlobalLimit exchange, which is the test's, not
+    // the router's). Round 16: the synthesize* inputs spread the NARROW
+    // (doc_id, md5) rows across the cluster before the codec chain
+    // (guide §2.5 — a small docs parquet is one split), so the plan may
+    // carry round-robin exchanges BELOW the encoders; the invariant is
+    // that every exchange input is the pre-payload projection — no
+    // exchange moves media bytes.
     val plan = Multimodal.decodeMixed(spark,
         Multimodal.synthesizeMixedMedia(spark,
           Tables.documents(spark, sf0001)))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"decodeMixed routing must stay shuffle-free:\n$plan")
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange")).foreach {
+      case (line, i) =>
+        assert(line.contains("RoundRobinPartitioning"),
+          s"decodeMixed: only the narrow-input spread may shuffle:\n$plan")
+        val child = lines.drop(i + 1).headOption.getOrElse("")
+        assert(!child.contains("payload"),
+          s"decodeMixed: an exchange is moving payload bytes:\n$plan")
+    }
   }
 }
