@@ -329,8 +329,14 @@ object Multimodal {
     * twins are exactly what a perceptual near-dup detector must find. */
   def synthesizeImagesVaried(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Dedup.spread(docs.select(col("doc_id").cast("long"),
-        md5(coalesce(col("text"), lit(""))).as("h")))
+    // deliberately NOT spread (round 16): the one consumer (dhash
+    // near-dup) feeds a 9-band unioned self-join off a localCheckpoint
+    // of this stage's output — 32 checkpoint partitions × 9 band legs
+    // exploded the join's task count and measured 2.2× SLOWER than the
+    // single-split encode (1.1 vs 2.4 norm; adjudicated in BENCH_REF
+    // round-16 history).
+    docs.select(col("doc_id").cast("long"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
       .as[(Long, String)]
       .mapPartitions { batch =>
         val encode = partitionImageEncoder("png") // one writer per task
