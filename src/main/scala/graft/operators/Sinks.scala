@@ -269,6 +269,11 @@ object Sinks {
       // carrying duplicate keys must not persist duplicate rows, or the
       // contract below ("in-batch duplicates resolve last-write-wins")
       // would hold for every batch except the first.
+      // empty first batch: no table yet, nothing to create — the guard
+      // that used to live as a per-batch isEmpty pre-probe in the
+      // streaming runners (round 16) only matters on THIS branch (an
+      // existing table's merge no-ops via the touched-bucket collect)
+      if (inc.isEmpty) return
       requireCreatableBucketDir(f, tableDir)
       Ingest.upsert(inc.limit(0), inc, key, orderCol)
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
@@ -379,6 +384,8 @@ object Sinks {
       // columns + __bucket, same as the frame-level applyChanges whose
       // existing side never has feed columns — the bucketed layout stays
       // relation-invisible for readBucketedSnapshot
+      // empty first batch: nothing to create (see upsertSnapshotBucketed)
+      if (inc.isEmpty) return
       requireCreatableBucketDir(f, tableDir)
       applyChanges(inc.drop(opCol, orderCol).limit(0), inc, key, orderCol,
         opCol).write.mode(SaveMode.Overwrite).partitionBy("__bucket")

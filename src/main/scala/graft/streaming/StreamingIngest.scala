@@ -160,11 +160,13 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist() // one scan feeds probe + merge (round 15)
-        try {
-          if (!b.isEmpty)
-            graft.operators.Sinks.upsertSnapshotBucketed(
-              b.sparkSession, tableDir, b, key, orderCol, nBuckets)
-        } finally { b.unpersist(); () }
+        // no isEmpty pre-probe (round 16): the merge's own touched-bucket
+        // collect IS the emptiness probe for an existing table, and the
+        // create branch guards itself — the probe was one extra job per
+        // micro-batch on the streaming hot path
+        try graft.operators.Sinks.upsertSnapshotBucketed(
+          b.sparkSession, tableDir, b, key, orderCol, nBuckets)
+        finally { b.unpersist(); () }
       }
       .start()
 
@@ -186,12 +188,10 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist() // one scan feeds probe + merge (round 15)
-        try {
-          if (!b.isEmpty)
-            graft.operators.Sinks.applyChangesBucketed(
-              b.sparkSession, tableDir, b, key, orderCol, opCol,
-              nBuckets)
-        } finally { b.unpersist(); () }
+        // no isEmpty pre-probe (round 16; see runToBucketedSnapshot)
+        try graft.operators.Sinks.applyChangesBucketed(
+          b.sparkSession, tableDir, b, key, orderCol, opCol, nBuckets)
+        finally { b.unpersist(); () }
       }
       .start()
 }
