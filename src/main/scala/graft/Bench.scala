@@ -172,25 +172,10 @@ object Bench {
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toDouble
     def elapsedSec: Double = (System.nanoTime() - t0Main) / 1e9
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // CPU-dense-per-byte stages (hash fan-outs, codec chains, vector
-      // math) shuffle few bytes; AQE's byte-proxy coalescing at the 1 MB
-      // default floor collapses them to one partition and serializes the
-      // compute. A lower floor lets parallelismFirst actually deliver
-      // cluster-width at small byte sizes; stages shuffling real volume
-      // are unaffected (round 16, guide §2.2 — env-parameterised, same
-      // knob on any cluster).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
-      .getOrCreate()
+    // engine config (AQE floor, UTC/nanos) comes from the ONE shared
+    // builder (round 17) — the bench must measure the same engine
+    // Verify/Serve run, not a privately-tuned session
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev-loop plan capture (round 16, optimization guide §1/§7.2): dump
   * `.explain("formatted")` for the named registered queries to
   * `<outDir>/<name>.txt` — the evidence files behind plan-shape claims
@@ -28,19 +26,11 @@ object Plans {
     val eventLog = sys.env.get("SPARK_GRAFT_EVENTLOG") // dir or unset
     eventLog.foreach(d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // engine config from the shared builder (round 17); event logging is
+    // the dev-loop knob this surface adds on top
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions)
       .config("spark.eventLog.enabled", eventLog.isDefined.toString)
       .config("spark.eventLog.dir", eventLog.getOrElse("/tmp"))
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -226,14 +226,10 @@ object Serve {
       .getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(2).getOrElse(
       s"/tmp/graft_serve_${ProcessHandle.current().pid()}")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // engine config from the shared builder (round 17): the serving
+    // surface runs the same engine tuning the bench measures
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val server = start(spark, () => Tables.events(spark, sfDir), outDir,
       port = port)

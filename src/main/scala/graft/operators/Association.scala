@@ -58,11 +58,26 @@ object Association {
       s"minConfMilli must be in [0,1000], got $minConfMilli")
     require(maxPairBudget >= 1,
       s"maxPairBudget must be >= 1, got $maxPairBudget")
-    val b = baskets
+    rulesOverDeduped(dedupedBaskets(baskets, basketCol, itemCol),
+      minSupport, minConfMilli, maxPairBudget)
+  }
+
+  /** The cleaned, de-duplicated, PERSISTED (bk, it) relation every
+    * aggregate below reads — built exactly once per mining call; every
+    * later pass is a cache read, never a re-run of the caller's basket
+    * pipeline (round 17, guide §2.4: the relative-support pre-flight
+    * used to re-execute the whole basket build a second time). */
+  private def dedupedBaskets(baskets: DataFrame, basketCol: String,
+                             itemCol: String): DataFrame =
+    baskets
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def rulesOverDeduped(b: DataFrame, minSupport: Long,
+                               minConfMilli: Long,
+                               maxPairBudget: Long): DataFrame = {
     val nBaskets = b.agg(count_distinct(col("bk")).as("n_baskets"))
     val itemCounts = b.groupBy(col("it")).agg(count(lit(1)).as("ni"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -122,11 +137,21 @@ object Association {
                    maxPairBudget: Long = 100000000L): DataFrame = {
     require(minSupportMilli >= 1 && minSupportMilli <= 1000,
       s"minSupportMilli must be in [1,1000], got $minSupportMilli")
-    val nB = baskets.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .agg(count_distinct(col(basketCol))).head().getLong(0)
+    require(minConfMilli >= 0 && minConfMilli <= 1000,
+      s"minConfMilli must be in [0,1000], got $minConfMilli")
+    require(maxPairBudget >= 1,
+      s"maxPairBudget must be >= 1, got $maxPairBudget")
+    // ONE basket-build pass (round 17, guide §2.4): the pre-flight
+    // count fills the SAME persisted relation every later aggregate
+    // reads. The previous shape counted distinct baskets over the RAW
+    // relation first — distinct bk over deduped (bk, it) pairs is the
+    // identical number (same null filter, projection before distinct) —
+    // and then re-ran the caller's whole basket pipeline (JSON parse,
+    // union, distinct shuffle) a second time inside pairRules.
+    val b = dedupedBaskets(baskets, basketCol, itemCol)
+    val nB = b.agg(count_distinct(col("bk"))).head().getLong(0)
     val threshold = math.max(1L, (minSupportMilli * nB + 999L) / 1000L)
-    pairRules(baskets, basketCol, itemCol, threshold, minConfMilli,
-      maxPairBudget)
+    rulesOverDeduped(b, threshold, minConfMilli, maxPairBudget)
   }
 
   /** The apriori prune's effect AS DATA — one row

@@ -272,10 +272,18 @@ object Sinks {
       // empty first batch: no table yet, nothing to create — the guard
       // that used to live as a per-batch isEmpty pre-probe in the
       // streaming runners (round 16) only matters on THIS branch (an
-      // existing table's merge no-ops via the touched-bucket collect)
-      if (inc.isEmpty) return
+      // existing table's merge no-ops via the touched-bucket collect).
+      // count(), not isEmpty (round 17): isEmpty's limit-1 read consumes
+      // the lazy checkpoint's partition PARTIALLY, so nothing caches and
+      // the create write re-parsed the whole batch source a second time
+      // (event-log profile: a ~600 ms/task re-read); count consumes the
+      // partitions fully, so the write below reads cached blocks.
+      if (inc.count() == 0L) return
       requireCreatableBucketDir(f, tableDir)
+      // cluster by bucket: one file per bucket (guide §6 — see
+      // replaceBuckets; every later merge re-reads these files)
       Ingest.upsert(inc.limit(0), inc, key, orderCol)
+        .repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
         .parquet(tableDir)
       val out = f.create(marker, true)
@@ -292,27 +300,84 @@ object Sinks {
         .collect().map(_.getInt(0)).toSeq
       if (touched.nonEmpty) {
         // isin on the partition column → partition-pruned scan of only
-        // the touched bucket directories
-        val existingTouched = spark.read.parquet(tableDir)
-          .filter(col("__bucket").isin(touched: _*))
-        // EAGER materialization before the overwrite: the merge READS
-        // tableDir and the write REPLACES the same touched directories.
-        // Dynamic-partition overwrite does stage to a temp location, but
-        // an un-materialized plan would still hold open scan tasks over
-        // files the commit deletes; checkpointing the merged rows first
-        // means the overwrite starts only after every source file has
-        // been fully read. Atomicity remains PER BUCKET (documented
-        // above and on runToBucketedSnapshot): a failure between bucket
-        // commits leaves some buckets merged and others not — replaying
-        // the same batch converges (last-write-wins absorbs re-merges).
-        Ingest.upsert(existingTouched, inc, key, orderCol)
-          .localCheckpoint(eager = true)
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket")
+        // the touched bucket directories. Explicit schema (round 17):
+        // the table's schema IS the batch schema by the layout contract
+        // (the create branch wrote exactly these columns, and the merge
+        // below would fail on drift anyway), so per-batch parquet footer
+        // inference is a driver round-trip for nothing on the streaming
+        // hot path.
+        val existingTouched = spark.read.schema(inc.schema)
           .parquet(tableDir)
+          .filter(col("__bucket").isin(touched: _*))
+        // STAGED single-job write (round 17, guide §2.4 — the streaming
+        // hot path runs this once per micro-batch): merge computes
+        // DIRECTLY into a hidden stage dir under the table (one job),
+        // then the driver swaps each written bucket directory in. The
+        // round-15/16 shape paid an eager localCheckpoint job (merge →
+        // block store) plus a dynamic-partition-overwrite job (blocks →
+        // files) per batch — the checkpoint existed only because a
+        // direct overwrite both reads and replaces tableDir; writing to
+        // the stage path removes the conflict, so the merge rows
+        // materialize exactly once. Atomicity remains PER BUCKET
+        // (documented above and on runToBucketedSnapshot), the same
+        // delete-then-rename window dynamic partition overwrite's
+        // committer has; replaying the batch converges (last-write-wins
+        // absorbs re-merges). Upsert output always carries ≥1 row per
+        // touched bucket (the batch's own rows land there), so every
+        // touched bucket is re-written.
+        replaceBuckets(spark, tableDir,
+          Ingest.upsert(existingTouched, inc, key, orderCol), touched)
+        ()
       }
     }
+  }
+
+  /** Swap `touched` bucket directories of a bucketed snapshot table for
+    * the contents of `merged`, materializing the merge exactly once: one
+    * write job into a hidden `.graft_stage_*` dir under the table
+    * (hidden → invisible to concurrent readers and partition discovery),
+    * then one driver-side delete+rename per written bucket. A touched
+    * bucket ABSENT from the stage netted to zero rows (CDC all-deletes)
+    * and is removed. Stale stage debris from a crashed prior attempt is
+    * GC'd first — the checkpoint replay that re-runs this merge
+    * converges on the same final state. Returns the written bucket ids. */
+  private def replaceBuckets(spark: SparkSession, tableDir: String,
+                             merged: DataFrame,
+                             touched: Seq[Int]): Set[Int] = {
+    val f = fs(spark)
+    f.listStatus(new Path(tableDir)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".graft_stage_"))
+      .foreach(p => f.delete(p, true))
+    val stage = new Path(tableDir,
+      s".graft_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    // Cluster by bucket before writing (guide §6 file sizing): without
+    // it every write task opens a parquet writer per bucket value it
+    // sees — the event-log profile showed 17–34 tasks × up to 16 bucket
+    // dirs ≈ hundreds of KB-sized files PER MICRO-BATCH, and the next
+    // batch's merge re-reads all of them (the small-files double cost).
+    // Hash-clustering on __bucket puts each touched bucket in exactly
+    // one task → one file per bucket per merge, and the shuffle moves
+    // only the batch-sized merge output.
+    merged
+      .repartition(math.max(1, touched.size),
+        org.apache.spark.sql.functions.col("__bucket"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
+      .parquet(stage.toString)
+    val written = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__bucket="))
+    written.foreach { src =>
+      val dst = new Path(tableDir, src.getName)
+      f.delete(dst, true)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(
+          s"failed to swap bucket directory $src -> $dst")
+    }
+    val writtenBuckets = written
+      .map(_.getName.stripPrefix("__bucket=").toInt).toSet
+    touched.filterNot(writtenBuckets.contains).foreach(b =>
+      f.delete(new Path(s"$tableDir/__bucket=$b"), true))
+    f.delete(stage, true)
+    writtenBuckets
   }
 
   /** Current contents of an [[upsertSnapshotBucketed]] table (layout
@@ -384,11 +449,16 @@ object Sinks {
       // columns + __bucket, same as the frame-level applyChanges whose
       // existing side never has feed columns — the bucketed layout stays
       // relation-invisible for readBucketedSnapshot
-      // empty first batch: nothing to create (see upsertSnapshotBucketed)
-      if (inc.isEmpty) return
+      // empty first batch: nothing to create (see upsertSnapshotBucketed;
+      // count() — not isEmpty — so the checkpoint caches for the write)
+      if (inc.count() == 0L) return
       requireCreatableBucketDir(f, tableDir)
+      // cluster by bucket: one file per bucket (guide §6 — see
+      // replaceBuckets; every later merge re-reads these files)
       applyChanges(inc.drop(opCol, orderCol).limit(0), inc, key, orderCol,
-        opCol).write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        opCol)
+        .repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
         .parquet(tableDir)
       val out = f.create(marker, true)
       out.write(nBuckets.toString.getBytes("UTF-8")); out.close()
@@ -401,26 +471,30 @@ object Sinks {
       val touched = inc.select(col("__bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq
       if (touched.nonEmpty) {
-        val existingTouched = spark.read.parquet(tableDir)
-          .filter(col("__bucket").isin(touched: _*))
-        // EAGER for the same read-then-replace reason as
-        // upsertSnapshotBucketed — and because the remaining-bucket probe
-        // below must not recompute the merge
-        val merged = applyChanges(existingTouched, inc, key, orderCol, opCol)
-          .localCheckpoint(eager = true)
-        val remaining = merged.select(col("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket")
+        // explicit schema from the layout contract (round 17, see
+        // upsertSnapshotBucketed): the snapshot carries the changes'
+        // data columns + __bucket, never the feed bookkeeping columns
+        val snapSchema = org.apache.spark.sql.types.StructType(
+          inc.schema.fields.filterNot(fd =>
+            fd.name == opCol || fd.name == orderCol))
+        val existingTouched = spark.read.schema(snapSchema)
           .parquet(tableDir)
-        touched.filterNot(remaining).foreach(b =>
-          f.delete(new Path(s"$tableDir/__bucket=$b"), true))
+          .filter(col("__bucket").isin(touched: _*))
+        val merged = applyChanges(existingTouched, inc, key, orderCol, opCol)
+        // STAGED single-job write (round 17, see upsertSnapshotBucketed):
+        // replaces the eager-checkpoint + remaining-bucket collect +
+        // dynamic-overwrite trio (THREE jobs per micro-batch) with ONE
+        // write job — the stage listing IS the remaining-bucket probe (a
+        // bucket netting all-deletes writes no partition dir), and the
+        // per-bucket swap deletes touched-but-absent buckets, the CDC
+        // wrinkle dynamic overwrite could not cover.
+        replaceBuckets(spark, tableDir, merged, touched)
         // a batch netting EVERY remaining row to D would leave zero
         // parquet files — the next read of the table (or batch) would
         // throw "unable to infer schema" forever (round 15). Keep one
         // empty, schema-carrying file in bucket 0 so an emptied table
-        // stays a readable empty table.
+        // stays a readable empty table. (merged.limit(0) plans to an
+        // empty local relation — nothing re-reads the swapped files.)
         val anyBucketLeft = f.exists(new Path(tableDir)) &&
           f.listStatus(new Path(tableDir)).exists(
             _.getPath.getName.startsWith("__bucket="))

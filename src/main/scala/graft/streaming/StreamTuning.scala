@@ -67,17 +67,49 @@ object StreamTuning {
     }
   }
 
+  /** Should per-micro-batch plans (foreachBatch bodies, read-backs) run
+    * under AQE inside the stream window? AQE executes each exchange as
+    * its own QueryStage JOB with a driver re-optimization round between
+    * stages — on a micro-plan over a few thousand rows that is pure
+    * latency (round-17 event-log profile: ~6 sub-jobs + 20–300 ms gaps
+    * per micro-batch on the bucketed-sink rows, none of them doing
+    * anything a static plan would not). The gate is DATA-derived, the
+    * statePartitionsFor rule again: a bounded stream whose whole input
+    * is below one state partition's row target (`rowsPerStatePartition`,
+    * default 1e6) plans micro-batches that cannot benefit from runtime
+    * re-optimization — disable AQE for the window. A production stream
+    * (inputRows ≥ the target) keeps AQE on for its batch-sized merges.
+    * Override: `spark.graft.stream.adaptiveInBatch` / env
+    * `SPARK_GRAFT_STREAM_AQE` = `on` (always) | `auto` (the rule). */
+  private def adaptiveInBatch(spark: SparkSession, inputRows: Long): Boolean = {
+    val mode = spark.conf.getOption("spark.graft.stream.adaptiveInBatch")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_AQE")).getOrElse("auto")
+    require(mode == "on" || mode == "auto",
+      s"adaptiveInBatch must be 'on' or 'auto': $mode")
+    val perPartition = confOrEnv(spark,
+      "spark.graft.stream.rowsPerStatePartition",
+      "SPARK_GRAFT_STREAM_ROWS_PER_PARTITION").getOrElse(1000000L)
+    mode == "on" || inputRows >= perPartition
+  }
+
   /** Run `body` (typically: start a streaming query, drain it, read the
     * result back) with `spark.sql.shuffle.partitions` set from
-    * [[statePartitionsFor]], restoring the previous value afterwards.
-    * The conf must be set BEFORE the stream starts — the first
-    * checkpoint pins it for the query's lifetime. */
+    * [[statePartitionsFor]] (and AQE per [[adaptiveInBatch]]), restoring
+    * the previous values afterwards. The conf must be set BEFORE the
+    * stream starts — the first checkpoint pins it for the query's
+    * lifetime. */
   def withStatePartitions[T](spark: SparkSession, inputRows: Long)
                             (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqeKey)
     spark.conf.set(key, statePartitionsFor(spark, inputRows).toString)
+    spark.conf.set(aqeKey, adaptiveInBatch(spark, inputRows).toString)
     try body
-    finally spark.conf.set(key, prev)
+    finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqeKey, prevAqe)
+    }
   }
 }

@@ -159,14 +159,14 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist() // one scan feeds probe + merge (round 15)
         // no isEmpty pre-probe (round 16): the merge's own touched-bucket
         // collect IS the emptiness probe for an existing table, and the
-        // create branch guards itself — the probe was one extra job per
-        // micro-batch on the streaming hot path
-        try graft.operators.Sinks.upsertSnapshotBucketed(
-          b.sparkSession, tableDir, b, key, orderCol, nBuckets)
-        finally { b.unpersist(); () }
+        // create branch guards itself. No batch.persist either (round
+        // 17): the sink's own lazy localCheckpoint of the bucketed batch
+        // is the single cache layer every consumer reads — a second
+        // persist of the raw rows was a redundant cache fill per batch.
+        graft.operators.Sinks.upsertSnapshotBucketed(
+          batch.sparkSession, tableDir, batch, key, orderCol, nBuckets)
       }
       .start()
 
@@ -187,11 +187,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist() // one scan feeds probe + merge (round 15)
-        // no isEmpty pre-probe (round 16; see runToBucketedSnapshot)
-        try graft.operators.Sinks.applyChangesBucketed(
-          b.sparkSession, tableDir, b, key, orderCol, opCol, nBuckets)
-        finally { b.unpersist(); () }
+        // no isEmpty pre-probe (round 16) and no batch.persist (round
+        // 17; see runToBucketedSnapshot — the sink's localCheckpoint is
+        // the one cache layer)
+        graft.operators.Sinks.applyChangesBucketed(
+          batch.sparkSession, tableDir, batch, key, orderCol, opCol, nBuckets)
       }
       .start()
 }

@@ -232,6 +232,40 @@ class IngestSpec extends SparkSpecBase {
     assert(out2 === (0 until 64).map(i => s"u$i").toSet - "u3" -- keysInVictim)
   }
 
+  test("bucketed staged write: no stage debris after a merge; crashed-attempt stage dirs are GC'd and invisible to readers") {
+    import graft.operators.Sinks
+    val tableDir = Files.createTempDirectory("graft_stage_gc")
+      .toFile.getAbsolutePath + "/tbl"
+    val key = Seq("user_id")
+    val seed = (0 until 16).map(i => (s"u$i", i.toLong))
+      .toDF("user_id", "event_id")
+    Sinks.upsertSnapshotBucketed(spark, tableDir, seed, key, "event_id",
+      nBuckets = 4)
+    def stageDirs: Seq[String] =
+      new java.io.File(tableDir).listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith(".graft_stage_"))
+    // a merge batch leaves no stage directory behind
+    Sinks.upsertSnapshotBucketed(spark, tableDir,
+      Seq(("u3", 100L)).toDF("user_id", "event_id"), key, "event_id",
+      nBuckets = 4)
+    assert(stageDirs.isEmpty, s"stage debris left behind: $stageDirs")
+    // simulate a crashed prior attempt: a stale stage dir with a bogus
+    // bucket payload must (a) not surface in reads (hidden dir), and
+    // (b) be GC'd by the next merge — the replay-converges contract
+    val stale = new java.io.File(tableDir, ".graft_stage_deadbeef/__bucket=0")
+    stale.mkdirs()
+    Files.writeString(stale.toPath.resolve("junk.txt"), "not parquet")
+    assert(Sinks.readBucketedSnapshot(spark, tableDir).count() === 16,
+      "hidden stage dir leaked into the read path")
+    Sinks.upsertSnapshotBucketed(spark, tableDir,
+      Seq(("u5", 200L)).toDF("user_id", "event_id"), key, "event_id",
+      nBuckets = 4)
+    assert(stageDirs.isEmpty, "stale stage dir was not GC'd by the merge")
+    val out = Sinks.readBucketedSnapshot(spark, tableDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size === 16 && out("u3") === 100L && out("u5") === 200L)
+  }
+
   test("SNK10 streaming CDC: I→U→D across micro-batches nets to the collapsed snapshot") {
     import graft.operators.Sinks
     val base = Files.createTempDirectory("graft_snk10s").toFile.getAbsolutePath
