@@ -88,11 +88,20 @@ object Dedup {
     * GraftFunctions.register, done by the Tables loaders). */
   def jaccardAtLeast(a: Column, b: Column, num: Int, den: Int): Column = {
     val inter = call_function("graft_sorted_intersect_count", a, b)
-    val union = size(a) + size(b) - inter
-    // union > 0: two empty shingle sets are NOT near-duplicates (0/0
-    // would satisfy 0 >= 0); keeps the ground truth consistent with the
-    // LSH path, which filters empty-shingle docs before banding.
-    (union > 0) && ((inter * den) >= (union * num))
+    // ONE intersect call (round 17): the previous form —
+    //   union = |A|+|B|−inter; union > 0 && inter·den ≥ union·num —
+    // mentions `inter` three times, and Catalyst duplicates the call in
+    // the expression tree (FilterExec codegen does no subexpression
+    // elimination, and a predicate pushed into a nested-loop join
+    // condition evaluates interpreted) — the O(n²) ground-truth rows
+    // paid up to 3 two-pointer merges per pair. Algebra:
+    //   inter·den ≥ (|A|+|B|−inter)·num  ⟺  inter·(den+num) ≥ (|A|+|B|)·num,
+    // and union > 0 ⟺ |A|+|B| > 0 (inter ≤ min(|A|,|B|) forces
+    // inter = |A|+|B| only when both are empty) — two empty shingle
+    // sets are still NOT near-duplicates, the LSH-path consistency rule.
+    // Exact integer arithmetic, identical boolean on every input.
+    ((size(a) + size(b)) > 0) &&
+      ((inter * (den + num)) >= ((size(a) + size(b)).cast("long") * num))
   }
 
   /** Size-ratio prefilter: j = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
@@ -117,30 +126,61 @@ object Dedup {
       s"jaccardPairs is an O(n²) ground-truth reference: input has $rows rows > maxRows=$maxRows. " +
         "Use minhashLshPairs for production corpora, or pass maxRows explicitly for a deliberate large run.")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // localCheckpoint (LAZY): the shingle computation feeds BOTH join
-    // sides — without persistence the whole tokenize+hash pipeline runs
-    // twice. eager=false skips the extra up-front materialization job
-    // (round 3 paid one full pass just to fill the cache); the first
-    // branch to compute a partition persists it and the second reuses it.
-    // Scale note: localCheckpoint stores MEMORY_AND_DISK per executor and
-    // is NOT fault-tolerant (an executor loss fails the job). That is the
-    // right trade at the scales this O(n²) ground-truth path is meant for
-    // (samples/buckets); a cluster-scale pipeline would persist
-    // (doc_id, sh) — narrow rows, text already projected away — with
-    // StorageLevel.DISK_ONLY or a reliable checkpoint instead.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // localCheckpoint (LAZY): the shingle computation feeds both the
+    // broadcast build and the streamed probe side — compute once.
+    // Null doc_id / null shingle rows are dropped, matching the join
+    // form this kernel replaced (its conditions implied IsNotNull).
     val s = spread(docs)
       .withColumn("ws", tokens(col("text")))
       .select(col("doc_id"), hashedShingles("ws", n).as("sh"))
-      .withColumn("sz", size(col("sh")))
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull)
       .localCheckpoint(eager = false)
-    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
-    // b is the broadcast build side; a streams with one task per partition
-    // of the spread — the O(n²) pair loop parallelizes across the cluster.
-    a.join(broadcast(b), col("doc_a") < col("doc_b") &&
-        sizeRatioCanReach(col("sz_a"), col("sz_b"), num, den))
-      .filter(jaccardAtLeast(col("sh_a"), col("sh_b"), num, den))
-      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Array[Long])]
+    // PAIR-SCAN KERNEL (round 17, VERDICT r16 item 5 / guide §8): the
+    // previous broadcast join put the Jaccard predicate INTO a
+    // BroadcastNestedLoopJoin condition, where it evaluates INTERPRETED
+    // — and Catalyst had duplicated the intersect call three times and
+    // ordered it BEFORE the cheap doc_a<doc_b / size-ratio prunes, so
+    // all n² ordered pairs paid boxed two-pointer merges (the plan is
+    // committed: plans/r17/dedup_ngram_jaccard_before.txt). This kernel
+    // is the same O(n²) loop over the same broadcast bytes, but on
+    // primitive long[]: prefilters first (~ns/pair), ONE allocation-free
+    // intersect per surviving pair, semantics bit-identical (exact
+    // integer threshold, empty-set pairs excluded). One task per spread
+    // partition — parallelism unchanged.
+    val built: Array[(Long, Array[Long])] = s.collect()
+    val bc = spark.sparkContext.broadcast(built)
+    s.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (ida, sha) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val sa = sha.length
+        var i = 0
+        while (i < all.length) {
+          val idb = all(i)._1
+          val shb = all(i)._2
+          val sb = shb.length
+          // size-ratio prune (implied by the threshold: j ≤ min/max) +
+          // the empty-set exclusion (sa+sb>0 ⟺ union>0)
+          if (ida < idb && sa + sb > 0 &&
+            sa * den >= sb * num && sb * den >= sa * num) {
+            var p = 0; var q = 0; var c = 0L
+            while (p < sa && q < sb) {
+              val x = sha(p); val y = shb(q)
+              if (x < y) p += 1
+              else if (x > y) q += 1
+              else { c += 1; p += 1; q += 1 }
+            }
+            // inter·den ≥ union·num ⟺ inter·(den+num) ≥ (|A|+|B|)·num
+            if (c * (den + num) >= (sa + sb).toLong * num) out += ((ida, idb))
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("doc_a", "doc_b")
   }
 
   /** CONTAINMENT ground truth (round 9): pairs where
@@ -162,26 +202,46 @@ object Dedup {
         "Verify banded candidates with the containment predicate for production corpora, " +
         "or pass maxRows explicitly for a deliberate large run.")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val s = spread(docs)
       .withColumn("ws", tokens(col("text")))
       .select(col("doc_id"), hashedShingles("ws", n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0) // an empty set is vacuously contained — drop
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
+        size(col("sh")) > 0) // an empty set is vacuously contained — drop
       .localCheckpoint(eager = false)
-    val inner = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("sz").as("sz_a"))
-    val outer = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
-    val inter = call_function("graft_sorted_intersect_count",
-      col("sh_a"), col("sh_b"))
-    inner.join(broadcast(outer),
-      // containment needs |A| ≤ |B|·den/num at minimum? No: A⊂B possible
-      // only when inter ≤ min(szA, szB); inter ≥ szA·num/den requires
-      // szB·den ≥ szA·num — the one-sided size prefilter
-      col("doc_a") =!= col("doc_b") &&
-        (col("sz_b") * den >= col("sz_a") * num))
-      .filter((inter * den) >= (col("sz_a") * num))
-      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Array[Long])]
+    // PAIR-SCAN KERNEL (round 17 — see jaccardPairs): same O(n²)
+    // directed loop and integer threshold, primitive arrays, one-sided
+    // size prune (inter ≤ min ⇒ inter·den ≥ |A|·num needs |B|·den ≥
+    // |A|·num) before the single intersect.
+    val built: Array[(Long, Array[Long])] = s.collect()
+    val bc = spark.sparkContext.broadcast(built)
+    s.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (ida, sha) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val sa = sha.length
+        var i = 0
+        while (i < all.length) {
+          val idb = all(i)._1
+          val shb = all(i)._2
+          val sb = shb.length
+          if (ida != idb && sb * den >= sa * num) {
+            var p = 0; var q = 0; var c = 0L
+            while (p < sa && q < sb) {
+              val x = sha(p); val y = shb(q)
+              if (x < y) p += 1
+              else if (x > y) q += 1
+              else { c += 1; p += 1; q += 1 }
+            }
+            if (c * den >= sa.toLong * num) out += ((ida, idb))
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("doc_a", "doc_b")
   }
 
   /** MinHash signature over the hashed-shingle array column named `shCol`
